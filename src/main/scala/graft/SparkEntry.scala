@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IntervalJoin, QualityGates, Resample, Watermark}
+import graft.time.{RolloverCalendar, SessionCalendar}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
+  * (hash-compared at sf0.01 by the driver's Verify harness).
+  *
+  * Conventions shared by every query/oracle pair (they make the
+  * hash-compare well-defined):
+  *  - timestamps are emitted as "yyyy-MM-dd HH:mm:ss" STRINGS (avoids
+  *    parquet timestamp-zone representation drift between engines);
+  *  - double aggregates are `round`ed to the exact decimal precision of
+  *    their mathematically true value, so both engines' ~1e-9
+  *    addition-order noise rounds away;
+  *  - every result is deterministically ordered by its key columns;
+  *  - column names are identical on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (driver smoke-checks rows>0 at sf0.001): the
+    * reference's core dataflow shape (resample → session filter → label →
+    * union → broadcast interval join, SURVEY.md §3.2) over the `events`
+    * table — 5-minute OHLCV of `value` per event_type, session-labeled,
+    * enriched by an interval join against a monthly calendar dimension.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val bars = Resample.ohlcvFromTicks(ev, "value", "5 minutes",
+      keys = Seq(col("event_type")))
+    val dim = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("ym"))
+      .agg(min(col("o_orderdate")).as("start_k"),
+        max(col("o_orderdate")).as("settle_k"),
+        count(lit(1)).as("month_orders"))
+    IntervalJoin.leftJoin(
+        bars.withColumn("session_id", SessionCalendar.sessionId(col("ts"))),
+        dim, col("ts"), col("start_k"), col("settle_k"))
+      .drop("start_k", "settle_k")
+  }
+
+  // ---- shared fragments -------------------------------------------------
+
+  private def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Monthly calendar dimension derived from `orders` — the settle-config
+    * analog on driver testdata: non-overlapping [start_k, settle_k]
+    * intervals (min/max order date within each month) + a numeric payload.
+    */
+  private def monthDim(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
+      .agg(min(col("o_orderdate")).as("start_k"),
+        max(col("o_orderdate")).as("settle_k"),
+        count(lit(1)).cast("double").as("accumulated_contract_diff"))
+
+  private val monthDimSql =
+    """SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
+      |       min(o_orderdate) AS start_k, max(o_orderdate) AS settle_k,
+      |       CAST(count(*) AS DOUBLE) AS accumulated_contract_diff
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1: 5-min OHLCV resample (closed-right, left-labeled), per event_type.
+    "resample_5m_ohlcv" -> { (s, d) =>
+      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "5 minutes",
+          keys = Seq(col("event_type")))
+        .select(col("event_type"), tsStr(col("ts")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("event_type", "ts")
+    },
+
+    // A2: 60-min resample with the day session's 45-minute phase offset.
+    "resample_60m_offset45" -> { (s, d) =>
+      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
+          phase = "45 minutes", keys = Seq(col("event_type")))
+        .select(col("event_type"), tsStr(col("ts")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("event_type", "ts")
+    },
+
+    // F-1: day-session time-of-day filter (08:45 <= tod <= 13:45, inclusive).
+    "session_filter_day" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(SessionCalendar.isDay(col("ts")))
+        .select(col("event_id"), tsStr(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // F-2: night-session filter, wraps midnight (tod >= 15:00 OR <= 05:00).
+    "session_filter_night" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(SessionCalendar.isNight(col("ts")))
+        .select(col("event_id"), tsStr(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // F1/F2: session id + yyMMdd-D/N labeling incl. pre-dawn attribution
+    // to the previous day and the 14:xx UNKNOWN gap.
+    "session_labels" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), tsStr(col("ts")).as("ts"),
+          SessionCalendar.sessionId(col("ts")).as("session_id"),
+          SessionCalendar.marketType(col("ts")).as("market_type"))
+        .orderBy("event_id")
+    },
+
+    // J1: broadcast interval join + back-adjustment (left outer, no-match
+    // → diff 0 / empty contract id), lineitem probe vs monthly dimension.
+    "interval_join_backadjust" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("ts"), col("l_extendedprice").as("close"))
+      IntervalJoin.leftJoin(li, monthDim(s, d),
+          col("ts"), col("start_k"), col("settle_k"))
+        .select(col("l_orderkey"), col("l_linenumber"), tsStr(col("ts")).as("ts"),
+          coalesce(col("contract_year_month"), lit("")).as("contract_year_month"),
+          round(col("close") +
+            coalesce(col("accumulated_contract_diff"), lit(0.0)), 2).as("adj_close"))
+        .orderBy("l_orderkey", "l_linenumber", "ts")
+    },
+
+    // S3+F-5 (Gate 2): watermark probe on a "sink" (orders) + strictly-newer
+    // incremental filter on the fact table.
+    "watermark_incremental" -> { (s, d) =>
+      val wm = Watermark.maxTs(Tables.orders(s, d), "o_orderdate")
+      Watermark.newerThan(Tables.lineitem(s, d), wm, "l_shipdate")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          tsStr(col("l_shipdate")).as("ts"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "ts")
+    },
+
+    // J2: exact anti-join incremental (rows absent from the sink).
+    "antijoin_new_rows" -> { (s, d) =>
+      Watermark.notInSink(Tables.orders(s, d), Tables.lineitem(s, d)
+          .withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          tsStr(col("o_orderdate")).as("o_orderdate"))
+        .orderBy("o_orderkey")
+    },
+
+    // A-family: grouped aggregation with partial+final hash agg (TPC-H Q1
+    // shape; sums rounded to their true decimal precision).
+    "tpch_q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A4/W5: per-session bar counts (the completeness gate's aggregate).
+    "completeness_counts" -> { (s, d) =>
+      QualityGates.sessionCounts(Tables.events(s, d))
+        .orderBy("session_id")
+    },
+
+    // O2: last row per key (deterministic last via max_by on unique ts).
+    "last_per_key" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(tsStr(max(col("ts"))).as("last_ts"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+
+    // U1: union of labeled day + night session frames, time-ordered.
+    "union_sessions" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val day = ev.filter(SessionCalendar.isDay(col("ts")))
+        .withColumn("market_type", lit("D"))
+      val night = ev.filter(SessionCalendar.isNight(col("ts")))
+        .withColumn("market_type", lit("N"))
+      day.unionByName(night)
+        .select(col("event_id"), tsStr(col("ts")).as("ts"),
+          col("market_type"), col("value"))
+        .orderBy("ts", "event_id")
+    },
+
+    // F7/F8: third-Wednesday settlement date + next contract month, per
+    // distinct order month.
+    "third_wednesday" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(trunc(col("o_orderdate"), "MM").as("month_start"))
+        .distinct()
+        .select(
+          date_format(col("month_start"), "yyyyMM").as("contract_year_month"),
+          date_format(RolloverCalendar.thirdWednesday(col("month_start")),
+            "yyyy-MM-dd").as("third_wed"),
+          tsStr(RolloverCalendar.settleK(col("month_start"))).as("settle_k"),
+          RolloverCalendar.nextContractMonth(
+            date_format(col("month_start"), "yyyyMM")).as("next_contract"))
+        .orderBy("contract_year_month")
+    },
+
+    // A6: running rollover total — prefix sum over the ordered dimension
+    // (decimal-typed so the window accumulation is exact in both engines).
+    "rollover_prefix_sum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("month_diff"))
+      val w = Window.orderBy("contract_year_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      monthly
+        .withColumn("accumulated_diff",
+          coalesce(sum(col("month_diff")).over(w), lit(0).cast("decimal(18,2)")))
+        .select(col("contract_year_month"),
+          col("month_diff").cast("double").as("month_diff"),
+          col("accumulated_diff").cast("double").as("accumulated_diff"))
+        .orderBy("contract_year_month")
+    }
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val ohlcvOracle = """
+    |SELECT event_type,
+    |  strftime(time_bucket(%BUCKET%, ts - INTERVAL 1 MICROSECOND%OFF%),
+    |           '%Y-%m-%d %H:%M:%S') AS ts,
+    |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+    |  arg_max(value, ts) AS close, count(*) AS volume
+    |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "resample_5m_ohlcv" -> ohlcvOracle
+      .replace("%BUCKET%", "INTERVAL '5 minutes'").replace("%OFF%", ""),
+
+    "resample_60m_offset45" -> ohlcvOracle
+      .replace("%BUCKET%", "INTERVAL '60 minutes'")
+      .replace("%OFF%", ", INTERVAL '45 minutes'"),
+
+    "session_filter_day" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM events
+        |WHERE strftime(ts, '%H:%M') >= '08:45' AND strftime(ts, '%H:%M') <= '13:45'
+        |ORDER BY event_id""".stripMargin,
+
+    "session_filter_night" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM events
+        |WHERE strftime(ts, '%H:%M') >= '15:00' OR strftime(ts, '%H:%M') <= '05:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "session_labels" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN strftime(ts, '%Y-%m-%d') || '_D'
+        |       WHEN hour(ts) >= 15 THEN strftime(ts, '%Y-%m-%d') || '_N'
+        |       WHEN hour(ts) < 5 THEN strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') || '_N'
+        |       ELSE 'UNKNOWN' END AS session_id,
+        |  CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+        |       WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+        |       ELSE 'UNKNOWN' END AS market_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "interval_join_backadjust" ->
+      s"""WITH dim AS ($monthDimSql)
+         |SELECT l.l_orderkey, l.l_linenumber,
+         |  strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts,
+         |  coalesce(dim.contract_year_month, '') AS contract_year_month,
+         |  round(l.l_extendedprice + coalesce(dim.accumulated_contract_diff, 0), 2)
+         |    AS adj_close
+         |FROM lineitem l LEFT JOIN dim
+         |  ON l.l_shipdate >= dim.start_k AND l.l_shipdate <= dim.settle_k
+         |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
+
+    "watermark_incremental" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders)
+        |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
+
+    "antijoin_new_rows" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "tpch_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "completeness_counts" ->
+      """SELECT CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN strftime(ts, '%Y-%m-%d') || '_D'
+        |            WHEN hour(ts) >= 15 THEN strftime(ts, '%Y-%m-%d') || '_N'
+        |            WHEN hour(ts) < 5 THEN strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') || '_N'
+        |            ELSE 'UNKNOWN' END AS session_id,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY session_id""".stripMargin,
+
+    "last_per_key" ->
+      """SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  arg_max(value, ts) AS last_value, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "union_sessions" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, market_type, value
+        |FROM (
+        |  SELECT event_id, ts, 'D' AS market_type, value FROM events
+        |  WHERE strftime(ts, '%H:%M') >= '08:45' AND strftime(ts, '%H:%M') <= '13:45'
+        |  UNION ALL
+        |  SELECT event_id, ts, 'N' AS market_type, value FROM events
+        |  WHERE strftime(ts, '%H:%M') >= '15:00' OR strftime(ts, '%H:%M') <= '05:00')
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "third_wednesday" ->
+      """WITH months AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders),
+        |wed AS (
+        |  SELECT m, m + CAST((3 - dayofweek(m) + 7) % 7 + 14 AS INTEGER) AS tw
+        |  FROM months)
+        |SELECT strftime(m, '%Y%m') AS contract_year_month,
+        |  strftime(tw, '%Y-%m-%d') AS third_wed,
+        |  strftime(CAST(tw AS TIMESTAMP) + INTERVAL 13 HOURS + INTERVAL 25 MINUTES,
+        |           '%Y-%m-%d %H:%M:%S') AS settle_k,
+        |  strftime(m + INTERVAL 1 MONTH, '%Y%m') AS next_contract
+        |FROM wed ORDER BY contract_year_month""".stripMargin,
+
+    "rollover_prefix_sum" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS month_diff
+        |  FROM orders GROUP BY 1)
+        |SELECT contract_year_month,
+        |  CAST(month_diff AS DOUBLE) AS month_diff,
+        |  CAST(coalesce(sum(month_diff) OVER (ORDER BY contract_year_month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    AS accumulated_diff
+        |FROM monthly ORDER BY contract_year_month""".stripMargin
+  )
 }
