@@ -35,9 +35,15 @@ object Resample {
     */
   def closedRightTs(ts: Column): Column = ts - expr("INTERVAL 1 MICROSECOND")
 
-  /** Bucket label column: left-labeled, closed-right window start. */
-  def bucket(ts: Column, width: String, phase: String = "0 minutes"): Column =
-    window(closedRightTs(ts), width, width, phase)("start")
+  /** Bucket label column: left-labeled window start; closed-right edge via
+    * the ε-shift when requested. The reference mixes both: the 1-min→5-min
+    * stage is `closed='right'` (main.py:263) but the 5-min→60-min stage
+    * uses pandas' default `closed='left'` (main.py:272-278) — i.e. Spark's
+    * native window semantics.
+    */
+  def bucket(ts: Column, width: String, phase: String = "0 minutes",
+      closedRight: Boolean = true): Column =
+    window(if (closedRight) closedRightTs(ts) else ts, width, width, phase)("start")
 
   /** Resample OHLCV bars (open/high/low/close/volume columns) into
     * `width`-sized buckets; `main.py:263-265` (5-min) / `272-278` (60-min,
@@ -52,10 +58,11 @@ object Resample {
       width: String,
       phase: String = "0 minutes",
       tsCol: String = "ts",
-      keys: Seq[Column] = Nil): DataFrame = {
+      keys: Seq[Column] = Nil,
+      closedRight: Boolean = true): DataFrame = {
     val ts = col(tsCol)
     bars
-      .groupBy(keys :+ bucket(ts, width, phase).as(tsCol): _*)
+      .groupBy(keys :+ bucket(ts, width, phase, closedRight).as(tsCol): _*)
       .agg(
         min_by(col("open"), ts).as("open"),
         max(col("high")).as("high"),
@@ -74,11 +81,12 @@ object Resample {
       width: String,
       phase: String = "0 minutes",
       tsCol: String = "ts",
-      keys: Seq[Column] = Nil): DataFrame = {
+      keys: Seq[Column] = Nil,
+      closedRight: Boolean = true): DataFrame = {
     val ts = col(tsCol)
     val v = col(valueCol)
     ticks
-      .groupBy(keys :+ bucket(ts, width, phase).as(tsCol): _*)
+      .groupBy(keys :+ bucket(ts, width, phase, closedRight).as(tsCol): _*)
       .agg(
         min_by(v, ts).as("open"),
         max(v).as("high"),

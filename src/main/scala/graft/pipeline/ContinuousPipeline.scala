@@ -57,8 +57,12 @@ object ContinuousPipeline {
     */
   def sixtyMinute(raw1min: DataFrame, settleConfig: DataFrame): DataFrame = {
     val (d5, n5) = fiveMinuteSessions(raw1min)
-    val d60 = Resample.ohlcvBars(d5, "60 minutes", phase = "45 minutes")
-    val n60 = Resample.ohlcvBars(n5, "60 minutes")
+    // The 60-min stage uses pandas' DEFAULT closed='left' (main.py:272-278)
+    // — unlike the closed='right' 1-min→5-min stage — so no ε-shift here:
+    // bucket [08:45, 09:45) holds the 5-min bars labeled 08:45..09:40.
+    val d60 = Resample.ohlcvBars(d5, "60 minutes", phase = "45 minutes",
+      closedRight = false)
+    val n60 = Resample.ohlcvBars(n5, "60 minutes", closedRight = false)
     IntervalJoin.backAdjust(labeled(d60, n60), settleConfig)
   }
 
