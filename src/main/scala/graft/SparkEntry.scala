@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IntervalJoin, QualityGates, Resample, Watermark}
+import graft.ops.{Dedup, IntervalJoin, QualityGates, Resample, Similarity,
+  TextAnalysis, Watermark}
 import graft.time.{RolloverCalendar, SessionCalendar}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -227,6 +228,139 @@ object SparkEntry {
           col("month_diff").cast("double").as("month_diff"),
           col("accumulated_diff").cast("double").as("accumulated_diff"))
         .orderBy("contract_year_month")
+    },
+
+    // S2: schema-on-read coercion — extract from a JSON-ish string column,
+    // try_cast with NULL-on-failure (the reference's errors='coerce' loads).
+    "scan_coercion" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_raw"))
+        .select(col("event_id"),
+          expr("try_cast(k_raw AS BIGINT)").as("k"),
+          expr("try_cast(k_raw AS DATE) IS NULL").as("bad_cast_nulled"))
+        .orderBy("event_id")
+    },
+
+    // P1/P3/P6/P8: projection family — drop, literal column, reorder,
+    // timestamp formatting.
+    "projection_shape" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .drop("l_comment", "l_tax")
+        .withColumn("mxf_code", lit("MXFR1"))
+        .select(tsStr(col("l_shipdate")).as("ts"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("mxf_code"))
+        .orderBy("l_orderkey", "l_linenumber", "ts")
+    },
+
+    // ---- LLM-data-pipeline extensions ----------------------------------
+
+    // Exact dedup: survivors after normalize-hash-groupBy (min id wins).
+    "dedup_exact_survivors" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (trigrams, >=0.8).
+    // The oracle is the brute-force pairwise equivalent; LSH banding makes
+    // the Spark side scale while returning the same pairs.
+    "dedup_minhash_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id")
+      Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id1", "id2")
+    },
+
+    // Exact n-gram Jaccard all-pairs within a language block (bigrams).
+    "dedup_ngram_lang_block" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          blockCol = "lang", n = 2, threshold = 0.5)
+        .orderBy("lang", "id1", "id2")
+    },
+
+    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted). No SQL
+    // oracle (xxhash64); deterministic + ScalaTest-verified.
+    "dedup_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+          maxDistance = 8)
+        .orderBy("id1", "id2")
+    },
+
+    // Text statistics: token counts, punctuation/digit ratios, mean length.
+    "text_stats" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
+        round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language id per document + corpus distribution.
+    "text_langid" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring (composite) + English stopword ratio.
+    "text_quality" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        round(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("stop_en"))
+        .orderBy("doc_id")
+    },
+
+    // Order-sensitive 64-bit document fingerprint. No SQL oracle
+    // (xxhash64); deterministic + ScalaTest-verified.
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact brute-force cosine top-5 for a 10-query batch.
+    "embed_topk_bruteforce" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.topKBruteForce(emb, q, k = 5).orderBy("query_id", "rank")
+    },
+
+    // ANN variant: sign-LSH bucketed top-5 (recall<1 by design — no SQL
+    // oracle; self-hit and ranking invariants are ScalaTest-verified).
+    "embed_topk_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.topKLsh(emb, q, k = 5, dim = 64, planes = 6)
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding near-duplicate pairs via LSH buckets (rows-only check).
+    "embed_neardup_lsh" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
+          threshold = 0.3, planes = 4)
+        .orderBy("id1", "id2")
+    },
+
+    // Exact distinct aggregation per group.
+    "events_distinct_users" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // HLL++ approximate distinct (sketch differs from DuckDB's — rows-only).
+    "events_hll_users" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
     }
   )
 
@@ -345,6 +479,134 @@ object SparkEntry {
         |           '%Y-%m-%d %H:%M:%S') AS settle_k,
         |  strftime(m + INTERVAL 1 MONTH, '%Y%m') AS next_contract
         |FROM wed ORDER BY contract_year_month""".stripMargin,
+
+    "scan_coercion" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DATE) IS NULL
+        |    AS bad_cast_nulled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "projection_shape" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts, l_orderkey,
+        |  l_linenumber, l_quantity, 'MXFR1' AS mxf_code
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
+
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, round(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_ngram_lang_block" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS sh
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.lang, a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, id1, id2, round(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY lang, id1, id2""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish,
+        |  round((length(text) - length(regexp_replace(text,
+        |    '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')))::DOUBLE / length(text), 6) AS digit_ratio,
+        |  round(list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
+        |    len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE
+        |      / length(text) AS punct,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |      / length(text) AS digit,
+        |    list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS mtl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(least(n_tok / 64.0, 1.0) * (CASE WHEN n_tok > 4096 THEN 0.5 ELSE 1.0 END) * 0.4
+        |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN digit <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+        |  round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE /
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stop_en
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "embed_topk_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "rollover_prefix_sum" ->
       """WITH monthly AS (

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard variants, all as declarative
+  * DataFrame transforms (no UDFs — every hash is `xxhash64`, every set op a
+  * higher-order array function, so the whole family stays in codegen).
+  *
+  * Scale design (the point of each variant at 100 TB):
+  *  - exact: one hash-partitioned groupBy on a 64-bit text hash — the
+  *    shuffle carries (hash, id), never the text.
+  *  - MinHash/LSH: signatures shrink each doc to k longs (one shuffle of
+  *    k×8 bytes/doc); banding turns the O(n²) pair search into equality
+  *    joins on (band, bucket-hash) — only docs sharing a band bucket meet.
+  *  - SimHash: one 64-bit fingerprint per doc; near-dup = small Hamming
+  *    distance; banding the 64 bits into 16-bit chunks gives the same
+  *    equality-join candidate generation.
+  *  - n-gram Jaccard: the exact verifier run AFTER candidate generation,
+  *    never as the generator.
+  */
+object Dedup {
+
+  /** Canonical text form: lower-cased, trimmed, whitespace collapsed. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Word n-gram shingles as an array of strings (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull))
+  }
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact dedup: group by the normalized-text hash, keep the smallest id
+    * per group. Returns the surviving rows. The shuffle key is the 64-bit
+    * hash, so text bytes never cross the wire twice.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .groupBy(xxhash64(normalize(col(textCol))).as("__th"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__th")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** k-permutation MinHash signature: `sig[i] = min over shingles of
+    * xxhash64(i, shingle)` — k independent hash families via the seed
+    * column, one aggregation, no explode materialized beyond the shuffle.
+    * Output: idCol + sig_0..sig_{k-1}.
+    */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+    exploded.groupBy(col(idCol)).agg(
+      min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+  }
+
+  /** LSH banding: hash each band of r consecutive signature components to a
+    * bucket; docs sharing any (band, bucket) become candidate pairs
+    * (id1 < id2). Equality join per band — never a cross join.
+    */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)
+    }
+    val buckets = sig.select(col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val left = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val right = buckets.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of equal components. */
+  private def sigSimilarity(k: Int): Column = {
+    val eq = (0 until k).map(i =>
+      when(col(s"l_sig_$i") === col(s"r_sig_$i"), 1).otherwise(0))
+    eq.reduce(_ + _).cast("double") / k
+  }
+
+  /** Full MinHash dedup: signature → banded candidates → signature-verified
+    * pairs with estimated Jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, k, shingleN).cache()
+    val cand = minhashCandidates(sig, idCol, k, bands)
+    val l = sig.toDF(sig.columns.map(c => if (c == idCol) "id1" else s"l_$c"): _*)
+    val r = sig.toDF(sig.columns.map(c => if (c == idCol) "id2" else s"r_$c"): _*)
+    cand.join(l, "id1").join(r, "id2")
+      .withColumn("est_jaccard", sigSimilarity(k))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is
+    * 1 iff the sum over token OCCURRENCES of ±1 (sign of bit b of
+    * xxhash64(token)) is positive. Weighting by occurrence (no distinct)
+    * matters: on a small shared vocabulary, distinct-token sets are nearly
+    * identical across documents and unweighted SimHash stops
+    * discriminating. Pure expression pipeline: explode → 64 conditional
+    * sums → bit reassembly.
+    */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b_$b")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, c) => a.bitwiseOR(c))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates via 16-bit chunk equality (any doc
+    * pair within Hamming distance 3 shares at least one of 4 chunks —
+    * pigeonhole), verified by exact Hamming distance <= maxDistance.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val fp = simhash64(df, textCol, idCol).cache()
+    val chunks = fp.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "val")))
+    val l = chunks.select(col(idCol).as("id1"), col("simhash").as("h1"),
+      col("chunk"), col("val"))
+    val r = chunks.select(col(idCol).as("id2"), col("simhash").as("h2"),
+      col("chunk"), col("val"))
+    l.join(r, Seq("chunk", "val"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2").distinct()
+      .withColumn("distance", hamming(col("h1"), col("h2")))
+      .filter(col("distance") <= maxDistance)
+      .select("id1", "id2", "distance")
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------------
+
+  /** Exact n-gram Jaccard similarity between the documents of `pairs`
+    * (id1, id2): |A ∩ B| / |A ∪ B| over distinct word n-grams. Used as the
+    * exact verifier behind MinHash/SimHash candidates, or standalone with a
+    * blocking key at small scale.
+    */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("__s"))
+    val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
+    val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
+    pairs.join(l, "id1").join(r, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold within a blocking column (e.g.
+    * language): the block join bounds the quadratic term to block sizes.
+    * Small-scale/oracle variant — the LSH paths above are the scale path.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), col(blockCol), shingles(col(textCol), n).as("__s"))
+    val l = sh.select(col(idCol).as("id1"), col(blockCol), col("__s").as("s1"))
+    val r = sh.select(col(idCol).as("id2"), col(blockCol), col("__s").as("s2"))
+    l.join(r, Seq(blockCol))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(blockCol), col("id1"), col("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

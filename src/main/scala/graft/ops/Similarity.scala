@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * All vector math uses higher-order array functions (`zip_with` +
+  * `aggregate`), evaluated left-to-right — deterministic, codegen-friendly,
+  * no UDFs, and bit-identical to DuckDB's sequential list fold for the
+  * oracle.
+  *
+  * Scale design: queries are the broadcast side, the corpus is the
+  * streamed side — a top-k scan is one pass over corpus partitions with a
+  * per-partition heap (here: partial `min_by`-style aggregation via window
+  * rank, which AQE executes as partial top-k per partition before the final
+  * shuffle of k×|queries| rows). The LSH variant cuts the scanned fraction
+  * to the matching buckets; recall is tunable via the number of hyperplanes.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity (NULL-safe 0 for zero vectors). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k neighbours of each query vector: broadcast
+    * the (small) query set against the corpus, rank by similarity within
+    * each query. Ties broken by corpus id for determinism.
+    */
+  def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): a
+    * splitmix64-style integer mix of (plane, dim) — no RNG state, so every
+    * executor and every run derives the identical planes.
+    */
+  private def mix(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-LSH bucket id: `planes` hyperplanes of dimension `dim`; bit p of
+    * the bucket = sign of dot(v, plane_p). Buckets are a single LONG
+    * column, so the candidate join is a plain equality shuffle join.
+    */
+  def signBucket(vec: Column, dim: Int, planes: Int): Column = {
+    require(planes <= 63, "bucket is a 64-bit long")
+    (0 until planes).map { p =>
+      val d = (0 until dim).map(j => element_at(vec, j + 1).cast("double") * mix(p, j))
+        .reduce(_ + _)
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: restrict the scan to corpus vectors in the query's LSH
+    * bucket, then exact-rerank. Recall < 1 by construction (a near
+    * neighbour can land across a hyperplane); increase recall by lowering
+    * `planes` (bigger buckets) or probing neighbouring buckets.
+    */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val c = corpus.withColumn("__bucket", signBucket(col(corpusVec), dim, planes))
+    val q = queries.withColumn("__bucket", signBucket(col(queryVec), dim, planes))
+    c.join(broadcast(q), "__bucket")
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket both sides with
+    * sign-LSH, compare within buckets only, keep pairs above `threshold`.
+    */
+  def cosineNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 8): DataFrame = {
+    val b = df.withColumn("__bucket", signBucket(col(vecCol), dim, planes))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("__bucket"))
+    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("__bucket"))
+    l.join(r, "__bucket")
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, and document fingerprinting — all
+  * per-row `Column` expressions (no shuffles at all; these run inside the
+  * scan's whole-stage-codegen pass, so they cost one pass over the text at
+  * any scale).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(wsTokens(text)))
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the
+    * usual `\w+|[^\w\s]` pre-tokenizer regex.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters (explicit ASCII class, so every
+    * engine agrees on membership).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]-]", "")))
+        .cast("double") / length(text))
+
+  /** Ratio of digit characters. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      aggregate(wsTokens(text), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / tokenCount(text))
+
+  /** Tiny per-language stopword profiles for the n-gram-free heuristic
+    * language id. Order matters: ties resolve to the earlier entry.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"))
+
+  /** Fraction of tokens that are stopwords of `lang`'s profile. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val profile = stopwordProfiles.toMap.apply(lang)
+    val toks = split(lower(trim(text)), "\\s+")
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(profile: _*))).cast("double") / size(toks))
+  }
+
+  /** Heuristic language id: the profile with the highest stopword hit
+    * count; "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0, 1]: rewards mid-length documents and
+    * prose-like punctuation/digit/stopword profiles. Deterministic,
+    * explicit weights; cheap enough to run inline with ingestion.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 64.0, lit(1.0)) * when(nTok > 4096, 0.5).otherwise(1.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.5)
+    val digitOk = when(digitRatio(text) <= 0.2, 1.0).otherwise(0.5)
+    val wordOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    round(lengthScore * 0.4 + punctOk * 0.2 + digitOk * 0.2 + wordOk * 0.2, 6)
+  }
+
+  /** 64-bit document fingerprint: rolling hash over the normalized token
+    * sequence (order-sensitive, unlike the dedup shingle sets):
+    * `h = xxhash64(h, token)` — the chained-seed form avoids wrapping
+    * multiplication, which ANSI mode (Spark 4 default) rejects on overflow.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
+      (acc, t) => xxhash64(acc, t))
+}

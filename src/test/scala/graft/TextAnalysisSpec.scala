@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(
+      "hello world",
+      "  spaced   out  ",
+      "punct, heavy! (tokens)",
+      "").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount($"text").as("ws"),
+      TextAnalysis.bpeishTokenCount($"text").as("bpe"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got(0) == ((2, 2)))
+    assert(got(1) == ((2, 2)))
+    assert(got(2) == ((3, 7))) // punct + heavy + tokens -> "punct , heavy ! ( tokens )"
+    assert(got(3)._1 == 0)
+  }
+
+  test("ratios: punctuation and digits") {
+    val df = Seq(("a,b.c!", "abc123")).toDF("t1", "t2")
+    val r = df.select(TextAnalysis.punctRatio($"t1"), TextAnalysis.digitRatio($"t2")).head()
+    assert(r.getDouble(0) == 0.5) // 3 punct / 6 chars
+    assert(r.getDouble(1) == 0.5)
+  }
+
+  test("langId picks the profile with the most stopword hits") {
+    val df = Seq(
+      "the cat and the dog sat on a mat in the sun",
+      "der hund und die katze ist nicht ein freund",
+      "el perro y la casa es un lugar en que los gatos",
+      "xyzzy qwerty asdf").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    val df = Seq(
+      "a clean readable document with enough words to look like prose and sentences",
+      "!!! ??? ,,, ... ;;; :::").toDF("text")
+    val s = df.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(0) > s(1))
+  }
+
+  test("fingerprint is deterministic, order-sensitive, whitespace-normalized") {
+    val df = Seq(
+      ("one two three", "one two three", "three two one"),
+      ("a  b", "a b", "b a")).toDF("t1", "t2", "t3")
+    val rows = df.select(
+      TextAnalysis.fingerprint($"t1"), TextAnalysis.fingerprint($"t2"),
+      TextAnalysis.fingerprint($"t3")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) != r.getLong(2))
+    }
+  }
+
+  test("runs over the real documents table") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.langId($"text").as("lang_pred"),
+      TextAnalysis.qualityScore($"text").as("quality"))
+    assert(out.count() == 500)
+    assert(out.filter($"n_tokens" <= 0).count() == 0)
+  }
+}
