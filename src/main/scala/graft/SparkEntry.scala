@@ -88,6 +88,73 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     },
 
+    // A3: plain 60-min resample (no phase offset).
+    "resample_60m" -> { (s, d) =>
+      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
+          keys = Seq(col("event_type")))
+        .select(col("event_type"), tsStr(col("ts")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("event_type", "ts")
+    },
+
+    // O3: ordered limit (the reference's tail-N slice, main.py:354-356).
+    "topn_recent" -> { (s, d) =>
+      Tables.events(s, d)
+        .orderBy(desc("ts"), desc("event_id"))
+        .limit(200)
+        .select(col("event_id"), tsStr(col("ts")).as("ts"), col("event_type"))
+    },
+
+    // Equi joins across the star schema: broadcast dims, aggregated
+    // revenue per region/nation (generalizes the reference's join surface).
+    "equi_join_stars" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Rollup aggregation (subtotals + grand total; NULL levels coalesced
+    // to 'ALL' so both engines agree on representation and ordering).
+    "rollup_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // U2 + C2: append the PREDICTED next contract row to a settle-config
+    // dimension derived from orders months (rollover prediction: month+1,
+    // third-Wednesday settle, start = prev settle + 5 min, accumulated
+    // diff rolled forward; its own next_contract_diff unknown -> NULL).
+    "union_predicted_contract" -> { (s, d) =>
+      val cfg = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
+        .agg(count(lit(1)).cast("double").as("next_contract_diff"),
+          min(col("o_orderdate")).as("start_k"),
+          max(col("o_orderdate")).as("settle_k"))
+        .withColumn("accumulated_contract_diff", lit(100.0))
+      RolloverCalendar.predictNext(cfg)
+        .select(col("contract_year_month"), col("next_contract_diff"),
+          col("accumulated_contract_diff"),
+          tsStr(col("start_k")).as("start_k"), tsStr(col("settle_k")).as("settle_k"))
+        .orderBy("contract_year_month")
+    },
+
     // F-1: day-session time-of-day filter (08:45 <= tod <= 13:45, inclusive).
     "session_filter_day" -> { (s, d) =>
       Tables.events(s, d)
@@ -382,6 +449,60 @@ object SparkEntry {
     "resample_60m_offset45" -> ohlcvOracle
       .replace("%BUCKET%", "INTERVAL '60 minutes'")
       .replace("%OFF%", ", INTERVAL '45 minutes'"),
+
+    "resample_60m" -> ohlcvOracle
+      .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", ""),
+
+    "topn_recent" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 200""".stripMargin,
+
+    "equi_join_stars" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "union_predicted_contract" ->
+      """WITH cfg AS (
+        |  SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
+        |    CAST(count(*) AS DOUBLE) AS next_contract_diff,
+        |    min(o_orderdate) AS start_k, max(o_orderdate) AS settle_k,
+        |    100.0 AS accumulated_contract_diff
+        |  FROM orders GROUP BY 1),
+        |last AS (
+        |  SELECT * FROM cfg ORDER BY contract_year_month DESC LIMIT 1),
+        |nextm AS (
+        |  SELECT CAST(strptime(contract_year_month, '%Y%m') AS DATE)
+        |    + INTERVAL 1 MONTH AS m1, * FROM last),
+        |predicted AS (
+        |  SELECT strftime(m1, '%Y%m') AS contract_year_month,
+        |    CAST(NULL AS DOUBLE) AS next_contract_diff,
+        |    settle_k + INTERVAL 5 MINUTES AS start_k,
+        |    CAST(CAST(date_trunc('month', m1) AS DATE)
+        |      + CAST((3 - dayofweek(CAST(date_trunc('month', m1) AS DATE)) + 7) % 7 + 14 AS INTEGER)
+        |      AS TIMESTAMP) + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k,
+        |    accumulated_contract_diff + next_contract_diff AS accumulated_contract_diff
+        |  FROM nextm)
+        |SELECT contract_year_month, next_contract_diff, accumulated_contract_diff,
+        |  strftime(start_k, '%Y-%m-%d %H:%M:%S') AS start_k,
+        |  strftime(settle_k, '%Y-%m-%d %H:%M:%S') AS settle_k
+        |FROM (SELECT * FROM cfg UNION ALL SELECT contract_year_month,
+        |      next_contract_diff, start_k, settle_k, accumulated_contract_diff
+        |      FROM predicted)
+        |ORDER BY contract_year_month""".stripMargin,
 
     "session_filter_day" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
