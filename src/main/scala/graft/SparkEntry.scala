@@ -331,20 +331,29 @@ object SparkEntry {
 
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified (trigrams, >=0.8).
     // The oracle is the brute-force pairwise equivalent; LSH banding makes
-    // the Spark side scale while returning the same pairs.
+    // the Spark side scale while returning the same pairs. k=32/16 bands:
+    // at j>=0.8 the per-band hit rate is j^2=0.64, so the miss probability
+    // is (1-0.64)^16 ~ 8e-8 — and the surviving pairs here are all j>=0.98.
     "dedup_minhash_pairs" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val cand = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id")
+        Dedup.minhashSignature(docs, "text", "doc_id", k = 32), "doc_id",
+        k = 32, bands = 16)
+        .cache() // consumed three times by the exact-Jaccard verifier
       Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
         .filter(col("jaccard") >= 0.8)
         .orderBy("id1", "id2")
     },
 
-    // Exact n-gram Jaccard all-pairs within a language block (bigrams).
+    // Exact n-gram Jaccard all-pairs within (language, length-bucket)
+    // blocks (bigrams): a j>=0.5 pair must have similar shingle counts,
+    // so the 64-char n_chars bucket is a second lossless blocking key.
     "dedup_ngram_lang_block" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          blockCol = "lang", n = 2, threshold = 0.5)
+          blockCols = Seq("lang" -> col("lang"),
+            "len_bucket" -> (col("n_chars") / 64).cast("long")),
+          n = 2, threshold = 0.5)
+        .select("lang", "id1", "id2", "jaccard")
         .orderBy("lang", "id1", "id2")
     },
 
@@ -374,11 +383,11 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // Quality scoring (composite) + English stopword ratio.
+    // Quality scoring (composite, two-phase) + English stopword ratio.
     "text_quality" -> { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        round(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("stop_en"))
+      TextAnalysis.withQualityScore(Tables.documents(s, d), "text", "quality")
+        .select(col("doc_id"), col("quality"),
+          round(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("stop_en"))
         .orderBy("doc_id")
     },
 
@@ -638,16 +647,17 @@ object SparkEntry {
 
     "dedup_ngram_lang_block" ->
       """WITH t AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, n_chars,
         |    list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS sh
-        |  FROM (SELECT doc_id, lang, regexp_split_to_array(
+        |  FROM (SELECT doc_id, lang, n_chars, regexp_split_to_array(
         |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
         |        FROM documents)),
         |p AS (
         |  SELECT a.lang, a.doc_id AS id1, b.doc_id AS id2,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  FROM t a JOIN t b ON a.lang = b.lang
+        |    AND (a.n_chars // 64) = (b.n_chars // 64) AND a.doc_id < b.doc_id)
         |SELECT lang, id1, id2, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY lang, id1, id2""".stripMargin,
 

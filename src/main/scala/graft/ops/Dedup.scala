@@ -29,15 +29,32 @@ object Dedup {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** Word n-gram shingles as an array of strings (distinct). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Token n-tuples as an array of structs: n shifted copies of the token
+    * array zipped together — O(n) array slices total instead of one slice
+    * per shingle position (the naive per-index form is quadratic in
+    * document length and dominated the dedup benchmarks). Entries whose
+    * last field is null (the ragged tail) are dropped, leaving exactly
+    * size-n+1 shingle positions.
+    */
+  private def shingleStructs(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull))
+    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), size(toks)).as(s"t$i"))
+    filter(arrays_zip(shifted: _*), s => s.getField(s"t${n - 1}").isNotNull)
   }
+
+  /** Word n-gram shingles as an array of strings (distinct). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingleStructs(text, n),
+      s => concat_ws(" ", (0 until n).map(i => s.getField(s"t$i")): _*)))
+
+  /** Shingles pre-hashed to 64-bit longs: set operations (intersect/union,
+    * min-hash) on longs are several times cheaper than on strings, and
+    * Jaccard only depends on element counts, so an injective-in-practice
+    * hash changes nothing (collision odds ~ n²/2⁶⁴ per document).
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingleStructs(text, n),
+      s => xxhash64((0 until n).map(i => s.getField(s"t$i")): _*)))
 
   // ---- exact ------------------------------------------------------------
 
@@ -62,8 +79,11 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleN: Int = 3): DataFrame = {
+    // hash each shingle to a long ONCE, then derive the k families by
+    // hashing (seed, long) — k cheap 8-byte hashes instead of k string
+    // hashes per shingle.
     val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), explode(hashedShingles(col(textCol), shingleN)).as("__sh"))
     exploded.groupBy(col(idCol)).agg(
       min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
       (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
@@ -71,7 +91,9 @@ object Dedup {
 
   /** LSH banding: hash each band of r consecutive signature components to a
     * bucket; docs sharing any (band, bucket) become candidate pairs
-    * (id1 < id2). Equality join per band — never a cross join.
+    * (id1 < id2). Equality join per band — never a cross join. The bucket
+    * frame is cached: it feeds both sides of the self-join, and without
+    * the cache the whole signature aggregation would run twice.
     */
   def minhashCandidates(sig: DataFrame, idCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
@@ -81,6 +103,7 @@ object Dedup {
     }
     val buckets = sig.select(col(idCol),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+      .cache()
     val left = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val right = buckets.select(col(idCol).as("id2"), col("band"), col("bucket"))
     left.join(right, Seq("band", "bucket"))
@@ -171,7 +194,13 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), n).as("__s"))
+    // only documents that appear in a candidate pair need their shingle
+    // sets — semi-join first so the shingle computation is proportional to
+    // the candidate count, not the corpus.
+    val needed = pairs.select(col("id1").as(idCol))
+      .union(pairs.select(col("id2").as(idCol))).distinct()
+    val sh = df.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), hashedShingles(col(textCol), n).as("__s"))
     val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
     val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
     pairs.join(l, "id1").join(r, "id2")
@@ -181,22 +210,32 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** All-pairs n-gram Jaccard >= threshold within a blocking column (e.g.
-    * language): the block join bounds the quadratic term to block sizes.
+  /** All-pairs n-gram Jaccard >= threshold within blocking columns (e.g.
+    * language + a length bucket): the block join bounds the quadratic term
+    * to block sizes — a Jaccard >= t pair must have set sizes within a
+    * factor 1/t, so a document-length bucket is a lossless-in-practice
+    * second key that divides each block's pair count by its width.
     * Small-scale/oracle variant — the LSH paths above are the scale path.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), col(blockCol), shingles(col(textCol), n).as("__s"))
-    val l = sh.select(col(idCol).as("id1"), col(blockCol), col("__s").as("s1"))
-    val r = sh.select(col(idCol).as("id2"), col(blockCol), col("__s").as("s2"))
-    l.join(r, Seq(blockCol))
+      blockCols: Seq[(String, Column)], n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val names = blockCols.map(_._1)
+    val sh = df.select(
+      Seq(col(idCol)) ++ blockCols.map { case (nm, c) => c.as(nm) } :+
+        hashedShingles(col(textCol), n).as("__s"): _*)
+      .cache() // feeds both sides of the block self-join
+    val l = sh.select(Seq(col(idCol).as("id1")) ++ names.map(col) :+
+      col("__s").as("s1"): _*)
+    val r = sh.select(Seq(col(idCol).as("id2")) ++ names.map(col) :+
+      col("__s").as("s2"): _*)
+    l.join(r, names)
       .filter(col("id1") < col("id2"))
       .withColumn("jaccard",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))))
       .filter(col("jaccard") >= threshold)
-      .select(col(blockCol), col("id1"), col("id2"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(names.map(col) ++ Seq(col("id1"), col("id2"),
+        round(col("jaccard"), 6).as("jaccard")): _*)
   }
 }

@@ -70,12 +70,18 @@ object Similarity {
   /** Sign-LSH bucket id: `planes` hyperplanes of dimension `dim`; bit p of
     * the bucket = sign of dot(v, plane_p). Buckets are a single LONG
     * column, so the candidate join is a plain equality shuffle join.
+    *
+    * The planes enter the plan as array LITERALS and the dot product as a
+    * `zip_with`+`aggregate` loop — compact generated code (a loop per
+    * plane) instead of a dim×planes unrolled expression tree, which keeps
+    * codegen compile time flat as dimensions grow.
     */
   def signBucket(vec: Column, dim: Int, planes: Int): Column = {
     require(planes <= 63, "bucket is a 64-bit long")
     (0 until planes).map { p =>
-      val d = (0 until dim).map(j => element_at(vec, j + 1).cast("double") * mix(p, j))
-        .reduce(_ + _)
+      val plane = array((0 until dim).map(j => lit(mix(p, j))): _*)
+      val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
       when(d > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -78,14 +78,38 @@ object TextAnalysis {
   /** Composite quality score in [0, 1]: rewards mid-length documents and
     * prose-like punctuation/digit/stopword profiles. Deterministic,
     * explicit weights; cheap enough to run inline with ingestion.
+    *
+    * Prefer [[withQualityScore]] for DataFrame pipelines: this single
+    * Column form repeats the token/ratio subtrees inside one expression,
+    * which codegen compiles slowly.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    combineQuality(tokenCount(text).cast("double"), punctRatio(text),
+      digitRatio(text), meanTokenLen(text))
+
+  private def combineQuality(nTok: Column, punct: Column, digit: Column,
+      mtl: Column): Column = {
     val lengthScore = least(nTok / 64.0, lit(1.0)) * when(nTok > 4096, 0.5).otherwise(1.0)
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.5)
-    val digitOk = when(digitRatio(text) <= 0.2, 1.0).otherwise(0.5)
-    val wordOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    val punctOk = when(punct <= 0.2, 1.0).otherwise(0.5)
+    val digitOk = when(digit <= 0.2, 1.0).otherwise(0.5)
+    val wordOk = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.5)
     round(lengthScore * 0.4 + punctOk * 0.2 + digitOk * 0.2 + wordOk * 0.2, 6)
+  }
+
+  /** Two-phase quality score: materialize the shared text features as
+    * narrow columns in one projection, combine in a second — same values
+    * as [[qualityScore]], far smaller generated code.
+    */
+  def withQualityScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__n_tok", tokenCount(t).cast("double"))
+      .withColumn("__punct", punctRatio(t))
+      .withColumn("__digit", digitRatio(t))
+      .withColumn("__mtl", meanTokenLen(t))
+      .withColumn(outCol, combineQuality(col("__n_tok"), col("__punct"),
+        col("__digit"), col("__mtl")))
+      .drop("__n_tok", "__punct", "__digit", "__mtl")
   }
 
   /** 64-bit document fingerprint: rolling hash over the normalized token
