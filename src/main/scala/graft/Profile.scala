@@ -21,7 +21,21 @@ object Profile {
       val n = body
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    if (args.tail.headOption.contains("stages")) {
+    if (args.tail.headOption.contains("showplans")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.execution.ExplainMode
+      def show(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        println(s"===== $label =====")
+        println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      }
+      show("resample", SparkEntry.queries("resample_5m_ohlcv")(spark, sfDir))
+      show("resample_bars", graft.ops.Resample.ohlcvBars(
+        Tables.events(spark, sfDir).select(col("ts"), col("value").as("open"),
+          col("value").as("high"), col("value").as("low"), col("value").as("close"),
+          lit(1L).as("volume")), "5 minutes"))
+      show("dedup_exact", graft.ops.Dedup.exact(
+        Tables.documents(spark, sfDir), "text", "doc_id"))
+    } else if (args.tail.headOption.contains("stages")) {
       import graft.ops.Dedup
       val docs = Tables.documents(spark, sfDir)
       time("shingles")(docs.select(org.apache.spark.sql.functions.explode(

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape guarantees: the properties that make these operators viable
+  * at 100 TB, asserted against the actual physical plans so a regression
+  * (lost pushdown, accidental cross join, missing broadcast) fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("watermark predicate is pushed down to the parquet scan") {
+    val plan = planOf(SparkEntry.queries("watermark_incremental")(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("column pruning reaches the scan (2-column projection reads 2 columns)") {
+    val df = Tables.lineitem(spark, sf0001).select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"over-read:\n$plan")
+  }
+
+  test("interval join plans as BroadcastNestedLoopJoin, equi joins as broadcast hash joins") {
+    val ij = planOf(SparkEntry.queries("interval_join_backadjust")(spark, sf0001))
+    assert(ij.contains("BroadcastNestedLoopJoin"), s"no broadcast NLJ:\n$ij")
+    val ej = planOf(SparkEntry.queries("equi_join_stars")(spark, sf0001))
+    assert(ej.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$ej")
+    assert(!ej.contains("CartesianProduct"))
+  }
+
+  test("resample is a single partial+final hash aggregation (map-side combine)") {
+    val plan = planOf(SparkEntry.queries("resample_5m_ohlcv")(spark, sf0001))
+    assert(plan.contains("partial_min_by"), s"no partial agg:\n$plan")
+    // the aggregation shuffles once on (keys, bucket); window() lowers to
+    // arithmetic bucketing, no explode
+    assert(plan.contains("hashpartitioning"), s"unexpected exchange shape:\n$plan")
+    assert(!plan.contains("Generate"), s"window exploded:\n$plan")
+  }
+
+  test("resample keeps whole-stage codegen (no interpreted hot path)") {
+    val df = graft.ops.Resample.ohlcvBars(
+      Tables.events(spark, sf0001).select(col("ts"), col("value").as("open"),
+        col("value").as("high"), col("value").as("low"), col("value").as("close"),
+        lit(1L).as("volume")), "5 minutes")
+    // AQE finalizes codegen only at execution time — run, then inspect
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), s"no codegen:\n$plan")
+  }
+
+  test("session filters stay as scan-level filters, no shuffle") {
+    val plan = planOf(Tables.events(spark, sf0001)
+      .filter(graft.time.SessionCalendar.isDay(col("ts"))))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("exact dedup shuffles the 64-bit hash, not the text") {
+    val plan = planOf(graft.ops.Dedup.exact(
+      Tables.documents(spark, sf0001), "text", "doc_id"))
+    // the aggregation exchange must partition on the hash column, and text
+    // must not be part of the shuffled aggregate schema
+    // grouping key is the xxhash64 expression; the exchange carries only
+    // (hash, min-id) — the text column never crosses the wire
+    assert(plan.contains("xxhash64"), s"no hash grouping:\n$plan")
+    val exchIn = plan.linesIterator.dropWhile(!_.contains("(6) Exchange"))
+      .slice(1, 3).mkString
+    assert(!exchIn.contains("text#"), s"text shuffled:\n$plan")
+  }
+}
