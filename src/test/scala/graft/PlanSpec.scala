@@ -47,10 +47,12 @@ class PlanSpec extends SparkSpec {
       Tables.events(spark, sf0001).select(col("ts"), col("value").as("open"),
         col("value").as("high"), col("value").as("low"), col("value").as("close"),
         lit(1L).as("volume")), "5 minutes")
-    // AQE finalizes codegen only at execution time — run, then inspect
-    df.count()
+    // AQE finalizes codegen only at execution time — run THIS plan
+    // (count() would build a different one), then inspect
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), s"no codegen:\n$plan")
+    // codegen stages print as "*(n) Operator" in the finalized plan
+    assert(plan.contains("*("), s"no codegen:\n$plan")
   }
 
   test("session filters stay as scan-level filters, no shuffle") {
