@@ -22,21 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays as double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float arrays as double — higher-order-function
+    * reference form (left-to-right fold; bit-identical to the native
+    * expression below, asserted in VectorExpressionsSpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
+  /** L2 norm, HOF reference form. */
+  def normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity (NULL-safe 0 for zero vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
-  }
+  /** Dot product via the native codegen'd loop expression. */
+  def dot(a: Column, b: Column): Column = graft.functions.vectors.vecDot(a, b)
+
+  /** L2 norm via the native loop expression. */
+  def norm(a: Column): Column = sqrt(graft.functions.vectors.vecNormSq(a))
+
+  /** Cosine similarity (NULL-safe 0 for zero vectors), native hot path. */
+  def cosine(a: Column, b: Column): Column = graft.functions.vectors.cosineFast(a, b)
 
   /** Exact brute-force top-k neighbours of each query vector: broadcast
     * the (small) query set against the corpus, rank by similarity within
