@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IntervalJoin, QualityGates, Resample, Similarity,
-  TextAnalysis, Watermark}
+import graft.ops.{AsOfJoin, Dedup, IntervalJoin, QualityGates, Resample,
+  Sessionize, Similarity, TextAnalysis, Watermark}
 import graft.time.{RolloverCalendar, SessionCalendar}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -320,6 +320,33 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "ts")
     },
 
+    // Backward as-of join: each non-click event gets the user's most
+    // recent click at-or-before it (trades/quotes shape; union +
+    // last-ignoreNulls window — ONE shuffle by key, no range probe).
+    "asof_join_clicks" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") =!= "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val quotes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").as("quote_value"), col("event_id").as("quote_id"))
+      AsOfJoin.backward(trades, quotes, Seq("user_id"), "ts",
+          Seq("quote_value", "quote_id"))
+        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
+          col("value"), col("quote_value"), col("quote_id"))
+        .orderBy("event_id")
+    },
+
+    // Gap-based sessionization (30-min inactivity) per user.
+    "sessionize_gap" -> { (s, d) =>
+      Sessionize.sessions(Tables.events(s, d), Seq("user_id"), "ts",
+          gapSeconds = 1800)
+        .select(col("user_id"), col("session_idx"),
+          tsStr(col("session_start")).as("session_start"),
+          tsStr(col("session_end")).as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // ---- LLM-data-pipeline extensions ----------------------------------
 
     // Exact dedup: survivors after normalize-hash-groupBy (min id wins).
@@ -621,6 +648,37 @@ object SparkEntry {
       """SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts, l_orderkey,
         |  l_linenumber, l_quantity, 'MXFR1' AS mxf_code
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
+
+    "asof_join_clicks" ->
+      """WITH trades AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'click'),
+        |quotes AS (
+        |  SELECT user_id, ts, value AS quote_value, event_id AS quote_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT t.event_id, t.user_id, strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  t.value, q.quote_value, q.quote_id
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "sessionize_gap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM idx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "dedup_exact_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the most recent right
+  * row with `right.ts <= left.ts` within the same key group — the
+  * trades/quotes operator, and the textbook formulation of the reference's
+  * interval join (SURVEY.md §2.4: settle intervals tile the timeline, so
+  * "the config row covering ts" == "the last config row starting at or
+  * before ts").
+  *
+  * Implementation: union the two streams with a side tag, then one
+  * `last(..., ignoreNulls)` window over (key, ts) and keep left rows — the
+  * standard distributed as-of:
+  *
+  *  - ONE shuffle (hash by key) + per-partition sort; no range join, no
+  *    per-row probe. At 100 TB both sides co-partition on the key and the
+  *    window is a streaming pass — the same plan a dedicated
+  *    AsOfJoinExec would produce, so no custom SparkPlan is needed
+  *    (decision table SURVEY.md §7.3).
+  *  - Skew: a hot key serializes its window; salt by coarse time bucket
+  *    (carry the previous bucket's last quote forward) if a single key
+  *    dominates.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (keeps all its rows)
+    * @param right     reference side; its `valueCols` are attached
+    * @param keyCols   equality keys present on both sides
+    * @param tsCol     ordering timestamp present on both sides
+    * @param valueCols right-side columns to carry (must not clash with left)
+    *
+    * Ties (`left.ts == right.ts`) match the right row — the conventional
+    * inclusive `right.ts <= left.ts` bound.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at equal ts -> inclusive bound
+    val lTagged = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val rTagged = right
+      .select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select((leftCols ++ valueCols :+ "__side").map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}
