@@ -34,11 +34,12 @@ object SparkEntry {
     val ev = Tables.events(spark, dir)
     val bars = Resample.ohlcvFromTicks(ev, "value", "5 minutes",
       keys = Seq(col("event_type")))
-    val dim = Tables.orders(spark, dir)
-      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("ym"))
-      .agg(min(col("o_orderdate")).as("start_k"),
-        max(col("o_orderdate")).as("settle_k"),
-        count(lit(1)).as("month_orders"))
+    // weekly calendar dimension derived from the same stream, so the
+    // interval join actually enriches (events span one month of 2024)
+    val dim = ev
+      .groupBy(weekofyear(col("ts")).as("week"))
+      .agg(min(col("ts")).as("start_k"), max(col("ts")).as("settle_k"),
+        count(lit(1)).as("week_events"))
     IntervalJoin.leftJoin(
         bars.withColumn("session_id", SessionCalendar.sessionId(col("ts"))),
         dim, col("ts"), col("start_k"), col("settle_k"))

@@ -40,4 +40,12 @@ final case class Sink(path: String, schema: StructType) {
 
   def append(df: DataFrame): Unit =
     align(df).write.mode("append").parquet(path)
+
+  /** Append partitioned by the given columns (e.g. the session date) —
+    * at 100 TB the sink must be partition-pruned on read; a reader
+    * filtering one trading day then touches one directory, not the
+    * history. Partition columns must be part of the declared schema.
+    */
+  def appendPartitioned(df: DataFrame, partitionCols: Seq[String]): Unit =
+    align(df).write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -66,4 +66,22 @@ object StreamingPipeline {
   def withSessionLabels(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.withColumn("session_id", SessionCalendar.sessionId(col(tsCol)))
       .withColumn("date_market_type", SessionCalendar.dateMarketType(col(tsCol)))
+
+  /** Stream → idempotent sink: `foreachBatch` re-applies the batch
+    * watermark filter against the sink before every append, so a replayed
+    * micro-batch (failure/restart redelivery) appends nothing twice — the
+    * streaming twin of the reference's Gate 2 "double insurance"
+    * (main.py:459-472), here actually load-bearing because Structured
+    * Streaming's at-least-once `foreachBatch` can re-run a batch.
+    */
+  def toIdempotentSink(bars: DataFrame, sink: graft.pipeline.Sink,
+      tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    bars.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.append(graft.ops.Watermark.incremental(
+          batch, sink.existing(batch.sparkSession), tsCol))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
