@@ -9,5 +9,21 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion: the lazy
+    * `ExpressionUtils.expression` wrapper (`ColumnNodeExpression`) is only
+    * unwrapped on DataFrame API paths; expressions returned from a
+    * function-registry builder must be real catalyst trees (unresolved
+    * functions inside are fine — the analyzer resolves them in place).
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a function into an EXISTING session's registry (unlike
+    * `SparkSessionExtensions`, which only applies at builder time).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
