@@ -10,6 +10,7 @@ import duckdb
 import pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])  # optional: restrict to these query names
 con = duckdb.connect()
 con.sql("SET TimeZone='UTC'")
 for t in ("region nation customer supplier part orders lineitem events "
@@ -19,6 +20,8 @@ for t in ("region nation customer supplier part orders lineitem events "
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fail = ok = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     pdir = os.path.join(out, name)
     files = glob.glob(os.path.join(pdir, "*.parquet"))
     if not files:
