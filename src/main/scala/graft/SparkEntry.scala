@@ -132,7 +132,7 @@ object SparkEntry {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
           col("n"), col("total"))
@@ -232,8 +232,8 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
           sum(price * disc).cast("double").as("sum_disc_price"),
           sum(price * disc * tax).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
@@ -515,7 +515,8 @@ object SparkEntry {
     "rollup_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
@@ -598,8 +599,8 @@ object SparkEntry {
 
     "tpch_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
         |    AS sum_disc_price,
