@@ -15,9 +15,10 @@ import graft.time.{RolloverCalendar, SessionCalendar}
   * hash-compare well-defined):
   *  - timestamps are emitted as "yyyy-MM-dd HH:mm:ss" STRINGS (avoids
   *    parquet timestamp-zone representation drift between engines);
-  *  - double aggregates are `round`ed to the exact decimal precision of
-  *    their mathematically true value, so both engines' ~1e-9
-  *    addition-order noise rounds away;
+  *  - money/quantity aggregates run in EXACT decimal arithmetic (cast to
+  *    double only at the end) — double sums at 1e9 magnitude flip last-ULP
+  *    between engines; small-magnitude derived doubles are `round`ed to
+  *    the decimal precision of their true value;
   *  - every result is deterministically ordered by its key columns;
   *  - column names are identical on both sides.
   */
