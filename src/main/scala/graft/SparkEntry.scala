@@ -458,6 +458,26 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // Exact interpolated percentiles per group (median + p90).
+    "quantile_values" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Pivot: event counts per user bucketed by event_type as columns.
+    "pivot_event_counts" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ub", (col("user_id") / 10).cast("long"))
+        .groupBy(col("ub"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("ub")
+    },
+
     // Exact distinct aggregation per group.
     "events_distinct_users" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -807,6 +827,20 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "quantile_values" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pivot_event_counts" ->
+      """SELECT user_id // 10 AS ub,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY ub""".stripMargin,
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
