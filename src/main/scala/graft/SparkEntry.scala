@@ -458,6 +458,46 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // TPC-H Q3 shape: selective join + grouped revenue + top-10.
+    "tpch_q3_shipping" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("2000-03-15 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("2000-03-15 00:00:00").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+        .select(col("l_orderkey"), tsStr(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Left-semi join (EXISTS): customers that placed at least one urgent order.
+    "semi_join_exists" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // HAVING: post-aggregation filter on grouped lineitems.
+    "having_filter" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 150.0)
+        .orderBy("l_orderkey")
+    },
+
     // Exact interpolated percentiles per group (median + p90).
     "quantile_values" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -827,6 +867,36 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "tpch_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "semi_join_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "having_filter" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150.0
+        |ORDER BY l_orderkey""".stripMargin,
 
     "quantile_values" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
