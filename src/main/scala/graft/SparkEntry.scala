@@ -451,6 +451,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // ANN variant 2: IVF — centroid cells + nProbe search (recall<1 by
+    // design, no SQL oracle; self-hit/recall ScalaTest-verified).
+    "embed_topk_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding near-duplicate pairs via LSH buckets (rows-only check).
     "embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
