@@ -469,6 +469,37 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // Window analytics over the event stream: lag/lead neighbours, a
+    // 10-row moving average (exact decimal sum / count), and the rank
+    // family over a deterministic (value, id) ordering.
+    "window_analytics" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wt = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val mwin = wt.rowsBetween(-9, 0)
+      val wv = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(
+          col("event_id"), col("event_type"), tsStr(col("ts")).as("ts"),
+          lag(col("value"), 1).over(wt).as("prev_value"),
+          lead(col("value"), 1).over(wt).as("next_value"),
+          (sum(col("value").cast("decimal(10,2)")).over(mwin).cast("double") /
+            count(lit(1)).over(mwin)).as("moving_avg"),
+          rank().over(wv).as("value_rank"),
+          ntile(4).over(wv).as("quartile"),
+          cume_dist().over(wv).as("cdist"))
+        .orderBy("event_id")
+    },
+
+    // Approximate percentile sketch (rows-only: sketch algorithms differ
+    // across engines by design).
+    "approx_quantiles" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          approx_percentile(col("value"), lit(0.9), lit(1000)).as("ap90"))
+        .orderBy("event_type")
+    },
+
     // TPC-H Q3 shape: selective join + grouped revenue + top-10.
     "tpch_q3_shipping" -> { (s, d) =>
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -878,6 +909,22 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "window_analytics" ->
+      """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  lag(value, 1) OVER wt AS prev_value,
+        |  lead(value, 1) OVER wt AS next_value,
+        |  CAST(sum(CAST(value AS DECIMAL(10,2))) OVER mw AS DOUBLE) /
+        |    count(*) OVER mw AS moving_avg,
+        |  rank() OVER wv AS value_rank,
+        |  ntile(4) OVER wv AS quartile,
+        |  cume_dist() OVER wv AS cdist
+        |FROM events
+        |WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |  mw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |  wv AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "tpch_q3_shipping" ->
       """SELECT l_orderkey,
