@@ -370,12 +370,12 @@ object SparkEntry {
     // is (1-0.64)^16 ~ 8e-8 — and the surviving pairs here are all j>=0.98.
     "dedup_minhash_pairs" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, "text", "doc_id", k = 32), "doc_id",
-        k = 32, bands = 16)
-        .cache() // consumed three times by the exact-Jaccard verifier
-      Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
-        .filter(col("jaccard") >= 0.8)
+      // k=16/8 bands (r=2): per-band match prob j² — a j≥0.8 pair is missed
+      // with prob (1-0.64)^8 ≈ 3e-4, and the surviving oracle pairs are all
+      // j≥0.98 (miss ≈ 3e-12). The fused form shingles the corpus once for
+      // both signature and exact verification.
+      Dedup.minhashExactPairs(docs, "text", "doc_id", k = 16, bands = 8,
+          shingleN = 3, threshold = 0.8)
         .orderBy("id1", "id2")
     },
 
@@ -462,11 +462,72 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // Exact-degenerate ANN configs: same code paths as the approximate
+    // variants above, but parameterized so recall is provably 1 — LSH with
+    // 0 planes = one bucket = full scan; IVF probing all k cells = full
+    // scan. Both therefore share the brute-force oracle, giving the driver
+    // a hash-checkable row through the ANN machinery (the approximate
+    // configs stay as the bench/spec entries).
+    "embed_topk_lsh_exact" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.topKLsh(emb, q, k = 5, dim = 64, planes = 0)
+        .orderBy("query_id", "rank")
+    },
+
+    "embed_topk_ivf_exact" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 16)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding near-duplicate pairs via LSH buckets (rows-only check).
     "embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
           threshold = 0.3, planes = 4)
         .orderBy("id1", "id2")
+    },
+
+    // Multimodal plumbing, driver-checkable: a deterministic 1000-row media
+    // fixture (id-derived dimensions, every 13th row corrupt) flows through
+    // the REAL binary-column pipeline — Dataset[MediaFile] → per-partition
+    // decode (stubbed codec, real batching) → resize metadata math. The
+    // oracle reproduces the arithmetic from range(1000) in DuckDB; only
+    // integral outputs are kept (the float scale stays internal).
+    "multimodal_decode_resize" -> { (s, d) =>
+      import s.implicits._
+      val media = (0L until 1000L).map { id =>
+        val corrupt = id % 13 == 0
+        val w = 16 + (id * 37 % 4096).toInt
+        val h = 16 + (id * 53 % 2160).toInt
+        val c = 1 + (id % 4).toInt
+        val content =
+          if (corrupt) Array[Byte](1, 2, 3)
+          else graft.ops.Multimodal.fakeHeader(w, h, c) ++
+            Array.fill((id % 97).toInt)(0x5A.toByte)
+        graft.ops.Multimodal.MediaFile(id, "image", content, Map.empty)
+      }.toDS().repartition(8)
+      graft.ops.Multimodal.resizeMeta(
+          graft.ops.Multimodal.decodeStub(media), maxSide = 512)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_bytes"), col("valid"),
+          col("out_width"), col("out_height"))
+        .orderBy("media_id")
+    },
+
+    // Video frame sampling: metadata-driven explode, every 5th frame.
+    "multimodal_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val videos = (0L until 500L).map { id =>
+        graft.ops.Multimodal.MediaFile(id, "video", Array.emptyByteArray,
+          Map("n_frames" -> ((id * 7) % 240).toString))
+      }.toDS().repartition(8)
+      graft.ops.Multimodal.frameSample(videos.toDF(), everyN = 5)
+        .orderBy("media_id", "frame_idx")
     },
 
     // Window analytics over the event stream: lag/lead neighbours, a
@@ -585,6 +646,28 @@ object SparkEntry {
     |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
     |  arg_max(value, ts) AS close, count(*) AS volume
     |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin
+
+  /** Exact cosine top-5 oracle, shared by `embed_topk_bruteforce` and the
+    * exact-degenerate ANN configs (which provably return the same rows).
+    */
+  private val topk5OracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+      |              for i in range(1, len(e.embedding) + 1)]) /
+      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+      |                    for i in range(1, len(e.embedding) + 1)])) *
+      |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+      |                    for i in range(1, len(q.qv) + 1)]))) AS sim
+      |  FROM embeddings e CROSS JOIN q),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -787,8 +870,9 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |idx AS (
         |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |    -- CAST: DuckDB widens windowed sum(INTEGER) to HUGEINT; Spark emits BIGINT
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -891,24 +975,48 @@ object SparkEntry {
         |    len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stop_en
         |FROM f ORDER BY doc_id""".stripMargin,
 
-    "embed_topk_bruteforce" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, len(e.embedding) + 1)]) /
-        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e.embedding) + 1)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
-        |  FROM embeddings e CROSS JOIN q),
+    "embed_topk_bruteforce" -> topk5OracleSql,
+    // Exact-degenerate ANN configs provably return the exact top-k, so the
+    // brute-force oracle applies verbatim (see the query entries).
+    "embed_topk_lsh_exact" -> topk5OracleSql,
+    "embed_topk_ivf_exact" -> topk5OracleSql,
+
+    // Mirrors the deterministic fixture arithmetic in the query: dimensions
+    // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)
+    // with no upscale; floor(double) is IEEE-identical across engines.
+    "multimodal_decode_resize" ->
+      """WITH m AS (
+        |  SELECT range AS media_id,
+        |    range % 13 = 0 AS corrupt,
+        |    CAST(16 + (range * 37 % 4096) AS INT) AS w,
+        |    CAST(16 + (range * 53 % 2160) AS INT) AS h,
+        |    CAST(1 + range % 4 AS INT) AS c
+        |  FROM range(1000)),
+        |d AS (
+        |  SELECT media_id,
+        |    CASE WHEN corrupt THEN 'unknown' ELSE 'grft' END AS format,
+        |    CASE WHEN corrupt THEN 0 ELSE w END AS width,
+        |    CASE WHEN corrupt THEN 0 ELSE h END AS height,
+        |    CASE WHEN corrupt THEN 0 ELSE c END AS channels,
+        |    CASE WHEN corrupt THEN 3 ELSE 16 + media_id % 97 END AS n_bytes,
+        |    NOT corrupt AS valid
+        |  FROM m),
         |r AS (
-        |  SELECT query_id, vec_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-        |  FROM s)
-        |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |  SELECT *,
+        |    CASE WHEN greatest(width, height) <= 512 THEN 1.0
+        |         ELSE 512 / CAST(greatest(width, height) AS DOUBLE) END AS scale
+        |  FROM d)
+        |SELECT media_id, format, width, height, channels, n_bytes, valid,
+        |  CAST(floor(width * scale) AS INT) AS out_width,
+        |  CAST(floor(height * scale) AS INT) AS out_height
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """SELECT range AS media_id,
+        |  CAST(unnest(range(0, CAST(range * 7 % 240 AS INT), 5)) AS INT) AS frame_idx
+        |FROM range(500)
+        |WHERE range * 7 % 240 > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "window_analytics" ->
       """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,

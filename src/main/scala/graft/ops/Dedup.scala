@@ -82,7 +82,18 @@ object Dedup {
     // hash each shingle to a long ONCE, then derive the k families by
     // hashing (seed, long) — k cheap 8-byte hashes instead of k string
     // hashes per shingle.
+    //
+    // The repartition keys an exchange on the aggregation key BEFORE the
+    // ~50× shingle explode: Catalyst sees HashPartitioning(id) already
+    // satisfied for the groupBy below, so this REPLACES the aggregation
+    // shuffle rather than adding one — same single exchange, moved earlier.
+    // It shuffles text once instead of k longs, but decouples the heavy
+    // per-document shingle/hash compute from scan-split parallelism (a
+    // single small parquet file is one split; without this the whole
+    // corpus shingles on one core).
     val exploded = df
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), explode(hashedShingles(col(textCol), shingleN)).as("__sh"))
     exploded.groupBy(col(idCol)).agg(
       min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
@@ -134,6 +145,35 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** MinHash candidates verified by EXACT n-gram Jaccard, computing the
+    * hashed shingle sets exactly once: the cached (id, shingles) frame
+    * feeds the signature aggregation (via explode) AND both sides of the
+    * pair verification — one text scan and one shingling pass total,
+    * where composing [[minhashSignature]] + [[ngramJaccard]] would shingle
+    * the corpus twice from raw text. Output: (id1, id2, jaccard ≥ t).
+    */
+  def minhashExactPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // see minhashSignature: replaces the agg shuffle
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
+      .cache()
+    val exploded = sh.select(col(idCol), explode(col("__s")).as("__sh"))
+    val sig = exploded.groupBy(col(idCol)).agg(
+      min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+    val cand = minhashCandidates(sig, idCol, k, bands)
+    val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
+    val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
+    cand.join(l, "id1").join(r, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is
@@ -145,16 +185,32 @@ object Dedup {
     * sums → bit reassembly.
     */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("__t"))
+    // Bit-count form: bit b is set iff 2·count(bit b of token hash set) >
+    // n_tokens — algebraically identical to the ±1-sum formulation
+    // (sum(±1) = 2·cnt − n), but countable branchlessly. Four 16-bit
+    // counters are packed per 64-bit sum lane, so the aggregate holds 16
+    // buffers instead of 64 branchy conditional sums — the generated
+    // update code (the dominant cost: whole-stage-codegen compilation) is
+    // ~4× smaller. Fields can't carry into each other below 2¹⁶ token
+    // occurrences per document (~65 k tokens; far above any training doc —
+    // documents here are ~10² tokens).
+    // pre-shuffle on the aggregation key (see minhashSignature): replaces
+    // the groupBy exchange, parallelizes the tokenize+hash explode.
+    val tok = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b_$b")
+    // lane L (0..15) packs bits 4L..4L+3 of the token hash, 16 bits/field
+    val lanes = (0 until 16).map { l =>
+      sum((0 until 4).map { j =>
+        shiftleft(shiftright(col("__h"), 4 * l + j).bitwiseAND(1), 16 * j)
+      }.reduce(_ bitwiseOR _)).as(s"lane_$l")
     }
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sums = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), lanes: _*)
     val fp = (0 until 64).map { b =>
-      when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      val cnt = shiftright(col(s"lane_${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
+      when(cnt * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
     sums.select(col(idCol), fp.as("simhash"))
   }
@@ -199,7 +255,11 @@ object Dedup {
     // the candidate count, not the corpus.
     val needed = pairs.select(col("id1").as(idCol))
       .union(pairs.select(col("id2").as(idCol))).distinct()
+    // repartition on id: parallelizes shingling (see minhashSignature) and
+    // pre-partitions both join sides below on their key.
     val sh = df.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), hashedShingles(col(textCol), n).as("__s"))
     val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
     val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))

@@ -52,19 +52,36 @@ object Ivf {
   }
 
   /** Attach the `n` nearest cell ids to each row (n=1 for corpus
-    * assignment, n=nProbe for queries). Broadcast centroid join + native
-    * cosine + windowed rank.
+    * assignment, n=nProbe for queries).
+    *
+    * Shuffle-free by construction: the centroids (k×dim floats — tiny) are
+    * embedded as array LITERALS, so the per-row top-n over k candidate
+    * similarities is a single projected expression —
+    * `array_sort(array(struct(-sim, cid), …))` then take the first n —
+    * evaluated entirely in-row inside whole-stage codegen. No join, no
+    * window, no exchange. (An earlier version ranked candidates with a
+    * window partitioned by every input column, which shuffled the whole
+    * k-expanded corpus to compute an argmax that needs no data movement.)
+    *
+    * Ordering matches the previous form: similarity descending, cell id
+    * ascending on ties (struct comparison on (-sim, cid)).
     */
   def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame,
       n: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
-      .withColumn("__csim", Similarity.cosine(col(vecCol), col("centroid")))
-    scored
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy(df.columns.map(col): _*)
-          .orderBy(desc("__csim"), col("cid"))))
-      .filter(col("__crank") <= n)
-      .drop("centroid", "__csim", "__crank")
+    val cents = centroids.select(col("cid"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val ranked = array_sort(array(cents.map { case (cid, cvec) =>
+      val cLit = array(cvec.map(v => lit(v)): _*)
+      struct((-Similarity.cosine(col(vecCol), cLit)).as("negSim"),
+        lit(cid).as("cid"))
+    }: _*))
+    if (n == 1)
+      df.withColumn("cid", ranked.getItem(0).getField("cid"))
+    else
+      df.withColumn("cid",
+        explode(transform(slice(ranked, 1, n), s => s.getField("cid"))))
   }
 
   /** ANN top-k: probe the query's nProbe nearest cells, exact-rerank the

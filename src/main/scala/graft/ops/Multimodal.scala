@@ -97,14 +97,38 @@ object Multimodal {
       .filter(col("n_frames") > 0)
       .select(col("media_id"), col("frame_idx"))
 
-  /** Pack rows into roughly equal-BYTE partitions: range-partition on the
-    * running byte offset so each output partition holds ~targetBytes of
-    * media regardless of row-size skew.
+  /** Pack rows into roughly equal-BYTE partitions: bucket = floor(running
+    * byte offset / targetBytes), range-partitioned on the bucket id, so
+    * each output partition holds ~targetBytes of media regardless of
+    * row-size skew — the property that keeps executor memory bounded when
+    * a corpus mixes 10 KB thumbnails with 10 GB videos. (Range-partitioning
+    * by the SIZE VALUE would do the opposite: cluster all the largest rows
+    * together.)
+    *
+    * Scale shape: the running offset is computed over a projection of
+    * (id, n_bytes) ONLY — the global-order window moves ~16 bytes/row of
+    * metadata, never media bytes; media crosses the wire in the join and
+    * final exchange. Rows land in id order, so each bucket is a contiguous
+    * id run of ~targetBytes (one oversized row spills its bucket by at
+    * most that row — unavoidable for any non-splitting packer).
     */
-  def repartitionBySize(df: DataFrame, byteCol: String, targetBytes: Long): DataFrame = {
-    val spark = df.sparkSession
-    val total = df.agg(sum(col(byteCol))).collect()(0).getLong(0)
-    val parts = math.max(1, (total / targetBytes).toInt)
-    df.repartitionByRange(parts, col(byteCol), col("media_id"))
+  def repartitionBySize(df: DataFrame, byteCol: String, targetBytes: Long,
+      idCol: String = "media_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sum() is NULL on an empty frame — guard instead of getLong-NPE
+    val total = df.agg(coalesce(sum(col(byteCol)), lit(0L)))
+      .collect()(0).getLong(0)
+    if (total == 0L) return df
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    // exclusive prefix sum: a row starts at the bytes of all rows before it
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = df.select(col(idCol), col(byteCol))
+      .withColumn("__bucket",
+        (coalesce(sum(col(byteCol)).over(w), lit(0L)) / targetBytes).cast("int"))
+      .select(col(idCol), col("__bucket"))
+    df.join(buckets, idCol)
+      .repartitionByRange(parts, col("__bucket"))
+      .drop("__bucket")
   }
 }

@@ -84,6 +84,10 @@ object Similarity {
     */
   def signBucket(vec: Column, dim: Int, planes: Int): Column = {
     require(planes <= 63, "bucket is a 64-bit long")
+    // planes = 0 is the exact-degenerate config: every vector lands in
+    // bucket 0, so the bucketed scan reduces to brute force (used by the
+    // oracle-checkable `embed_topk_lsh_exact` driver query).
+    if (planes == 0) return lit(0L)
     (0 until planes).map { p =>
       val plane = array((0 until dim).map(j => lit(mix(p, j))): _*)
       val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),

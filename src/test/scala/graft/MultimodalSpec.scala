@@ -46,4 +46,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 2)
     assert(out.count() == 4)
   }
+
+  test("size-aware repartition packs skewed rows, not clusters them") {
+    // 10 big rows (1000 B) interleaved with 90 small (10 B): range-
+    // partitioning by the size VALUE would gang the big rows together;
+    // offset packing must bound every partition near targetBytes.
+    val df = (1L to 100L)
+      .map(i => (i, if (i % 10 == 0) 1000L else 10L))
+      .toDF("media_id", "n_bytes")
+      .repartition(4)
+    val out = Multimodal.repartitionBySize(df, "n_bytes", targetBytes = 1100L)
+    assert(out.count() == 100)
+    val perPart = out
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(sum("n_bytes").as("bytes"))
+      .collect().map(_.getLong(1))
+    // a non-splitting packer can overshoot by at most one max-sized row
+    assert(perPart.forall(_ <= 1100L + 1000L),
+      s"oversized partition: ${perPart.mkString(",")}")
+    assert(perPart.length >= 5, "bytes did not spread across partitions")
+  }
+
+  test("size-aware repartition is a no-op on an empty frame (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")
+    assert(Multimodal.repartitionBySize(empty, "n_bytes", 100L).count() == 0)
+  }
 }
