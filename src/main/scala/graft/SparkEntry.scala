@@ -337,8 +337,10 @@ object SparkEntry {
       val quotes = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"),
           col("value").as("quote_value"), col("event_id").as("quote_id"))
+      // tieCols: if two quotes share (user_id, ts), the greater quote_id
+      // wins deterministically (mirrored in the oracle's QUALIFY dedup).
       AsOfJoin.backward(trades, quotes, Seq("user_id"), "ts",
-          Seq("quote_value", "quote_id"))
+          Seq("quote_value", "quote_id"), tieCols = Seq("quote_id"))
         .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
           col("value"), col("quote_value"), col("quote_id"))
         .orderBy("event_id")
@@ -853,8 +855,12 @@ object SparkEntry {
       """WITH trades AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'click'),
         |quotes AS (
+        |  -- keep the greatest quote_id per (user_id, ts): mirrors the
+        |  -- Spark side's deterministic tie-break on duplicate timestamps
         |  SELECT user_id, ts, value AS quote_value, event_id AS quote_id
-        |  FROM events WHERE event_type = 'click')
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
         |SELECT t.event_id, t.user_id, strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  t.value, q.quote_value, q.quote_id
         |FROM trades t ASOF LEFT JOIN quotes q

@@ -31,6 +31,12 @@ object AsOfJoin {
     * @param keyCols   equality keys present on both sides
     * @param tsCol     ordering timestamp present on both sides
     * @param valueCols right-side columns to carry (must not clash with left)
+    * @param tieCols   right-side columns (⊆ valueCols) appended to the sort
+    *                  so that several right rows sharing (key, ts) resolve
+    *                  deterministically: the GREATEST tieCols row wins.
+    *                  Without it the attached values depend on shuffle-sort
+    *                  order whenever (key, ts) is non-unique on the right —
+    *                  fine only when uniqueness is guaranteed upstream.
     *
     * Ties (`left.ts == right.ts`) match the right row — the conventional
     * inclusive `right.ts <= left.ts` bound.
@@ -40,7 +46,8 @@ object AsOfJoin {
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     // tag: right rows sort BEFORE left rows at equal ts -> inclusive bound
     val lTagged = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
@@ -52,8 +59,11 @@ object AsOfJoin {
     val unioned = lTagged.select((leftCols ++ valueCols :+ "__side").map(col): _*)
       .unionByName(rTagged, allowMissingColumns = true)
 
+    // tieCols ascending + running last(): among right rows equal on
+    // (ts, side), the greatest tie value is the one attached.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc +: col("__side").asc +:
+        tieCols.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -38,18 +38,20 @@ object IntervalJoin {
       start: Column,
       end: Column,
       tieBreak: Option[Column] = None): DataFrame = {
-    val joined = facts.join(broadcast(dim), ts >= start && ts <= end, "left")
     tieBreak match {
-      case None => joined
+      case None => facts.join(broadcast(dim), ts >= start && ts <= end, "left")
       case Some(order) =>
-        // Overlap allowed: keep the first dim match per fact row. The
-        // window repartitions by the fact's timestamp, which is unique per
-        // bar in the reference model.
-        joined
+        // Overlap allowed: keep the first dim match per FACT ROW. The
+        // window partitions by a synthetic unique row id, not the fact
+        // timestamp — two distinct fact rows sharing a ts must each keep
+        // their own first match, not collapse to one survivor.
+        val withId = facts.withColumn("__fid", monotonically_increasing_id())
+        withId.join(broadcast(dim), ts >= start && ts <= end, "left")
           .withColumn("__rn",
-            row_number().over(Window.partitionBy(ts).orderBy(order.asc_nulls_last)))
+            row_number().over(
+              Window.partitionBy(col("__fid")).orderBy(order.asc_nulls_last)))
           .filter(col("__rn") === 1)
-          .drop("__rn")
+          .drop("__rn", "__fid")
     }
   }
 

@@ -67,6 +67,43 @@ object StreamingPipeline {
     df.withColumn("session_id", SessionCalendar.sessionId(col(tsCol)))
       .withColumn("date_market_type", SessionCalendar.dateMarketType(col(tsCol)))
 
+  /** Gap-session summaries over a stream — the stateful twin of the batch
+    * [[graft.ops.Sessionize]] (whose doc names this form): Structured
+    * Streaming's `session_window` merges events separated by less than
+    * `gap`, keeps per-session state in the state store, and append mode
+    * emits a session only after the watermark passes its close — the
+    * streaming analog of "a session is final once `gap` of silence has
+    * provably elapsed".
+    *
+    * Boundary note: `session_window` treats a session's extent as
+    * half-open `[first, last + gap)`, so an event at EXACTLY last + gap
+    * starts a new session, where the batch form's strict
+    * `prev + gap < ts` test keeps it joined — the one-instant difference
+    * inherent to the two formulations (documented rather than papered
+    * over; real event streams never hit it).
+    *
+    * Scale: state is sharded by (key, session) and bounded by the
+    * watermark horizon × active-key cardinality; sessions merge on the
+    * state-store side, so no shuffle beyond the one hash exchange on keys.
+    *
+    * Output: keys + session_start, session_end (last event ts), n_events —
+    * the batch summary shape.
+    */
+  def sessionStream(
+      events: DataFrame,
+      keys: Seq[Column],
+      gap: String,
+      lateness: String,
+      tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(keys :+ session_window(col(tsCol), gap): _*)
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_window")
+
   /** Stream → idempotent sink: `foreachBatch` re-applies the batch
     * watermark filter against the sink before every append, so a replayed
     * micro-batch (failure/restart redelivery) appends nothing twice — the

@@ -30,6 +30,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("backward as-of join: duplicate (key, ts) quotes resolve to greatest tieCol") {
+    val trades = Seq((1L, "A", t("2024-01-01 10:00:00"), 100.0))
+      .toDF("trade_id", "sym", "ts", "px")
+    val quotes = Seq(
+      ("A", t("2024-01-01 09:59:00"), 99.5, 7L),
+      ("A", t("2024-01-01 09:59:00"), 98.0, 9L) // same (key, ts): id 9 wins
+    ).toDF("sym", "ts", "bid", "qid")
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "ts",
+        Seq("bid", "qid"), tieCols = Seq("qid")).collect()
+    assert(out(0).getAs[Double]("bid") == 98.0 && out(0).getAs[Long]("qid") == 9L)
+  }
+
   test("sessionize: gap splits sessions, boundary gap stays joined") {
     val ev = Seq(
       (7L, t("2024-01-01 10:00:00")),

@@ -54,6 +54,24 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[String]("id") == "A")
   }
 
+  test("tie-break keeps one match PER FACT ROW, not per timestamp") {
+    val overlapping = Seq(
+      ("A", 1.0, t("2024-01-01 00:00:00"), t("2024-01-31 00:00:00"), 1),
+      ("B", 2.0, t("2024-01-05 00:00:00"), t("2024-02-28 00:00:00"), 2)
+    ).toDF("id", "v", "s", "e", "ord")
+    // two DISTINCT fact rows sharing the same timestamp: each must keep
+    // its own first match (a ts-partitioned window would collapse them)
+    val facts = Seq(
+      (10L, t("2024-01-10 00:00:00")),
+      (11L, t("2024-01-10 00:00:00"))
+    ).toDF("fact_id", "ts")
+    val out = IntervalJoin.leftJoin(facts, overlapping, col("ts"), col("s"),
+        col("e"), tieBreak = Some(col("ord")))
+      .orderBy("fact_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("id") == "A"))
+  }
+
   test("overlap gate throws on overlapping intervals, passes on tiling ones") {
     QualityGates.requireNonOverlapping(cfg, col("start_k"), col("settle_k"))
     val bad = Seq(

@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("IVF cell assignment is shuffle-free: in-row argmax over literal centroids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.ops.Ivf.trainCentroids(emb, k = 8, iters = 1)
+    val plan = planOf(graft.ops.Ivf.assignCells(emb, "embedding", cents, n = 1))
+    assert(!plan.contains("Exchange"), s"cell assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"cell assignment windows:\n$plan")
+  }
+
   test("exact dedup shuffles the 64-bit hash, not the text") {
     val plan = planOf(graft.ops.Dedup.exact(
       Tables.documents(spark, sf0001), "text", "doc_id"))

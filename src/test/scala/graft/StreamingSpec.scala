@@ -45,6 +45,51 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("close") == 104.0)
   }
 
+  test("streaming gap sessions: closed sessions emit and match the batch form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    val events = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (7L, Timestamp.valueOf("2024-01-01 10:10:00")), // same session (10 min)
+      (7L, Timestamp.valueOf("2024-01-01 12:00:00")), // > 30 min -> new session
+      (9L, Timestamp.valueOf("2024-01-01 10:05:00")),
+      (99L, Timestamp.valueOf("2024-01-01 23:00:00")) // sentinel: advances watermark, stays open
+    )
+    events.toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val sessions = StreamingPipeline.sessionStream(
+      stream, Seq($"user_id"), gap = "30 minutes", lateness = "1 minute")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val out = spark.table("sessions_out")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+        date_format($"session_end", "HH:mm").as("e"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // sentinel watermark 22:59 closes every earlier session; its own stays open
+    assert(out == Seq(
+      (7L, "10:00", "10:10", 2L),
+      (7L, "12:00", "12:00", 1L),
+      (9L, "10:05", "10:05", 1L)))
+
+    // parity with the batch operator on the closed sessions
+    val batch = graft.ops.Sessionize.sessions(
+        events.toDF("user_id", "ts").filter($"user_id" =!= 99L),
+        Seq("user_id"), "ts", gapSeconds = 1800)
+      .orderBy("user_id", "session_start")
+      .select($"user_id", date_format($"session_start", "HH:mm"),
+        date_format($"session_end", "HH:mm"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(batch == out)
+  }
+
   test("stateless session labels work on a stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Seq((Timestamp.valueOf("2024-01-03 02:00:00"), 1.0))
