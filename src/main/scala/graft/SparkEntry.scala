@@ -395,6 +395,19 @@ object SparkEntry {
 
     // SimHash near-dup pairs (Hamming <= 8, frequency-weighted). No SQL
     // oracle (xxhash64); deterministic + ScalaTest-verified.
+    // Near-dup SURVIVOR selection: minhash-LSH pairs → connected
+    // components (min-label propagation) → keep each cluster's minimum
+    // doc_id. Same output shape as dedup_exact_survivors; the oracle
+    // computes the transitive closure with a recursive CTE.
+    "dedup_neardup_survivors" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
           maxDistance = 8)
@@ -491,6 +504,14 @@ object SparkEntry {
     "embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
           threshold = 0.3, planes = 4)
+        .orderBy("id1", "id2")
+    },
+
+    // Exact-degenerate config of the same code path (0 planes = one
+    // bucket = all pairs), hash-checkable against the all-pairs oracle.
+    "embed_neardup_exact" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
+          threshold = 0.3, planes = 0)
         .orderBy("id1", "id2")
     },
 
@@ -980,6 +1001,46 @@ object SparkEntry {
         |    t -> t IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE /
         |    len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stop_en
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Transitive closure of the exact-Jaccard pair graph via a recursive
+    // CTE; a component's survivor is its minimum doc_id (matches the
+    // Spark side's min-label-propagation components).
+    "dedup_neardup_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |losers AS (SELECT DISTINCT v FROM reach WHERE w < v)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT v FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_neardup_exact" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, len(b.embedding) + 1)]))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(sim, 6) AS sim FROM s WHERE sim >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
 
     "embed_topk_bruteforce" -> topk5OracleSql,
     // Exact-degenerate ANN configs provably return the exact top-k, so the

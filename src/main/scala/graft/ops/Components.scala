@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list, by iterative
+  * minimum-label propagation: every vertex starts labeled with itself;
+  * each round it takes the minimum of its own label and its neighbours'
+  * labels; a fixpoint labels every vertex with its component's minimum
+  * vertex id.
+  *
+  * This is the survivor-selection step a near-dedup pipeline needs after
+  * pair generation ([[Dedup.minhashExactPairs]], [[Dedup.simhashPairs]]):
+  * duplicate PAIRS overlap transitively (A≈B, B≈C), so "keep one per
+  * cluster" is a components problem, not a per-pair choice.
+  *
+  * Scale shape: each round is one equality join (edges ⋈ labels on the
+  * neighbour id) + one min-aggregation — all hash-partitioned by vertex
+  * id, no driver data. Rounds = component diameter; near-dup clusters are
+  * small and dense (diameter ≲ 3), so the loop closes in 2–4 rounds. For
+  * adversarial long-chain graphs the alternating small-star/large-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", public) converges in O(log n) rounds with the same per-round
+  * join shape — the swap would be local to this loop. Driver involvement
+  * per round is one existence check (`isEmpty` on changed labels).
+  */
+object Components {
+
+  /** @return (v, comp) — every vertex appearing in `edges`, labeled with
+    *         the minimum vertex id reachable from it.
+    */
+  def connectedComponents(edges: DataFrame, src: String = "id1",
+      dst: String = "id2", maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(src).as("v"), col(dst).as("w"))
+      .union(edges.select(col(dst).as("v"), col(src).as("w")))
+      .cache()
+    var labels = sym.select(col("v")).distinct()
+      .withColumn("comp", col("v")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbour = sym
+        .join(labels.select(col("v").as("w"), col("comp")), "w")
+        .select(col("v"), col("comp"))
+      val next = viaNeighbour.union(labels)
+        .groupBy("v").agg(min(col("comp")).as("comp"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("comp", "__old"), "v")
+        .filter(col("comp") =!= col("__old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

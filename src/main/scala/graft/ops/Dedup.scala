@@ -174,6 +174,19 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-duplicate SURVIVOR selection: duplicates overlap transitively
+    * (A≈B, B≈C ⇒ one cluster), so keep exactly the minimum id of every
+    * connected component of the pair graph; unpaired documents all
+    * survive. The anti-join drops only component non-minima.
+    */
+  def nearDupSurvivors(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val comp = Components.connectedComponents(pairs, "id1", "id2")
+    val losers = comp.filter(col("comp") =!= col("v"))
+      .select(col("v").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Dedup}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains merge transitively, singletons keep themselves") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}; vertex 8 unpaired
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 8L))
+      .toDF("id1", "id2")
+    val comp = Components.connectedComponents(edges)
+      .orderBy("v").as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(9L) == 1L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    assert(comp(8L) == 8L)
+  }
+
+  test("near-dup survivors: one per cluster (the min id), unpaired docs all survive") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc dd"), // cluster
+      (10L, "totally different text here"),
+      (11L, "another unrelated document")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val out = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 10L, 11L))
+  }
+
+  test("components of the real sf0.001 minhash pairs match brute-force grouping") {
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id", threshold = 0.8)
+      .cache()
+    val comp = Components.connectedComponents(pairs)
+    // every pair's two endpoints carry the same component label
+    val mismatched = pairs
+      .join(comp.select(col("v").as("id1"), col("comp").as("c1")), "id1")
+      .join(comp.select(col("v").as("id2"), col("comp").as("c2")), "id2")
+      .filter(col("c1") =!= col("c2"))
+    assert(mismatched.isEmpty)
+    // and each component's label is its minimum member
+    val badLabel = comp.groupBy("comp").agg(min("v").as("mn"))
+      .filter(col("comp") =!= col("mn"))
+    assert(badLabel.isEmpty)
+  }
+}
