@@ -553,6 +553,30 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Skew toolkit, driver-checkable: a salted two-phase aggregation is
+    // algebraically identical to the plain groupBy (decimal sums make the
+    // equality exact, not merely approximate — double addition is order-
+    // sensitive and the salt reorders it), so the plain SQL is its oracle.
+    "skew_twophase_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_quantity").cast("decimal(12,2)").as("q"))
+      graft.ops.Skew.twoPhaseAgg(li, Seq(col("l_returnflag")),
+          col("l_orderkey"), n = 8, fn = "sum", cols = Seq("q" -> "sum_qty"))
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Salted replicate join ≡ the plain equality join, row for row.
+    "skew_salted_join" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nkey"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nkey"), col("n_name"))
+      graft.ops.Skew.saltedJoin(cust, nat, "nkey", col("c_custkey"), n = 4)
+        .select(col("c_custkey"), col("n_name"))
+        .orderBy("c_custkey")
+    },
+
     // Window analytics over the event stream: lag/lead neighbours, a
     // 10-row moving average (exact decimal sum / count), and the rank
     // family over a deterministic (value, id) ordering.
@@ -1084,6 +1108,16 @@ object SparkEntry {
         |FROM range(500)
         |WHERE range * 7 % 240 > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "skew_twophase_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "window_analytics" ->
       """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
