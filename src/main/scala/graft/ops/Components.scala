@@ -34,22 +34,32 @@ object Components {
     val sym = edges.select(col(src).as("v"), col(dst).as("w"))
       .union(edges.select(col(dst).as("v"), col(src).as("w")))
       .cache()
+    // localCheckpoint (eager) truncates lineage each round — the standard
+    // move for iterative dataflow (GraphX/MLlib do the same): without it,
+    // round N's logical plan nests all previous rounds plus the upstream
+    // pair-generation pipeline, and planning cost grows per round. Blocks
+    // are freed by the context cleaner once a round's frame is dropped.
     var labels = sym.select(col("v")).distinct()
-      .withColumn("comp", col("v")).cache()
+      .withColumn("comp", col("v")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // One join + one aggregation per round. The previous label rides
+      // along as a second aggregate (each v has exactly one labels row, so
+      // max over its single non-null value IS the old label) — the
+      // convergence test is then a filter over the just-materialized round
+      // result instead of a second join job per round.
       val viaNeighbour = sym
         .join(labels.select(col("v").as("w"), col("comp")), "w")
-        .select(col("v"), col("comp"))
-      val next = viaNeighbour.union(labels)
-        .groupBy("v").agg(min(col("comp")).as("comp"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("comp", "__old"), "v")
-        .filter(col("comp") =!= col("__old"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("v"), col("comp"),
+          lit(null).cast(labels.schema("comp").dataType).as("__old"))
+      val next = viaNeighbour
+        .union(labels.select(col("v"), col("comp"), col("comp").as("__old")))
+        .groupBy("v")
+        .agg(min(col("comp")).as("comp"), max(col("__old")).as("__old"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       i += 1
     }
     sym.unpersist()
