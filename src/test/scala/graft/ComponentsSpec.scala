@@ -30,6 +30,32 @@ class ComponentsSpec extends SparkSpec {
     assert(out == Set(1L, 10L, 11L))
   }
 
+  test("random graphs: distributed labels match a driver-side union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
+    } yield (a, b))
+    for (i <- 0 until 6) {
+      val edges = edgesGen
+        .apply(Gen.Parameters.default.withSize(30), Seed(7L + i)).get
+      // reference: classic union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = Components.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed ${7 + i}: $got vs $expected")
+    }
+  }
+
   test("components of the real sf0.001 minhash pairs match brute-force grouping") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id", threshold = 0.8)
