@@ -553,6 +553,46 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     },
 
+    // TPC-H Q5 shape: 6-table star-within-star — the fact joins orders
+    // (fact-fact shuffle) while customer/supplier/nation/region broadcast;
+    // the same-nation predicate makes supplier a second dim arm, not a
+    // second fact. Decimal revenue for exact cross-engine parity.
+    "tpch_q5_region_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c),
+          o("o_custkey") === c("c_custkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // CUBE over orders: all 2^2 grouping sets in one pass (the grouping-
+    // sets expansion happens below the partial aggregate, so it's still a
+    // single shuffle); grouping_id disambiguates NULL-as-rollup from
+    // NULL-as-data.
+    "cube_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    },
+
     // Skew toolkit, driver-checkable: a salted two-phase aggregation is
     // algebraically identical to the plain groupBy (decimal sums make the
     // equality exact, not merely approximate — double addition is order-
@@ -1108,6 +1148,30 @@ object SparkEntry {
         |FROM range(500)
         |WHERE range * 7 % 240 > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "tpch_q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "skew_twophase_agg" ->
       """SELECT l_returnflag,
