@@ -61,6 +61,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("Q5 star: all four dimension arms broadcast, no cartesian product") {
+    val plan = planOf(SparkEntry.queries("tpch_q5_region_revenue")(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"dimension arm not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("CUBE is one shuffle: grouping-set Expand sits below the partial aggregate") {
+    val plan = planOf(SparkEntry.queries("cube_orders")(spark, sf0001))
+    assert(plan.contains("Expand"), s"no grouping-set expansion:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial agg:\n$plan")
+    // exactly one hash exchange for the aggregation (plus the final sort's
+    // range exchange) — the expansion must not add its own shuffle
+    assert("hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"extra exchange:\n$plan")
+  }
+
   test("IVF cell assignment is shuffle-free: in-row argmax over literal centroids") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = graft.ops.Ivf.trainCentroids(emb, k = 8, iters = 1)
