@@ -553,6 +553,23 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Correlated scalar subqueries — exercises Catalyst's decorrelation
+    // (rewrite to aggregate + join). The above-nation-average predicate is
+    // kept exact by comparing acctbal·count > sum instead of dividing:
+    // decimal multiply/compare is order-insensitive where a double average
+    // is not, so both engines agree at the boundary.
+    "subquery_above_avg_balance" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM customer_v x
+               WHERE x.c_nationkey = c.c_nationkey)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer_v x
+               WHERE x.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+
     // TPC-H Q5 shape: 6-table star-within-star — the fact joins orders
     // (fact-fact shuffle) while customer/supplier/nation/region broadcast;
     // the same-nation predicate makes supplier a second dim arm, not a
@@ -1148,6 +1165,15 @@ object SparkEntry {
         |FROM range(500)
         |WHERE range * 7 % 240 > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "subquery_above_avg_balance" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM customer x
+        |       WHERE x.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer x
+        |       WHERE x.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "tpch_q5_region_revenue" ->
       """SELECT n_name,

@@ -104,6 +104,23 @@ object StreamingPipeline {
         count(lit(1)).as("n_events"))
       .drop("session_window")
 
+  /** Streaming exact dedup — the streaming twin of [[graft.ops.Dedup.exact]]:
+    * key the state on the 64-bit normalized-text hash and drop any row whose
+    * hash was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). State is (hash → seen) per key,
+    * evicted once the watermark passes — bounded by horizon × distinct-doc
+    * rate, not stream length, which is what makes exact dedup viable on an
+    * unbounded ingest feed. The hash (not the text) is the state key, the
+    * same never-ship-text-twice rule as the batch form.
+    */
+  def dedupStream(docs: DataFrame, lateness: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("__th", xxhash64(graft.ops.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__th")
+      .drop("__th")
+
   /** Stream → idempotent sink: `foreachBatch` re-applies the batch
     * watermark filter against the sink before every append, so a replayed
     * micro-batch (failure/restart redelivery) appends nothing twice — the

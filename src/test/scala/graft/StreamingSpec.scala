@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("streaming dedup drops duplicate text across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    // two files = two micro-batches (maxFilesPerTrigger=1); the duplicate
+    // text reappears in batch 2 and must be dropped by cross-batch state
+    Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "the same document"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "another document"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/in")
+    Seq((3L, Timestamp.valueOf("2024-01-01 10:02:00"), "THE  same   document"),
+        (4L, Timestamp.valueOf("2024-01-01 10:03:00"), "a third document"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+    val q = StreamingPipeline.dedupStream(stream, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    // docs 1 and 3 normalize to the same text: exactly one survives
+    // (whichever batch ran first); 2 and 4 always survive
+    assert(kept.size == 3 && kept.intersect(Set(1L, 3L)).size == 1
+      && kept.contains(2L) && kept.contains(4L), s"kept: $kept")
+  }
+
   test("stateless session labels work on a stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Seq((Timestamp.valueOf("2024-01-03 02:00:00"), 1.0))
