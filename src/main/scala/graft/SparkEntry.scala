@@ -553,6 +553,36 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Gap filling: per event_type, the dense 5-minute close series between
+    // first and last observation — missing buckets synthesized via
+    // sequence+explode and forward-filled with the running last non-null.
+    "resample_fill_forward" -> { (s, d) =>
+      val base = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          graft.ops.Resample.bucket(col("ts"), "5 minutes",
+            closedRight = false).as("bts"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      graft.ops.Resample.fillForward(base, Seq("event_type"), "bts",
+          "5 MINUTES", Seq("close"))
+        .select(col("event_type"), tsStr(col("bts")).as("ts"),
+          col("close"), col("is_filled"))
+        .orderBy("event_type", "ts")
+    },
+
+    // Columnar array analytics: per-dimension mean/extremes across the
+    // embedding corpus — posexplode + groupBy(dim), one shuffle of
+    // (dim, partial agg), never the vectors themselves.
+    "embed_dim_stats" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("double")), 6).as("mean"),
+          round(min(col("v").cast("double")), 6).as("lo"),
+          round(max(col("v").cast("double")), 6).as("hi"))
+        .orderBy("dim")
+    },
+
     // Correlated scalar subqueries — exercises Catalyst's decorrelation
     // (rewrite to aggregate + join). The above-nation-average predicate is
     // kept exact by comparing acctbal·count > sum instead of dividing:
@@ -1165,6 +1195,43 @@ object SparkEntry {
         |FROM range(500)
         |WHERE range * 7 % 240 > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // row_number dedup ≡ Spark's max_by(value, struct(ts, event_id));
+    // IGNORE-NULLS running last_value ≡ Spark's last(..., ignoreNulls).
+    "resample_fill_forward" ->
+      """WITH ranked AS (
+        |  SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS bts, value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |                         time_bucket(INTERVAL 5 MINUTE, ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |base AS (SELECT event_type, bts, value AS close FROM ranked WHERE rn = 1),
+        |bounds AS (SELECT event_type, min(bts) AS lo, max(bts) AS hi
+        |           FROM base GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                           INTERVAL 5 MINUTE)) AS bts
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.event_type, g.bts, b.close FROM grid g
+        |  LEFT JOIN base b ON g.event_type = b.event_type AND g.bts = b.bts)
+        |SELECT event_type, strftime(bts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS close,
+        |  close IS NULL AS is_filled
+        |FROM j ORDER BY event_type, ts""".stripMargin,
+
+    "embed_dim_stats" ->
+      """SELECT CAST(u.pos - 1 AS INT) AS dim, count(*) AS n,
+        |  round(avg(u.val::DOUBLE), 6) AS mean,
+        |  round(min(u.val::DOUBLE), 6) AS lo,
+        |  round(max(u.val::DOUBLE), 6) AS hi
+        |FROM (SELECT unnest(embedding) AS val,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) u
+        |GROUP BY 1 ORDER BY dim""".stripMargin,
 
     "subquery_above_avg_balance" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -94,4 +94,41 @@ object Resample {
         max_by(v, ts).as("close"),
         count(lit(1)).as("volume"))
   }
+
+  /** Fill the gaps of a per-key bucketed series: generate each key's
+    * complete bucket grid between its first and last observation
+    * (`sequence` + explode — no driver loop), left-join the observed rows,
+    * and forward-fill `fillCols` with the running
+    * `last(..., ignoreNulls)`; `is_filled` marks synthesized rows. The
+    * dense-grid complement of the completeness GATE
+    * ([[QualityGates.checkCompleteness]]): where the gate rejects holes,
+    * this repairs them — what a downstream consumer of bar data needs when
+    * the exchange simply traded nothing in an interval.
+    *
+    * Scale: the grid is buckets-sized (output-sized, not input-sized); the
+    * join and the forward-fill window both hash on the key columns, and
+    * each key's window is a single streaming pass in bucket order.
+    */
+  def fillForward(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      step: String,
+      fillCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"),
+          expr(s"INTERVAL $step"))).as(tsCol): _*)
+    val joined = grid.join(buckets, keyCols :+ tsCol, "left")
+      .withColumn("is_filled", col(fillCols.head).isNull)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fillCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

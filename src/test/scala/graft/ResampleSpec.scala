@@ -60,4 +60,20 @@ class ResampleSpec extends SparkSpec {
       greatest(col("open"), col("close")) <= col("high"))).count()
     assert(bad == 0)
   }
+
+  test("fillForward synthesizes missing buckets and carries the last close") {
+    val sparse = Seq(
+      ("A", t("2024-01-02 09:00:00"), 1.0),
+      ("A", t("2024-01-02 09:15:00"), 4.0), // 09:05, 09:10 missing
+      ("B", t("2024-01-02 09:05:00"), 9.0)
+    ).toDF("k", "bts", "close")
+    val out = Resample.fillForward(sparse, Seq("k"), "bts", "5 MINUTES",
+        Seq("close"))
+      .orderBy("k", "bts")
+      .select("k", "close", "is_filled")
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("A", 1.0, false), ("A", 1.0, true), ("A", 1.0, true), ("A", 4.0, false),
+      ("B", 9.0, false)))
+  }
 }
