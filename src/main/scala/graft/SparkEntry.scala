@@ -393,8 +393,10 @@ object SparkEntry {
         .orderBy("lang", "id1", "id2")
     },
 
-    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted). No SQL
-    // oracle (xxhash64); deterministic + ScalaTest-verified.
+    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted;
+    // combination banding covers the full radius by pigeonhole — DedupSpec
+    // asserts equality with brute-force all-pairs). No SQL oracle
+    // (xxhash64); deterministic + ScalaTest-verified.
     // Near-dup SURVIVOR selection: minhash-LSH pairs → connected
     // components (min-label propagation) → keep each cluster's minimum
     // doc_id. Same output shape as dedup_exact_survivors; the oracle

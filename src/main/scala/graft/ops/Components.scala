@@ -63,6 +63,13 @@ object Components {
       i += 1
     }
     sym.unpersist()
+    // Partially-propagated labels are silently WRONG (a caller would keep
+    // duplicates that share a component) — fail loudly instead. Long-chain
+    // graphs that legitimately need more rounds should use
+    // [[connectedComponentsStar]] (O(log n) rounds).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds; " +
+        "use connectedComponentsStar for long-chain graphs or raise maxIters")
     labels
   }
 }

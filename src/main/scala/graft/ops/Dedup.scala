@@ -200,55 +200,103 @@ object Dedup {
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // Bit-count form: bit b is set iff 2·count(bit b of token hash set) >
     // n_tokens — algebraically identical to the ±1-sum formulation
-    // (sum(±1) = 2·cnt − n), but countable branchlessly. Four 16-bit
-    // counters are packed per 64-bit sum lane, so the aggregate holds 16
+    // (sum(±1) = 2·cnt − n), but countable branchlessly. Three 21-bit
+    // counters are packed per 64-bit sum lane, so the aggregate holds 22
     // buffers instead of 64 branchy conditional sums — the generated
     // update code (the dominant cost: whole-stage-codegen compilation) is
-    // ~4× smaller. Fields can't carry into each other below 2¹⁶ token
-    // occurrences per document (~65 k tokens; far above any training doc —
-    // documents here are ~10² tokens).
+    // ~3× smaller. Bound analysis: each counter <= n, so a lane's value is
+    // at most (2²¹−1)·(2⁴²+2²¹+1) = 2⁶³−1 — exactly Long.MaxValue, and
+    // partial sums are monotone, so documents up to 2²¹−1 (~2 M) token
+    // occurrences (~12 MB of text) can neither carry between fields nor
+    // overflow the signed sum. (The previous 4×16-bit packing overflowed
+    // the SIGNED long at 2¹⁵ occurrences — within range of a ~200 KB
+    // web document.)
     // pre-shuffle on the aggregation key (see minhashSignature): replaces
     // the groupBy exchange, parallelizes the tokenize+hash explode.
     val tok = df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
-    // lane L (0..15) packs bits 4L..4L+3 of the token hash, 16 bits/field
-    val lanes = (0 until 16).map { l =>
-      sum((0 until 4).map { j =>
-        shiftleft(shiftright(col("__h"), 4 * l + j).bitwiseAND(1), 16 * j)
+    // lane L packs bits 3L..3L+2 of the token hash, 21 bits/field
+    val nLanes = (64 + 2) / 3 // 22; the last lane holds bit 63 alone
+    val lanes = (0 until nLanes).map { l =>
+      sum((0 until math.min(3, 64 - 3 * l)).map { j =>
+        shiftleft(shiftright(col("__h"), 3 * l + j).bitwiseAND(1), 21 * j)
       }.reduce(_ bitwiseOR _)).as(s"lane_$l")
     }
     val sums = tok.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), lanes: _*)
     val fp = (0 until 64).map { b =>
-      val cnt = shiftright(col(s"lane_${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
+      val cnt = shiftright(col(s"lane_${b / 3}"), 21 * (b % 3)).bitwiseAND(0x1FFFFFL)
       when(cnt * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
-    sums.select(col(idCol), fp.as("simhash"))
+    // The packed-lane bound is enforced, not just commented: beyond 2²¹−1
+    // token occurrences a counter could exceed its field and corrupt the
+    // fingerprint silently. assert_true costs one comparison per document
+    // and fails the job loudly instead (ADVICE r2).
+    sums.select(col(idCol),
+      when(assert_true(col("__n") < (1L << 21),
+        lit("simhash64: document has >=2^21 token occurrences; " +
+          "packed 21-bit lane counters would overflow")).isNull,
+        fp).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: candidates via 16-bit chunk equality (any doc
-    * pair within Hamming distance 3 shares at least one of 4 chunks —
-    * pigeonhole), verified by exact Hamming distance <= maxDistance.
+  /** SimHash near-dup pairs, COMPLETE within `maxDistance` by construction
+    * (asserted against brute-force all-pairs in DedupSpec): split the 64
+    * fingerprint bits into `b` near-equal blocks and index every
+    * combination of `q = b - maxDistance` blocks. A pair within Hamming
+    * distance d flips bits in at most d blocks, leaving >= b - d >= q
+    * blocks untouched — so at least one q-subset of blocks matches exactly
+    * (pigeonhole on block combinations; the multi-table scheme of Manku et
+    * al., "Detecting Near-Duplicates for Web Crawling", WWW'07). Candidates
+    * are verified by exact Hamming distance, so the banding only ever
+    * affects completeness — which the combination count guarantees — never
+    * precision.
+    *
+    * Block-count choice: for small d, q = 1 with b = d+1 blocks keeps keys
+    * wide (64/b bits). At larger d single blocks get too narrow — d = 8
+    * with q = 1 means 7-bit keys and ~n²/2⁷ random bucket collisions — so
+    * q = 2 with b = d+2 is used instead: C(b,2) keys, each carrying
+    * 2·64/b ≈ 13 bits of selectivity. Key count per doc stays modest
+    * (d = 8 → 45) and each key is one xxhash64 long, so candidate
+    * generation remains a single equality self-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 16,
+      s"maxDistance=$maxDistance outside the supported 0..16 banding range")
+    val blocks = if (maxDistance <= 4) maxDistance + 1 else maxDistance + 2
+    val q = if (maxDistance <= 4) 1 else 2
+    val bounds = (0 to blocks).map(c => 64 * c / blocks)
+    def blockVal(h: Column, c: Int): Column = {
+      val start = bounds(c)
+      val width = bounds(c + 1) - start
+      val v = shiftright(h, start)
+      if (start + width >= 64) v else v.bitwiseAND((1L << width) - 1)
+    }
+    val combos = (0 until blocks).combinations(q).toSeq
     val fp = simhash64(df, textCol, idCol).cache()
-    val chunks = fp.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "val")))
-    val l = chunks.select(col(idCol).as("id1"), col("simhash").as("h1"),
-      col("chunk"), col("val"))
-    val r = chunks.select(col(idCol).as("id2"), col("simhash").as("h2"),
-      col("chunk"), col("val"))
-    l.join(r, Seq("chunk", "val"))
+    // one 64-bit key per block combination; the combo index is hashed in
+    // so distinct combos occupy distinct key spaces (a cross-combo hash
+    // collision only adds a candidate, which exact verification discards)
+    val keys = combos.zipWithIndex.map { case (cs, i) =>
+      xxhash64(lit(i) +: cs.map(c => blockVal(col("simhash"), c)): _*)
+    }
+    val keyed = fp.select(col(idCol), explode(array(keys: _*)).as("__key"))
+    val l = keyed.select(col(idCol).as("id1"), col("__key"))
+    val r = keyed.select(col(idCol).as("id2"), col("__key"))
+    // candidates dedupe on the bare (id1, id2) — fingerprints re-attach
+    // AFTER the distinct (the cached fp frame broadcasts), keeping the
+    // shuffled distinct rows at 16 bytes
+    val cand = l.join(r, "__key")
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "h1", "h2").distinct()
+      .select("id1", "id2").distinct()
+    cand
+      .join(fp.select(col(idCol).as("id1"), col("simhash").as("h1")), "id1")
+      .join(fp.select(col(idCol).as("id2"), col("simhash").as("h2")), "id2")
       .withColumn("distance", hamming(col("h1"), col("h2")))
       .filter(col("distance") <= maxDistance)
       .select("id1", "id2", "distance")

@@ -92,6 +92,15 @@ object Ivf {
       k: Int, nProbe: Int = 2,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    // Probing every cell scans the whole corpus by construction — the cell
+    // partition is exhaustive — so the result is exactly the brute-force
+    // top-k. Delegate instead of exploding each query into nCells (query,
+    // cell) rows and paying nCells× the broadcast-join work for an
+    // identical answer (the exact-degenerate nProbe=k oracle config).
+    val nCells = centroids.count()
+    if (nProbe >= nCells)
+      return Similarity.topKBruteForce(corpus, queries, k,
+        corpusId, corpusVec, queryId, queryVec)
     val corpusCells = assignCells(corpus, corpusVec, centroids, n = 1)
     val queryCells = assignCells(queries, queryVec, centroids, n = nProbe)
     corpusCells.join(broadcast(queryCells), "cid")

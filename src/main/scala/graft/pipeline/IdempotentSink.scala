@@ -31,11 +31,19 @@ final case class IdempotentSink(path: String, schema: StructType) {
   def writeBatch(df: DataFrame, batchId: Long): Unit =
     align(df).write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
-  /** All committed batches as one frame (plus the `batch` partition col). */
-  def existing(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema.add("batch", "long")).parquet(path)
+  /** All committed batches as one frame (plus the `batch` partition col).
+    * The existence probe goes through the Hadoop FileSystem API, so it
+    * resolves `hdfs://`/`s3a://` paths with the session's Hadoop conf —
+    * a `java.io.File` probe would silently report "no committed batches"
+    * for any non-local store.
+    */
+  def existing(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) spark.read.schema(schema.add("batch", "long")).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.add("batch", "long"))
+  }
 
   /** Attach to a stream: every micro-batch lands in its own directory. */
   def attach(stream: DataFrame): StreamingQuery =

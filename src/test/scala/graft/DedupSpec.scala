@@ -59,6 +59,41 @@ class DedupSpec extends SparkSpec {
     assert(j == BigDecimal(7.0 / 9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("simhash banding is COMPLETE: pairs == brute-force hamming all-pairs (sf0.01)") {
+    // The soundness contract of the combination banding: no pair within
+    // maxDistance may be missed. Brute force is the oracle DuckDB can't be
+    // (no xxhash64): all 500×499/2 fingerprint pairs, exact bit_count.
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (d <- Seq(3, 8)) {
+      val banded = Dedup.simhashPairs(real, "text", "doc_id", maxDistance = d)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val fp = Dedup.simhash64(real, "text", "doc_id")
+      val l = fp.select($"doc_id".as("id1"), $"simhash".as("h1"))
+      val r = fp.select($"doc_id".as("id2"), $"simhash".as("h2"))
+      val brute = l.crossJoin(r).filter($"id1" < $"id2")
+        .filter(Dedup.hamming($"h1", $"h2") <= d)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(banded == brute,
+        s"d=$d missed=${brute -- banded} spurious=${banded -- brute}")
+    }
+  }
+
+  test("simhash64 packed lanes: 66k-token doc is fine; >=2^21 occurrences fail loudly") {
+    // 66k occurrences was the old 4x16-bit packing's silent-corruption
+    // zone; the 3x21-bit packing handles it exactly.
+    val big = Seq((1L, "alpha beta " * 33000)).toDF("doc_id", "text")
+    val fpBig = Dedup.simhash64(big, "text", "doc_id").collect()(0).getLong(1)
+    val small = Seq((1L, "alpha beta " * 10)).toDF("doc_id", "text")
+    val fpSmall = Dedup.simhash64(small, "text", "doc_id").collect()(0).getLong(1)
+    assert(fpBig == fpSmall) // same token distribution -> same majority bits
+    // beyond the packing bound the job must fail (assert_true guard or
+    // ANSI sum overflow), never return a corrupt fingerprint
+    val over = Seq((1L, "tok " * 2200000)).toDF("doc_id", "text")
+    intercept[Exception] {
+      Dedup.simhash64(over, "text", "doc_id").collect()
+    }
+  }
+
   test("real documents: the known sf0.01 near-dup pairs surface through minhash LSH") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.8)
