@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-facing benchmark: times every `SparkEntry.queries` entry at the
+  * scale factor in `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Stability design (round-3): queries run in FIXED (sorted) order, and the
+  * whole suite runs twice — the first pass absorbs the one-time costs that
+  * made sub-2 s entries flap between rounds (JIT warm-up, whole-stage
+  * codegen compilation, parquet footer caches, shuffle-service spin-up);
+  * the reported figure is the per-query minimum across passes. The cache
+  * manager is cleared before every run, so a pass never reads a previous
+  * pass's cached frames — Spark's CacheManager matches by logical plan and
+  * would otherwise silently serve query N's `.cache()`d intermediates back
+  * to its second run, timing a lookup instead of the computation.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,17 +28,20 @@ object Bench {
     // Warm the session (scheduler, codegen compiler, parquet footer reads)
     // so the first measured query isn't charged ~3s of one-time JVM setup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def onePass(): Map[String, Double] = names.map { name =>
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }.toMap
+    val best = (1 to passes).map(_ => onePass())
+      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val qs = names.map(k => s"\"" + k + "\":" + best(k))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

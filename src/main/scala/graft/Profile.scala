@@ -35,6 +35,34 @@ object Profile {
           lit(1L).as("volume")), "5 minutes"))
       show("dedup_exact", graft.ops.Dedup.exact(
         Tables.documents(spark, sfDir), "text", "doc_id"))
+    } else if (args.tail.headOption.contains("ngram")) {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val blockCols = Seq("lang" -> col("lang"),
+        "len_bucket" -> (col("n_chars") / 64).cast("long"))
+      val sh = docs.repartition(col("doc_id")).select(
+        Seq(col("doc_id")) ++ blockCols.map { case (nm, c) => c.as(nm) } :+
+          sort_array(Dedup.hashedShingles(col("text"), 2)).as("__s"): _*).cache()
+      time("shingle+sort")(sh.count())
+      val sz = size(col("__s"))
+      val prefLen = (sz - ceil(sz * 0.5 - 1e-9) + 1).cast("int")
+      val pref = sh.select(col("doc_id"), col("lang"), col("len_bucket"),
+        explode(slice(col("__s"), lit(1), greatest(prefLen, lit(0)))).as("__tok"))
+      val pl = pref.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("__tok"))
+      val pr = pref.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("__tok"))
+      time("join fanout (pre-distinct)")(pl.join(pr, Seq("__tok", "lang", "len_bucket"))
+        .filter(col("id1") < col("id2")).count())
+      time("prefix candidates")(Dedup.ngramPrefixCandidates(
+        sh, "doc_id", blockCols.map(_._1), 0.5).count())
+      val l = sh.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("__s").as("s1"))
+      val r = sh.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("__s").as("s2"))
+      time("naive full (parallel shingle)")(l.join(r, Seq("lang", "len_bucket"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("jaccard", size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+        .filter(col("jaccard") >= 0.5).count())
+      time("full query")(SparkEntry.queries("dedup_ngram_lang_block")(spark, sfDir).count())
     } else if (args.tail.headOption.contains("stages")) {
       import graft.ops.Dedup
       val docs = Tables.documents(spark, sfDir)

@@ -94,6 +94,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered block jaccard is LOSSLESS vs the naive block all-pairs (sf0.01)") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val blockCols = Seq("lang" -> col("lang"),
+      "len_bucket" -> (col("n_chars") / 64).cast("long"))
+    val fast = Dedup.ngramJaccardPairs(real, "text", "doc_id", blockCols,
+        n = 2, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sh = real.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("lb"),
+      Dedup.hashedShingles(col("text"), 2).as("s"))
+    val l = sh.toDF("id1", "lang", "lb", "s1")
+    val r = sh.toDF("id2", "lang", "lb", "s2")
+    val naive = l.join(r, Seq("lang", "lb")).filter($"id1" < $"id2")
+      .withColumn("jaccard", size(array_intersect($"s1", $"s2")).cast("double") /
+        size(array_union($"s1", $"s2")))
+      .filter($"jaccard" >= 0.5)
+      .select($"id1", $"id2", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == naive, s"missed=${naive -- fast} spurious=${fast -- naive}")
+  }
+
+  test("adversarial single block: disjoint-content docs yield ZERO prefix candidates") {
+    // 300 docs forced into one (lang, bucket) block but sharing no shingle:
+    // the old full self-join paid 300*299/2 = 44850 verify pairs here; the
+    // prefix filter's candidate join finds nothing to verify.
+    val docs = (1 to 300).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), lit("xx").as("lang"),
+      sort_array(Dedup.hashedShingles(col("text"), 2)).as("__s"))
+    assert(Dedup.ngramPrefixCandidates(sh, "doc_id", Seq("lang"), 0.5).count() == 0)
+  }
+
   test("real documents: the known sf0.01 near-dup pairs surface through minhash LSH") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.8)
