@@ -555,6 +555,26 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Audio segmentation: a deterministic 400-row audio fixture (id-derived
+    // sample rate / duration, every 11th row corrupt) through the real
+    // binary pipeline — fake-header parse per partition, then fixed
+    // 10-second segment explode in exact sample arithmetic.
+    "multimodal_audio_segments" -> { (s, d) =>
+      import s.implicits._
+      val media = (0L until 400L).map { id =>
+        val corrupt = id % 11 == 0
+        val rate = Seq(8000, 16000, 44100, 48000)((id % 4).toInt)
+        val nSamples = id * 31 % 700000
+        val content =
+          if (corrupt) Array[Byte](9, 9)
+          else graft.ops.Multimodal.fakeAudioHeader(rate, nSamples, 2)
+        graft.ops.Multimodal.MediaFile(id, "audio", content, Map.empty)
+      }.toDS().repartition(8)
+      graft.ops.Multimodal.audioSegments(
+          graft.ops.Multimodal.audioMetaStub(media).toDF(), segmentSeconds = 10)
+        .orderBy("media_id", "seg_idx")
+    },
+
     // Gap filling: per event_type, the dense 5-minute close series between
     // first and last observation — missing buckets synthesized via
     // sequence+explode and forward-filled with the running last non-null.
@@ -1197,6 +1217,28 @@ object SparkEntry {
         |FROM range(500)
         |WHERE range * 7 % 240 > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Mirrors the fixture arithmetic in the query; bounds are integer
+    // sample counts, so the compare is exact. `//` is DuckDB int division.
+    "multimodal_audio_segments" ->
+      """WITH m AS (
+        |  SELECT range AS media_id,
+        |    range % 11 = 0 AS corrupt,
+        |    CAST(CASE range % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+        |    CAST(range * 31 % 700000 AS BIGINT) AS n_samples
+        |  FROM range(400)),
+        |s AS (
+        |  SELECT media_id, n_samples, sample_rate * 10 AS sps
+        |  FROM m WHERE NOT corrupt AND n_samples > 0),
+        |g AS (
+        |  SELECT media_id, n_samples, sps,
+        |    CAST(unnest(range(0, ((n_samples - 1) // sps) + 1)) AS INT) AS seg_idx
+        |  FROM s)
+        |SELECT media_id, seg_idx,
+        |  seg_idx * sps AS start_sample,
+        |  least((seg_idx + 1) * sps, n_samples) AS end_sample
+        |FROM g ORDER BY media_id, seg_idx""".stripMargin,
 
     // row_number dedup ≡ Spark's max_by(value, struct(ts, event_id));
     // IGNORE-NULLS running last_value ≡ Spark's last(..., ignoreNulls).

@@ -72,4 +72,62 @@ object Components {
         "use connectedComponentsStar for long-chain graphs or raise maxIters")
     labels
   }
+
+  /** Connected components by the ALTERNATING small-star/large-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds on ANY graph — the
+    * long-chain case where plain min-label propagation needs
+    * O(diameter) rounds — with the same per-round shape (one
+    * aggregation + one join, all hash-partitioned by vertex).
+    *
+    *  - large-star: every vertex connects its LARGER neighbours to the
+    *    minimum of its closed neighbourhood.
+    *  - small-star: with edges directed larger→smaller, every vertex
+    *    re-points its (smaller) neighbours and itself at the minimum.
+    *
+    * Both preserve connectivity exactly (lemmas 1–2 of the paper); the
+    * fixpoint is a union of stars whose roots are the component minima.
+    * Same contract as [[connectedComponents]]: every vertex appearing in
+    * `edges` is returned labeled with its component's minimum id.
+    */
+  def connectedComponentsStar(edges: DataFrame, src: String = "id1",
+      dst: String = "id2", maxIters: Int = 30): DataFrame = {
+    // every input vertex, including self-loop-only ones the star rounds
+    // drop — re-attached as their own component at the end
+    val vertices = edges.select(col(src).as("v"))
+      .union(edges.select(col(dst).as("v"))).distinct().cache()
+    var e = edges
+      .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the symmetrized edges
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct() // (larger, closed-neighbourhood min): u > v invariant holds
+      // small-star: edges already directed larger->smaller
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint() // truncate per-round lineage (see above)
+      converged = small.count() == e.count() && small.except(e).isEmpty
+      e = small
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIters rounds " +
+        "(bound is O(log n) — raise maxIters)")
+    // fixpoint = stars (u -> root); roots and isolated vertices label themselves
+    val labels = e.select(col("u").as("v"), col("v").as("comp"))
+    vertices.join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+  }
 }

@@ -70,6 +70,60 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(media_id: Long, format: String, sample_rate: Int,
+      n_samples: Long, channels: Int, n_bytes: Long, valid: Boolean)
+
+  /** Deterministic fake AUDIO header: magic "GRFA" + sample rate (int) +
+    * sample count (long) + channels (int), 20 bytes. Fixture generators
+    * write it; the audio metadata stub parses it.
+    */
+  def fakeAudioHeader(sampleRate: Int, nSamples: Long, channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20)
+    bb.put("GRFA".getBytes("US-ASCII")).putInt(sampleRate).putLong(nSamples)
+      .putInt(channels)
+    bb.array()
+  }
+
+  /** Audio metadata extract — STUB, mirroring [[decodeStub]]: parses the
+    * fake header per partition; a real deployment swaps only the marked
+    * body for an audio demuxer (sample rate / duration / channel probe).
+    */
+  def audioMetaStub(media: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // >>> STUB: real demuxer init would go here (once per partition) <<<
+      rows.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        if (bytes.length >= 20 && new String(bytes.take(4), "US-ASCII") == "GRFA") {
+          val bb = java.nio.ByteBuffer.wrap(bytes, 4, 16)
+          AudioMeta(m.media_id, "grfa", bb.getInt, bb.getLong, bb.getInt,
+            bytes.length.toLong, valid = true)
+        } else AudioMeta(m.media_id, "unknown", 0, 0L, 0, bytes.length.toLong,
+          valid = false)
+      }
+    }
+  }
+
+  /** Fixed-length segmentation of decoded audio rows: one row per
+    * `segmentSeconds` window, bounds expressed in SAMPLES (exact integer
+    * arithmetic — float seconds would drift between engines). The segment
+    * count is ⌈n_samples / (rate·seg)⌉ via the `(n−1) div s` identity; the
+    * last segment clamps to the sample count. Declarative
+    * `sequence`+`explode`, no UDF — the generator never materializes more
+    * than the output rows.
+    */
+  def audioSegments(audio: DataFrame, segmentSeconds: Int): DataFrame =
+    audio
+      .filter(col("valid") && col("n_samples") > 0 && col("sample_rate") > 0)
+      .withColumn("__sps", col("sample_rate").cast("long") * segmentSeconds)
+      .withColumn("seg_idx",
+        explode(sequence(lit(0L), expr("(n_samples - 1) div __sps"))))
+      .select(col("media_id"),
+        col("seg_idx").cast("int").as("seg_idx"),
+        (col("seg_idx") * col("__sps")).as("start_sample"),
+        least((col("seg_idx") + 1) * col("__sps"), col("n_samples"))
+          .as("end_sample"))
+
   /** Resize stage — metadata math is real; pixel resampling is the stub
     * (content passes through unchanged). Aspect-preserving fit into
     * maxSide.
@@ -105,30 +159,85 @@ object Multimodal {
     * by the SIZE VALUE would do the opposite: cluster all the largest rows
     * together.)
     *
-    * Scale shape: the running offset is computed over a projection of
-    * (id, n_bytes) ONLY — the global-order window moves ~16 bytes/row of
-    * metadata, never media bytes; media crosses the wire in the join and
-    * final exchange. Rows land in id order, so each bucket is a contiguous
-    * id run of ~targetBytes (one oversized row spills its bucket by at
-    * most that row — unavoidable for any non-splitting packer).
+    * Scale shape — TWO-LEVEL prefix sum, no global-order window: the
+    * (id, n_bytes) projection is range-partitioned by id (contiguous id
+    * runs per partition), each partition computes its LOCAL exclusive
+    * prefix in parallel, and the per-partition byte totals — one row per
+    * partition — come to the driver to form broadcast cumulative offsets.
+    * global offset = partition offset + local prefix. Every pass is
+    * parallel; the serial step is a cumulative sum over ~hundreds of
+    * partition totals on the driver. (The previous form used a single
+    * global-order window — one task streamed every row's metadata.)
+    * Media bytes cross the wire only in the final bucket exchange.
+    *
+    * `idCol` must be UNIQUE and NON-NULL: the computed bucket joins back
+    * to the full frame on it, so a duplicate id would multiply rows and a
+    * null id would drop them (same contract as AsOfJoin's tieCols).
     */
   def repartitionBySize(df: DataFrame, byteCol: String, targetBytes: Long,
       idCol: String = "media_id"): DataFrame = {
+    val spark = df.sparkSession
+    val (buckets, parts) = sizeBuckets(df, byteCol, targetBytes, idCol)
+    if (parts == 0) return df
+    // EXACT routing: bucket ids are dense 0..parts-1, so an identity
+    // Partitioner sends each bucket to its own partition deterministically.
+    // A SQL-level repartitionByRange(__bucket) would sample by ROW COUNT
+    // and merge adjacent low-row-count buckets (exactly the big-media
+    // buckets the packer exists to isolate). The RDD hop is a fair trade
+    // here: this operator's consumers are per-partition codec loops
+    // (mapPartitions), so the codegen pipeline breaks at this boundary
+    // anyway, and rows cross the wire exactly once either way.
+    val withBucket = df.join(buckets, idCol)
+    val bucketIdx = withBucket.columns.length - 1
+    val routed = withBucket.rdd
+      .map(r => (r.getInt(bucketIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map { case (_, r) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))
+      }
+    spark.createDataFrame(routed, org.apache.spark.sql.types.StructType(
+        withBucket.schema.dropRight(1)))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** The (id, bucket) assignment behind [[repartitionBySize]] and the
+    * number of buckets — separated so the plan (no serial exchange) and
+    * the assignment are testable on their own. Returns (empty, 0) for a
+    * zero-byte frame.
+    */
+  def sizeBuckets(df: DataFrame, byteCol: String, targetBytes: Long,
+      idCol: String): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
-    // sum() is NULL on an empty frame — guard instead of getLong-NPE
-    val total = df.agg(coalesce(sum(col(byteCol)), lit(0L)))
-      .collect()(0).getLong(0)
-    if (total == 0L) return df
+    val spark = df.sparkSession
+    import spark.implicits._
+    // level 1: contiguous id ranges, local exclusive prefix per partition
+    val nMeta = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(col(idCol), col(byteCol))
+      .repartitionByRange(nMeta, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // metadata-only (~16 B/row); feeds totals + prefix passes
+    // level 2: per-partition totals -> driver -> exclusive cumulative
+    // offsets (RangePartitioner assigns ascending ranges to ascending
+    // partition ids, so cumulating in pid order IS id order)
+    val totals = ranged.groupBy("__pid")
+      .agg(coalesce(sum(col(byteCol)), lit(0L)).as("__bytes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = totals.map(_._2).sum
+    if (total == 0L) { ranged.unpersist(); return (df.sparkSession.emptyDataFrame, 0) }
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    // exclusive prefix sum: a row starts at the bytes of all rows before it
-    val w = Window.orderBy(col(idCol))
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = df.select(col(idCol), col(byteCol))
-      .withColumn("__bucket",
-        (coalesce(sum(col(byteCol)).over(w), lit(0L)) / targetBytes).cast("int"))
-      .select(col(idCol), col("__bucket"))
-    df.join(buckets, idCol)
-      .repartitionByRange(parts, col("__bucket"))
-      .drop("__bucket")
+    val buckets = ranged
+      .withColumn("__local", coalesce(sum(col(byteCol)).over(w), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .select(col(idCol),
+        ((col("__local") + col("__off")) / targetBytes).cast("int").as("__bucket"))
+    (buckets, parts)
   }
 }

@@ -56,6 +56,44 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction: 1000-vertex chain converges in O(log n) rounds, exact labels") {
+    // shuffled so the chain isn't accidentally id-ordered on disk
+    val rnd = new scala.util.Random(42)
+    val edges = rnd.shuffle((0L until 999L).map(i => (i, i + 1)).toList)
+      .toDF("id1", "id2")
+    // maxIters = 12 doubles as the round-count assertion: the plain
+    // propagation variant needs ~999 rounds here, star contraction O(log n)
+    val comp = Components.connectedComponentsStar(edges, maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 1000)
+    assert(comp.forall(_._2 == 0L))
+  }
+
+  test("star contraction matches a driver-side union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
+    } yield (a, b))
+    for (i <- 0 until 6) {
+      val edges = edgesGen
+        .apply(Gen.Parameters.default.withSize(30), Seed(70L + i)).get
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = Components.connectedComponentsStar(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed ${70 + i}: $got vs $expected")
+    }
+  }
+
   test("components of the real sf0.001 minhash pairs match brute-force grouping") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id", threshold = 0.8)

@@ -40,6 +40,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 3, 6, 9))
   }
 
+  test("audio metadata stub + fixed segments with clamped tail") {
+    val audio = Seq(
+      MediaFile(1L, "audio", Multimodal.fakeAudioHeader(8000, 200000L, 2), Map.empty),
+      MediaFile(2L, "audio", Array[Byte](1), Map.empty), // corrupt
+      MediaFile(3L, "audio", Multimodal.fakeAudioHeader(16000, 160000L, 1), Map.empty)
+    ).toDS()
+    val meta = Multimodal.audioMetaStub(audio).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).sample_rate == 8000 && meta(1L).n_samples == 200000L && meta(1L).valid)
+    assert(meta(1L).channels == 2 && meta(1L).format == "grfa")
+    assert(!meta(2L).valid && meta(2L).format == "unknown")
+    val segs = Multimodal.audioSegments(Multimodal.audioMetaStub(audio).toDF(), 10)
+      .orderBy("media_id", "seg_idx")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // 25 s @ 8 kHz -> three 10 s segments, last clamped; exactly 10 s -> one
+    assert(segs == Seq((1L, 0, 0L, 80000L), (1L, 1, 80000L, 160000L),
+      (1L, 2, 160000L, 200000L), (3L, 0, 0L, 160000L)))
+  }
+
   test("size-aware repartition yields bounded partitions") {
     val sized = Multimodal.decodeStub(media).toDF()
     val out = Multimodal.repartitionBySize(sized, "n_bytes", targetBytes = 64L)
@@ -65,6 +83,34 @@ class MultimodalSpec extends SparkSpec {
     assert(perPart.forall(_ <= 1100L + 1000L),
       s"oversized partition: ${perPart.mkString(",")}")
     assert(perPart.length >= 5, "bytes did not spread across partitions")
+  }
+
+  test("two-level packer: no single-partition exchange; id runs stay contiguous") {
+    val df = (1L to 500L)
+      .map(i => (i, if (i % 17 == 0) 900L else 12L))
+      .toDF("media_id", "n_bytes")
+      .repartition(8)
+    // the old implementation's global-order window planned an
+    // `Exchange SinglePartition` — the serial pass the two-level form removes
+    val (buckets, parts) = Multimodal.sizeBuckets(df, "n_bytes", 1000L, "media_id")
+    val plan = buckets.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"serial exchange in plan:\n$plan")
+    assert(parts == 32) // ceil((29*900 + 471*12) / 1000) = ceil(31.752)
+    val out = Multimodal.repartitionBySize(df, "n_bytes", targetBytes = 1000L)
+    assert(out.rdd.getNumPartitions == parts) // one bucket per partition, exactly
+    // equal-byte packing in id order => partitions hold non-interleaved id runs
+    val ranges = out.withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("media_id").as("lo"), max("media_id").as("hi"),
+        sum("n_bytes").as("bytes"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2,
+        s"interleaved id runs: ${ranges.mkString(",")}")
+      case _ =>
+    }
+    assert(ranges.forall(_._3 <= 1000L + 900L),
+      s"oversized partition: ${ranges.mkString(",")}")
   }
 
   test("size-aware repartition is a no-op on an empty frame (no NPE)") {
