@@ -575,6 +575,36 @@ object SparkEntry {
         .orderBy("media_id", "seg_idx")
     },
 
+    // Deterministic stratified sampling: per-language keep-rates via keyed
+    // multiplicative hashing — no RNG, no shuffle, retry-stable; the
+    // oracle reruns the identical integer arithmetic.
+    "sample_stratified" -> { (s, d) =>
+      graft.ops.Sampling.stratifiedSample(Tables.documents(s, d), "doc_id",
+          "lang", Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // Train/val/test split: disjoint + exhaustive by hash-bucket ranges.
+    "sample_split" -> { (s, d) =>
+      graft.ops.Sampling.splitByHash(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // LLM sequence packing: documents accumulate in id order into packs of
+    // ~2048 tokens (pack-then-chunk preprocessing); two-level prefix sum,
+    // no global window. Oracle = the same cumulative sum as a SQL window.
+    "pack_sequences" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "n_tokens", "doc_id",
+          maxTokens = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    },
+
     // Gap filling: per event_type, the dense 5-minute close series between
     // first and last observation — missing buckets synthesized via
     // sequence+explode and forward-filled with the running last non-null.
@@ -1239,6 +1269,40 @@ object SparkEntry {
         |  seg_idx * sps AS start_sample,
         |  least((seg_idx + 1) * sps, n_samples) AS end_sample
         |FROM g ORDER BY media_id, seg_idx""".stripMargin,
+
+    // Knuth multiplicative hash, reduced mod 1e6 — exact BIGINT arithmetic
+    // in both engines (doc_id * 2654435761 stays far below 2^63).
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+        |       ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (doc_id * 2654435761) % 4294967296 % 1000000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The token count mirrors text_stats; pack id is an exclusive running
+    // sum over id order — integer arithmetic end to end.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(off // 2048 AS INT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // row_number dedup ≡ Spark's max_by(value, struct(ts, event_id));
     // IGNORE-NULLS running last_value ≡ Spark's last(..., ignoreNulls).

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines: sub-sample a corpus, mix languages at chosen rates, carve
+  * train/val/test — all as pure per-row expressions.
+  *
+  * Design rules (the properties that matter at 100 TB):
+  *  - DETERMINISTIC, keyed by a stable id — no RNG state, so every
+  *    executor, retry, and re-run selects the identical rows (`rand()`
+  *    re-rolls under task retry and silently changes the sample), and a
+  *    row's membership never depends on partitioning or visit order.
+  *  - ZERO shuffle — membership is a projection + filter, fully inside
+  *    whole-stage codegen; sampling 1% of 100 TB reads the id column and
+  *    moves nothing.
+  *  - The hash is Knuth's multiplicative scheme on the key, reduced to a
+  *    millionth-scale bucket: exact integer arithmetic reproducible in any
+  *    engine (the DuckDB oracles run the same three operations verbatim).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 1e6) from a non-negative integer key:
+    * (key · 2654435761) mod 2³² mod 10⁶ — Knuth multiplicative hashing;
+    * exact for keys below ~2⁴⁵ (product stays under 2⁶³).
+    */
+  def hashBucket(key: Column): Column =
+    pmod(pmod(key.cast("long") * lit(2654435761L), lit(4294967296L)), lit(1000000L))
+
+  /** Keep ~`fraction` of rows, deterministically by `keyCol`. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit((fraction * 1e6).toLong))
+
+  /** Stratified sampling: per-stratum keep-fractions (e.g. language →
+    * rate), applied with the same keyed hash. Strata absent from the map
+    * keep `defaultFraction`. The fractions enter the plan as a literal
+    * CASE chain — no join, no shuffle; suitable for the usual handful of
+    * strata (languages, sources, quality tiers).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val cutoff = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultFraction * 1e6).toLong)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit((f * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < cutoff)
+  }
+
+  /** Disjoint, exhaustive split assignment (train/val/test): weights are
+    * normalized into cumulative bucket ranges, and each row's bucket picks
+    * its split. Every row lands in exactly one split, stable across runs
+    * and engines.
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
+    val total = splits.map(_._2).sum
+    // cumulative upper bounds in buckets; the last is forced to 1e6 so
+    // float rounding can never leave a row unassigned
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * 1e6).toLong)
+      .init :+ 1000000L
+    val b = hashBucket(col(keyCol))
+    val label = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, label)
+  }
+}

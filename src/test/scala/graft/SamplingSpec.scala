@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic sample: stable across runs, fraction within tolerance") {
+    val df = spark.range(100000).toDF("id")
+    val a = Sampling.sample(df, "id", 0.15).as[Long].collect().toSet
+    val b = Sampling.sample(df, "id", 0.15).as[Long].collect().toSet
+    assert(a == b) // no RNG state anywhere
+    // multiplicative hashing is uniform enough for a 2% absolute band
+    assert(math.abs(a.size / 100000.0 - 0.15) < 0.02, s"got ${a.size}")
+  }
+
+  test("stratified sample respects per-stratum rates") {
+    val df = spark.range(60000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val kept = Sampling.stratifiedSample(df, "id", "s",
+        Map("0" -> 0.5, "1" -> 0.1), defaultFraction = 0.0)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("0") / 20000.0 - 0.5) < 0.05)
+    assert(math.abs(kept("1") / 20000.0 - 0.1) < 0.05)
+    assert(!kept.contains("2")) // default 0 drops the unlisted stratum
+  }
+
+  test("splitByHash: disjoint, exhaustive, weight-proportional") {
+    val df = spark.range(50000).toDF("id")
+    val out = Sampling.splitByHash(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 50000) // every row assigned exactly once
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 50000.0 - 0.8) < 0.02)
+    // same hash, same key -> membership is consistent with sample()
+    val trainIds = out.filter($"split" === "train").select("id").as[Long].collect().toSet
+    val sampled = Sampling.sample(df, "id", 0.8).as[Long].collect().toSet
+    assert(trainIds == sampled)
+  }
+
+  test("packSequences matches a driver-side running-sum reference; bounded overflow") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i => (i, 1 + rnd.nextInt(600)))
+    val df = rows.toDF("doc_id", "n_tokens").repartition(7)
+    val got = Packing.packSequences(df, "n_tokens", "doc_id", maxTokens = 2048L)
+      .select("doc_id", "pack_id").as[(Long, Int)].collect().toMap
+    var off = 0L
+    rows.foreach { case (id, n) =>
+      assert(got(id) == (off / 2048L).toInt, s"doc $id")
+      off += n
+    }
+    // per-pack budget: target + at most one straddling document
+    val perPack = rows.groupBy { case (id, _) => got(id) }
+      .map { case (_, rs) => rs.map(_._2.toLong).sum }
+    assert(perPack.forall(_ <= 2048L + 600L))
+  }
+}
