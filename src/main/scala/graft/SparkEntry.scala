@@ -815,6 +815,36 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Set operations beyond union: EXCEPT (clickers who never purchased)
+    // and INTERSECT (clickers who also hit an error) — Catalyst plans both
+    // as aggregated anti/semi joins on the hashed key.
+    "events_except_intersect" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      users("click").except(users("purchase"))
+        .withColumn("relation", lit("click_minus_purchase"))
+        .unionByName(users("click").intersect(users("error"))
+          .withColumn("relation", lit("click_and_error")))
+        .orderBy("relation", "user_id")
+    },
+
+    // FULL OUTER join: per-nation counts of high-balance customers vs
+    // suppliers — either side may be absent, coalesced to zero.
+    "join_full_outer" -> { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d).filter(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
     // HLL++ approximate distinct (sketch differs from DuckDB's — rows-only).
     "events_hll_users" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -1443,6 +1473,31 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS "view"
         |FROM events GROUP BY 1 ORDER BY ub""".stripMargin,
+
+    "events_except_intersect" ->
+      """SELECT user_id, 'click_minus_purchase' AS relation
+        |FROM (SELECT user_id FROM events WHERE event_type = 'click'
+        |      EXCEPT
+        |      SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_and_error' AS relation
+        |FROM (SELECT user_id FROM events WHERE event_type = 'click'
+        |      INTERSECT
+        |      SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY relation, user_id""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 7000 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 7000 GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n

@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"cell assignment windows:\n$plan")
   }
 
+  test("sampling and splits are shuffle-free scan-level expressions") {
+    val docs = Tables.documents(spark, sf0001)
+    val sampled = planOf(graft.ops.Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), defaultFraction = 0.1))
+    assert(!sampled.contains("Exchange"), s"stratified sample shuffles:\n$sampled")
+    val split = planOf(graft.ops.Sampling.splitByHash(
+      docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.2)))
+    assert(!split.contains("Exchange"), s"split shuffles:\n$split")
+    assert(!split.contains("Window"), s"split windows:\n$split")
+  }
+
   test("exact dedup shuffles the 64-bit hash, not the text") {
     val plan = planOf(graft.ops.Dedup.exact(
       Tables.documents(spark, sf0001), "text", "doc_id"))
