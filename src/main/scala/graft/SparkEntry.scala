@@ -575,6 +575,19 @@ object SparkEntry {
         .orderBy("media_id", "seg_idx")
     },
 
+    // Symmetric per-vector int8 quantization (max-abs scale) — the 4×
+    // shrink before writing an ANN corpus; map-only, zero shuffle. The
+    // oracle checks every lane through exact integer checksums.
+    "embed_quantize_int8" -> { (s, d) =>
+      val q = graft.ops.Quantize.int8Lanes(col("embedding"))
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(graft.ops.Quantize.maxAbs(col("embedding")), 6).as("scale"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
+        .orderBy("vec_id")
+    },
+
     // Deterministic stratified sampling: per-language keep-rates via keyed
     // multiplicative hashing — no RNG, no shuffle, retry-stable; the
     // oracle reruns the identical integer arithmetic.
@@ -1299,6 +1312,25 @@ object SparkEntry {
         |  seg_idx * sps AS start_sample,
         |  least((seg_idx + 1) * sps, n_samples) AS end_sample
         |FROM g ORDER BY media_id, seg_idx""".stripMargin,
+
+    // Lane arithmetic is identical IEEE doubles in both engines; the
+    // checksums (sum/min/max of int lanes) are exact integers.
+    "embed_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max([abs(x::DOUBLE) for x in embedding]) AS s
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, s,
+        |    [CASE WHEN s = 0 THEN 0
+        |          ELSE CAST(round(x::DOUBLE / s * 127) AS INT) END
+        |     for x in embedding] AS qv
+        |  FROM m)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min,
+        |  list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // Knuth multiplicative hash, reduced mod 1e6 — exact BIGINT arithmetic
     // in both engines (doc_id * 2654435761 stays far below 2^63).

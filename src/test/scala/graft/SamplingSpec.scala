@@ -41,6 +41,27 @@ class SamplingSpec extends SparkSpec {
     assert(trainIds == sampled)
   }
 
+  test("int8 quantization: known lanes, zero-vector safe, bounded dequant error") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = df.select($"vec_id", Quantize.int8Lanes($"embedding").as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) == Seq(127, -64, 32)) // round(-63.5) away from zero
+    assert(out(2L) == Seq(0, 0, 0))
+    // dequantization error bound: |x - q*s/127| <= s/254 on real data
+    val emb = Tables.embeddings(spark, sf0001)
+    val err = emb.select(
+      Quantize.maxAbs($"embedding").as("s"),
+      zip_with($"embedding", Quantize.int8Lanes($"embedding"),
+        (x, q) => abs(x.cast("double") - q * Quantize.maxAbs($"embedding") / 127d))
+        .as("errs"))
+      .select(max(array_max($"errs") / ($"s" / 254d + 1e-12))).as[Double].head()
+    assert(err <= 1.0 + 1e-6, s"dequant error beyond half-step bound: $err")
+  }
+
   test("packSequences matches a driver-side running-sum reference; bounded overflow") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 2000L).map(i => (i, 1 + rnd.nextInt(600)))
