@@ -121,6 +121,29 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__th")
       .drop("__th")
 
+  /** Stream-stream interval join with watermark-bounded state: each left
+    * row joins right rows with the same key whose timestamp falls in
+    * [left_ts, left_ts + horizon]. BOTH sides carry watermarks and the
+    * join predicate carries the time range, which is exactly what lets
+    * Structured Streaming evict buffered rows once the watermark passes —
+    * state is horizon × arrival rate, not stream length, the property
+    * that makes a stream-stream join viable on unbounded feeds. Output
+    * columns are prefixed (`l_`/`r_`) so key/timestamp pairs survive the
+    * join unambiguously.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, horizon: String, lateness: String,
+      tsCol: String = "ts"): DataFrame = {
+    val l = left.toDF(left.columns.map("l_" + _): _*)
+      .withWatermark(s"l_$tsCol", lateness)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$tsCol", lateness)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Stream → idempotent sink: `foreachBatch` re-applies the batch
     * watermark filter against the sink before every append, so a replayed
     * micro-batch (failure/restart redelivery) appends nothing twice — the

@@ -117,6 +117,45 @@ class StreamingSpec extends SparkSpec {
       && kept.contains(2L) && kept.contains(4L), s"kept: $kept")
   }
 
+  test("stream-stream interval join matches the batch join, state watermark-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ssj").toString
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "c1"),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), "c2"),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), "c3"))
+    val purchases = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 9.99), // within 10 min of c1
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00"), 5.00), // outside c1's window
+      (2L, Timestamp.valueOf("2024-01-01 10:31:00"), 1.25), // within c3
+      (2L, Timestamp.valueOf("2024-01-01 23:00:00"), 0.01)) // watermark sentinel
+    clicks.toDF("user_id", "ts", "click_id").coalesce(1).write.parquet(s"$dir/c")
+    purchases.toDF("user_id", "ts", "amount").coalesce(1).write.parquet(s"$dir/p")
+
+    def joined(c: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.intervalJoinStream(c, p, "user_id",
+        horizon = "10 minutes", lateness = "1 minute")
+        .select($"l_click_id", $"r_amount")
+
+    val cs = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, click_id STRING")
+      .parquet(s"$dir/c")
+    val ps = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, amount DOUBLE")
+      .parquet(s"$dir/p")
+    val q = joined(cs, ps).writeStream
+      .format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ssj_out")
+      .as[(String, Double)].collect().toSet
+
+    // batch parity on the same inputs
+    val batch = joined(spark.read.parquet(s"$dir/c"), spark.read.parquet(s"$dir/p"))
+      .as[(String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("c1", 9.99), ("c3", 1.25)))
+  }
+
   test("stateless session labels work on a stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Seq((Timestamp.valueOf("2024-01-03 02:00:00"), 1.0))
