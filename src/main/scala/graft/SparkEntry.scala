@@ -575,6 +575,18 @@ object SparkEntry {
         .orderBy("media_id", "seg_idx")
     },
 
+    // Z-order (Morton) clustering key over two normalized dimensions —
+    // the multi-column file-skipping layout; exact bit interleaving in
+    // both engines. zorderBy itself is plan-shape-tested in ZOrderSpec.
+    "zorder_events" -> { (s, d) =>
+      val u = graft.ops.ZOrder.normalizeMod(col("user_id"), 16)
+      val v = graft.ops.ZOrder.normalizeMod(
+        floor(col("value") * 100).cast("long"), 16)
+      Tables.events(s, d)
+        .select(col("event_id"), graft.ops.ZOrder.zValue(Seq(u, v), 16).as("zval"))
+        .orderBy("event_id")
+    },
+
     // Symmetric per-vector int8 quantization (max-abs scale) — the 4×
     // shrink before writing an ANN corpus; map-only, zero shuffle. The
     // oracle checks every lane through exact integer checksums.
@@ -1312,6 +1324,22 @@ object SparkEntry {
         |  seg_idx * sps AS start_sample,
         |  least((seg_idx + 1) * sps, n_samples) AS end_sample
         |FROM g ORDER BY media_id, seg_idx""".stripMargin,
+
+    // Bit interleaving is exact integer arithmetic; the OR-term chain is
+    // generated from the same (dim, bit) -> position rule as the Spark
+    // expression.
+    "zorder_events" -> {
+      val terms = (for {
+        (dim, d) <- Seq("u", "v").zipWithIndex
+        i <- 0 until 16
+      } yield s"((($dim >> $i) & 1) << ${i * 2 + d})").mkString(" | ")
+      s"""WITH n AS (
+         |  SELECT event_id,
+         |    ((user_id % 65536) + 65536) % 65536 AS u,
+         |    ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536 AS v
+         |  FROM events)
+         |SELECT event_id, $terms AS zval FROM n ORDER BY event_id""".stripMargin
+    },
 
     // Lane arithmetic is identical IEEE doubles in both engines; the
     // checksums (sum/min/max of int lanes) are exact integers.
