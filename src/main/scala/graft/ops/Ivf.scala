@@ -24,6 +24,12 @@ object Ivf {
   /** Train k centroids: seed with the k lowest-id vectors, then `iters`
     * Lloyd steps (assign to nearest centroid, recompute cell means).
     * Returns a (cid INT, centroid ARRAY<FLOAT>) DataFrame.
+    *
+    * Scale note: each Lloyd step shuffles (cid, dim, value) for the whole
+    * training frame — at corpus scale, train on a deterministic subsample
+    * first ([[Sampling.sample]] keeps it retry-stable), e.g.
+    * `trainCentroids(Sampling.sample(corpus, "vec_id", 0.01), k)`;
+    * centroid quality only affects recall, never ranking correctness.
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
