@@ -99,6 +99,19 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     },
 
+    // Unpivot/melt — the pivot inverse: OHLC bars reshaped to long form
+    // (ts, metric, value), Spark's native unpivot operator.
+    "unpivot_bars" -> { (s, d) =>
+      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
+          keys = Seq(col("event_type")))
+        .select(col("event_type"), tsStr(col("ts")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"))
+        .unpivot(Array(col("event_type"), col("ts")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "metric", "value")
+        .orderBy("event_type", "ts", "metric")
+    },
+
     // O3: ordered limit (the reference's tail-N slice, main.py:354-356).
     "topn_recent" -> { (s, d) =>
       Tables.events(s, d)
@@ -921,6 +934,23 @@ object SparkEntry {
 
     "resample_60m" -> ohlcvOracle
       .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", ""),
+
+    // Long-form reshape of the 60-min bars: metric value pairs via UNION
+    // ALL (plain ANSI mirror of Spark's native unpivot).
+    "unpivot_bars" -> {
+      val base = ohlcvOracle
+        .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", "")
+        .replace("ORDER BY event_type, ts", "")
+      s"""WITH b AS ($base)
+         |SELECT event_type, ts, 'open' AS metric, open AS value FROM b
+         |UNION ALL
+         |SELECT event_type, ts, 'high', high FROM b
+         |UNION ALL
+         |SELECT event_type, ts, 'low', low FROM b
+         |UNION ALL
+         |SELECT event_type, ts, 'close', close FROM b
+         |ORDER BY event_type, ts, metric""".stripMargin
+    },
 
     "topn_recent" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
