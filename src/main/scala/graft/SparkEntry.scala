@@ -99,6 +99,35 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     },
 
+    // Semi-structured extraction: JSON path over the props string column,
+    // aggregated per event type — exact integer statistics.
+    "json_extract_props" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Time-RANGE window frame (not rows): trailing 10-minute count and
+    // exact-decimal sum per event type, frame keyed on epoch millis so
+    // both engines share integer frame semantics.
+    "window_range_frame" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // ts is TIMESTAMP_NTZ (nanos rebuild); under the UTC session the
+      // LTZ cast is the identity instant, which unix_millis requires
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_millis(col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-600000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_10m"))
+        .orderBy("event_id")
+    },
+
     // Unpivot/melt — the pivot inverse: OHLC bars reshaped to long form
     // (ts, metric, value), Spark's native unpivot operator.
     "unpivot_bars" -> { (s, d) =>
@@ -934,6 +963,24 @@ object SparkEntry {
 
     "resample_60m" -> ohlcvOracle
       .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", ""),
+
+    "json_extract_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // epoch_ms truncation matches Spark's unix_millis; the decimal window
+    // sum is order-independent, cast to double only at the end.
+    "window_range_frame" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Long-form reshape of the 60-min bars: metric value pairs via UNION
     // ALL (plain ANSI mirror of Spark's native unpivot).
