@@ -137,8 +137,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sig = minhashSignature(df, textCol, idCol, k, shingleN).cache()
     val cand = minhashCandidates(sig, idCol, k, bands)
-    val l = sig.toDF(sig.columns.map(c => if (c == idCol) "id1" else s"l_$c"): _*)
-    val r = sig.toDF(sig.columns.map(c => if (c == idCol) "id2" else s"r_$c"): _*)
+    val l = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id1" else s"l_$c"): _*)
+    val r = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id2" else s"r_$c"): _*)
     cand.join(l, "id1").join(r, "id2")
       .withColumn("est_jaccard", sigSimilarity(k))
       .filter(col("est_jaccard") >= threshold)

@@ -76,8 +76,8 @@ object Ivf {
       n: Int): DataFrame = {
     val cents = centroids.select(col("cid"), col("centroid"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toIndexedSeq
     val ranked = array_sort(array(cents.map { case (cid, cvec) =>
       val cLit = array(cvec.map(v => lit(v)): _*)
       struct((-Similarity.cosine(col(vecCol), cLit)).as("negSim"),

@@ -134,9 +134,9 @@ object StreamingPipeline {
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       keyCol: String, horizon: String, lateness: String,
       tsCol: String = "ts"): DataFrame = {
-    val l = left.toDF(left.columns.map("l_" + _): _*)
+    val l = left.toDF(left.columns.toIndexedSeq.map("l_" + _): _*)
       .withWatermark(s"l_$tsCol", lateness)
-    val r = right.toDF(right.columns.map("r_" + _): _*)
+    val r = right.toDF(right.columns.toIndexedSeq.map("r_" + _): _*)
       .withWatermark(s"r_$tsCol", lateness)
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
