@@ -40,4 +40,40 @@ object StatefulOps {
           out.iterator
         })
   }
+
+  /** The same high-water mark on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`: typed
+    * state variables (`ValueState`/`ListState`/`MapState`) with
+    * per-variable TTL, event-time timers, and schema evolution, backed by
+    * the RocksDB state store (the provider the spec configures —
+    * `transformWithState` requires it). Behavior is asserted identical to
+    * [[highWaterMarks]] in StatefulBucketingSpec.
+    */
+  class HighWaterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, HighWater] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var hw: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hw = getHandle.getValueState[Double]("hw", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Tick],
+        timers: TimerValues): Iterator[HighWater] = {
+      var cur = if (hw.exists()) hw.get() else Double.NegativeInfinity
+      val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { t =>
+        if (t.value > cur) { cur = t.value; Some(HighWater(key, t.ts, t.value)) }
+        else None
+      }
+      hw.update(cur)
+      out.iterator
+    }
+  }
+
+  def highWaterMarksTws(ticks: Dataset[Tick]): Dataset[HighWater] = {
+    import ticks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ticks
+      .groupByKey(_.user_id)
+      .transformWithState(new HighWaterProcessor, TimeMode.None(),
+        OutputMode.Append)
+  }
 }

@@ -50,6 +50,53 @@ class StatefulBucketingSpec extends SparkSpec {
     assert(afterB2 == afterB1 + ((1L, 31.0))) // state crossed the batch boundary
   }
 
+  test("transformWithState high-water marks match the flatMapGroupsWithState form") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      def write(name: String, rows: Seq[Tick]): Unit =
+        rows.toDS().write.parquet(s"$dir/in/$name")
+      write("b1", Seq(
+        Tick(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+        Tick(1L, Timestamp.valueOf("2024-01-01 10:01:00"), 30.0),
+        Tick(1L, Timestamp.valueOf("2024-01-01 10:02:00"), 20.0),
+        Tick(2L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0)))
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$dir/in/*")
+        .as[Tick]
+      val q = StatefulOps.highWaterMarksTws(stream).writeStream
+        .format("memory").queryName("tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      q.processAllAvailable()
+      val afterB1 = spark.table("tws_out").as[StatefulOps.HighWater]
+        .collect().map(h => (h.user_id, h.value)).toSet
+      assert(afterB1 == Set((1L, 10.0), (1L, 30.0), (2L, 10.0)))
+      // ValueState must persist across micro-batches, same as GroupState
+      write("b2", Seq(
+        Tick(1L, Timestamp.valueOf("2024-01-01 11:00:00"), 25.0),
+        Tick(1L, Timestamp.valueOf("2024-01-01 11:01:00"), 31.0),
+        Tick(2L, Timestamp.valueOf("2024-01-01 11:00:00"), 5.0)))
+      q.processAllAvailable()
+      q.stop()
+      val afterB2 = spark.table("tws_out").as[StatefulOps.HighWater]
+        .collect().map(h => (h.user_id, h.value)).toSet
+      assert(afterB2 == afterB1 + ((1L, 31.0)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("bucketed fact-fact join runs with zero exchanges") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
