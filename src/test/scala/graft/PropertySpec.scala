@@ -66,4 +66,34 @@ class PropertySpec extends SparkSpec {
       assert(fresh.count() + stale.count() == rows.length)
     }
   }
+
+  test("hash sampling is MONOTONE in the fraction: sample(f1) subset of sample(f2), f1 <= f2") {
+    // threshold sampling's growth property: raising the keep-rate only ever
+    // ADDS rows — a rerun at a higher rate reuses every previously selected
+    // key (rand()-based sampling has no such property). Checked across a
+    // ladder of fractions.
+    import graft.ops.Sampling
+    val df = spark.range(20000).toDF("id")
+    val ladders = Seq(0.01, 0.05, 0.2, 0.5, 0.9)
+      .map(f => f -> Sampling.sample(df, "id", f).as[Long].collect().toSet)
+    ladders.sliding(2).foreach {
+      case Seq((f1, s1), (f2, s2)) =>
+        assert(s1.subsetOf(s2), s"sample($f1) not within sample($f2)")
+      case _ =>
+    }
+  }
+
+  test("sequence packing is input-layout invariant") {
+    // the two-level prefix sum must depend only on (id, tokens), never on
+    // how the input happens to be partitioned or ordered
+    import graft.ops.Packing
+    val rows = (1L to 3000L).map(i => (i, 1 + (i * 131 % 500).toInt))
+    def packs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Packing.packSequences(df, "n_tokens", "doc_id", maxTokens = 1024L)
+        .select("doc_id", "pack_id").as[(Long, Int)].collect().toMap
+    val a = packs(rows.toDF("doc_id", "n_tokens").repartition(3))
+    val b = packs(scala.util.Random.shuffle(rows).toDF("doc_id", "n_tokens")
+      .repartition(17))
+    assert(a == b)
+  }
 }
