@@ -452,6 +452,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination: src0 plays the eval corpus; training
+    // docs sharing any 5-gram with it are dropped. Survivor ids are
+    // hash-independent, so the string-gram oracle applies.
+    "decontaminate_survivors" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
           maxDistance = 8)
@@ -1225,6 +1238,26 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id1, id2, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin,
+
+    // Same normalize+split as the other doc oracles; a training doc is
+    // contaminated iff any of its 5-grams appears in src0's gram set.
+    "decontaminate_survivors" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+        |            s[i+3] || ' ' || s[i+4]
+        |            for i in range(1, len(s) - 3)]) AS gram
+        |  FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+        |      WHERE g.source <> 'src0')
+        |SELECT doc_id, source, n_chars FROM t
+        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM c)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_lang_block" ->
       """WITH t AS (

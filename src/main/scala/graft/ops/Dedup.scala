@@ -187,6 +187,28 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark DECONTAMINATION — the n-gram overlap rule the GPT-3 /
+    * Llama corpus pipelines apply before training: drop every training
+    * document that shares ANY word n-gram with the evaluation corpus.
+    * One shuffle join on the 64-bit gram hash (never gram text), one
+    * distinct, one anti-join; eval-set grams are typically a
+    * broadcast-sized side at real scale (eval corpora are small), in
+    * which case Catalyst broadcasts them and the scan is map-side.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // parallelize shingling (see minhashSignature)
+      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__g"))
+      .join(evalGrams, "__g")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is
