@@ -235,6 +235,11 @@ object Dedup {
     // web document.)
     // pre-shuffle on the aggregation key (see minhashSignature): replaces
     // the groupBy exchange, parallelizes the tokenize+hash explode.
+    // (A shuffle-free per-row variant — folding the lane sums with
+    // `aggregate` over the token-hash array — was measured 3.5× SLOWER:
+    // higher-order functions evaluate interpreted, outside whole-stage
+    // codegen, so 22 folds × tokens beat the codegen'd explode+sum only
+    // on paper. Don't retry it.)
     val tok = df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
