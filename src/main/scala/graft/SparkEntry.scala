@@ -452,6 +452,14 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Fuzzy dedup via edit distance: same-prefix blocking, Levenshtein
+    // over capped normalized text — exact integer distances.
+    "dedup_editdist_pairs" -> { (s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+          prefixLen = 40, maxLen = 300, maxDist = 60)
+        .orderBy("id1", "id2")
+    },
+
     // Benchmark decontamination: src0 plays the eval corpus; training
     // docs sharing any 5-gram with it are dropped. Survivor ids are
     // hash-independent, so the string-gram oracle applies.
@@ -1238,6 +1246,20 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id1, id2, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin,
+
+    // Same normalize as the Spark side; levenshtein is exact integers in
+    // both engines.
+    "dedup_editdist_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 40) AS blk,
+        |    substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 300) AS t
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  levenshtein(a.t, b.t) AS dist
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 60
+        |ORDER BY id1, id2""".stripMargin,
 
     // Same normalize+split as the other doc oracles; a training doc is
     // contaminated iff any of its 5-grams appears in src0's gram set.

@@ -209,6 +209,31 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs with prefix blocking: documents
+    * sharing the same normalized `prefixLen`-char prefix are candidates;
+    * each pair is scored by Levenshtein distance over the first `maxLen`
+    * normalized chars and kept under `maxDist`. Edit distance is the
+    * verifier fuzzy dedup pipelines reach for when token-set Jaccard is
+    * too coarse (small in-place edits); the prefix block bounds the
+    * quadratic term the same way the (lang, length) block does for
+    * [[ngramJaccardPairs]], and the `maxLen` cap bounds the O(n·m) DP per
+    * pair. Exact integer output — oracle-identical in any engine with a
+    * Levenshtein builtin.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int = 40, maxLen: Int = 300, maxDist: Int = 60): DataFrame = {
+    val norm = df.select(col(idCol),
+      substring(normalize(col(textCol)), 1, prefixLen).as("__blk"),
+      substring(normalize(col(textCol)), 1, maxLen).as("__t"))
+    val l = norm.select(col(idCol).as("id1"), col("__blk"), col("__t").as("t1"))
+    val r = norm.select(col(idCol).as("id2"), col("__blk"), col("__t").as("t2"))
+    l.join(r, "__blk")
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is
