@@ -903,6 +903,25 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Cumulative distinct users per day — the running-distinct problem
+    // without a windowed DISTINCT: each user collapses to their first-seen
+    // day (one shuffle), then a running sum over the tiny per-day frame.
+    "cumulative_new_users" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      firstSeen
+        .withColumn("cum_users",
+          sum(col("new_users")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day").cast("string").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+
     // Set operations beyond union: EXCEPT (clickers who never purchased)
     // and INTERSECT (clickers who also hit an error) — Catalyst plans both
     // as aggregated anti/semi joins on the hashed key.
@@ -1665,6 +1684,15 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS "view"
         |FROM events GROUP BY 1 ORDER BY ub""".stripMargin,
+
+    "cumulative_new_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, new_users,
+        |  sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
 
     "events_except_intersect" ->
       """SELECT user_id, 'click_minus_purchase' AS relation
