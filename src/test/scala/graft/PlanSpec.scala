@@ -97,6 +97,31 @@ class PlanSpec extends SparkSpec {
     assert(!split.contains("Window"), s"split windows:\n$split")
   }
 
+  test("decontamination and edit-distance blocking plan without cartesian products") {
+    val docs = Tables.documents(spark, sf0001)
+    val dec = planOf(graft.ops.Dedup.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "text", "doc_id", n = 5))
+    assert(!dec.contains("CartesianProduct"), s"decontaminate cartesian:\n$dec")
+    // the gram join key is the 64-bit hash — document text must never be
+    // part of the shuffled gram relation
+    assert(dec.contains("xxhash64"), s"no hashed grams:\n$dec")
+    val ed = planOf(graft.ops.Dedup.editDistancePairs(docs, "text", "doc_id"))
+    assert(!ed.contains("CartesianProduct"), s"editdist cartesian:\n$ed")
+  }
+
+  test("z-order relayout is one range exchange + in-partition sort") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"),
+        graft.ops.ZOrder.normalizeMod(col("user_id"), 8).as("u"),
+        graft.ops.ZOrder.normalizeMod(col("event_id"), 8).as("v"))
+    val plan = planOf(graft.ops.ZOrder.zorderBy(ev, Seq(col("u"), col("v")), 8, 8))
+    assert("rangepartitioning".r.findAllIn(plan).size >= 1, s"no range exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), s"extra hash exchange:\n$plan")
+    // the sort must stay inside partitions (no global sort boundary)
+    assert(plan.contains("Sort") && !plan.contains("SinglePartition"), plan)
+  }
+
   test("exact dedup shuffles the 64-bit hash, not the text") {
     val plan = planOf(graft.ops.Dedup.exact(
       Tables.documents(spark, sf0001), "text", "doc_id"))
