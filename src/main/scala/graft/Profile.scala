@@ -35,6 +35,14 @@ object Profile {
           lit(1L).as("volume")), "5 minutes"))
       show("dedup_exact", graft.ops.Dedup.exact(
         Tables.documents(spark, sfDir), "text", "doc_id"))
+    } else if (args.tail.headOption.contains("simhash")) {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val fp = Dedup.simhash64(docs, "text", "doc_id").cache()
+      time("fingerprints")(fp.count())
+      time("pairs (fp cached)")(Dedup.simhashPairs(docs, "text", "doc_id",
+        maxDistance = 8).count())
     } else if (args.tail.headOption.contains("ngram")) {
       import org.apache.spark.sql.functions._
       import graft.ops.Dedup
