@@ -18,7 +18,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +30,26 @@ object Bench {
     // so the first measured query isn't charged ~3s of one-time JVM setup.
     spark.range(1000).selectExpr("sum(id)").collect()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a failed run records -1, and the min below only folds SUCCESSFUL
+    // times — a query that succeeds slowly in one pass and fails fast in
+    // another must report the real measurement, not the time-to-failure;
+    // -1 survives only if every pass failed (visible in the JSON).
     def onePass(): Map[String, Double] = names.map { name =>
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val best = (1 to passes).map(_ => onePass())
-      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      .reduce((a, b) => a.map { case (k, v) =>
+        k -> ((v, b(k)) match {
+          case (x, y) if x < 0 => y
+          case (x, y) if y < 0 => x
+          case (x, y) => math.min(x, y)
+        })
+      })
     val qs = names.map(k => s"\"" + k + "\":" + best(k))
       .mkString("{", ",", "}")
     val total = best.values.sum

@@ -93,9 +93,10 @@ object Components {
   def connectedComponentsStar(edges: DataFrame, src: String = "id1",
       dst: String = "id2", maxIters: Int = 30): DataFrame = {
     // every input vertex, including self-loop-only ones the star rounds
-    // drop — re-attached as their own component at the end
+    // drop — re-attached as their own component at the end (consumed once,
+    // in the final labels join — no cache)
     val vertices = edges.select(col(src).as("v"))
-      .union(edges.select(col(dst).as("v"))).distinct().cache()
+      .union(edges.select(col(dst).as("v"))).distinct()
     var e = edges
       .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -118,6 +119,9 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint() // truncate per-round lineage (see above)
+      // && short-circuits: the set-difference job only runs in rounds
+      // whose edge COUNT already matches (in practice the final round or
+      // two) — earlier rounds pay one count, not a full except
       converged = small.count() == e.count() && small.except(e).isEmpty
       e = small
       i += 1

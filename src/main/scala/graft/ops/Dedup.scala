@@ -434,10 +434,12 @@ object Dedup {
 
   /** Candidate (block…, id1, id2) pairs from the prefix filter over a
     * frame of (idCol, block columns, `__s` = hashed shingles sorted in any
-    * consistent global order — ngramJaccardPairs uses ascending document
-    * frequency). Public so the pruning factor is observable/testable on
-    * its own; the ε in the ceiling guards float noise in t·|s| toward the
-    * SAFE side (a hair-longer prefix, never a shorter one).
+    * consistent global order — ngramJaccardPairs uses plain ascending
+    * hash; see its comment for why a document-frequency order was
+    * measured and rejected). Public so the pruning factor is
+    * observable/testable on its own; the ε in the ceiling guards float
+    * noise in t·|s| toward the SAFE side (a hair-longer prefix, never a
+    * shorter one).
     */
   def ngramPrefixCandidates(sh: DataFrame, idCol: String,
       names: Seq[String], threshold: Double): DataFrame = {

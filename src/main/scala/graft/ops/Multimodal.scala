@@ -233,11 +233,17 @@ object Multimodal {
       .toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // localCheckpoint materializes the (id, bucket) assignment — ~12 B/row
+    // of metadata — so the cached `ranged` frame can be released HERE
+    // instead of leaking one pinned cache entry per call (a per-micro-batch
+    // caller would accumulate them for the session's lifetime).
     val buckets = ranged
       .withColumn("__local", coalesce(sum(col(byteCol)).over(w), lit(0L)))
       .join(broadcast(offsets), "__pid")
       .select(col(idCol),
         ((col("__local") + col("__off")) / targetBytes).cast("int").as("__bucket"))
+      .localCheckpoint()
+    ranged.unpersist()
     (buckets, parts)
   }
 }
