@@ -204,12 +204,28 @@ object Multimodal {
   }
 
   /** The (id, bucket) assignment behind [[repartitionBySize]] and the
-    * number of buckets — separated so the plan (no serial exchange) and
-    * the assignment are testable on their own. Returns (empty, 0) for a
-    * zero-byte frame.
+    * number of buckets. The assignment is localCheckpoint-materialized
+    * (~12 B/row of metadata) so the internal range-partitioned cache can
+    * be released before returning — callers never leak a pinned cache per
+    * invocation. Returns (empty, 0) for a zero-byte frame.
     */
   def sizeBuckets(df: DataFrame, byteCol: String, targetBytes: Long,
       idCol: String): (DataFrame, Int) = {
+    val (buckets, ranged, parts) = sizeBucketsPlan(df, byteCol, targetBytes, idCol)
+    if (parts == 0) return (buckets, 0)
+    val materialized = buckets.localCheckpoint()
+    ranged.foreach(_.unpersist())
+    (materialized, parts)
+  }
+
+  /** The un-checkpointed bucket plan plus the cached metadata frame it
+    * reads — the diagnostic/test hook that lets the NO-serial-exchange
+    * property be asserted on the actual plan (checkpointing would hide it
+    * behind an RDD scan). Callers other than [[sizeBuckets]] must
+    * unpersist the returned frame themselves.
+    */
+  private[graft] def sizeBucketsPlan(df: DataFrame, byteCol: String,
+      targetBytes: Long, idCol: String): (DataFrame, Option[DataFrame], Int) = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -226,24 +242,21 @@ object Multimodal {
       .agg(coalesce(sum(col(byteCol)), lit(0L)).as("__bytes"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = totals.map(_._2).sum
-    if (total == 0L) { ranged.unpersist(); return (df.sparkSession.emptyDataFrame, 0) }
+    if (total == 0L) {
+      ranged.unpersist()
+      return (df.sparkSession.emptyDataFrame, None, 0)
+    }
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _))
       .toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // localCheckpoint materializes the (id, bucket) assignment — ~12 B/row
-    // of metadata — so the cached `ranged` frame can be released HERE
-    // instead of leaking one pinned cache entry per call (a per-micro-batch
-    // caller would accumulate them for the session's lifetime).
     val buckets = ranged
       .withColumn("__local", coalesce(sum(col(byteCol)).over(w), lit(0L)))
       .join(broadcast(offsets), "__pid")
       .select(col(idCol),
         ((col("__local") + col("__off")) / targetBytes).cast("int").as("__bucket"))
-      .localCheckpoint()
-    ranged.unpersist()
-    (buckets, parts)
+    (buckets, Some(ranged), parts)
   }
 }

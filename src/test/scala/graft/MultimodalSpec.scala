@@ -91,10 +91,14 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "n_bytes")
       .repartition(8)
     // the old implementation's global-order window planned an
-    // `Exchange SinglePartition` — the serial pass the two-level form removes
-    val (buckets, parts) = Multimodal.sizeBuckets(df, "n_bytes", 1000L, "media_id")
-    val plan = buckets.queryExecution.executedPlan.toString
+    // `Exchange SinglePartition` — the serial pass the two-level form
+    // removes; assert on the PRE-checkpoint plan (the public sizeBuckets
+    // materializes, which would hide the shape behind an RDD scan)
+    val (bucketPlan, cached, parts) =
+      Multimodal.sizeBucketsPlan(df, "n_bytes", 1000L, "media_id")
+    val plan = bucketPlan.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"serial exchange in plan:\n$plan")
+    cached.foreach(_.unpersist())
     assert(parts == 32) // ceil((29*900 + 471*12) / 1000) = ceil(31.752)
     val out = Multimodal.repartitionBySize(df, "n_bytes", targetBytes = 1000L)
     assert(out.rdd.getNumPartitions == parts) // one bucket per partition, exactly
