@@ -505,11 +505,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // Order-sensitive 64-bit document fingerprint. No SQL oracle
-    // (xxhash64); deterministic + ScalaTest-verified.
+    // Document fingerprint, oracle-checkable form: md5 of the normalized
+    // text (DuckDB md5 emits identical lowercase hex). The order-sensitive
+    // rolling xxhash64 fingerprint has no DuckDB twin and stays
+    // ScalaTest-verified (TextAnalysisSpec).
     "text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")
     },
 
@@ -1006,7 +1008,8 @@ object SparkEntry {
 
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark emits BIGINT
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1247,7 +1250,7 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
-        |  GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
@@ -1315,6 +1318,11 @@ object SparkEntry {
         |    AND (a.n_chars // 64) = (b.n_chars // 64) AND a.doc_id < b.doc_id)
         |SELECT lang, id1, id2, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY lang, id1, id2""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
@@ -1690,8 +1698,9 @@ object SparkEntry {
         |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
         |SELECT CAST(day AS VARCHAR) AS day, new_users,
-        |  sum(new_users) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  -- CAST: DuckDB widens windowed sum(BIGINT) to HUGEINT; Spark emits BIGINT
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM d ORDER BY day""".stripMargin,
 
     "events_except_intersect" ->

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Canonical text form: lower-cased, trimmed, whitespace collapsed. */
+  /** Canonical text form: lower-cased, whitespace collapsed, then trimmed.
+    * Collapse MUST run before trim: Spark's `trim` strips only 0x20 spaces,
+    * so trim-then-collapse leaves a leading/trailing space when the raw text
+    * starts or ends with a tab/newline (collapse turns it into ' ' after
+    * trim already ran). Collapse-first reduces every whitespace run to a
+    * plain space that trim can then remove — and matches the DuckDB oracles,
+    * which all spell `trim(regexp_replace(lower(text), '\s+', ' ', 'g'))`. */
   def normalize(text: Column): Column =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
+    trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")

@@ -120,4 +120,10 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Hex MD5 fingerprint of the whitespace-normalized text. Weaker than a
+    * rolling hash for incremental use, but cross-engine checkable (DuckDB
+    * `md5` emits the same lowercase hex), so it carries the DuckDB oracle
+    * for the fingerprint family; [[fingerprint]] stays spec-verified. */
+  def fingerprintMd5(text: Column): Column = md5(Dedup.normalize(text))
 }

@@ -20,6 +20,14 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == out(1))
   }
 
+  test("normalize strips leading/trailing tabs and newlines (collapse before trim)") {
+    // Spark's trim strips only 0x20 spaces; collapse must run first or a
+    // leading tab survives as a leading space (r3 ADVICE parity gap).
+    val weird = Seq("\tfoo  bar\n", "\n\n foo\tbar \t", "foo bar").toDF("text")
+    val out = weird.select(Dedup.normalize($"text")).as[String].collect()
+    assert(out.forall(_ == "foo bar"), out.mkString("|"))
+  }
+
   test("exact dedup keeps the smallest id per duplicate group") {
     val ids = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted.toSeq

@@ -62,6 +62,13 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("md5 fingerprint matches the known digest of the normalized text") {
+    // md5("foo bar") — fixed reference digest, pins normalize + hex casing.
+    val df = Seq("Foo  BAR", "\tfoo bar\n").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprintMd5($"text")).as[String].collect()
+    assert(fps.forall(_ == "327b6f07435811239bc47e1544353273"), fps.mkString("|"))
+  }
+
   test("runs over the real documents table") {
     val docs = Tables.documents(spark, sf0001)
     val out = docs.select($"doc_id",

@@ -3,7 +3,18 @@
 SparkEntry oracle SQL in DuckDB over the sf tables, load the Verify output
 parquet, sort columns by name (driver contract), and diff values.
 
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+The driver hashes TYPED values, so this compare is type-sensitive:
+ 1. lint: DESCRIBE each oracle SQL and reject HUGEINT/UHUGEINT output
+    columns outright (DuckDB widens sum(BIGINT) -> HUGEINT; Spark emits
+    BIGINT, so the driver hash always fails even when text values match —
+    the r3 cumulative_new_users / json_extract_props failure class).
+ 2. compare pandas dtype KINDS (int vs int passes — the driver's value hash
+    treats INT32/INT64 alike, r3 evidence: 7 INTEGER-vs-BIGINT queries were
+    hash-green — but int vs float/object fails, which is exactly how a
+    HUGEINT materializes through .df()).
+ 3. compare values exactly (check_exact, order-insensitive).
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [queryName...]
 """
 import json, sys, glob, os
 import duckdb
@@ -17,11 +28,25 @@ for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+BAD_TYPES = ("HUGEINT", "UHUGEINT")
+
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fail = ok = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
+    # Lint first (no Spark output needed): reject widened integer types in
+    # the oracle's own output schema before comparing anything.
+    try:
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        widened = [(c, t) for c, t, *_ in desc
+                   if any(b in t.upper() for b in BAD_TYPES)]
+        if widened:
+            print(f"FAIL {name}: oracle output has widened integer column(s) "
+                  f"{widened} — wrap in CAST(... AS BIGINT)")
+            fail += 1;  continue
+    except Exception as e:
+        print(f"FAIL {name}: lint DESCRIBE error: {e}");  fail += 1;  continue
     pdir = os.path.join(out, name)
     files = glob.glob(os.path.join(pdir, "*.parquet"))
     if not files:
@@ -35,6 +60,11 @@ for name, sql in sorted(oracle.items()):
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fail += 1;  continue
+    kind_diff = [(c, got[c].dtype, want[c].dtype) for c in got.columns
+                 if got[c].dtype.kind != want[c].dtype.kind]
+    if kind_diff:
+        print(f"FAIL {name}: dtype-kind mismatch (spark vs oracle): {kind_diff}")
         fail += 1;  continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}");  fail += 1;  continue
