@@ -243,6 +243,19 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "ts")
     },
 
+    // §3.2 END-TO-END: the reference's whole resample_and_split chain as
+    // ONE plan (main.py:259-323) — ticks → 1-min bars → 5-min closed-right
+    // resample → one-pass day/night label (the 5-min aggregate appears
+    // ONCE; no union double-compute) → broadcast interval back-adjust.
+    "continuous_5m_pipeline" -> { (s, d) =>
+      val bars1m = Resample.ohlcvFromTicks(Tables.events(s, d), "value", "1 minute")
+      graft.pipeline.ContinuousPipeline.fiveMinute(bars1m, monthDim(s, d))
+        .select(tsStr(col("ts")).as("ts"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"), col("date_market_type"),
+          col("contract_year_month"), col("accumulated_contract_diff"))
+        .orderBy("ts")
+    },
+
     // S3+F-5 (Gate 2): watermark probe on a "sink" (orders) + strictly-newer
     // incremental filter on the fact table.
     "watermark_incremental" -> { (s, d) =>
@@ -1129,6 +1142,40 @@ object SparkEntry {
          |FROM lineitem l LEFT JOIN dim
          |  ON l.l_shipdate >= dim.start_k AND l.l_shipdate <= dim.settle_k
          |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
+
+    "continuous_5m_pipeline" ->
+      s"""WITH b1 AS (
+         |  SELECT time_bucket(INTERVAL '1 minute', ts - INTERVAL 1 MICROSECOND) AS bts,
+         |         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         |         arg_max(value, ts) AS close, count(*) AS volume
+         |  FROM events GROUP BY 1),
+         |b5 AS (
+         |  SELECT time_bucket(INTERVAL '5 minutes', bts - INTERVAL 1 MICROSECOND) AS ts5,
+         |         arg_min(open, bts) AS open, max(high) AS high, min(low) AS low,
+         |         arg_max(close, bts) AS close,
+         |         -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark emits BIGINT
+         |         CAST(sum(volume) AS BIGINT) AS volume
+         |  FROM b1 GROUP BY 1),
+         |lab AS (
+         |  SELECT *,
+         |    CASE WHEN strftime(ts5, '%H:%M') >= '08:45' AND strftime(ts5, '%H:%M') <= '13:45'
+         |         THEN strftime(ts5, '%y%m%d') || 'D'
+         |         WHEN hour(ts5) < 5 THEN strftime(ts5 - INTERVAL 1 DAY, '%y%m%d') || 'N'
+         |         ELSE strftime(ts5, '%y%m%d') || 'N' END AS date_market_type
+         |  FROM b5
+         |  WHERE (strftime(ts5, '%H:%M') >= '08:45' AND strftime(ts5, '%H:%M') <= '13:45')
+         |     OR strftime(ts5, '%H:%M') >= '15:00' OR strftime(ts5, '%H:%M') <= '05:00'),
+         |dim AS ($monthDimSql)
+         |SELECT strftime(l.ts5, '%Y-%m-%d %H:%M:%S') AS ts,
+         |  l.open + coalesce(d.accumulated_contract_diff, 0) AS open,
+         |  l.high + coalesce(d.accumulated_contract_diff, 0) AS high,
+         |  l.low + coalesce(d.accumulated_contract_diff, 0) AS low,
+         |  l.close + coalesce(d.accumulated_contract_diff, 0) AS close,
+         |  l.volume, l.date_market_type,
+         |  coalesce(d.contract_year_month, '') AS contract_year_month,
+         |  coalesce(d.accumulated_contract_diff, 0) AS accumulated_contract_diff
+         |FROM lab l LEFT JOIN dim d ON l.ts5 >= d.start_k AND l.ts5 <= d.settle_k
+         |ORDER BY ts""".stripMargin,
 
     "watermark_incremental" ->
       """SELECT l_orderkey, l_linenumber,

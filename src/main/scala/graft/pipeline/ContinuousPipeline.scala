@@ -45,10 +45,31 @@ object ContinuousPipeline {
       .unionByName(night.withColumn("date_market_type",
         SessionCalendar.dateMarketType(col("ts"), isNightSession = true)))
 
-  /** Full 5-min output (main.py:320): labeled union, back-adjusted. */
+  /** F-1/F-2 + F1 fused in ONE pass: keep day∪night rows and CASE-label
+    * them, instead of filter×2 + union. The sessions are disjoint windows
+    * of the clock (08:45–13:45 vs ≥15:00/≤05:00), so the row set is
+    * identical to the reference's two-frame concat — but the upstream
+    * 5-min aggregate appears ONCE in the plan rather than under each union
+    * branch (Spark does not CSE across union arms: the two-filter form
+    * computes the whole resample twice or forces a cache; at 100 TB that
+    * is the difference between one shuffle and two, or a corpus-sized
+    * cache). Bars in neither session (the 14:xx gap, 05:01–08:44) drop,
+    * exactly as the reference's between_time pair drops them.
+    */
+  private def labelSessionsOnePass(bars: DataFrame): DataFrame = {
+    val day = SessionCalendar.isDay(col("ts"))
+    bars.filter(day || SessionCalendar.isNight(col("ts")))
+      .withColumn("date_market_type",
+        when(day, SessionCalendar.dateMarketType(col("ts"), isNightSession = false))
+          .otherwise(SessionCalendar.dateMarketType(col("ts"), isNightSession = true)))
+  }
+
+  /** Full 5-min output (main.py:320): labeled sessions, back-adjusted —
+    * resample once, label in-pass, one broadcast interval join.
+    */
   def fiveMinute(raw1min: DataFrame, settleConfig: DataFrame): DataFrame = {
-    val (d, n) = fiveMinuteSessions(raw1min)
-    IntervalJoin.backAdjust(labeled(d, n), settleConfig)
+    val bars5 = Resample.ohlcvBars(raw1min.drop("amount"), "5 minutes")
+    IntervalJoin.backAdjust(labelSessionsOnePass(bars5), settleConfig)
   }
 
   /** Full 60-min output (main.py:321-323): 60-min resample of the

@@ -33,6 +33,28 @@ class PlanSpec extends SparkSpec {
     assert(!ej.contains("CartesianProduct"))
   }
 
+  test("fused 5m pipeline: the 5-min aggregate is planned once, one broadcast NLJ") {
+    // simple mode prints the operator tree once (formatted repeats each
+    // node in the detail section, which would double every count)
+    val plan = SparkEntry.queries("continuous_5m_pipeline")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // one interval join, broadcast — the dim never shuffles the fact side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"expected exactly one broadcast NLJ:\n$plan")
+    // single-pass session labeling: the events scan feeds ONE resample
+    // chain (2 agg stages × partial+final = 4 HashAggregates + the dim's
+    // 2) — the old filter×2+union shape would double the fact-side aggs
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 scans (events + orders dim), got $scans:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length == 6,
+      s"5-min aggregate duplicated under a union:\n$plan")
+    assert(!plan.contains("Union"), s"union double-compute shape:\n$plan")
+    // the session filter is pushed below both aggregates to the scan stage
+    // (filter on a grouping key): off-session ticks never enter a shuffle
+    assert(plan.indexOf("Filter") > plan.indexOf("HashAggregate"),
+      s"session filter not pushed below the aggregates:\n$plan")
+  }
+
   test("resample is a single partial+final hash aggregation (map-side combine)") {
     val plan = planOf(SparkEntry.queries("resample_5m_ohlcv")(spark, sf0001))
     assert(plan.contains("partial_min_by"), s"no partial agg:\n$plan")
