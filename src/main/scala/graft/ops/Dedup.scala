@@ -220,23 +220,65 @@ object Dedup {
     * each pair is scored by Levenshtein distance over the first `maxLen`
     * normalized chars and kept under `maxDist`. Edit distance is the
     * verifier fuzzy dedup pipelines reach for when token-set Jaccard is
-    * too coarse (small in-place edits); the prefix block bounds the
-    * quadratic term the same way the (lang, length) block does for
-    * [[ngramJaccardPairs]], and the `maxLen` cap bounds the O(n·m) DP per
-    * pair. Exact integer output — oracle-identical in any engine with a
-    * Levenshtein builtin.
+    * too coarse (small in-place edits).
+    *
+    * Scale hardening (real corpora are full of shared boilerplate —
+    * licenses, templates, scraped headers — so "same prefix" alone is a
+    * skew bomb):
+    *  - the block key is `xxhash64(prefix)`: an 8-byte shuffle key instead
+    *    of a `prefixLen`-char string.
+    *  - blocks are split by truncated-text LENGTH bucket (width ≥
+    *    `maxDist`), matching same-or-adjacent buckets. This is LOSSLESS:
+    *    `levenshtein(a,b) ≥ |len(a)−len(b)|`, so a pair further than one
+    *    bucket apart can never pass the `maxDist` filter anyway — the
+    *    bucket split only removes pairs the distance filter would drop.
+    *  - each (prefix, length-bucket) block is capped at `blockCap` docs
+    *    (deterministically by id order); a boilerplate block of B docs
+    *    costs at most `blockCap²` DPs instead of B². Dropped-doc counts
+    *    surface through the `editdist_block_cap` observed metric
+    *    (`dropped_docs` in `QueryExecution.observedMetrics`) so a capped
+    *    run is visible, never silent.
+    *  - the DP itself uses the thresholded `levenshtein(l, r, max)` form,
+    *    which abandons a pair as soon as the distance provably exceeds
+    *    `maxDist` — O(maxDist·maxLen) per pair, not O(maxLen²) — and a
+    *    free `|Δlen| ≤ maxDist` pre-filter runs before any DP.
+    *
+    * Exact integer output — oracle-identical in any engine with a
+    * Levenshtein builtin (the bucket split and the threshold change no
+    * surviving pair; the cap is inert below `blockCap` docs per block).
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
-      prefixLen: Int = 40, maxLen: Int = 300, maxDist: Int = 60): DataFrame = {
+      prefixLen: Int = 40, maxLen: Int = 300, maxDist: Int = 60,
+      blockCap: Int = 256): DataFrame = {
+    val bucketW = math.max(maxDist, 1)
     val norm = df.select(col(idCol),
-      substring(normalize(col(textCol)), 1, prefixLen).as("__blk"),
+      xxhash64(substring(normalize(col(textCol)), 1, prefixLen)).as("__blk"),
       substring(normalize(col(textCol)), 1, maxLen).as("__t"))
-    val l = norm.select(col(idCol).as("id1"), col("__blk"), col("__t").as("t1"))
-    val r = norm.select(col(idCol).as("id2"), col("__blk"), col("__t").as("t2"))
-    l.join(r, "__blk")
+      .withColumn("__len", length(col("__t")))
+      .withColumn("__lb", floor(col("__len") / bucketW))
+    val capped = norm.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__blk", "__lb").orderBy(idCol)))
+    // observe on the LEFT branch only — a metric node reused under both
+    // sides of the self-join would register the same name twice.
+    val leftKept = capped
+      .observe("editdist_block_cap",
+        sum(when(col("__rn") > blockCap, 1L).otherwise(0L)).as("dropped_docs"))
+      .filter(col("__rn") <= blockCap)
+    val l = leftKept.select(col(idCol).as("id1"), col("__blk"),
+      col("__lb"), col("__len").as("len1"), col("__t").as("t1"))
+    // Replicate the right side into its own and both neighbor buckets:
+    // a pair lands in the join exactly once (each left row has ONE __lb),
+    // and every pair within one bucket-width of length difference meets.
+    val r = capped.filter(col("__rn") <= blockCap)
+      .select(col(idCol).as("id2"), col("__blk"),
+        explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)).as("__lb"),
+        col("__len").as("len2"), col("__t").as("t2"))
+    l.join(r, Seq("__blk", "__lb"))
       .filter(col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .filter(col("dist") <= maxDist)
+      .filter(abs(col("len1") - col("len2")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id1", "id2", "dist")
   }
 

@@ -135,6 +135,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramPrefixCandidates(sh, "doc_id", Seq("lang"), 0.5).count() == 0)
   }
 
+  test("editDistancePairs length-bucket split is lossless vs the naive same-prefix join") {
+    // Same 40-char prefix, tails spanning many length buckets: the bucketed
+    // candidate join must reproduce the naive prefix-block result exactly
+    // (pairs crossing more than one bucket can't pass maxDist anyway).
+    val prefix = "shared license header padding to forty!!"
+    assert(prefix.length == 40)
+    val varied = (1 to 50).map(i =>
+      (i.toLong, prefix + " " + ("body " * (i % 17)) + s"tail$i"))
+      .toDF("doc_id", "text")
+    val hardened = Dedup.editDistancePairs(varied, "text", "doc_id")
+      .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+    val n = varied.select($"doc_id",
+      substring(Dedup.normalize($"text"), 1, 40).as("blk"),
+      substring(Dedup.normalize($"text"), 1, 300).as("t"))
+    val naive = n.as("a").join(n.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"),
+        levenshtein($"a.t", $"b.t").as("dist"))
+      .filter($"dist" <= 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hardened == naive,
+      s"missing=${naive -- hardened} extra=${hardened -- naive}")
+  }
+
+  test("editDistancePairs boilerplate block: cap bounds the quadratic term and reports drops") {
+    // 1000 docs sharing one 40-char license header and one length bucket —
+    // the adversarial input that made pure prefix blocking quadratic
+    // (999·1000/2 ≈ 500k DPs). With blockCap=64 the join may score at most
+    // 64·63/2 pairs, and the observed metric must account for every
+    // dropped doc.
+    val license = "copyright (c) 2026 example corp rights."
+    val docs = (1 to 1000).map(i =>
+      (i.toLong, license + f" body body body doc$i%04d")).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "text", "doc_id", blockCap = 64)
+    val out = pairs.collect()
+    assert(out.length <= 64 * 63 / 2, s"quadratic blowup: ${out.length} pairs")
+    assert(out.nonEmpty) // the kept block members really are near-dups
+    val metrics = pairs.queryExecution.observedMetrics
+    val dropped = metrics("editdist_block_cap").getAs[Long]("dropped_docs")
+    assert(dropped == 1000L - 64L, s"dropped_docs=$dropped")
+  }
+
   test("real documents: the known sf0.01 near-dup pairs surface through minhash LSH") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.8)
