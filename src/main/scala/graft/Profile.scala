@@ -81,6 +81,45 @@ object Profile {
       val cand = Dedup.minhashCandidates(sig, "doc_id", k = 32, bands = 16)
       time("candidates")(cand.count())
       time("verify")(Dedup.ngramJaccard(docs, cand, "text", "doc_id", 3).count())
+    } else if (args.tail.headOption.contains("editdist")) {
+      // Stage breakdown of Dedup.editDistancePairs: normalize/keys,
+      // candidate generation, distance scoring, plus the real operator and
+      // the per-(block, length-bucket) occupancy histogram. (The r5 5.6 s
+      // regression lived in the JOIN CONDITION: Catalyst pushed the
+      // two-conjunct distance filter into the BroadcastHashJoin, where
+      // levenshtein has no subexpression elimination — see the scaladoc on
+      // editDistancePairs.)
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      time("docs")(docs.count())
+      val keyed = docs.select(col("doc_id"),
+        Dedup.normalize(col("text")).as("__norm"))
+        .select(col("doc_id"),
+          xxhash64(substring(col("__norm"), 1, 40)).as("__blk"),
+          substring(col("__norm"), 1, 300).as("__t"))
+        .withColumn("__len", length(col("__t")))
+        .withColumn("__lb", floor(col("__len") / 60)).cache()
+      time("keys (cached)")(keyed.count())
+      val l = keyed.select(col("doc_id").as("id1"), col("__blk"), col("__lb"),
+        col("__len").as("len1"), col("__t").as("t1"))
+      val r = keyed.select(col("doc_id").as("id2"), col("__blk"),
+        explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)).as("__lb"),
+        col("__len").as("len2"), col("__t").as("t2"))
+      val cand = l.join(r, Seq("__blk", "__lb"))
+        .filter(col("id1") < col("id2"))
+        .filter(abs(col("len1") - col("len2")) <= 60)
+      time("join pre-filter")(l.join(r, Seq("__blk", "__lb")).count())
+      time("candidates")(cand.count())
+      time("levenshtein on candidates")(cand
+        .filter(levenshtein(col("t1"), col("t2"), 60) >= 0).count())
+      spark.sharedState.cacheManager.clearCache()
+      (1 to 2).foreach { i =>
+        time(s"real operator run$i")(Dedup.editDistancePairs(docs, "text",
+          "doc_id", prefixLen = 40, maxLen = 300, maxDist = 60).count())
+      }
+      println("[profile] (block, length-bucket) histogram (top 10):")
+      keyed.groupBy("__blk", "__lb").count().orderBy(desc("count")).show(10)
     } else args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>

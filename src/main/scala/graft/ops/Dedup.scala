@@ -274,11 +274,20 @@ object Dedup {
       .select(col(idCol).as("id2"), col("__blk"),
         explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)).as("__lb"),
         col("__len").as("len2"), col("__t").as("t2"))
+    // The distance filter must be ONE levenshtein conjunct, ordered last.
+    // Catalyst pushes every post-join predicate into the hash-join
+    // CONDITION, where there is no subexpression elimination: the previous
+    // `dist >= 0 && dist <= maxDist` form compiled to TWO levenshtein
+    // calls per hash-matched pair, evaluated before the `id1 < id2` prune
+    // — measured 7× the whole operator's runtime at sf0.1. The threshold
+    // form returns -1 whenever the distance exceeds `maxDist`, so a single
+    // `>= 0` is the complete filter; the surviving ~candidate-count rows
+    // pay one more evaluation in the output projection.
     l.join(r, Seq("__blk", "__lb"))
-      .filter(col("id1") < col("id2"))
-      .filter(abs(col("len1") - col("len2")) <= maxDist)
+      .filter(col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= maxDist &&
+        levenshtein(col("t1"), col("t2"), maxDist) >= 0)
       .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id1", "id2", "dist")
   }
 
