@@ -50,19 +50,31 @@ object Bench {
           case (x, y) => math.min(x, y)
         })
       })
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale-independent formatting: f"" interpolators use the JVM default
+    // locale, which under a comma-decimal locale would print "1,234" and
+    // corrupt the JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = names.map(k => s"\"" + k + "\":" + sec(best(k)))
       .mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
+    // Failures must be visible in BOTH lines: a query with best < 0 failed
+    // every pass — it is excluded from `total` and would otherwise vanish
+    // from the compact top-10, making a broken run read as a faster one.
+    val failed = names.filter(best(_) < 0)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query line first (for humans and full-capture harnesses)…
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     // …then a compact summary LAST. The driver keeps only a bounded tail of
     // stdout; the full line above outgrows it as the query count rises, so
     // the final line must be a self-contained JSON record that always fits:
     // headline metric plus the slowest queries (the ones a grader compares).
-    val slowest = names.sortBy(n => -best(n)).take(10)
+    // "truncated":true marks it as the partial-queries record so a consumer
+    // matching on "metric":"total" can't mistake the top-10 map for the
+    // full set or double-count the two lines.
+    val slowest = names.filter(best(_) >= 0).sortBy(n => -best(n)).take(10)
       .map(k => s"\"" + k + "\":" + sec(best(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"nqueries":${names.size},"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"truncated":true,"nqueries":${names.size},"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

@@ -246,6 +246,15 @@ object Dedup {
     * Exact integer output — oracle-identical in any engine with a
     * Levenshtein builtin (the bucket split and the threshold change no
     * surviving pair; the cap is inert below `blockCap` docs per block).
+    * One caveat on the hashed block key: a 64-bit collision between two
+    * DIFFERENT prefixes merges their blocks, which can only ADD candidate
+    * pairs relative to string-prefix blocking (never drop any — the added
+    * pairs still face the distance filter, and survive it only if they are
+    * genuine near-duplicates that prefix blocking would have missed). So
+    * "oracle-identical vs a string-blocked oracle" holds modulo a
+    * ~n²/2⁶⁴ collision probability; the driver oracle passes at both test
+    * SFs, and an exactness-critical caller can block on the prefix string
+    * itself at the cost of a wider shuffle key.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       prefixLen: Int = 40, maxLen: Int = 300, maxDist: Int = 60,
