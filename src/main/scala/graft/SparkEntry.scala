@@ -580,10 +580,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
-    // Embedding near-duplicate pairs via LSH buckets (rows-only check).
+    // Embedding near-duplicate pairs via banded multi-table sign-LSH
+    // (rows-only check; recall is spec-verified on planted clusters in
+    // SimilaritySpec — this table has no true near-dups, max pair sim
+    // ~0.6, so recall at threshold 0.3 is bounded by the threshold, not
+    // the banding). 8 planes × 4 tables: 256 buckets per table keeps the
+    // within-bucket join bounded; the 4 tables buy recall back.
     "embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
-          threshold = 0.3, planes = 4)
+          threshold = 0.3, planes = 8, tables = 4)
         .orderBy("id1", "id2")
     },
 

@@ -132,6 +132,39 @@ class PlanSpec extends SparkSpec {
     assert(!ed.contains("CartesianProduct"), s"editdist cartesian:\n$ed")
   }
 
+  test("top-k rank windows run partial per-partition top-k before the shuffle") {
+    // Spark's InsertWindowGroupLimit rewrites row_number()<=k into a
+    // partial top-k below the exchange: the shuffle carries at most
+    // k rows per (query, input partition) instead of every scored
+    // candidate — the property VERDICT r3 asked for in the ANN paths.
+    // Pin it so a window-spec change (e.g. a non-rank function or a
+    // filter moved off the rank column) can't silently reintroduce the
+    // full-candidate shuffle.
+    for (q <- Seq("embed_topk_bruteforce", "embed_topk_lsh", "embed_topk_ivf")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(plan.contains("WindowGroupLimit") &&
+        plan.contains("Partial"), s"$q lost partial top-k:\n$plan")
+    }
+  }
+
+  test("banded LSH near-dup candidates join bare ids, never vectors") {
+    // the (table, bucket) candidate self-join must not carry the
+    // embedding column through the quadratic join; vectors re-attach by
+    // id afterwards (candidate-proportional equi joins)
+    val df = SparkEntry.queries("embed_neardup_lsh")(spark, sf0001)
+    val bucketJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "__bkt")) => j
+    }
+    assert(bucketJoins.nonEmpty, "candidate bucket join missing from plan")
+    bucketJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+      assert(!carried.exists(n => n.contains("embedding") || n == "v1" || n == "v2"),
+        s"vector column flows through the candidate join: $carried")
+    }
+  }
+
   test("z-order relayout is one range exchange + in-partition sort") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_id"),

@@ -43,6 +43,71 @@ class SimilaritySpec extends SparkSpec {
     self.foreach { r => assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0) }
   }
 
+  // Planted fixture for the banded near-dup operator: `nClusters` tight
+  // clusters of `perCluster` members (pairwise sim >= ~0.99) in a sea of
+  // `nNoise` spread vectors. Deterministic: splitmix-style hash drives
+  // every component, no RNG state.
+  private def plantedClusters(nClusters: Int, perCluster: Int,
+      nNoise: Int, dim: Int = 16) = {
+    def h(a: Long, b: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+    }
+    val rows = (for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val base = Array.tabulate(dim)(j => h(c.toLong + 1000, j.toLong))
+      // tiny member-specific perturbation: cosine to the base stays ~0.999
+      val v = base.zipWithIndex.map { case (x, j) =>
+        (x + 0.01 * h(c.toLong * 100 + m, j.toLong)).toFloat }
+      ((c * perCluster + m).toLong, v)
+    }) ++ (0 until nNoise).map { i =>
+      (1000000L + i,
+        Array.tabulate(dim)(j => h(i.toLong + 5000000L, j.toLong).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("banded LSH near-dup: planted clusters recovered, buckets stay bounded") {
+    val df = plantedClusters(nClusters = 8, perCluster = 5, nNoise = 400).cache()
+    val truePairs = Similarity.cosineNearDupPairs(df, dim = 16,
+        threshold = 0.9, planes = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // every within-cluster pair is a true near-dup: 8 * C(5,2) = 80
+    assert(truePairs.size >= 80, s"fixture too loose: ${truePairs.size}")
+    def recall(planes: Int, tables: Int): Double = {
+      val got = Similarity.cosineNearDupPairs(df, dim = 16,
+          threshold = 0.9, planes = planes, tables = tables)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(truePairs), "LSH must never emit a non-dup pair")
+      (got & truePairs).size.toDouble / truePairs.size
+    }
+    val banded = recall(planes = 8, tables = 4)
+    val single = recall(planes = 8, tables = 1)
+    assert(banded >= 0.8, s"banded recall $banded")
+    assert(banded >= single, s"banding must not lose recall: $banded vs $single")
+    // occupancy: with 8 planes no table's largest bucket may degenerate
+    // toward n — the quadratic within-bucket join must stay bounded. The
+    // 440-vector fixture across 256 buckets per table keeps the max well
+    // under n/4 unless the bucketing is broken.
+    val occupancy = df.select(
+        Similarity.signBucket($"embedding", 16, 8, 0).as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(occupancy < df.count() / 4, s"max bucket occupancy $occupancy")
+  }
+
+  test("banded degenerate config (planes=0) equals all-pairs regardless of tables") {
+    val df = plantedClusters(nClusters = 2, perCluster = 4, nNoise = 50)
+    val one = Similarity.cosineNearDupPairs(df, 16, 0.5, planes = 0, tables = 1)
+      .collect().map(_.toSeq).toSet
+    val four = Similarity.cosineNearDupPairs(df, 16, 0.5, planes = 0, tables = 4)
+      .collect().map(_.toSeq).toSet
+    assert(one == four && one.nonEmpty)
+  }
+
   test("LSH recall vs brute force is sane on real data") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val q = emb.filter($"vec_id" < 10)
