@@ -411,7 +411,98 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     },
 
+    // Big-big point-in-interval range join, bucketed — no broadcast side:
+    // attribute every error event to the same user's active click-session.
+    // Both sides shuffle on (user_id, 30-min bucket); intervals replicate
+    // into covered buckets, the refine filter restores exact bounds.
+    "range_join_error_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sessions = Sessionize.sessions(
+        ev.filter(col("event_type") === "click"),
+        Seq("user_id"), "ts", gapSeconds = 43200)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      graft.ops.RangeJoin.pointInInterval(errors, sessions, Seq("user_id"),
+          "ts", "session_start", "session_end", bucketSeconds = 43200)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_errors"),
+          tsStr(min(col("ts"))).as("first_error"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // Keyed snapshot diff (CDC audit): per-user last event state as of
+    // Feb 1 vs the full range — added/changed/unchanged via null-safe
+    // full-outer compare ('removed' is impossible on append-only events
+    // but the code path is spec-covered).
+    "snapshot_diff_users" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      def lastState(df: DataFrame): DataFrame = df
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "event_type", "value")
+      val oldSnap = lastState(ev.filter(
+        col("ts") < lit("2024-02-01 00:00:00").cast("timestamp_ntz")))
+      val newSnap = lastState(ev)
+      graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("user_id"),
+          Seq("event_type", "value"))
+        .select("user_id", "status", "old_event_type", "old_value",
+          "new_event_type", "new_value")
+        .orderBy("user_id")
+    },
+
     // ---- LLM-data-pipeline extensions ----------------------------------
+
+    // Intra-document repetition removal: order-preserving first-occurrence
+    // token dedup over the normalized text (pure per-row expressions).
+    "text_dedup_tokens" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.dedupTokens(col("text")).as("dedup_text"),
+          size(split(TextAnalysis.dedupTokens(col("text")), " "))
+            .cast("long").as("n_unique"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction over a planted contact-line fixture (the corpus itself
+    // is PII-free; the fixture derives deterministically from doc_id, the
+    // same pattern the multimodal queries use). Counts are pre-redaction;
+    // the redacted text ships as md5 so the oracle compares a fixed-width
+    // digest instead of a kilobyte string.
+    "pii_redact" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or call "),
+          (lit(7000000000L) + col("doc_id") * 104729L).cast("string"))
+          .as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).cast("long").as("n_emails"),
+          TextAnalysis.longDigitCount(col("text")).cast("long")
+            .as("n_digit_runs"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Exact percentile outlier filter: keep documents at or above the
+    // exact p95 of n_chars. The threshold comes from a value-histogram +
+    // prefix sum — one shuffle of the (tiny) distinct-value domain, never
+    // a global sort of the data; the unpartitioned window runs over the
+    // histogram only. Exact by construction (no approx-quantile sketch).
+    "percentile_length_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("n_chars").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val total = docs.agg(count(lit(1)).as("n"))
+      val thr = hist.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(total))
+        .filter(col("cum") >= ceil(col("n") * 0.95))
+        .agg(min("n_chars").as("thr"))
+      docs.join(broadcast(thr), docs("n_chars") >= col("thr"))
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")
+    },
+
 
     // Exact dedup: survivors after normalize-hash-groupBy (min id wins).
     "dedup_exact_survivors" -> { (s, d) =>
@@ -1277,6 +1368,95 @@ object SparkEntry {
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY event_id""".stripMargin,
+
+    // Session construction copied verbatim from the sessionize_gap oracle
+    // (clicks only), then a plain BETWEEN range join — DuckDB picks its
+    // own join strategy; the Spark side's bucketing must be invisible in
+    // the result.
+    "range_join_error_attribution" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |    max(ts) AS session_end
+        |  FROM idx GROUP BY user_id, session_idx)
+        |SELECT s.user_id, s.session_idx, count(*) AS n_errors,
+        |  strftime(min(e.ts), '%Y-%m-%d %H:%M:%S') AS first_error
+        |FROM sessions s JOIN events e
+        |  ON e.user_id = s.user_id AND e.event_type = 'error'
+        | AND e.ts BETWEEN s.session_start AND s.session_end
+        |GROUP BY s.user_id, s.session_idx
+        |ORDER BY s.user_id, s.session_idx""".stripMargin,
+
+    "snapshot_diff_users" ->
+      """WITH old_s AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |new_s AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+        |        AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.event_type AS old_event_type, o.value AS old_value,
+        |  n.event_type AS new_event_type, n.value AS new_value
+        |FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Same normalize as the Spark side; DuckDB's list lambdas take a
+    // 1-based index and list_position returns the first occurrence —
+    // first-occurrence token dedup in both engines.
+    "text_dedup_tokens" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(l, (t, i) -> list_position(l, t) = i), ' ') AS dedup_text,
+        |  CAST(len(list_filter(l, (t, i) -> list_position(l, t) = i)) AS BIGINT) AS n_unique
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or call ' ||
+        |    CAST(7000000000 + doc_id * 104729 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "percentile_length_filter" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT n_chars,
+        |  sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |thr AS (SELECT min(n_chars) AS v FROM cum, t
+        |        WHERE cum >= ceil(n * 0.95))
+        |SELECT doc_id, n_chars, lang FROM documents, thr
+        |WHERE n_chars >= thr.v ORDER BY doc_id""".stripMargin,
 
     "sessionize_gap" ->
       """WITH flagged AS (

@@ -126,4 +126,43 @@ object TextAnalysis {
     * `md5` emits the same lowercase hex), so it carries the DuckDB oracle
     * for the fingerprint family; [[fingerprint]] stays spec-verified. */
   def fingerprintMd5(text: Column): Column = md5(Dedup.normalize(text))
+
+  /** PII redaction patterns: conservative ASCII-only regexes that parse
+    * identically under Java regex and RE2-family engines (no lookaround,
+    * no backreferences — both so the oracle agrees and so the scan stays
+    * linear-time on adversarial text).
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longDigitPattern = "[0-9]{7,}"
+
+  /** Redact emails then long digit runs (phone/account/SSN-shaped). Email
+    * first: an address can contain a 7+-digit local part that the digit
+    * pass would otherwise split, leaving a half-redacted address.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longDigitPattern, "<NUM>")
+
+  /** Count of email / long-digit-run matches (pre-redaction). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+  def longDigitCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(longDigitPattern), lit(0)))
+
+  /** Order-preserving token dedup (intra-document repetition removal):
+    * keep each token's FIRST occurrence, preserve original order, rejoin
+    * with single spaces. Runs on the normalized text so the split is
+    * unambiguous (no empty tokens from whitespace runs). Pure per-row
+    * expression — `array_position` returns the first index of the value,
+    * so a token survives iff its position IS the first occurrence.
+    * Quadratic in the per-document token count (array_position scans the
+    * array per token): fine for web-document-sized rows; for book-length
+    * texts prefer the explode + min(pos) aggregation form.
+    */
+  def dedupTokens(text: Column): Column = {
+    val toks = split(Dedup.normalize(text), " ")
+    // Spark's filter lambda index is 0-based, array_position 1-based
+    array_join(filter(toks, (t, i) => array_position(toks, t) === i + 1), " ")
+  }
 }

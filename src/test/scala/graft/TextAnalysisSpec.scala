@@ -69,6 +69,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.forall(_ == "327b6f07435811239bc47e1544353273"), fps.mkString("|"))
   }
 
+  test("dedupTokens keeps first occurrences in order") {
+    val df = Seq("the cat and  THE dog and the bird", "a a a", "").toDF("text")
+    val got = df.select(TextAnalysis.dedupTokens($"text")).as[String].collect()
+    assert(got(0) == "the cat and dog bird") // normalize lowercases: THE == the
+    assert(got(1) == "a")
+    assert(got(2) == "")
+  }
+
+  test("redactPii: emails before digit runs, both patterns counted") {
+    // the email's 7+-digit local part must be swallowed by the email pass,
+    // not split by the digit pass
+    val df = Seq("mail 12345678@ex.com and card 98765432109 end").toDF("text")
+    val r = df.select(
+      TextAnalysis.redactPii($"text").as("red"),
+      TextAnalysis.emailCount($"text").as("e"),
+      TextAnalysis.longDigitCount($"text").as("d")).head()
+    assert(r.getString(0) == "mail <EMAIL> and card <NUM> end")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 2) // digit count is pre-redaction
+  }
+
   test("runs over the real documents table") {
     val docs = Tables.documents(spark, sf0001)
     val out = docs.select($"doc_id",
