@@ -92,6 +92,17 @@ object ContinuousPipeline {
     * rows newer than each sink's watermark (W1/Gate 2) → completeness gate
     * (W5/Gate 1, throws) → stamp contract code → schema-aligned append.
     * Returns the (fiveMin, sixtyMin) frames that were appended.
+    *
+    * `mxfCode` is a job parameter by design (C1, SURVEY.md §2.11): the
+    * reference computes the code from the rollover calendar and probes the
+    * broker for its existence, falling back to the continuous-contract
+    * alias `MXFR1` when the probe fails (main.py:240-242). The probe is a
+    * broker-API call — connector territory, outside the data plane — so
+    * the engine's convention is: the ORCHESTRATOR resolves
+    * [[graft.time.RolloverCalendar.contractCode]] (or its `predictNext`
+    * output) against the live broker and passes either the verified code
+    * or the fallback alias here; the data plane stamps whatever it is
+    * given and stays deterministic.
     */
   def run(
       raw1min: DataFrame,
