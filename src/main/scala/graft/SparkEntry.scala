@@ -976,6 +976,60 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // Bloom-pruned semi join: identical result to the plain EXISTS (the
+    // bloom admits only false positives; the exact join removes them) —
+    // the probe side is filtered by might_contain BEFORE its shuffle.
+    "bloom_semi_join" -> { (s, d) =>
+      graft.ops.BloomJoin.semiJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey",
+          expectedItems = 65536L, numBits = 1L << 20)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Per-group feature normalization (z-score of value within
+    // event_type). Mean and variance derive from EXACT decimal sums —
+    // value has 2 decimals, value² has 4 — then one identical double
+    // computation per engine, so the hash compare holds at any SF.
+    "zscore_by_type" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(20,4)"))
+          .cast("double").as("s2"))
+      val withStats = ev.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("variance",
+          col("s2") / col("n") - col("mean") * col("mean"))
+      withStats.select(col("event_id"), col("event_type"),
+          round((col("value") - col("mean")) / sqrt(col("variance")), 6)
+            .as("zscore"))
+        .orderBy("event_id")
+    },
+
+    // Vocabulary building: top tokens by corpus frequency with dense
+    // ranks — the explode + count + rank shape a tokenizer-training
+    // pipeline runs at corpus scale (partial top-k applies to the rank
+    // window, see PlanSpec).
+    "vocab_top_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("freq"), col("token"))))
+        .filter(col("rank") <= 100)
+        .select("rank", "token", "freq")
+        .orderBy("rank")
+    },
+
     // HAVING: post-aggregation filter on grouped lineitems.
     "having_filter" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -1397,6 +1451,40 @@ object SparkEntry {
         | AND e.ts BETWEEN s.session_start AND s.session_end
         |GROUP BY s.user_id, s.session_idx
         |ORDER BY s.user_id, s.session_idx""".stripMargin,
+
+    // The bloom prune is invisible in the result: plain EXISTS oracle.
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = lineitem.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mean/variance from exact decimal sums, then the SAME double
+    // arithmetic as the Spark side — bit-identical z-scores.
+    "zscore_by_type" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS zscore
+        |FROM events e JOIN stats USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // Same normalize + split as the other document oracles.
+    "vocab_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+        |r AS (SELECT token, freq,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f)
+        |SELECT rank, token, freq FROM r WHERE rank <= 100
+        |ORDER BY rank""".stripMargin,
 
     "snapshot_diff_users" ->
       """WITH old_s AS (
