@@ -90,13 +90,20 @@ object Similarity {
     if (planes == 0) return lit(0L)
     // `table` selects an independent plane set (banding, see
     // cosineNearDupPairs): plane indices are offset by 64·table, so table 0
-    // reproduces the original single-table planes exactly and no two tables
-    // share a hyperplane.
+    // reproduces the original single-table planes and no two tables share
+    // a hyperplane. Planes enter the plan as float-array LITERALS and the
+    // dot product runs on the native codegen'd VecDot loop — the original
+    // zip_with+aggregate fold evaluated INTERPRETED (higher-order
+    // functions have no doGenCode) and was measured at ~137 µs per
+    // (vector, table) at dim 64: the bucket pass alone cost more than the
+    // join it was feeding. Float planes round mix()'s doubles, which can
+    // flip the sign of a borderline dot product — irrelevant to LSH
+    // semantics (any fixed hyperplane set is valid) and the exactness
+    // paths (planes = 0) never reach this code.
     (0 until planes).map { p =>
-      val plane = array((0 until dim).map(j => lit(mix(64 * table + p, j))): _*)
-      val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      val plane = lit((0 until dim).map(j => mix(64 * table + p, j).toFloat).toArray)
+      when(graft.functions.vectors.vecDot(vec, plane) > 0,
+        shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
