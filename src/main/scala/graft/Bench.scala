@@ -29,7 +29,13 @@ object Bench {
     // Warm the session (scheduler, codegen compiler, parquet footer reads)
     // so the first measured query isn't charged ~3s of one-time JVM setup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Optional comma-separated subset for local iteration (e.g. diagnosing
+    // a single query's regression without paying the full-suite wall time).
+    // The driver never sets this, so driver runs always time the full map.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // a failed run records -1, and the min below only folds SUCCESSFUL
     // times — a query that succeeds slowly in one pass and fails fast in
     // another must report the real measurement, not the time-to-failure;

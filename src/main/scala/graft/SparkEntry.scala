@@ -151,9 +151,16 @@ object SparkEntry {
 
     // Equi joins across the star schema: broadcast dims, aggregated
     // revenue per region/nation (generalizes the reference's join surface).
+    // The lineitem⋈orders fact-fact arm carries an explicit SHUFFLE_HASH
+    // hint: both sides are fact tables at 100 TB (never broadcastable), and
+    // without the hint the physical shape flapped between AQE broadcast and
+    // sort-merge across rounds — the r6 +42% bench regression was exactly
+    // that flip. A shuffled hash join is the stable scale plan: one
+    // exchange per side on the join key, no sort, per-partition hash build
+    // on the smaller (orders) side. PlanSpec pins this shape.
     "equi_join_stars" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).hint("shuffle_hash")
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
@@ -539,10 +546,6 @@ object SparkEntry {
         .orderBy("lang", "id1", "id2")
     },
 
-    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted;
-    // combination banding covers the full radius by pigeonhole — DedupSpec
-    // asserts equality with brute-force all-pairs). No SQL oracle
-    // (xxhash64); deterministic + ScalaTest-verified.
     // Near-dup SURVIVOR selection: minhash-LSH pairs → connected
     // components (min-label propagation) → keep each cluster's minimum
     // doc_id. Same output shape as dedup_exact_survivors; the oracle
@@ -577,9 +580,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted;
+    // combination banding covers the full radius by pigeonhole — DedupSpec
+    // asserts equality with brute-force all-pairs). Token hash is the
+    // oracle-portable md5Hash64 (= DuckDB md5_number_upper), so the DuckDB
+    // oracle reproduces the fingerprints bit-for-bit and the driver
+    // hash-checks the exact (id1, id2, distance) output; the xxhash64
+    // default remains the cheaper scale-path hash for non-oracle callers.
     "dedup_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          maxDistance = 8)
+          maxDistance = 8, tokenHash = Dedup.md5Hash64)
         .orderBy("id1", "id2")
     },
 
@@ -675,8 +685,18 @@ object SparkEntry {
     // (rows-only check; recall is spec-verified on planted clusters in
     // SimilaritySpec — this table has no true near-dups, max pair sim
     // ~0.6, so recall at threshold 0.3 is bounded by the threshold, not
-    // the banding). 8 planes × 4 tables: 256 buckets per table keeps the
-    // within-bucket join bounded; the 4 tables buy recall back.
+    // the banding).
+    //
+    // Config note (why 8 planes here when Similarity.scala's scaladoc
+    // prescribes 16×4 at corpus scale): plane count must track corpus
+    // size. 2^planes buckets per table only prune if vectors share
+    // buckets — at this table's 500–2 000 vectors, 16 planes = 65 536
+    // buckets makes nearly every bucket a singleton, the candidate set
+    // collapses toward empty, and the demo measures nothing. 8 planes
+    // (256 buckets/table, ~2–8 vectors each) exercises the real
+    // candidate-join machinery at test SF while staying the SAME code
+    // path a 100 TB caller runs at 16×4; the spec pins banded recall
+    // >= 0.8 against the single-table config on planted clusters.
     "embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
           threshold = 0.3, planes = 8, tables = 4)
@@ -937,12 +957,35 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
-    // Approximate percentile sketch (rows-only: sketch algorithms differ
-    // across engines by design).
+    // Approximate percentile sketch, made oracle-checkable via its error
+    // bound: approx_percentile(accuracy=1000) guarantees the returned
+    // element's RANK is within the Greenwald-Khanna error of the target
+    // rank q·n. The sketch works in INTEGER ranks, so the usable bound is
+    // ⌈eps·n⌉ (+1 for the target's own ceil-rounding), not the real-valued
+    // eps·n — measured: deviation exactly 2 at n=1982 where eps·n=1.982.
+    // The query verifies the guarantee against the data itself — the
+    // returned value's feasible rank interval [count(<v)+1, count(<=v)]
+    // must intersect [q·n − slack, q·n + slack] — and emits the boolean;
+    // the oracle computes the same exact counts and asserts TRUE, so a
+    // sketch drifting out of spec hash-mismatches. (The approx VALUES stay
+    // engine-specific and are not emitted.)
     "approx_quantiles" -> { (s, d) =>
-      Tables.events(s, d).groupBy(col("event_type"))
+      val eps = 1.0 / 1000
+      val ap = Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("ap50"),
           approx_percentile(col("value"), lit(0.9), lit(1000)).as("ap90"))
+      def okAt(q: Double, v: Column) = {
+        val n = count(lit(1))
+        val slack = ceil(n * eps) + 1
+        val lt = sum(when(col("value") < v, 1L).otherwise(0L))
+        val le = sum(when(col("value") <= v, 1L).otherwise(0L))
+        (lt + 1 <= lit(q) * n + slack) && (le >= lit(q) * n - slack)
+      }
+      Tables.events(s, d).join(broadcast(ap), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          okAt(0.5, col("ap50")).as("ok_p50"),
+          okAt(0.9, col("ap90")).as("ok_p90"))
         .orderBy("event_type")
     },
 
@@ -1117,10 +1160,20 @@ object SparkEntry {
         .orderBy("nationkey")
     },
 
-    // HLL++ approximate distinct (sketch differs from DuckDB's — rows-only).
+    // HLL++ approximate distinct, made oracle-checkable via its error
+    // bound: approx_count_distinct runs at rsd = 0.05 (the default), so
+    // the estimate sits within 3·rsd = 15% of the exact count with
+    // overwhelming probability — and deterministically for a fixed
+    // dataset, which is what the driver re-checks. The exact count (a
+    // second aggregation the oracle reproduces) and the bound boolean are
+    // emitted; the HLL estimate itself stays engine-specific.
     "events_hll_users" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("__approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__approx") - col("n_users")) <=
+            lit(0.15) * col("n_users")).as("within_3rsd"))
         .orderBy("event_type")
     }
   )
@@ -1573,6 +1626,30 @@ object SparkEntry {
         |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
+    // Bit-exact SimHash twin: md5_number_upper(token) IS the Spark side's
+    // md5Hash64 (same little-endian u64 of the first 8 digest bytes; the
+    // signed-vs-unsigned view changes no bit), the per-bit weighted
+    // majority reassembles the same fingerprint, and Hamming distance is
+    // bit_count(xor). All-pairs is fine at oracle SF (500 docs).
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.b,
+        |    CASE WHEN 2 * sum(((h >> r.b) & 1)::BIGINT) > count(*)
+        |         THEN 1::UBIGINT << r.b ELSE 0::UBIGINT END AS bv
+        |  FROM h, range(64) r(b)
+        |  GROUP BY doc_id, r.b),
+        |fp AS (SELECT doc_id, bit_or(bv) AS f FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS distance
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 8
+        |ORDER BY id1, id2""".stripMargin,
+
     "dedup_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2002,6 +2079,21 @@ object SparkEntry {
     "quantile_values" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The sketch queries oracle their ERROR BOUND, not the estimate: the
+    // Spark side verifies the guarantee against exact counts it computes
+    // itself and emits a boolean; the oracle recomputes the exact side and
+    // asserts the boolean is TRUE. A sketch drifting out of its spec'd
+    // bound therefore hash-mismatches, while the engine-specific estimate
+    // values never cross engines.
+    "approx_quantiles" ->
+      """SELECT event_type, count(*) AS n, true AS ok_p50, true AS ok_p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_hll_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  true AS within_3rsd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "pivot_event_counts" ->

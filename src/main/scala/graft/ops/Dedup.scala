@@ -302,15 +302,41 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
+  /** Oracle-portable 64-bit string hash: the little-endian u64 of the
+    * FIRST 8 md5 digest bytes, as a signed long — bit-for-bit the value
+    * DuckDB's `md5_number_upper(s)` returns (verified against DuckDB 1.0:
+    * md5('abc') = 900150983cd24fb0…, LE-u64 of bytes 90 01 50 98 3c d2 4f
+    * b0 = 12704604231530709392 = md5_number_upper('abc')). Lets a
+    * hash-dependent result (e.g. a SimHash fingerprint or Hamming
+    * distance) be reproduced exactly by a DuckDB oracle; ~2× the cost of
+    * `xxhash64`, so scale paths keep xxhash64 as the default and take this
+    * only for oracle parity.
+    *
+    * Built from the hex form: byte-reverse the first 8 digest bytes (hex
+    * pairs 8..1), then one signed base-16 parse — `conv(_, 16, -10)`
+    * interprets the 64-bit pattern as two's-complement, exactly the
+    * reinterpretation DuckDB's UBIGINT→bit-twiddling sees.
+    */
+  def md5Hash64(c: Column): Column = {
+    val hex = md5(c)
+    val le = concat((7 to 0 by -1).map(i => substring(hex, 2 * i + 1, 2)): _*)
+    conv(le, 16, -10).cast("long")
+  }
+
   /** 64-bit frequency-weighted SimHash fingerprint: bit b of the output is
     * 1 iff the sum over token OCCURRENCES of ±1 (sign of bit b of
-    * xxhash64(token)) is positive. Weighting by occurrence (no distinct)
+    * tokenHash(token)) is positive. Weighting by occurrence (no distinct)
     * matters: on a small shared vocabulary, distinct-token sets are nearly
     * identical across documents and unweighted SimHash stops
     * discriminating. Pure expression pipeline: explode → 64 conditional
     * sums → bit reassembly.
+    *
+    * `tokenHash` is any 64-bit uniform hash; the default `xxhash64` is the
+    * cheapest codegen'd choice, [[md5Hash64]] the oracle-portable one
+    * (DuckDB can reproduce it, so the driver hash-checks the pair output).
     */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash64(df: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // Bit-count form: bit b is set iff 2·count(bit b of token hash set) >
     // n_tokens — algebraically identical to the ±1-sum formulation
     // (sum(±1) = 2·cnt − n), but countable branchlessly. Three 21-bit
@@ -334,7 +360,7 @@ object Dedup {
     val tok = df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", tokenHash(col("__t")))
     // lane L packs bits 3L..3L+2 of the token hash, 21 bits/field
     val nLanes = (64 + 2) / 3 // 22; the last lane holds bit 63 alone
     val lanes = (0 until nLanes).map { l =>
@@ -383,7 +409,8 @@ object Dedup {
     * generation remains a single equality self-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance=$maxDistance outside the supported 0..16 banding range")
     val blocks = if (maxDistance <= 4) maxDistance + 1 else maxDistance + 2
@@ -396,7 +423,7 @@ object Dedup {
       if (start + width >= 64) v else v.bitwiseAND((1L << width) - 1)
     }
     val combos = (0 until blocks).combinations(q).toSeq
-    val fp = simhash64(df, textCol, idCol).cache()
+    val fp = simhash64(df, textCol, idCol, tokenHash).cache()
     // one 64-bit key per block combination; the combo index is hashed in
     // so distinct combos occupy distinct key spaces (a cross-combo hash
     // collision only adds a candidate, which exact verification discards)

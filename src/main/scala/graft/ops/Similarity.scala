@@ -143,7 +143,12 @@ object Similarity {
     * low-plane config (the pre-round-6 shape: 8 planes = 256 buckets) is
     * the scale trap VERDICT r3 flagged — n²/256 pairs per bucket on a
     * 100 TB corpus; 16 planes × 4 tables probes 4 buckets per vector with
-    * 65 536 buckets per table instead.
+    * 65 536 buckets per table instead. Size `planes` to the corpus:
+    * buckets should hold a handful of vectors each (planes ≈ log₂(n) + a
+    * few), so a small demo corpus (hundreds of vectors, e.g. the
+    * `embed_neardup_lsh` driver query) correctly runs 8 planes — 16
+    * planes there would make every bucket a singleton and the candidate
+    * set vacuously empty.
     *
     * The candidate join carries only (table, bucket, id) — 20 bytes/row ×
     * tables — never the vectors; the two id-equi re-attach joins are

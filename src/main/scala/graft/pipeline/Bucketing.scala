@@ -15,11 +15,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** `path` = None writes a managed table into the session warehouse;
+    * Some(p) writes an external table at p (for callers whose working
+    * directory — hence default warehouse — may not be writable).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -25,14 +25,35 @@ object Layout {
   /** Write `df` to `path` partitioned by `partitionCols`, with files
     * capped near `targetFileBytes` (default 128 MB, one HDFS-ish block /
     * one comfortable parquet row-group span).
+    *
+    * `maxPartitionRows` (a caller hint, like `avgRowBytes`: the caller
+    * knows the hot key's magnitude; sampling would cost a pass) bounds the
+    * rows of the LARGEST partition value. When it exceeds one file's
+    * rows, the repartition key gains a chunk salt —
+    * `pmod(xxhash64(every column), ceil(maxPartitionRows / rowsPerFile))`
+    * — so a hot partition value is written by up to `chunks` parallel
+    * tasks instead of serializing through one. Without the salt (hint 0 =
+    * unknown, the conservative default) `repartition(partitionCols)`
+    * routes every row of a hot day through a single task:
+    * `maxRecordsPerFile` still bounds file SIZES, but at 100 TB the
+    * single writer task is a straggler that stretches the job to the
+    * hottest partition's length. The salt keeps file counts bounded too:
+    * each chunk task holds ~rowsPerFile rows of that partition, so a hot
+    * day yields ≈chunks files of target size, not thousands of slivers
+    * (the failure mode of not repartitioning at all).
     */
   def writeSized(df: DataFrame, path: String, partitionCols: Seq[String],
-      avgRowBytes: Long, targetFileBytes: Long = 128L << 20): Unit = {
+      avgRowBytes: Long, targetFileBytes: Long = 128L << 20,
+      maxPartitionRows: Long = 0L): Unit = {
     require(avgRowBytes > 0 && targetFileBytes > 0)
     val rowsPerFile = math.max(1L, targetFileBytes / avgRowBytes)
+    val chunks = math.max(1L,
+      (maxPartitionRows + rowsPerFile - 1) / rowsPerFile)
     val repartitioned =
       if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
+      else if (chunks <= 1L) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(partitionCols.map(col) :+
+        pmod(xxhash64(df.columns.map(col): _*), lit(chunks)): _*)
     repartitioned.write
       .mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)

@@ -86,6 +86,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("md5Hash64 equals DuckDB md5_number_upper (little-endian u64 of first 8 digest bytes)") {
+    // Constants verified directly against DuckDB 1.0:
+    //   md5_number_upper('abc') = 12704604231530709392 (= -5742139842178842224)
+    //   md5_number_upper('')    = 6579904.. — recomputed below from the hex
+    // form instead of hardcoding: LE-reverse the first 8 md5 hex pairs.
+    def expected(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 0, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    val in = Seq("abc", "", "the", "naïve-ütf8", "a b").toDF("s")
+    val got = in.select(Dedup.md5Hash64($"s")).as[Long].collect()
+    val want = Seq("abc", "", "the", "naïve-ütf8", "a b").map(expected)
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(expected("abc") == -5742139842178842224L) // == 12704604231530709392 as u64
+  }
+
+  test("simhash banding stays complete under the oracle-portable md5 token hash") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = Dedup.simhashPairs(real, "text", "doc_id", maxDistance = 8,
+        tokenHash = Dedup.md5Hash64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val fp = Dedup.simhash64(real, "text", "doc_id", Dedup.md5Hash64)
+    val l = fp.select($"doc_id".as("id1"), $"simhash".as("h1"))
+    val r = fp.select($"doc_id".as("id2"), $"simhash".as("h2"))
+    val brute = l.crossJoin(r).filter($"id1" < $"id2")
+      .filter(Dedup.hamming($"h1", $"h2") <= 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"missed=${brute -- banded} spurious=${banded -- brute}")
+  }
+
   test("simhash64 packed lanes: 66k-token doc is fine; >=2^21 occurrences fail loudly") {
     // 66k occurrences was the old 4x16-bit packing's silent-corruption
     // zone; the 3x21-bit packing handles it exactly.

@@ -30,4 +30,34 @@ class LayoutSpec extends SparkSpec {
     assert(back.groupBy("day").count().filter(col("day") === 0)
       .head().getLong(1) == 800)
   }
+
+  test("sized write with maxPartitionRows hint: hot partition written by parallel tasks") {
+    val dir = Files.createTempDirectory("layout").toString + "/out"
+    val df = spark.range(1000).select(
+      when(col("id") < 800, 0).otherwise(col("id") % 2 + 1).as("day"),
+      col("id").as("v"))
+    // rowsPerFile = 100, hint 800 -> 8 chunk salts: the hot day is
+    // written by multiple tasks IN PARALLEL (the unsalted path funnels
+    // all 800 rows through one task — the 100 TB straggler).
+    Layout.writeSized(df, dir, Seq("day"), avgRowBytes = 100,
+      targetFileBytes = 100 * 100, maxPartitionRows = 800)
+    val hot = new java.io.File(dir + "/day=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // Writer-task identity is encoded in the file name (part-NNNNN-<jobUUID>):
+    // distinct NNNNN prefixes == distinct tasks that wrote this directory.
+    val tasks = hot.map(_.getName.split("-")(1)).distinct.length
+    assert(tasks > 1, s"hot partition still written by one task (files: ${hot.map(_.getName).toSeq})")
+    // file count stays bounded: ~one file per chunk (hash salt imbalance
+    // can split a chunk across two tasks, so allow a small factor, never
+    // the thousands-of-slivers failure mode)
+    assert(hot.length >= 2 && hot.length <= 16,
+      s"hot partition file count unbounded: ${hot.length}")
+    // every file respects the record cap
+    val counts = hot.map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= 100), s"file over record cap: ${counts.toSeq}")
+    // and the readback round-trips exactly
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.select(sum(col("v"))).head().getLong(0) == (0L until 1000L).sum)
+  }
 }

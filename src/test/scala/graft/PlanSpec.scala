@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("equi_join_stars: three broadcast dim arms + one shuffled-hash fact join") {
+    // The r6 bench regression (+42%, body unchanged) was the fact-fact arm
+    // flapping between AQE broadcast and sort-merge; the SHUFFLE_HASH hint
+    // pins it. Shape: customer/nation/region broadcast, lineitem⋈orders a
+    // ShuffledHashJoin (no sort), never a cartesian product.
+    // simple mode prints each operator once (formatted repeats nodes in
+    // the detail section, doubling every count)
+    val plan = SparkEntry.queries("equi_join_stars")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3,
+      s"expected exactly 3 broadcast dim arms:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fact join not a shuffled hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact join sort-merged:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("Q5 star: all four dimension arms broadcast, no cartesian product") {
     val plan = planOf(SparkEntry.queries("tpch_q5_region_revenue")(spark, sf0001))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
