@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOfJoin, Dedup, IntervalJoin, QualityGates, Resample,
   Sessionize, Similarity, TextAnalysis, Watermark}
+import graft.pipeline.Bucketing
 import graft.time.{RolloverCalendar, SessionCalendar}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -174,6 +175,36 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name", "n_name")
+    },
+
+    // Bucketed-table layout, driver-checkable: both fact sides are first
+    // written bucketed+sorted on the join key (paying the shuffle ONCE at
+    // write time), then the fact-fact join AND the per-order aggregate run
+    // with zero exchanges — the scan's bucket partitioning satisfies both
+    // the join and the grouping distribution. This is the layout feature
+    // the 100 TB story leans on hardest: a recurring fact-fact join's
+    // dominant cost becomes a metadata property of the table. The `merge`
+    // hint keeps the join a sort-merge at test SF (where orders would
+    // otherwise broadcast and the bucketing would demonstrate nothing);
+    // PlanSpec asserts the executed plan's only exchange is the final
+    // order-by. Bucketing is invisible to semantics, so plain join SQL is
+    // the oracle. Tables land in java.io.tmpdir (the caller's cwd — hence
+    // default warehouse — may not be writable).
+    "bucketed_join_zero_shuffle" -> { (s, d) =>
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_wh"
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "bq_lineitem", "l_orderkey", 8, Some(s"$wh/bq_lineitem"))
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        "bq_orders", "o_orderkey", 8, Some(s"$wh/bq_orders"))
+      val li = s.table("bq_lineitem")
+      val o = s.table("bq_orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
     },
 
     // Rollup aggregation (subtotals + grand total; NULL levels coalesced
@@ -1274,6 +1305,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // Bucketing is a physical layout property — the logical result is a
+    // plain join+aggregate.
+    "bucketed_join_zero_shuffle" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""".stripMargin,
 
     "rollup_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -52,8 +52,19 @@ object Layout {
     val repartitioned =
       if (partitionCols.isEmpty) df
       else if (chunks <= 1L) df.repartition(partitionCols.map(col): _*)
-      else df.repartition(partitionCols.map(col) :+
-        pmod(xxhash64(df.columns.map(col): _*), lit(chunks)): _*)
+      else {
+        // explicit partition count: an expression-only repartition is an
+        // AQE-coalescible exchange, and coalescing would re-serialize the
+        // hot partition's chunks back into one writer task (observed at
+        // test scale; at 100 TB the same merge can glue hot chunks under
+        // the advisory size). REPARTITION_BY_NUM is exempt. Keep the
+        // session's configured parallelism, never below the chunk count.
+        val n = math.max(
+          df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+          chunks).min(1L << 20).toInt
+        df.repartition(n, partitionCols.map(col) :+
+          pmod(xxhash64(df.columns.map(col): _*), lit(chunks)): _*)
+      }
     repartitioned.write
       .mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)

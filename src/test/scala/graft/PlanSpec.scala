@@ -100,6 +100,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("bucketed_join_zero_shuffle driver query: only exchange is the final order-by") {
+    // The write-time shuffle is the whole point: after it, the fact-fact
+    // join AND the per-order aggregate must run on the scan's bucket
+    // partitioning. Executed (AQE-final) plan, driver-query path.
+    val df = SparkEntry.queries("bucketed_join_zero_shuffle")(spark, sf0001)
+    df.collect()
+    // keep only the AQE final-plan section (the trailing "== Initial
+    // Plan ==" dump would double-count every node)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"extra exchange:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"the single exchange should be the order-by range exchange:\n$plan")
+  }
+
   test("Q5 star: all four dimension arms broadcast, no cartesian product") {
     val plan = planOf(SparkEntry.queries("tpch_q5_region_revenue")(spark, sf0001))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
