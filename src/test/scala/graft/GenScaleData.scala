@@ -27,12 +27,14 @@ object GenScaleData {
 
   private def h(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
 
-  /** The word stream of document `idExpr`: 20..420 vocab words, fully
-    * determined by the id — so a doc built from another doc's id is an
-    * exact copy of its text.
+  /** The word stream of document `idExpr`: 20..90 vocab words (avg ~55,
+    * matching the driver tables' ~300-char word-soup documents — doc
+    * LENGTH shapes n-gram similarity quadratically, so the scale corpus
+    * must match it, not just the row count), fully determined by the id —
+    * so a doc built from another doc's id is an exact copy of its text.
     */
   private def wordStream(idExpr: Column): Column = {
-    val len = (pmod(h(1, idExpr), lit(400)) + 20).cast("int")
+    val len = (pmod(h(1, idExpr), lit(70)) + 20).cast("int")
     concat_ws(" ", transform(sequence(lit(0), len - 1),
       k => element_at(lit(vocab.toArray),
         (pmod(h(2, idExpr * 131 + k.cast("long")), lit(vocab.size)) + 1)
@@ -53,7 +55,7 @@ object GenScaleData {
     // Planted structure at scale-invariant RATES (the driver tables'
     // magnitudes): ~1% near-dup of the predecessor (same stream + one
     // extra token -> high Jaccard, small edit distance), ~0.5% exact dup.
-    val docs = spark.range(nDocs).select(id.as("doc_id"))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
       .withColumn("text",
         when(pmod(id, lit(100)) === 1,
           concat_ws(" ", wordStream(id - 1), lit("extra")))
@@ -71,13 +73,15 @@ object GenScaleData {
     // predecessor's vector uniformly scaled -> cosine 1 against it)
     val vid = col("vec_id")
     val base = when(pmod(vid, lit(50)) === 1, vid - 1).otherwise(vid)
-    val vecs = spark.range(nVecs).select(vid.as("vec_id"))
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"))
       .withColumn("embedding", transform(sequence(lit(0), lit(63)),
-        j => (pmod(h(5, base * 67 + j.cast("long")), lit(2000))
-          .cast("float") / lit(1000.0f) - lit(1.0f))))
+        // cast the FINAL value: float arithmetic promotes to double in
+        // Spark SQL, and a double-typed array breaks float vectorized reads
+        j => (pmod(h(5, base * 67 + j.cast("long")), lit(2000)) / lit(1000.0)
+          - lit(1.0)).cast("float")))
       .withColumn("embedding",
         when(pmod(vid, lit(50)) === 1,
-          transform(col("embedding"), x => x * lit(0.95f)))
+          transform(col("embedding"), x => (x * lit(0.95)).cast("float")))
           .otherwise(col("embedding")))
       .withColumn("label", pmod(h(6, vid), lit(16)).cast("int"))
       .select("vec_id", "embedding", "label")
