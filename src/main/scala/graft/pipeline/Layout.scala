@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Output layout control: directory partitioning + bounded file sizes.
   *
@@ -41,10 +42,20 @@ object Layout {
     * each chunk task holds ~rowsPerFile rows of that partition, so a hot
     * day yields ≈chunks files of target size, not thousands of slivers
     * (the failure mode of not repartitioning at all).
+    *
+    * `hotFilter` (optional, like the two size hints a caller-known fact)
+    * restricts the chunk salt to rows matching the predicate: cold
+    * partition values keep salt 0 and funnel into one writer task each.
+    * WITHOUT it the salt applies to every row, and each cold partition
+    * value fans out across up to `chunks` writer tasks — up to `chunks`
+    * sub-target files per cold directory. That is the small-files mode
+    * this module exists to avoid, so when the table has many cold
+    * partitions either pass `hotFilter` or size `maxPartitionRows` to the
+    * hot key only (a hint of 0 never salts).
     */
   def writeSized(df: DataFrame, path: String, partitionCols: Seq[String],
       avgRowBytes: Long, targetFileBytes: Long = 128L << 20,
-      maxPartitionRows: Long = 0L): Unit = {
+      maxPartitionRows: Long = 0L, hotFilter: Option[Column] = None): Unit = {
     require(avgRowBytes > 0 && targetFileBytes > 0)
     val rowsPerFile = math.max(1L, targetFileBytes / avgRowBytes)
     val chunks = math.max(1L,
@@ -62,13 +73,32 @@ object Layout {
         val n = math.max(
           df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
           chunks).min(1L << 20).toInt
-        df.repartition(n, partitionCols.map(col) :+
-          pmod(xxhash64(df.columns.map(col): _*), lit(chunks)): _*)
+        // Salt from hashable columns only: HashExpression rejects MapType
+        // (no canonical order), and a struct/array that CONTAINS a map is
+        // equally rejected — a frame of only map columns falls back to a
+        // row-position salt (spreads a hot partition just as well; file
+        // ASSIGNMENT of rows may differ across retries, the data never).
+        val hashable = df.schema.fields
+          .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+        val saltBase =
+          if (hashable.nonEmpty) xxhash64(hashable: _*)
+          else monotonically_increasing_id()
+        val chunkSalt = pmod(saltBase, lit(chunks))
+        val salt = hotFilter.fold(chunkSalt)(h =>
+          when(h, chunkSalt).otherwise(lit(0L)))
+        df.repartition(n, partitionCols.map(col) :+ salt: _*)
       }
     repartitioned.write
       .mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType => containsMap(a.elementType)
+    case _ => false
   }
 }

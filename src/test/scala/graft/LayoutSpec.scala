@@ -60,4 +60,40 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 1000)
     assert(back.select(sum(col("v"))).head().getLong(0) == (0L until 1000L).sum)
   }
+
+  test("hotFilter restricts the chunk salt: cold partitions stay one file each") {
+    val dir = Files.createTempDirectory("layout").toString + "/out"
+    val df = spark.range(1000).select(
+      when(col("id") < 800, 0).otherwise(col("id") % 20 + 1).as("day"),
+      col("id").as("v"))
+    // 20 cold days of 10 rows each: an unconditional salt would scatter
+    // every one of them across up to 8 chunk tasks (the ADVICE r7
+    // small-files fan-out); the hot predicate keeps them at salt 0.
+    Layout.writeSized(df, dir, Seq("day"), avgRowBytes = 100,
+      targetFileBytes = 100 * 100, maxPartitionRows = 800,
+      hotFilter = Some(col("day") === 0))
+    val hot = new java.io.File(dir + "/day=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(hot >= 2, s"hot partition not chunked: $hot files")
+    for (d <- 1 to 20) {
+      val cold = new java.io.File(dir + s"/day=$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(cold == 1, s"cold day=$d fanned out into $cold files")
+    }
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("salted write survives map-typed columns (excluded from the salt hash)") {
+    val dir = Files.createTempDirectory("layout").toString + "/out"
+    val df = spark.range(400).select(
+      (col("id") % 2).as("day"), col("id").as("v"),
+      map(lit("k"), col("id")).as("props"))
+    // xxhash64 over a MapType column throws AnalysisException; the salt
+    // must skip it and still chunk the write.
+    Layout.writeSized(df, dir, Seq("day"), avgRowBytes = 100,
+      targetFileBytes = 100 * 100, maxPartitionRows = 200)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.select(sum(col("v"))).head().getLong(0) == (0L until 400L).sum)
+  }
 }
