@@ -685,25 +685,45 @@ object SparkEntry {
       Similarity.topKBruteForce(emb, q, k = 5).orderBy("query_id", "rank")
     },
 
-    // ANN variant: sign-LSH bucketed top-5 (recall<1 by design — no SQL
-    // oracle; self-hit and ranking invariants are ScalaTest-verified).
+    // ANN sign-LSH, driver-checkable via a recall bound (VERDICT r7 #3).
+    // Queries are deterministically perturbed copies of the first 10
+    // corpus vectors (per-coordinate scale 1 + {-3..3}·0.08 keyed on
+    // (vec_id, coordinate); cosine to the source ≈ 0.985) — the near-dup
+    // retrieval task ANN is FOR. This table is isotropic (max pairwise
+    // sim ≈ 0.6 at sf0.1), so a blanket recall≥0.8 against the exact
+    // top-5 of RANDOM queries is unachievable by any sub-linear method —
+    // the honest, standard metric is recall@1 on near-dup queries. The
+    // emitted rows are the EXACT top-5 of the perturbed queries (DuckDB
+    // recomputes them bit-for-bit: double math over float-cast inputs),
+    // plus one global boolean: the banded-LSH path must retrieve the
+    // true nearest neighbour for ≥ 80% of queries. At 6 planes × 4
+    // tables the theory gives per-query retrieval 1−(1−s⁶)⁴ ≈ 0.99 for
+    // s = 1−acos(0.985)/π ≈ 0.945, so the 0.8 floor has real margin
+    // (measured 10/10 at sf0.001/0.01/0.1). The oracle recomputes the
+    // exact side and asserts the bound TRUE — an LSH regression (e.g.
+    // query/corpus bucketing drifting apart) flips it and hash-fails.
     "embed_topk_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.topKLsh(emb, q, k = 5, dim = 64, planes = 6)
-        .orderBy("query_id", "rank")
+      val q = perturbedQueries(emb)
+      val exact = Similarity.topKBruteForce(emb, q, k = 5)
+      val ann = Similarity.topKLsh(emb, q, k = 5, dim = 64,
+        planes = 6, tables = 4)
+      withRecallOk(exact, ann)
     },
 
-    // ANN variant 2: IVF — centroid cells + nProbe search (recall<1 by
-    // design, no SQL oracle; self-hit/recall ScalaTest-verified).
+    // ANN IVF with the same recall@1-on-near-dup-queries bound: a query
+    // ≈ its source vector lands in the source's centroid cell (or an
+    // adjacent one — nProbe=3 covers Voronoi-boundary cases), so the
+    // probed cells contain the true neighbour with high probability
+    // while scanning ~nProbe/k of the corpus. Same oracle contract as
+    // embed_topk_lsh.
     "embed_topk_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 3)
-        .orderBy("query_id", "rank")
+      val q = perturbedQueries(emb)
+      val exact = Similarity.topKBruteForce(emb, q, k = 5)
+      val ann = graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 3)
+      withRecallOk(exact, ann)
     },
 
     // Exact-degenerate ANN configs: same code paths as the approximate
@@ -729,11 +749,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
-    // Embedding near-duplicate pairs via banded multi-table sign-LSH
-    // (rows-only check; recall is spec-verified on planted clusters in
-    // SimilaritySpec — this table has no true near-dups, max pair sim
-    // ~0.6, so recall at threshold 0.3 is bounded by the threshold, not
-    // the banding).
+    // Embedding near-duplicate pairs via banded multi-table sign-LSH,
+    // driver-checkable via a pair-recall bound (VERDICT r7 #3). The raw
+    // table has NO true near-dups (max pairwise sim ≈ 0.6), so the query
+    // augments it with 20 deterministic planted near-dups — perturbed
+    // copies of the first 20 vectors at id+1_000_000, sim ≈ 0.985 to
+    // their source, reproduced exactly by the DuckDB oracle. Emitted: the
+    // exact pair/target counts on the augmented corpus (oracled exactly)
+    // plus two booleans the oracle asserts TRUE:
+    //  - recall_ok: the LSH pass finds ≥ 80% of TARGET pairs (sim ≥
+    //    0.92, the 8-planes×4-tables banding design point: per-pair
+    //    collision 1−(1−s⁸)⁴ ≥ 0.8 exactly when s ≥ 0.871 ⇔ sim ≥
+    //    0.919). Asserting recall over ALL pairs ≥ threshold 0.3 would
+    //    be dishonest: a sim-0.3 pair collides with probability ~0.06
+    //    by design — banding prunes the quadratic join BECAUSE it drops
+    //    low-sim pairs.
+    //  - subset_ok: every LSH pair is an exact pair (the candidate
+    //    filter re-checks true cosine, so LSH can narrow but never
+    //    invent a pair).
     //
     // Config note (why 8 planes here when Similarity.scala's scaladoc
     // prescribes 16×4 at corpus scale): plane count must track corpus
@@ -743,12 +776,36 @@ object SparkEntry {
     // collapses toward empty, and the demo measures nothing. 8 planes
     // (256 buckets/table, ~2–8 vectors each) exercises the real
     // candidate-join machinery at test SF while staying the SAME code
-    // path a 100 TB caller runs at 16×4; the spec pins banded recall
-    // >= 0.8 against the single-table config on planted clusters.
+    // path a 100 TB caller runs at 16×4.
+    //
+    // The exact all-pairs referee exists FOR the oracle: at production
+    // scale only the LSH pass runs (the whole point), and the recall
+    // bound is monitored on planted canaries exactly like the 20 here.
     "embed_neardup_lsh" -> { (s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
-          threshold = 0.3, planes = 8, tables = 4)
-        .orderBy("id1", "id2")
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // perturb BEFORE renaming: in a single select the lateral-alias
+      // rule would resolve the perturbation's vec_id to the +1000000
+      // alias, silently keying the factors off the wrong id (observed —
+      // every coordinate diverged from the oracle's).
+      val planted = base.filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          perturb(col("vec_id"), col("embedding")).as("embedding"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionAll(planted)
+      val exact = Similarity.cosineNearDupPairs(corpus, dim = 64,
+        threshold = 0.3, planes = 0)
+      val lsh = Similarity.cosineNearDupPairs(corpus, dim = 64,
+        threshold = 0.3, planes = 8, tables = 4)
+      exact.join(lsh.select(col("id1"), col("id2"), lit(1).as("in_lsh")),
+          Seq("id1", "id2"), "full_outer")
+        .agg(
+          count(col("sim")).as("n_exact"),
+          count(when(col("sim") >= 0.92, 1)).as("n_target"),
+          (count(when(col("sim") >= 0.92 && col("in_lsh").isNotNull, 1))
+            .cast("double") >=
+            count(when(col("sim") >= 0.92, 1)).cast("double") * 0.8)
+            .as("recall_ok"),
+          (count(when(col("sim").isNull, 1)) === 0).as("subset_ok"))
     },
 
     // Exact-degenerate config of the same code path (0 planes = one
@@ -1241,6 +1298,56 @@ object SparkEntry {
     |  arg_max(value, ts) AS close, count(*) AS volume
     |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin
 
+  /** Deterministic near-dup perturbation for the ANN recall oracles: each
+    * coordinate scaled by 1 + {-3..3}·0.08, the factor keyed on (id,
+    * coordinate) by integer arithmetic both engines evaluate identically;
+    * the result is cast back to FLOAT so both sides compute cosine in
+    * double over bit-identical float inputs. Cosine to the source vector
+    * lands ≈ 0.985 — close enough to be a genuine near-duplicate, far
+    * enough that retrieval must cross hyperplane/cell boundaries (an
+    * EXACT copy would reduce the recall check to the trivial self-hit).
+    * SQL mirror: [[perturbSqlFor]].
+    */
+  private def perturb(idCol: Column, vec: Column): Column =
+    transform(vec, (x, j) =>
+      (x.cast("double") * (lit(1.0) +
+        (pmod(idCol * 31 + j.cast("long") * 17, lit(7)) - 3).cast("double") *
+          lit(0.08))).cast("float"))
+
+  /** DuckDB mirror of [[perturb]] over column `vecExpr` of row alias with
+    * id `idExpr` (DuckDB lists are 1-based, hence `i-1`).
+    */
+  private def perturbSqlFor(idExpr: String, vecExpr: String): String =
+    s"""[($vecExpr[i]::DOUBLE * (1.0 +
+       |  (($idExpr*31 + (i-1)*17) % 7 - 3)::DOUBLE * 0.08))::FLOAT
+       | for i in range(1, len($vecExpr) + 1)]""".stripMargin
+
+  /** The 10 perturbed near-dup queries shared by the ANN driver entries. */
+  private def perturbedQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+      perturb(col("vec_id"), col("embedding")).as("query_vec"))
+
+  /** Emit the EXACT top-5 rows plus one global recall@1 bound measured on
+    * the ANN result: the true nearest neighbour (exact rank 1) must appear
+    * anywhere in the ANN top-5 for ≥ 80% of queries. All frames here are
+    * queries×k-sized — the 1-row bound is a broadcast, not a barrier.
+    */
+  private def withRecallOk(exact: DataFrame, ann: DataFrame): DataFrame = {
+    val top1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("nn_id"))
+    val found = top1.join(
+      ann.select(col("query_id"), col("vec_id").as("nn_id")),
+      Seq("query_id", "nn_id"))
+    val ok = broadcast(top1.agg(count(lit(1)).as("nq"))
+      .crossJoin(found.agg(count(lit(1)).as("nh")))
+      .select((col("nh").cast("double") >= col("nq").cast("double") * 0.8)
+        .as("recall_ok")))
+    exact.crossJoin(ok)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
+        col("recall_ok"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-5 oracle, shared by `embed_topk_bruteforce` and the
     * exact-degenerate ANN configs (which provably return the same rows).
     */
@@ -1262,6 +1369,32 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Exact top-5 of the PERTURBED near-dup queries + the asserted recall
+    * bound — oracle for the approximate ANN driver entries (see
+    * `embed_topk_lsh`). The oracle recomputes the exact side in full; the
+    * recall boolean is the Spark-side measurement it pins to TRUE.
+    */
+  private val topk5PerturbedOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id,
+      |    ${perturbSqlFor("vec_id", "embedding")} AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+      |              for i in range(1, len(e.embedding) + 1)]) /
+      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+      |                    for i in range(1, len(e.embedding) + 1)])) *
+      |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+      |                    for i in range(1, len(q.qv) + 1)]))) AS sim
+      |  FROM embeddings e CROSS JOIN q),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, vec_id, round(sim, 6) AS sim, true AS recall_ok
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1882,6 +2015,39 @@ object SparkEntry {
     // brute-force oracle applies verbatim (see the query entries).
     "embed_topk_lsh_exact" -> topk5OracleSql,
     "embed_topk_ivf_exact" -> topk5OracleSql,
+
+    // Approximate ANN configs: exact top-5 of the perturbed near-dup
+    // queries recomputed in full + the recall@1 bound asserted TRUE.
+    "embed_topk_lsh" -> topk5PerturbedOracleSql,
+    "embed_topk_ivf" -> topk5PerturbedOracleSql,
+
+    // Banded-LSH near-dup pair recall on the planted-augmented corpus:
+    // the oracle recomputes the exact pair and target counts over the
+    // same augmented corpus and asserts both booleans TRUE. n_target
+    // filters the ROUNDED sim, matching the Spark side (whose exact
+    // referee emits round(sim, 6)); the pair threshold 0.3 applies to
+    // the unrounded sim in both engines.
+    "embed_neardup_lsh" ->
+      s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    ${perturbSqlFor("vec_id", "embedding")}
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, len(b.embedding) + 1)]))) AS sim
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id),
+        |p AS (SELECT round(sim, 6) AS sim FROM s WHERE sim >= 0.3)
+        |SELECT count(*) AS n_exact,
+        |  count(*) FILTER (sim >= 0.92) AS n_target,
+        |  true AS recall_ok, true AS subset_ok
+        |FROM p""".stripMargin,
 
     // Mirrors the deterministic fixture arithmetic in the query: dimensions
     // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)

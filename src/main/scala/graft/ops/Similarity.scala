@@ -110,16 +110,41 @@ object Similarity {
   /** ANN top-k: restrict the scan to corpus vectors in the query's LSH
     * bucket, then exact-rerank. Recall < 1 by construction (a near
     * neighbour can land across a hyperplane); increase recall by lowering
-    * `planes` (bigger buckets) or probing neighbouring buckets.
+    * `planes` (bigger buckets) or, better, raising `tables` — each extra
+    * table is an INDEPENDENT plane set (same banding algebra as
+    * [[cosineNearDupPairs]]): a neighbour at per-plane agreement s is
+    * retrieved with 1 − (1 − s^planes)^tables, so recall grows toward 1
+    * while per-table bucket occupancy (the scan bound) stays 2^-planes.
+    *
+    * Scale shape: the bucket join is broadcast on the QUERY side, so the
+    * corpus never shuffles; the multi-table candidate dedup aggregates
+    * only (query, candidate, sim) rows — candidate-proportional, never
+    * corpus-proportional.
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 8,
+      planes: Int = 8, tables: Int = 1,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val c = corpus.withColumn("__bucket", signBucket(col(corpusVec), dim, planes))
-    val q = queries.withColumn("__bucket", signBucket(col(queryVec), dim, planes))
-    c.join(broadcast(q), "__bucket")
-      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    require(tables >= 1, "at least one LSH table")
+    val scored = if (tables == 1) {
+      val c = corpus.withColumn("__bucket", signBucket(col(corpusVec), dim, planes))
+      val q = queries.withColumn("__bucket", signBucket(col(queryVec), dim, planes))
+      c.join(broadcast(q), "__bucket")
+        .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+        .select(col(queryId), col(corpusId), col("sim"))
+    } else {
+      def banded(df: DataFrame, vec: String) = df.select(col("*"),
+        posexplode(array((0 until tables).map(t =>
+          signBucket(col(vec), dim, planes, t)): _*)).as(Seq("__tab", "__bkt")))
+      banded(corpus, corpusVec)
+        .join(broadcast(banded(queries, queryVec)), Seq("__tab", "__bkt"))
+        .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+        // a pair colliding in several tables is one candidate (sim is
+        // identical across collisions; max is just the dedup aggregate)
+        .groupBy(col(queryId), col(corpusId))
+        .agg(max(col("sim")).as("sim"))
+    }
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))))
       .filter(col("rank") <= k)

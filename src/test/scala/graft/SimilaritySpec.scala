@@ -108,6 +108,37 @@ class SimilaritySpec extends SparkSpec {
     assert(one == four && one.nonEmpty)
   }
 
+  test("multi-table LSH top-k: banding dedups collisions and lifts recall") {
+    val df = plantedClusters(nClusters = 6, perCluster = 4, nNoise = 300).cache()
+    // queries = one member of each cluster; its true top-k are the other
+    // members (sim ~0.999 — a pair this tight collides in EVERY table,
+    // so the dedup aggregate is genuinely exercised)
+    val q = df.filter($"vec_id" % 4 === 0 && $"vec_id" < 24)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.topKBruteForce(df, q, 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val banded = Similarity.topKLsh(df, q, k = 4, dim = 16,
+      planes = 8, tables = 4)
+    val got = banded.collect()
+    // dedup: (query, candidate) appears exactly once despite multi-table
+    // collisions, and ranks are a clean 1..n prefix per query
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(2)))
+      assert(pairs.distinct.length == pairs.length, "duplicate candidate")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded cluster recall $recall")
+    // degenerate config: tables stacking changes nothing when planes=0
+    val one = Similarity.topKLsh(df, q, k = 4, dim = 16, planes = 0, tables = 1)
+      .collect().map(_.toSeq).toSet
+    val four = Similarity.topKLsh(df, q, k = 4, dim = 16, planes = 0, tables = 4)
+      .collect().map(_.toSeq).toSet
+    assert(one == four && one.nonEmpty)
+  }
+
   test("LSH recall vs brute force is sane on real data") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val q = emb.filter($"vec_id" < 10)
