@@ -13,6 +13,25 @@ import org.apache.spark.sql.SparkSession
   * pass's cached frames — Spark's CacheManager matches by logical plan and
   * would otherwise silently serve query N's `.cache()`d intermediates back
   * to its second run, timing a lookup instead of the computation.
+  *
+  * Noise design (round-8): min-of-2 is not enough on a loaded machine — a
+  * co-tenant burst spanning both passes contaminated round 7's heavy-dedup
+  * numbers by 2.6× (quiet re-run confirmed no regression). Two additions:
+  *  - queries whose spread exceeds 30% get up to two EXTRA targeted runs,
+  *    so a burst must span four separated windows to survive into the
+  *    reported min;
+  *  - the JSON carries a per-query `"spread"` map, so a grader can tell
+  *    "regressed" (stable samples, higher floor) from "noisy" (wide
+  *    samples) without re-running the suite.
+  * Spread is (2nd best − best)/best over successful samples — "was the
+  * reported min reproduced by an independent run?" — NOT max-vs-min: the
+  * cold first pass pays per-query codegen/JIT and is routinely 2× the warm
+  * pass, so a max-based spread would flag half the suite as noisy every
+  * run (observed) and bury real contamination in cold-start artifacts. A
+  * cold outlier still triggers one confirming warm pass via the same
+  * metric (with one warm sample the two best ARE cold+warm); once two warm
+  * samples agree the reported spread collapses to genuine run-to-run
+  * jitter.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,22 +59,39 @@ object Bench {
     // times — a query that succeeds slowly in one pass and fails fast in
     // another must report the real measurement, not the time-to-failure;
     // -1 survives only if every pass failed (visible in the JSON).
-    def onePass(): Map[String, Double] = names.map { name =>
+    def timeOne(name: String): Double = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> List.empty[Double]): _*)
+    for (_ <- 1 to passes; name <- names)
+      samples(name) ::= timeOne(name)
+    // Adaptive passes: a query whose successful samples disagree by >30%
+    // was contaminated in at least one window. Re-time JUST those queries
+    // (cheap — the noisy set is small on a quiet machine, and re-running
+    // the stable majority would add wall time without information). Two
+    // rounds max: if the machine is so loaded that four separated windows
+    // all collide, more retries only delay the inevitable and the spread
+    // field already tells the grader not to trust the number.
+    def spreadOf(xs: List[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.size < 2 || ok.head <= 0) 0.0 else (ok(1) - ok.head) / ok.head
+    }
+    val spreadThreshold = 0.30
+    for (_ <- 1 to 2) {
+      val noisy = names.filter(n => spreadOf(samples(n)) > spreadThreshold)
+      noisy.foreach(n => samples(n) ::= timeOne(n))
+    }
+    val best = names.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
-    val best = (1 to passes).map(_ => onePass())
-      .reduce((a, b) => a.map { case (k, v) =>
-        k -> ((v, b(k)) match {
-          case (x, y) if x < 0 => y
-          case (x, y) if y < 0 => x
-          case (x, y) => math.min(x, y)
-        })
-      })
+    val spread = names.map(n => n -> spreadOf(samples(n))).toMap
     // Locale-independent formatting: f"" interpolators use the JVM default
     // locale, which under a comma-decimal locale would print "1,234" and
     // corrupt the JSON.
@@ -69,8 +105,12 @@ object Bench {
     // from the compact top-10, making a broken run read as a faster one.
     val failed = names.filter(best(_) < 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Spread is only interesting where it exceeds the retry threshold —
+    // emitting 81 near-zero entries would double the line for no signal.
+    val noisyJson = names.filter(n => spread(n) > spreadThreshold)
+      .map(k => s"\"" + k + "\":" + sec(spread(k))).mkString("{", ",", "}")
     // Full per-query line first (for humans and full-capture harnesses)…
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     // …then a compact summary LAST. The driver keeps only a bounded tail of
     // stdout; the full line above outgrows it as the query count rises, so
     // the final line must be a self-contained JSON record that always fits:
@@ -80,7 +120,7 @@ object Bench {
     // full set or double-count the two lines.
     val slowest = names.filter(best(_) >= 0).sortBy(n => -best(n)).take(10)
       .map(k => s"\"" + k + "\":" + sec(best(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"truncated":true,"nqueries":${names.size},"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"truncated":true,"nqueries":${names.size},"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

@@ -52,6 +52,17 @@ object SparkEntry {
 
   private def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Per-invocation counter for the streaming query's memory-sink name. */
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once staging dirs for the streaming query, keyed per
+    * (session, sfDir): the staged fixture never changes within a session,
+    * and re-writing it every bench pass would time fixture prep, not the
+    * streaming path (the bucketed-join query's write-once rationale).
+    */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Monthly calendar dimension derived from `orders` — the settle-config
     * analog on driver testdata: non-overlapping [start_k, settle_k]
     * intervals (min/max order date within each month) + a numeric payload.
@@ -95,6 +106,62 @@ object SparkEntry {
     "resample_60m" -> { (s, d) =>
       Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
           keys = Seq(col("event_type")))
+        .select(col("event_type"), tsStr(col("ts")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("event_type", "ts")
+    },
+
+    // W1-W4 under the driver's independent check: the STREAMING 5-min
+    // OHLCV path (StreamingPipeline.ohlcvStream — watermark, append-mode
+    // emit-on-close, tumbling window state) run to completion over the
+    // events fixture as a file-source stream, oracled by the exact batch
+    // SQL it must equal. Mechanics: the fixture is staged to a temp dir
+    // plus ONE sentinel row a day past the end; ingesting the sentinel
+    // advances the watermark past every real window, and the no-data
+    // micro-batch that follows (on by default) flushes them from state —
+    // so the emitted set is exactly the batch answer, with the sentinel's
+    // own (still-open) window never emitted and its row filtered
+    // defensively. The staging copy + scalar max(ts) are harness-side
+    // stream simulation (a file stream needs a writable dir), not the
+    // measured operator; in production the source is readStream on the
+    // ingest feed and no sentinel exists — windows close as real time
+    // advances. State at scale: (event_type × open windows) rows, bounded
+    // by the watermark horizon, sharded across executors by group key.
+    "streaming_5m_ohlcv" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      // Stage ts as TIMESTAMP (LTZ): EventTimeWatermark rejects NTZ. The
+      // NTZ→LTZ cast and the final date_format both use the session zone,
+      // so the emitted wall-clock strings are cast-invariant; 5-minute
+      // buckets stay aligned under any whole-minute zone offset (the
+      // driver's Verify session pins UTC regardless). Staged once per
+      // (session, sfDir) — the fixture is invariant across bench passes.
+      val inDir = stagedEvents.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_q").toString
+          val ev = Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"),
+              col("event_type"), col("value"))
+          ev.write.parquet(s"$tmp/in")
+          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
+            .withColumn("event_type", lit("__sentinel"))
+            .withColumn("value", lit(0.0))
+            .write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(inDir)
+      val bars = graft.streaming.StreamingPipeline.ohlcvStream(
+        stream, "value", "5 minutes", lateness = "1 minute",
+        keys = Seq(col("event_type")))
+      // unique sink name per invocation: bench re-runs the query in one
+      // session, and append-mode memory sinks accumulate under a reused name
+      val qn = s"streaming_5m_ohlcv_${streamRun.incrementAndGet()}"
+      bars.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(180000)
+      s.table(qn).filter(col("event_type") =!= "__sentinel")
         .select(col("event_type"), tsStr(col("ts")).as("ts"),
           col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("event_type", "ts")
@@ -1407,6 +1474,11 @@ object SparkEntry {
 
     "resample_60m" -> ohlcvOracle
       .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", ""),
+
+    // The streaming path must emit EXACTLY the batch answer once the
+    // sentinel closes every real window — same oracle as the batch query.
+    "streaming_5m_ohlcv" -> ohlcvOracle
+      .replace("%BUCKET%", "INTERVAL '5 minutes'").replace("%OFF%", ""),
 
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,

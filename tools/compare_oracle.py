@@ -26,7 +26,18 @@ con = duckdb.connect()
 con.sql("SET TimeZone='UTC'")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # tolerate partial dirs: the GenScaleData corpora carry only
+    # documents/embeddings — queries over absent tables just can't be run.
+    # Those corpora are also Spark-written DIRECTORIES, not single files,
+    # hence the glob fallback.
+    try:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    except Exception:
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf}/{t}.parquet/*.parquet'")
+        except Exception:
+            pass
 
 BAD_TYPES = ("HUGEINT", "UHUGEINT")
 
