@@ -505,6 +505,18 @@ object Dedup {
     * documents with no shared content generate no candidates at all.
     * Verification is still the exact Jaccard, so the filter affects cost,
     * never the result.
+    *
+    * Scale caveat (measured, SCALE_r08.json): the prefix filter's pruning
+    * power is the RARITY of prefix shingles. On a pathologically
+    * low-diversity corpus (the 36-word-vocabulary scale fixture) almost
+    * every bigram is common, candidate generation approaches the full
+    * block self-join, and a 10× corpus costs ~24× (output stays linear —
+    * it's all verification). Natural-text vocabularies keep prefixes rare
+    * and the join near-linear; for adversarially repetitive corpora,
+    * tighten the block key instead (e.g. bucket by the k rarest shingles
+    * per document — still lossless for pairs sharing any rare shingle) or
+    * pre-collapse exact/near-exact duplicates with [[exact]]/simhash
+    * before the Jaccard pass.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[(String, Column)], n: Int = 3,

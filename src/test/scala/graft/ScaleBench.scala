@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Component-level scale measurements for SCALE_r08.json — the pieces the
+  * driver-query bench can't separate:
+  *
+  *  - `embed_neardup_lsh` the QUERY bundles the LSH pass with its exact
+  *    all-pairs recall referee (quadratic BY CONSTRUCTION, oracle-only);
+  *    here the LSH pass is timed alone, with the plane count following
+  *    the documented corpus-size rule (Similarity scaladoc: 2^planes
+  *    buckets must track n, planes ≈ log2(n) + 1 — fixed planes at 10×
+  *    the vectors means 10× the bucket occupancy and a quadratic
+  *    candidate join, which is a CONFIG error, not an operator property).
+  *  - `dedup_simhash_pairs` the query pins tokenHash = md5Hash64 for
+  *    DuckDB-oracle parity; xxhash64 is the documented scale default.
+  *    Both are timed so hash cost and banding growth separate.
+  *  - output PAIR COUNTS for the pair families: if the emitted pair set
+  *    itself grows super-linearly (the generated corpus draws from a
+  *    36-word vocabulary, so random-doc collisions rise with n), a
+  *    super-linear runtime is the answer's size, not the operator.
+  *
+  * Usage: Test/runMain graft.ScaleBench <dir> <planes>
+  * Prints one JSON line per measurement: {"name":…,"sec":…,"rows":…}
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val planes = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      // 2 passes, report min (same protocol as Bench)
+      val (secs, rows) = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(secs))
+      println(s"""{"name":"$name","sec":$s,"rows":$rows}""")
+    }
+
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+
+    time(s"embed_neardup_lsh_pass_p$planes") {
+      graft.ops.Similarity.cosineNearDupPairs(
+        emb, dim = 64, threshold = 0.3, planes = planes, tables = 4)
+    }
+    time("dedup_simhash_pairs_md5") {
+      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id",
+        maxDistance = 8, tokenHash = graft.ops.Dedup.md5Hash64)
+    }
+    time("dedup_simhash_pairs_xxhash") {
+      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 8)
+    }
+    time("dedup_ngram_lang_block") {
+      graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        blockCols = Seq("lang" -> col("lang"),
+          "len_bucket" -> (col("n_chars") / 64).cast("long")),
+        n = 2, threshold = 0.5)
+    }
+    spark.stop()
+  }
+}
