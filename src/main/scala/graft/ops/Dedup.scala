@@ -510,13 +510,21 @@ object Dedup {
     * power is the RARITY of prefix shingles. On a pathologically
     * low-diversity corpus (the 36-word-vocabulary scale fixture) almost
     * every bigram is common, candidate generation approaches the full
-    * block self-join, and a 10× corpus costs ~24× (output stays linear —
-    * it's all verification). Natural-text vocabularies keep prefixes rare
-    * and the join near-linear; for adversarially repetitive corpora,
-    * tighten the block key instead (e.g. bucket by the k rarest shingles
-    * per document — still lossless for pairs sharing any rare shingle) or
-    * pre-collapse exact/near-exact duplicates with [[exact]]/simhash
-    * before the Jaccard pass.
+    * block self-join, and a 10× corpus costs ~24× (output stays linear).
+    * Both standard refinements were measured there and do NOT help:
+    *  - df-ascending canonical order (PPJoin §3) produced 33.59M
+    *    candidates vs 33.94M for hash order (−1%) while paying two extra
+    *    shuffles — with only ~1 300 possible bigrams no ordering makes a
+    *    prefix rare (ScaleBench `ngram_candidates_*`);
+    *  - positional/count filters cut VERIFICATION, but generation is
+    *    ~80% of the wall time here (15.7 s of 19.8 s), so the ceiling on
+    *    any post-candidate filter is the remaining ~20%.
+    * The candidate set is inherently dense at any lossless prefix scheme
+    * on such corpora. Natural-text vocabularies keep prefixes rare and
+    * the join near-linear; for adversarially repetitive corpora use
+    * [[minhashPairs]] instead (probabilistic, scales 1.27× at the same
+    * 10× fixture) or pre-collapse near-identical docs with
+    * [[exact]]/simhash before the exact-Jaccard pass.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[(String, Column)], n: Int = 3,

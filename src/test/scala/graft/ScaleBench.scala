@@ -69,6 +69,32 @@ object ScaleBench {
           "len_bucket" -> (col("n_chars") / 64).cast("long")),
         n = 2, threshold = 0.5)
     }
+
+    // Prefix-filter candidate counts under the two canonical orders
+    // (ascending hash vs ascending document frequency, PPJoin §3) — the
+    // df-order experiment that was measured-and-rejected at driver SF,
+    // re-measured on the low-diversity 10× fixture where pruning, not
+    // overhead, dominates.
+    val names = Seq("lang", "len_bucket")
+    val sh0 = docs.select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        graft.ops.Dedup.hashedShingles(col("text"), 2).as("__s0"))
+      .repartition(col("doc_id"))
+    time("ngram_candidates_hash_order") {
+      graft.ops.Dedup.ngramPrefixCandidates(
+        sh0.withColumn("__s", sort_array(col("__s0"))),
+        "doc_id", names, threshold = 0.5)
+    }
+    time("ngram_candidates_df_order") {
+      val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
+      val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+      val ordered = tok.join(dfreq, "__t")
+        .groupBy("doc_id")
+        .agg(transform(sort_array(collect_list(struct(
+          col("__df"), col("__t")))), p => p.getField("__t")).as("__s"))
+      graft.ops.Dedup.ngramPrefixCandidates(
+        sh0.join(ordered, "doc_id"), "doc_id", names, threshold = 0.5)
+    }
     spark.stop()
   }
 }
