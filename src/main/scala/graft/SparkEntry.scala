@@ -734,6 +734,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition metrics (Rae et al. 2021 §A1.1): mass of
+    // the single most frequent 1/2/3-gram per document + the keep gate at
+    // the published thresholds, via the explode + count-aggregation form
+    // (one linear token-level exchange — the per-row HOF form is
+    // interpreted-quadratic per doc and exists only for inline checks).
+    // The oracle recomputes the exact fractions via unnest + max/sum.
+    "text_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"),
+          round(col("top1_frac"), 6).as("top1_frac"),
+          round(col("top2_frac"), 6).as("top2_frac"),
+          round(col("top3_frac"), 6).as("top3_frac"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint, oracle-checkable form: md5 of the normalized
     // text (DuckDB md5 emits identical lowercase hex). The order-sensitive
     // rolling xxhash64 fingerprint has no DuckDB twin and stays
@@ -2041,6 +2057,43 @@ object SparkEntry {
         |    t -> t IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE /
         |    len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stop_en
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Top n-gram mass per document: unnest each gram family, count, and
+    // take max/sum per doc — exactly the Spark expression's value. Docs
+    // shorter than n tokens have no n-grams: the LEFT JOIN's NULL
+    // coalesces to 0, matching the Spark guard.
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(trim(text)) AS nz,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |f1 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(s) AS g FROM t) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([s[i] || ' ' || s[i+1]
+        |                           for i in range(1, len(s))]) AS g FROM t)
+        |  GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                           for i in range(1, len(s) - 1)]) AS g FROM t)
+        |  GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f1.f, 0) END AS r1,
+        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f2.f, 0) END AS r2,
+        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f3.f, 0) END AS r3
+        |  FROM t LEFT JOIN f1 USING (doc_id) LEFT JOIN f2 USING (doc_id)
+        |         LEFT JOIN f3 USING (doc_id))
+        |SELECT doc_id, round(r1, 6) AS top1_frac, round(r2, 6) AS top2_frac,
+        |  round(r3, 6) AS top3_frac,
+        |  (r1 <= 0.20 AND r2 <= 0.18 AND r3 <= 0.16) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // Transitive closure of the exact-Jaccard pair graph via a recursive
     // CTE; a component's survivor is its minimum doc_id (matches the

@@ -98,4 +98,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 500)
     assert(out.filter($"n_tokens" <= 0).count() == 0)
   }
+
+  test("repetition: top n-gram fractions and the Gopher keep gate") {
+    val df = Seq(
+      "a a a b",        // top1 = 3/4; bigrams (a a),(a a),(a b) -> 2/3;
+                        // trigrams (a a a),(a a b) -> 1/2
+      "w x y z",        // all distinct: 1/4, 1/3, 1/2
+      "one",            // single token: no 2-/3-grams -> 0.0
+      "  A  a\ta ",     // normalization: 3 tokens 'a' -> top1 = 1.0
+      "").toDF("text")
+    val got = df.select(
+      TextAnalysis.topNgramFrac($"text", 1).as("f1"),
+      TextAnalysis.topNgramFrac($"text", 2).as("f2"),
+      TextAnalysis.topNgramFrac($"text", 3).as("f3"),
+      TextAnalysis.repetitionKeep($"text").as("keep"))
+      .collect()
+    def row(i: Int) = (got(i).getDouble(0), got(i).getDouble(1),
+      got(i).getDouble(2), got(i).getBoolean(3))
+    assert(row(0) == ((0.75, 2.0 / 3, 0.5, false)))
+    assert(row(1) == ((0.25, 1.0 / 3, 0.5, false))) // trigram 1/2 > 0.16
+    assert(row(2) == ((1.0, 0.0, 0.0, false)))      // top1 1.0 > 0.20
+    assert(row(3) == ((1.0, 1.0, 1.0, false)))
+    assert(row(4) == ((0.0, 0.0, 0.0, true)))       // empty: nothing dominates
+    // a long diverse document passes the gate
+    val diverse = Seq((0 until 100).map(i => s"tok$i").mkString(" "))
+      .toDF("text")
+    assert(diverse.select(TextAnalysis.repetitionKeep($"text"))
+      .head.getBoolean(0))
+  }
+
+  test("repetitionMetrics (pipeline aggregation form) == per-row form") {
+    val df = Seq((1L, "a a a b"), (2L, "w x y z"), (3L, "one"),
+      (4L, "  A  a\ta "), (5L, ""), (6L, "p q p q p q"))
+      .toDF("doc_id", "text")
+    val agg = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val perRow = df.orderBy("doc_id").select($"doc_id",
+        TextAnalysis.topNgramFrac($"text", 1),
+        TextAnalysis.topNgramFrac($"text", 2),
+        TextAnalysis.topNgramFrac($"text", 3),
+        TextAnalysis.repetitionKeep($"text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(agg == perRow)
+  }
 }
