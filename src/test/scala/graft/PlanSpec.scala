@@ -222,4 +222,17 @@ class PlanSpec extends SparkSpec {
       .slice(1, 3).mkString
     assert(!exchIn.contains("text#"), s"text shuffled:\n$plan")
   }
+
+  test("repetition metrics: token exchange carries partial counts, no cartesian") {
+    val plan = planOf(SparkEntry.queries("text_repetition")(spark, sf0001))
+    // the gram-count aggregation must partially aggregate BEFORE its
+    // exchange — the shuffle carries (doc, n, gram, partial-count) rows,
+    // not raw gram occurrences (map-side combine is what bounds the
+    // exchange by distinct grams instead of total tokens)
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no partial aggregation below the token exchange:\n$plan")
+    // per-document metrics must come back together without a cartesian
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair blow-up:\n$plan")
+  }
 }
