@@ -695,6 +695,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Graded companion to the gate above: per-document eval-overlap
+    // fraction (GPT-3 appendix-C style). score == 0 must coincide exactly
+    // with surviving the boolean gate — the oracle recomputes both from
+    // the same string grams, so the hash-green row also re-proves the
+    // gate/score consistency.
+    "decontaminate_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScore(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("source"),
+          round(col("contamination"), 6).as("contamination"),
+          (col("contamination") > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs (Hamming <= 8, frequency-weighted;
     // combination banding covers the full radius by pigeonhole — DedupSpec
     // asserts equality with brute-force all-pairs). Token hash is the
@@ -1981,6 +1998,33 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM t
         |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM c)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same gram construction as the gate; DISTINCT per-doc grams mirror
+    // hashedShingles' array_distinct, and hits/total recomputes the score
+    // from strings (the Spark side counts hashed grams — a mismatch would
+    // surface a hash-collision or normalization drift).
+    "decontaminate_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM documents),
+        |gd AS (
+        |  SELECT DISTINCT doc_id, source, gram FROM (
+        |    SELECT doc_id, source,
+        |      unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+        |              s[i+3] || ' ' || s[i+4]
+        |              for i in range(1, len(s) - 3)]) AS gram
+        |    FROM t)),
+        |e AS (SELECT DISTINCT gram FROM gd WHERE source = 'src0'),
+        |sc AS (
+        |  SELECT gd.doc_id, count(e.gram)::DOUBLE / count(*) AS contamination
+        |  FROM gd LEFT JOIN e ON gd.gram = e.gram
+        |  WHERE gd.source <> 'src0' GROUP BY gd.doc_id)
+        |SELECT t.doc_id, t.source,
+        |  round(coalesce(sc.contamination, 0), 6) AS contamination,
+        |  coalesce(sc.contamination, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |WHERE t.source <> 'src0' ORDER BY t.doc_id""".stripMargin,
 
     "dedup_ngram_lang_block" ->
       """WITH t AS (

@@ -215,6 +215,37 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination SCORE — the graded companion to
+    * [[decontaminate]]'s boolean gate: the fraction of the document's
+    * DISTINCT n-grams that appear anywhere in the eval set (the GPT-3
+    * appendix-C overlap metric; Brown et al. 2020 report per-benchmark
+    * "dirtiness" this way before deciding what to drop). 0.0 for
+    * documents too short to have an n-gram. Same machinery as the gate:
+    * grams are 64-bit hashes (never strings) and the eval gram set —
+    * benchmark-sized, thousands of grams — broadcasts to the probe side,
+    * so the cost is one scan of the training corpus plus a doc-id
+    * aggregation; collision odds are the same negligible
+    * (docGrams·evalGrams)/2⁶⁴ the gate already accepts.
+    */
+  def contaminationScore(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      outCol: String = "contamination"): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val scored = train
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // parallelize shingling (see minhashSignature)
+      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__g"))
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1))).as(outCol))
+    train.join(scored, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0.0)))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs with prefix blocking: documents
     * sharing the same normalized `prefixLen`-char prefix are candidates;
     * each pair is scored by Levenshtein distance over the first `maxLen`

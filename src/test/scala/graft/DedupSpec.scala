@@ -218,4 +218,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((98L, 290L)))
     assert(pairs.contains((70L, 447L)))
   }
+
+  test("contaminationScore: graded overlap, consistent with the boolean gate") {
+    val train = Seq(
+      (1L, "a b c d e f"),          // grams {abcde, bcdef}: 1 hit -> 0.5
+      (2L, "x y z w v u"),          // no hits -> 0.0
+      (3L, "a b c d e x y z w v"),  // 6 grams, 1 hit -> 1/6
+      (4L, "tiny")                  // shorter than n -> 0.0
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val scored = Dedup.contaminationScore(train, eval, "text", "doc_id", n = 5)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(scored == Map(1L -> 0.5, 2L -> 0.0, 3L -> 1.0 / 6, 4L -> 0.0))
+    // zero score must coincide exactly with surviving the boolean gate
+    val survivors = Dedup.decontaminate(train, eval, "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored.filter(_._2 == 0.0).keySet == survivors)
+  }
 }
