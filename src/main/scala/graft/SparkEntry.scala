@@ -682,6 +682,17 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // Substring-level dedup (Lee et al. ACL 2022): duplicated k-token
+    // spans anywhere in the corpus → per-doc merged-interval coverage +
+    // trim gate. Occurrences travel as 64-bit span hashes; the oracle
+    // re-derives everything from the literal substrings, so a hash
+    // collision or position drift would hash-fail the round.
+    "dedup_substring_spans" -> { (s, d) =>
+      graft.ops.SubstringDedup.dupSpanCoverage(Tables.documents(s, d),
+          "text", "doc_id", k = 8, maxDupFrac = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: src0 plays the eval corpus; training
     // docs sharing any 5-gram with it are dropped. Survivor ids are
     // hash-independent, so the string-gram oracle applies.
@@ -757,6 +768,37 @@ object SparkEntry {
     // (one linear token-level exchange — the per-row HOF form is
     // interpreted-quadratic per doc and exists only for inline checks).
     // The oracle recomputes the exact fractions via unnest + max/sum.
+    // Keyword extraction: top-3 terms per document by smoothed TF-IDF
+    // (sklearn form), ties broken by term. df reuses the (doc,term)
+    // aggregate, so the token explode is exchanged once.
+    "tfidf_top_terms" -> { (s, d) =>
+      graft.ops.TermIndex.tfidfTopTerms(Tables.documents(s, d),
+          "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // Inverted-index build: per term, total df + the first 64 posting doc
+    // ids as a comma-joined string. The cap applies BEFORE collect_list
+    // (row_number window), so no agg buffer holds a stop-word's full list.
+    "inverted_index" -> { (s, d) =>
+      graft.ops.TermIndex.invertedIndex(Tables.documents(s, d),
+          "text", "doc_id", minDf = 2L, maxPostings = 64)
+        .orderBy("term")
+    },
+
+    // CCNet-style LM quality scoring, self-contained: an add-one-smoothed
+    // bigram model trained on the corpus in the same job scores each
+    // document's bits-per-token; high-entropy docs are dropped. The keep
+    // gate reads the ROUNDED bits column so both engines decide from the
+    // identical value. 4.95 bits is corpus-tuned (the sf0.01 distribution
+    // spans 4.73-5.24): like every perplexity gate, the cut point comes
+    // from the corpus percentile you want, not from theory.
+    "lm_perplexity" -> { (s, d) =>
+      graft.ops.LanguageModel.bigramScore(Tables.documents(s, d),
+          "text", "doc_id", maxBits = 4.95)
+        .orderBy("doc_id")
+    },
+
     "text_repetition" -> { (s, d) =>
       TextAnalysis.repetitionMetrics(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"),
@@ -2042,6 +2084,39 @@ object SparkEntry {
         |SELECT lang, id1, id2, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY lang, id1, id2""".stripMargin,
 
+    // Literal-substring mirror of the hashed-span Spark side: positions
+    // are 1-based starts of k=8-token windows; coverage is the same
+    // merged-interval sweep (running max(end) over the preceding frame).
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS g
+        |  FROM (SELECT doc_id, s,
+        |          unnest([i for i in range(1, len(s) - 6)]) AS pos
+        |        FROM t)),
+        |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
+        |d AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (g)),
+        |cov AS (
+        |  SELECT doc_id, pos,
+        |    greatest(0, pos + 8 - greatest(pos,
+        |      coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS c
+        |  FROM d),
+        |agg AS (SELECT doc_id, count(*) AS dp, sum(c) AS cv
+        |        FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(s) AS n_tokens,
+        |  CAST(coalesce(dp, 0) AS BIGINT) AS dup_positions,
+        |  CAST(coalesce(cv, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN len(s) = 0 THEN 0.0
+        |       ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END AS dup_frac,
+        |  (CASE WHEN len(s) = 0 THEN 0.0
+        |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
@@ -2106,6 +2181,74 @@ object SparkEntry {
     // take max/sum per doc — exactly the Spark expression's value. Docs
     // shorter than n tokens have no n-grams: the LEFT JOIN's NULL
     // coalesces to 0, matching the Spark guard.
+    // Same tf/df/N integers; ln over an integer-derived double ratio
+    // agrees across engines far beyond the 6 rounded decimals. Rank ties
+    // (equal tf and df -> bit-identical scores) break by term in both.
+    "tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(s) AS term FROM t) GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1) DESC, term)
+        |      AS rank
+        |  FROM tf JOIN d USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+        |  round(score, 6) AS score
+        |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS s
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(s) AS term FROM t),
+        |w AS (SELECT term, doc_id,
+        |    count(*) OVER (PARTITION BY term) AS df,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM p)
+        |SELECT term, df, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |  AS postings
+        |FROM w WHERE rn <= 64 AND df >= 2
+        |GROUP BY term, df ORDER BY term""".stripMargin,
+
+    // Same model arithmetic from the literal tokens: c(u,w)+1 over c(u)+V
+    // is exact integer-derived division in both engines; the per-doc sum
+    // of m·(−log2 p) is double in both, rounded to 6/4 dp (log2/pow agree
+    // far beyond that — same argument as the cosine/percentile oracles).
+    "lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |uni AS (SELECT u, count(*) AS cu FROM (
+        |  SELECT unnest(s) AS u FROM t) GROUP BY u),
+        |v AS (SELECT count(*) AS nv FROM uni),
+        |db AS (SELECT doc_id, u, w, count(*) AS m FROM (
+        |    SELECT doc_id, s[i] AS u, s[i+1] AS w FROM (
+        |      SELECT doc_id, s, unnest([i for i in range(1, len(s))]) AS i
+        |      FROM t))
+        |  GROUP BY doc_id, u, w),
+        |cw AS (SELECT u, w, sum(m) AS cuw FROM db GROUP BY u, w),
+        |sc AS (SELECT db.doc_id,
+        |    sum(m * -log2((cuw + 1)::DOUBLE / (cu + nv))) AS tot,
+        |    sum(m) AS nb
+        |  FROM db JOIN cw USING (u, w) JOIN uni USING (u) CROSS JOIN v
+        |  GROUP BY db.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(coalesce(tot / nb, 0), 6) AS bits_per_token,
+        |  round(pow(2, coalesce(tot / nb, 0)), 4) AS ppl,
+        |  round(coalesce(tot / nb, 0), 6) <= 4.95 AS keep
+        |FROM t LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, len(trim(text)) AS nz,

@@ -235,4 +235,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"pair blow-up:\n$plan")
   }
+
+  test("substring dedup: semi-join on span hashes, map-side combine, no cartesian") {
+    val plan = planOf(SparkEntry.queries("dedup_substring_spans")(spark, sf0001))
+    // duplicated-hash detection must reach occurrences as a LEFT SEMI join
+    // (not an inner join that could duplicate rows, nor a count-window
+    // that concentrates a hot span's occurrences on one reducer)
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    // the dup-hash groupBy must partially aggregate before its exchange —
+    // that combine is what absorbs boilerplate spans at corpus scale
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("lm scoring / tfidf: the only cross join is the 1-row scalar broadcast") {
+    for (q <- Seq("lm_perplexity", "tfidf_top_terms")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+        s"$q: expected exactly the V/N scalar broadcast NLJ:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
+
+  test("inverted index: one term exchange feeds window, cap, and collect") {
+    val plan = SparkEntry.queries("inverted_index")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // df-count window, row_number cap, and the posting-list aggregation
+    // all reuse the single hashpartitioning(term) exchange; the only other
+    // exchange is the final order-by's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"extra shuffle:\n$plan")
+    // the 64-id cap must push below the full sort as a group limit so no
+    // task ever buffers a stop-word's complete posting set
+    assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
+  }
 }
