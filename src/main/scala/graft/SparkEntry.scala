@@ -958,6 +958,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // SemDeDup (Abbas et al. 2023): assign every vector to its nearest of
+    // 8 seed centroids (in-row argmax, zero shuffle), then inside each
+    // cell drop vectors with a lower-id cosine-near duplicate. The raw
+    // table has no near-dups at eps=0.9 (max pairwise ~0.6), so the same
+    // 20 planted perturbed copies as embed_neardup_lsh provide the
+    // prunable structure; the oracle recomputes assignment and pruning
+    // from the literal vectors, so a planted copy landing in a different
+    // Voronoi cell (and surviving) is reproduced identically.
+    "semdedup_survivors" -> { (s, d) =>
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          perturb(col("vec_id"), col("embedding")).as("embedding"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.ops.SemDedup.survivors(base.unionAll(planted), k = 8, eps = 0.9)
+        .orderBy("vec_id")
+    },
+
     // Multimodal plumbing, driver-checkable: a deterministic 1000-row media
     // fixture (id-derived dimensions, every 13th row corrupt) flows through
     // the REAL binary-column pipeline — Dataset[MediaFile] → per-partition
@@ -2360,6 +2378,48 @@ object SparkEntry {
         |  count(*) FILTER (sim >= 0.92) AS n_target,
         |  true AS recall_ok, true AS subset_ok
         |FROM p""".stripMargin,
+
+    // Cell assignment = argmax cosine over the 8 seed centroids (sim DESC,
+    // cid ASC ties — the same (−sim, cid) struct order as Ivf.assignCells);
+    // pruning re-checks true cosine within cells. Double math over
+    // float-cast inputs is bit-identical to the Spark expressions (the
+    // embed_neardup_exact precedent).
+    "semdedup_survivors" ->
+      s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    ${perturbSqlFor("vec_id", "embedding")}
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM aug WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM aug a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |l AS (
+        |  SELECT DISTINCT y.vec_id AS id2
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN aug ax ON ax.vec_id = x.vec_id
+        |  JOIN aug ay ON ay.vec_id = y.vec_id
+        |  WHERE list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                  for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) >= 0.9)
+        |SELECT vec_id, cid FROM asg
+        |WHERE vec_id NOT IN (SELECT id2 FROM l)
+        |ORDER BY vec_id""".stripMargin,
 
     // Mirrors the deterministic fixture arithmetic in the query: dimensions
     // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)

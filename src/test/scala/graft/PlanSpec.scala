@@ -258,6 +258,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: pair search is an equality join on cid, never a cartesian") {
+    val plan = planOf(SparkEntry.queries("semdedup_survivors")(spark, sf0001))
+    // the quadratic search must stay inside cells: an equi-join keyed on
+    // cid (hash or broadcast), with the anti-join returning survivors
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs blow-up:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+  }
+
   test("inverted index: one term exchange feeds window, cap, and collect") {
     val plan = SparkEntry.queries("inverted_index")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
