@@ -1069,6 +1069,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Temperature mixing (α=0.5): per-language keep-rates derived from
+    // the exact language counts (share ∝ n^0.5, scaled so no group
+    // up-samples — languages are the skewed axis here: en is 3.4× fr, so
+    // en keeps ~54% while fr keeps all), then the deterministic keyed-hash
+    // filter. The oracle rebuilds the cutoffs from the same counts and
+    // reruns the integer hash verbatim.
+    "mix_temperature_sample" -> { (s, d) =>
+      graft.ops.Sampling.temperatureMix(Tables.documents(s, d),
+          "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Train/val/test split: disjoint + exhaustive by hash-bucket ranges.
     "sample_split" -> { (s, d) =>
       graft.ops.Sampling.splitByHash(Tables.documents(s, d), "doc_id",
@@ -2522,6 +2535,26 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
         |       ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cutoffs from exact counts: sqrt/sum/min over a handful of source
+    // rows agree across engines far inside the 1e-6 cutoff granularity;
+    // the per-row decision is the same exact integer hash as
+    // sample_stratified.
+    "mix_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |           GROUP BY lang),
+        |t AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
+        |s AS (SELECT sum(w) AS sw FROM t),
+        |r AS (SELECT lang, n, w / sw AS share FROM t CROSS JOIN s),
+        |ts AS (SELECT min(n / share) AS tstar FROM r),
+        |p AS (SELECT lang,
+        |        CAST(round(least(1.0, share * tstar / n) * 1000000) AS BIGINT)
+        |          AS cutoff
+        |      FROM r CROSS JOIN ts)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN p USING (lang)
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 < cutoff
         |ORDER BY doc_id""".stripMargin,
 
     "sample_split" ->

@@ -68,4 +68,38 @@ object Sampling {
       }
     df.withColumn(outCol, label)
   }
+
+  /** Temperature-flattened mixture resampling — the multi-source mixing
+    * rule of multilingual/multi-domain LLM corpora (the α-sampling of
+    * GPT-3 / mC4 / XLM-R): target share of group g ∝ n_g^α, with
+    * α ∈ (0, 1] flattening head groups toward the tail. Down-sampling
+    * only: with Tmax = min over g of n_g/t_g (the largest output size
+    * needing no up-sampling), each group keeps min(1, t_g·Tmax/n_g) —
+    * at least one group keeps everything, and α = 1 reproduces the input
+    * (proportional mixing IS the input composition).
+    *
+    * Scale: one count aggregation (group-sized), two scalar broadcasts to
+    * turn counts into integer cutoffs, one broadcast join of the cutoff
+    * table, then the same keyed-hash membership filter as [[sample]] —
+    * the corpus itself is never shuffled. The row decision compares the
+    * integer [[hashBucket]] to `round(p_g·1e6)`, so given the group
+    * cutoffs the selection is exact integer arithmetic in any engine.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val sw = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__sw"))
+    val shares = counts.crossJoin(broadcast(sw))
+      .withColumn("__share", pow(col("__n"), lit(alpha)) / col("__sw"))
+    val tstar = shares.agg(min(col("__n") / col("__share")).as("__tstar"))
+    val rates = shares.crossJoin(broadcast(tstar))
+      .withColumn("__cutoff",
+        round(least(lit(1.0), col("__share") * col("__tstar") / col("__n")) * 1e6)
+          .cast("long"))
+      .select(col(groupCol), col("__cutoff"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol)) < col("__cutoff"))
+      .drop("__cutoff")
+  }
 }

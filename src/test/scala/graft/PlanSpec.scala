@@ -258,6 +258,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: corpus joins the cutoff table by broadcast hash") {
+    // simple mode: formatted repeats each node in its detail section,
+    // which would inflate the operator counts below
+    val plan = SparkEntry.queries("mix_temperature_sample")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the rate table derives from two 1-row scalar broadcasts (share sum,
+    // Tmax) — those are the only nested-loop joins; the corpus itself must
+    // meet the group cutoffs through a broadcast hash join, unshuffled
+    assert(plan.contains("BroadcastHashJoin"), s"corpus shuffled to join rates:\n$plan")
+    // 3 scalar BNLJs: counts×sumw (planned twice — the shares subtree
+    // feeds both Tmax and the rate table) + rates×Tmax; all group-sized
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 3,
+      s"unexpected nested-loop joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("semdedup: pair search is an equality join on cid, never a cartesian") {
     val plan = planOf(SparkEntry.queries("semdedup_survivors")(spark, sf0001))
     // the quadratic search must stay inside cells: an equi-join keyed on

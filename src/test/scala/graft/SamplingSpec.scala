@@ -78,4 +78,31 @@ class SamplingSpec extends SparkSpec {
       .map { case (_, rs) => rs.map(_._2.toLong).sum }
     assert(perPack.forall(_ <= 2048L + 600L))
   }
+
+  test("temperatureMix: α=0.5 flattens the head, smallest group keeps all") {
+    // groups 900/400/100 -> weights 30/20/10, shares 1/2,1/3,1/6,
+    // Tmax = 600 -> keep-rates 1/3, 1/2, 1
+    val df = ((1L to 900L).map((_, "a")) ++ (1001L to 1400L).map((_, "b")) ++
+        (2001L to 2100L).map((_, "c")))
+      .toDF("doc_id", "grp")
+    val out = Sampling.temperatureMix(df, "doc_id", "grp", alpha = 0.5)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    val byGrp = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // the feasibility-binding group is untouched — exact, not approximate
+    assert(byGrp("c") == 100, byGrp)
+    // hashed membership approximates the target rates (±20%)
+    assert(byGrp("a") > 240 && byGrp("a") < 360, byGrp)
+    assert(byGrp("b") > 160 && byGrp("b") < 240, byGrp)
+    // keyed hash -> re-running selects the identical rows
+    val again = Sampling.temperatureMix(df, "doc_id", "grp", alpha = 0.5)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("temperatureMix: α=1 is the identity (proportional mixing = input)") {
+    val df = ((1L to 50L).map((_, "a")) ++ (101L to 110L).map((_, "b")))
+      .toDF("doc_id", "grp")
+    assert(Sampling.temperatureMix(df, "doc_id", "grp", alpha = 1.0)
+      .count() == 60L)
+  }
 }
