@@ -674,6 +674,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Quality-aware variant: same pair graph, but each cluster keeps its
+    // LONGEST member (n_chars, ties -> lowest id) instead of its lowest
+    // id — "keep the best copy". The oracle labels components via the
+    // recursive closure and re-picks the argmax.
+    "dedup_neardup_best" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      Dedup.nearDupSurvivorsBy(docs, pairs, "doc_id", col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Fuzzy dedup via edit distance: same-prefix blocking, Levenshtein
     // over capped normalized text — exact integer distances.
     "dedup_editdist_pairs" -> { (s, d) =>
@@ -784,6 +797,18 @@ object SparkEntry {
       graft.ops.TermIndex.invertedIndex(Tables.documents(s, d),
           "text", "doc_id", minDf = 2L, maxPostings = 64)
         .orderBy("term")
+    },
+
+    // BM25 retrieval over a 3-term query: "dup" is the rare term (df≈26 of
+    // 500 -> idf≈2.9, dominates), hash/join are near-stopwords (idf≈0.02),
+    // so the ranking exercises the full idf spread. Global top-20 via
+    // orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    // single-partition sort of the corpus).
+    "bm25_search" -> { (s, d) =>
+      graft.ops.TermIndex.bm25Search(Tables.documents(s, d),
+          "text", "doc_id", queryTerms = Seq("hash", "join", "dup"),
+          k1 = 1.2, b = 0.75, topK = 20)
+        .orderBy("rank")
     },
 
     // CCNet-style LM quality scoring, self-contained: an add-one-smoothed
@@ -2249,6 +2274,33 @@ object SparkEntry {
         |FROM w WHERE rn <= 64 AND df >= 2
         |GROUP BY term, df ORDER BY term""".stripMargin,
 
+    // Same tf/df/dl/avgdl integers-and-ratios; the Okapi weight is spelled
+    // with identical association in both engines, so the double math
+    // agrees to the last ulp and the 6-dp round is safe margin.
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(s) AS dl FROM t),
+        |st AS (SELECT count(*) AS nd, sum(dl)::DOUBLE / count(*) AS avgdl
+        |       FROM d),
+        |h AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(s) AS term FROM t) u
+        |  WHERE term IN ('hash', 'join', 'dup')
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS dfd FROM h GROUP BY term),
+        |sc AS (SELECT h.doc_id, count(*) AS n_hits,
+        |    sum(ln((nd - dfd + 0.5) / (dfd + 0.5) + 1) * tf * 2.2 /
+        |        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM h JOIN dfc USING (term) JOIN d USING (doc_id) CROSS JOIN st
+        |  GROUP BY h.doc_id),
+        |top AS (SELECT doc_id, n_hits, score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |  doc_id, n_hits, round(score, 6) AS score
+        |FROM top ORDER BY rank""".stripMargin,
+
     // Same model arithmetic from the literal tokens: c(u,w)+1 over c(u)+V
     // is exact integer-derived division in both engines; the per-doc sum
     // of m·(−log2 p) is double in both, rounded to 6/4 dp (log2/pow agree
@@ -2336,6 +2388,38 @@ object SparkEntry {
         |  UNION
         |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
         |losers AS (SELECT DISTINCT v FROM reach WHERE w < v)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT v FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same closure as dedup_neardup_survivors, but components are labeled
+    // (min reachable id) and each keeps its (n_chars DESC, id) argmax.
+    "dedup_neardup_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |mem AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
+        |mq AS (SELECT m.v, m.comp, d.n_chars FROM mem m
+        |       JOIN documents d ON d.doc_id = m.v),
+        |keep AS (SELECT v FROM mq
+        |         QUALIFY row_number() OVER (PARTITION BY comp
+        |                 ORDER BY n_chars DESC, v) = 1),
+        |losers AS (SELECT v FROM mq WHERE v NOT IN (SELECT v FROM keep))
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT v FROM losers)
         |ORDER BY doc_id""".stripMargin,

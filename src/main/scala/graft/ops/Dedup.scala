@@ -193,6 +193,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup survivor selection by PRIORITY: within each connected
+    * component of the pair graph keep the member maximizing
+    * (priority, then lowest id on ties) — "keep the best copy", the
+    * production refinement of [[nearDupSurvivors]]'s keep-the-first: when
+    * a page is crawled five times, the longest / highest-quality capture
+    * should represent the cluster, not the one with the smallest id.
+    * Unpaired documents all survive, as before.
+    *
+    * Cost over the id-min rule: one extra broadcast-sized join to attach
+    * priorities to component members and one component-keyed argmax
+    * (`max_by` — partial aggregation applies); the component labels are
+    * the same min-label propagation, so the asymptotics don't move.
+    */
+  def nearDupSurvivorsBy(df: DataFrame, pairs: DataFrame, idCol: String,
+      priority: Column): DataFrame = {
+    val comp = Components.connectedComponents(pairs, "id1", "id2")
+    val members = comp.join(
+      df.select(col(idCol).as("v"), priority.as("__p")), "v")
+    val keep = members.groupBy(col("comp"))
+      .agg(max_by(col("v"), struct(col("__p"), -col("v"))).as(idCol))
+      .select(col(idCol))
+    val losers = members.select(col("v").as(idCol))
+      .join(keep, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION — the n-gram overlap rule the GPT-3 /
     * Llama corpus pipelines apply before training: drop every training
     * document that shares ANY word n-gram with the evaluation corpus.

@@ -59,6 +59,53 @@ object TermIndex {
         round(col("score"), 6).as("score"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones, the Okapi weighting): score
+    * every document against a bag of query terms and return the global
+    * top-k as (rank, idCol, n_hits, score).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1) — the non-negative variant.
+    *
+    * Scale: the token explode filters to the query terms BEFORE the
+    * (doc, term) aggregation, so only hit postings aggregate; N, total
+    * token count, and avgdl are 1-row broadcasts; df is a query-sized
+    * broadcast. The global top-k is `orderBy().limit(k)` — planned as
+    * TakeOrderedAndProject, a per-partition heap + k-row merge, never a
+    * single-partition sort of the corpus (the rank column is attached
+    * AFTER the limit, over k rows).
+    */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val docs = df.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).as("__len"))
+    val stats = docs.agg(count(lit(1)).as("__N"),
+      (sum(col("__len")).cast("double") / count(lit(1))).as("__avgdl"))
+    val hits = df.select(col(idCol),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfCounts = hits.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = hits
+      .join(broadcast(dfCounts), Seq("term"))
+      .join(docs, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__N") - col("__df") + 0.5) / (col("__df") + 0.5) + 1))
+      .withColumn("__w",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__w")).as("__score"))
+    val top = scored.orderBy(desc("__score"), col(idCol)).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("__score"), col(idCol))))
+      .select(col("rank"), col(idCol), col("n_hits"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Inverted index (term, df, postings): per term, the total document
     * frequency and the first `maxPostings` doc ids ascending, joined into
     * a comma-separated string (a string, not an array, so the driver's

@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((70L, 447L)))
   }
 
+  test("nearDupSurvivorsBy keeps the priority argmax per cluster, id on ties") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L), // cluster {1,2,3}: 2 wins on priority
+      (4L, 4L), (5L, 4L),           // cluster {4,5}: tie -> lower id 4
+      (6L, 1L)                      // unpaired: always survives
+    ).toDF("doc_id", "pr")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.nearDupSurvivorsBy(docs, pairs, "doc_id", col("pr"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L), kept)
+    // degenerate: no pairs -> identity
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.nearDupSurvivorsBy(docs, none, "doc_id", col("pr"))
+      .count() == 6L)
+  }
+
   test("contaminationScore: graded overlap, consistent with the boolean gate") {
     val train = Seq(
       (1L, "a b c d e f"),          // grams {abcde, bcdef}: 1 hit -> 0.5

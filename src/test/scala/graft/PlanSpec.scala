@@ -274,6 +274,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("bm25: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = SparkEntry.queries("bm25_search")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // orderBy+limit must become per-partition heaps + a k-row merge; a
+    // Sort of the scored corpus would mean the limit failed to push down
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$plan")
+  }
+
   test("semdedup: pair search is an equality join on cid, never a cartesian") {
     val plan = planOf(SparkEntry.queries("semdedup_survivors")(spark, sf0001))
     // the quadratic search must stay inside cells: an equi-join keyed on
