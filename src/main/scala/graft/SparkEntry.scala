@@ -63,6 +63,10 @@ object SparkEntry {
   private val stagedEvents =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Same write-once staging for the streaming-dedup documents fixture. */
+  private val stagedDocs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Monthly calendar dimension derived from `orders` — the settle-config
     * analog on driver testdata: non-overlapping [start_k, settle_k]
     * intervals (min/max order date within each month) + a numeric payload.
@@ -165,6 +169,52 @@ object SparkEntry {
         .select(col("event_type"), tsStr(col("ts")).as("ts"),
           col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("event_type", "ts")
+    },
+
+    // Streaming exact dedup under the driver's check: documents flow as a
+    // file stream through dropDuplicatesWithinWatermark on the normalized
+    // text hash. WHICH member of a duplicate group survives depends on
+    // arrival order inside a micro-batch (partition-parallel, not
+    // deterministic), so the emitted value is the survivor-identity-
+    // INVARIANT projection: one md5 text fingerprint per surviving row —
+    // exactly the corpus's distinct-fingerprint set iff the streaming
+    // dedup kept one-per-hash, which is what the oracle asserts. Emission
+    // is immediate (the operator filters, it does not window), so no
+    // sentinel row is needed; the watermark column only bounds state.
+    "streaming_dedup_hashes" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedDocs.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_dedup").toString
+          // the driver corpus has no EXACT dups (only near-dups), so the
+          // stream plants 25 identical copies 10s after their originals;
+          // a dedup regression surfaces as 525 emitted fingerprints
+          val base = Tables.documents(s, d)
+            .select(
+              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
+                .as("ts"),
+              col("text"), col("doc_id"))
+          base.unionAll(
+              base.filter(col("doc_id") < 25)
+                .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
+                  col("text"), col("doc_id")))
+            .drop("doc_id")
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, text STRING")
+        .parquet(inDir)
+      val deduped = graft.streaming.StreamingPipeline
+        .dedupStream(stream, lateness = "1 minute")
+      val qn = s"streaming_dedup_${streamRun.incrementAndGet()}"
+      deduped
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(180000)
+      s.table(qn).orderBy("fp_md5")
     },
 
     // Semi-structured extraction: JSON path over the props string column,
@@ -2172,6 +2222,14 @@ object SparkEntry {
         |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // One fingerprint per surviving row == the corpus's distinct
+    // fingerprint set (one-per-hash is the operator's contract; the md5
+    // projection is survivor-identity-invariant).
+    "streaming_dedup_hashes" ->
+      """SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY fp_md5""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
