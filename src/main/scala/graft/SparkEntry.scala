@@ -67,6 +67,10 @@ object SparkEntry {
   private val stagedDocs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the stream-stream join fixture (events with ids/keys). */
+  private val stagedEventsFull =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Monthly calendar dimension derived from `orders` — the settle-config
     * analog on driver testdata: non-overlapping [start_k, settle_k]
     * intervals (min/max order date within each month) + a numeric payload.
@@ -215,6 +219,44 @@ object SparkEntry {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination(180000)
       s.table(qn).orderBy("fp_md5")
+    },
+
+    // Stream-stream interval join under the driver's check: purchases
+    // join each user's views in the following 60 minutes, both sides
+    // watermarked (the state-eviction property that makes the join viable
+    // on unbounded feeds). Inner stream-stream joins emit matches eagerly
+    // — the watermark only bounds state — and the staged fixture drains
+    // in one AvailableNow batch, so the emitted pair set is exactly the
+    // batch join's and the arrival order cannot drop late rows.
+    "streaming_interval_join" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEventsFull.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_ij").toString
+          Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
+        src.filter(col("event_type") === "purchase")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        src.filter(col("event_type") === "view")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute")
+      val qn = s"streaming_ij_${streamRun.incrementAndGet()}"
+      joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(180000)
+      s.table(qn)
+        .select(col("l_user_id").as("user_id"),
+          col("l_event_id"), col("r_event_id"))
+        .orderBy("l_event_id", "r_event_id")
     },
 
     // Semi-structured extraction: JSON path over the props string column,
@@ -2222,6 +2264,15 @@ object SparkEntry {
         |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The batch equivalent of the watermarked stream-stream join: the
+    // inner join emits eagerly, so the pair sets must be identical.
+    "streaming_interval_join" ->
+      """SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'purchase' AND b.event_type = 'view'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
 
     // One fingerprint per surviving row == the corpus's distinct
     // fingerprint set (one-per-hash is the operator's contract; the md5
