@@ -71,6 +71,21 @@ object SparkEntry {
   private val stagedEventsFull =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
+    * a state-sized value, restoring the session setting afterwards. The
+    * conf at stream START fixes the STATE STORE partition count for the
+    * query's whole life — a real streaming deployment sizes it to arrival
+    * rate and state volume, not to the session's batch shuffle width
+    * (here 32, which costs 32 state-store instances per stateful operator
+    * per micro-batch; these fixtures carry kilobytes of state each).
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Monthly calendar dimension derived from `orders` — the settle-config
     * analog on driver testdata: non-overlapping [start_k, settle_k]
     * intervals (min/max order date within each month) + a numeric payload.
@@ -166,9 +181,11 @@ object SparkEntry {
       // unique sink name per invocation: bench re-runs the query in one
       // session, and append-mode memory sinks accumulate under a reused name
       val qn = s"streaming_5m_ohlcv_${streamRun.incrementAndGet()}"
-      bars.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        .awaitTermination(180000)
+      withStatePartitions(s, 8) {
+        bars.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
       s.table(qn).filter(col("event_type") =!= "__sentinel")
         .select(col("event_type"), tsStr(col("ts")).as("ts"),
           col("open"), col("high"), col("low"), col("close"), col("volume"))
@@ -213,11 +230,13 @@ object SparkEntry {
       val deduped = graft.streaming.StreamingPipeline
         .dedupStream(stream, lateness = "1 minute")
       val qn = s"streaming_dedup_${streamRun.incrementAndGet()}"
-      deduped
-        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        .awaitTermination(180000)
+      withStatePartitions(s, 8) {
+        deduped
+          .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
       s.table(qn).orderBy("fp_md5")
     },
 
@@ -250,9 +269,11 @@ object SparkEntry {
           .select(col("ts"), col("user_id"), col("event_id")),
         keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute")
       val qn = s"streaming_ij_${streamRun.incrementAndGet()}"
-      joined.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        .awaitTermination(180000)
+      withStatePartitions(s, 8) {
+        joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
       s.table(qn)
         .select(col("l_user_id").as("user_id"),
           col("l_event_id"), col("r_event_id"))
