@@ -11,6 +11,12 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("every query IS oracled (100% since r7; a new rows-only query needs a reason)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"queries without a DuckDB oracle (add one, or document why not): $unoracled")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
