@@ -71,6 +71,11 @@ object SparkEntry {
   private val stagedEventsFull =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the JSONL ingestion fixture (documents as JSON lines
+    * plus three planted malformed lines). */
+  private val stagedJsonl =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -190,6 +195,34 @@ object SparkEntry {
         .select(col("event_type"), tsStr(col("ts")).as("ts"),
           col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("event_type", "ts")
+    },
+
+    // JSONL ingestion with corrupt-record quarantine: the documents table
+    // round-trips through JSON lines plus 3 planted malformed lines; the
+    // PERMISSIVE scan surfaces them as a '__corrupt' group instead of
+    // dying or silently dropping. Per-language row counts AND doc_id sums
+    // prove the round-trip lossless (a dropped or mangled row moves a
+    // sum); the oracle recomputes both from the parquet table and appends
+    // the known quarantine row.
+    "jsonl_ingest" -> { (s, d) =>
+      val inDir = stagedJsonl.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_jsonl").toString
+          Tables.documents(s, d).write.json(s"$tmp/in")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/in/zz_corrupt.json"),
+            ("{\"doc_id\": 1, \"text\": \"unclosed\n" +
+              "not json at all\n" +
+              "{\"doc_id\":, \"lang\": \"xx\"}\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          s"$tmp/in"
+        })
+      graft.sources.JsonlSource.readDocuments(s, inDir)
+        .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"))
+        .orderBy("lang")
     },
 
     // Streaming exact dedup under the driver's check: documents flow as a
@@ -2285,6 +2318,15 @@ object SparkEntry {
         |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Lossless round-trip: per-lang counts + id sums from the parquet
+    // table, plus the known 3-line quarantine group.
+    "jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents GROUP BY lang
+        |UNION ALL SELECT '__corrupt', 3, 0
+        |ORDER BY lang""".stripMargin,
 
     // The batch equivalent of the watermarked stream-stream join: the
     // inner join emits eagerly, so the pair sets must be identical.
