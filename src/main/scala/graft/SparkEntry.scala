@@ -313,6 +313,27 @@ object SparkEntry {
         .orderBy("l_event_id", "r_event_id")
     },
 
+    // SCD2 validity intervals from an event log: each user's state
+    // changes become [valid_from, valid_to) rows via lead(ts) over the
+    // per-user order; the current state stays open (null valid_to). The
+    // warehouse-standard "point-in-time reconstructable" layout — one
+    // window pass, exchange keyed by user.
+    "scd2_intervals" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          tsStr(col("ts")).as("valid_from"),
+          tsStr(col("valid_to")).as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
     // Semi-structured extraction: JSON path over the props string column,
     // aggregated per event type — exact integer statistics.
     "json_extract_props" -> { (s, d) =>
@@ -2318,6 +2339,18 @@ object SparkEntry {
         |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // lead() over the identical (ts, event_id) order; DuckDB strftime
+    // matches the Spark date_format for these wall-clock values.
+    "scd2_intervals" ->
+      """SELECT user_id, event_type, round(value, 6) AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     // Lossless round-trip: per-lang counts + id sums from the parquet
     // table, plus the known 3-line quarantine group.
