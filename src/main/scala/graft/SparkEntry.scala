@@ -1168,6 +1168,21 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // kNN-graph construction (diversity sampling / density estimation
+    // substrate): every vector's top-3 cosine neighbours within its
+    // Voronoi cell — zero-shuffle cell assignment over the 8 seed
+    // centroids, equality join on cid, per-source WindowGroupLimit rank.
+    // nProbe=1 keeps the result exactly reproducible by the oracle; the
+    // cross-boundary nProbe>1 recall gain is spec-asserted instead.
+    "embed_knn_graph" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .orderBy("src", "rank")
+    },
+
     // Multimodal plumbing, driver-checkable: a deterministic 1000-row media
     // fixture (id-derived dimensions, every 13th row corrupt) flows through
     // the REAL binary-column pipeline — Dataset[MediaFile] → per-partition
@@ -2722,6 +2737,45 @@ object SparkEntry {
         |SELECT vec_id, cid FROM asg
         |WHERE vec_id NOT IN (SELECT id2 FROM l)
         |ORDER BY vec_id""".stripMargin,
+
+    // Same cell-assignment CTE as the SemDeDup oracle, then an exact
+    // within-cell top-3 by (sim desc, dst) — both engines compute the
+    // cosine as a double dot product in index order, so the rounded sims
+    // and the ranking are bit-identical.
+    "embed_knn_graph" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |r AS (
+        |  SELECT src, dst, sim,
+        |    row_number() OVER (PARTITION BY src
+        |                       ORDER BY sim DESC, dst) AS rank
+        |  FROM p)
+        |SELECT src, rank, dst, round(sim, 6) AS sim FROM r
+        |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
 
     // Mirrors the deterministic fixture arithmetic in the query: dimensions
     // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-nearest-neighbour GRAPH construction over an embedding corpus —
+  * every vector gets edges to its k nearest neighbours (contrast
+  * [[Similarity.topKBruteForce]], which ranks the corpus against a small
+  * external query set). The kNN graph is the substrate for
+  * diversity-aware subsampling, density estimation, graph-based label
+  * propagation and cluster pruning over training corpora.
+  *
+  * Scale design (100 TB): corpus-wide all-pairs kNN is O(n²) and not
+  * shippable; the standard approximation partitions the corpus into
+  * Voronoi cells and ranks neighbours within cells only:
+  *  - Cell assignment reuses [[Ivf.assignCells]] — centroids are array
+  *    literals, the per-row argmax runs inside whole-stage codegen, so
+  *    assignment costs zero exchanges.
+  *  - Candidate generation is an equality join on cell id. With sources
+  *    probing `nProbe` cells, total candidate work is Σ|cell|²·nProbe ≈
+  *    n²·nProbe/k — raise k with n (cells of constant size) for linear
+  *    total work, exactly the SemDeDup/IVF scaling argument.
+  *  - A (src, dst) pair meets at most once even when nProbe > 1: dst
+  *    contributes candidates only from its single home cell, so no
+  *    dedup pass is needed after the join.
+  *  - The only post-join exchange is the per-source top-k window; the
+  *    rank filter runs as a WindowGroupLimit, so per-partition heaps
+  *    trim candidates before the full sort materializes.
+  *
+  * Edges are directed and not symmetric (y in kNN(x) does not imply x in
+  * kNN(y)); symmetrize downstream if the consumer needs it.
+  */
+object KnnGraph {
+
+  /** Per-vector top-k neighbour edges within `nProbe` probed Voronoi
+    * cells. Output: (src, rank, dst, sim) with sim rounded to 6 decimals,
+    * ranked by (sim desc, dst) per source — fully deterministic given the
+    * centroids, so an exact oracle can reproduce it.
+    */
+  def inCells(emb: DataFrame, centroids: DataFrame, k: Int, nProbe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = Ivf.assignCells(emb, vecCol, centroids, n = 1)
+      .select(col("cid"), col(idCol).as("dst"), col(vecCol).as("__dv"))
+    val sources = Ivf.assignCells(emb, vecCol, centroids, n = nProbe)
+      .select(col("cid"), col(idCol).as("src"), col(vecCol).as("__sv"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("sim"), col("dst"))
+    sources.join(corpus, "cid")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", Similarity.cosine(col("__sv"), col("__dv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

@@ -291,6 +291,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("knn graph: equality join on cid, top-k runs as a window group limit") {
+    val df = SparkEntry.queries("embed_knn_graph")(spark, sf0001)
+    val plan = planOf(df)
+    // candidates must stay within cells (equi-join on cid, no all-pairs)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs blow-up:\n$plan")
+    // the rank<=k filter trims per-partition before the window's full
+    // sort materializes every candidate pair
+    assert(plan.contains("WindowGroupLimit"), s"top-k not pushed down:\n$plan")
+  }
+
   test("inverted index: one term exchange feeds window, cap, and collect") {
     val plan = SparkEntry.queries("inverted_index")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
