@@ -334,6 +334,33 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_type")
     },
 
+    // Batch MERGE (CDC apply): fold the post-cutoff half of the event log
+    // into the pre-cutoff per-user state snapshot — latest change per key
+    // wins the batch, a terminal 'error' event is the delete tombstone.
+    // The snapshot is touched by one left-anti join (never a full-outer);
+    // the change side collapses on the same key exchange its window uses.
+    "merge_upsert" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id"))
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val base = ev.filter(col("ts") < cutoff)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val changes = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      graft.ops.Merge.applyChanges(base, changes, Seq("user_id"),
+          orderCols = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          tsStr(col("ts")).as("ts"), col("event_id"))
+        .orderBy("user_id")
+    },
+
     // Semi-structured extraction: JSON path over the props string column,
     // aggregated per event type — exact integer statistics.
     "json_extract_props" -> { (s, d) =>
@@ -2366,6 +2393,30 @@ object SparkEntry {
         |    ORDER BY ts, event_id)) IS NULL AS is_current
         |FROM events
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // Same windows/cutoff arithmetic; the merge arms are the NOT IN
+    // (anti) survivors plus the non-tombstone winners.
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, value, ts, event_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |chg AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |m AS (
+        |  SELECT user_id, event_type, value, ts, event_id FROM base
+        |  WHERE user_id NOT IN (SELECT user_id FROM chg)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value, ts, event_id FROM chg
+        |  WHERE op <> 'D')
+        |SELECT user_id, event_type, round(value, 6) AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // Lossless round-trip: per-lang counts + id sums from the parquet
     // table, plus the known 3-line quarantine group.

@@ -291,6 +291,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("merge upsert: snapshot pays one anti join, never a full-outer") {
+    val plan = planOf(SparkEntry.queries("merge_upsert")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("FullOuter"), s"full-outer merge:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi merge join:\n$plan")
+  }
+
   test("knn graph: equality join on cid, top-k runs as a window group limit") {
     val df = SparkEntry.queries("embed_knn_graph")(spark, sf0001)
     val plan = planOf(df)
