@@ -334,6 +334,27 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_type")
     },
 
+    // Training-example construction: each user's event stream becomes
+    // next-event-prediction examples — a sliding 4-event context window
+    // (space-joined, frame-ordered) plus the following event as the
+    // label. Both windows (context frame, lead) share one per-user
+    // ordering, so the query pays a single key exchange; contexts
+    // shorter than 4 and the terminal row (no label) are dropped.
+    "next_event_examples" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("step", row_number().over(w))
+        .withColumn("context", array_join(
+          collect_list(col("event_type")).over(w.rowsBetween(-3, 0)), " "))
+        .withColumn("label", lead(col("event_type"), 1).over(w))
+        .filter(col("step") >= 4 && col("label").isNotNull)
+        .select(col("user_id"), col("step"), col("context"), col("label"))
+        .orderBy("user_id", "step")
+    },
+
     // Batch MERGE (CDC apply): fold the post-cutoff half of the event log
     // into the pre-cutoff per-user state snapshot — latest change per key
     // wins the batch, a terminal 'error' event is the delete tombstone.
@@ -2393,6 +2414,21 @@ object SparkEntry {
         |    ORDER BY ts, event_id)) IS NULL AS is_current
         |FROM events
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // string_agg over the same 4-row frame joins in frame order, matching
+    // Spark's ordered-frame collect_list; (ts, event_id) totally orders.
+    "next_event_examples" ->
+      """SELECT user_id, step, context, label FROM (
+        |  SELECT user_id,
+        |    row_number() OVER w AS step,
+        |    string_agg(event_type, ' ') OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS context,
+        |    lead(event_type, 1) OVER w AS label
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE step >= 4 AND label IS NOT NULL
+        |ORDER BY user_id, step""".stripMargin,
 
     // Same windows/cutoff arithmetic; the merge arms are the NOT IN
     // (anti) survivors plus the non-tombstone winners.

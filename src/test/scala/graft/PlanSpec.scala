@@ -291,6 +291,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("next-event examples: context frame, step, and lead share one key exchange") {
+    val plan = SparkEntry.queries("next_event_examples")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // all three window expressions ride the same hashpartitioning(user_id)
+    // exchange; the only other exchange is the final order-by range
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"extra shuffle:\n$plan")
+  }
+
   test("merge upsert: snapshot pays one anti join, never a full-outer") {
     val plan = planOf(SparkEntry.queries("merge_upsert")(spark, sf0001))
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
