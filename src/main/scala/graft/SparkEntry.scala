@@ -1216,6 +1216,24 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // One Lloyd step of k-means, driver-checked: assign every vector to
+    // its nearest seed centroid (in-row codegen argmax — zero exchanges),
+    // then recompute per-cell per-dimension means. This is exactly the
+    // update [[Ivf.trainCentroids]] iterates; the only shuffles are the
+    // (cid, pos) partial aggregate and the final order-by.
+    "kmeans_update_centroids" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      graft.ops.Ivf.assignCells(emb, "embedding", cents, n = 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("double")), 6).as("mean"))
+        .orderBy("cid", "pos")
+    },
+
     // kNN-graph construction (diversity sampling / density estimation
     // substrate): every vector's top-3 cosine neighbours within its
     // Voronoi cell — zero-shuffle cell assignment over the 8 seed
@@ -2824,6 +2842,34 @@ object SparkEntry {
         |SELECT vec_id, cid FROM asg
         |WHERE vec_id NOT IN (SELECT id2 FROM l)
         |ORDER BY vec_id""".stripMargin,
+
+    // Same cell-assignment CTE as the SemDeDup oracle, then per-cell
+    // per-dimension means (1-based subscripts shifted to Spark's 0-based
+    // posexplode, the embed_dim_stats convention).
+    "kmeans_update_centroids" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |u AS (
+        |  SELECT vec_id, unnest(embedding) AS val,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT a.cid, CAST(u.pos - 1 AS INT) AS pos, count(*) AS n,
+        |  round(avg(u.val::DOUBLE), 6) AS mean
+        |FROM asg a JOIN u ON u.vec_id = a.vec_id
+        |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin,
 
     // Same cell-assignment CTE as the SemDeDup oracle, then an exact
     // within-cell top-3 by (sim desc, dst) — both engines compute the

@@ -291,6 +291,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("kmeans step: assignment is shuffle-free, one aggregate exchange") {
+    val plan = SparkEntry.queries("kmeans_update_centroids")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the in-row argmax assignment adds no exchange and no join; the
+    // only hash exchange is the (cid, pos) partial->final aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"extra shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment joined instead of argmax:\n$plan")
+  }
+
   test("next-event examples: context frame, step, and lead share one key exchange") {
     val plan = SparkEntry.queries("next_event_examples")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
