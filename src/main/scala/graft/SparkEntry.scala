@@ -76,6 +76,11 @@ object SparkEntry {
   private val stagedJsonl =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the CSV ingestion fixture (documents as CSV plus three
+    * planted malformed lines: under-length, bad type, over-length). */
+  private val stagedCsv =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -225,6 +230,49 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // CSV ingestion with quarantine, the second interchange format:
+    // documents round-trip through headerless CSV plus three planted
+    // malformed lines (under-length, doc_id type failure, over-length).
+    // PERMISSIVE coercion may still fill SOME fields of a malformed row
+    // (the type-failure line parses lang='en'), so classification keys
+    // on the corrupt column, not on field nullness — and the corrupt
+    // group's sums are forced to 0 rather than trusting partial parses.
+    // The aggregate deliberately touches ALL FIVE data columns: the CSV
+    // parser prunes to required columns, and a pruned parse cannot flag
+    // a malformed field it never parses (the over-length line counts as
+    // well-formed if only the leading columns are read) — so the full
+    // projection is what makes the quarantine count correct, and the
+    // extra sums double as a stronger lossless-round-trip check.
+    "csv_ingest" -> { (s, d) =>
+      val inDir = stagedCsv.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_csv").toString
+          Tables.documents(s, d).write.option("header", "false")
+            .csv(s"$tmp/in")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/in/zz_corrupt.csv"),
+            ("xx\n" +
+              "abc,some text,en,src0,12\n" +
+              "1,text,en,src0,5,extra,extra2\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          s"$tmp/in"
+        })
+      val corrupt = col("_corrupt_record").isNotNull
+      graft.sources.CsvSource.readDocuments(s, inDir)
+        .groupBy(when(corrupt, lit("__corrupt"))
+          .otherwise(col("lang")).as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(corrupt, lit(0L)).otherwise(col("doc_id"))).as("sum_id"),
+          sum(when(corrupt, lit(0L)).otherwise(col("n_chars")))
+            .as("sum_chars"),
+          sum(when(corrupt, lit(0L)).otherwise(length(col("text"))))
+            .as("sum_text_len"),
+          count_distinct(when(corrupt, lit(null)).otherwise(col("source")))
+            .as("n_sources"))
+        .orderBy("lang")
+    },
+
     // Streaming exact dedup under the driver's check: documents flow as a
     // file stream through dropDuplicatesWithinWatermark on the normalized
     // text hash. WHICH member of a duplicate group survives depends on
@@ -332,6 +380,127 @@ object SparkEntry {
           tsStr(col("valid_to")).as("valid_to"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from", "event_type")
+    },
+
+    // Retrieval/pretraining chunking: overlapping 64-token windows at
+    // stride 48 per document — the standard RAG / long-document split.
+    // Start offsets come from an in-row `sequence`, the window from an
+    // in-row `slice`: pure per-row expressions, zero exchanges before
+    // the final order-by, output rows ≈ n_tokens/stride per doc.
+    "doc_chunking" -> { (s, d) =>
+      val size_ = 64
+      val stride = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+        .withColumn("n_tok", size(col("t")))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), col("n_tok") - 1, lit(stride)))
+            .as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_idx"),
+          array_join(slice(col("t"), col("start") + 1, lit(size_)), " ")
+            .as("chunk_text"),
+          size(slice(col("t"), col("start") + 1, lit(size_))).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Robust anomaly detection: per-type median absolute deviation
+    // (MAD) outlier counts at the standard 3σ-equivalent cut
+    // (3 · 1.4826 · MAD). Exact interpolated percentiles (the
+    // quantile_values parity) keep med/mad bit-identical across engines,
+    // so the threshold comparison cannot flip; two percentile passes +
+    // the final count all shuffle on the same small type key.
+    "anomaly_mad_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(med, "event_type").join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Cohort retention: users grouped by first-active week, counted per
+    // week offset — the product-analytics staple. Weeks are integer
+    // day-offsets from 2024-01-01 (a Monday) divided by 7, so both
+    // engines share exact integer week arithmetic instead of relying on
+    // matching week-truncation conventions. Two aggregations on the same
+    // user_id exchange + one equality join.
+    "retention_cohorts" -> { (s, d) =>
+      val active = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("int").as("week_idx"))
+        .distinct()
+      val cohort = active.groupBy("user_id")
+        .agg(min(col("week_idx")).as("cohort_week"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week_idx") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // Ordered conversion funnel: signup → first view strictly after the
+    // signup → first purchase strictly after that view, per user. Each
+    // step joins the previous step's first-event time on the same
+    // user_id key and takes a conditional min — step frames shrink
+    // monotonically, and every join is an equality join on the key.
+    "funnel_conversion" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "view")
+        .join(t1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def step(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("step"), col("n_users"))
+      step("1_signup", t1)
+        .unionByName(step("2_view_after_signup", t2))
+        .unionByName(step("3_purchase_after_view", t3))
+        .orderBy("step")
+    },
+
+    // End-to-end curation funnel: the standard pre-training gate chain
+    // (length → heuristic quality → eval-set decontamination → MinHash
+    // near-dup collapse), composed from the SAME operators the individual
+    // queries drive, reporting per-stage survivor counts — the data-flow
+    // report a corpus build publishes. src0 plays the held-out eval
+    // corpus. Each stage is a count over a shared lineage; a production
+    // run materializes each stage's survivors instead of recomputing
+    // (the branches here are count-only and parquet-scan cheap).
+    "curation_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val evalDocs = docs.filter(col("source") === "src0")
+      val raw = docs.filter(col("source") =!= "src0")
+      val s1 = raw.filter(col("n_chars").between(100, 20000))
+      val s2 = TextAnalysis.withQualityScore(s1, "text", "quality")
+        .filter(round(col("quality"), 6) >= 0.9)
+      val s3 = Dedup.decontaminate(s2, evalDocs, "text", "doc_id", n = 5)
+      val s4 = Dedup.nearDupSurvivors(s3,
+        Dedup.minhashExactPairs(s3, "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.8), "doc_id")
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      Seq(stage("0_raw", raw), stage("1_length", s1),
+          stage("2_quality", s2), stage("3_decontam", s3),
+          stage("4_neardup", s4))
+        .reduce(_ unionByName _)
+        .orderBy("stage")
     },
 
     // Training-example construction: each user's event stream becomes
@@ -2433,6 +2602,144 @@ object SparkEntry {
         |FROM events
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
 
+    // DuckDB list slices are 1-based and end-inclusive; range(0, n, 48)
+    // matches Spark's sequence(0, n-1, 48) start set exactly.
+    "doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, s, CAST(unnest(range(0, len(s), 48)) AS INT) AS start
+        |  FROM t WHERE len(s) > 0)
+        |SELECT doc_id, start // 48 AS chunk_idx,
+        |  array_to_string(s[start + 1 : start + 64], ' ') AS chunk_text,
+        |  len(s[start + 1 : start + 64]) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // quantile_cont is the interpolated exact percentile Spark's
+    // `percentile` computes; 3 * 1.4826 * mad is the identical double
+    // expression on both sides, so the outlier cut cannot flip.
+    "anomaly_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, round(m.med, 6) AS med,
+        |  round(d.mad, 6) AS mad,
+        |  CAST(count(*) FILTER (abs(e.value - m.med) > 3 * 1.4826 * d.mad)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN med m USING (event_type)
+        |              JOIN mad d USING (event_type)
+        |GROUP BY e.event_type, m.med, d.mad
+        |ORDER BY event_type""".stripMargin,
+
+    // Integer week arithmetic from the shared Monday epoch; `//` is
+    // DuckDB integer division.
+    "retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((ts::DATE - DATE '2024-01-01') // 7 AS INT) AS week_idx
+        |  FROM events),
+        |c AS (SELECT user_id, min(week_idx) AS cohort_week FROM a
+        |      GROUP BY user_id)
+        |SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // The same chained conditional-min steps; counts are integers.
+    "funnel_conversion" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_signup' AS step, count(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_view_after_signup', count(*) FROM t2
+        |UNION ALL SELECT '3_purchase_after_view', count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+
+    // Chains the established oracle fragments (text_quality,
+    // decontaminate_survivors, dedup_neardup_survivors) stage over
+    // stage; counts only, so the whole funnel stays engine-comparable.
+    "curation_funnel" ->
+      """WITH RECURSIVE
+        |raw AS (SELECT * FROM documents WHERE source <> 'src0'),
+        |s1 AS (SELECT * FROM raw WHERE n_chars BETWEEN 100 AND 20000),
+        |fq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE
+        |      / length(text) AS punct,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |      / length(text) AS digit,
+        |    list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS mtl
+        |  FROM s1),
+        |s2 AS (
+        |  SELECT doc_id, text FROM fq
+        |  WHERE round(least(n_tok / 64.0, 1.0) * (CASE WHEN n_tok > 4096 THEN 0.5 ELSE 1.0 END) * 0.4
+        |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN digit <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) >= 0.9),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM s2),
+        |evtok AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM documents WHERE source = 'src0'),
+        |g AS (
+        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+        |                         s[i+3] || ' ' || s[i+4]
+        |                         for i in range(1, len(s) - 3)]) AS gram
+        |  FROM tok),
+        |e AS (
+        |  SELECT DISTINCT unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+        |                          s[i+3] || ' ' || s[i+4]
+        |                          for i in range(1, len(s) - 3)]) AS gram
+        |  FROM evtok),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)),
+        |s3 AS (SELECT doc_id, text FROM s2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM s3)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |losers AS (SELECT DISTINCT v FROM reach WHERE w < v),
+        |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT v FROM losers))
+        |SELECT '0_raw' AS stage, count(*) AS n_docs FROM raw
+        |UNION ALL SELECT '1_length', count(*) FROM s1
+        |UNION ALL SELECT '2_quality', count(*) FROM s2
+        |UNION ALL SELECT '3_decontam', count(*) FROM s3
+        |UNION ALL SELECT '4_neardup', count(*) FROM s4
+        |ORDER BY stage""".stripMargin,
+
     // string_agg over the same 4-row frame joins in frame order, matching
     // Spark's ordered-frame collect_list; (ts, event_id) totally orders.
     "next_event_examples" ->
@@ -2479,6 +2786,19 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM documents GROUP BY lang
         |UNION ALL SELECT '__corrupt', 3, 0
+        |ORDER BY lang""".stripMargin,
+
+    // Same lossless-round-trip check as jsonl_ingest, widened to every
+    // column: the CSV scan must recover every row and field and
+    // quarantine exactly the 3 planted lines.
+    "csv_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang
+        |UNION ALL SELECT '__corrupt', 3, 0, 0, 0, 0
         |ORDER BY lang""".stripMargin,
 
     // The batch equivalent of the watermarked stream-stream join: the

@@ -291,6 +291,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("curation funnel: gates compose without cartesian products") {
+    val plan = planOf(SparkEntry.queries("curation_funnel")(spark, sf0001))
+    // decontamination joins gram hashes, near-dup joins banded minhash
+    // buckets: the whole chained funnel must stay equality-join-only
+    assert(!plan.contains("CartesianProduct"), s"all-pairs stage:\n$plan")
+    // both dedup arms drop losers via anti joins
+    assert("LeftAnti".r.findAllIn(plan).length >= 2, s"missing anti join:\n$plan")
+  }
+
   test("kmeans step: assignment is shuffle-free, one aggregate exchange") {
     val plan = SparkEntry.queries("kmeans_update_centroids")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
