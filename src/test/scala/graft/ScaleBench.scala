@@ -37,7 +37,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // SCALE_ONLY=<substring> runs just the matching measurements — a 10×
+    // corpus re-run for one new operator shouldn't re-pay the suite.
+    val only = sys.env.get("SCALE_ONLY")
     def time(name: String)(mk: => DataFrame): Unit = {
+      if (only.exists(o => !name.contains(o))) return
       // 2 passes, report min (same protocol as Bench)
       val (secs, rows) = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
@@ -85,6 +89,19 @@ object ScaleBench {
         sh0.withColumn("__s", sort_array(col("__s0"))),
         "doc_id", names, threshold = 0.5)
     }
+    // kNN graph at the documented scaling rule: cells ∝ n keeps Voronoi
+    // cells constant-sized, so within-cell candidate work (Σ|cell|²) is
+    // linear in n. The driver query fixes cells=8 for oracle
+    // feasibility; pass cells as arg 3 (8 at the 2k baseline, 80 at the
+    // 20k corpus) to measure the production configuration.
+    val knnCells = args.lift(2).map(_.toInt).getOrElse(8)
+    time(s"knn_graph_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+    }
+
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
       val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
