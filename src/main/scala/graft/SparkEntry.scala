@@ -81,6 +81,11 @@ object SparkEntry {
   private val stagedCsv =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging root for the idempotent-sink fixture (events split into 4
+    * source files; `in/` is the stream source, `out/` the sink). */
+  private val stagedIdem =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -319,6 +324,47 @@ object SparkEntry {
           .awaitTermination(180000)
       }
       s.table(qn).orderBy("fp_md5")
+    },
+
+    // Exactly-once sink contents under at-least-once delivery: the
+    // events fixture (4 source files) drains through [[IdempotentSink]]
+    // in 4 micro-batches (maxFilesPerTrigger=1), then the WHOLE stream
+    // runs a second time from a fresh checkpoint — a full redelivery of
+    // every batch. Deterministic (batchId → data) + per-batch overwrite
+    // means the second run replaces each batch's directory instead of
+    // appending, so the per-type counts equal the plain batch aggregate
+    // and the '__batches' row pins the 4-batch split. A sink that
+    // appended on redelivery would double every count.
+    "streaming_idempotent_sink" -> { (s, d) =>
+      import org.apache.spark.sql.types.StructType
+      val root = stagedIdem.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_idem").toString
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .repartition(4)
+            .write.parquet(s"$tmp/in")
+          tmp
+        })
+      val schema = StructType.fromDDL(
+        "event_id LONG, event_type STRING, value DOUBLE")
+      val sink = graft.pipeline.IdempotentSink(s"$root/out", schema)
+      def drainOnce(): Unit = withStatePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in")
+        sink.attach(stream).awaitTermination(180000)
+      }
+      drainOnce()
+      drainOnce() // redelivery: same batches, overwritten not appended
+      val rows = sink.existing(s)
+      rows.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .unionByName(rows.agg(
+          count_distinct(col("batch")).as("n"), lit(0L).as("sum_id"))
+          .select(lit("__batches").as("event_type"), col("n"), col("sum_id")))
+        .orderBy("event_type")
     },
 
     // Stream-stream interval join under the driver's check: purchases
@@ -2800,6 +2846,15 @@ object SparkEntry {
         |FROM documents GROUP BY lang
         |UNION ALL SELECT '__corrupt', 3, 0, 0, 0, 0
         |ORDER BY lang""".stripMargin,
+
+    // The sink's contents after a full redelivery must equal the plain
+    // batch aggregate; the 4-batch split is fixed by the fixture files.
+    "streaming_idempotent_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type
+        |UNION ALL SELECT '__batches', 4, 0
+        |ORDER BY event_type""".stripMargin,
 
     // The batch equivalent of the watermarked stream-stream join: the
     // inner join emits eagerly, so the pair sets must be identical.
