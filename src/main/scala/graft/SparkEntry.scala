@@ -1431,6 +1431,23 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // End-to-end retrieval (the RAG read path): perturbed queries →
+    // exact cosine top-3 over the embedding corpus → fetch the matched
+    // documents' text by the shared id. The ANN arm is the established
+    // exact scorer (broadcast queries, partial top-k); the fetch is one
+    // equality join against the documents table — at scale the id join
+    // is the point: candidates travel as ids, text is fetched once for
+    // k·|queries| rows, never for the corpus.
+    "rag_retrieve_docs" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val hits = Similarity.topKBruteForce(emb, perturbedQueries(emb), k = 3)
+      hits.join(Tables.documents(s, d),
+          hits("vec_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("snippet"), col("sim"))
+        .orderBy("query_id", "rank")
+    },
+
     // One Lloyd step of k-means, driver-checked: assign every vector to
     // its nearest seed centroid (in-row codegen argmax — zero exchanges),
     // then recompute per-cell per-dimension means. This is exactly the
@@ -3217,6 +3234,32 @@ object SparkEntry {
         |SELECT vec_id, cid FROM asg
         |WHERE vec_id NOT IN (SELECT id2 FROM l)
         |ORDER BY vec_id""".stripMargin,
+
+    // The perturbed-query exact top-3 joined to documents on the shared
+    // id; substring is 1-based in both engines.
+    "rag_retrieve_docs" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    ${perturbSqlFor("vec_id", "embedding")} AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT r.query_id, r.rank, d.doc_id, d.lang,
+        |  substring(d.text, 1, 40) AS snippet, round(r.sim, 6) AS sim
+        |FROM r JOIN documents d ON d.doc_id = r.vec_id
+        |WHERE r.rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Same cell-assignment CTE as the SemDeDup oracle, then per-cell
     // per-dimension means (1-based subscripts shifted to Spark's 0-based
