@@ -428,6 +428,28 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_type")
     },
 
+    // Masked-LM objective construction: deterministic masking (every
+    // position ≡ 1 mod 7) replaces the token with <mask> in the input
+    // and collects the original tokens as labels — the BERT-style
+    // example builder, as pure per-row array expressions (indexed
+    // transform + filter, zero exchanges before the order-by). A real
+    // pipeline swaps the position rule for a keyed hash; the fixed rule
+    // keeps the oracle exact.
+    "mlm_masking" -> { (s, d) =>
+      val t = Dedup.tokens(col("text"))
+      val masked = transform(t, (x, i) =>
+        when(i % 7 === 1, lit("<mask>")).otherwise(x))
+      val labels = filter(
+        transform(t, (x, i) => when(i % 7 === 1, x)), _.isNotNull)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          array_join(masked, " ").as("input"),
+          array_join(labels, " ").as("labels"),
+          size(labels).as("n_masked"))
+        .orderBy("doc_id")
+    },
+
     // Retrieval/pretraining chunking: overlapping 64-token windows at
     // stride 48 per document — the standard RAG / long-document split.
     // Start offsets come from an in-row `sequence`, the window from an
@@ -2664,6 +2686,24 @@ object SparkEntry {
         |    ORDER BY ts, event_id)) IS NULL AS is_current
         |FROM events
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // 1-based DuckDB comprehension index i maps to Spark's 0-based
+    // transform index as (i-1); the filtered-comprehension form builds
+    // the labels list directly.
+    "mlm_masking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  array_to_string([CASE WHEN (i - 1) % 7 = 1 THEN '<mask>'
+        |                        ELSE s[i] END
+        |                   for i in range(1, len(s) + 1)], ' ') AS input,
+        |  array_to_string([s[i] for i in range(1, len(s) + 1)
+        |                   if (i - 1) % 7 = 1], ' ') AS labels,
+        |  len([s[i] for i in range(1, len(s) + 1)
+        |       if (i - 1) % 7 = 1]) AS n_masked
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // DuckDB list slices are 1-based and end-inclusive; range(0, n, 48)
     // matches Spark's sequence(0, n-1, 48) start set exactly.
