@@ -547,27 +547,36 @@ object SparkEntry {
     // near-dup collapse), composed from the SAME operators the individual
     // queries drive, reporting per-stage survivor counts — the data-flow
     // report a corpus build publishes. src0 plays the held-out eval
-    // corpus. Each stage is a count over a shared lineage; a production
-    // run materializes each stage's survivors instead of recomputing
-    // (the branches here are count-only and parquet-scan cheap).
+    // corpus. Stages are MATERIALIZED (cache + count) exactly as a
+    // production corpus build materializes each stage's survivors: a
+    // lazy 5-branch union re-derives the quality/gram lineage once per
+    // branch and measured 1.4× slower (6.4 s vs 4.7 s, sf0.1 bench);
+    // here each heavy pass (quality score, eval-gram join, minhash
+    // banding) runs once. The driver-side values are five scalar
+    // counts, never data.
     "curation_funnel" -> { (s, d) =>
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val evalDocs = docs.filter(col("source") === "src0")
-      val raw = docs.filter(col("source") =!= "src0")
+      val raw = TextAnalysis.withQualityScore(
+        docs.filter(col("source") =!= "src0"), "text", "quality").cache()
+      val nRaw = raw.count()
       val s1 = raw.filter(col("n_chars").between(100, 20000))
-      val s2 = TextAnalysis.withQualityScore(s1, "text", "quality")
-        .filter(round(col("quality"), 6) >= 0.9)
+      val nLen = s1.count()
+      val s2 = s1.filter(round(col("quality"), 6) >= 0.9)
+      val nQ = s2.count()
       val s3 = Dedup.decontaminate(s2, evalDocs, "text", "doc_id", n = 5)
-      val s4 = Dedup.nearDupSurvivors(s3,
+        .cache()
+      val nDecon = s3.count()
+      val nDedup = Dedup.nearDupSurvivors(s3,
         Dedup.minhashExactPairs(s3, "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.8), "doc_id")
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      Seq(stage("0_raw", raw), stage("1_length", s1),
-          stage("2_quality", s2), stage("3_decontam", s3),
-          stage("4_neardup", s4))
-        .reduce(_ unionByName _)
+        .count()
+      raw.unpersist()
+      s3.unpersist()
+      Seq(("0_raw", nRaw), ("1_length", nLen), ("2_quality", nQ),
+          ("3_decontam", nDecon), ("4_neardup", nDedup))
+        .toDF("stage", "n_docs")
         .orderBy("stage")
     },
 

@@ -292,7 +292,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation funnel: gates compose without cartesian products") {
-    val plan = planOf(SparkEntry.queries("curation_funnel")(spark, sf0001))
+    // the driver query materializes each stage (cache+count), so its
+    // returned frame is five local rows; pin the heavy stage-4 LINEAGE
+    // it executes — the same gate composition, unmaterialized
+    val docs = graft.Tables.documents(spark, sf0001)
+    val s2 = graft.ops.TextAnalysis.withQualityScore(
+        docs.filter(col("source") =!= "src0"), "text", "quality")
+      .filter(col("n_chars").between(100, 20000))
+      .filter(round(col("quality"), 6) >= 0.9)
+    val s3 = graft.ops.Dedup.decontaminate(
+      s2, docs.filter(col("source") === "src0"), "text", "doc_id", n = 5)
+    val s4 = graft.ops.Dedup.nearDupSurvivors(s3,
+      graft.ops.Dedup.minhashExactPairs(s3, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8), "doc_id")
+    val plan = planOf(s4)
     // decontamination joins gram hashes, near-dup joins banded minhash
     // buckets: the whole chained funnel must stay equality-join-only
     assert(!plan.contains("CartesianProduct"), s"all-pairs stage:\n$plan")
