@@ -1605,6 +1605,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Length-weighted importance sampling: keep probability
+    // min(1, n_chars·2000/10⁶) — long documents always survive, short
+    // ones proportionally. Same keyed hash, all-integer cutoff, zero
+    // shuffle; the scheme any per-row weight (quality tier, source
+    // priority) plugs into.
+    "sample_weighted" -> { (s, d) =>
+      graft.ops.Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+          col("n_chars"), perMillionPerUnit = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Temperature mixing (α=0.5): per-language keep-rates derived from
     // the exact language counts (share ∝ n^0.5, scaled so no group
     // up-samples — languages are the skewed axis here: en is 3.4× fr, so
@@ -3478,6 +3490,13 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
         |       ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same Knuth hash against the integer weight cutoff.
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
+        |  least(1000000, n_chars * 2000)
         |ORDER BY doc_id""".stripMargin,
 
     // Cutoffs from exact counts: sqrt/sum/min over a handful of source

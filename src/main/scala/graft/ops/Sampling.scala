@@ -47,6 +47,19 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < cutoff)
   }
 
+  /** Weighted Bernoulli sampling: each row keeps with probability
+    * min(1, weight · perMillionPerUnit / 10⁶) — importance sampling by a
+    * per-row weight (document length, quality score tier, source
+    * priority) under the same determinism/zero-shuffle contract as
+    * [[sample]]. All-integer cutoff arithmetic (one multiply + least),
+    * so any engine reproduces the exact kept set; rows with
+    * weight ≥ 10⁶/perMillionPerUnit are always kept.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      perMillionPerUnit: Long): DataFrame =
+    df.filter(hashBucket(col(keyCol)) <
+      least(lit(1000000L), weight.cast("long") * lit(perMillionPerUnit)))
+
   /** Disjoint, exhaustive split assignment (train/val/test): weights are
     * normalized into cumulative bucket ranges, and each row's bucket picks
     * its split. Every row lands in exactly one split, stable across runs

@@ -27,6 +27,24 @@ class SamplingSpec extends SparkSpec {
     assert(!kept.contains("2")) // default 0 drops the unlisted stratum
   }
 
+  test("weightedSample: zero weight never keeps, saturating weight always keeps, rate tracks weight") {
+    val df = spark.range(50000).toDF("id")
+      .withColumn("w", col("id") % 4) // weights 0..3
+    // perMillionPerUnit 500000: w=0 -> never, w>=2 -> always, w=1 -> ~50%
+    val kept = Sampling.weightedSample(df, "id", col("w"), 500000L)
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0L))
+    assert(kept(2L) == 12500L && kept(3L) == 12500L)
+    assert(math.abs(kept(1L) / 12500.0 - 0.5) < 0.05, kept)
+    // deterministic: identical kept set across runs
+    val a = Sampling.weightedSample(df, "id", col("w"), 500000L)
+      .agg(sum("id")).head.getLong(0)
+    val b = Sampling.weightedSample(df, "id", col("w"), 500000L)
+      .agg(sum("id")).head.getLong(0)
+    assert(a == b)
+  }
+
   test("splitByHash: disjoint, exhaustive, weight-proportional") {
     val df = spark.range(50000).toDF("id")
     val out = Sampling.splitByHash(df, "id",
