@@ -601,6 +601,69 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // Markov transition model over user event streams (session-flow
+    // analytics, the statistics a next-event baseline trains on): per-user
+    // ordered (event, next-event) pairs roll up to global transition
+    // counts plus the conditional probability within each source state.
+    // One user exchange for the pairing lead; the count aggregate
+    // map-side-combines down to |types|² rows before its (tiny) exchange;
+    // p = n/total is one exact long/long division per output row, the
+    // identical double in any engine.
+    "event_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Leakage-free dataset split: the split key is the GROUP (user), not
+    // the row — every event of a user lands in the same split, the rule
+    // that keeps one user's history out of both train and test.
+    // Assignment is the same zero-shuffle keyed hash as sample_split,
+    // applied to user_id; the only exchange is the per-split summary
+    // aggregate (the id checksum makes membership, not just sizes,
+    // oracle-checked).
+    "group_split_leakfree" -> { (s, d) =>
+      graft.ops.Sampling.splitByHash(Tables.events(s, d), "user_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_event_id"))
+        .orderBy("split")
+    },
+
+    // Recency-weighted user features (time-decay aggregation — the
+    // engagement-score shape): each event contributes value·2^-age_days,
+    // decay floored at 10 days. The aggregate is EXACT integer
+    // arithmetic end to end — cents × the power-of-two weight 2^(10-d) —
+    // emitted in those integer units (score = units/102400.0 is a
+    // client-side constant rescale; u/102400 has 12 fractional decimal
+    // digits, so a rounded-double column would sit on round-tie
+    // boundaries). Single map-side-combined user aggregate.
+    "time_decay_features" -> { (s, d) =>
+      val ref = lit("2024-01-31").cast("date")
+      val ageD = least(greatest(
+        datediff(ref, col("ts").cast("date")), lit(0)), lit(10))
+      Tables.events(s, d)
+        .withColumn("units",
+          round(col("value") * 100).cast("long") *
+            pow(lit(2), lit(10) - ageD).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("units")).as("decay_units"))
+        .orderBy("user_id")
+    },
+
     // Batch MERGE (CDC apply): fold the post-cutoff half of the event log
     // into the pre-cutoff per-user state snapshot — latest change per key
     // wins the batch, a terminal 'error' event is the delete tombstone.
@@ -2878,6 +2941,49 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // Same lead pairing; n/sum(n) is the same exact rational in both
+    // engines, so the rounded double matches bit-for-bit.
+    "event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*) AS n FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // The sample_split hash on user_id instead of the row id.
+    "group_split_leakfree" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN b < 800000 THEN 'train'
+        |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT user_id, event_id,
+        |          (user_id * 2654435761) % 4294967296 % 1000000 AS b
+        |        FROM events))
+        |SELECT split, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // Identical integer units (cents × 2^(10-d)); power(2, int) is exact
+    // in double, so the unit column is the same integer in both engines.
+    "time_decay_features" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) *
+        |      CAST(power(2, 10 - least(greatest(
+        |        date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'),
+        |        0), 10)) AS BIGINT) AS units
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(units) AS BIGINT) AS decay_units
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same windows/cutoff arithmetic; the merge arms are the NOT IN
     // (anti) survivors plus the non-tombstone winners.

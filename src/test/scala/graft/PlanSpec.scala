@@ -363,4 +363,32 @@ class PlanSpec extends SparkSpec {
     // task ever buffers a stop-word's complete posting set
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
+
+  test("event transitions: user lead + pair aggregate + prev window, no join") {
+    val plan = SparkEntry.queries("event_transitions")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // exchanges: hashpartitioning(user_id) for the lead, the pair
+    // aggregate's tiny exchange (partial combine collapses to |types|^2
+    // rows first), and hashpartitioning(prev_type) for the probability
+    // window — never a join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3,
+      s"unexpected exchange count:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Join"), s"join crept in:\n$plan")
+  }
+
+  test("leak-free group split and decay features: assignment/weights add no exchange") {
+    val split = SparkEntry.queries("group_split_leakfree")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // split label is a scan-level expression; the distinct-count rewrite
+    // (expand) pays the aggregate's own exchanges only — no join anywhere
+    assert(!split.contains("Join"), s"split joined a lookup:\n$split")
+    val decay = SparkEntry.queries("time_decay_features")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the decay weight is in-row arithmetic: one user aggregate exchange
+    assert("Exchange hashpartitioning".r.findAllIn(decay).length == 1,
+      s"extra shuffle:\n$decay")
+    assert(decay.contains("partial_count"), s"no map-side combine:\n$decay")
+    assert(!decay.contains("Join"), s"decay joined:\n$decay")
+  }
 }
