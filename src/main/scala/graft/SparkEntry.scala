@@ -601,6 +601,22 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // Tokenizer training, iteration 0: the BPE pair statistics every
+    // merge decision reads — adjacent character-pair counts weighted by
+    // word frequency, top-20 by (count desc, pair). The Sennrich ACL'16
+    // collapse: statistics run over the DISTINCT word table (one corpus
+    // exchange for word counts; the pair explosion touches
+    // vocabulary-sized data only), and the top-k is a per-partition heap
+    // (TakeOrderedAndProject), never a full sort. The full merge loop is
+    // ops/Bpe.trainMerges (spec-tested); each extra iteration repeats
+    // this query's vocabulary-sized tail.
+    "bpe_merge_step" -> { (s, d) =>
+      graft.ops.Bpe.pairCounts(
+          graft.ops.Bpe.wordTable(Tables.documents(s, d), "text"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(20)
+    },
+
     // Markov transition model over user event streams (session-flow
     // analytics, the statistics a next-event baseline trains on): per-user
     // ordered (event, next-event) pairs roll up to global transition
@@ -2941,6 +2957,21 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // Same distinct-word collapse; (cnt desc, pair) totally orders, so
+    // the LIMIT 20 set is identical in both engines.
+    "bpe_merge_step" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+        |                 for i in range(1, length(word))]) AS pair, n
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // Same lead pairing; n/sum(n) is the same exact rational in both
     // engines, so the rounded double matches bit-for-bit.

@@ -364,6 +364,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
+  test("bpe pair stats: distinct-word collapse, heap top-k, no join") {
+    val plan = SparkEntry.queries("bpe_merge_step")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // corpus pays one word exchange (partial counts combine map-side);
+    // the pair aggregate runs over vocabulary-sized data; top-20 is a
+    // per-partition heap, never a global sort
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+    assert(!plan.contains("Join"), s"join crept in:\n$plan")
+  }
+
   test("event transitions: user lead + pair aggregate + prev window, no join") {
     val plan = SparkEntry.queries("event_transitions")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
