@@ -601,6 +601,26 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // Graph centrality over the kNN similarity graph: two integer-exact
+    // PageRank iterations (micro-unit ranks, damping 0.85 as the exact
+    // rule 150000 + (85·Σ floor(r/outdeg)) div 100) over the same
+    // within-cell top-3 edge set as embed_knn_graph. Each iteration is
+    // one equality join on src + one map-side-combined dst aggregate —
+    // graph-keyed shuffles only, nothing driver-side; all-integer
+    // arithmetic means no float drift between engines or retries.
+    "pagerank_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select(col("src"), col("dst"))
+      graft.ops.PageRank.iterate(
+          emb.select(col("vec_id").as("id")), edges, iters = 2)
+        .select(col("id").as("vec_id"), col("rank").as("pagerank_micro"))
+        .orderBy("vec_id")
+    },
+
     // Tokenizer training, iteration 0: the BPE pair statistics every
     // merge decision reads — adjacent character-pair counts weighted by
     // word frequency, top-20 by (count desc, pair). The Sennrich ACL'16
@@ -2957,6 +2977,63 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // The embed_knn_graph edge CTE (same cell assignment + within-cell
+    // top-3), then the two damped iterations as pure integer arithmetic
+    // (// is floor division; nonneg operands make it truncation, same as
+    // Spark's div).
+    "pagerank_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |n AS (SELECT vec_id AS id FROM embeddings),
+        |in1 AS (
+        |  SELECT e.dst, CAST(sum(1000000 // d.outdeg) AS BIGINT) AS inu
+        |  FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.id,
+        |    150000 + (85 * COALESCE(in1.inu, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN in1 ON n.id = in1.dst),
+        |in2 AS (
+        |  SELECT e.dst, CAST(sum(r1.rank // d.outdeg) AS BIGINT) AS inu
+        |  FROM e JOIN deg d ON e.src = d.src
+        |  JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.id,
+        |    150000 + (85 * COALESCE(in2.inu, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN in2 ON n.id = in2.dst)
+        |SELECT id AS vec_id, CAST(rank AS BIGINT) AS pagerank_micro
+        |FROM r2 ORDER BY vec_id""".stripMargin,
 
     // Same distinct-word collapse; (cnt desc, pair) totally orders, so
     // the LIMIT 20 set is identical in both engines.

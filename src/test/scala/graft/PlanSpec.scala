@@ -364,6 +364,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
+  test("pagerank: equality joins only, map-side-combined contribution sums") {
+    val plan = SparkEntry.queries("pagerank_knn")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the centroid argmax assignment keeps the knn edge build cartesian-
+    // free, and both damped iterations join ranks to edges by key
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+  }
+
   test("bpe pair stats: distinct-word collapse, heap top-k, no join") {
     val plan = SparkEntry.queries("bpe_merge_step")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
