@@ -601,6 +601,31 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // Count-min sketch heavy hitters: token frequencies summarized into a
+    // 4×512 integer sketch, the top-10 exact heavy hitters point-queried
+    // against it. The sketch never under-counts (over_ok) and the excess
+    // stays inside 2N/w (bound_ok) — both re-asserted by the oracle,
+    // which rebuilds the identical sketch from the md5 bucket hash. One
+    // corpus token exchange; everything downstream is vocabulary- or
+    // sketch-sized; at 100 TB the sketch is the shippable summary
+    // (mergeable cell-wise across partitions and days).
+    "countmin_heavy_hitters" -> { (s, d) =>
+      val (w, dRows) = (512, 4)
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val tot = toks.agg(sum(col("n")).as("big_n"))
+      val sk = graft.ops.CountMin.sketch(toks, "token", "n", w, dRows)
+      val top = toks.orderBy(desc("n"), asc("token")).limit(10)
+      graft.ops.CountMin.estimate(top, sk, "token", w, dRows)
+        .crossJoin(broadcast(tot))
+        .select(col("token"), col("n"), col("est"),
+          (col("est") >= col("n")).as("over_ok"),
+          ((col("est") - col("n")) * w <= col("big_n") * 2).as("bound_ok"))
+        .orderBy("token")
+    },
+
     // Graph centrality over the kNN similarity graph: two integer-exact
     // PageRank iterations (micro-unit ranks, damping 0.85 as the exact
     // rule 150000 + (85·Σ floor(r/outdeg)) div 100) over the same
@@ -2977,6 +3002,33 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // Identical sketch rebuild: md5_number_upper % 512 is the same
+    // low-9-bit reduction as the signed pmod (512 divides 2^64), so every
+    // cell, estimate, and bound boolean matches bit-for-bit.
+    "countmin_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS token FROM documents),
+        |tc AS (SELECT token, count(*) AS n FROM tok
+        |       WHERE token <> '' GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM tc),
+        |coords AS (
+        |  SELECT token, n, t.r,
+        |    CAST(md5_number_upper(CAST(t.r AS VARCHAR) || '|' || token)
+        |         % 512 AS BIGINT) AS bucket
+        |  FROM tc, range(0, 4) t(r)),
+        |sk AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cell
+        |       FROM coords GROUP BY r, bucket),
+        |top AS (SELECT token FROM tc ORDER BY n DESC, token LIMIT 10),
+        |est AS (
+        |  SELECT c.token, c.n, min(s.cell) AS est
+        |  FROM coords c JOIN sk s ON c.r = s.r AND c.bucket = s.bucket
+        |  WHERE c.token IN (SELECT token FROM top)
+        |  GROUP BY c.token, c.n)
+        |SELECT token, n, est, est >= n AS over_ok,
+        |  (est - n) * 512 <= 2 * big_n AS bound_ok
+        |FROM est, tot ORDER BY token""".stripMargin,
 
     // The embed_knn_graph edge CTE (same cell assignment + within-cell
     // top-3), then the two damped iterations as pure integer arithmetic
