@@ -86,6 +86,16 @@ object SparkEntry {
   private val stagedIdem =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the ORC ingestion fixture (documents round-tripped
+    * through the third interchange format). */
+  private val stagedOrc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Staging for the hive-partitioned events layout (directory per
+    * event_type, the partition-pruning read path). */
+  private val stagedPart =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -233,6 +243,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"))
         .orderBy("lang")
+    },
+
+    // ORC ingestion, the third interchange format (the columnar one):
+    // documents round-trip through ORC with a declared schema, and the
+    // read-side filter must reach the ORC reader as a pushed predicate
+    // (PlanSpec pins it) — stripe/row-group statistics skip cold data at
+    // scale exactly like parquet. Per-lang counts + id/char/text-length
+    // sums prove the round-trip lossless.
+    "orc_ingest" -> { (s, d) =>
+      val inDir = stagedOrc.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_orc").toString
+          Tables.documents(s, d).write.orc(s"$tmp/in")
+          s"$tmp/in"
+        })
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .orc(inDir)
+        .filter(col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    },
+
+    // The table-layout read path at 100 TB: events written once as a
+    // hive-partitioned directory tree (partition column = event_type),
+    // then a two-partition read whose filter prunes at PLANNING time —
+    // the scan lists only the matching directories (PlanSpec pins the
+    // PartitionFilters; a filter that runs post-scan would read every
+    // partition). Value sums in integer cents, exact in any engine.
+    "partitioned_pruned_read" -> { (s, d) =>
+      val root = stagedPart.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_part").toString
+          Tables.events(s, d).write.partitionBy("event_type")
+            .parquet(s"$tmp/t")
+          s"$tmp/t"
+        })
+      s.read.parquet(root)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("event_type")
     },
 
     // CSV ingestion with quarantine, the second interchange format:
@@ -3177,6 +3237,26 @@ object SparkEntry {
         |FROM documents GROUP BY lang
         |UNION ALL SELECT '__corrupt', 3, 0
         |ORDER BY lang""".stripMargin,
+
+    // Lossless ORC round-trip under the pushed filter: the same
+    // aggregate straight off the parquet table.
+    "orc_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The partition-pruned two-type aggregate, straight off events;
+    // cents are exact integers in both engines.
+    "partitioned_pruned_read" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same lossless-round-trip check as jsonl_ingest, widened to every
     // column: the CSV scan must recover every row and field and

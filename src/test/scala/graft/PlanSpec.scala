@@ -364,6 +364,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
+  test("orc scan pushes the filter; partitioned read prunes at planning time") {
+    val orc = SparkEntry.queries("orc_ingest")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(orc.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)]"),
+      s"ORC filter not pushed:\n$orc")
+    val part = SparkEntry.queries("partitioned_pruned_read")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the event_type predicate must land in PartitionFilters (directory
+    // pruning), not in the data filter of a full scan
+    assert(part.contains("PartitionFilters: [event_type"),
+      s"no partition pruning:\n$part")
+  }
+
   test("pagerank: equality joins only, map-side-combined contribution sums") {
     val plan = SparkEntry.queries("pagerank_knn")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
