@@ -661,6 +661,40 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // One label-propagation step over the kNN similarity graph — the
+    // semi-supervised labeling / weak-supervision pass: every vector
+    // takes the majority label of its top-3 in-cell neighbours
+    // (tie-break: smaller label id), isolated vectors keep their own.
+    // Vote counts are integers and the winner is a WindowGroupLimit-style
+    // rank over (votes desc, label), so the step is deterministic in any
+    // engine; one equality join to fetch neighbour labels + one
+    // src-keyed aggregate — graph-sized work, no vectors after the join.
+    "label_propagation" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(
+          emb.select(col("vec_id"), col("embedding")), cents, k = 3)
+        .select(col("src"), col("dst"))
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val votes = edges
+        .join(lbl.select(col("vec_id").as("dst"), col("label").as("nb_label")),
+          "dst")
+        .groupBy(col("src"), col("nb_label")).agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("src")).orderBy(desc("v"), asc("nb_label"))
+      val prop = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("nb_label"))
+      lbl.join(prop, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("nb_label"), col("label")).as("prop_label"),
+          (coalesce(col("nb_label"), col("label")) =!= col("label"))
+            .as("changed"))
+        .orderBy("vec_id")
+    },
+
     // Count-min sketch heavy hitters: token frequencies summarized into a
     // 4×512 integer sketch, the top-10 exact heavy hitters point-queried
     // against it. The sketch never under-counts (over_ok) and the excess
@@ -3062,6 +3096,54 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // The embed_knn_graph edge CTE, then integer majority votes with the
+    // same (votes desc, label) tie rule.
+    "label_propagation" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |v AS (
+        |  SELECT e.src, l.label AS nb_label, count(*) AS v
+        |  FROM e JOIN embeddings l ON e.dst = l.vec_id GROUP BY 1, 2),
+        |w AS (
+        |  SELECT src, nb_label FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY src
+        |                             ORDER BY v DESC, nb_label) = 1)
+        |SELECT m.vec_id, m.label,
+        |  COALESCE(w.nb_label, m.label) AS prop_label,
+        |  COALESCE(w.nb_label, m.label) <> m.label AS changed
+        |FROM embeddings m LEFT JOIN w ON m.vec_id = w.src
+        |ORDER BY vec_id""".stripMargin,
 
     // Identical sketch rebuild: md5_number_upper % 512 is the same
     // low-9-bit reduction as the signed pmod (512 divides 2^64), so every
