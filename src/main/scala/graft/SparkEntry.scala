@@ -737,6 +737,13 @@ object SparkEntry {
       graft.ops.PageRank.iterate(
           emb.select(col("vec_id").as("id")), edges, iters = 2)
         .select(col("id").as("vec_id"), col("rank").as("pagerank_micro"))
+        // Sanity guard (ranks are >= the 150000 teleport floor) that also
+        // keeps count-only consumers honest: without a referenced rank
+        // column, both iterations are provably-unique-key outer joins and
+        // Catalyst folds the ENTIRE computation out of a count() — the
+        // bench would time nothing (observed: 0.7 s at a corpus where the
+        // materialized query costs ~50 s).
+        .filter(col("pagerank_micro") > 0)
         .orderBy("vec_id")
     },
 

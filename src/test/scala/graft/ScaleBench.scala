@@ -101,6 +101,36 @@ object ScaleBench {
           col("embedding").as("centroid"))
       graft.ops.KnnGraph.inCells(emb, cents, k = 3)
     }
+    // Graph passes over the kNN edge set at the same cells ∝ n rule: the
+    // edge build dominates; the per-iteration joins/aggregates are
+    // edge-table-linear. The rank guard mirrors the driver query (without
+    // a referenced rank column the unique-key outer joins fold out of
+    // count() and the timing is vacuous).
+    time(s"pagerank_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select(col("src"), col("dst"))
+      graft.ops.PageRank.iterate(
+          emb.select(col("vec_id").as("id")), edges, iters = 2)
+        .filter(col("rank") > 0)
+    }
+    time(s"labelprop_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select(col("src"), col("dst"))
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val votes = edges
+        .join(lbl.select(col("vec_id").as("dst"), col("label").as("nb_label")),
+          "dst")
+        .groupBy(col("src"), col("nb_label")).agg(count(lit(1)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(desc("v"), asc("nb_label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
 
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
