@@ -91,6 +91,11 @@ object SparkEntry {
   private val stagedOrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the schema-evolution fixture (two parquet batches with
+    * different schemas under one root). */
+  private val stagedEvo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the hive-partitioned events layout (directory per
     * event_type, the partition-pruning read path). */
   private val stagedPart =
@@ -242,6 +247,57 @@ object SparkEntry {
         .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang"))
         .agg(count(lit(1)).as("n_rows"),
           coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"))
+        .orderBy("lang")
+    },
+
+    // Data profiling (the ANALYZE pass a catalog runs before planning):
+    // per-column null counts, exact distinct cardinalities, and min/max
+    // rendered as strings — in ONE scan of the table. The five exact
+    // distincts share a single Expand-based aggregate (row multiplication
+    // ×|columns|, still one pass over 100 TB, and each is map-side
+    // partially aggregated); the per-column rows come from a stack()
+    // unpivot of the 1-row aggregate, not five scans.
+    "table_profile" -> { (s, d) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val statCols = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      val one = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"), statCols: _*)
+      val stackArgs = cols
+        .map(c => s"'$c', n_rows, nulls_$c, nd_$c, min_$c, max_$c")
+        .mkString(", ")
+      one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)")
+        .orderBy("col_name")
+    },
+
+    // Schema evolution on the lake: an early batch wrote (doc_id, lang),
+    // a later one added n_chars; mergeSchema unifies them at read time
+    // (old rows surface NULL for the added column) while the batch=N
+    // directory key doubles as a partition column. The aggregate proves
+    // no row or value was lost or misattributed across the schema break.
+    "schema_evolution_read" -> { (s, d) =>
+      val root = stagedEvo.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_evo").toString
+          val docs = Tables.documents(s, d)
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang"))
+            .write.parquet(s"$tmp/t/batch=0")
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .write.parquet(s"$tmp/t/batch=1")
+          s"$tmp/t"
+        })
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
         .orderBy("lang")
     },
 
@@ -3326,6 +3382,45 @@ object SparkEntry {
         |FROM documents GROUP BY lang
         |UNION ALL SELECT '__corrupt', 3, 0
         |ORDER BY lang""".stripMargin,
+
+    // One UNION arm per column, same native-type min/max rendered as
+    // text; every statistic is integer- or string-exact.
+    "table_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_str,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*),
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT text), min(text), max(text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY col_name""".stripMargin,
+
+    // The schema break reconstructed from the full table: even doc_ids
+    // were written without n_chars, so they count rows but no values.
+    "schema_evolution_read" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Lossless ORC round-trip under the pushed filter: the same
     // aggregate straight off the parquet table.

@@ -364,6 +364,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
+  test("table profile: all per-column stats come from ONE scan") {
+    val plan = SparkEntry.queries("table_profile")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // five exact count-distincts share a single Expand aggregate over a
+    // single file scan; the per-column rows are a stack() unpivot of the
+    // 1-row result — never five passes over the table
+    assert("FileScan".r.findAllIn(plan).length == 1, s"multiple scans:\n$plan")
+    assert(plan.contains("Expand"), s"no multi-distinct expand:\n$plan")
+  }
+
   test("orc scan pushes the filter; partitioned read prunes at planning time") {
     val orc = SparkEntry.queries("orc_ingest")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
