@@ -96,6 +96,11 @@ object SparkEntry {
   private val stagedEvo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the streaming session-window fixture (events keyed by
+    * user plus a far-future sentinel that flushes the final sessions). */
+  private val stagedSess =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the hive-partitioned events layout (directory per
     * event_type, the partition-pruning read path). */
   private val stagedPart =
@@ -220,6 +225,53 @@ object SparkEntry {
         .select(col("event_type"), tsStr(col("ts")).as("ts"),
           col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("event_type", "ts")
+    },
+
+    // Streaming gap sessionization: session_window(ts, 30 min) merges
+    // each user's events into variable-length sessions in STREAMING
+    // state (append mode, watermark-driven emission — a session emits
+    // only once the watermark proves no event can extend it; the
+    // sentinel advances the watermark past every real session). The
+    // emitted set must equal the batch lag-based gap sessionization —
+    // same [start, last+gap) windows, boundary event at exactly +gap
+    // starts a NEW session in both formulations. The event-id checksum
+    // makes session MEMBERSHIP, not just counts, oracle-checked.
+    "streaming_session_window" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedSess.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_sess").toString
+          val ev = Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_id"))
+          ev.write.parquet(s"$tmp/in")
+          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
+            .withColumn("user_id", lit(-1L))
+            .withColumn("event_id", lit(-1L))
+            .write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_id BIGINT")
+        .parquet(inDir)
+      val sessions = src
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_event_id"))
+      val qn = s"streaming_sess_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        sessions.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          tsStr(col("session_window.start")).as("session_start"),
+          tsStr(col("session_window.end")).as("session_end"),
+          col("n_events"), col("sum_event_id"))
+        .orderBy("user_id", "session_start")
     },
 
     // JSONL ingestion with corrupt-record quarantine: the documents table
@@ -2414,6 +2466,30 @@ object SparkEntry {
     // sentinel closes every real window — same oracle as the batch query.
     "streaming_5m_ohlcv" -> ohlcvOracle
       .replace("%BUCKET%", "INTERVAL '5 minutes'").replace("%OFF%", ""),
+
+    // Batch gap sessionization with session_window's boundary rule
+    // (an event at exactly prev+gap opens a NEW session — windows are
+    // [start, last+gap) half-open), session end = last event + gap.
+    "streaming_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS <= ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 1800 SECONDS,
+        |           '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM idx GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,
