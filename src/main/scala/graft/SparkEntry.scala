@@ -769,6 +769,30 @@ object SparkEntry {
         .orderBy("user_id", "step")
     },
 
+    // RAG diversity re-ranking: exact top-8 ANN candidates per query
+    // (self excluded) re-ordered by maximal marginal relevance (λ=0.5,
+    // 3 picks) so near-duplicate passages don't crowd the context
+    // window. Sequential only in the pick dimension (3 unrolled
+    // candidate-sized stages), parallel across queries; relevance and
+    // pairwise sims enter the score rounded to 6 decimals, so the
+    // greedy argmax is reproducible in any engine (ranks are emitted,
+    // scores stay internal).
+    "rag_mmr_rerank" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val top = graft.ops.Similarity.topKBruteForce(
+          emb.join(q.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_anti"),
+          q, k = 8)
+      val cand = top
+        .select(col("query_id"), col("vec_id"), col("sim").as("rel"))
+        .join(emb, "vec_id")
+        .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+      graft.ops.Mmr.rerank(cand, picks = 3, lambda = 0.5)
+        .select(col("query_id"), col("mmr_rank"), col("vec_id"))
+        .orderBy("query_id", "mmr_rank")
+    },
+
     // One label-propagation step over the kNN similarity graph — the
     // semi-supervised labeling / weak-supervision pass: every vector
     // takes the majority label of its top-3 in-cell neighbours
@@ -3235,6 +3259,73 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE step >= 4 AND label IS NOT NULL
         |ORDER BY user_id, step""".stripMargin,
+
+    // Same candidate set (top-8 by raw cosine, self excluded, rounded
+    // rel), pairwise sims among candidates, then the three greedy picks
+    // unrolled; all score inputs are the identical rounded doubles.
+    "rag_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT q.query_id, a.vec_id, a.embedding,
+        |    list_sum([a.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)]))) AS rawsim
+        |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id, round(rawsim, 6) AS rel FROM (
+        |    SELECT query_id, vec_id, rawsim,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY rawsim DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 8),
+        |pw AS (
+        |  SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+        |    round(list_sum([e1.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
+        |              for i in range(1, len(e1.embedding) + 1)]) /
+        |    (sqrt(list_sum([e1.embedding[i]::DOUBLE * e1.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e1.embedding) + 1)])) *
+        |     sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e2.embedding) + 1)]))), 6) AS s
+        |  FROM cand c1 JOIN cand c2
+        |    ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+        |  JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+        |  JOIN embeddings e2 ON e2.vec_id = c2.vec_id),
+        |p1 AS (
+        |  SELECT query_id, vec_id, rel FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY rel DESC, vec_id) = 1),
+        |s2 AS (
+        |  SELECT c.query_id, c.vec_id, c.rel,
+        |    0.5 * c.rel - 0.5 * w1.s AS score
+        |  FROM cand c
+        |  JOIN p1 ON c.query_id = p1.query_id AND c.vec_id <> p1.vec_id
+        |  JOIN pw w1 ON w1.query_id = c.query_id AND w1.a = c.vec_id
+        |             AND w1.b = p1.vec_id),
+        |p2 AS (
+        |  SELECT query_id, vec_id, rel FROM s2
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY score DESC, vec_id) = 1),
+        |s3 AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    0.5 * c.rel - 0.5 * greatest(w1.s, w2.s) AS score
+        |  FROM cand c
+        |  JOIN p1 ON c.query_id = p1.query_id AND c.vec_id <> p1.vec_id
+        |  JOIN p2 ON c.query_id = p2.query_id AND c.vec_id <> p2.vec_id
+        |  JOIN pw w1 ON w1.query_id = c.query_id AND w1.a = c.vec_id
+        |             AND w1.b = p1.vec_id
+        |  JOIN pw w2 ON w2.query_id = c.query_id AND w2.a = c.vec_id
+        |             AND w2.b = p2.vec_id),
+        |p3 AS (
+        |  SELECT query_id, vec_id FROM s3
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY score DESC, vec_id) = 1)
+        |SELECT query_id, 1 AS mmr_rank, vec_id FROM p1
+        |UNION ALL SELECT query_id, 2, vec_id FROM p2
+        |UNION ALL SELECT query_id, 3, vec_id FROM p3
+        |ORDER BY query_id, mmr_rank""".stripMargin,
 
     // The embed_knn_graph edge CTE, then integer majority votes with the
     // same (votes desc, label) tie rule.
