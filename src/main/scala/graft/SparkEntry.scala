@@ -879,6 +879,67 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Word co-occurrence table (the SGNS/GloVe training substrate):
+    // unordered token pairs within a ±2-position window, canonicalized
+    // (least, greatest), with per-token marginals — the integer
+    // statistics PMI/lift derive from (emitted as exact counts; no
+    // log/float leaves the query). Pair generation is a pure in-row
+    // array expression (no self-join on position), so the corpus pays
+    // one pair-level exchange with map-side combine; marginals join
+    // broadcast-sized vocabulary counts.
+    "cooccurrence_window" -> { (s, d) =>
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val pairs = Tables.documents(s, d)
+        .select(explode(flatten(transform(sequence(lit(1), size(t)), i =>
+          filter(transform(sequence(lit(1), lit(2)), off =>
+            when(i + off <= size(t),
+              struct(least(element_at(t, i), element_at(t, (i + off).cast("int")))
+                  .as("a"),
+                greatest(element_at(t, i), element_at(t, (i + off).cast("int")))
+                  .as("b")))),
+            p => p.isNotNull)))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val tokc = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(tokc.select(col("tok").as("a"), col("n").as("n_a"))), "a")
+        .join(broadcast(tokc.select(col("tok").as("b"), col("n").as("n_b"))), "b")
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"))
+        .orderBy("a", "b")
+    },
+
+    // Incremental materialized-view maintenance: yesterday's aggregate
+    // STATE merged with today's delta must equal the direct aggregate
+    // over everything — the partial-aggregate mergeability that makes
+    // per-day incremental pipelines correct (counts and integer-cent
+    // sums are both associative merges; the oracle computes the direct
+    // form, so a green hash IS the merge-equals-recompute proof).
+    "incremental_agg_merge" -> { (s, d) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def part(f: Column) = ev.filter(f).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      part(col("ts") < cutoff).unionByName(part(col("ts") >= cutoff))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+        .orderBy("event_type")
+    },
+
+    // Exact-k per-stratum sampling (reservoir semantics, deterministic):
+    // exactly 3 documents per language by keyed-hash rank — the
+    // fixed-budget variant fraction sampling can't give you. The rank
+    // executes as a WindowGroupLimit (per-partition heaps), so no
+    // language's documents ever gather into one task for a full sort.
+    "sample_k_per_group" -> { (s, d) =>
+      graft.ops.Sampling.exactKPerGroup(
+          Tables.documents(s, d), "doc_id", "lang", k = 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Tokenizer training, iteration 0: the BPE pair statistics every
     // merge decision reads — adjacent character-pair counts weighted by
     // word frequency, top-20 by (count desc, pair). The Sennrich ACL'16
@@ -3458,6 +3519,45 @@ object SparkEntry {
         |  FROM n LEFT JOIN in2 ON n.id = in2.dst)
         |SELECT id AS vec_id, CAST(rank AS BIGINT) AS pagerank_micro
         |FROM r2 ORDER BY vec_id""".stripMargin,
+
+    // Position/offset expansion via scalar range + unnest; same
+    // canonical (least, greatest) pairs and integer marginals.
+    "cooccurrence_window" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |pos AS (SELECT tk, unnest(range(1, len(tk) + 1)) AS i FROM t),
+        |pr AS (
+        |  SELECT least(tk[i], tk[i + o]) AS a,
+        |         greatest(tk[i], tk[i + o]) AS b
+        |  FROM (SELECT tk, i, unnest([1, 2]) AS o FROM pos)
+        |  WHERE i + o <= len(tk)),
+        |cnt AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+        |tokc AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(tk) AS tok FROM t) GROUP BY tok)
+        |SELECT c.a, c.b, c.n_ab, ta.n AS n_a, tb.n AS n_b
+        |FROM cnt c JOIN tokc ta ON ta.tok = c.a
+        |JOIN tokc tb ON tb.tok = c.b
+        |ORDER BY a, b""".stripMargin,
+
+    // The DIRECT aggregate — merge-equals-recompute is the claim under
+    // test, so the oracle deliberately takes the other route.
+    "incremental_agg_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same keyed-hash rank, first 3 per language.
+    "sample_k_per_group" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296 % 1000000,
+        |               doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, doc_id""".stripMargin,
 
     // Same distinct-word collapse; (cnt desc, pair) totally orders, so
     // the LIMIT 20 set is identical in both engines.

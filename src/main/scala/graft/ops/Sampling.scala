@@ -60,6 +60,22 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) <
       least(lit(1000000L), weight.cast("long") * lit(perMillionPerUnit)))
 
+  /** Exact-k uniform sample WITHOUT replacement per group (reservoir
+    * semantics, deterministically): rank rows inside each group by the
+    * keyed hash (ties by key) and keep the first k. Unlike the
+    * fraction-based [[sample]], group sizes are exact; the rank runs as a
+    * WindowGroupLimit, so per-partition heaps trim to k before the
+    * group's rows ever sort fully — no group materializes in one task.
+    */
+  def exactKPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Disjoint, exhaustive split assignment (train/val/test): weights are
     * normalized into cumulative bucket ranges, and each row's bucket picks
     * its split. Every row lands in exactly one split, stable across runs

@@ -364,6 +364,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
+  test("cooccurrence: in-row pair expansion, broadcast marginals, heap-free aggregate") {
+    val plan = SparkEntry.queries("cooccurrence_window")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // pair generation is an array expression (no position self-join);
+    // the only joins are the two broadcast marginal lookups
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pair generation shuffled a join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, s"marginals:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+
+  test("exact-k per group runs as a WindowGroupLimit") {
+    val plan = SparkEntry.queries("sample_k_per_group")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("WindowGroupLimit"), s"k-cap not pushed down:\n$plan")
+  }
+
   test("table profile: all per-column stats come from ONE scan") {
     val plan = SparkEntry.queries("table_profile")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))

@@ -45,6 +45,19 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactKPerGroup: exactly k per group, deterministic, uniform-ish") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("g", (col("id") % 7).cast("string"))
+    val out = Sampling.exactKPerGroup(df, "id", "g", k = 5).cache()
+    val sizes = out.groupBy("g").count().collect()
+    assert(sizes.length == 7 && sizes.forall(_.getLong(1) == 5L))
+    val a = out.agg(sum("id")).head.getLong(0)
+    out.unpersist()
+    val b = Sampling.exactKPerGroup(df.repartition(13), "id", "g", 5)
+      .agg(sum("id")).head.getLong(0)
+    assert(a == b) // partitioning-independent membership
+  }
+
   test("splitByHash: disjoint, exhaustive, weight-proportional") {
     val df = spark.range(50000).toDF("id")
     val out = Sampling.splitByHash(df, "id",
