@@ -641,6 +641,56 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Leave-one-out target encoding (the categorical-feature encoding
+    // that avoids self-leakage): each event's feature for its type is
+    // (type target sum − own target, type count − 1), emitted as the
+    // exact integer numerator/denominator pair — the downstream division
+    // is the consumer's one deterministic op, and no float ever crosses
+    // the engine boundary. One tiny type aggregate broadcast back onto
+    // the stream; per-row arithmetic after, no second corpus exchange.
+    "target_encoding_loo" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("tn"), sum(col("cents")).as("tsum"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (col("tsum") - col("cents")).as("enc_num"),
+          (col("tn") - 1).as("enc_den"))
+        .orderBy("event_id")
+    },
+
+    // Equi-width histogram (the profiling/optimizer statistic): 10 bins
+    // per event type over a global [floor(min), ceil(max)] range — the
+    // 1-row range broadcast makes binning a per-row expression, and the
+    // bin arithmetic runs on identical doubles in any engine (floor of
+    // the same quotient), so the integer counts match exactly.
+    "value_histogram" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val rng = ev.agg(floor(min(col("value"))).cast("double").as("lo"),
+        ceil(max(col("value"))).cast("double").as("hi"))
+      ev.crossJoin(broadcast(rng))
+        .withColumn("bin", least(
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10)),
+          lit(9L)))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+
+    // k-anonymity audit (data-governance gate before a corpus release):
+    // quasi-identifier buckets (lang, source, 50-char length band) with
+    // fewer than k=5 members re-identify their documents; the audit
+    // emits exactly the violating buckets. One map-side-combined
+    // aggregate over the grouping key.
+    "k_anonymity_audit" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 50").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
+        .orderBy("lang", "source", "len_bucket")
+    },
+
     // Robust anomaly detection: per-type median absolute deviation
     // (MAD) outlier counts at the standard 3σ-equivalent cut
     // (3 · 1.4826 · MAD). Exact interpolated percentiles (the
@@ -3540,6 +3590,37 @@ object SparkEntry {
         |FROM cnt c JOIN tokc ta ON ta.tok = c.a
         |JOIN tokc tb ON tb.tok = c.b
         |ORDER BY a, b""".stripMargin,
+
+    // Same integer cents; the encoding pair is pure integer arithmetic.
+    "target_encoding_loo" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS tn,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tsum
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  tsum - CAST(round(e.value * 100) AS BIGINT) AS enc_num,
+        |  tn - 1 AS enc_den
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // Identical global range and bin quotient (floor of the same double).
+    "value_histogram" ->
+      """WITH rng AS (
+        |  SELECT CAST(floor(min(value)) AS DOUBLE) AS lo,
+        |         CAST(ceil(max(value)) AS DOUBLE) AS hi FROM events)
+        |SELECT event_type,
+        |  CAST(least(floor((value - lo) / ((hi - lo) / 10)), 9) AS BIGINT)
+        |    AS bin,
+        |  count(*) AS n
+        |FROM events, rng GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    // Same quasi-identifier buckets; // is integer division on BIGINT.
+    "k_anonymity_audit" ->
+      """SELECT lang, source, n_chars // 50 AS len_bucket, count(*) AS n
+        |FROM documents GROUP BY lang, source, len_bucket
+        |HAVING count(*) < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     // The DIRECT aggregate — merge-equals-recompute is the claim under
     // test, so the oracle deliberately takes the other route.
