@@ -364,11 +364,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not pushed down:\n$plan")
   }
 
-  test("cooccurrence: in-row pair expansion, broadcast marginals, heap-free aggregate") {
+  test("cooccurrence: lead-window pair expansion, broadcast marginals") {
     val plan = SparkEntry.queries("cooccurrence_window")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
-    // pair generation is an array expression (no position self-join);
-    // the only joins are the two broadcast marginal lookups
+    // pair generation is posexplode + lead windows (no position
+    // self-join); the only joins are the two broadcast marginal lookups
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"pair generation shuffled a join:\n$plan")
     assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, s"marginals:\n$plan")
