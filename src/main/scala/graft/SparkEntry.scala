@@ -838,6 +838,10 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("sim").as("rel"))
         .join(emb, "vec_id")
         .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+        // candidates are (queries × k) rows but every MMR iteration
+        // re-reads them — cache so the corpus-wide ANN scoring runs once,
+        // not once per unrolled pick stage
+        .cache()
       graft.ops.Mmr.rerank(cand, picks = 3, lambda = 0.5)
         .select(col("query_id"), col("mmr_rank"), col("vec_id"))
         .orderBy("query_id", "mmr_rank")
