@@ -2480,6 +2480,103 @@ object SparkEntry {
           (abs(col("__approx") - col("n_users")) <=
             lit(0.15) * col("n_users")).as("within_3rsd"))
         .orderBy("event_type")
+    },
+
+    // Item-item co-occurrence similarity ("users who did A also did B") —
+    // the collaborative-filtering building block. Scale shape: the corpus
+    // collapses to DISTINCT (type, user) once (≤ |users|·|types| rows, one
+    // exchange), the self-join is keyed on user_id so each user emits at
+    // most |types|² pairs, and those partial-aggregate map-side down to a
+    // |types|²-row result before any shuffle; the per-type marginals are
+    // tiny and broadcast. Jaccard = co/(|A|+|B|−co) is a quotient of exact
+    // integers, so the rounded double is bit-identical in any engine.
+    "item_similarity_jaccard" -> { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val co = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("co_users"))
+      co.join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("a_users"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("b_users"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("co_users"),
+          col("a_users"), col("b_users"),
+          round(col("co_users").cast("double") /
+            (col("a_users") + col("b_users") - col("co_users")), 6)
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Deterministic shard manifest — the write-side contract of a training
+    // corpus release: every document routes to shard md5(id) mod 16 (the
+    // oracle-portable hash; mod a power of two, where signed pmod ≡
+    // unsigned %), and the manifest rows carry counts, byte totals and id
+    // checksums a downstream loader re-verifies per shard. One map-side-
+    // combined aggregate; at 100 TB the same expression feeds
+    // repartition(shard) so each shard writes from its own task group.
+    "shard_manifest" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard",
+          pmod(Dedup.md5Hash64(col("doc_id").cast("string")), lit(16L))
+            .cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("shard")
+    },
+
+    // Debounce dedup: collapse bursts of same-(user, type) events arriving
+    // within 10 minutes of the previous one, keeping each burst's first
+    // event — the log-cleaning twin of gap sessionization (a burst IS a
+    // gap session; `keep` marks its opening row). One window exchange on
+    // the composite key; the interval comparison stays in exact
+    // microsecond arithmetic so both engines agree on every boundary. The
+    // output aggregates to per-key counts + kept-id checksums, proving the
+    // kept SET, not just its size.
+    "dedup_debounce" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("keep", col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("event_id")).otherwise(0L))
+            .as("kept_checksum"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // Equi-depth binning: per-type deciles by (value, event_id) — the
+    // discretization/quantile-binning feature transform. ntile's ANSI
+    // split (first n mod 10 buckets take the extra row) is identical in
+    // both engines, and the explicit event_id tie-break makes bucket
+    // membership deterministic even on repeated values. NOTE the scale
+    // trade-off, deliberately documented: ntile is a per-type global sort
+    // (one window exchange; fine while each type fits an executor's
+    // spill budget). When a single group outgrows that, the exact
+    // histogram + prefix-sum form (`percentile_length_filter`,
+    // `winsorize_stats`) computes the same cutoffs without any global
+    // sort — this query demonstrates the window form and its boundary
+    // semantics.
+    "equidepth_deciles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_checksum"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+        .orderBy("event_type", "decile")
     }
   )
 
@@ -4632,6 +4729,69 @@ object SparkEntry {
         |  CAST(coalesce(sum(month_diff) OVER (ORDER BY contract_year_month
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    AS accumulated_diff
-        |FROM monthly ORDER BY contract_year_month""".stripMargin
+        |FROM monthly ORDER BY contract_year_month""".stripMargin,
+
+    // Distinct (type, user), keyed self-join, two marginal joins — the
+    // Jaccard quotient divides two exact integers, so the rounded double
+    // matches the Spark side bit-for-bit.
+    "item_similarity_jaccard" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |co AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS co_users
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT co.type_a, co.type_b, co.co_users,
+        |  sa.n AS a_users, sb.n AS b_users,
+        |  round(co.co_users::DOUBLE / (sa.n + sb.n - co.co_users), 6)
+        |    AS jaccard
+        |FROM co JOIN sz sa ON sa.event_type = co.type_a
+        |JOIN sz sb ON sb.event_type = co.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // md5_number_upper is the established twin of md5Hash64; mod 16 is a
+    // power of two, so the unsigned % equals the signed pmod.
+    "shard_manifest" ->
+      """SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 16 AS INT)
+        |    AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // Burst opener = first row or strict >10-minute gap from the previous
+    // same-key row; exact interval arithmetic in microseconds both sides.
+    "dedup_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |k AS (
+        |  SELECT *,
+        |    (prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE) AS keep
+        |  FROM e)
+        |SELECT user_id, event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS kept_checksum
+        |FROM k GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // ANSI ntile (first n mod 10 buckets take the extra row) with the
+    // same (value, event_id) tie-break; lo/hi are stored parquet doubles
+    // selected (not computed), rounded identically on both sides.
+    "equidepth_deciles" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
   )
 }
