@@ -2577,6 +2577,48 @@ object SparkEntry {
           round(min(col("value")), 6).as("lo"),
           round(max(col("value")), 6).as("hi"))
         .orderBy("event_type", "decile")
+    },
+
+    // Triangle counting over the kNN similarity graph — the community-
+    // density signal (an embedding whose kNN edges close many triangles
+    // sits inside a tight cluster; triangle-free edges are hub artifacts).
+    // Compact-forward scheme: orient edges low→high, wedge-join on the
+    // middle vertex, close against the oriented edge set — each triangle
+    // x<y<z materializes exactly once, wedge work is degree-bounded
+    // (out-degree ≤ k here; see ops/Graph for the power-law orientation
+    // refinement). Exact integer counts; the oracle rebuilds the same
+    // edges from cosines and the same oriented joins.
+    "triangle_count_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      graft.ops.Graph.triangleCounts(graft.ops.Graph.undirected(edges))
+        .orderBy("vertex")
+    },
+
+    // Rolling 7-day distinct users per day — the DAU/WAU-style sliding
+    // distinct, which naive plans answer with one full distinct per day.
+    // Exact sliding-distinct decomposition instead: collapse events to
+    // DISTINCT (user, day) once, fan each row out to the ≤7 window days
+    // it can serve (constant-factor explode, not data-squared), dedupe
+    // (user, window_day), and count. Every exchange is key-partitioned;
+    // the day grid is tiny and broadcast; no global window state. Only
+    // days that actually occur in the data are emitted.
+    "rolling_7d_distinct_users" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wd = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+        .distinct()
+      val grid = ud.select(col("day").as("wday")).distinct()
+      wd.join(broadcast(grid), "wday")
+        .groupBy("wday")
+        .agg(count(lit(1)).as("active_users_7d"))
+        .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+          col("active_users_7d"))
+        .orderBy("day")
     }
   )
 
@@ -4792,6 +4834,65 @@ object SparkEntry {
         |SELECT event_type, decile, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
-        |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
+        |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
+
+    // The embed_knn_graph edge CTE (same cell assignment + within-cell
+    // top-3), canonicalized to oriented a<b edges, then the same
+    // compact-forward wedge join: each triangle x<y<z appears once.
+    "triangle_count_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM u e1 JOIN u e2 ON e1.b = e2.a
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT vertex, count(*) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+        |GROUP BY 1 ORDER BY vertex""".stripMargin,
+
+    // Same sliding-distinct decomposition: distinct (user, day), ≤7-day
+    // fan-out via BETWEEN join against the observed-day grid, count
+    // distinct users per window day.
+    "rolling_7d_distinct_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT u.user_id) AS active_users_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin
   )
 }

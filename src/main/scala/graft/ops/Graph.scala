@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge-list DataFrames — the
+  * complement of [[PageRank]] (centrality) and [[Components]]
+  * (connectivity). Triangle counting is the classic clustering-coefficient
+  * / community-density signal over similarity graphs (a kNN edge whose
+  * endpoints share many neighbours is intra-cluster; one that closes no
+  * triangle is likely a hub artifact worth pruning before label
+  * propagation).
+  *
+  * Scale design (100 TB): the compact-forward / node-iterator scheme —
+  * orient every edge from its lower to its higher vertex, join wedges on
+  * the middle vertex, close them against the oriented edge set. Each
+  * triangle x<y<z is generated exactly once (as the wedge x→y→z closed by
+  * x→z), so no post-hoc division by 3/6. Total wedge work is
+  * Σ_y dlo(y)·dhi(y): for a kNN graph out-degree is capped at k, so
+  * wedges ≤ n·(k+maxIndeg)² stays linear-ish in n; for power-law graphs
+  * the standard refinement is to orient by (degree, id) instead of raw id,
+  * which provably bounds wedge work by O(m^1.5) — the orientation column
+  * is pluggable here via a pre-relabel, the join topology is identical.
+  * Every join is an equality shuffle on a vertex key (no broadcast
+  * assumption: the edge set re-uses its own hash partitioning across the
+  * two joins via ReuseExchange where sizes allow).
+  */
+object Graph {
+
+  /** Canonical undirected edge set (a < b, deduplicated) from a directed
+    * edge list — collapses reciprocal kNN edges to one row.
+    */
+  def undirected(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame =
+    edges.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-vertex triangle participation counts over a canonical (a < b)
+    * edge set; vertices in no triangle are absent. Exact integers.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val e1 = und.select(col("a").as("x"), col("b").as("y"))
+    val e2 = und.select(col("a").as("y"), col("b").as("z"))
+    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    // wedge x<y<z on the middle vertex, closed by the oriented edge (x,z)
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand graph: K4 minus one edge — exact per-vertex triangle counts") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    // Vertices 1,2 sit in both; 3,4 in one each.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(Graph.undirected(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("reversed/duplicate/self edges canonicalize away; triangle-free graph emits nothing") {
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (1L, 3L), (2L, 3L),
+        (3L, 3L))
+      .toDF("src", "dst")
+    assert(Graph.undirected(messy).count() == 3)
+    val got = Graph.triangleCounts(Graph.undirected(messy))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a path closes no triangle
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(Graph.undirected(path)).count() == 0)
+  }
+
+  test("orientation invariance: counts match under a random vertex relabeling") {
+    // 60-vertex circulant graph with chords — triangle counts must not
+    // depend on which endpoint happens to carry the lower id.
+    val edges = spark.range(60).select(col("id").as("src"),
+        ((col("id") + 1) % 60).as("dst"))
+      .unionAll(spark.range(60).select(col("id").as("src"),
+        ((col("id") + 2) % 60).as("dst")))
+    val base = Graph.triangleCounts(Graph.undirected(edges))
+      .agg(sum(col("n_triangles"))).head.getLong(0)
+    // relabel v -> (v * 7 + 11) mod 60 (7 coprime to 60: a bijection)
+    val relabeled = edges.select(((col("src") * 7 + 11) % 60).as("src"),
+      ((col("dst") * 7 + 11) % 60).as("dst"))
+    val got = Graph.triangleCounts(Graph.undirected(relabeled))
+      .agg(sum(col("n_triangles"))).head.getLong(0)
+    assert(base == got && base == 180L) // 60 triangles x 3 vertices
+  }
+}
