@@ -2619,6 +2619,137 @@ object SparkEntry {
         .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
           col("active_users_7d"))
         .orderBy("day")
+    },
+
+    // Winsorized robust statistics per event type — clamp at discrete
+    // p05/p95 before aggregating, the outlier-tolerant cousin of
+    // zscore_by_type. Everything derives from the per-(type, cents) value
+    // HISTOGRAM: events scan ONCE into a distinct-domain table, the
+    // cutoffs come from a prefix sum over that tiny domain (the
+    // percentile_length_filter machinery — no global sort, no per-type
+    // ntile window over raw rows), and the clipped counts and winsorized
+    // sum are histogram-weighted integer arithmetic. Cutoffs are DATA
+    // values (smallest cents with cum ≥ ⌈q·n⌉), so the clamped domain
+    // stays integer-exact; the mean is a quotient of exact integers.
+    "winsorize_stats" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum("c").over(w))
+        .join(broadcast(hist.groupBy("event_type").agg(sum("c").as("n"))),
+          "event_type")
+      def cut(q: Double, name: String) =
+        cum.filter(col("cum") >= ceil(col("n") * q))
+          .groupBy("event_type").agg(min("cents").as(name))
+      hist.join(broadcast(cut(0.05, "lo_cents")), "event_type")
+        .join(broadcast(cut(0.95, "hi_cents")), "event_type")
+        .groupBy("event_type")
+        .agg(sum(col("c")).as("n"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"),
+          sum(when(col("cents") < col("lo_cents"), col("c")).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("cents") > col("hi_cents"), col("c")).otherwise(0L))
+            .as("n_clip_hi"),
+          sum(col("c") * greatest(least(col("cents"), col("hi_cents")),
+            col("lo_cents"))).as("wsum_cents"))
+        .withColumn("w_mean",
+          round(col("wsum_cents").cast("double") / col("n") / 100.0, 6))
+        .orderBy("event_type")
+    },
+
+    // 2-hop recommendations over the kNN graph — triadic closure
+    // ("neighbours of my neighbours that I'm not yet linked to"), the
+    // item-to-item recommender over a similarity graph and the expansion
+    // step of diffusion-based retrieval. Path counts are exact integers;
+    // direct edges and self-loops are excluded; top-3 per source by
+    // (paths desc, id) runs as a WindowGroupLimit. The middle-vertex join
+    // fans out ≤ k per edge endpoint (out-degree capped at k), so total
+    // path work is ≤ n·k² — linear in n at fixed k, same argument as the
+    // triangle count.
+    "knn_2hop_recommend" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select("src", "dst")
+      val two = e.select(col("src").as("a"), col("dst").as("m"))
+        .join(e.select(col("src").as("m"), col("dst").as("c")), "m")
+        .filter(col("a") =!= col("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("n_paths"))
+      val w = Window.partitionBy("a").orderBy(desc("n_paths"), col("c"))
+      two.join(e.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"), "left_anti")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a").as("src"), col("rank"), col("c").as("rec"),
+          col("n_paths"))
+        .orderBy("src", "rank")
+    },
+
+    // Incremental dedup — each new crawl batch checked against the
+    // existing index, never against itself: the steady-state production
+    // shape (the full-corpus queries are the bootstrap). Batch = doc_id
+    // ending in 8/9 (a deterministic 20% at any sf); every batch doc gets
+    // a verdict row with its best corpus match. The oracle brute-forces
+    // the exact cross-side trigram Jaccard, so both LSH completeness (a
+    // missed ≥0.8 pair) and verdict arithmetic are hash-checked.
+    "dedup_incremental_minhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val verdicts = Dedup.incrementalVerdicts(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        "text", "doc_id", k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      verdicts.orderBy("doc_id")
+    },
+
+    // Stream-static enrichment join — the dimension-lookup pattern
+    // (routing events through a reference table) in Structured Streaming:
+    // a stateless per-batch broadcast hash join, no watermark, no state
+    // store; the static side is (re)planned each micro-batch, which is
+    // exactly how slowly-changing reference data picks up between
+    // batches at scale. The memory-sink table is then batch-aggregated;
+    // the oracle joins the same VALUES dimension in SQL, so the stream
+    // must deliver every event exactly once with the right enrichment.
+    "streaming_static_join" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val inDir = stagedEventsFull.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_ij").toString
+          Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val dim = Seq(
+        ("click", "engagement", 2), ("view", "engagement", 1),
+        ("purchase", "transactional", 10), ("signup", "transactional", 5),
+        ("error", "ops", 0)).toDF("event_type", "category", "points")
+      val qn = s"streaming_static_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        src.join(broadcast(dim), Seq("event_type"))
+          .select(col("event_id"), col("user_id"), col("category"),
+            col("points"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_checksum"),
+          sum(col("points")).as("sum_points"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("category")
     }
   )
 
@@ -4893,6 +5024,127 @@ object SparkEntry {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day,
         |  count(DISTINCT u.user_id) AS active_users_7d
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY d.day ORDER BY day""".stripMargin
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+
+    // Histogram-derived discrete cutoffs (smallest cents with cum ≥
+    // ⌈q·n⌉), then histogram-weighted clipped sums — all integers until
+    // the final quotient, which divides identically in both engines.
+    "winsorize_stats" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |lo AS (SELECT event_type, min(cents) AS lo_cents FROM cum
+        |       WHERE cum >= ceil(n * 0.05) GROUP BY 1),
+        |hi AS (SELECT event_type, min(cents) AS hi_cents FROM cum
+        |       WHERE cum >= ceil(n * 0.95) GROUP BY 1)
+        |SELECT h.event_type, CAST(sum(c) AS BIGINT) AS n,
+        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+        |  CAST(sum(CASE WHEN cents < lo_cents THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents > hi_cents THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(c * greatest(least(cents, hi_cents), lo_cents)) AS BIGINT)
+        |    AS wsum_cents,
+        |  round(CAST(sum(c * greatest(least(cents, hi_cents), lo_cents))
+        |          AS DOUBLE) / CAST(sum(c) AS BIGINT) / 100.0, 6) AS w_mean
+        |FROM h JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // The embed_knn_graph edge CTE, then the same triadic-closure plan:
+    // middle-vertex path join, direct-edge anti join, top-3 per source.
+    "knn_2hop_recommend" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |two AS (
+        |  SELECT e1.src AS a, e2.dst AS c, count(*) AS n_paths
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+        |  GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT a, c, n_paths FROM two
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.src = two.a AND e.dst = two.c)),
+        |r AS (
+        |  SELECT a, c, n_paths,
+        |    row_number() OVER (PARTITION BY a
+        |                       ORDER BY n_paths DESC, c) AS rank
+        |  FROM rec)
+        |SELECT a AS src, rank, c AS rec, n_paths FROM r
+        |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+
+    // Brute-force exact cross-side trigram Jaccard (same normalize +
+    // distinct-trigram CTE as dedup_minhash_pairs), best match per batch
+    // doc by (j desc, corpus id), left-joined onto every batch doc.
+    "dedup_incremental_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+        |best AS (
+        |  SELECT new_id, corpus_id, j FROM p WHERE j >= 0.8
+        |  QUALIFY row_number() OVER (PARTITION BY new_id
+        |                             ORDER BY j DESC, corpus_id) = 1)
+        |SELECT d.doc_id, best.corpus_id IS NOT NULL AS dup,
+        |  best.corpus_id AS match_id, round(best.j, 6) AS jaccard
+        |FROM documents d LEFT JOIN best ON d.doc_id = best.new_id
+        |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin,
+
+    // The same VALUES dimension joined in SQL: the streamed result must
+    // deliver every event exactly once with the right enrichment.
+    "streaming_static_join" ->
+      """WITH dim(event_type, category, points) AS (VALUES
+        |  ('click', 'engagement', 2), ('view', 'engagement', 1),
+        |  ('purchase', 'transactional', 10), ('signup', 'transactional', 5),
+        |  ('error', 'ops', 0))
+        |SELECT category, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(points) AS BIGINT) AS sum_points,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1 ORDER BY category""".stripMargin
   )
 }

@@ -219,6 +219,70 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL dedup — the steady-state shape of a production corpus
+    * pipeline: the indexed corpus is already deduplicated, and each new
+    * crawl batch must be checked against it (and only it) before
+    * ingestion. Asymmetric MinHash: both sides shingle and sign once, the
+    * band join is batch-buckets × corpus-buckets (batch-sized build side —
+    * broadcast-able when a day's crawl is small relative to the index),
+    * candidates are exact-Jaccard verified, and every NEW document gets a
+    * verdict row: `dup` + its best corpus match by (jaccard desc, id).
+    *
+    * At 100 TB the corpus side's signatures/buckets are computed once and
+    * PERSISTED (they are insertion-stable), so the per-batch cost is
+    * shingling the batch + one bucket join + |candidates| verifications —
+    * never a corpus rescan; this method recomputes them only because it
+    * takes bare DataFrames. Verification joins text back by id, so only
+    * candidate ids cross the shuffle.
+    */
+  def incrementalVerdicts(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // see minhashSignature: replaces the agg shuffle
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
+      .cache()
+    def sigOf(sh: DataFrame) = {
+      val exploded = sh.select(col(idCol), explode(col("__s")).as("__sh"))
+      exploded.groupBy(col(idCol)).agg(
+        min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
+        (1 until k).map(i =>
+          min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+    }
+    def bucketsOf(sig: DataFrame, outId: String) = {
+      val r = k / bands
+      val bandHashes = (0 until bands).map { b =>
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)
+      }
+      sig.select(col(idCol).as(outId),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    }
+    val cSh = shingled(corpus)
+    val bSh = shingled(batch)
+    val cand = bucketsOf(sigOf(bSh), "__new_id")
+      .join(bucketsOf(sigOf(cSh), "__corpus_id"), Seq("band", "bucket"))
+      .select("__new_id", "__corpus_id").distinct()
+    val verified = cand
+      .join(bSh.select(col(idCol).as("__new_id"), col("__s").as("s1")),
+        "__new_id")
+      .join(cSh.select(col(idCol).as("__corpus_id"), col("__s").as("s2")),
+        "__corpus_id")
+      .withColumn("__j",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("__j") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__new_id"))
+      .orderBy(desc("__j"), col("__corpus_id"))
+    val best = verified
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__new_id").as(idCol), col("__corpus_id").as("match_id"),
+        round(col("__j"), 6).as("jaccard"))
+    batch.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNotNull.as("dup"),
+        col("match_id"), col("jaccard"))
+  }
+
   /** Benchmark DECONTAMINATION — the n-gram overlap rule the GPT-3 /
     * Llama corpus pipelines apply before training: drop every training
     * document that shares ANY word n-gram with the evaluation corpus.

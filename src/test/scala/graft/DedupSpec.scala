@@ -252,4 +252,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(scored.filter(_._2 == 0.0).keySet == survivors)
   }
+
+  test("incremental verdicts: batch checked against corpus only, never against itself") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different corpus text about distributed shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (one trailing token differs)
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // exact dup of corpus doc 1
+      (11L, "alpha beta  GAMMA delta epsilon zeta eta theta iota kappa"),
+      // duplicates doc 12 WITHIN the batch but nothing in the corpus:
+      // must NOT be flagged (intra-batch dup is the indexer's later pass)
+      (12L, "fresh unseen content shared by two batch members only"),
+      (13L, "fresh unseen content shared by two batch members only")
+    ).toDF("doc_id", "text")
+    val v = Dedup.incrementalVerdicts(corpus, batch, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toList.sortBy(_._1)
+    assert(v == List((10L, true, Some(1L)), (11L, true, Some(1L)),
+      (12L, false, None), (13L, false, None)))
+  }
 }
