@@ -2750,6 +2750,144 @@ object SparkEntry {
           sum(col("points")).as("sum_points"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("category")
+    },
+
+    // A/B experiment readout — users split by a deterministic hash-free
+    // rule (user_id parity stands in for the assignment hash), per-metric
+    // Welch z-statistic per event type. One conditional-aggregation pass
+    // (no per-variant scans); moments accumulate in EXACT decimal sums
+    // (the zscore_by_type convention: double sums at corpus scale flip
+    // last-ULP between engines), and the z arithmetic is the same fixed
+    // IEEE op sequence in both engines, so round(z, 6) hash-matches.
+    "ab_test_metrics" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("b", (col("user_id") % 2) === 1)
+      def cnt(b: Boolean) = sum(when(col("b") === b, 1L).otherwise(0L))
+      def s1(b: Boolean) = sum(when(col("b") === b,
+        col("value").cast("decimal(14,2)")).otherwise(lit(null)))
+      def s2(b: Boolean) = sum(when(col("b") === b,
+        (col("value") * col("value")).cast("decimal(20,4)")).otherwise(lit(null)))
+      ev.groupBy("event_type")
+        .agg(cnt(false).as("n_a"), cnt(true).as("n_b"),
+          s1(false).cast("double").as("sum_a"),
+          s1(true).cast("double").as("sum_b"),
+          s2(false).cast("double").as("ss_a"),
+          s2(true).cast("double").as("ss_b"))
+        .withColumn("m_a", col("sum_a") / col("n_a"))
+        .withColumn("m_b", col("sum_b") / col("n_b"))
+        .withColumn("v_a", col("ss_a") / col("n_a") - col("m_a") * col("m_a"))
+        .withColumn("v_b", col("ss_b") / col("n_b") - col("m_b") * col("m_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("sum_a"), col("sum_b"),
+          round((col("m_b") - col("m_a")) /
+            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 6)
+            .as("welch_z"))
+        .orderBy("event_type")
+    },
+
+    // Last-touch attribution — every purchase credits the user's most
+    // recent prior click/view (the marketing twin of the trades/quotes
+    // as-of join, composed from the SAME AsOfJoin.backward operator:
+    // one key-hash shuffle + streaming window pass, no range probe).
+    // Purchases with no prior touch fall into the 'none' channel. The
+    // oracle recomputes attribution with DuckDB's native ASOF JOIN — an
+    // independent implementation of the semantics — then the same
+    // channel rollup; revenue stays in exact cents.
+    "attribution_last_touch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("touch_type"), col("event_id").as("touch_id"))
+      AsOfJoin.backward(purchases, touches, Seq("user_id"), "ts",
+          Seq("touch_type", "touch_id"), tieCols = Seq("touch_id"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("revenue_cents"),
+          sum(col("event_id")).as("id_checksum"))
+        .orderBy("channel")
+    },
+
+    // Trailing-baseline anomaly ratio — each (type, day)'s event count
+    // against the sum of its previous 7 OBSERVED days (rows-frame
+    // window; calendar gaps shrink the frame, so only rows with a full
+    // 7-day history emit). The monitoring twin of anomaly_mad_outliers:
+    // that one is distributional within a day, this one is temporal
+    // across days. Day counts aggregate first (events scan once into a
+    // |types|·|days| table), so the window runs over the tiny aggregate,
+    // never the raw stream; the ratio is a quotient of exact integers.
+    "daily_anomaly_baseline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("baseline_sum", sum("n").over(w))
+        .withColumn("baseline_days", count("n").over(w))
+        .filter(col("baseline_days") === 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          col("baseline_sum"),
+          round(col("n") * lit(7.0) / col("baseline_sum"), 6).as("ratio"))
+        .orderBy("event_type", "day")
+    },
+
+    // Market-basket lift over the TPC-H fact tables: brands co-ordered
+    // within an order, lift = P(a,b)/(P(a)·P(b)) from exact integer
+    // counts. Baskets collapse to DISTINCT (order, brand) first — the
+    // within-order self-join then fans out only |brands in order|² per
+    // order and partial-aggregates to a |brands|²-row result; the brand
+    // marginals and the order total are broadcast. The lift quotient's
+    // operand order is mirrored exactly in the oracle.
+    "market_basket_lift" -> { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
+      val nOrders = baskets.select(col("okey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val marg = baskets.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val co = baskets.select(col("okey"), col("p_brand").as("brand_a"))
+        .join(baskets.select(col("okey"), col("p_brand").as("brand_b")),
+          "okey")
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("co_orders"))
+      co.join(broadcast(marg.select(col("p_brand").as("brand_a"),
+          col("n").as("a_orders"))), "brand_a")
+        .join(broadcast(marg.select(col("p_brand").as("brand_b"),
+          col("n").as("b_orders"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("co_orders") >= 10)
+        .select(col("brand_a"), col("brand_b"), col("co_orders"),
+          col("a_orders"), col("b_orders"),
+          round(col("co_orders").cast("double") * col("n_orders") /
+            (col("a_orders").cast("double") * col("b_orders")), 6)
+            .as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+
+    // l-diversity audit — the companion governance gate to
+    // k_anonymity_audit: a quasi-identifier bucket is risky not only
+    // when it is SMALL but when all its rows trace to few distinct
+    // sensitive values (here: distinct users behind an (event_type,
+    // day, hour, value-decile) cell — the value decile keeps cells
+    // sparse as row volume grows, so the audit stays meaningful at any
+    // sf). Flags buckets with fewer than 3 distinct users. Single
+    // aggregate; distinct-count partials combine map-side.
+    "l_diversity_audit" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).as("hr"),
+          floor(col("value") / 10).cast("long").as("value_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") < 3)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("hr"), col("value_bucket"), col("n"), col("n_users"))
+        .orderBy("event_type", "day", "hr", "value_bucket")
     }
   )
 
@@ -5145,6 +5283,111 @@ object SparkEntry {
         |  CAST(sum(points) AS BIGINT) AS sum_points,
         |  count(DISTINCT user_id) AS n_users
         |FROM events JOIN dim USING (event_type)
-        |GROUP BY 1 ORDER BY category""".stripMargin
+        |GROUP BY 1 ORDER BY category""".stripMargin,
+
+    // Exact decimal moment sums, then the identical IEEE op sequence for
+    // the Welch z: m = s1/n, v = ss/n - m*m, z = (mB-mA)/sqrt(vA/nA+vB/nB).
+    "ab_test_metrics" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value * value AS DECIMAL(20,4)) END) AS DOUBLE)
+        |      AS ss_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value * value AS DECIMAL(20,4)) END) AS DOUBLE)
+        |      AS ss_b
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT *, sum_a / n_a AS m_a, sum_b / n_b AS m_b FROM g),
+        |v AS (
+        |  SELECT *, ss_a / n_a - m_a * m_a AS v_a,
+        |    ss_b / n_b - m_b * m_b AS v_b FROM m)
+        |SELECT event_type, n_a, n_b, sum_a, sum_b,
+        |  round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS welch_z
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // DuckDB's native ASOF JOIN recomputes the attribution independently
+    // (right side deduped per (user, ts) to the greatest touch_id, the
+    // Spark tie rule), then the same channel rollup in exact cents.
+    "attribution_last_touch" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id, ts, event_type AS touch_type,
+        |    event_id AS touch_id
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT coalesce(t.touch_type, 'none') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  CAST(sum(p.event_id) AS BIGINT) AS id_checksum
+        |FROM purchases p ASOF LEFT JOIN touches t
+        |  ON p.user_id = t.user_id AND p.ts >= t.ts
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Rows-frame trailing window over the daily aggregate; only full
+    // 7-observed-day histories emit; exact-integer ratio.
+    "daily_anomaly_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline_sum,
+        |    count(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline_days
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(baseline_sum AS BIGINT) AS baseline_sum,
+        |  round(n * 7.0 / baseline_sum, 6) AS ratio
+        |FROM w WHERE baseline_days = 7
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Distinct (order, brand) baskets, within-order pair counts, broadcast
+    // marginals; the lift quotient's operand order mirrors the Spark side.
+    "market_basket_lift" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |t AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+        |marg AS (SELECT p_brand, count(*) AS n FROM baskets GROUP BY 1),
+        |co AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    count(*) AS co_orders
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT co.brand_a, co.brand_b, co.co_orders,
+        |  ma.n AS a_orders, mb.n AS b_orders,
+        |  round(co.co_orders::DOUBLE * t.n_orders /
+        |    (ma.n::DOUBLE * mb.n), 6) AS lift
+        |FROM co JOIN marg ma ON ma.p_brand = co.brand_a
+        |JOIN marg mb ON mb.p_brand = co.brand_b
+        |CROSS JOIN t
+        |WHERE co.co_orders >= 10
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    // Same QI buckets; floor(value/10) — NOT CAST(value AS INT), which
+    // rounds in DuckDB but truncates in Spark — keeps the bucket rule
+    // bit-identical in both engines.
+    "l_diversity_audit" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  hour(ts) AS hr, CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT user_id) < 3
+        |ORDER BY event_type, day, hr, value_bucket""".stripMargin
   )
 }
