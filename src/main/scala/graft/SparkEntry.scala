@@ -2635,6 +2635,10 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d).select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+      // NOT cached: the histogram feeds three consumers, but each rebuild
+      // is one cheap scan+aggregate and the legs overlap as concurrent
+      // stages; an eager cache measured no better (within noise) while
+      // serializing materialization — same finding as market_basket_lift.
       val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("event_type").orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -2676,8 +2680,12 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
+      // cached: three join legs (both path hops + the direct-edge anti
+      // join) would otherwise each rebuild the cosine candidate join —
+      // wall-clock wash at local[32] (legs overlap), but 3× less work;
+      // see ops/Graph.triangleCounts for the measured trade-off
       val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
-        .select("src", "dst")
+        .select("src", "dst").cache()
       val two = e.select(col("src").as("a"), col("dst").as("m"))
         .join(e.select(col("src").as("m"), col("dst").as("c")), "m")
         .filter(col("a") =!= col("c"))
@@ -2842,6 +2850,12 @@ object SparkEntry {
     // marginals and the order total are broadcast. The lift quotient's
     // operand order is mirrored exactly in the oracle.
     "market_basket_lift" -> { (s, d) =>
+      // NOT cached: four consumers re-derive the lineitem×part join, but
+      // it is a cheap AQE-broadcast join and the four legs run as
+      // concurrent stages — an eager cache measured consistently SLOWER
+      // (2.66 s → 2.9 s at sf0.1) because materialization serializes the
+      // legs (the pagerank finding: ReuseExchange/cheap rebuild beats an
+      // eager cache when the rebuild is scan+broadcast).
       val baskets = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()

@@ -39,11 +39,22 @@ object Graph {
 
   /** Per-vertex triangle participation counts over a canonical (a < b)
     * edge set; vertices in no triangle are absent. Exact integers.
+    *
+    * The edge set is cached: it feeds three join legs, and without the
+    * cache the whole upstream edge construction (for the kNN graph, the
+    * cosine candidate join + per-source top-k window) executes once per
+    * leg — no ReusedExchange fires across the legs (verified on the
+    * driver query's executed plan). At local[32]/sf0.1 wall-clock is a
+    * wash (the three uncached legs schedule as concurrent stages, hiding
+    * the rebuild), but the cache removes 3× the candidate-join WORK,
+    * which is what matters once a cluster is throughput-bound rather
+    * than idle-core-bound.
     */
   def triangleCounts(und: DataFrame): DataFrame = {
-    val e1 = und.select(col("a").as("x"), col("b").as("y"))
-    val e2 = und.select(col("a").as("y"), col("b").as("z"))
-    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    val e = und.cache()
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    val e3 = e.select(col("a").as("x"), col("b").as("z"))
     // wedge x<y<z on the middle vertex, closed by the oriented edge (x,z)
     val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
