@@ -106,6 +106,12 @@ object SparkEntry {
   private val stagedPart =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the transformWithState fixture (per-(user, ts) collapsed
+    * events in four sequential time-quartile files, so running state is
+    * genuinely cross-micro-batch and arrival order is event-time order). */
+  private val stagedTws =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -2902,6 +2908,147 @@ object SparkEntry {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("hr"), col("value_bucket"), col("n"), col("n_users"))
         .orderBy("event_type", "day", "hr", "value_bucket")
+    },
+
+    // Spark 4 `transformWithState` under the driver's gate — per-user
+    // running high-water marks with typed ValueState on the RocksDB
+    // provider, state carried across FOUR micro-batches (time-quartile
+    // files, maxFilesPerTrigger=1). The fixture collapses ties to
+    // per-(user, ts) maxima so the emitted set is arrival-order-invariant,
+    // and the quartile split follows global event-time rank so each user's
+    // rows arrive in ts order across batches. The oracle is the batch
+    // prefix-maximum: a row emits iff it strictly exceeds every earlier
+    // value of its user — any state loss or leak across batch boundaries
+    // changes the emitted set and fails the hash.
+    "streaming_tws_highwater" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val root = stagedTws.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_tws").toString
+          val ev = Tables.events(s, d)
+            .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
+            .agg(max(col("value")).as("value"))
+          val n = ev.count()
+          // single-partition window: fixture staging only, runs once
+          val ranked = ev.withColumn("rn",
+            row_number().over(Window.orderBy(col("ts"), col("user_id"))))
+          for (i <- 0 until 4)
+            ranked.filter(col("rn") > i * n / 4 && col("rn") <= (i + 1) * n / 4)
+              .select("user_id", "ts", "value")
+              .coalesce(1).write.parquet(s"$tmp/in/q$i")
+          tmp
+        })
+      val pkey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pkey)
+      s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+          .as[graft.streaming.StatefulOps.Tick]
+        val qn = s"streaming_tws_${streamRun.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          graft.streaming.StatefulOps.highWaterMarksTws(src)
+            .toDF().writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            .awaitTermination(180000)
+        }
+        s.table(qn).select(col("user_id"), tsStr(col("ts")).as("ts"),
+            round(col("value"), 6).as("value"))
+          .orderBy("user_id", "ts", "value")
+      } finally prev match {
+        case Some(v) => s.conf.set(pkey, v)
+        case None => s.conf.unset(pkey)
+      }
+    },
+
+    // Ordered event-path trigrams per user — the n=3 extension of
+    // event_transitions (Markov pairs): which three-step journeys occur,
+    // how often. Two leads over one user-keyed window exchange; the
+    // aggregate output is ≤ |types|³ rows with map-side partials.
+    "event_path_trigrams" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy("e1", "e2", "e3")
+    },
+
+    // Pairwise Pearson correlation of the per-type DAILY count series —
+    // "do error spikes co-move with purchase volume?" All moments are
+    // exact integers over the DENSE day×type grid (absent days count 0 —
+    // an inner join on observed days would silently bias the
+    // correlation), so the final quotient is the only float op and both
+    // engines execute the identical expression. The grid is |days|·|types|
+    // rows: the self-join and moment sums are all small-side work after
+    // one events scan.
+    "type_correlation_matrix" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = daily.select("day").distinct()
+        .crossJoin(daily.select("event_type").distinct())
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val pairs = grid.select(col("day"), col("event_type").as("type_a"),
+          col("n").as("x"))
+        .join(grid.select(col("day"), col("event_type").as("type_b"),
+          col("n").as("y")), "day")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      pairs.select(col("type_a"), col("type_b"), col("nd"),
+          col("sx"), col("sy"), col("sxy"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("nd") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("pearson_r"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Signup→purchase conversion-delay quantiles per weekly cohort — the
+    // time-to-convert funnel readout. Delays are exact epoch-millis
+    // integers (the window_range_frame convention), quantiles are the
+    // exact interpolated percentile over those integers (the
+    // anomaly_mad convention: Spark percentile ≡ DuckDB quantile_cont,
+    // bit-identical on integer inputs). Non-converters are counted but
+    // excluded from the delay distribution.
+    "convert_time_quantiles" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val firstP = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")), "user_id")
+        .filter(col("p_ts") >= col("signup_ts"))
+        .groupBy("user_id").agg(min("p_ts").as("first_p"))
+      su.join(firstP, Seq("user_id"), "left")
+        .select(
+          floor(datediff(to_date(col("signup_ts")), lit("2024-01-01")) / 7)
+            .cast("int").as("cohort_week"),
+          (unix_millis(col("first_p").cast("timestamp_ltz")) -
+            unix_millis(col("signup_ts").cast("timestamp_ltz")))
+            .as("delay_ms"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("delay_ms")).as("n_converted"),
+          round(expr("percentile(delay_ms, 0.5)"), 6).as("med_delay_ms"),
+          round(expr("percentile(delay_ms, 0.9)"), 6).as("p90_delay_ms"))
+        .orderBy("cohort_week")
     }
   )
 
@@ -5402,6 +5549,83 @@ object SparkEntry {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT user_id) < 3
-        |ORDER BY event_type, day, hr, value_bucket""".stripMargin
+        |ORDER BY event_type, day, hr, value_bucket""".stripMargin,
+
+    // Batch prefix-maximum over the tie-collapsed series: a row emits iff
+    // it strictly exceeds every earlier value of its user.
+    "streaming_tws_highwater" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, ts, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM t)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  round(value, 6) AS value
+        |FROM r WHERE pm IS NULL OR value > pm
+        |ORDER BY user_id, ts, value""".stripMargin,
+
+    "event_path_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n FROM t
+        |WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY e1, e2, e3""".stripMargin,
+
+    // Dense day×type grid (absent days = 0), integer moment sums, and
+    // the identical final quotient expression.
+    "type_correlation_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, d.day, coalesce(daily.n, 0) AS n
+        |  FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        |  LEFT JOIN daily ON daily.event_type = t.event_type
+        |                 AND daily.day = d.day),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS nd,
+        |    CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+        |    CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+        |    CAST(sum(b.n * b.n) AS BIGINT) AS syy
+        |  FROM grid a JOIN grid b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, nd, sx, sy, sxy,
+        |  round((nd * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((nd * sxx - sx * sx)::DOUBLE) *
+        |     sqrt((nd * syy - sy * sy)::DOUBLE)), 6) AS pearson_r
+        |FROM p ORDER BY type_a, type_b""".stripMargin,
+
+    // First signup per user, first purchase at-or-after it; delays in
+    // exact epoch millis; quantile_cont ≡ Spark percentile on integers.
+    "convert_time_quantiles" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(e.ts) AS first_p
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |  GROUP BY 1)
+        |SELECT
+        |  CAST(floor(date_diff('day', DATE '2024-01-01',
+        |    CAST(su.signup_ts AS DATE)) / 7) AS INT) AS cohort_week,
+        |  count(*) AS n_signups,
+        |  count(fp.first_p) AS n_converted,
+        |  round(quantile_cont(epoch_ms(fp.first_p) - epoch_ms(su.signup_ts),
+        |    0.5), 6) AS med_delay_ms,
+        |  round(quantile_cont(epoch_ms(fp.first_p) - epoch_ms(su.signup_ts),
+        |    0.9), 6) AS p90_delay_ms
+        |FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+        |GROUP BY 1 ORDER BY cohort_week""".stripMargin
   )
 }
