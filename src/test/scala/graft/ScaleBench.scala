@@ -132,6 +132,34 @@ object ScaleBench {
       votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
 
+    // Triangle counting and 2-hop recommendations over the same kNN edge
+    // set, same cells ∝ n rule: wedge/path work is degree-bounded
+    // (out-degree ≤ k), so both should track the edge build ~linearly.
+    time(s"triangles_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      graft.ops.Graph.triangleCounts(graft.ops.Graph.undirected(edges))
+    }
+    time(s"twohop_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select("src", "dst").cache()
+      val two = e.select(col("src").as("a"), col("dst").as("m"))
+        .join(e.select(col("src").as("m"), col("dst").as("c")), "m")
+        .filter(col("a") =!= col("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("n_paths"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy(desc("n_paths"), col("c"))
+      two.join(e.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"), "left_anti")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }
+
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
       val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
