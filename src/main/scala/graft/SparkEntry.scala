@@ -3049,6 +3049,116 @@ object SparkEntry {
           round(expr("percentile(delay_ms, 0.5)"), 6).as("med_delay_ms"),
           round(expr("percentile(delay_ms, 0.9)"), 6).as("p90_delay_ms"))
         .orderBy("cohort_week")
+    },
+
+    // FORWARD as-of join — "the next touch after each purchase" (did the
+    // user come back?), the look-ahead twin of asof_join_clicks, driving
+    // AsOfJoin.forward: the same one-shuffle union-window plan with the
+    // frame reversed; equal timestamps do NOT match (strict bound). The
+    // oracle recomputes with DuckDB's native ASOF on `p.ts < c.ts` — an
+    // independent implementation — after the same (user, ts) tie dedup
+    // (lowest id, the forward scan's first-met row).
+    "asof_forward_next_touch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("next_click_id"))
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts",
+          Seq("next_click_id"), tieCols = Seq("next_click_id"))
+        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
+          col("next_click_id"))
+        .orderBy("event_id")
+    },
+
+    // One PCA power-iteration step x ↦ Gᵀ(G·x) over the embedding matrix
+    // in integer MICRO-UNITS (the pagerank convention: quantize once,
+    // then every product/sum is exact in any engine). x = all-ones, so
+    // (G·x)_i is each row's coordinate sum and the output is the
+    // unnormalized next iterate per dimension — the dominant-eigenvector
+    // direction of GᵀG after repetition. Scale shape: one posexplode, a
+    // row-keyed aggregate, an id-equality join back, a dim-keyed
+    // aggregate — two map-side-combined shuffles, never a dim×dim Gram
+    // materialization (the matvec form survives dim far beyond 64; at
+    // petabyte row counts promote the sums to decimal(38,0)).
+    "pca_power_step" -> { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+          round(col("v").cast("double") * 1000).cast("long").as("q"))
+      val rowSum = q.groupBy("vec_id").agg(sum("q").as("s"))
+      q.join(rowSum, "vec_id")
+        .groupBy("pos")
+        .agg(sum(col("q") * col("s")).as("v_next"),
+          count(lit(1)).as("n_terms"))
+        .orderBy("pos")
+    },
+
+    // TPC-H Q7 shape — bidirectional nation-pair shipping volume by year:
+    // two broadcast nation dims aliased onto opposite legs of the
+    // supplier/customer chain, the OR'd pair predicate, exact decimal
+    // revenue. The date slice prunes at the lineitem scan.
+    "tpch_q7_nation_volume" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      li.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Session-relative ordinal features — "the 3rd event of the visit,
+    // 42 s in": the feature-engineering staple over gap sessions,
+    // composed from the SAME Sessionize.withSessionIndex used by
+    // sessionize_gap. Both windows share the one user-keyed exchange
+    // (the second adds session_idx to the sort, not a new shuffle). The
+    // Σ ordinal·event_id checksum pins every event's position, not just
+    // session sizes; duration stays in exact epoch millis.
+    "session_ordinal_features" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sess = Sessionize.withSessionIndex(
+        Tables.events(s, d), Seq("user_id"), "ts", gapSeconds = 1800)
+      val w = Window.partitionBy("user_id", "session_idx")
+        .orderBy(col("ts"), col("event_id"))
+      sess.withColumn("ordinal", row_number().over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("ordinal") * col("event_id")).as("ord_checksum"),
+          (max(unix_millis(col("ts").cast("timestamp_ltz"))) -
+            min(unix_millis(col("ts").cast("timestamp_ltz"))))
+            .as("duration_ms"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // k-fold cross-validation assignment — the multi-fold generalization
+    // of sample_split: fold = md5(id) mod 8 (power of two: signed pmod ≡
+    // DuckDB's unsigned %), disjoint and exhaustive by construction,
+    // retry-stable, zero shuffle before the tiny aggregate. Per-fold ×
+    // language counts + id checksums prove membership, so a loader can
+    // verify leave-one-fold-out slices.
+    "kfold_assign" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fold",
+          pmod(Dedup.md5Hash64(col("doc_id").cast("string")), lit(8L))
+            .cast("int"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("fold", "lang")
     }
   )
 
@@ -5626,6 +5736,89 @@ object SparkEntry {
         |  round(quantile_cont(epoch_ms(fp.first_p) - epoch_ms(su.signup_ts),
         |    0.9), 6) AS p90_delay_ms
         |FROM su LEFT JOIN fp ON su.user_id = fp.user_id
-        |GROUP BY 1 ORDER BY cohort_week""".stripMargin
+        |GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+
+    // Native ASOF on the strict forward bound after the same tie dedup
+    // (lowest click id per (user, ts) — the forward scan's first row).
+    "asof_forward_next_touch" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, event_id AS next_click_id
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id) = 1)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, c.next_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts < c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // Same integer micro-unit matvec: q = round(1000·value), row sums,
+    // then per-dimension Σ q·s — all exact BIGINT arithmetic.
+    "pca_power_step" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+        |      AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1)
+        |SELECT q.pos, CAST(sum(q.q * s.s) AS BIGINT) AS v_next,
+        |  count(*) AS n_terms
+        |FROM q JOIN s ON q.vec_id = s.vec_id
+        |GROUP BY 1 ORDER BY pos""".stripMargin,
+
+    "tpch_q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+        |  AND TIMESTAMP '1999-12-31 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Session construction copied verbatim from the sessionize_gap
+    // oracle, then the ordinal window and the same aggregate.
+    "session_ordinal_features" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |o AS (
+        |  SELECT user_id, session_idx, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, session_idx
+        |                       ORDER BY ts, event_id) AS ordinal
+        |  FROM idx)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(sum(ordinal * event_id) AS BIGINT) AS ord_checksum,
+        |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+        |FROM o GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    // md5 mod 8: power of two, so unsigned % equals the signed pmod.
+    "kfold_assign" ->
+      """SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS INT)
+        |    AS fold,
+        |  lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
   )
 }

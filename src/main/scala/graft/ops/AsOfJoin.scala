@@ -70,4 +70,42 @@ object AsOfJoin {
     }
     filled.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Forward as-of join: attach the EARLIEST right row with
+    * `right.ts > left.ts` (strictly after — "the next quote", the
+    * look-ahead twin of [[backward]]). Same single-shuffle union-window
+    * plan with the SAME tagging (right rows sort before left rows at
+    * equal ts — which here puts an equal-ts right row OUTSIDE the left
+    * row's following frame, making the bound strict), and a running
+    * `first(..., ignoreNulls)` over the FOLLOWING frame instead of
+    * `last` over the preceding one. Among right rows sharing (key, ts),
+    * the LOWEST tieCols row wins (the first one the forward scan meets).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at equal ts -> strict bound
+    // (an equal-ts right row precedes the left row, outside its frame)
+    val lTagged = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val rTagged = right
+      .select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select((leftCols ++ valueCols :+ "__side").map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc +: col("__side").asc +:
+        tieCols.map(col(_).asc_nulls_last): _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
 }

@@ -42,6 +42,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getAs[Double]("bid") == 98.0 && out(0).getAs[Long]("qid") == 9L)
   }
 
+  test("forward as-of join: earliest right row strictly after; equal ts excluded; lowest tie wins") {
+    val trades = Seq(
+      (1L, "A", t("2024-01-01 10:00:00")),
+      (2L, "A", t("2024-01-01 10:05:00")),
+      (3L, "B", t("2024-01-01 12:00:00"))
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), 10L), // equal ts: NOT a forward match for trade 1
+      ("A", t("2024-01-01 10:03:00"), 20L),
+      ("A", t("2024-01-01 10:03:00"), 21L), // tie: lowest quote id wins
+      ("B", t("2024-01-01 11:00:00"), 30L)  // before B's trade -> no match
+    ).toDF("sym", "ts", "qid")
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "ts",
+        Seq("qid"), tieCols = Seq("qid"))
+      .orderBy("trade_id").select("trade_id", "qid").collect()
+    assert(out(0).getLong(1) == 20L) // strictly-after: 10:03, not the 10:00 tie
+    assert(out(1).isNullAt(1))       // no quote after 10:05
+    assert(out(2).isNullAt(1))       // B's only quote precedes the trade
+  }
+
   test("sessionize: gap splits sessions, boundary gap stays joined") {
     val ev = Seq(
       (7L, t("2024-01-01 10:00:00")),
