@@ -3159,6 +3159,120 @@ object SparkEntry {
         .groupBy("fold", "lang")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
         .orderBy("fold", "lang")
+    },
+
+    // Concurrent-interval counting ("how many orders were open each
+    // day") via the DIFFERENCE ARRAY: each [open, close] interval
+    // contributes +1 at open and −1 at close+1, deltas aggregate per
+    // day, and one running sum over the |days| table yields the curve.
+    // The naive plan — a day×interval range join — is O(days·orders);
+    // this is one aggregate plus a window over ~thousands of rows. The
+    // only global window runs AFTER the reduction to the day domain
+    // (the raw fact tables never see a single-partition operator).
+    "open_orders_backlog" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_day")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(to_date(col("o_orderdate")).as("open_day"), col("close_day"))
+        .filter(col("close_day") >= col("open_day"))
+      val deltas = iv.select(col("open_day").as("day"), lit(1L).as("delta"))
+        .unionAll(iv.select(date_add(col("close_day"), 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("d"))
+      deltas
+        .withColumn("n_open", sum("d").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_open"))
+        .orderBy("day")
+    },
+
+    // Per-type linear TREND of the daily count series — grouped least
+    // squares over the dense day grid (absent days are real zeros, as in
+    // type_correlation_matrix). Slope arrives as an exact integer
+    // (numerator, denominator) pair — the target_encoding_loo convention
+    // — plus the rounded quotient; x is the day index from the shared
+    // epoch, so the slope unit is events/day.
+    "daily_trend_slope" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = daily.select("day").distinct()
+        .crossJoin(daily.select("event_type").distinct())
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          datediff(col("day"), lit("2024-01-01")).cast("long").as("x"),
+          coalesce(col("n"), lit(0L)).as("y"))
+      grid.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("nd"),
+          (col("nd") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("nd") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"))
+        .orderBy("event_type")
+    },
+
+    // HOPPING (sliding) windows — Spark's native window(ts, '1 hour',
+    // '15 minutes'): each event lands in 4 overlapping windows, the
+    // dashboard smoothing primitive tumbling windows can't express. The
+    // oracle rebuilds the same windows from 15-minute base buckets
+    // (shared origin) shifted 0–3 slides — a window appears iff one of
+    // its constituent buckets is non-empty, exactly Spark's emission
+    // rule.
+    "hopping_window_counts" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_checksum"))
+        .select(col("event_type"), tsStr(col("w.start")).as("wstart"),
+          col("n"), col("id_checksum"))
+        .orderBy("event_type", "wstart")
+    },
+
+    // Declarative data-quality expectations — the contract check a
+    // pipeline runs before publishing: per-table rule evaluation in ONE
+    // conditional-aggregation pass each (null keys, value range,
+    // derived-column consistency) plus referential integrity as
+    // left-anti join counts. Each rule reports (checked, violations);
+    // the union is a handful of rows. At 100 TB each leg is one
+    // map-side-combined scan; none shuffle more than a count.
+    "dq_expectations" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      def rule(name: String, checked: Column, viol: Column, df: DataFrame) =
+        df.agg(count(checked).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"))
+      val fkOrders = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_customer_fk").as("rule"),
+          lit(null).cast("long").as("n_checked"), col("n_violations"))
+      val fkLineitem = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_orders_fk").as("rule"),
+          lit(null).cast("long").as("n_checked"), col("n_violations"))
+      rule("events_user_not_null", lit(1), col("user_id").isNull, ev)
+        .unionByName(rule("events_value_in_range", lit(1),
+          col("value") < 0 || col("value") > 250, ev))
+        .unionByName(rule("documents_nchars_consistent", lit(1),
+          col("n_chars") =!= length(col("text")), Tables.documents(s, d)))
+        .unionByName(fkOrders)
+        .unionByName(fkLineitem)
+        .orderBy("rule")
     }
   )
 
@@ -5819,6 +5933,97 @@ object SparkEntry {
       """SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS INT)
         |    AS fold,
         |  lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+
+    // Same difference-array construction: +1 at open, −1 at close+1,
+    // running sum over the aggregated day domain.
+    "open_orders_backlog" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
+        |  FROM orders o JOIN c ON o.o_orderkey = c.l_orderkey
+        |  WHERE c.close_day >= CAST(o.o_orderdate AS DATE)),
+        |del AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
+        |    SELECT open_day AS day, 1 AS delta FROM iv
+        |    UNION ALL
+        |    SELECT close_day + 1 AS day, -1 AS delta FROM iv)
+        |  GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |FROM del ORDER BY day""".stripMargin,
+
+    // Dense grid, integer moment sums, integer slope rational + the
+    // identical final quotient.
+    "daily_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    date_diff('day', DATE '2024-01-01', d.day) AS x,
+        |    coalesce(daily.n, 0) AS y
+        |  FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        |  LEFT JOIN daily ON daily.event_type = t.event_type
+        |                 AND daily.day = d.day),
+        |m AS (
+        |  SELECT event_type, count(*) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM grid GROUP BY 1)
+        |SELECT event_type, nd,
+        |  nd * sxy - sx * sy AS slope_num,
+        |  nd * sxx - sx * sx AS slope_den,
+        |  round((nd * sxy - sx * sy)::DOUBLE / (nd * sxx - sx * sx), 6)
+        |    AS slope
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // 15-minute base buckets shifted 0–3 slides rebuild the same hopping
+    // windows on the shared bucket origin.
+    "hopping_window_counts" ->
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS b15,
+        |    count(*) AS n, CAST(sum(event_id) AS BIGINT) AS ids
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, b15 - k.k * INTERVAL 15 MINUTE AS wstart,
+        |    n, ids
+        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT event_type, strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(ids) AS BIGINT) AS id_checksum
+        |FROM h GROUP BY 1, 2 ORDER BY event_type, wstart""".stripMargin,
+
+    // Each rule recomputed directly; FK rules via NOT EXISTS.
+    "dq_expectations" ->
+      """SELECT 'documents_nchars_consistent' AS rule,
+        |  count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events_user_not_null', count(*),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_value_in_range', count(*),
+        |  CAST(sum(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
+        |    AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', NULL,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'orders_customer_fk', NULL,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY rule""".stripMargin
   )
 }
