@@ -3111,8 +3111,8 @@ object SparkEntry {
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
@@ -5899,8 +5899,8 @@ object SparkEntry {
         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
         |WHERE l.l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
         |  AND TIMESTAMP '1999-12-31 00:00:00'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Session construction copied verbatim from the sessionize_gap
