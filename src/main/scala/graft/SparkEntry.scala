@@ -112,6 +112,13 @@ object SparkEntry {
   private val stagedTws =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the streaming-MERGE fixture: the pre-cutoff per-user
+    * snapshot (`state/v0`) plus the post-cutoff change feed in four
+    * sequential time-quartile files (`in/q0..q3`) — time-ordered arrival
+    * is what makes sequential latest-wins equal the one-shot MERGE. */
+  private val stagedMergeCdc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
     * a state-sized value, restoring the session setting afterwards. The
     * conf at stream START fixes the STATE STORE partition count for the
@@ -3273,6 +3280,168 @@ object SparkEntry {
         .unionByName(fkOrders)
         .unionByName(fkLineitem)
         .orderBy("rule")
+    },
+
+    // LINEAR multi-touch attribution — every purchase splits its revenue
+    // EQUALLY across all click/view touches in the prior 24 h (the
+    // fractional-credit generalization of attribution_last_touch's
+    // winner-take-all ASOF). Credit stays exact: micro-cents =
+    // cents·10⁶ DIV n_touches — floor division on positive operands is
+    // identical in both engines, so no float ever crosses; a purchase
+    // with an empty touch window keeps full credit in the 'none'
+    // channel. Plan: one user-keyed equality join (the 24 h bound caps
+    // per-user fan-out), the touch count as a purchase-keyed window on
+    // the join output, then a channel-sized aggregate — no range probe,
+    // no cartesian.
+    "attribution_linear_multitouch" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"), col("event_id").as("t_id"))
+      purchases.join(touches,
+          col("user_id") === col("t_user") &&
+            col("t_ts") < col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"), "left")
+        .select(col("p_id"), col("cents"), col("touch_type"), col("t_id"))
+        .withColumn("n", count(col("t_id")).over(Window.partitionBy("p_id")))
+        .withColumn("units", col("cents") * lit(1000000L))
+        .withColumn("credit_micro",
+          when(col("t_id").isNull, col("units")).otherwise(expr("units DIV n")))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
+        .agg(countDistinct(col("p_id")).as("n_purchases"),
+          count(col("t_id")).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro"),
+          coalesce(sum(col("t_id")), lit(0L)).as("touch_checksum"))
+        .orderBy("channel")
+    },
+
+    // Zone-map data skipping over a z-ordered layout — footer-stats file
+    // pruning (the Delta/Iceberg skipping pattern) as a driver-checked
+    // operator. Each row maps to the "file" a z-order write would place
+    // it in (chunk = top 10 bits of zorder_events' exact 32-bit Morton
+    // key), every chunk carries min/max footer stats on BOTH natural
+    // dimensions, and a 2-D range query scans only the chunks whose stat
+    // ranges overlap it. Pruning is lossless by construction — stats
+    // BOUND chunk contents — and the query PROVES it by running the
+    // direct filter too and comparing exact aggregates; the summary row
+    // reports total vs scanned chunks (the skipped fraction is I/O a
+    // real reader never pays: 1 of 20 chunks at sf0.01). At 100 TB the
+    // stats table is file-count-sized metadata (broadcast) and the
+    // candidate set prunes BEFORE the scan inside the reader;
+    // partitioned_pruned_read pins the planner-time directory variant,
+    // this is the footer-stats variant. At driver SFs every user fits
+    // one u-cell, so pruning is carried by the value dimension (the u
+    // bits engage once |users| > 2^11 — locality, not correctness).
+    "zone_map_prune" -> { (s, d) =>
+      val u = graft.ops.ZOrder.normalizeMod(col("user_id"), 16)
+      val v = graft.ops.ZOrder.normalizeMod(
+        floor(col("value") * 100).cast("long"), 16)
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          shiftright(graft.ops.ZOrder.zValue(Seq(u, v), 16), 22).as("chunk"))
+      val (cLo, cHi, uLo, uHi) = (9000L, 9499L, 3L, 11L)
+      val stats = rows.groupBy(col("chunk"))
+        .agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
+      val cand = stats.filter(col("max_c") >= cLo && col("min_c") <= cHi &&
+        col("max_u") >= uLo && col("min_u") <= uHi)
+      val matchAgg = Seq(
+        count(lit(1)), coalesce(sum(col("event_id")), lit(0L)),
+        coalesce(sum(col("cents")), lit(0L)))
+      val scanned = rows.join(broadcast(cand.select(col("chunk"))), Seq("chunk"))
+        .filter(col("cents").between(cLo, cHi) &&
+          col("user_id").between(uLo, uHi))
+        .agg(matchAgg(0).as("n_rows"), matchAgg(1).as("id_checksum"),
+          matchAgg(2).as("cents_sum"))
+      val direct = rows
+        .filter(col("cents").between(cLo, cHi) &&
+          col("user_id").between(uLo, uHi))
+        .agg(matchAgg(0).as("d_rows"), matchAgg(1).as("d_id"),
+          matchAgg(2).as("d_cents"))
+      stats.agg(count(lit(1)).as("n_chunks"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
+        .crossJoin(scanned).crossJoin(direct)
+        .select(col("n_chunks"), col("n_scanned"), col("n_rows"),
+          col("id_checksum"), col("cents_sum"),
+          (col("n_rows") === col("d_rows") &&
+            col("id_checksum") === col("d_id") &&
+            col("cents_sum") === col("d_cents")).as("lossless"))
+    },
+
+    // Streaming CDC apply — merge_upsert's semantics under a stream: the
+    // post-cutoff change feed drains in 4 time-quartile micro-batches
+    // (maxFilesPerTrigger=1) and each foreachBatch MERGEs its batch into
+    // the persisted snapshot (read → Merge.applyChanges → rewrite to a
+    // new version — the Delta-less production shape, where a batch pays
+    // CHANGE-volume cost, never snapshot cost; see Merge's scaladoc).
+    // Sequential latest-wins over time-ordered batches equals the
+    // one-shot batch MERGE, so the oracle is merge_upsert's own SQL: any
+    // state lost, duplicated, or mis-ordered across batch boundaries —
+    // including a tombstoned key resurfacing — fails the hash. State
+    // versions are per-run temp dirs (the staged v0 is read-only), so
+    // bench re-runs never collide.
+    "streaming_merge_upsert" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val root = stagedMergeCdc.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_merge").toString
+          val ev = Tables.events(s, d)
+            .select(col("user_id"), col("event_type"), col("value"),
+              col("ts").cast("timestamp").as("ts"), col("event_id"))
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          ev.filter(col("ts") < cutoff)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .write.parquet(s"$tmp/state/v0")
+          val changes = ev.filter(col("ts") >= cutoff)
+          val n = changes.count()
+          // single-partition window: fixture staging only, runs once
+          val ranked = changes.withColumn("rn",
+            row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+          for (i <- 0 until 4)
+            ranked.filter(col("rn") > i * n / 4 && col("rn") <= (i + 1) * n / 4)
+              .drop("rn").coalesce(1).write.parquet(s"$tmp/in/q$i")
+          tmp
+        })
+      val runTmp = java.nio.file.Files
+        .createTempDirectory("graft_merge_run").toString
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var cur = s"$root/state/v0"
+      val src = s.readStream.schema(
+          "user_id BIGINT, event_type STRING, value DOUBLE, " +
+            "ts TIMESTAMP, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      withStatePartitions(s, 8) {
+        src.writeStream
+          .option("checkpointLocation", s"$runTmp/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val base = s.read.parquet(cur)
+            val changes = batch.withColumn("op",
+              when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+            val next = s"$runTmp/v${version.incrementAndGet()}"
+            graft.ops.Merge.applyChanges(base, changes, Seq("user_id"),
+                orderCols = Seq(col("ts"), col("event_id")))
+              .write.parquet(next)
+            cur = next
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start().awaitTermination(180000)
+      }
+      s.read.parquet(cur)
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          tsStr(col("ts")).as("ts"), col("event_id"))
+        .orderBy("user_id")
     }
   )
 
@@ -6024,6 +6193,102 @@ object SparkEntry {
         |SELECT 'orders_customer_fk', NULL,
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    // Floor division (//) on positive BIGINTs matches Spark's DIV; the
+    // per-purchase touch count comes from the same window rule.
+    "attribution_linear_multitouch" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, ts AS t_ts,
+        |    event_type AS touch_type, event_id AS t_id
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.p_id, p.cents, t.touch_type, t.t_id
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 DAY),
+        |c AS (
+        |  SELECT *, count(t_id) OVER (PARTITION BY p_id) AS n,
+        |    cents * 1000000 AS units
+        |  FROM j)
+        |SELECT coalesce(touch_type, 'none') AS channel,
+        |  count(DISTINCT p_id) AS n_purchases,
+        |  count(t_id) AS n_touches,
+        |  CAST(sum(CASE WHEN t_id IS NULL THEN units
+        |                ELSE units // n END) AS BIGINT) AS credit_micro,
+        |  CAST(coalesce(sum(t_id), 0) AS BIGINT) AS touch_checksum
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Same exact Morton interleave as zorder_events' oracle; chunk = top
+    // 10 bits; stats, candidates, and both aggregate legs recomputed.
+    "zone_map_prune" -> {
+      val terms = (for {
+        (dim, dd) <- Seq("u", "v").zipWithIndex
+        i <- 0 until 16
+      } yield s"((($dim >> $i) & 1) << ${i * 2 + dd})").mkString(" | ")
+      s"""WITH n AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents,
+         |    ((user_id % 65536) + 65536) % 65536 AS u,
+         |    ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536
+         |      AS v
+         |  FROM events),
+         |r AS (
+         |  SELECT event_id, user_id, cents, ($terms) >> 22 AS chunk FROM n),
+         |stats AS (
+         |  SELECT chunk, min(cents) AS min_c, max(cents) AS max_c,
+         |    min(user_id) AS min_u, max(user_id) AS max_u
+         |  FROM r GROUP BY chunk),
+         |cand AS (
+         |  SELECT chunk FROM stats
+         |  WHERE max_c >= 9000 AND min_c <= 9499
+         |    AND max_u >= 3 AND min_u <= 11),
+         |scanned AS (
+         |  SELECT count(*) AS n_rows,
+         |    CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_checksum,
+         |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_sum
+         |  FROM r JOIN cand USING (chunk)
+         |  WHERE cents BETWEEN 9000 AND 9499 AND user_id BETWEEN 3 AND 11),
+         |direct AS (
+         |  SELECT count(*) AS d_rows,
+         |    CAST(coalesce(sum(event_id), 0) AS BIGINT) AS d_id,
+         |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS d_cents
+         |  FROM r WHERE cents BETWEEN 9000 AND 9499
+         |    AND user_id BETWEEN 3 AND 11),
+         |t AS (SELECT count(*) AS n_chunks FROM stats),
+         |c AS (SELECT count(*) AS n_scanned FROM cand)
+         |SELECT t.n_chunks, c.n_scanned, s.n_rows, s.id_checksum,
+         |  s.cents_sum,
+         |  (s.n_rows = d.d_rows AND s.id_checksum = d.d_id
+         |    AND s.cents_sum = d.d_cents) AS lossless
+         |FROM t, c, scanned s, direct d""".stripMargin
+    },
+
+    // The one-shot batch MERGE the sequential stream must equal —
+    // merge_upsert's oracle verbatim.
+    "streaming_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, value, ts, event_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |chg AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |m AS (
+        |  SELECT user_id, event_type, value, ts, event_id FROM base
+        |  WHERE user_id NOT IN (SELECT user_id FROM chg)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value, ts, event_id FROM chg
+        |  WHERE op <> 'D')
+        |SELECT user_id, event_type, round(value, 6) AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id
+        |FROM m ORDER BY user_id""".stripMargin
   )
 }

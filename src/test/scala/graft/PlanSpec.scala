@@ -451,4 +451,24 @@ class PlanSpec extends SparkSpec {
     assert(decay.contains("partial_count"), s"no map-side combine:\n$decay")
     assert(!decay.contains("Join"), s"decay joined:\n$decay")
   }
+
+  test("multitouch attribution: touches meet purchases by equi-join, not a range probe") {
+    val plan = SparkEntry.queries("attribution_linear_multitouch")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the 24 h bound must ride an equality join on user_id as extra
+    // predicates — a nested-loop/cartesian here is the all-pairs blow-up
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"range probe:\n$plan")
+  }
+
+  test("zone map prune: candidate chunks broadcast to the row scan") {
+    val plan = SparkEntry.queries("zone_map_prune")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the pruned scan must meet the candidate list as a broadcast hash
+    // join (the stats table is file-count-sized metadata); the only
+    // nested-loop joins are the three 1-row summary combiners
+    assert(plan.contains("BroadcastHashJoin"), s"candidates shuffled:\n$plan")
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(plan).length <= 3,
+      s"unexpected join shape:\n$plan")
+  }
 }
