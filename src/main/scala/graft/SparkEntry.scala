@@ -3442,6 +3442,108 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           tsStr(col("ts")).as("ts"), col("event_id"))
         .orderBy("user_id")
+    },
+
+    // Vocabulary coverage cutoff — the tokenizer-sizing question "how
+    // many types cover 90% of token mass?" (the long-tail shape that
+    // decides vocab size and OOV policy). Corpus scans once into the
+    // vocabulary-sized frequency table; the cumulative window and the
+    // total are vocab-sized work (the window's single partition holds
+    // |vocab| rows, NOT corpus rows — same rationale as vocab_top_tokens'
+    // rank). A type is kept while the mass BEFORE it is under 90% of
+    // total, so the crossing type is included; the comparison is
+    // 10·(cum−freq) < 9·total — pure integers, no float share crosses
+    // engines. One summary row: vocab size, kept size, kept/total mass,
+    // and a token-length checksum pinning the kept SET.
+    "vocab_coverage_cutoff" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(desc("freq"), col("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      f.withColumn("cum", sum("freq").over(w))
+        .crossJoin(broadcast(f.agg(sum(col("freq")).as("total"))))
+        .withColumn("kept", (col("cum") - col("freq")) * 10 < col("total") * 9)
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("freq")).otherwise(0L)).as("mass_kept"),
+          max(col("total")).as("mass_total"),
+          sum(when(col("kept"), length(col("token"))).otherwise(0L))
+            .as("kept_len_checksum"))
+    },
+
+    // Weighted median — "the price point below which half the REVENUE
+    // sits" per event type (weight = the value itself, in cents). The
+    // percentile family's weighted generalization, computed from the
+    // per-(type, cents) value histogram: one events scan, an ordered
+    // cumulative window over the histogram (histogram-sized, not
+    // event-sized — the winsorize_stats shape), a broadcast per-type
+    // total join, then min(cents) where 2·cum ≥ total. All exact
+    // integers; no interpolation, so the answer is a real data value.
+    "revenue_weighted_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rev", col("cents") * col("n"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = h.groupBy("event_type")
+        .agg(sum(col("rev")).as("total_rev"), sum(col("n")).as("n_events"))
+      h.withColumn("cum_rev", sum("rev").over(w))
+        .join(broadcast(tot), "event_type")
+        .filter(col("cum_rev") * 2 >= col("total_rev"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("wmedian_cents"),
+          max(col("total_rev")).as("total_rev_cents"),
+          max(col("n_events")).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // NEAREST as-of — each purchase matched to its closest click/view in
+    // EITHER direction (pandas merge_asof direction='nearest'),
+    // completing the as-of family: backward (inclusive, r2), forward
+    // (strict, r8s7), nearest = both passes composed and the smaller
+    // |Δt| chosen (backward wins exact ties, including Δt = 0). Two
+    // union-window passes on the same user key — the only exchanges; the
+    // deltas are exact epoch-micros longs (the fixture carries no
+    // sub-microsecond components, checked), and the rollup pins channel ×
+    // direction counts, id checksums, and total delta.
+    "asof_nearest_touch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      def side(p: String) = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("ts").as(s"${p}_ts"),
+          col("event_type").as(s"${p}_type"), col("event_id").as(s"${p}_id"))
+      val back = AsOfJoin.backward(purchases, side("b"), Seq("user_id"),
+        "ts", Seq("b_ts", "b_type", "b_id"), tieCols = Seq("b_id"))
+      val both = AsOfJoin.forward(back, side("f"), Seq("user_id"),
+        "ts", Seq("f_ts", "f_type", "f_id"), tieCols = Seq("f_id"))
+      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+      both
+        .withColumn("db", us(col("ts")) - us(col("b_ts")))
+        .withColumn("df", us(col("f_ts")) - us(col("ts")))
+        .withColumn("dir",
+          when(col("b_id").isNull && col("f_id").isNull, "none")
+            .when(col("f_id").isNull ||
+              (col("b_id").isNotNull && col("db") <= col("df")), "backward")
+            .otherwise("forward"))
+        .withColumn("near_type", when(col("dir") === "backward", col("b_type"))
+          .when(col("dir") === "forward", col("f_type")))
+        .withColumn("near_id", when(col("dir") === "backward", col("b_id"))
+          .when(col("dir") === "forward", col("f_id")))
+        .withColumn("delta_us", when(col("dir") === "backward", col("db"))
+          .when(col("dir") === "forward", col("df")).otherwise(lit(0L)))
+        .groupBy(coalesce(col("near_type"), lit("none")).as("channel"),
+          col("dir"))
+        .agg(count(lit(1)).as("n_purchases"),
+          coalesce(sum(col("near_id")), lit(0L)).as("id_checksum"),
+          sum(col("delta_us")).as("delta_us_sum"))
+        .orderBy("channel", "dir")
     }
   )
 
@@ -6289,6 +6391,99 @@ object SparkEntry {
         |  WHERE op <> 'D')
         |SELECT user_id, event_type, round(value, 6) AS value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id
-        |FROM m ORDER BY user_id""".stripMargin
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    // Same tokenization as vocab_top_tokens; the 90% rule as the
+    // identical integer comparison.
+    "vocab_coverage_cutoff" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+        |c AS (
+        |  SELECT token, freq,
+        |    sum(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(freq) OVER () AS total
+        |  FROM f)
+        |SELECT count(*) AS n_vocab,
+        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
+        |                THEN freq ELSE 0 END) AS BIGINT) AS mass_kept,
+        |  CAST(max(total) AS BIGINT) AS mass_total,
+        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
+        |                THEN length(token) ELSE 0 END) AS BIGINT)
+        |    AS kept_len_checksum
+        |FROM c""".stripMargin,
+
+    // Histogram cumsum + per-type totals; min cents where 2·cum ≥ total.
+    "revenue_weighted_median" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cents, n, cents * n AS rev,
+        |    sum(cents * n) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum_rev,
+        |    sum(cents * n) OVER (PARTITION BY event_type) AS total_rev,
+        |    sum(n) OVER (PARTITION BY event_type) AS n_events
+        |  FROM h)
+        |SELECT event_type, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(total_rev) AS BIGINT) AS total_rev_cents,
+        |  CAST(max(n_events) AS BIGINT) AS n_events
+        |FROM r WHERE cum_rev * 2 >= total_rev
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Both native ASOF directions with the operators' tie rules
+    // (backward: greatest id at equal ts; forward: lowest), then the
+    // identical nearest CASE; deltas in exact epoch-micros.
+    "asof_nearest_touch" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |tb AS (
+        |  SELECT user_id, ts, event_type AS b_type, event_id AS b_id
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1),
+        |tf AS (
+        |  SELECT user_id, ts, event_type AS f_type, event_id AS f_id
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id) = 1),
+        |b AS (
+        |  SELECT p.p_id, p.user_id, p.ts, t.ts AS b_ts, t.b_type, t.b_id
+        |  FROM p ASOF LEFT JOIN tb t
+        |    ON p.user_id = t.user_id AND p.ts >= t.ts),
+        |f AS (
+        |  SELECT p.p_id, t.ts AS f_ts, t.f_type, t.f_id
+        |  FROM p ASOF LEFT JOIN tf t
+        |    ON p.user_id = t.user_id AND p.ts < t.ts),
+        |j AS (
+        |  SELECT b.*, f.f_ts, f.f_type, f.f_id,
+        |    epoch_us(b.ts) - epoch_us(b.b_ts) AS db,
+        |    epoch_us(f.f_ts) - epoch_us(b.ts) AS df
+        |  FROM b JOIN f USING (p_id)),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN b_id IS NULL AND f_id IS NULL THEN 'none'
+        |         WHEN f_id IS NULL OR (b_id IS NOT NULL AND db <= df)
+        |           THEN 'backward'
+        |         ELSE 'forward' END AS dir
+        |  FROM j)
+        |SELECT coalesce(CASE WHEN dir = 'backward' THEN b_type
+        |                     WHEN dir = 'forward' THEN f_type END, 'none')
+        |    AS channel,
+        |  dir, count(*) AS n_purchases,
+        |  CAST(coalesce(sum(CASE WHEN dir = 'backward' THEN b_id
+        |                         WHEN dir = 'forward' THEN f_id END), 0)
+        |    AS BIGINT) AS id_checksum,
+        |  CAST(sum(CASE WHEN dir = 'backward' THEN db
+        |                WHEN dir = 'forward' THEN df ELSE 0 END) AS BIGINT)
+        |    AS delta_us_sum
+        |FROM c GROUP BY 1, 2 ORDER BY channel, dir""".stripMargin
   )
 }
