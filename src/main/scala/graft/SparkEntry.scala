@@ -3544,6 +3544,78 @@ object SparkEntry {
           coalesce(sum(col("near_id")), lit(0L)).as("id_checksum"),
           sum(col("delta_us")).as("delta_us_sum"))
         .orderBy("channel", "dir")
+    },
+
+    // Source-level reputation gate — the domain-prior curation step
+    // (RefinedWeb/C4 keep low-quality DOMAINS out, not just documents):
+    // per-source mean document type-token ratio as the template/boiler-
+    // plate signal (a domain whose pages all reuse the same few words is
+    // spam-shaped). Per-doc TTR in exact integer milli-units
+    // (distinct·1000 DIV total), source mean as sum DIV n_docs — no
+    // float crosses engines; the 500-milli gate splits the driver's 20
+    // sources at every SF. One token-level aggregate per (source, doc),
+    // then source-sized work; the doc-stat join is broadcast-size.
+    "source_reputation_gate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val docTok = docs.repartition(col("doc_id"))
+        .select(col("source"), col("doc_id"),
+          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("tot"), countDistinct(col("token")).as("dis"))
+        .withColumn("ttr_milli", expr("dis * 1000 DIV tot"))
+      val chars = docs.groupBy("source")
+        .agg(sum(col("n_chars")).as("sum_chars"))
+      docTok.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ttr_milli")).as("ttr_sum"))
+        .join(broadcast(chars), "source")
+        .select(col("source"), col("n_docs"),
+          expr("ttr_sum DIV n_docs").as("mean_ttr_milli"),
+          expr("sum_chars DIV n_docs").as("mean_chars"),
+          (expr("ttr_sum DIV n_docs") >= 500).as("keep"))
+        .orderBy("source")
+    },
+
+    // Daily bounce rate — the share of single-event sessions per day
+    // (the engagement-health staple), composed from the SAME gap
+    // sessionizer every session query drives. Sessions aggregate first
+    // (one user-keyed exchange inside Sessionize + one day-sized
+    // aggregate); the rate is an exact integer permille, the
+    // n_events=1 predicate is the bounce definition.
+    "bounce_rate_daily" -> { (s, d) =>
+      Sessionize.sessions(Tables.events(s, d), Seq("user_id"), "ts",
+          gapSeconds = 1800)
+        .groupBy(to_date(col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_sessions"), col("n_bounces"),
+          expr("n_bounces * 1000 DIV n_sessions").as("bounce_permille"))
+        .orderBy("day")
+    },
+
+    // TPC-H Q10 shape — top returned-revenue customers in a quarter:
+    // lineitem(R) ⋈ orders(quarter) ⋈ customer ⋈ broadcast nation,
+    // exact decimal revenue, top-20 with an explicit custkey tiebreak so
+    // the cut is deterministic in both engines. The orderBy+limit plans
+    // as TakeOrderedAndProject (per-partition heaps), never a full sort
+    // of the customer aggregate.
+    "tpch_q10_returned_items" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
     }
   )
 
@@ -6484,6 +6556,80 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dir = 'backward' THEN db
         |                WHEN dir = 'forward' THEN df ELSE 0 END) AS BIGINT)
         |    AS delta_us_sum
-        |FROM c GROUP BY 1, 2 ORDER BY channel, dir""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY channel, dir""".stripMargin,
+
+    // Same tokenization; per-doc TTR and the source mean as the same
+    // integer floor divisions.
+    "source_reputation_gate" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |dt AS (
+        |  SELECT source, doc_id, count(*) AS tot,
+        |    count(DISTINCT token) AS dis
+        |  FROM toks GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(dis * 1000 // tot) AS BIGINT) AS ttr_sum
+        |  FROM dt GROUP BY 1),
+        |ch AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    count(*) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT m.source, m.n_docs,
+        |  m.ttr_sum // m.n_docs AS mean_ttr_milli,
+        |  ch.sum_chars // ch.n_docs AS mean_chars,
+        |  (m.ttr_sum // m.n_docs) >= 500 AS keep
+        |FROM m JOIN ch ON m.source = ch.source
+        |ORDER BY m.source""".stripMargin,
+
+    // The sessionize_gap construction, aggregated to days; integer
+    // permille rate.
+    "bounce_rate_daily" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |    count(*) AS n_events
+        |  FROM idx GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT CAST(session_start AS DATE) AS day,
+        |    count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounces
+        |  FROM sess GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_sessions, n_bounces,
+        |  n_bounces * 1000 // n_sessions AS bounce_permille
+        |FROM daily ORDER BY day""".stripMargin,
+
+    // Exact decimal revenue; custkey tiebreak makes the top-20 cut
+    // deterministic.
+    "tpch_q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }
