@@ -3616,6 +3616,233 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
+    },
+
+    // Mann-Whitney rank-sum ROC AUC — how well document length predicts
+    // lang='en' (the shape of every quality-classifier gate evaluation).
+    // Histogram-collapsed: one exchange builds the per-distinct-length
+    // (pos, neg) table; the cumulative window runs on the 313-value score
+    // domain, never the corpus. All outputs exact integers (micro-units).
+    "roc_auc_ranksum" -> { (s, d) =>
+      graft.ops.MlMetrics.rankAuc(Tables.documents(s, d),
+        col("n_chars"), col("lang") === "en")
+    },
+
+    // Distributed decision-tree split finding: the n_chars threshold that
+    // best separates lang='en' by weighted Gini impurity, argmin over the
+    // same collapsed histogram + prefix sums, exact micro-unit integers
+    // with a smallest-threshold tiebreak.
+    "gini_best_split" -> { (s, d) =>
+      graft.ops.MlMetrics.giniBestSplit(Tables.documents(s, d),
+        col("n_chars"), col("lang") === "en")
+    },
+
+    // Gaps-and-islands: per user, maximal runs of consecutive active days
+    // (the classic streak/coverage primitive). Day collapse first (one
+    // exchange, ≤ users×days rows), then the row_number difference trick
+    // groups consecutive day numbers; both windows key on user_id.
+    "activity_islands" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_num")
+      days
+        .withColumn("grp", col("day_num") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"), max("len").as("longest"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    },
+
+    // Two-sample Kolmogorov-Smirnov drift test between the click and view
+    // value distributions, over the cents-quantized domain (floor(100·v) —
+    // identical IEEE double ops in both engines; quantizing the ECDF
+    // domain is also the 100 TB plan: the histogram stays bounded while
+    // the scan is one pass). D is kept as the exact integer numerator
+    // max|n2·cum1 − n1·cum2| plus its micro-unit ratio; `at_cents` is the
+    // smallest location attaining it.
+    "ks_drift_cents" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val hist = q.groupBy("cents").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.select(col("cents"),
+        sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+      val tot = hist.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val diffs = cum.crossJoin(broadcast(tot))
+        .select(col("cents"),
+          abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dnum"),
+          col("n1"), col("n2"))
+      val dmax = diffs.agg(max("dnum").as("d_num"))
+      diffs.join(broadcast(dmax), col("dnum") === col("d_num"))
+        .groupBy("n1", "n2", "d_num")
+        .agg(min("cents").as("at_cents"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("d_num * 1000000 DIV (n1 * n2)").as("d_micro"),
+          col("at_cents"))
+    },
+
+    // Join-cardinality estimation from per-key counts — the optimizer-side
+    // primitive for join planning: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k),
+    // computed from one linear groupBy per side instead of materializing
+    // the (here quadratic self-)join. The ORACLE runs the real join and
+    // counts it, so the hash-compare proves the identity on data. Also
+    // emits the skew diagnosis (heaviest key and its pair contribution) —
+    // the number that decides salting vs broadcast at 100 TB.
+    "join_size_estimate" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val cnts = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      cnts
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("total_pairs"),
+          max(struct(col("c"), (-col("l_partkey")).as("nk"))).as("m"))
+        .select(col("n_keys"), col("total_pairs"),
+          (col("m.c") * col("m.c")).as("max_key_pairs"),
+          (-col("m.nk")).as("skew_key"))
+    },
+
+    // Anti-entropy table diff — per-day-partition order-insensitive
+    // checksums (Merkle-style leaf level) between `events` and a replica
+    // with planted divergence (rows dropped at event_id%997=3, value
+    // corrupted at %997=5). Row hash = md5Hash64 mod 2⁴⁴ over the typed
+    // payload (power-of-two modulus: signed pmod ≡ DuckDB's unsigned —
+    // the kfold_assign identity), so a day's checksum is a plain BIGINT
+    // sum: each side is one scan + one day-sized aggregate, and only
+    // mismatching partitions would need re-sync. Payload hashes
+    // cents = floor(100·value) — never a double rendered to string.
+    "table_checksum_diff" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"),
+        to_date(col("ts")).as("day"), floor(col("value") * 100).as("cents"))
+      def side(df: DataFrame) = df.groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(Dedup.md5Hash64(concat_ws("|",
+            col("event_id"), col("cents"))), lit(17592186044416L))).as("chk"))
+      val src = side(ev)
+      val dst = side(ev.filter(col("event_id") % 997 =!= 3)
+        .withColumn("cents", when(col("event_id") % 997 === 5,
+          col("cents") + 1).otherwise(col("cents"))))
+      src.join(dst.withColumnRenamed("n", "n_dst")
+          .withColumnRenamed("chk", "chk_dst"), Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n").as("n_src"), col("n_dst"),
+          (col("chk") === col("chk_dst")).as("chk_match"))
+        .orderBy("day")
+    },
+
+    // Cross-source quantile normalization — map each document's
+    // within-source length rank onto the GLOBAL length distribution (the
+    // standard fix for incomparable quality scores across heterogeneous
+    // corpus sources). Source-side permille from a per-source window
+    // (row_number, doc_id tiebreak); global side is the collapsed
+    // histogram + prefix sum (313 distinct lengths), broadcast as
+    // (lo, hi] permille intervals — the interval join is against a
+    // domain-sized dimension, never row×row.
+    "quantile_normalize_scores" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val total = docs.agg(count(lit(1)).as("n"))
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+      val glob = hist.withColumn("cum", sum("c").over(wg))
+        .crossJoin(broadcast(total))
+        .withColumn("hi", expr("cum * 1000 DIV n"))
+        .withColumn("lo", coalesce(lag(col("hi"), 1)
+          .over(Window.orderBy("n_chars")), lit(-1L)))
+        .select(col("n_chars").as("norm_chars"), col("lo"), col("hi"))
+      val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val ranked = docs
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(ws))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("permille",
+          expr("(CAST(rk AS BIGINT) - 1) * 1000 DIV (n_src - 1)"))
+      ranked.join(broadcast(glob),
+          col("permille") > col("lo") && col("permille") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("permille"), col("norm_chars"))
+        .orderBy("doc_id")
+    },
+
+    // CUSUM change-point detection per event_type over the daily count
+    // series: the day k maximizing |Σ_{d≤k}(c_d·D − total)| — the exact
+    // integer scaling of the classic cumulative-deviation-from-mean
+    // statistic (multiplied through by D so no rational mean appears).
+    // All windows run on the day-collapsed series (≤ types × days rows);
+    // earliest-day tiebreak makes the argmax deterministic.
+    "cusum_changepoint" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wt = Window.partitionBy("event_type")
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val cus = daily
+        .withColumn("total", sum("c").over(wt))
+        .withColumn("n_days", count(lit(1)).over(wt))
+        .withColumn("cum", sum("c").over(
+          wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("k", row_number().over(wo).cast("long"))
+        .withColumn("s_abs",
+          abs(col("n_days") * col("cum") - col("k") * col("total")))
+      cus.withColumn("m", max("s_abs").over(wt))
+        .filter(col("s_abs") === col("m"))
+        .groupBy("event_type")
+        .agg(min("day").as("day"), max("m").as("s_abs"),
+          max("n_days").as("n_days"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+          col("s_abs"), col("n_days"))
+        .orderBy("event_type")
+    },
+
+    // Bounded-lag EWMA smoothing of the per-type daily count series —
+    // weights 2⁷..2⁰ over the last 8 observations, renormalized by the
+    // mass actually present (series edges), all integer until the final
+    // milli-unit quotient. An 8-term lag chain over the day-collapsed
+    // series: one type-keyed exchange, no state beyond the frame.
+    "ewma_daily_counts" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val terms = (0 to 7).map { j =>
+        val w = 1L << (7 - j)
+        (when(lag(col("c"), j).over(wo).isNotNull,
+            lag(col("c"), j).over(wo) * w).otherwise(0L),
+          when(lag(col("c"), j).over(wo).isNotNull, lit(w)).otherwise(0L))
+      }
+      daily
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
+          expr("num * 1000 DIV den").as("ewma_milli"))
+        .orderBy("event_type", "day")
+    },
+
+    // Local clustering coefficient per vertex of the kNN similarity graph
+    // (same cells/k config as triangle_count_knn so the DuckDB oracle can
+    // rebuild the identical graph): 2·tri/(deg·(deg−1)) in exact
+    // micro-units — the community-density signal that separates
+    // intra-cluster vectors from hub artifacts before label propagation.
+    "clustering_coeff_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
+        .orderBy("vertex")
     }
   )
 
@@ -6630,6 +6857,290 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Rank-sum AUC from the same histogram identity; every emitted value
+    // is an exact integer so the hash-compare is deterministic.
+    "roc_auc_ranksum" ->
+      """WITH hist AS (
+        |  SELECT n_chars,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT pos, neg,
+        |    CAST(coalesce(sum(neg) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS neg_below
+        |  FROM hist)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CAST(2 * sum(pos * neg_below) + sum(pos * neg) AS BIGINT) AS u2,
+        |  CAST((2 * sum(pos * neg_below) + sum(pos * neg)) * 1000000 //
+        |    (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_micro
+        |FROM cum""".stripMargin,
+
+    // Same histogram + prefix sums; the micro-unit floor-division argmin
+    // with the smallest-threshold tiebreak is engine-independent.
+    "gini_best_split" ->
+      """WITH hist AS (
+        |  SELECT n_chars,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars AS threshold,
+        |    CAST(sum(pos) OVER (ORDER BY n_chars) AS BIGINT) AS l_pos,
+        |    CAST(sum(neg) OVER (ORDER BY n_chars) AS BIGINT) AS l_neg
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS t_pos,
+        |    CAST(sum(neg) AS BIGINT) AS t_neg
+        |  FROM hist),
+        |c AS (
+        |  SELECT threshold, l_pos + l_neg AS l_n, l_pos,
+        |    (t_pos - l_pos) + (t_neg - l_neg) AS r_n,
+        |    t_pos - l_pos AS r_pos
+        |  FROM cum CROSS JOIN tot
+        |  WHERE l_pos + l_neg < t_pos + t_neg)
+        |SELECT threshold, l_n, l_pos, r_n, r_pos,
+        |  l_pos * (l_n - l_pos) * 1000000 // l_n +
+        |  r_pos * (r_n - r_pos) * 1000000 // r_n AS gini_micro
+        |FROM c ORDER BY gini_micro, threshold LIMIT 1""".stripMargin,
+
+    // The row_number difference trick over per-user collapsed day numbers.
+    "activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day_num,
+        |    day_num - row_number()
+        |      OVER (PARTITION BY user_id ORDER BY day_num) AS grp
+        |  FROM days),
+        |g AS (
+        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // KS on the cents-quantized ECDFs; exact integer cross-multiplied
+    // numerator, min-cents argmax tiebreak.
+    "ks_drift_cents" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM hist),
+        |diffs AS (
+        |  SELECT cents, abs(n2 * cum1 - n1 * cum2) AS dnum, n1, n2
+        |  FROM cum CROSS JOIN tot),
+        |dm AS (SELECT max(dnum) AS d_num FROM diffs)
+        |SELECT n1, n2, d_num, d_num * 1000000 // (n1 * n2) AS d_micro,
+        |  min(cents) AS at_cents
+        |FROM diffs JOIN dm ON dnum = d_num
+        |GROUP BY n1, n2, d_num""".stripMargin,
+
+    // The oracle MATERIALIZES the self-join and counts it — proving the
+    // count-product identity the Spark side computes linearly.
+    "join_size_estimate" ->
+      """WITH r AS (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1),
+        |act AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total_pairs
+        |  FROM r a JOIN r b ON a.l_partkey = b.l_partkey),
+        |mx AS (SELECT CAST(max(c) AS BIGINT) AS mc FROM c),
+        |sk AS (
+        |  SELECT CAST(min(c.l_partkey) AS BIGINT) AS skew_key
+        |  FROM c JOIN mx ON c.c = mx.mc)
+        |SELECT (SELECT count(*) FROM c) AS n_keys, act.total_pairs,
+        |  mx.mc * mx.mc AS max_key_pairs, sk.skew_key
+        |FROM act, mx, sk""".stripMargin,
+
+    // md5_number_upper IS the Spark side's md5Hash64 (simhash-twin
+    // identity); % 2^44 matches signed pmod at a power-of-two modulus.
+    "table_checksum_diff" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |hs AS (
+        |  SELECT day, count(*) AS n_src,
+        |    CAST(sum(md5_number_upper(CAST(event_id AS VARCHAR) || '|' ||
+        |      CAST(cents AS VARCHAR)) % 17592186044416) AS BIGINT) AS chk
+        |  FROM base GROUP BY 1),
+        |repl AS (
+        |  SELECT event_id, day,
+        |    CASE WHEN event_id % 997 = 5 THEN cents + 1 ELSE cents END
+        |      AS cents
+        |  FROM base WHERE event_id % 997 <> 3),
+        |hd AS (
+        |  SELECT day, count(*) AS n_dst,
+        |    CAST(sum(md5_number_upper(CAST(event_id AS VARCHAR) || '|' ||
+        |      CAST(cents AS VARCHAR)) % 17592186044416) AS BIGINT)
+        |      AS chk_dst
+        |  FROM repl GROUP BY 1)
+        |SELECT strftime(hs.day, '%Y-%m-%d') AS day, hs.n_src, hd.n_dst,
+        |  hs.chk = hd.chk_dst AS chk_match
+        |FROM hs JOIN hd USING (day) ORDER BY day""".stripMargin,
+
+    // Same permille construction: per-source row_number (doc_id tiebreak)
+    // mapped through the global histogram's (lo, hi] permille intervals.
+    "quantile_normalize_scores" ->
+      """WITH hist AS (
+        |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |g0 AS (
+        |  SELECT n_chars,
+        |    CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+        |  FROM hist),
+        |g AS (
+        |  SELECT n_chars AS norm_chars, cum * 1000 // n AS hi,
+        |    coalesce(lag(cum * 1000 // n) OVER (ORDER BY n_chars),
+        |      -1) AS lo
+        |  FROM g0 CROSS JOIN tot),
+        |rk AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (rk - 1) * 1000 // (n_src - 1) AS permille
+        |  FROM rk)
+        |SELECT p.doc_id, p.source, p.n_chars, p.permille, g.norm_chars
+        |FROM p JOIN g ON p.permille > g.lo AND p.permille <= g.hi
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // Integer-scaled CUSUM: S_k = D·cum_k − k·total, argmax |S|,
+    // earliest-day tiebreak.
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cus AS (
+        |  SELECT event_type, day,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_days,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS k
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, day, n_days,
+        |    abs(n_days * cum - k * total) AS s_abs,
+        |    max(abs(n_days * cum - k * total))
+        |      OVER (PARTITION BY event_type) AS m
+        |  FROM cus)
+        |SELECT event_type, strftime(min(day), '%Y-%m-%d') AS change_day,
+        |  CAST(max(m) AS BIGINT) AS s_abs,
+        |  CAST(max(n_days) AS BIGINT) AS n_days
+        |FROM s WHERE s_abs = m
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The same 8-term lag chain, weights 2^7..2^0, edge-renormalized.
+    "ewma_daily_counts" -> {
+      val num = (0 to 7).map { j =>
+        val w = 1L << (7 - j)
+        s"CASE WHEN lag(c, $j) OVER wo IS NULL THEN 0 " +
+          s"ELSE lag(c, $j) OVER wo * $w END"
+      }.mkString(" + ")
+      val den = (0 to 7).map { j =>
+        val w = 1L << (7 - j)
+        s"CASE WHEN lag(c, $j) OVER wo IS NULL THEN 0 ELSE $w END"
+      }.mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, day, c,
+         |    CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den
+         |  FROM daily
+         |  WINDOW wo AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+         |  num * 1000 // den AS ewma_milli
+         |FROM t ORDER BY event_type, day""".stripMargin
+    },
+
+    // triangle_count_knn's graph construction extended with degrees; the
+    // micro-unit floor quotient matches Spark's DIV bit-for-bit.
+    "clustering_coeff_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e),
+        |deg AS (
+        |  SELECT vertex, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS vertex FROM u UNION ALL SELECT b AS vertex FROM u)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM u e1 JOIN u e2 ON e1.b = e2.a
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.vertex, d.degree,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  coalesce(tc.n_triangles, 0) * 2000000 //
+        |    (d.degree * (d.degree - 1)) AS lcc_micro
+        |FROM deg d LEFT JOIN tc USING (vertex)
+        |WHERE d.degree >= 2 ORDER BY d.vertex""".stripMargin
   )
 }

@@ -16,15 +16,27 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` as TIMESTAMP_NTZ at microsecond precision —
-    * integer-division truncation of the stored nanos, exactly what DuckDB
-    * does when it reads the same file (its timestamps are microseconds),
-    * so engine and oracle agree bit-for-bit. `ts div 1000` must be integer
-    * division: double division would lose precision above 2^53 ns.
+  /** `events` with `ts` as TIMESTAMP_NTZ at microsecond precision.
+    *
+    * The driver has generated this file with two encodings across rounds:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as raw
+    * longs, via nanosAsLong above) and TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ). Dispatch on the loaded type: for nanos, integer-divide
+    * to micros — exactly the truncation DuckDB applies reading the same
+    * file (its timestamps are microseconds), so engine and oracle agree
+    * bit-for-bit; `div` must be integer division (double division loses
+    * precision above 2^53 ns). For micros, the value is already what
+    * DuckDB sees.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsCol)
+  }
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")

@@ -60,4 +60,27 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-vertex local clustering coefficient over a canonical (a < b)
+    * edge set: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), emitted as exact
+    * micro-unit integers (`lcc_micro`) so the quotient is
+    * engine-independent. Vertices of degree < 2 (coefficient undefined)
+    * are dropped; triangle-free vertices report 0.
+    *
+    * Cost on top of [[triangleCounts]] is one degree aggregation over the
+    * edge list plus a vertex-keyed left join — both linear in edges. The
+    * classic roll-up `avg(lcc)` (network clustering) or its per-community
+    * variant composes downstream without touching the wedge join again.
+    */
+  def localClustering(und: DataFrame): DataFrame = {
+    val e = und.cache()
+    val deg = e.select(col("a").as("vertex"))
+      .union(e.select(col("b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(e), Seq("vertex"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("lcc_micro",
+        expr("n_triangles * 2000000 DIV (degree * (degree - 1))"))
+  }
 }
