@@ -112,6 +112,13 @@ object SparkEntry {
   private val stagedTws =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the left-outer stream-stream join fixture: events plus
+    * one sentinel per SIDE (purchase and view) past end + horizon +
+    * lateness, so both input watermarks advance far enough to flush every
+    * real unmatched left row (outer emission waits for window close). */
+  private val stagedEventsOuter =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the streaming-MERGE fixture: the pre-cutoff per-user
     * snapshot (`state/v0`) plus the post-cutoff change feed in four
     * sequential time-quartile files (`in/q0..q3`) — time-ordered arrival
@@ -3843,6 +3850,111 @@ object SparkEntry {
       val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
       graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
         .orderBy("vertex")
+    },
+
+    // SEVENTH driver-checked streaming lifecycle: watermarked stream-stream
+    // LEFT OUTER interval join — every purchase paired with the follow-on
+    // views inside [ts, ts+60 min], and purchases with NO such view emitted
+    // null-padded exactly once, after the watermark closes their window
+    // (outer results are final, state evicted — the semantics batch
+    // left-joins get for free and streams only get via the time-range
+    // condition). Per-side sentinels past end + horizon + lateness flush
+    // the tail; the oracle is the plain batch LEFT JOIN.
+    "streaming_left_outer_join" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEventsOuter.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_loj").toString
+          val ev = Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+          ev.write.parquet(s"$tmp/in")
+          ev.agg((max(col("ts")) + expr("INTERVAL 2 DAYS")).as("ts"))
+            .select(col("ts"), lit(-1L).as("user_id"),
+              explode(array(lit("purchase"), lit("view"))).as("event_type"),
+              lit(-1L).as("event_id"))
+            .write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
+        src.filter(col("event_type") === "purchase")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        src.filter(col("event_type") === "view")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute",
+        joinType = "leftOuter")
+      val qn = s"streaming_loj_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).filter(col("l_event_id") >= 0)
+        .select(col("l_user_id").as("user_id"), col("l_event_id"),
+          col("r_event_id"), col("r_event_id").isNull.as("unmatched"))
+        .orderBy("l_event_id", "r_event_id")
+    },
+
+    // U-shaped (position-based) attribution — 40% first touch, 40% last,
+    // 20% split across middles (n=1 → 100%, n=2 → 50/50, no touch →
+    // "none"); completes the last-touch / linear family. Exact micro-cent
+    // floor division everywhere; one conversion-keyed window ranks the
+    // 24 h lookback touches.
+    "attribution_position_based" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"), col("event_id").as("t_id"))
+      val wp = Window.partitionBy("p_id")
+      purchases.join(touches,
+          col("user_id") === col("t_user") &&
+            col("t_ts") < col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"), "left")
+        .select(col("p_id"), col("cents"), col("touch_type"), col("t_id"),
+          col("t_ts"))
+        .withColumn("n", count(col("t_id")).over(wp))
+        .withColumn("rn", row_number().over(
+          wp.orderBy(col("t_ts"), col("t_id"))).cast("long"))
+        .withColumn("units", col("cents") * lit(1000000L))
+        .withColumn("credit_micro",
+          when(col("t_id").isNull, col("units"))
+            .when(col("n") === 1, col("units"))
+            .when(col("n") === 2, expr("units DIV 2"))
+            .when(col("rn") === 1 || col("rn") === col("n"),
+              expr("units * 2 DIV 5"))
+            .otherwise(expr("units DIV 5 DIV (n - 2)")))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
+        .agg(countDistinct(col("p_id")).as("n_purchases"),
+          count(col("t_id")).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro"),
+          coalesce(sum(col("t_id")), lit(0L)).as("touch_checksum"))
+        .orderBy("channel")
+    },
+
+    // Freshness-lag DQ gate — per event_type staleness against the table
+    // high-water mark (the monitor every ingestion SLA hangs off): lag in
+    // exact integer seconds from epoch-micros floor division, plus the
+    // SLA boolean. One scan, partial max per type, broadcast global max.
+    "dq_freshness_lag" -> { (s, d) =>
+      val perType = Tables.events(s, d)
+        .groupBy("event_type").agg(max(col("ts")).as("max_ts"))
+      val global = perType.agg(max(col("max_ts")).as("global_ts"))
+      perType.crossJoin(broadcast(global))
+        .select(col("event_type"), tsStr(col("max_ts")).as("max_ts"),
+          expr("""(unix_micros(CAST(global_ts AS TIMESTAMP)) -
+                   unix_micros(CAST(max_ts AS TIMESTAMP))) DIV 1000000""")
+            .as("lag_seconds"))
+        .withColumn("fresh", col("lag_seconds") < 86400)
+        .orderBy("event_type")
     }
   )
 
@@ -7141,6 +7253,68 @@ object SparkEntry {
         |  coalesce(tc.n_triangles, 0) * 2000000 //
         |    (d.degree * (d.degree - 1)) AS lcc_micro
         |FROM deg d LEFT JOIN tc USING (vertex)
-        |WHERE d.degree >= 2 ORDER BY d.vertex""".stripMargin
+        |WHERE d.degree >= 2 ORDER BY d.vertex""".stripMargin,
+
+    // The batch LEFT JOIN the watermarked streaming outer join must equal.
+    "streaming_left_outer_join" ->
+      """WITH p AS (
+        |  SELECT ts, user_id, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT ts, user_id, event_id FROM events
+        |  WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id AS l_event_id,
+        |  v.event_id AS r_event_id, v.event_id IS NULL AS unmatched
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 60 MINUTES
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
+
+    // Identical credit CASE; floor division in both engines.
+    "attribution_position_based" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type,
+        |    event_id AS t_id
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.p_id, p.cents, t.touch_type, t.t_id, t.t_ts
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 DAY),
+        |r AS (
+        |  SELECT p_id, cents, touch_type, t_id,
+        |    count(t_id) OVER (PARTITION BY p_id) AS n,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+        |      AS rn,
+        |    cents * 1000000 AS units
+        |  FROM j),
+        |c AS (
+        |  SELECT touch_type, p_id, t_id,
+        |    CASE WHEN t_id IS NULL THEN units
+        |         WHEN n = 1 THEN units
+        |         WHEN n = 2 THEN units // 2
+        |         WHEN rn = 1 OR rn = n THEN units * 2 // 5
+        |         ELSE units // 5 // (n - 2) END AS credit_micro
+        |  FROM r)
+        |SELECT coalesce(touch_type, 'none') AS channel,
+        |  count(DISTINCT p_id) AS n_purchases,
+        |  count(t_id) AS n_touches,
+        |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro,
+        |  CAST(coalesce(sum(t_id), 0) AS BIGINT) AS touch_checksum
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Same epoch-micros floor division.
+    "dq_freshness_lag" ->
+      """WITH pt AS (
+        |  SELECT event_type, max(ts) AS max_ts FROM events GROUP BY 1),
+        |g AS (SELECT max(max_ts) AS global_ts FROM pt)
+        |SELECT event_type, strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |  (epoch_us(global_ts) - epoch_us(max_ts)) // 1000000
+        |    AS lag_seconds,
+        |  (epoch_us(global_ts) - epoch_us(max_ts)) // 1000000 < 86400
+        |    AS fresh
+        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin
   )
 }

@@ -131,9 +131,18 @@ object StreamingPipeline {
     * columns are prefixed (`l_`/`r_`) so key/timestamp pairs survive the
     * join unambiguously.
     */
+  /** Stream-stream interval join. `joinType` "inner" (default) emits
+    * matches as they form; "leftOuter" additionally emits each unmatched
+    * left row null-padded once the watermark proves its `[ts, ts+horizon]`
+    * window can no longer match — the time-range condition on both sides
+    * is what lets Spark evict state, so outer results are final, not
+    * provisional. (An unmatched row near the head of the stream therefore
+    * only flushes after the watermark passes its horizon: batch-parity
+    * fixtures need a sentinel beyond `end + horizon + lateness`.)
+    */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       keyCol: String, horizon: String, lateness: String,
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", joinType: String = "inner"): DataFrame = {
     val l = left.toDF(left.columns.toIndexedSeq.map("l_" + _): _*)
       .withWatermark(s"l_$tsCol", lateness)
     val r = right.toDF(right.columns.toIndexedSeq.map("r_" + _): _*)
@@ -141,7 +150,8 @@ object StreamingPipeline {
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"),
+      joinType)
   }
 
   /** Stream → idempotent sink: `foreachBatch` re-applies the batch
