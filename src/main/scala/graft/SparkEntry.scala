@@ -3955,6 +3955,83 @@ object SparkEntry {
             .as("lag_seconds"))
         .withColumn("fresh", col("lag_seconds") < 86400)
         .orderBy("event_type")
+    },
+
+    // TPC-H Q6 shape — forecast revenue change: a pure scan-filter-agg
+    // whose whole plan should collapse into one WholeStageCodegen span
+    // over the pushed-down parquet scan. Exact decimal product sum.
+    "tpch_q6_forecast_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q14 shape — promo revenue share in a year: broadcast part
+    // dim, conditional decimal aggregation, and the share emitted as an
+    // exact integer ratio of micro-cent sums (DECIMAL×10⁴ → BIGINT) so
+    // no double division crosses the oracle boundary.
+    "tpch_q14_promo_share" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      li.join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rev", col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+            .otherwise(lit(0).cast("decimal(16,4)"))).as("promo"),
+          sum(col("rev")).as("total"))
+        .select(
+          (col("promo") * 10000).cast("long").as("promo_u"),
+          (col("total") * 10000).cast("long").as("total_u"))
+        .withColumn("promo_share_micro",
+          expr("promo_u * 1000000 DIV total_u"))
+    },
+
+    // TPC-H Q18 shape — large-quantity orders: the group-by-HAVING
+    // derived semi join (aggregate once, join back), customer enrichment,
+    // deterministic top-100. Quantities are integer-valued doubles, so
+    // their sums are exact and cast cleanly to BIGINT in both engines.
+    "tpch_q18_large_orders" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty").cast("long").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Tolerance-bounded backward as-of join (pandas merge_asof
+    // tolerance) — each purchase takes the user's last click, but only
+    // if it happened within the 10-minute attribution window; older
+    // matches null out. Completes the as-of family
+    // (backward/forward/nearest/tolerance); same one-shuffle union-window
+    // plan, the tolerance is a post-fill projection.
+    "asof_tolerance_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.backwardTolerance(purchases, clicks, Seq("user_id"), "ts",
+          valueCols = Seq("click_id"), tolerance = "10 MINUTES",
+          tieCols = Seq("click_id"))
+        .select(col("user_id"), tsStr(col("ts")).as("ts"), col("event_id"),
+          col("click_id"), tsStr(col("asof_matched_ts")).as("click_ts"))
+        .orderBy("event_id")
     }
   )
 
@@ -7315,6 +7392,69 @@ object SparkEntry {
         |    AS lag_seconds,
         |  (epoch_us(global_ts) - epoch_us(max_ts)) // 1000000 < 86400
         |    AS fresh
-        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin
+        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin,
+
+    "tpch_q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Micro-cent integers before the ratio; no double division.
+    "tpch_q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+        |             ELSE CAST(0 AS DECIMAL(16,4)) END) * 10000 AS BIGINT)
+        |      AS promo_u,
+        |    CAST(sum(rev) * 10000 AS BIGINT) AS total_u
+        |  FROM j)
+        |SELECT promo_u, total_u,
+        |  promo_u * 1000000 // total_u AS promo_share_micro
+        |FROM a""".stripMargin,
+
+    // Integer-valued double sums cast exactly; top-100 with orderkey
+    // tiebreak.
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // DuckDB ASOF LEFT JOIN + the same 10-minute staleness CASE.
+    "asof_tolerance_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  p.event_id,
+        |  CASE WHEN c.cts >= p.ts - INTERVAL 10 MINUTES
+        |       THEN c.click_id END AS click_id,
+        |  CASE WHEN c.cts >= p.ts - INTERVAL 10 MINUTES
+        |       THEN strftime(c.cts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts <= p.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -108,4 +108,32 @@ object AsOfJoin {
     }
     filled.filter(col("__side") === 1).drop("__side")
   }
+
+  /** [[backward]] with a match-age bound (pandas `merge_asof tolerance`):
+    * a right row older than `tolerance` before the left row is treated as
+    * no match — its carried values null out, and `asof_matched_ts`
+    * reports the matched right timestamp (null when unmatched or stale).
+    * Same single-shuffle union-window plan; the tolerance is a per-row
+    * projection after the fill, not a second join.
+    */
+  def backwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      tolerance: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val rts = "__asof_rts"
+    val j = backward(left, right.withColumn(rts, col(tsCol)),
+      keyCols, tsCol, valueCols :+ rts, tieCols)
+    val stale = col(rts).isNull ||
+      col(rts) < col(tsCol) - expr(s"INTERVAL $tolerance")
+    valueCols.foldLeft(j) { (df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+      }
+      .withColumn("asof_matched_ts",
+        when(stale, lit(null)).otherwise(col(rts)))
+      .drop(rts)
+  }
 }
