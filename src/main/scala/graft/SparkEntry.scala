@@ -4032,6 +4032,44 @@ object SparkEntry {
         .select(col("user_id"), tsStr(col("ts")).as("ts"), col("event_id"),
           col("click_id"), tsStr(col("asof_matched_ts")).as("click_ts"))
         .orderBy("event_id")
+    },
+
+    // Hard-negative mining for contrastive training — per anchor, the 2
+    // most similar DIFFERENT-label vectors from its Voronoi cell (easy
+    // negatives are already far; these are the pairs that move the
+    // loss). Same fixed-8-centroid config as the other cell queries so
+    // the oracle rebuilds the identical candidate set; production scales
+    // cells ∝ n (the SemDeDup/kNN argument).
+    "hard_negative_mining" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      graft.ops.KnnGraph.hardNegatives(emb, cents, k = 2)
+        .orderBy("src", "rank")
+    },
+
+    // Curriculum phases — split the corpus into 4 training phases of
+    // ~equal CHARACTER mass in length order (curriculum learning's
+    // easy-to-hard schedule with balanced compute per phase). Phase
+    // boundaries come from the exclusive prefix mass over the collapsed
+    // length histogram: one exchange, domain-sized windows, exact
+    // integer floor arithmetic.
+    "curriculum_phases" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, d)
+        .groupBy("n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("mass", col("n_chars") * col("c"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = hist.agg(sum("mass").as("total_mass"))
+      hist.withColumn("cum_excl", coalesce(sum("mass").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("phase", expr("cum_excl * 4 DIV total_mass"))
+        .groupBy("phase")
+        .agg(sum("c").as("n_docs"), sum("mass").as("sum_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("phase")
     }
   )
 
@@ -7455,6 +7493,63 @@ object SparkEntry {
         |       THEN strftime(c.cts, '%Y-%m-%d %H:%M:%S') END AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.cts <= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Identical cell assignment (argmax centroid, cid tiebreak), label
+    // inequality, per-anchor top-2 by (sim desc, neg_id).
+    "hard_negative_mining" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, a.label, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, label, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, x.label AS src_label,
+        |    y.vec_id AS neg_id, y.label AS neg_label,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.label <> y.label
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id)
+        |SELECT src, src_label,
+        |  CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY sim DESC, neg_id) AS INT) AS rank,
+        |  neg_id, neg_label, round(sim, 6) AS sim
+        |FROM p
+        |QUALIFY rank <= 2
+        |ORDER BY src, rank""".stripMargin,
+
+    // Exclusive prefix mass over the length histogram; floor quartiles.
+    "curriculum_phases" ->
+      """WITH hist AS (
+        |  SELECT n_chars, count(*) AS c, n_chars * count(*) AS mass
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars, c, mass,
+        |    CAST(coalesce(sum(mass) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_excl
+        |  FROM hist),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total_mass FROM hist)
+        |SELECT cum_excl * 4 // total_mass AS phase,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(mass) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1 ORDER BY phase""".stripMargin
   )
 }

@@ -53,4 +53,31 @@ object KnnGraph {
       .select(col("src"), col("rank"), col("dst"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the top-k most similar vectors carrying a DIFFERENT label (the
+    * negatives that actually move a contrastive loss — easy negatives
+    * are already far). Same Voronoi-cell candidate topology as
+    * [[inCells]] (zero-exchange assignment, cell-equality candidate
+    * join, per-anchor WindowGroupLimit top-k); the label inequality
+    * prunes candidates before scoring. Same cells-∝-n scaling contract.
+    */
+  def hardNegatives(emb: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val corpus = Ivf.assignCells(emb, vecCol, centroids, n = 1)
+      .select(col("cid"), col(idCol).as("neg_id"), col(vecCol).as("__dv"),
+        col(labelCol).as("neg_label"))
+    val sources = Ivf.assignCells(emb, vecCol, centroids, n = nProbe)
+      .select(col("cid"), col(idCol).as("src"), col(vecCol).as("__sv"),
+        col(labelCol).as("src_label"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("sim"), col("neg_id"))
+    sources.join(corpus, "cid")
+      .filter(col("src_label") =!= col("neg_label"))
+      .withColumn("sim", Similarity.cosine(col("__sv"), col("__dv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("src_label"), col("rank"), col("neg_id"),
+        col("neg_label"), round(col("sim"), 6).as("sim"))
+  }
 }
