@@ -119,6 +119,13 @@ object SparkEntry {
   private val stagedEventsOuter =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the dedup state-eviction fixture: the documents stream
+    * in one file, then a second file of duplicates TWO DAYS later — far
+    * past the watermark delay, so their key state has been evicted and
+    * the duplicates re-emit (the bounded-state contract made visible). */
+  private val stagedDedupEvict =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the streaming-MERGE fixture: the pre-cutoff per-user
     * snapshot (`state/v0`) plus the post-cutoff change feed in four
     * sequential time-quartile files (`in/q0..q3`) — time-ordered arrival
@@ -4070,6 +4077,109 @@ object SparkEntry {
         .agg(sum("c").as("n_docs"), sum("mass").as("sum_chars"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .orderBy("phase")
+    },
+
+    // TWAP — time-weighted average value per (type, day): each
+    // observation holds until the next one (lead), weights are exact
+    // epoch-micros interval lengths, the average is one integer floor
+    // quotient. The finance-standard mean for irregular ticks; one
+    // (type, day)-keyed window + aggregate, event_id tiebreak for
+    // within-timestamp determinism.
+    "twap_daily" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
+          floor(col("value") * 100).as("cents"), col("event_id"))
+      val w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+      ev.withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dt_us", expr("""unix_micros(CAST(next_ts AS TIMESTAMP)) -
+          unix_micros(CAST(ts AS TIMESTAMP))"""))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cents * dt_us")).as("num"), sum("dt_us").as("den"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          expr("num DIV den").as("twap_cents"), col("n_intervals"))
+        .orderBy("event_type", "day")
+    },
+
+    // TPC-H Q15 shape — top supplier(s) by quarter revenue, ALL ties kept
+    // via the max-revenue self-comparison (the view+subquery formulation,
+    // here an exact DECIMAL equality join against the 1-row broadcast
+    // max — double revenue would make tie detection engine-dependent).
+    "tpch_q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(mx), col("total_rev") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // EIGHTH streaming lifecycle: dropDuplicatesWithinWatermark's
+    // bounded-state contract made VISIBLE — duplicates arriving within
+    // the watermark delay are dropped (25 planted +10 s copies), but a
+    // second wave TWO DAYS later re-emits: their key state was evicted
+    // when the watermark passed, which is exactly the unbounded-state
+    // trade every streaming dedup at scale accepts. Two files,
+    // maxFilesPerTrigger=1, so eviction happens between micro-batches;
+    // the oracle counts docs 25..49's fingerprints twice.
+    "streaming_dedup_eviction" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedDedupEvict.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_evict").toString
+          val base = Tables.documents(s, d)
+            .select(
+              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
+                .as("ts"),
+              col("text"), col("doc_id"))
+          base.unionAll(base.filter(col("doc_id") < 25)
+              .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
+                col("text"), col("doc_id")))
+            .drop("doc_id").coalesce(1).write.parquet(s"$tmp/in")
+          // two watermark-advancer batches between the waves: eviction is
+          // a between-batches effect (a batch must first ADVANCE the
+          // watermark, a later one evicts) — without them the engine may
+          // legally still suppress the far duplicates (the contract
+          // beyond the delay is best-effort, and a single-hop fixture
+          // measured exactly that: 500 rows, duplicates suppressed).
+          Seq("1", "36").zipWithIndex.foreach { case (h, i) =>
+            base.limit(1)
+              .select((col("ts") + expr(s"INTERVAL $h HOURS")).as("ts"),
+                lit(s"__advancer_$i").as("text"))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          }
+          base.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+            .select((col("ts") + expr("INTERVAL 2 DAYS")).as("ts"),
+              col("text"))
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val deduped = graft.streaming.StreamingPipeline
+        .dedupStream(stream, lateness = "1 minute")
+      val qn = s"streaming_evict_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        deduped
+          .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).orderBy("fp_md5")
     }
   )
 
@@ -7550,6 +7660,65 @@ object SparkEntry {
         |  CAST(sum(mass) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM cum CROSS JOIN tot
-        |GROUP BY 1 ORDER BY phase""".stripMargin
+        |GROUP BY 1 ORDER BY phase""".stripMargin,
+
+    // Same lead-interval weighting; exact epoch-micros arithmetic.
+    "twap_daily" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, day, cents,
+        |    lead(ts) OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS next_ts,
+        |    ts
+        |  FROM ev),
+        |iv AS (
+        |  SELECT event_type, day,
+        |    cents * (epoch_us(next_ts) - epoch_us(ts)) AS wcents,
+        |    epoch_us(next_ts) - epoch_us(ts) AS dt_us
+        |  FROM l WHERE next_ts IS NOT NULL)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(wcents) AS BIGINT) // CAST(sum(dt_us) AS BIGINT)
+        |    AS twap_cents,
+        |  count(*) AS n_intervals
+        |FROM iv GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Exact DECIMAL revenue; ties kept by construction.
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN mx ON total_rev = mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Every fingerprint once, plus docs 25..49 a second time (their +2 d
+    // duplicates arrive after state eviction and re-emit).
+    "streaming_dedup_eviction" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      AS fp_md5
+        |  FROM documents)
+        |SELECT fp_md5 FROM (
+        |  SELECT DISTINCT fp_md5 FROM f
+        |  UNION ALL
+        |  SELECT DISTINCT fp_md5 FROM f WHERE doc_id >= 25 AND doc_id < 50
+        |  UNION ALL
+        |  SELECT md5('__advancer_0')
+        |  UNION ALL
+        |  SELECT md5('__advancer_1'))
+        |ORDER BY fp_md5""".stripMargin
   )
 }
