@@ -4180,6 +4180,103 @@ object SparkEntry {
           .awaitTermination(180000)
       }
       s.table(qn).orderBy("fp_md5")
+    },
+
+    // Explicit GROUPING SETS (the third grouping surface next to
+    // cube_orders / rollup_orders): two independent one-dimension
+    // rollups plus the grand total in ONE pass — the report-page shape
+    // that would otherwise be three scans unioned. grouping_id
+    // disambiguates the null-keyed rows exactly as the SQL standard
+    // bitmask both engines implement.
+    "grouping_sets_report" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("total"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    },
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-data screen. The first significant digit comes from the
+    // DECIMAL(12,2) string rendering (both engines format decimals
+    // identically; log10-based extraction could flip at power-of-ten
+    // boundaries between libm implementations). Expected Benford masses
+    // are integer permille literals; everything else is exact counts.
+    "benford_digit_audit" -> { (s, d) =>
+      val exp = array(Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+        .map(v => lit(v.toLong)): _*)
+      val digits = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(12,2)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = digits.agg(sum("obs").as("n"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"),
+          expr("obs * 1000 DIV n").as("obs_permille"),
+          element_at(exp, col("digit")).as("exp_permille"))
+        .withColumn("excess_permille",
+          col("obs_permille") - col("exp_permille"))
+        .orderBy("digit")
+    },
+
+    // Pareto concentration — the smallest top-revenue customer set
+    // covering ≥ 80% of total revenue (the 80/20 report): per-customer
+    // cent sums, revenue-descending rank + prefix sum, integer 4/5
+    // cross-multiplication for the cutoff. The global window runs over
+    // the CUSTOMER aggregate (orders-many → customers-few); at 100 TB
+    // the same cutoff comes from a revenue histogram exactly like
+    // percentile_length_filter.
+    "pareto_customer_concentration" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("cents"))
+      val w = Window.orderBy(desc("cents"), col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = rev
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("cents"), col("o_custkey"))).cast("long"))
+        .withColumn("cum", sum("cents").over(w))
+      val tot = rev.agg(sum("cents").as("total_cents"),
+        count(lit(1)).as("n_customers"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("cum") * 5 >= col("total_cents") * 4)
+        .agg(min("rk").as("n_top80"), max("n_customers").as("n_customers"),
+          max("total_cents").as("total_cents"))
+        .select(col("n_top80"), col("n_customers"),
+          expr("n_top80 * 1000 DIV n_customers").as("top_share_permille"),
+          col("total_cents"))
+    },
+
+    // Day-over-day trending — per day, the event type with the largest
+    // relative count growth (permille vs previous day), the "what's
+    // spiking" feed. All windows on the day×type collapsed series;
+    // deterministic (delta desc, type) tiebreak; day 1 has no baseline
+    // and is skipped.
+    "trending_types_daily" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wt = Window.partitionBy("event_type").orderBy("day")
+      val wd = Window.partitionBy("day")
+        .orderBy(desc("delta_permille"), col("event_type"))
+      daily
+        .withColumn("prev", lag(col("c"), 1).over(wt))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta_permille",
+          expr("(c - prev) * 1000 DIV prev"))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type").as("top_type"), col("c"), col("prev"),
+          col("delta_permille"))
+        .orderBy("day")
     }
   )
 
@@ -7719,6 +7816,76 @@ object SparkEntry {
         |  SELECT md5('__advancer_0')
         |  UNION ALL
         |  SELECT md5('__advancer_1'))
-        |ORDER BY fp_md5""".stripMargin
+        |ORDER BY fp_md5""".stripMargin,
+
+    // Standard GROUPING bitmask (left column = MSB) in both engines.
+    "grouping_sets_report" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    // First digit from the DECIMAL rendering; Benford permille literals.
+    "benford_digit_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM h)
+        |SELECT digit, obs, obs * 1000 // n AS obs_permille,
+        |  ([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit]::BIGINT
+        |    AS exp_permille,
+        |  obs * 1000 // n -
+        |    ([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit]::BIGINT
+        |    AS excess_permille
+        |FROM h CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // Revenue-descending prefix sum; 4/5 cross-multiplied cutoff.
+    "pareto_customer_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |t AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    count(*) AS n_customers
+        |  FROM rev)
+        |SELECT min(rk) AS n_top80, max(n_customers) AS n_customers,
+        |  min(rk) * 1000 // max(n_customers) AS top_share_permille,
+        |  max(total_cents) AS total_cents
+        |FROM r CROSS JOIN t
+        |WHERE cum * 5 >= total_cents * 4""".stripMargin,
+
+    // Same lag + permille delta + per-day (delta desc, type) top-1.
+    "trending_types_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, c,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, day, c, prev,
+        |    (c - prev) * 1000 // prev AS delta_permille
+        |  FROM l WHERE prev IS NOT NULL)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type AS top_type,
+        |  c, prev, delta_permille
+        |FROM g
+        |QUALIFY row_number() OVER (PARTITION BY day
+        |  ORDER BY delta_permille DESC, event_type) = 1
+        |ORDER BY day""".stripMargin
   )
 }

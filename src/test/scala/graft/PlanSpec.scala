@@ -471,4 +471,50 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(plan).length <= 3,
       s"unexpected join shape:\n$plan")
   }
+
+  test("join size estimate: the cardinality comes from counts, never a join") {
+    val plan = SparkEntry.queries("join_size_estimate")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the whole point: |A ⋈ B| = Σ cntA·cntB from one linear aggregate —
+    // any Join node means the estimator materialized what it estimates
+    assert(!plan.contains("Join"), s"estimator joined:\n$plan")
+  }
+
+  test("rank AUC / Gini split: one histogram exchange, windows on the collapsed domain") {
+    for (q <- Seq("roc_auc_ranksum", "gini_best_split")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      // raw rows cross the wire once (the per-distinct-score histogram);
+      // everything after runs on the domain: the only further exchanges
+      // are the SinglePartition window/total steps over histogram rows
+      assert(!plan.contains("CartesianProduct"), s"$q all-pairs:\n$plan")
+      // raw rows feed exactly one hash exchange (the histogram groupBy);
+      // every other exchange (SinglePartition window + totals branch +
+      // broadcast) moves domain-sized histogram rows only
+      val rawExchanges = "Exchange hashpartitioning\\(n_chars".r
+        .findAllIn(plan).length
+      assert(rawExchanges <= 2, s"$q re-shuffles raw rows:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 5, s"$q too many exchanges ($exchanges):\n$plan")
+    }
+  }
+
+  test("hard negatives: cell-equality candidate join + per-anchor window group limit") {
+    val plan = SparkEntry.queries("hard_negative_mining")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scoring:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k sorts full candidates:\n$plan")
+  }
+
+  test("quantile normalize: the global permille map joins as a broadcast dimension") {
+    val plan = SparkEntry.queries("quantile_normalize_scores")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the (lo, hi] interval map is domain-sized metadata — it must reach
+    // rows as a broadcast nested loop (range condition), never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"map shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unconstrained product:\n$plan")
+  }
 }
