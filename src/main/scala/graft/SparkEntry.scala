@@ -4277,6 +4277,89 @@ object SparkEntry {
           col("event_type").as("top_type"), col("c"), col("prev"),
           col("delta_permille"))
         .orderBy("day")
+    },
+
+    // NINTH streaming lifecycle: watermarked stream-stream FULL OUTER
+    // interval join — unmatched PURCHASES null-pad on the right,
+    // unmatched VIEWS null-pad on the left, each emitted exactly once
+    // after the watermark closes the window in which a match could still
+    // have arrived (a view can match a purchase up to 60 min BEFORE it,
+    // so its close is ts on the left bound). Same staged fixture and
+    // per-side sentinels as the left-outer lifecycle; oracle is the
+    // batch FULL OUTER join.
+    "streaming_full_outer_join" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEventsOuter.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_loj").toString
+          val ev = Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+          ev.write.parquet(s"$tmp/in")
+          ev.agg((max(col("ts")) + expr("INTERVAL 2 DAYS")).as("ts"))
+            .select(col("ts"), lit(-1L).as("user_id"),
+              explode(array(lit("purchase"), lit("view"))).as("event_type"),
+              lit(-1L).as("event_id"))
+            .write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
+        src.filter(col("event_type") === "purchase")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        src.filter(col("event_type") === "view")
+          .select(col("ts"), col("user_id"), col("event_id")),
+        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute",
+        joinType = "fullOuter")
+      val qn = s"streaming_foj_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn)
+        .filter((col("l_event_id").isNull || col("l_event_id") >= 0) &&
+          (col("r_event_id").isNull || col("r_event_id") >= 0))
+        .select(coalesce(col("l_user_id"), col("r_user_id")).as("user_id"),
+          col("l_event_id"), col("r_event_id"))
+        .orderBy("l_event_id", "r_event_id")
+    },
+
+    // Skyline (Pareto front) over parts — cheapest-for-their-size parts:
+    // p on the front iff no part is both cheaper and at-least-as-large
+    // (minimize retail cents, maximize size). Collapse to the per-size
+    // maximum first... inverted: per distinct CENTS the max size, then a
+    // running-max scan over the price-sorted domain keeps exactly the
+    // dominance-free rows. One exchange to the (cents → max size)
+    // histogram; the scan window runs on the collapsed price domain. The
+    // multidimensional generalization is grid-partitioned prefilter +
+    // candidate merge — this 2-D form is the window special case.
+    "skyline_price_size" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          col("p_size"))
+      val bySize = parts.groupBy("cents").agg(max("p_size").as("best_size"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = bySize
+        .withColumn("max_below",
+          coalesce(max("best_size").over(w), lit(-1)))
+        .filter(col("best_size") > col("max_below"))
+        .select(col("cents").as("f_cents"), col("best_size"))
+      // re-attach the part(s) realizing each front point (smallest key
+      // wins ties so the emitted set is deterministic)
+      parts.join(broadcast(front),
+          col("cents") === col("f_cents") &&
+            col("p_size") === col("best_size"))
+        .groupBy(col("f_cents").as("cents"), col("best_size"))
+        .agg(min("p_partkey").as("p_partkey"), count(lit(1)).as("n_ties"))
+        .orderBy("cents")
     }
   )
 
@@ -7886,6 +7969,43 @@ object SparkEntry {
         |FROM g
         |QUALIFY row_number() OVER (PARTITION BY day
         |  ORDER BY delta_permille DESC, event_type) = 1
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // The batch FULL OUTER the streaming join must equal.
+    "streaming_full_outer_join" ->
+      """WITH p AS (
+        |  SELECT ts, user_id, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT ts, user_id, event_id FROM events
+        |  WHERE event_type = 'view')
+        |SELECT coalesce(p.user_id, v.user_id) AS user_id,
+        |  p.event_id AS l_event_id, v.event_id AS r_event_id
+        |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 60 MINUTES
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
+
+    // Same per-cents collapse + strictly-below running max.
+    "skyline_price_size" ->
+      """WITH parts AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    p_size
+        |  FROM part),
+        |bs AS (SELECT cents, max(p_size) AS best_size FROM parts
+        |       GROUP BY 1),
+        |f AS (
+        |  SELECT cents, best_size,
+        |    coalesce(max(best_size) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS max_below
+        |  FROM bs)
+        |SELECT f.cents, f.best_size, min(p.p_partkey) AS p_partkey,
+        |  count(*) AS n_ties
+        |FROM f JOIN parts p
+        |  ON p.cents = f.cents AND p.p_size = f.best_size
+        |WHERE f.best_size > f.max_below
+        |GROUP BY 1, 2 ORDER BY f.cents""".stripMargin
   )
 }

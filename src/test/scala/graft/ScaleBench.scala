@@ -160,6 +160,24 @@ object ScaleBench {
         .filter(col("rank") <= 3)
     }
 
+    // Hard-negative mining and local clustering coefficient at the same
+    // cells ∝ n rule (the driver queries fix cells=8 for DuckDB-oracle
+    // feasibility; Σ|cell|² at fixed cells is the documented config
+    // error, not the operator's property).
+    time(s"hard_negatives_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      graft.ops.KnnGraph.hardNegatives(emb, cents, k = 2)
+    }
+    time(s"clustering_coeff_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
+    }
+
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
       val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
