@@ -4360,6 +4360,235 @@ object SparkEntry {
         .groupBy(col("f_cents").as("cents"), col("best_size"))
         .agg(min("p_partkey").as("p_partkey"), count(lit(1)).as("n_ties"))
         .orderBy("cents")
+    },
+
+    // Connected components over the kNN similarity graph, as a
+    // first-class ORACLED surface for the iterative algorithm the dedup
+    // survivors ride (Components is otherwise only spec- and
+    // indirectly-covered). Alternating small-star/large-star (Kiveris et
+    // al., SoCC'14) — O(log n) rounds on ANY graph shape, each round one
+    // aggregation + one join hash-partitioned by vertex, which is the
+    // 100 TB algorithm (plain min-label propagation needs O(diameter)
+    // rounds on chains). Output is the component summary: min-id label,
+    // size, max vertex. Oracle: DuckDB WITH RECURSIVE transitive closure
+    // → min reachable label per vertex (component-size² intermediate —
+    // fine at oracle SFs, and exactly the formulation the distributed
+    // algorithm exists to avoid).
+    "graph_components_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      graft.ops.Components.connectedComponentsStar(und, "a", "b")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_vertices"), max("v").as("max_vertex"))
+        .orderBy("comp")
+    },
+
+    // Peak concurrency by sweep line — max simultaneously-open gap
+    // sessions per day (capacity planning's load question). Sessions
+    // split into per-day segments (midnight carry-in becomes the
+    // segment's 00:00 start), boundaries collapse to one row per
+    // (day, ts) with net delta and +1 count, and the peak reads off a
+    // day-partitioned running sum over that collapsed domain: candidate
+    // concurrency at ts = cum_before + ups (all starts at an instant
+    // count before any end — closed intervals, so a session ending at
+    // the exact ts another starts overlaps it). No global window, no
+    // per-boundary-row state: the window partitions by day on the
+    // deduped boundary domain, which is also the 100 TB plan.
+    "max_concurrent_sessions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seg = Sessionize.sessions(Tables.events(s, d), Seq("user_id"),
+          "ts", gapSeconds = 1800)
+        .select(col("session_start"), col("session_end"),
+          explode(expr(
+            "sequence(to_date(session_start), to_date(session_end))"))
+            .as("day"))
+        .select(col("day"),
+          greatest(col("session_start"), col("day").cast("timestamp_ntz"))
+            .as("seg_start"),
+          least(col("session_end"),
+            expr("cast(date_add(day, 1) as timestamp_ntz)" +
+              " - INTERVAL 1 MICROSECOND")).as("seg_end"))
+      val bounds = seg
+        .select(col("day"), col("seg_start").as("ts"), lit(1L).as("delta"))
+        .union(seg.select(col("day"), col("seg_end").as("ts"),
+          lit(-1L).as("delta")))
+        .groupBy("day", "ts")
+        .agg(sum(col("delta")).as("net"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("ups"))
+      val w = Window.partitionBy("day").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cand = bounds.withColumn("cum", sum(col("net")).over(w))
+        .withColumn("cand", col("cum") - col("net") + col("ups"))
+      cand.groupBy("day").agg(max(col("cand")).as("peak"))
+        .join(cand.select(col("day"), col("ts"), col("cand")),
+          Seq("day"))
+        .filter(col("cand") === col("peak"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("peak"))
+        .agg(tsStr(min(col("ts"))).as("first_peak"))
+        .orderBy("day")
+    },
+
+    // Preference-pair construction (DPO/RLHF data prep): within each
+    // (source, lang) group, pair the highest-quality document (chosen)
+    // with the lowest (rejected), quality = integer milli type-token
+    // ratio — the same tokenization and TTR rule as
+    // source_reputation_gate. Tiebreaks make the pair deterministic:
+    // chosen prefers the SMALLER doc_id, rejected the LARGER, so a
+    // fully-tied group of ≥2 docs still yields a non-degenerate pair
+    // with margin 0. One doc-keyed token exchange builds the per-doc
+    // quality; both extremes come from group-partitioned windows over
+    // the doc-level aggregate (group count is bounded by the
+    // source×lang domain — no global sort, no driver loop).
+    "preference_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.documents(s, d).repartition(col("doc_id"))
+        .select(col("source"), col("lang"), col("doc_id"),
+          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("source", "lang", "doc_id")
+        .agg(count(lit(1)).as("tot"), countDistinct(col("token")).as("dis"))
+        .withColumn("ttr_milli", expr("dis * 1000 DIV tot"))
+      val wc = Window.partitionBy("source", "lang")
+        .orderBy(desc("ttr_milli"), asc("doc_id"))
+      val wr = Window.partitionBy("source", "lang")
+        .orderBy(asc("ttr_milli"), desc("doc_id"))
+      q.withColumn("rc", row_number().over(wc))
+        .withColumn("rr", row_number().over(wr))
+        .withColumn("n_group",
+          count(lit(1)).over(Window.partitionBy("source", "lang")))
+        .filter((col("rc") === 1 || col("rr") === 1) && col("n_group") >= 2)
+        .groupBy("source", "lang", "n_group")
+        .agg(
+          max(when(col("rc") === 1, col("doc_id"))).as("chosen_doc"),
+          max(when(col("rc") === 1, col("ttr_milli"))).as("chosen_ttr"),
+          max(when(col("rr") === 1, col("doc_id"))).as("rejected_doc"),
+          max(when(col("rr") === 1, col("ttr_milli"))).as("rejected_ttr"))
+        .withColumn("margin_milli", col("chosen_ttr") - col("rejected_ttr"))
+        .orderBy("source", "lang")
+    },
+
+    // BFS layers from the 8 centroid vertices over the kNN graph —
+    // "how far is every embedding from a landmark" (coverage radius /
+    // seed-expansion shape). Three unrolled frontier rounds, each one
+    // edge join + an anti-join against the labeled set, all
+    // hash-partitioned by vertex; per-layer summary with an id checksum.
+    // The frontier never revisits (anti-join), so per-round work is
+    // O(frontier × degree) — the distributed BFS invariant; the oracle
+    // is the UNION ALL path enumeration bounded at 3 hops, min hop per
+    // vertex.
+    "bfs_layers_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+        .localCheckpoint()
+      var labeled = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("v"), lit(0).as("dist")).localCheckpoint()
+      var frontier = labeled
+      for (i <- 1 to 3) {
+        frontier = sym
+          .join(frontier.select(col("v").as("w")), "w")
+          .select(col("v")).distinct()
+          .join(labeled.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(i).as("dist")).localCheckpoint()
+        labeled = labeled.union(frontier).localCheckpoint()
+      }
+      labeled.groupBy("dist")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"),
+          max(col("v")).as("max_vertex"))
+        .orderBy("dist")
+    },
+
+    // Incremental view maintenance over a JOIN — the delta algebra
+    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB made executable: per-customer
+    // revenue from orders⋈lineitem, maintained as base(old,old) plus the
+    // three delta terms at a 2000-01-01 cutoff (orders delta by
+    // o_orderdate, lineitem delta by l_shipdate — independent change
+    // feeds, so all three terms are non-trivial). At 100 TB this is THE
+    // pattern: each refresh joins only delta-sized inputs against the
+    // other side, never recomputes the base. Exact decimal revenue; the
+    // oracle computes the full join directly with CASE-split item counts
+    // — equality proves the delta decomposition.
+    "ivm_join_delta" -> { (s, d) =>
+      val cut = lit("2000-01-01 00:00:00").cast("timestamp")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") >= cut).as("o_new"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        (col("l_shipdate") >= cut).as("l_new"))
+      def term(oNew: Boolean, lNew: Boolean) =
+        o.filter(col("o_new") === oNew)
+          .join(li.filter(col("l_new") === lNew),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(col("price")).as("rev"), count(lit(1)).as("n"))
+          .withColumn("is_delta", lit(if (oNew || lNew) 1L else 0L))
+      term(false, false)
+        .unionByName(term(true, false))
+        .unionByName(term(false, true))
+        .unionByName(term(true, true))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          sum(when(col("is_delta") === 0L, col("n")).otherwise(0L))
+            .as("n_items_base"),
+          sum(when(col("is_delta") === 1L, col("n")).otherwise(0L))
+            .as("n_items_delta"))
+        .orderBy("o_custkey")
+    },
+
+    // RFM segmentation (recency / frequency / monetary quintiles) —
+    // the marketing-analytics staple, built scalably: per-customer R/F/M
+    // from one orders aggregate, quintile CUTOFFS from three collapsed
+    // value histograms (prefix sums over tiny distinct domains — no
+    // global ntile window over raw customers; M is quantized to
+    // hundred-dollar units so its domain is genuinely collapsed, the
+    // same move as ks_drift_cents), scores by counting cutoffs strictly
+    // below the value, integer-ceil rank targets ((n·k+4) DIV 5 — float
+    // q·n flips ceil at exact multiples). The 1-row cutoff frame rides
+    // a broadcast cross join.
+    "rfm_segmentation" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val maxDate = o.agg(max(col("o_orderdate")).as("mx"))
+      val rfm = o.crossJoin(broadcast(maxDate))
+        .groupBy("o_custkey")
+        .agg(datediff(max(col("mx")), max(col("o_orderdate"))).as("r_days"),
+          count(lit(1)).as("f_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+        .withColumn("m_hd", expr("m_cents DIV 10000")).drop("m_cents")
+      def cuts(c: String, pfx: String): DataFrame = {
+        val h = rfm.groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+          .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
+        val cs = (1 to 4).map(k => min(when(
+          col("cum") >= expr(s"(n * $k + 4) DIV 5"), col("value")))
+          .as(s"${pfx}$k"))
+        cum.agg(cs.head, cs.tail: _*)
+      }
+      def score(c: String, pfx: String) =
+        (1 to 4).map(k => when(col(c) > col(s"${pfx}$k"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+      rfm.crossJoin(broadcast(cuts("r_days", "rc")))
+        .crossJoin(broadcast(cuts("f_orders", "fc")))
+        .crossJoin(broadcast(cuts("m_hd", "mc")))
+        .select(col("o_custkey"),
+          (score("r_days", "rc") * 100 + score("f_orders", "fc") * 10 +
+            score("m_hd", "mc")).as("segment"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("o_custkey")).as("id_checksum"),
+          min(col("o_custkey")).as("min_custkey"))
+        .orderBy("segment")
     }
   )
 
@@ -8006,6 +8235,265 @@ object SparkEntry {
         |FROM f JOIN parts p
         |  ON p.cents = f.cents AND p.p_size = f.best_size
         |WHERE f.best_size > f.max_below
-        |GROUP BY 1, 2 ORDER BY f.cents""".stripMargin
+        |GROUP BY 1, 2 ORDER BY f.cents""".stripMargin,
+
+    // Same kNN edge set as triangle_count_knn, then the textbook
+    // transitive closure the distributed star algorithm avoids: every
+    // (vertex, reachable-vertex) pair, min per vertex = component label.
+    "graph_components_knn" ->
+      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |verts AS (SELECT a AS v FROM u UNION SELECT b FROM u),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |walk AS (
+        |  SELECT v, v AS comp FROM verts
+        |  UNION
+        |  SELECT s2.v, walk.comp
+        |  FROM sym2 s2 JOIN walk ON walk.v = s2.w),
+        |lab AS (SELECT v, min(comp) AS comp FROM walk GROUP BY v)
+        |SELECT comp, count(*) AS n_vertices, max(v) AS max_vertex
+        |FROM lab GROUP BY comp ORDER BY comp""".stripMargin,
+
+    // Same segment split + collapsed boundary domain + closed-interval
+    // candidate rule (cum_before + ups).
+    "max_concurrent_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |    max(ts) AS session_end
+        |  FROM idx GROUP BY 1, 2),
+        |seg0 AS (
+        |  SELECT session_start, session_end,
+        |    CAST(unnest(generate_series(CAST(session_start AS DATE),
+        |      CAST(session_end AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sess),
+        |seg AS (
+        |  SELECT day,
+        |    greatest(session_start, CAST(day AS TIMESTAMP)) AS seg_start,
+        |    least(session_end,
+        |      CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND)
+        |      AS seg_end
+        |  FROM seg0),
+        |b AS (
+        |  SELECT day, ts, CAST(sum(delta) AS BIGINT) AS net,
+        |    CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ups
+        |  FROM (
+        |    SELECT day, seg_start AS ts, 1 AS delta FROM seg
+        |    UNION ALL
+        |    SELECT day, seg_end AS ts, -1 AS delta FROM seg)
+        |  GROUP BY 1, 2),
+        |cnd AS (
+        |  SELECT day, ts,
+        |    CAST(sum(net) OVER (PARTITION BY day ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - net + ups AS BIGINT) AS cand
+        |  FROM b),
+        |pk AS (SELECT day, max(cand) AS peak FROM cnd GROUP BY 1)
+        |SELECT strftime(pk.day, '%Y-%m-%d') AS day, pk.peak,
+        |  strftime(min(cnd.ts), '%Y-%m-%d %H:%M:%S') AS first_peak
+        |FROM pk JOIN cnd ON cnd.day = pk.day AND cnd.cand = pk.peak
+        |GROUP BY 1, 2 ORDER BY day""".stripMargin,
+
+    // Same per-doc milli-TTR, group windows with mirrored tiebreaks.
+    "preference_pairs" ->
+      """WITH toks AS (
+        |  SELECT source, lang, doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |dt AS (
+        |  SELECT source, lang, doc_id, count(*) AS tot,
+        |    count(DISTINCT token) AS dis
+        |  FROM toks GROUP BY 1, 2, 3),
+        |q AS (SELECT source, lang, doc_id,
+        |        dis * 1000 // tot AS ttr_milli FROM dt),
+        |r AS (
+        |  SELECT source, lang, doc_id, ttr_milli,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY ttr_milli DESC, doc_id) AS rc,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY ttr_milli, doc_id DESC) AS rr,
+        |    count(*) OVER (PARTITION BY source, lang) AS n_group
+        |  FROM q)
+        |SELECT source, lang, CAST(n_group AS BIGINT) AS n_group,
+        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_doc,
+        |  max(CASE WHEN rc = 1 THEN ttr_milli END) AS chosen_ttr,
+        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_doc,
+        |  max(CASE WHEN rr = 1 THEN ttr_milli END) AS rejected_ttr,
+        |  max(CASE WHEN rc = 1 THEN ttr_milli END)
+        |    - max(CASE WHEN rr = 1 THEN ttr_milli END) AS margin_milli
+        |FROM r WHERE (rc = 1 OR rr = 1) AND n_group >= 2
+        |GROUP BY 1, 2, 3 ORDER BY source, lang""".stripMargin,
+
+    // Same kNN edge set; bounded UNION ALL path enumeration (≤3 hops),
+    // min hop per vertex, per-layer summary.
+    "bfs_layers_knn" ->
+      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |seeds AS (SELECT DISTINCT vec_id AS v FROM embeddings
+        |          WHERE vec_id < 8),
+        |walk AS (
+        |  SELECT v, 0 AS d FROM seeds
+        |  UNION ALL
+        |  SELECT s2.w AS v, walk.d + 1 AS d
+        |  FROM walk JOIN sym2 s2 ON s2.v = walk.v WHERE walk.d < 3),
+        |lab AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
+        |SELECT dist, count(*) AS n_vertices,
+        |  CAST(sum(v) AS BIGINT) AS id_checksum, max(v) AS max_vertex
+        |FROM lab GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // The full join computed directly; CASE-split item counts mirror the
+    // four delta terms.
+    "ivm_join_delta" ->
+      """SELECT o.o_custkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(sum(CASE WHEN o.o_orderdate < TIMESTAMP '2000-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_items_base,
+        |  CAST(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '2000-01-01'
+        |    OR l.l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_items_delta
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY o.o_custkey""".stripMargin,
+
+    // Same collapsed-histogram cutoffs ((n·k+4)//5 rank targets) and
+    // strictly-greater scoring.
+    "rfm_segmentation" ->
+      """WITH rfm0 AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate),
+        |      (SELECT max(o_orderdate) FROM orders)) AS r_days,
+        |    count(*) AS f_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      // 10000 AS m_hd
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM rfm0),
+        |rcut AS (
+        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS rc1,
+        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS rc2,
+        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS rc3,
+        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS rc4
+        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT r_days AS value, count(*) AS cnt FROM rfm0
+        |          GROUP BY 1)) CROSS JOIN nn),
+        |fcut AS (
+        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS fc1,
+        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS fc2,
+        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS fc3,
+        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS fc4
+        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT f_orders AS value, count(*) AS cnt FROM rfm0
+        |          GROUP BY 1)) CROSS JOIN nn),
+        |mcut AS (
+        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS mc1,
+        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS mc2,
+        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS mc3,
+        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS mc4
+        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT m_hd AS value, count(*) AS cnt FROM rfm0
+        |          GROUP BY 1)) CROSS JOIN nn),
+        |scored AS (
+        |  SELECT o_custkey,
+        |    ((CASE WHEN r_days > rc1 THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rc2 THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rc3 THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rc4 THEN 1 ELSE 0 END + 1) * 100
+        |    + (CASE WHEN f_orders > fc1 THEN 1 ELSE 0 END
+        |      + CASE WHEN f_orders > fc2 THEN 1 ELSE 0 END
+        |      + CASE WHEN f_orders > fc3 THEN 1 ELSE 0 END
+        |      + CASE WHEN f_orders > fc4 THEN 1 ELSE 0 END + 1) * 10
+        |    + (CASE WHEN m_hd > mc1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m_hd > mc2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m_hd > mc3 THEN 1 ELSE 0 END
+        |      + CASE WHEN m_hd > mc4 THEN 1 ELSE 0 END + 1)) AS segment
+        |  FROM rfm0 CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut)
+        |SELECT segment, count(*) AS n_customers,
+        |  CAST(sum(o_custkey) AS BIGINT) AS id_checksum,
+        |  min(o_custkey) AS min_custkey
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }
