@@ -4589,6 +4589,84 @@ object SparkEntry {
           sum(col("o_custkey")).as("id_checksum"),
           min(col("o_custkey")).as("min_custkey"))
         .orderBy("segment")
+    },
+
+    // Unicode-canonical dedup — survivors after NFC normalization +
+    // casefold + whitespace collapse, keyed by the native codegen
+    // NfcCasefold expression (functions/StringNormalize.scala: one
+    // java.text.Normalizer call inside the whole-stage span; a Scala UDF
+    // here would break codegen on the 100 TB scan path). NFC not NFKC:
+    // canonical equivalence only, matching the oracle engine's
+    // nfc_normalize. The corpus is ASCII (normalization is identity
+    // there — the oracle proves ENGINE parity); the unicode behavior
+    // itself (composed==decomposed, ligatures stay distinct, non-BMP) is
+    // pinned in StringNormalizeSpec.
+    "dedup_unicode_normalized" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keyed = docs.withColumn("k", graft.functions.strings.nfcCasefold(
+        regexp_replace(trim(col("text")), "\\s+", " ")))
+      keyed.groupBy("k")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_dups")
+        .orderBy("doc_id")
+    },
+
+    // Null-safe equality join (<=>): per-key click/view co-occurrence
+    // where the key is nullable BY THE DATA's own rule (k≡0 mod 7 →
+    // unknown) and the null bucket must MATCH ITSELF — SQL = would drop
+    // it silently. Each side collapses to per-key counts FIRST, so the
+    // null-safe full-outer join runs on two domain-sized tables (~51
+    // keys) and the null×null match is one row, never a
+    // nulls-left × nulls-right pair explosion — the scale trap of
+    // null-tolerant joins on raw rows.
+    "null_safe_join_props" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("kk", when(col("k") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("k") % 50))
+      def side(t: String, kn: String, n: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("kk").as(kn)).agg(count(lit(1)).as(n))
+      val a = side("click", "kk_a", "n_click")
+      val b = side("view", "kk_b", "n_view")
+      a.join(b, col("kk_a") <=> col("kk_b"), "full_outer")
+        .select(
+          coalesce(col("kk_a").cast("string"), col("kk_b").cast("string"),
+            lit("NULL_KEY")).as("key"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_view"), lit(0L)).as("n_view"))
+        .orderBy("key")
+    },
+
+    // Interval-intersection aggregate: per user, how many of their
+    // click-sessions overlap their view-sessions and for how long —
+    // closed-interval pair overlap with exact epoch-micros lengths.
+    // 12-hour gap (the range_join_error_attribution sessionization):
+    // events are sparse enough per (user, type) that 30-min sessions
+    // never overlap cross-type.
+    // The pair join is user-keyed EQUI join + overlap predicate (both
+    // session sets are per-user small — gap sessionization bounds them
+    // — so the within-user pair count never explodes); at 100 TB the
+    // shuffle key is user_id and no global structure exists.
+    "session_overlap_seconds" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def sess(t: String, p: String) = Sessionize.sessions(
+          ev.filter(col("event_type") === t), Seq("user_id"), "ts",
+          gapSeconds = 43200)
+        .select(col("user_id"), col("session_start").as(s"${p}_s"),
+          col("session_end").as(s"${p}_e"))
+      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+      sess("click", "c").join(sess("view", "v"), Seq("user_id"))
+        .filter(col("c_s") <= col("v_e") && col("v_s") <= col("c_e"))
+        .withColumn("ov_us",
+          us(least(col("c_e"), col("v_e"))) -
+            us(greatest(col("c_s"), col("v_s"))))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(ov_us) DIV 1000000").as("overlap_seconds"))
+        .orderBy("user_id")
     }
   )
 
@@ -8494,6 +8572,71 @@ object SparkEntry {
         |SELECT segment, count(*) AS n_customers,
         |  CAST(sum(o_custkey) AS BIGINT) AS id_checksum,
         |  min(o_custkey) AS min_custkey
-        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // utf8proc NFC then lower — same normalize-then-casemap order as the
+    // native expression.
+    "dedup_unicode_normalized" ->
+      """WITH g AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |  FROM documents
+        |  GROUP BY lower(nfc_normalize(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))))),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars, g.n_dups
+        |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
+        |SELECT doc_id, lang, source, n_chars, n_dups
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // IS NOT DISTINCT FROM is SQL's <=>; same pre-collapsed sides.
+    "null_safe_join_props" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |           % 7 = 0 THEN NULL
+        |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |           % 50 END AS kk
+        |  FROM events),
+        |a AS (SELECT kk, count(*) AS n_click FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT kk, count(*) AS n_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT coalesce(CAST(a.kk AS VARCHAR), CAST(b.kk AS VARCHAR),
+        |    'NULL_KEY') AS key,
+        |  coalesce(n_click, 0) AS n_click,
+        |  coalesce(n_view, 0) AS n_view
+        |FROM a FULL OUTER JOIN b ON a.kk IS NOT DISTINCT FROM b.kk
+        |ORDER BY key""".stripMargin,
+
+    // Same gap sessionization per type, closed-interval overlap pairs,
+    // exact epoch-micros lengths.
+    "session_overlap_seconds" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id, event_type ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, event_type, session_idx,
+        |    min(ts) AS s, max(ts) AS e
+        |  FROM idx GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT c.user_id,
+        |    epoch_us(least(c.e, v.e)) - epoch_us(greatest(c.s, v.s))
+        |      AS ov_us
+        |  FROM sess c JOIN sess v ON c.user_id = v.user_id
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |    AND c.s <= v.e AND v.s <= c.e)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  CAST(sum(ov_us) AS BIGINT) // 1000000 AS overlap_seconds
+        |FROM pairs GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }
