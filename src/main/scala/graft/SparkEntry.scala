@@ -4667,6 +4667,90 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           expr("sum(ov_us) DIV 1000000").as("overlap_seconds"))
         .orderBy("user_id")
+    },
+
+    // TPC-H Q8 shape (national market share), generalized to ALL
+    // supplier nations per year — same 8-table join DAG: lineitem is
+    // the fact spine; part (PROMO filter), supplier, both nation roles,
+    // and region are broadcast dims; orders carries the date window and
+    // customer→nation→region restricts the MARKET (EUROPE) while the
+    // supplier's nation is the share dimension. Volume in exact integer
+    // cent-percent units (price_cents × (100−disc_pct)) so the
+    // per-year share is an exact permille — no decimal division.
+    "tpch_q8_market_share" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        col("l_suppkey"), col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("vol"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val euroNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vols = li
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(euroNations), col("c_nationkey") === col("cn_key"))
+        .groupBy("o_year", "supp_nation")
+        .agg(sum(col("vol")).as("volume_units"))
+      vols.join(broadcast(vols.groupBy("o_year")
+          .agg(sum(col("volume_units")).as("year_total"))), "o_year")
+        .select(col("o_year"), col("supp_nation"), col("volume_units"),
+          expr("volume_units * 1000 DIV year_total").as("share_permille"))
+        .orderBy("o_year", "supp_nation")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers land in the 0 bucket, priority filter as the
+    // stand-in for the comment anti-pattern (o_comment isn't in this
+    // schema), then the distribution-of-counts second aggregate. Two
+    // exchanges total: custkey for the count, count-value (tiny domain)
+    // for the histogram.
+    "tpch_q13_custdist" -> { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): per-part average
+    // quantity threshold as the exact integer cross-multiplication
+    // 5·qty·n < sum_qty (qty < 0.2·avg ⟺ no floats), brand dim
+    // broadcast, per-part stats re-broadcast onto the fact rows.
+    "tpch_q17_small_qty" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val j = li.join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#4").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      val stats = j.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_partkey").as("sp_key"), col("sum_qty"), col("n"))
+      j.join(broadcast(stats), col("l_partkey") === col("sp_key"))
+        .filter(col("qty") * col("n") * 5 < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          coalesce(sum(col("pc")), lit(0L)).as("total_cents"))
     }
   )
 
@@ -8637,6 +8721,56 @@ object SparkEntry {
         |    AND c.s <= v.e AND v.s <= c.e)
         |SELECT user_id, count(*) AS n_pairs,
         |  CAST(sum(ov_us) AS BIGINT) // 1000000 AS overlap_seconds
-        |FROM pairs GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM pairs GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Same 8-table DAG, integer cent-percent volumes, exact permille.
+    "tpch_q8_market_share" ->
+      """WITH vols AS (
+        |  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS volume_units
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |    AND r.r_name = 'EUROPE'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT o_year, CAST(sum(volume_units) AS BIGINT)
+        |          AS year_total FROM vols GROUP BY 1)
+        |SELECT v.o_year, v.supp_nation, v.volume_units,
+        |  v.volume_units * 1000 // t.year_total AS share_permille
+        |FROM vols v JOIN tot t ON v.o_year = t.o_year
+        |ORDER BY v.o_year, v.supp_nation""".stripMargin,
+
+    // LEFT join keeps 0-order customers; count-of-counts histogram.
+    "tpch_q13_custdist" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // 5·qty·n < sum_qty is qty < 0.2·avg without floats.
+    "tpch_q17_small_qty" ->
+      """WITH j AS (
+        |  SELECT l.l_partkey, CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#4'),
+        |st AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         count(*) AS n FROM j GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  coalesce(CAST(sum(j.pc) AS BIGINT), 0) AS total_cents
+        |FROM j JOIN st ON j.l_partkey = st.l_partkey
+        |WHERE j.qty * st.n * 5 < st.sum_qty""".stripMargin
   )
 }

@@ -517,4 +517,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"map shuffled:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unconstrained product:\n$plan")
   }
+
+  test("skyline: front re-attaches by broadcast; no all-pairs dominance join") {
+    val plan = SparkEntry.queries("skyline_price_size")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastHashJoin"), s"front shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise dominance test materialized:\n$plan")
+  }
+
+  test("RFM: cutoff frames broadcast, no ntile window over raw customers") {
+    val df = SparkEntry.queries("rfm_segmentation")(spark, sf0001)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 3,
+      s"1-row cutoff frames not broadcast:\n$plan")
+    assert(!plan.contains("ntile"), s"global ntile over raw rows:\n$plan")
+  }
+
+  test("TPC-H Q8: all five dims broadcast onto the lineitem spine") {
+    val plan = SparkEntry.queries("tpch_q8_market_share")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // part, supplier⋈nation, customer-nation⋈region, and the year-total
+    // re-join all ride broadcasts; only orders/customer may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"dimension shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("null-safe join runs on pre-collapsed key domains, not raw rows") {
+    val df = SparkEntry.queries("null_safe_join_props")(spark, sf0001)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // both sides aggregate BEFORE the full-outer <=> join: the join's
+    // inputs are HashAggregate results (domain-sized), so the null
+    // bucket meets as one row per side
+    val joinIdx = plan.indexOf("SortMergeJoin")
+      .max(plan.indexOf("BroadcastHashJoin")).max(plan.indexOf("ShuffledHashJoin"))
+    assert(joinIdx >= 0, s"no equi join planned:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan.substring(joinIdx)).nonEmpty,
+      s"join not fed by aggregates:\n$plan")
+  }
 }
