@@ -178,6 +178,43 @@ object ScaleBench {
       graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
     }
 
+    // Connected components (star algorithm) and 3-hop BFS on the same
+    // cells ∝ n kNN substrate — iterative-dataflow scale shape: rounds
+    // are O(log n) (star) / fixed 3 (BFS), per-round one aggregation +
+    // one vertex-hash join. The measured quantity includes the kNN edge
+    // build (shared with clustering_coeff above, so the graph-only cost
+    // separates by subtraction).
+    time(s"components_star_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      graft.ops.Components.connectedComponentsStar(und, "a", "b")
+        .groupBy("comp").agg(count(lit(1)).as("n"))
+    }
+    time(s"bfs_3hop_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+        .localCheckpoint()
+      var labeled = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").as("v"), lit(0).as("dist")).localCheckpoint()
+      var frontier = labeled
+      for (i <- 1 to 3) {
+        frontier = sym.join(frontier.select(col("v").as("w")), "w")
+          .select(col("v")).distinct()
+          .join(labeled.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(i).as("dist")).localCheckpoint()
+        labeled = labeled.union(frontier).localCheckpoint()
+      }
+      labeled.groupBy("dist").agg(count(lit(1)).as("n"))
+    }
+
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
       val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
