@@ -4751,6 +4751,106 @@ object SparkEntry {
         .filter(col("qty") * col("n") * 5 < col("sum_qty"))
         .agg(count(lit(1)).as("n_small"),
           coalesce(sum(col("pc")), lit(0L)).as("total_cents"))
+    },
+
+    // Temporal train/val split with an EMBARGO gap — time-series
+    // leakage prevention (purged splits, López de Prado's embargo): the
+    // 7 days after the train cutoff are EXCLUDED so near-boundary
+    // look-ahead (labels computed from future windows) can't leak into
+    // validation. Cutoff day from the day-collapsed histogram at the
+    // integer-ceil 70% rank ((7n+9) DIV 10); the split report carries
+    // the leakage invariant (val_gap_days ≥ 8) as an oracle-checked
+    // boolean. Day domain is tiny — every exchange after the per-day
+    // count is domain-sized.
+    "temporal_split_embargo" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val hist = ev.groupBy("day").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cut = hist.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+        .agg(min(when(col("cum") >= expr("(n * 7 + 9) DIV 10"),
+          col("day"))).as("train_end"))
+      val tagged = ev.crossJoin(broadcast(cut))
+        .withColumn("split",
+          when(col("day") <= col("train_end"), "train")
+            .when(col("day") <= date_add(col("train_end"), 7), "embargo")
+            .otherwise("val"))
+      tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("last_day"))
+        .crossJoin(broadcast(tagged.agg(
+          (datediff(min(when(col("split") === "val", col("day"))),
+            max(when(col("split") === "train", col("day")))) >= 8)
+            .as("embargo_ok"))))
+        .orderBy("split")
+    },
+
+    // Calibration reliability table — does the value decile predict the
+    // purchase rate (the reliability-diagram data behind every model
+    // calibration check). Deciles from the cents histogram with
+    // integer-ceil rank targets (the rfm_segmentation machinery),
+    // outcome rate as exact integer permille per decile. One raw
+    // exchange to the cents histogram; scoring rides a broadcast 1-row
+    // cutoff frame.
+    "calibration_reliability" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "purchase").cast("long").as("is_pos"))
+      val hist = ev.groupBy("cents").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+      val cs = (1 to 9).map(k => min(when(
+        col("cum") >= expr(s"(n * $k + 9) DIV 10"), col("cents")))
+        .as(s"c$k"))
+      val cuts = cum.agg(cs.head, cs.tail: _*)
+      val dec = (1 to 9).map(k =>
+        when(col("cents") > col(s"c$k"), 1).otherwise(0)).reduce(_ + _) + 1
+      ev.crossJoin(broadcast(cuts))
+        .groupBy(dec.as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
+        .withColumn("rate_permille", expr("n_pos * 1000 DIV n"))
+        .orderBy("decile")
+    },
+
+    // Kaplan-Meier risk table — survival analysis of time-to-first-error
+    // per user (onboarding → first failure), right-censored at the last
+    // observed event for users who never error. (Lifetime-to-last-event
+    // with recency censoring was the first cut — EVERY user in this
+    // corpus is active to the end, so it produced zero uncensored rows;
+    // vacuous-oracle trap, same as session_overlap's 30-min gap.) Per
+    // uncensored duration t: d(t) failures, c(t) censorings, at-risk
+    // n(t) = Σ_{u≥t}(d+c) as a SUFFIX sum over the collapsed duration
+    // domain — the KM estimator's entire input, all exact integers (the
+    // product-limit curve is a float fold the caller applies).
+    "survival_risk_table" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val life = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("first_day"),
+          to_date(max(col("ts"))).as("last_day"),
+          to_date(min(when(col("event_type") === "error", col("ts"))))
+            .as("err_day"))
+        .select(
+          datediff(coalesce(col("err_day"), col("last_day")),
+            col("first_day")).as("t"),
+          col("err_day").isNull.cast("long").as("censored"))
+      val byT = life.groupBy("t")
+        .agg(sum(lit(1L) - col("censored")).as("d_events"),
+          sum(col("censored")).as("n_censored"))
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      byT.withColumn("n_at_risk",
+          sum(col("d_events") + col("n_censored")).over(w))
+        .filter(col("d_events") > 0)
+        .select(col("t"), col("n_at_risk"), col("d_events"),
+          col("n_censored"))
+        .orderBy("t")
     }
   )
 
@@ -8771,6 +8871,97 @@ object SparkEntry {
         |SELECT count(*) AS n_small,
         |  coalesce(CAST(sum(j.pc) AS BIGINT), 0) AS total_cents
         |FROM j JOIN st ON j.l_partkey = st.l_partkey
-        |WHERE j.qty * st.n * 5 < st.sum_qty""".stripMargin
+        |WHERE j.qty * st.n * 5 < st.sum_qty""".stripMargin,
+
+    // Same day-histogram cutoff, embargo window, and gap invariant.
+    "temporal_split_embargo" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |h AS (SELECT day, count(*) AS c FROM ev GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM ev),
+        |cut AS (
+        |  SELECT min(CASE WHEN cum >= (n*7+9)//10 THEN day END)
+        |    AS train_end
+        |  FROM (SELECT day, sum(c) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM h) CROSS JOIN nn),
+        |tagged AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN day <= train_end THEN 'train'
+        |         WHEN day <= train_end + 7 THEN 'embargo'
+        |         ELSE 'val' END AS split
+        |  FROM ev CROSS JOIN cut),
+        |ok AS (
+        |  SELECT date_diff('day',
+        |      max(CASE WHEN split = 'train' THEN day END),
+        |      min(CASE WHEN split = 'val' THEN day END)) >= 8
+        |    AS embargo_ok
+        |  FROM tagged)
+        |SELECT split, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  strftime(min(day), '%Y-%m-%d') AS first_day,
+        |  strftime(max(day), '%Y-%m-%d') AS last_day, embargo_ok
+        |FROM tagged CROSS JOIN ok
+        |GROUP BY 1, 6 ORDER BY split""".stripMargin,
+
+    // Same decile cutoffs ((n·k+9)//10), exact permille outcome rate.
+    "calibration_reliability" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+        |  FROM events),
+        |h AS (SELECT cents, count(*) AS c FROM ev GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM ev),
+        |cum0 AS (SELECT cents, sum(c) OVER (ORDER BY cents
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum >= (n*1+9)//10 THEN cents END) AS c1,
+        |    min(CASE WHEN cum >= (n*2+9)//10 THEN cents END) AS c2,
+        |    min(CASE WHEN cum >= (n*3+9)//10 THEN cents END) AS c3,
+        |    min(CASE WHEN cum >= (n*4+9)//10 THEN cents END) AS c4,
+        |    min(CASE WHEN cum >= (n*5+9)//10 THEN cents END) AS c5,
+        |    min(CASE WHEN cum >= (n*6+9)//10 THEN cents END) AS c6,
+        |    min(CASE WHEN cum >= (n*7+9)//10 THEN cents END) AS c7,
+        |    min(CASE WHEN cum >= (n*8+9)//10 THEN cents END) AS c8,
+        |    min(CASE WHEN cum >= (n*9+9)//10 THEN cents END) AS c9
+        |  FROM cum0 CROSS JOIN nn)
+        |SELECT (CASE WHEN cents > c1 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c2 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c3 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c4 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c5 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c6 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c7 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c8 THEN 1 ELSE 0 END
+        |    + CASE WHEN cents > c9 THEN 1 ELSE 0 END + 1) AS decile,
+        |  count(*) AS n, CAST(sum(is_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(is_pos) AS BIGINT) * 1000 // count(*) AS rate_permille
+        |FROM ev CROSS JOIN cuts GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // Same first-error lifetime and censoring rule; at-risk as the
+    // suffix sum.
+    "survival_risk_table" ->
+      """WITH life0 AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS fd,
+        |    CAST(max(ts) AS DATE) AS ld,
+        |    CAST(min(CASE WHEN event_type = 'error' THEN ts END) AS DATE)
+        |      AS ed
+        |  FROM events GROUP BY 1),
+        |life AS (
+        |  SELECT date_diff('day', fd, coalesce(ed, ld)) AS t,
+        |    CASE WHEN ed IS NULL THEN 1 ELSE 0 END AS censored
+        |  FROM life0),
+        |byt AS (
+        |  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d_events,
+        |    CAST(sum(censored) AS BIGINT) AS n_censored
+        |  FROM life GROUP BY 1),
+        |r AS (
+        |  SELECT t, d_events, n_censored,
+        |    CAST(sum(d_events + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM byt)
+        |SELECT t, n_at_risk, d_events, n_censored
+        |FROM r WHERE d_events > 0 ORDER BY t""".stripMargin
   )
 }
