@@ -4851,6 +4851,90 @@ object SparkEntry {
         .select(col("t"), col("n_at_risk"), col("d_events"),
           col("n_censored"))
         .orderBy("t")
+    },
+
+    // Cross-table referential-integrity audit — the DQ gate every
+    // warehouse load runs: orphaned fact keys per FK edge via LEFT ANTI
+    // joins (which Spark plans as broadcast/shuffled hash anti —
+    // never a full materialized join), one report row per edge. At
+    // 100 TB each check is one key-partitioned anti join; the report
+    // is edge-count-sized.
+    "dq_referential_integrity" -> { (s, d) =>
+      def chk(name: String, orphans: DataFrame) = orphans
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+      chk("lineitem.l_orderkey->orders",
+          Tables.lineitem(s, d).select("l_orderkey")
+            .join(Tables.orders(s, d).select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(chk("orders.o_custkey->customer",
+          Tables.orders(s, d).select("o_custkey")
+            .join(Tables.customer(s, d).select("c_custkey"),
+              col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(chk("supplier.s_nationkey->nation",
+          Tables.supplier(s, d).select("s_nationkey")
+            .join(Tables.nation(s, d).select("n_nationkey"),
+              col("s_nationkey") === col("n_nationkey"), "left_anti")))
+        .unionByName(chk("customer.c_nationkey->nation",
+          Tables.customer(s, d).select("c_nationkey")
+            .join(Tables.nation(s, d).select("n_nationkey"),
+              col("c_nationkey") === col("n_nationkey"), "left_anti")))
+        .orderBy("fk_edge")
+    },
+
+    // Distinctive vocabulary per source — which tokens are
+    // over-represented in a source vs the REST of the corpus (the
+    // exact-integer stand-in for log-likelihood keyword extraction:
+    // permille-rate LIFT = in-source rate − elsewhere rate, both floor
+    // permille, so ranking is engine-exact where G²'s x·ln x would
+    // float-flip). Token-keyed exchange for counts, vocabulary-sized
+    // work after; top-3 per source by (lift, token) window rank.
+    "distinctive_tokens_by_source" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      val t = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+      val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val bigN = st.agg(sum(col("c_st")).as("big_n"))
+      val lift = st.join(t, "token").join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(bigN))
+        .withColumn("lift_permille",
+          expr("c_st * 1000 DIV n_s - (c_t - c_st) * 1000 DIV (big_n - n_s)"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("lift_permille"), asc("token"))
+      lift.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("token"),
+          col("lift_permille"), col("c_st"))
+        .orderBy("source", "rk")
+    },
+
+    // Behavioral diversity per user — Gini-Simpson index 1 − Σp² as the
+    // EXACT rational (n² − Σc²)·10⁶ DIV n² (entropy would be a float
+    // fold; Simpson stays in integers), plus the dominant event type
+    // with a deterministic (count desc, type asc) tiebreak. One
+    // user×type exchange; everything after is user-sized.
+    "behavior_diversity_simpson" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ut = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("c"), asc("event_type"))
+      val dom = ut.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("dominant_type"))
+      ut.groupBy("user_id")
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ss"))
+        .withColumn("simpson_micro",
+          expr("(n_events * n_events - ss) * 1000000" +
+            " DIV (n_events * n_events)"))
+        .drop("ss")
+        .join(dom, "user_id")
+        .orderBy("user_id")
     }
   )
 
@@ -8962,6 +9046,77 @@ object SparkEntry {
         |      AS BIGINT) AS n_at_risk
         |  FROM byt)
         |SELECT t, n_at_risk, d_events, n_censored
-        |FROM r WHERE d_events > 0 ORDER BY t""".stripMargin
+        |FROM r WHERE d_events > 0 ORDER BY t""".stripMargin,
+
+    // Anti-join orphan counts per FK edge.
+    "dq_referential_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  count(*) AS n_orphans, count(*) = 0 AS ok
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*), count(*) = 0
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', count(*), count(*) = 0
+        |FROM supplier s WHERE NOT EXISTS (
+        |  SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', count(*), count(*) = 0
+        |FROM customer c WHERE NOT EXISTS (
+        |  SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |ORDER BY fk_edge""".stripMargin,
+
+    // Same permille-lift rank with (lift desc, token) tiebreak.
+    "distinctive_tokens_by_source" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM tok
+        |       GROUP BY 1, 2),
+        |t AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st
+        |      GROUP BY 1),
+        |srct AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st
+        |         GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_st) AS BIGINT) AS big_n FROM st),
+        |lift AS (
+        |  SELECT st.source, st.token, st.c_st,
+        |    st.c_st * 1000 // srct.n_s
+        |      - (t.c_t - st.c_st) * 1000 // (nn.big_n - srct.n_s)
+        |      AS lift_permille
+        |  FROM st JOIN t USING (token) JOIN srct USING (source)
+        |  CROSS JOIN nn)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, token, lift_permille,
+        |  c_st
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_permille DESC, token) AS rk
+        |  FROM lift)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // Same exact-rational Simpson index and dominant-type tiebreak.
+    "behavior_diversity_simpson" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT user_id, event_type AS dominant_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY c DESC, event_type) AS rk
+        |    FROM ut) WHERE rk = 1),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM ut GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.n_types,
+        |  (a.n_events * a.n_events - a.ss) * 1000000
+        |    // (a.n_events * a.n_events) AS simpson_micro,
+        |  d.dominant_type
+        |FROM agg a JOIN dom d USING (user_id)
+        |ORDER BY a.user_id""".stripMargin
   )
 }
