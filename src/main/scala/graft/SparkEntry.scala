@@ -126,6 +126,14 @@ object SparkEntry {
   private val stagedDedupEvict =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the timer-session fixture: clicks in one file, then two
+    * watermark advancers (max+13h, max+2d) — the first pushes the
+    * watermark past every real session's end + gap, the second's BATCH
+    * fires the timers against it (timer expiry is checked during a
+    * batch, with the watermark computed at the end of the previous one). */
+  private val stagedTimerSess =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the streaming-MERGE fixture: the pre-cutoff per-user
     * snapshot (`state/v0`) plus the post-cutoff change feed in four
     * sequential time-quartile files (`in/q0..q3`) — time-ordered arrival
@@ -4935,6 +4943,125 @@ object SparkEntry {
         .drop("ss")
         .join(dom, "user_id")
         .orderBy("user_id")
+    },
+
+    // Maximum drawdown per event type over the daily-cents series — the
+    // risk metric (largest peak-to-trough drop of the running total's
+    // level... here of the daily VALUE level): running peak by prefix
+    // max over the day-collapsed domain, drawdown = peak − value, max
+    // with earliest-day tiebreak. Day-partitioned... type-partitioned
+    // windows on day-sized data; all integers.
+    "max_drawdown_daily" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dd = daily.withColumn("peak", max(col("v")).over(w))
+        .withColumn("dd", col("peak") - col("v"))
+      dd.groupBy("event_type").agg(max(col("dd")).as("max_drawdown"))
+        .join(dd.select(col("event_type"), col("day"), col("dd")),
+          Seq("event_type"))
+        .filter(col("dd") === col("max_drawdown"))
+        .groupBy("event_type", "max_drawdown")
+        .agg(date_format(min(col("day")), "yyyy-MM-dd").as("trough_day"),
+          count(lit(1)).as("n_ties"))
+        .orderBy("event_type")
+    },
+
+    // Lag-1 autocorrelation of the daily series, EXACT: center by
+    // scaling — with S = Σv and n days, (n·v_t − S) is the mean
+    // deviation times n, an integer; numerator Σ(n·v_t − S)(n·v_{t+1}−S)
+    // and denominator Σ(n·v_t − S)² are then exact BIGINTs (values in
+    // whole dollars to keep n·v·deviation products under 2⁶³ — the
+    // scaling rule is documented, not silent). The float ratio is the
+    // caller's one division; both exact components ship. No ratio
+    // column: integer DIV floors toward zero in one engine and −∞ in
+    // the other for negative numerators — the exact components
+    // sidestep the mismatch.
+    "autocorr_lag1_daily" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) DIV 100")
+          .as("v"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("v")).as("s_sum"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("v_next", lead(col("v"), 1).over(w))
+        .join(broadcast(tot), "event_type")
+        .withColumn("dev", col("n") * col("v") - col("s_sum"))
+        .withColumn("dev_next",
+          when(col("v_next").isNotNull,
+            col("n") * col("v_next") - col("s_sum")))
+        .groupBy("event_type", "n")
+        .agg(sum(col("dev") * col("dev_next")).as("num_scaled"),
+          sum(col("dev") * col("dev")).as("den_scaled"))
+        .orderBy("event_type")
+    },
+
+    // TENTH streaming lifecycle: gap sessionization by EVENT-TIME
+    // TIMERS on transformWithState — each key re-arms one timer at
+    // session_end + gap; the session emits EXACTLY ONCE when the
+    // watermark passes that point (in-batch gaps close inline; only the
+    // tail session is timer-owned). This is the arbitrary-state
+    // capability session_window's managed aggregation doesn't expose:
+    // custom close logic + timer lifecycle + O(keys) state. Fixture:
+    // clicks in one file, watermark advancer at max+13h (pushes the
+    // watermark past every real end+gap), second advancer at max+2d
+    // whose BATCH fires the timers (expiry is checked during a batch
+    // against the PREVIOUS batch's watermark — the eviction-lifecycle
+    // lesson). Oracle: batch gap sessionization, which the
+    // timer-emitted set must equal row for row.
+    "streaming_timer_sessions" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedTimerSess.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_tsess").toString
+          val ev = Tables.events(s, d)
+            .filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+          ev.coalesce(1).write.parquet(s"$tmp/in")
+          Seq("13 HOURS", "2 DAYS").foreach { h =>
+            ev.agg(max(col("ts")).as("mx"))
+              .select(lit(-1L).as("user_id"),
+                (col("mx") + expr(s"INTERVAL $h")).as("ts"))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          }
+          s"$tmp/in"
+        })
+      val pkey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pkey)
+      s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .select(col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+          .as[graft.streaming.StatefulOps.SessEvent]
+        val qn = s"streaming_tsess_${streamRun.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          graft.streaming.StatefulOps
+            .timerSessions(src, gapSeconds = 43200, delay = "1 minute")
+            .toDF().writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            .awaitTermination(180000)
+        }
+        s.table(qn).filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            tsStr(timestamp_micros(col("start_us"))).as("session_start"),
+            tsStr(timestamp_micros(col("end_us"))).as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      } finally prev match {
+        case Some(v) => s.conf.set(pkey, v)
+        case None => s.conf.unset(pkey)
+      }
     }
   )
 
@@ -9117,6 +9244,75 @@ object SparkEntry {
         |    // (a.n_events * a.n_events) AS simpson_micro,
         |  d.dominant_type
         |FROM agg a JOIN dom d USING (user_id)
-        |ORDER BY a.user_id""".stripMargin
+        |ORDER BY a.user_id""".stripMargin,
+
+    // Same prefix-max drawdown with earliest-trough tiebreak.
+    "max_drawdown_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day,
+        |    CAST(max(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
+        |      AS BIGINT) AS dd
+        |  FROM daily),
+        |mx AS (SELECT event_type, max(dd) AS max_drawdown FROM dd
+        |       GROUP BY 1)
+        |SELECT m.event_type, m.max_drawdown,
+        |  strftime(min(d.day), '%Y-%m-%d') AS trough_day,
+        |  count(*) AS n_ties
+        |FROM mx m JOIN dd d ON d.event_type = m.event_type
+        |  AND d.dd = m.max_drawdown
+        |GROUP BY 1, 2 ORDER BY m.event_type""".stripMargin,
+
+    // Same scaled centering; NULL lead drops the last pair from the
+    // numerator in both engines.
+    "autocorr_lag1_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      // 100 AS v
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(v) AS BIGINT) AS s_sum,
+        |    count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |led AS (
+        |  SELECT d.event_type, t.n, t.s_sum, d.v,
+        |    lead(d.v) OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |      AS v_next
+        |  FROM daily d JOIN tot t USING (event_type))
+        |SELECT event_type, n,
+        |  CAST(sum((n * v - s_sum) *
+        |    CASE WHEN v_next IS NOT NULL THEN n * v_next - s_sum END)
+        |    AS BIGINT) AS num_scaled,
+        |  CAST(sum((n * v - s_sum) * (n * v - s_sum)) AS BIGINT)
+        |    AS den_scaled
+        |FROM led GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    // The batch gap sessionization the timer-driven emission must equal.
+    "streaming_timer_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM idx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -76,4 +76,84 @@ object StatefulOps {
       .transformWithState(new HighWaterProcessor, TimeMode.None(),
         OutputMode.Append)
   }
+
+  /** `ts` drives the watermark; `us` is the SAME instant in exact epoch
+    * micros (java.sql.Timestamp.getTime truncates to millis — the
+    * corpus timestamps all carry sub-millisecond micros, so gap
+    * decisions and emitted bounds must run on `us`, never getTime). */
+  case class SessEvent(user_id: Long, ts: Timestamp, us: Long)
+  case class SessState(startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Gap sessionization driven by EVENT-TIME TIMERS — the
+    * `transformWithState` capability windowed aggregation and
+    * `session_window` don't expose: a session closes (and emits exactly
+    * once) when the WATERMARK passes its end + gap, via a per-key timer
+    * re-armed on every extension. In-batch gaps close inline (the timer
+    * only owns the tail session); `handleExpiredTimer` emits and clears.
+    * One live timer per key (the previous one is deleted on re-arm), so
+    * timer state is O(keys) like the value state. Timers are registered
+    * in WATERMARK milliseconds with 1 s of ceiling slack — the exact
+    * micro bounds live in the value state, the timer only has to fire
+    * at-or-after them.
+    */
+  class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEvent, SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    private def emit(user: Long, st: SessState) =
+      SessionOut(user, st.startUs, st.endUs, st.n)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timers: TimerValues): Iterator[SessionOut] = {
+      var cur = if (sess.exists()) sess.get() else null
+      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      rows.toSeq.sortBy(_.us).foreach { e =>
+        if (cur == null) cur = SessState(e.us, e.us, 1)
+        else if (e.us <= cur.endUs + gapUs)
+          cur = SessState(cur.startUs, math.max(cur.endUs, e.us), cur.n + 1)
+        else { closed += emit(key, cur); cur = SessState(e.us, e.us, 1) }
+      }
+      if (cur != null) {
+        getHandle.listTimers().toList
+          .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((cur.endUs + gapUs) / 1000L + 1000L)
+        sess.update(cur)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // a firing timer is always the CURRENT one (re-arm deletes the
+      // old), so the session it guards is closed unconditionally
+      if (sess.exists()) {
+        val cur = sess.get()
+        sess.clear()
+        Iterator.single(emit(key, cur))
+      } else Iterator.empty
+    }
+  }
+
+  /** @param delay watermark delay on `ts`; timers fire against this
+    *              watermark, so emission lag = delay + gap.
+    */
+  def timerSessions(ev: Dataset[SessEvent], gapSeconds: Long,
+      delay: String): Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ev.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TimerSessionProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
 }
