@@ -5062,6 +5062,71 @@ object SparkEntry {
         case Some(v) => s.conf.set(pkey, v)
         case None => s.conf.unset(pkey)
       }
+    },
+
+    // Cohort LTV curve — cumulative revenue per acquisition cohort by
+    // age (the growth-analytics complement of retention_cohorts, which
+    // counts users; this follows the money). Cohort = first order
+    // month; age in whole months via the (year·12+month) integer rule
+    // (months_between would be a float). Cumulative sums run on the
+    // cohort×age collapsed domain; LTV-per-customer is an exact
+    // integer-cents quotient against the broadcast cohort size.
+    "cohort_ltv_curve" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        // zero-based month index (Dec = year*12+11): DIV/% decompose
+        // back to the right (year, month) — one-based would roll
+        // December into the next January's label
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("cm"))
+      val sizes = cohort.groupBy("cm")
+        .agg(count(lit(1)).as("cohort_customers"))
+      val byAge = o.join(cohort, "o_custkey")
+        .groupBy(col("cm"), (col("m") - col("cm")).as("age_months"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy("cm").orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byAge.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(broadcast(sizes), "cm")
+        .select(
+          concat(expr("CAST(cm DIV 12 AS STRING)"), lit("-"),
+            lpad(expr("CAST(cm % 12 + 1 AS STRING)"), 2, "0"))
+            .as("cohort_month"),
+          col("age_months"), col("n_orders"), col("rev_cents"),
+          col("cum_rev_cents"), col("cohort_customers"),
+          expr("cum_rev_cents DIV cohort_customers")
+            .as("ltv_cents_per_customer"))
+        .orderBy("cohort_month", "age_months")
+    },
+
+    // Churn label + feature construction with a strict temporal
+    // boundary — the anti-leakage discipline as a data op: features
+    // come ONLY from events on-or-before the cutoff (observation end −
+    // 14 days), the label ONLY from after it; a user with no
+    // pre-cutoff events has no feature row at all. last_gap_days
+    // (cutoff − last active day) is the canonical churn predictor and
+    // is exactly the kind of feature that silently leaks when computed
+    // over the full range.
+    "churn_label_features" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cut = ev.agg(date_sub(max(col("day")), 14).as("cutoff"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      val feats = tagged.filter(col("day") <= col("cutoff"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_active_days"),
+          datediff(max(col("cutoff")), max(col("day")))
+            .as("last_gap_days"))
+      val post = tagged.filter(col("day") > col("cutoff"))
+        .select("user_id").distinct()
+        .withColumn("active_after", lit(1L))
+      feats.join(post, Seq("user_id"), "left")
+        .withColumn("churned", col("active_after").isNull)
+        .drop("active_after")
+        .orderBy("user_id")
     }
   )
 
@@ -9313,6 +9378,52 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events
         |FROM idx GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same integer month arithmetic and cumulative-by-age windows.
+    "cohort_ltv_curve" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |sizes AS (SELECT cm, count(*) AS cohort_customers FROM cohort
+        |          GROUP BY 1),
+        |byage AS (
+        |  SELECT c.cm, o.m - c.cm AS age_months, count(*) AS n_orders,
+        |    CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN cohort c USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cm, age_months, n_orders, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age_months
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rev_cents
+        |  FROM byage)
+        |SELECT CAST(cm // 12 AS VARCHAR) || '-' ||
+        |    lpad(CAST(cm % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+        |  cum.age_months, cum.n_orders, cum.rev_cents, cum.cum_rev_cents,
+        |  s.cohort_customers,
+        |  cum.cum_rev_cents // s.cohort_customers AS ltv_cents_per_customer
+        |FROM cum JOIN sizes s USING (cm)
+        |ORDER BY cohort_month, age_months""".stripMargin,
+
+    // Same cutoff, strictly-split feature/label windows.
+    "churn_label_features" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cut AS (SELECT max(day) - 14 AS cutoff FROM ev),
+        |feats AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT day) AS n_active_days,
+        |    date_diff('day', max(day), min(cutoff)) AS last_gap_days
+        |  FROM ev CROSS JOIN cut WHERE day <= cutoff GROUP BY 1),
+        |post AS (
+        |  SELECT DISTINCT user_id FROM ev CROSS JOIN cut
+        |  WHERE day > cutoff)
+        |SELECT f.user_id, f.n_events, f.n_active_days, f.last_gap_days,
+        |  p.user_id IS NULL AS churned
+        |FROM feats f LEFT JOIN post p ON f.user_id = p.user_id
+        |ORDER BY f.user_id""".stripMargin
   )
 }
