@@ -5127,6 +5127,69 @@ object SparkEntry {
         .withColumn("churned", col("active_after").isNull)
         .drop("active_after")
         .orderBy("user_id")
+    },
+
+    // CDC MERGE with DELETE semantics — latest-op-wins compaction of a
+    // change feed where 'error' events are tombstones: per key, take
+    // the newest change ((ts, event_id) total order); if it's a delete
+    // the key vanishes from the final state, else the upsert's value
+    // survives. The per-key newest row is a WindowGroupLimit (per-
+    // partition heaps, no full sort); the tombstone filter comes AFTER
+    // rank so a delete correctly shadows older upserts — filtering
+    // before the window is the classic wrong-merge that resurrects
+    // deleted keys.
+    "merge_with_deletes" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feed = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      feed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "upsert")
+        .select(col("user_id"), tsStr(col("ts")).as("ts"), col("cents"))
+        .orderBy("user_id")
+    },
+
+    // Relational DIVISION — "users active on EVERY day of the first
+    // observed week" (the FOR ALL quantifier, the algebra operator
+    // joins can't express directly): semi-join to the divisor day set,
+    // then divide by exact count equality against the broadcast divisor
+    // size. Divisor is domain-sized; the fact side shuffles once on
+    // user_id.
+    "relational_division_users" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val week = ev.select(min(col("day")).as("d0"))
+        .select(explode(expr("sequence(d0, date_add(d0, 6))")).as("day"))
+      val k = week.agg(count(lit(1)).as("k"))
+      ev.join(broadcast(week), "day")
+        .groupBy("user_id").agg(count(lit(1)).as("days_hit"))
+        .crossJoin(broadcast(k))
+        .filter(col("days_hit") === col("k"))
+        .select(col("user_id"), col("days_hit"))
+        .orderBy("user_id")
+    },
+
+    // Degree distribution of the kNN graph — the first diagnostic run
+    // on any graph before choosing join strategies (wedge orientation,
+    // hub salting): per undirected degree, vertex count + id checksum.
+    // Degrees are k-bounded on the out side but IN-degree skews toward
+    // hub embeddings — this is the query that would surface it.
+    "degree_distribution_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"))
+        .orderBy("degree")
     }
   )
 
@@ -9424,6 +9487,83 @@ object SparkEntry {
         |SELECT f.user_id, f.n_events, f.n_active_days, f.last_gap_days,
         |  p.user_id IS NULL AS churned
         |FROM feats f LEFT JOIN post p ON f.user_id = p.user_id
-        |ORDER BY f.user_id""".stripMargin
+        |ORDER BY f.user_id""".stripMargin,
+
+    // Latest-op-wins, tombstone filter AFTER the rank.
+    "merge_with_deletes" ->
+      """WITH feed AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM feed)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, cents
+        |FROM ranked WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY user_id""".stripMargin,
+
+    // Division by exact count equality against the divisor size.
+    "relational_division_users" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |week AS (
+        |  SELECT CAST(unnest(generate_series(d0, d0 + 6,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT min(day) AS d0 FROM ev)),
+        |k AS (SELECT count(*) AS k FROM week)
+        |SELECT e.user_id, count(*) AS days_hit
+        |FROM ev e JOIN week w ON e.day = w.day
+        |CROSS JOIN k
+        |GROUP BY e.user_id, k.k
+        |HAVING count(*) = k.k
+        |ORDER BY e.user_id""".stripMargin,
+
+    // Same kNN edges; undirected degree histogram.
+    "degree_distribution_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, count(*) AS degree FROM (
+        |    SELECT a AS v FROM u UNION ALL SELECT b FROM u)
+        |  GROUP BY v)
+        |SELECT degree, count(*) AS n_vertices,
+        |  CAST(sum(v) AS BIGINT) AS id_checksum
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
   )
 }
