@@ -4977,9 +4977,10 @@ object SparkEntry {
     // whole dollars to keep n·v·deviation products under 2⁶³ — the
     // scaling rule is documented, not silent). The float ratio is the
     // caller's one division; both exact components ship. No ratio
-    // column: integer DIV floors toward zero in one engine and −∞ in
-    // the other for negative numerators — the exact components
-    // sidestep the mismatch.
+    // column: negative-numerator integer division is a classic
+    // cross-engine hazard (MEASURED equal here — both Spark DIV and
+    // DuckDB // truncate toward zero — but the components are the
+    // robust contract and carry strictly more information).
     "autocorr_lag1_daily" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
@@ -5190,6 +5191,91 @@ object SparkEntry {
         .groupBy("degree")
         .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"))
         .orderBy("degree")
+    },
+
+    // Daily p50/p90/p99 value bands — the SRE dashboard staple, exact:
+    // discrete percentiles (smallest cents with cum ≥ ⌈q·n⌉, integer
+    // rank targets) read off PER-DAY histograms, windows partitioned by
+    // day on the collapsed (day, cents) domain. No approx sketch, no
+    // global sort; the winsorize machinery re-keyed by day.
+    "daily_value_percentiles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val hist = ev.groupBy("day", "cents").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("day").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum("c").over(w))
+        .join(broadcast(ev.groupBy("day").agg(count(lit(1)).as("n"))),
+          "day")
+      def cut(num: Int, den: Int, name: String) =
+        cum.filter(col("cum") * den >= col("n") * num)
+          .groupBy("day").agg(min("cents").as(name))
+      cum.groupBy("day").agg(max("n").as("n"))
+        .join(cut(1, 2, "p50_cents"), "day")
+        .join(cut(9, 10, "p90_cents"), "day")
+        .join(cut(99, 100, "p99_cents"), "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          col("p50_cents"), col("p90_cents"), col("p99_cents"))
+        .orderBy("day")
+    },
+
+    // Mix-shift decomposition — why did revenue change between two
+    // periods: per type, the volume delta splits into a MIX effect
+    // (share change at old total) and a GROWTH effect (total change at
+    // old share), all in exact integer permille/cents arithmetic
+    // (mix_cents = (share_p2 − share_p1)·total_p1, growth_cents =
+    // share_p1·(total_p2 − total_p1), both DIV 1000 with shares in
+    // permille — the FP&A bridge report without a float in sight).
+    "mix_shift_decomposition" -> { (s, d) =>
+      // mid-corpus cutoff (events span Jan 1-30; a Feb cutoff leaves
+      // period 2 empty and the share division undefined)
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("ts") < cutoff).as("p1"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val byType = ev.groupBy("event_type")
+        .agg(sum(when(col("p1"), col("cents")).otherwise(0L)).as("rev_p1"),
+          sum(when(!col("p1"), col("cents")).otherwise(0L)).as("rev_p2"))
+      val tot = byType.agg(sum("rev_p1").as("t1"), sum("rev_p2").as("t2"))
+      byType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("rev_p1"), col("rev_p2"),
+          expr("rev_p1 * 1000 DIV t1").as("share_p1_permille"),
+          expr("rev_p2 * 1000 DIV t2").as("share_p2_permille"),
+          expr("(rev_p2 * 1000 DIV t2 - rev_p1 * 1000 DIV t1) * t1" +
+            " DIV 1000").as("mix_effect_cents"),
+          expr("(rev_p1 * 1000 DIV t1) * (t2 - t1) DIV 1000")
+            .as("growth_effect_cents"))
+        .orderBy("event_type")
+    },
+
+    // 7-day activation curve — share of users reaching ≥k distinct
+    // event types within 7 days of THEIR OWN first event (per-user
+    // windows, not calendar weeks), for every threshold k: the
+    // activation-criterion sensitivity curve product teams sweep before
+    // pinning the north-star definition. (A per-cohort-week report
+    // degenerated to one row here — every user's first event is in
+    // week 1 of this corpus.) Per-user distinct count, collapsed to
+    // its histogram, suffix-summed over thresholds.
+    "activation_metric_7d" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("event_type"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+      val perUser = ev.join(first, "user_id")
+        .filter(col("day") <= date_add(col("d0"), 6))
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_type")).as("n_types_7d"))
+      val hist = perUser.groupBy(col("n_types_7d").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("k")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      hist.withColumn("n_at_least_k", sum(col("c")).over(w))
+        .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
+        .select(col("k"), col("n_at_least_k"), col("n_users"),
+          expr("n_at_least_k * 1000 DIV n_users")
+            .as("activation_permille"))
+        .orderBy("k")
     }
   )
 
@@ -9564,6 +9650,79 @@ object SparkEntry {
         |  GROUP BY v)
         |SELECT degree, count(*) AS n_vertices,
         |  CAST(sum(v) AS BIGINT) AS id_checksum
-        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // Same per-day histograms and rational rank compare (cum·den ≥
+    // n·num).
+    "daily_value_percentiles" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT day, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT day, cents,
+        |    sum(c) OVER (PARTITION BY day ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY day) AS n
+        |  FROM h),
+        |p50 AS (SELECT day, min(cents) AS p50_cents FROM cum
+        |        WHERE cum * 2 >= n * 1 GROUP BY 1),
+        |p90 AS (SELECT day, min(cents) AS p90_cents FROM cum
+        |        WHERE cum * 10 >= n * 9 GROUP BY 1),
+        |p99 AS (SELECT day, min(cents) AS p99_cents FROM cum
+        |        WHERE cum * 100 >= n * 99 GROUP BY 1),
+        |nn AS (SELECT day, CAST(max(n) AS BIGINT) AS n FROM cum
+        |       GROUP BY 1)
+        |SELECT strftime(nn.day, '%Y-%m-%d') AS day, nn.n,
+        |  p50.p50_cents, p90.p90_cents, p99.p99_cents
+        |FROM nn JOIN p50 USING (day) JOIN p90 USING (day)
+        |JOIN p99 USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // Same integer permille shares and effect formulas.
+    "mix_shift_decomposition" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS p1,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |bt AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS rev_p1,
+        |    CAST(sum(CASE WHEN NOT p1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS rev_p2
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_p1) AS BIGINT) AS t1,
+        |          CAST(sum(rev_p2) AS BIGINT) AS t2 FROM bt)
+        |SELECT event_type, rev_p1, rev_p2,
+        |  rev_p1 * 1000 // t1 AS share_p1_permille,
+        |  rev_p2 * 1000 // t2 AS share_p2_permille,
+        |  (rev_p2 * 1000 // t2 - rev_p1 * 1000 // t1) * t1 // 1000
+        |    AS mix_effect_cents,
+        |  (rev_p1 * 1000 // t1) * (t2 - t1) // 1000
+        |    AS growth_effect_cents
+        |FROM bt CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    // Same per-user first-7-days window, threshold suffix sums.
+    "activation_metric_7d" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+        |iw AS (
+        |  SELECT e.user_id, count(DISTINCT e.event_type) AS n_types_7d
+        |  FROM ev e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.day <= f.d0 + 6 GROUP BY 1),
+        |h AS (SELECT n_types_7d AS k, count(*) AS c FROM iw GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_users FROM iw)
+        |SELECT k,
+        |  CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
+        |    UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_least_k,
+        |  n_users,
+        |  CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
+        |    UNBOUNDED FOLLOWING) AS BIGINT) * 1000 // n_users
+        |    AS activation_permille
+        |FROM h CROSS JOIN nn ORDER BY k""".stripMargin
   )
 }
