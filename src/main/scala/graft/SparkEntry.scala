@@ -5276,6 +5276,80 @@ object SparkEntry {
           expr("n_at_least_k * 1000 DIV n_users")
             .as("activation_permille"))
         .orderBy("k")
+    },
+
+    // TPC-H Q19 shape — the OR-of-ANDs join filter (disjunctive
+    // predicates over BOTH sides): three brand/size/quantity bands,
+    // each a conjunction mixing part and lineitem columns. Catalyst
+    // extracts the common-side residuals (p_brand IN ..., quantity
+    // range hull) as pushable prefilters while the full disjunction
+    // evaluates post-join — the plan shape that separates engines with
+    // disjunction handling from those that scan everything. Exact
+    // integer cent-percent revenue.
+    "tpch_q19_disjunctive" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("vol"))
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("qty").between(20, 30)))
+        .agg(count(lit(1)).as("n_items"),
+          coalesce(sum(col("vol")), lit(0L)).as("revenue_units"))
+    },
+
+    // Null-skew join routing — the production fix for left joins whose
+    // join key is mostly NULL (every null row hashes to ONE reducer in
+    // a naive plan... in Spark nulls can't match so the optimizer may
+    // still shuffle them): SPLIT the null-key rows around the join
+    // entirely (they null-pad by construction) and shuffle only the
+    // non-null minority. The oracle is the plain LEFT JOIN — identical
+    // result, radically different worst-case shuffle. Key nullability
+    // from the data's own rule (custkey ≡ 0 mod 3 → unknown).
+    "null_skew_left_join" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_custkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val matched = o.filter(col("k").isNotNull)
+        .join(c, col("k") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("cents"), col("c_mktsegment"))
+      val nullRouted = o.filter(col("k").isNull)
+        .select(col("o_orderkey"), col("cents"),
+          lit(null).cast("string").as("c_mktsegment"))
+      matched.unionByName(nullRouted)
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .orderBy("segment")
+    },
+
+    // Zipf rank-size law over the token frequencies — the corpus
+    // statistic behind every vocabulary-size decision: top-30 tokens by
+    // (freq, token) rank with the freq·rank product (≈ constant under
+    // Zipf) as an exact integer. Token counts are one corpus exchange;
+    // the rank is a 30-row heap (TakeOrderedAndProject), never a full
+    // sort.
+    "zipf_fit_tokens" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val freqs = Tables.documents(s, d)
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(desc("freq"), asc("token"))
+      freqs.orderBy(desc("freq"), asc("token")).limit(30)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("token"), col("freq"),
+          (col("freq") * col("rank")).as("freq_rank_product"))
+        .orderBy("rank")
     }
   )
 
@@ -9723,6 +9797,51 @@ object SparkEntry {
         |  CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
         |    UNBOUNDED FOLLOWING) AS BIGINT) * 1000 // n_users
         |    AS activation_permille
-        |FROM h CROSS JOIN nn ORDER BY k""".stripMargin
+        |FROM h CROSS JOIN nn ORDER BY k""".stripMargin,
+
+    // Same three disjunctive bands, integer cent-percent revenue.
+    "tpch_q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |  coalesce(CAST(sum(
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT), 0) AS revenue_units
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE
+        |  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+        |""".stripMargin,
+
+    // Plain LEFT JOIN — the null-routed plan must equal it exactly.
+    "null_skew_left_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |         ELSE o_custkey END AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS n_orders, CAST(sum(o.cents) AS BIGINT) AS cents
+        |FROM o LEFT JOIN customer c ON o.k = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // Same (freq desc, token) rank and exact products.
+    "zipf_fit_tokens" ->
+      """WITH freqs AS (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM freqs)
+        |SELECT rank, token, freq, freq * rank AS freq_rank_product
+        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin
   )
 }
