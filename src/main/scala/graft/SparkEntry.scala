@@ -5350,6 +5350,58 @@ object SparkEntry {
         .select(col("rank"), col("token"), col("freq"),
           (col("freq") * col("rank")).as("freq_rank_product"))
         .orderBy("rank")
+    },
+
+    // Percent-of-parent hierarchy report — nation share WITHIN its
+    // region and region share of total, exact permille at both levels
+    // (the drill-down OLAP report where naive plans re-scan per level):
+    // ONE fact aggregate to (region, nation) cents, then both parent
+    // totals derive from that tiny domain and re-attach by broadcast.
+    "percent_of_parent_revenue" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val regTot = rev.groupBy("r_name").agg(sum("cents").as("reg_cents"))
+      val tot = rev.agg(sum("cents").as("tot_cents"))
+      rev.join(broadcast(regTot), "r_name").crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("cents * 1000 DIV reg_cents").as("share_of_region_permille"),
+          expr("reg_cents * 1000 DIV tot_cents")
+            .as("region_share_permille"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Inter-arrival statistics per event type — the burstiness inputs
+    // (n, Σgap, Σgap²) as EXACT integers in whole seconds (gap² in
+    // micros would overflow the sum; the seconds rule is documented):
+    // one user-ordered lag per type partition, then a type-sized
+    // aggregate. Burstiness/CV themselves are one float division the
+    // caller applies — the same components-not-ratios contract as
+    // autocorr_lag1.
+    "interarrival_stats" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("event_type"),
+          expr("""(unix_micros(CAST(ts AS TIMESTAMP)) -
+                   unix_micros(CAST(prev_ts AS TIMESTAMP)))
+                  DIV 1000000""").as("gap_s"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"),
+          sum(col("gap_s") * col("gap_s")).as("sum_gap_sq_s"))
+        .orderBy("event_type")
     }
   )
 
@@ -9842,6 +9894,40 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY freq DESC, token) AS rank
         |  FROM freqs)
         |SELECT rank, token, freq, freq * rank AS freq_rank_product
-        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin
+        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    // One fact aggregate; both parent shares from the collapsed domain.
+    "percent_of_parent_revenue" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, n.n_name,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS reg_cents
+        |       FROM rev GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM rev)
+        |SELECT rev.r_name, rev.n_name, rev.cents,
+        |  rev.cents * 1000 // rt.reg_cents AS share_of_region_permille,
+        |  rt.reg_cents * 1000 // tt.tot_cents AS region_share_permille
+        |FROM rev JOIN rt USING (r_name) CROSS JOIN tt
+        |ORDER BY rev.r_name, rev.n_name""".stripMargin,
+
+    // Same per-(type, user) lag and whole-second gaps.
+    "interarrival_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |               ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |  CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }
