@@ -5402,6 +5402,90 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"),
           sum(col("gap_s") * col("gap_s")).as("sum_gap_sq_s"))
         .orderBy("event_type")
+    },
+
+    // Hashing-trick featurization (Weinberger et al., ICML 2009): each
+    // token hashes to one of 64 buckets with a ±1 sign bit, so the
+    // feature space is fixed-width regardless of vocabulary — the
+    // standard way to featurize an unbounded token space at 100 TB (no
+    // vocabulary broadcast, no OOV path, one token-level exchange with
+    // map-side combine). Hash = the oracle-portable md5Hash64
+    // (= DuckDB md5_number_upper; xxhash64 stays the documented scale
+    // default, same twin convention as dedup_simhash_pairs). bucket and
+    // sign read single bit ranges of the hash, so signed-vs-unsigned
+    // representation changes no bit. Emitted per doc: nonzero count, L1
+    // mass, and a bucket-weighted checksum — exact integers that pin
+    // every signed bucket count without emitting |docs|×64 rows.
+    "feature_hash_vectors" -> { (s, d) =>
+      val h = graft.ops.Dedup.md5Hash64(col("token"))
+      Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          pmod(h, lit(64)).cast("int").as("bucket"),
+          (lit(1L) - shiftright(h, 6).bitwiseAND(lit(1L)) * lit(2L))
+            .as("sign"))
+        .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+        .filter(col("v") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1"),
+          sum(col("bucket") * col("v")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic minority-class oversampling: every language class is
+    // replicated up to the majority class's count, the per-doc factor
+    // assigned by doc_id rank so the balanced corpus is bit-reproducible
+    // (no RNG, no sampling variance) and totals are EXACT — each class
+    // lands on precisely `target` rows (base = target DIV n for all,
+    // the target % n remainder goes to the lowest-ranked docs). The
+    // per-class row_number is the one non-scalable piece (a class is one
+    // window partition); at 100 TB rank within (class, shard) and stripe
+    // the remainder across shards — the exact-total guarantee survives
+    // because shard sizes are known from the same collapsed aggregate.
+    "oversample_minority" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val target = counts.agg(max("n").as("target"))
+      docs.withColumn("rk",
+          row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+        .join(broadcast(counts), "lang").crossJoin(broadcast(target))
+        .withColumn("rep",
+          expr("target DIV n + IF(rk <= target % n, 1L, 0L)"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1L, rep)")).as("copy_id"))
+        .orderBy("lang", "doc_id", "copy_id")
+    },
+
+    // TPC-H Q22 shape on the generated schema: "positive-balance
+    // customers with above-average balance and no recent activity" —
+    // scalar aggregate subquery + date-filtered ANTI join + rollup by
+    // the country code (n_nationkey stands in for the absent c_phone
+    // prefix). The pure no-orders anti-join is VACUOUS here (every
+    // generated customer has ≥1 order — checked before landing), so the
+    // recency cutoff 1998-01-01 carries the anti-join semantics
+    // (8 inactive customers at sf0.01, 74 at sf0.1). Above-average is
+    // the exact cross-multiplication cents·cnt > sum_cents (the Q17
+    // rule: never compare against a float average); the filtered orders
+    // side is pruned BEFORE the anti-join shuffle.
+    "tpch_q22_shaped" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val stats = cust.filter(col("cents") > 0)
+        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(col("cents") * col("cnt") > col("sum_cents"))
+        .select(col("c_nationkey").as("cntrycode"), col("cents"))
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
+        .orderBy("cntrycode")
     }
   )
 
@@ -9928,6 +10012,54 @@ object SparkEntry {
         |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
         |  CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq_s
         |FROM g WHERE gap_s IS NOT NULL
-        |GROUP BY 1 ORDER BY event_type""".stripMargin
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // md5_number_upper IS md5Hash64; (h % 64) and (h >> 6) & 1 read the
+    // identical bit ranges on the unsigned view.
+    "feature_hash_vectors" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5_number_upper(token) AS h FROM toks),
+        |b AS (SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+        |        1 - 2 * CAST((h >> 6) & 1 AS BIGINT) AS sign
+        |      FROM h),
+        |v AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+        |      FROM b GROUP BY 1, 2 HAVING sum(sign) <> 0)
+        |SELECT doc_id, count(*) AS nnz, CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |  CAST(sum(bucket * v) AS BIGINT) AS checksum
+        |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Same rank-assigned replication factors; exact class totals.
+    "oversample_minority" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT max(n) AS target FROM c),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang,
+        |  unnest(generate_series(1, t.target // c.n +
+        |    CASE WHEN r.rk <= t.target % c.n THEN 1 ELSE 0 END)) AS copy_id
+        |FROM r JOIN c USING (lang) CROSS JOIN t
+        |ORDER BY lang, doc_id, copy_id""".stripMargin,
+
+    // NOT EXISTS over the date-filtered orders; exact cents
+    // cross-multiplication for the above-average test.
+    "tpch_q22_shaped" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |a AS (SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |        count(*) AS cnt
+        |      FROM cust WHERE cents > 0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, a
+        |WHERE cents * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
