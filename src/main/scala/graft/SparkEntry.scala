@@ -5465,8 +5465,10 @@ object SparkEntry {
     // the country code (n_nationkey stands in for the absent c_phone
     // prefix). The pure no-orders anti-join is VACUOUS here (every
     // generated customer has ≥1 order — checked before landing), so the
-    // recency cutoff 1998-01-01 carries the anti-join semantics
-    // (8 inactive customers at sf0.01, 74 at sf0.1). Above-average is
+    // recency cutoff 1999-01-01 carries the anti-join semantics (2/14/148
+    // qualifying customers at sf0.001/0.01/0.1 — the cutoff must sit deep
+    // enough that even the 150-customer smoke corpus keeps inactive
+    // above-average customers). Above-average is
     // the exact cross-multiplication cents·cnt > sum_cents (the Q17
     // rule: never compare against a float average); the filtered orders
     // side is pruned BEFORE the anti-join shuffle.
@@ -5477,7 +5479,7 @@ object SparkEntry {
       val stats = cust.filter(col("cents") > 0)
         .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt"))
       val recent = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
         .select("o_custkey")
       cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .crossJoin(broadcast(stats))
@@ -5486,10 +5488,411 @@ object SparkEntry {
         .groupBy("cntrycode")
         .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
         .orderBy("cntrycode")
+    },
+
+    // Asymmetric containment dedup (Broder 1997's C(A,B) = |A∩B|/|A| on
+    // 3-token shingles): catches subset/superset duplicates — a doc whose
+    // content is embedded in a longer one — which symmetric Jaccard
+    // misses (a small doc inside a big one has low Jaccard but
+    // containment 1.0). Plan: inverted shingle self-join (never
+    // all-pairs) → (contained, container) intersection counts → exact
+    // permille vs the contained side's shingle count. At 100 TB the join
+    // key is Dedup.hashedShingles (8-byte longs, same counts modulo
+    // ~n²/2⁶⁴ collisions); string shingles here keep the oracle
+    // byte-exact. Hot-shingle fan-out is bounded by document frequency
+    // (max DF 7 on this corpus — measured); df-capping is the documented
+    // lossy escape hatch for pathological corpora.
+    "dedup_containment_pairs" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the shingle explode
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("contained_id"),
+          col("b.doc_id").as("container_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.withColumnRenamed("doc_id", "contained_id")
+          .withColumnRenamed("n", "n_contained"), "contained_id")
+        .filter(col("inter") * 10 >= col("n_contained") * 9)
+        .select(col("contained_id"), col("container_id"), col("inter"),
+          col("n_contained"),
+          expr("inter * 1000 DIV n_contained").as("containment_permille"))
+        .orderBy("contained_id", "container_id")
+    },
+
+    // Kneser-Ney continuation statistics (Kneser & Ney, ICASSP 1995):
+    // N1+(·w) — how many DISTINCT left contexts a token appears in — is
+    // the KN-smoothed unigram numerator (a token seen often but only
+    // after one context, e.g. "francisco", gets low continuation mass);
+    // N1+(w·) is the discount-normalizer fertility. Both are exact
+    // integers over distinct bigram TYPES: one bigram explode, one
+    // distinct (map-side combinable), two aggregates over the collapsed
+    // type domain — token-type-sized exchanges, never corpus-sized.
+    "kn_continuation_counts" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(graft.ops.Dedup.tokens(col("text")).as("ts"))
+      val types = toks
+        .select(explode(expr(
+          """transform(slice(ts, 1, size(ts) - 1),
+             (t, i) -> struct(t AS w1, ts[i + 1] AS w2))""")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2")).distinct()
+      val cont = types.groupBy(col("w2").as("token"))
+        .agg(count(lit(1)).as("n_preceding_types"))
+      val fert = types.groupBy(col("w1").as("token"))
+        .agg(count(lit(1)).as("n_following_types"))
+      cont.join(fert, Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("n_preceding_types"), lit(0L)).as("n_preceding_types"),
+          coalesce(col("n_following_types"), lit(0L)).as("n_following_types"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n_preceding_types"), col("token"))))
+        .filter(col("rank") <= 100)
+        .orderBy("rank")
+    },
+
+    // NOT IN vs NOT EXISTS under a NULL-bearing subquery — the ANSI
+    // tri-valued-logic audit as a data op. The exclusion list derives a
+    // NULL from the data's own rule (nullif on one member), and the
+    // three forms disagree by design: NOT IN returns ZERO rows (x <>
+    // NULL is UNKNOWN, so no row ever passes), NOT EXISTS ignores the
+    // NULL member (its equality never matches, so that nation's
+    // customers are NOT excluded), and the null-guarded NOT IN restores
+    // the NOT EXISTS count. Production rule this encodes: never NOT IN
+    // against a nullable key — an anti-join that silently returns empty
+    // is the classic pipeline-eats-the-table bug.
+    "not_in_null_semantics" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("nin_customer")
+      Tables.nation(s, d).createOrReplaceTempView("nin_nation")
+      s.sql("""
+        WITH excl AS (
+          SELECT nullif(n_nationkey, 10) AS k FROM nin_nation
+          WHERE n_regionkey = 0)
+        SELECT 'not_in' AS form, count(*) AS cnt FROM nin_customer
+        WHERE c_nationkey NOT IN (SELECT k FROM excl)
+        UNION ALL
+        SELECT 'not_exists', count(*) FROM nin_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_nationkey)
+        UNION ALL
+        SELECT 'not_in_nonnull', count(*) FROM nin_customer
+        WHERE c_nationkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+        ORDER BY form""")
+    },
+
+    // Link prediction by common neighbors over the kNN graph (same
+    // cells=8/k=3 substrate as the other graph queries): for every
+    // NON-adjacent pair sharing >= 1 neighbor, the common-neighbor count
+    // plus both degrees — the exact-integer inputs to Adamic-Adar /
+    // preferential-attachment scores (the log/product is the caller's
+    // float, the components-not-ratios contract). Plan: one wedge join
+    // on the shared-neighbor key (never all-pairs), an anti-join against
+    // the edge set, degree re-attach from the collapsed vertex domain.
+    // Hub skew bounds wedge fan-out at max_deg² per vertex — the
+    // (degree, id) orientation fix documented on Graph applies here too.
+    "link_prediction_knn" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val adj = und.select(col("a").as("n"), col("b").as("v"))
+        .union(und.select(col("b").as("n"), col("a").as("v")))
+      val wed = adj.as("l")
+        .join(adj.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
+        .groupBy(col("l.v").as("id1"), col("r.v").as("id2"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      val deg = adj.groupBy(col("n").as("v")).agg(count(lit(1)).as("degree"))
+      wed.join(und, col("id1") === col("a") && col("id2") === col("b"),
+          "left_anti")
+        .join(deg.select(col("v").as("id1"), col("degree").as("deg1")), "id1")
+        .join(deg.select(col("v").as("id2"), col("degree").as("deg2")), "id2")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("common_neighbors"), col("id1"), col("id2"))))
+        .filter(col("rank") <= 50)
+        .select("id1", "id2", "common_neighbors", "deg1", "deg2", "rank")
+        .orderBy("rank")
+    },
+
+    // Product-quantization code assignment (Jégou et al., TPAMI 2011):
+    // the 64-dim space splits into 4 16-dim subspaces, each vector's
+    // sub-block snaps to the nearest of 16 codebook entries (first 16
+    // vectors, the same data-derived-codebook convention as the IVF
+    // centroids) — 64 floats compress to 4 codes. Zero-shuffle per row:
+    // the codebook broadcasts, the argmin is min(struct(dist, code))
+    // per (vector, subspace) with the code tiebreak making equal
+    // distances deterministic. Exact-L2 doubles in array order — both
+    // engines sum the same sequence, so assignments hash-match.
+    "embed_pq_assign" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          col("embedding").as("cv"))
+      emb.select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
+          col("embedding"))
+        .join(broadcast(cb))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(slice(embedding, sub * 16 + 1, 16),
+                                slice(cv, sub * 16 + 1, 16),
+                                (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                                          (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+        .orderBy("vec_id", "sub")
+    },
+
+    // Perceptual-hash near-dup over image content (average-hash family):
+    // each media id renders a deterministic 8×8 luminance grid (200
+    // families × 5 variants; a variant perturbs <= 4 hash-chosen pixels
+    // — the stand-in for the container's absent image codecs, same
+    // convention as the other multimodal stubs), aHash bit i = pixel_i
+    // strictly above the mean by integer cross-multiplication (p·64 >
+    // Σp — no float mean), and pairs within Hamming 10 come from
+    // Dedup.fingerprintHammingPairs — the SAME combination-banding
+    // candidate generator as SimHash, now reused for a non-text
+    // fingerprint (equality joins, never all-pairs). Planted geometry:
+    // family pairs measure <= 9, cross-family >= 15, so threshold 10
+    // recovers exactly the 2 000 within-family pairs.
+    "image_ahash_neardup" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val px = s.range(1000).select(col("id"))
+        .withColumn("i", explode(expr("sequence(0, 63)")))
+        .withColumn("base",
+          md5h(concat(lit("px|"), expr("id DIV 5"), lit("|"), col("i")))
+            .bitwiseAND(lit(255L)))
+      val pert = s.range(1000).select(col("id"))
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .filter(col("j") < expr("id % 5"))
+        .select(col("id"),
+          md5h(concat(lit("pt|"), expr("id DIV 5"), lit("|"), col("j")))
+            .bitwiseAND(lit(63L)).as("pi"))
+        .distinct()
+      val grid = px.join(pert,
+          px("id") === pert("id") && col("i") === col("pi"), "left")
+        .select(px("id"), col("i"),
+          when(col("pi").isNull, col("base"))
+            .otherwise((col("base") + 128) % 256).as("p"))
+      val withTot = grid.withColumn("tot", sum("p").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      val fp = withTot.groupBy("id")
+        .agg(expr("""bit_or(CASE WHEN p * 64 > tot
+                     THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)""")
+          .as("f"))
+      graft.ops.Dedup.fingerprintHammingPairs(fp, "id", "f", maxDistance = 10)
+        .orderBy("id1", "id2")
+    },
+
+    // Classifier-vs-ground-truth confusion matrix: declared corpus lang ×
+    // the n-gram langId prediction (same predictor text_langid oracles
+    // per-doc), each cell carrying a doc_id checksum so membership — not
+    // just cardinality — is pinned. The standard eval audit for any
+    // labeling pass at 100 TB: one groupBy over |langs|² cells, the
+    // predictor stays inside whole-stage codegen.
+    "langid_confusion" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"),
+          col("doc_id"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // Corpus novelty curve by source: a 3-gram shingle is NOVEL in the
+    // doc where it first appears (min doc_id = ingestion order); each
+    // source's share of novel vs repeated shingle slots — the curation
+    // metric for "is this source still contributing new content or
+    // re-crawling the same text" (the marginal-utility signal behind
+    // dedup-aware source weighting). Exact integers: first-occurrence is
+    // a min-aggregate on the shingle domain, re-joined on the shingle
+    // key — two shingle-keyed exchanges, never all-pairs.
+    "ngram_novelty_by_source" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the shingle explode
+        .select(col("doc_id"), col("source"),
+          explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
+      sh.join(first, "sh")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingle_slots"),
+          sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_permille",
+          expr("n_novel * 1000 DIV n_shingle_slots"))
+        .orderBy("source")
+    },
+
+    // Chi-squared contingency components for event_type × ISO weekday —
+    // the categorical-drift / independence audit with every term EXACT:
+    // observed cell counts, both marginals, and the scaled residual
+    // numerator n·O − rowT·colT (BIGINT-safe: both products <= ~1e10 at
+    // sf0.1). Chi² itself is the caller's one float division per cell —
+    // the components-not-ratios contract. Weekday parity pinned to ISO:
+    // Spark weekday(ts)+1 = DuckDB isodow (Monday = 1); raw dayofweek
+    // disagrees between engines (Sunday = 1 vs 0) — the documented trap.
+    "contingency_chi2_components" -> { (s, d) =>
+      val o = Tables.events(s, d)
+        .select(col("event_type"), expr("weekday(ts) + 1").as("isodow"))
+        .groupBy("event_type", "isodow").agg(count(lit(1)).as("observed"))
+      val rt = o.groupBy("event_type").agg(sum("observed").as("row_total"))
+      val ct = o.groupBy("isodow").agg(sum("observed").as("col_total"))
+      val n = o.agg(sum("observed").as("n_total"))
+      o.join(broadcast(rt), "event_type").join(broadcast(ct), "isodow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("isodow"), col("observed"),
+          col("row_total"), col("col_total"), col("n_total"),
+          expr("n_total * observed - row_total * col_total").as("resid_num"))
+        .orderBy("event_type", "isodow")
+    },
+
+    // Onion decomposition of the kNN graph (k-core peel at k = 4 on the
+    // cells=8/k=3 substrate): the layer histogram with per-layer id
+    // checksums. The 4-core is EMPTY on this graph (a 3-out-degree kNN
+    // graph has 3-core = everything, 4-core = nothing — both measured,
+    // which is exactly why the per-round LAYERS, not the core, carry the
+    // signal: they are the coreness/centrality ordering used for graph
+    // sparsification and influence ranking). Peel depth measured 4 at
+    // both SFs; the oracle unrolls 8 rounds and would surface (not
+    // absorb) a deeper peel as a mismatch.
+    "graph_onion_layers_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      graft.ops.Graph.onionLayers(und, k = 4)
+        .groupBy("layer")
+        .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
+        .orderBy("layer")
+    },
+
+    // Shot-boundary detection over synthetic video luminance tracks (300
+    // videos × 40 frames; per-shot base level + bounded jitter, the same
+    // deterministic-fake convention as the other multimodal stubs): a
+    // boundary is |Δlum| > 32 between consecutive frames, segments
+    // materialize as cut-flag prefix sums — the lag + running-sum
+    // temporal-segmentation shape (sessionize's cousin) on frame
+    // sequences. All-integer pixels (hash low bytes), so detection is
+    // engine-exact; the lag/sum windows partition per video and a video's
+    // frames are the natural per-key unit at 100 TB (no global sort).
+    "video_shot_boundaries" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val w = Window.partitionBy("vid").orderBy("f")
+      val fr = s.range(300).select(col("id").as("vid"))
+        .withColumn("f", explode(expr("sequence(0, 39)")))
+      val lum = fr
+        .withColumn("cut_true", when(col("f") > 0 &&
+          md5h(concat(lit("cut|"), col("vid"), lit("|"), col("f")))
+            .bitwiseAND(lit(7L)) === 0, 1L).otherwise(0L))
+        .withColumn("shot_true", sum("cut_true").over(w))
+        .withColumn("lum",
+          md5h(concat(lit("b|"), col("vid"), lit("|"), col("shot_true")))
+            .bitwiseAND(lit(255L)) +
+          md5h(concat(lit("j|"), col("vid"), lit("|"), col("f")))
+            .bitwiseAND(lit(15L)))
+      lum
+        .withColumn("is_cut", when(col("f") > 0 &&
+          abs(col("lum") - lag(col("lum"), 1).over(w)) > 32, 1L)
+          .otherwise(0L))
+        .withColumn("shot", sum("is_cut").over(w))
+        .groupBy("vid", "shot")
+        .agg(min("f").as("start_frame"), max("f").as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("vid", "shot")
+    },
+
+    // TPC-H Q4 shape on the generated schema: orders in one quarter with
+    // at least one LATE-shipped lineitem (> 60 days after order date —
+    // stands in for the absent l_commitdate < l_receiptdate), counted by
+    // priority. The EXISTS is a left-semi join whose date predicate
+    // prunes the orders side BEFORE the shuffle; the join condition's
+    // cross-side inequality rides on the equi-key join, not a range
+    // join.
+    "tpch_q4_shaped" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
     }
   )
 
   // ---- oracles ----------------------------------------------------------
+
+  /** Unrolled peel oracle for graph_onion_layers_knn: the same kNN chain
+    * as degree_distribution_knn's oracle up to the undirected edge set
+    * `u`, then 8 explicit k=4 peel rounds (measured fixpoint: 4 rounds at
+    * both oracle SFs; if regenerated data ever peels deeper than 8, s8 is
+    * not the fixpoint and the compare FAILS rather than silently
+    * mislabeling unpeeled vertices as core).
+    */
+  private def onionOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT a, b FROM u
+         |  WHERE a IN (SELECT v FROM s${r - 1})
+         |    AND b IN (SELECT v FROM s${r - 1})),
+         |d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT s.v FROM s${r - 1} s JOIN d$r d ON d.v = s.v
+         |  WHERE d.deg >= 4)""".stripMargin
+    }.mkString(",\n")
+    val layerArms = (1 to 8).map { r =>
+      s"SELECT v, $r AS layer FROM s${r - 1} " +
+        s"WHERE v NOT IN (SELECT v FROM s$r)"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |s AS (
+       |  SELECT a.vec_id, c.cid,
+       |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+       |              for i in range(1, len(a.embedding) + 1)]) /
+       |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+       |                    for i in range(1, len(a.embedding) + 1)])) *
+       |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+       |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+       |  FROM embeddings a CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM s
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY sim DESC, cid) = 1),
+       |p AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+       |              for i in range(1, len(ax.embedding) + 1)]) /
+       |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+       |                    for i in range(1, len(ax.embedding) + 1)])) *
+       |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+       |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+       |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+       |e AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
+       |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |  greatest(src, dst) AS b FROM e WHERE src <> dst),
+       |s0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM u
+       |  UNION SELECT DISTINCT b FROM u),
+       |$rounds,
+       |layers AS (
+       |  $layerArms
+       |  UNION ALL SELECT v, 0 AS layer FROM s8)
+       |SELECT layer, count(*) AS n_vertices,
+       |  CAST(sum(v) AS BIGINT) AS id_checksum
+       |FROM layers GROUP BY 1 ORDER BY layer""".stripMargin
+  }
 
   private val ohlcvOracle = """
     |SELECT event_type,
@@ -10059,7 +10462,258 @@ object SparkEntry {
         |FROM cust, a
         |WHERE cents * cnt > sum_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same 3-shingles as the minhash oracle; all-pairs is fine at oracle
+    // SF, direction-specific containment vs the contained side's count.
+    "dedup_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
+        |  FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+        |SELECT ida AS contained_id, idb AS container_id,
+        |  CAST(inter AS BIGINT) AS inter, CAST(na AS BIGINT) AS n_contained,
+        |  CAST(inter * 1000 // na AS BIGINT) AS containment_permille
+        |FROM p WHERE inter * 10 >= na * 9 AND na > 0
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    // Distinct bigram types, then the two KN count families.
+    "kn_continuation_counts" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |  FROM documents),
+        |bg AS (SELECT unnest([s[i] || ' ' || s[i+1]
+        |                      for i in range(1, len(s))]) AS b FROM toks),
+        |sp AS (SELECT string_split(b, ' ')[1] AS w1,
+        |              string_split(b, ' ')[2] AS w2 FROM bg),
+        |types AS (SELECT DISTINCT w1, w2 FROM sp),
+        |cont AS (SELECT w2 AS token, count(*) AS n_preceding_types
+        |         FROM types GROUP BY 1),
+        |fert AS (SELECT w1 AS token, count(*) AS n_following_types
+        |         FROM types GROUP BY 1)
+        |SELECT token, coalesce(n_preceding_types, 0) AS n_preceding_types,
+        |  coalesce(n_following_types, 0) AS n_following_types,
+        |  row_number() OVER (ORDER BY coalesce(n_preceding_types, 0) DESC,
+        |                     token) AS rank
+        |FROM cont FULL OUTER JOIN fert USING (token)
+        |QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Both engines implement the same ANSI tri-valued logic; the three
+    // counts are the audit.
+    "not_in_null_semantics" ->
+      """WITH excl AS (
+        |  SELECT nullif(n_nationkey, 10) AS k FROM nation
+        |  WHERE n_regionkey = 0)
+        |SELECT 'not_in' AS form, count(*) AS cnt FROM customer
+        |WHERE c_nationkey NOT IN (SELECT k FROM excl)
+        |UNION ALL
+        |SELECT 'not_exists', count(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'not_in_nonnull', count(*) FROM customer
+        |WHERE c_nationkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+        |ORDER BY form""".stripMargin,
+
+    // Same kNN substrate as degree_distribution_knn, then wedge-counted
+    // common neighbors over non-adjacent pairs.
+    "link_prediction_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
+        |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |adj AS (SELECT a AS n, b AS v FROM u UNION ALL SELECT b, a FROM u),
+        |wed AS (SELECT l.v AS id1, r.v AS id2, count(*) AS common_neighbors
+        |  FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT w.* FROM wed w
+        |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = w.id1
+        |                    AND u.b = w.id2)),
+        |deg AS (SELECT n AS v, count(*) AS degree FROM adj GROUP BY 1)
+        |SELECT id1, id2, common_neighbors,
+        |  d1.degree AS deg1, d2.degree AS deg2,
+        |  row_number() OVER (ORDER BY common_neighbors DESC, id1, id2)
+        |    AS rank
+        |FROM nonadj JOIN deg d1 ON d1.v = id1 JOIN deg d2 ON d2.v = id2
+        |QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Exact-L2 argmin per (vector, 16-dim sub-block) against the first-16
+    // codebook; dist ties break on code.
+    "embed_pq_assign" ->
+      """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (
+        |  SELECT e.vec_id, sub.s AS sub, cb.code,
+        |    list_sum([ (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE) *
+        |               (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE)
+        |               for i in range(1 + sub.s * 16, 17 + sub.s * 16)])
+        |      AS dist
+        |  FROM embeddings e, range(4) sub(s), cb)
+        |SELECT vec_id, sub, code FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |                           ORDER BY dist, code) = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+
+    // Identical integer pixel synthesis ((h & 255) low byte, & 63
+    // perturb index — power-of-two masks so the unsigned view matches
+    // md5Hash64's signed one), strict p·64 > Σp bit rule, all-pairs
+    // Hamming at oracle SF.
+    "image_ahash_neardup" ->
+      """WITH ids AS (SELECT unnest(range(1000)) AS id),
+        |grid AS (SELECT id, i.i AS i,
+        |  CAST(md5_number_upper('px|' || (id // 5) || '|' || i.i) & 255
+        |       AS BIGINT) AS base
+        |  FROM ids, range(64) i(i)),
+        |pert AS (SELECT DISTINCT id,
+        |  CAST(md5_number_upper('pt|' || (id // 5) || '|' || j.j) & 63
+        |       AS BIGINT) AS pi
+        |  FROM ids, range(4) j(j) WHERE j.j < id % 5),
+        |px AS (SELECT g.id, g.i,
+        |  CASE WHEN p.pi IS NULL THEN g.base
+        |       ELSE (g.base + 128) % 256 END AS p
+        |  FROM grid g LEFT JOIN pert p ON p.id = g.id AND p.pi = g.i),
+        |s AS (SELECT id, CAST(sum(p) AS BIGINT) AS tot FROM px GROUP BY 1),
+        |fp AS (SELECT px.id, bit_or(CASE WHEN px.p * 64 > s.tot
+        |    THEN 1::UBIGINT << CAST(px.i AS INTEGER)
+        |    ELSE 0::UBIGINT END) AS f
+        |  FROM px JOIN s USING (id) GROUP BY px.id)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS distance
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 10
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Same stopword-score predictor as the text_langid oracle, joined
+    // back to the declared label.
+    "langid_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
+        |  FROM s),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM sc)
+        |SELECT d.lang, p.lang_pred, count(*) AS n_docs,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // First occurrence = min doc_id per shingle; same 3-shingles as the
+    // minhash oracle.
+    "ngram_novelty_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          for i in range(1, len(s) - 1)])) AS sh
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |f AS (SELECT sh, min(doc_id) AS first_id FROM t GROUP BY 1)
+        |SELECT source, count(*) AS n_shingle_slots,
+        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) * 1000 //
+        |       count(*) AS BIGINT) AS novelty_permille
+        |FROM t JOIN f USING (sh) GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // isodow = Spark weekday + 1 (ISO Monday=1 in both).
+    "contingency_chi2_components" ->
+      """WITH o AS (
+        |  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
+        |    count(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_total
+        |       FROM o GROUP BY 1),
+        |ct AS (SELECT isodow, CAST(sum(observed) AS BIGINT) AS col_total
+        |       FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM o)
+        |SELECT o.event_type, o.isodow, o.observed,
+        |  rt.row_total, ct.col_total, n.n_total,
+        |  n.n_total * o.observed - rt.row_total * ct.col_total AS resid_num
+        |FROM o JOIN rt USING (event_type) JOIN ct USING (isodow) CROSS JOIN n
+        |ORDER BY o.event_type, o.isodow""".stripMargin,
+
+    "graph_onion_layers_knn" -> onionOracleSql,
+
+    // Identical integer luminance synthesis and |Δlum| > 32 rule.
+    "video_shot_boundaries" ->
+      """WITH vids AS (SELECT unnest(range(300)) AS vid),
+        |fr AS (SELECT vid, f.f AS f FROM vids, range(40) f(f)),
+        |cuts AS (SELECT vid, f,
+        |  CAST(sum(CASE WHEN f > 0 AND
+        |      (md5_number_upper('cut|' || vid || '|' || f) & 7) = 0
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS shot_true
+        |  FROM fr),
+        |lum AS (SELECT vid, f,
+        |  CAST((md5_number_upper('b|' || vid || '|' || shot_true) & 255) +
+        |       (md5_number_upper('j|' || vid || '|' || f) & 15) AS BIGINT)
+        |    AS lum
+        |  FROM cuts),
+        |det AS (SELECT vid, f, lum,
+        |  CASE WHEN f > 0 AND abs(lum - lag(lum)
+        |      OVER (PARTITION BY vid ORDER BY f)) > 32
+        |       THEN 1 ELSE 0 END AS is_cut FROM lum),
+        |seg AS (SELECT vid, f,
+        |  CAST(sum(is_cut) OVER (PARTITION BY vid ORDER BY f) AS BIGINT)
+        |    AS shot FROM det)
+        |SELECT vid, shot, CAST(min(f) AS BIGINT) AS start_frame,
+        |  CAST(max(f) AS BIGINT) AS end_frame, count(*) AS n_frames
+        |FROM seg GROUP BY 1, 2 ORDER BY vid, shot""".stripMargin,
+
+    // EXISTS over the late-shipment predicate.
+    "tpch_q4_shaped" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -545,7 +545,19 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    fingerprintHammingPairs(simhash64(df, textCol, idCol, tokenHash),
+      idCol, "simhash", maxDistance)
+
+  /** Banded Hamming-pair search over ANY precomputed 64-bit fingerprint
+    * column (SimHash, perceptual image hashes, audio fingerprints, …):
+    * the combination-banding scheme documented on [[simhashPairs]],
+    * factored out so non-text fingerprints reuse the same
+    * completeness-guaranteed candidate generation. Emits
+    * (id1, id2, distance), id1 < id2, distance <= maxDistance.
+    */
+  def fingerprintHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+      maxDistance: Int): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance=$maxDistance outside the supported 0..16 banding range")
     val blocks = if (maxDistance <= 4) maxDistance + 1 else maxDistance + 2
@@ -558,12 +570,12 @@ object Dedup {
       if (start + width >= 64) v else v.bitwiseAND((1L << width) - 1)
     }
     val combos = (0 until blocks).combinations(q).toSeq
-    val fp = simhash64(df, textCol, idCol, tokenHash).cache()
+    val fp = fps.select(col(idCol), col(fpCol)).cache()
     // one 64-bit key per block combination; the combo index is hashed in
     // so distinct combos occupy distinct key spaces (a cross-combo hash
     // collision only adds a candidate, which exact verification discards)
     val keys = combos.zipWithIndex.map { case (cs, i) =>
-      xxhash64(lit(i) +: cs.map(c => blockVal(col("simhash"), c)): _*)
+      xxhash64(lit(i) +: cs.map(c => blockVal(col(fpCol), c)): _*)
     }
     val keyed = fp.select(col(idCol), explode(array(keys: _*)).as("__key"))
     val l = keyed.select(col(idCol).as("id1"), col("__key"))
@@ -575,8 +587,8 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     cand
-      .join(fp.select(col(idCol).as("id1"), col("simhash").as("h1")), "id1")
-      .join(fp.select(col(idCol).as("id2"), col("simhash").as("h2")), "id2")
+      .join(fp.select(col(idCol).as("id1"), col(fpCol).as("h1")), "id1")
+      .join(fp.select(col(idCol).as("id2"), col(fpCol).as("h2")), "id2")
       .withColumn("distance", hamming(col("h1"), col("h2")))
       .filter(col("distance") <= maxDistance)
       .select("id1", "id2", "distance")

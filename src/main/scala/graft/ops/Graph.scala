@@ -83,4 +83,52 @@ object Graph {
       .withColumn("lcc_micro",
         expr("n_triangles * 2000000 DIV (degree * (degree - 1))"))
   }
+
+  /** Onion decomposition by synchronous k-core peeling (Batagelj &
+    * Zaveršnik 2003; layer view of Hébert-Dufresne et al. 2016):
+    * repeatedly remove EVERY vertex whose degree in the surviving
+    * subgraph is < k; `layer(v)` = the 1-based round that removed v,
+    * 0 = survivor of the fixpoint (the k-core itself). Returns
+    * (v, layer).
+    *
+    * Scale shape: each round is one degree aggregate over the surviving
+    * edge list plus two vertex-keyed semi-joins — all equality shuffles,
+    * no broadcast assumption — with an eager localCheckpoint truncating
+    * lineage per round (the Components pattern; without it the plan
+    * doubles every round). Round count is the data's degeneracy depth,
+    * typically O(log n) on similarity graphs (measured: 4 on the kNN
+    * substrate at both sf0.01 and sf0.1); `maxRounds` only guards a
+    * runaway loop and converging later is an error, not a truncation —
+    * a silent cap would mislabel unpeeled vertices as core.
+    */
+  def onionLayers(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var surv = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct().localCheckpoint()
+    var edges = und.localCheckpoint()
+    var layers: Option[DataFrame] = None
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = surv.join(deg, Seq("v"), "left")
+        .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val removed = withDeg.filter(col("deg") < k).select("v")
+      if (removed.isEmpty) done = true
+      else {
+        val lay = removed.withColumn("layer", lit(round))
+        layers = Some(layers.fold(lay)(_ union lay).localCheckpoint())
+        surv = withDeg.filter(col("deg") >= k).select("v").localCheckpoint()
+        edges = edges
+          .join(surv.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(surv.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b").localCheckpoint()
+        round += 1
+      }
+    }
+    require(done, s"onion peel did not converge in $maxRounds rounds")
+    val core = surv.withColumn("layer", lit(0))
+    layers.fold(core)(_ union core)
+  }
 }

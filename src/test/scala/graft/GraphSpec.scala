@@ -45,4 +45,32 @@ class GraphSpec extends SparkSpec {
       .agg(sum(col("n_triangles"))).head.getLong(0)
     assert(base == got && base == 180L) // 60 triangles x 3 vertices
   }
+
+  test("onion layers: hand graph peels in the right rounds, core survives") {
+    // 6-clique {1..6} (degree >= 5 inside — survives k=4 peel, layer 0);
+    // cascade of hangers-on: 8 touches {7, 1} (degree 2 — peels round
+    // 1); 7 touches {1, 2, 8, 9} (degree 4 survives round 1, loses 8 →
+    // degree 3, peels round 2); 9 touches {1, 2, 3, 7} (degree 4 through
+    // round 2, loses 7 → peels round 3). Three genuine peel rounds.
+    val clique = (1L to 6L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = (clique ++ Seq((7L, 1L), (7L, 2L), (7L, 8L), (7L, 9L),
+        (8L, 1L), (9L, 1L), (9L, 2L), (9L, 3L)))
+      .toDF("src", "dst")
+    val got = Graph.onionLayers(Graph.undirected(edges), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (1L to 6L).map(_ -> 0).toMap ++
+      Map(8L -> 1, 7L -> 2, 9L -> 3)
+    assert(got == want)
+  }
+
+  test("onion layers: empty core — every vertex gets a positive layer") {
+    // path 1-2-3-4-5: all degrees <= 2, k=3 peel empties the graph in
+    // two rounds (endpoints first, then the middle as degrees drop)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.onionLayers(Graph.undirected(path), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.values.forall(_ >= 1) && got.size == 5)
+    // k=3 peel removes everything in ONE round here (all degrees < 3)
+    assert(got.values.toSet == Set(1))
+  }
 }
