@@ -5827,6 +5827,190 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
+    },
+
+    // Degree assortativity components for the kNN graph (Newman 2002
+    // mixing patterns): per-edge degree products and sums as EXACT
+    // integers — m, Σdᵢdⱼ, Σ(dᵢ+dⱼ), Σ(dᵢ²+dⱼ²) — from which the Pearson
+    // assortativity coefficient is one float formula the caller applies
+    // (components-not-ratios). Disassortative kNN graphs (hubs link to
+    // leaves) vs assortative social graphs is THE structural diagnostic
+    // for whether hub-oriented wedge bounds apply. One degree aggregate +
+    // two vertex-keyed joins onto the edge list — all equality shuffles.
+    "degree_assortativity_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .agg(count(lit(1)).as("m"),
+          sum(col("da") * col("db")).as("sum_didj"),
+          sum(col("da") + col("db")).as("sum_di_plus_dj"),
+          sum(col("da") * col("da") + col("db") * col("db")).as("sum_di2_dj2"))
+    },
+
+    // Largest-remainder apportionment (Hamilton method) of a fixed
+    // sampling budget across language classes — the exact-integer quota
+    // allocator behind proportional data mixing: floor quotas from one
+    // integer division, the leftover seats to the largest remainders
+    // with a deterministic class tiebreak, total EXACTLY the budget by
+    // construction. Budget 9973 (prime) so remainders genuinely
+    // distribute (a round budget on near-uniform counts degenerates to
+    // all-floor — the vacuous-pass trap, checked before landing). All
+    // work happens on the collapsed class domain — broadcast-sized.
+    "quota_largest_remainder" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").as("total"))
+      val base = c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n"),
+          expr("9973 * n DIV total").as("floor_q"),
+          expr("(9973 * n) % total").as("rem"))
+      val leftover = base.agg((lit(9973L) - sum("floor_q")).as("leftover"))
+      base
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("rem"), col("lang"))))
+        .crossJoin(broadcast(leftover))
+        .select(col("lang"), col("n"),
+          expr("floor_q + IF(rk <= leftover, 1L, 0L)").as("quota"))
+        .orderBy("lang")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    // orders, late lineitems (> 60 days past order date, the schema's
+    // commit/receipt stand-in) where the order HAS other suppliers
+    // (EXISTS) and NONE of them was late (NOT EXISTS) — the classic
+    // double-correlated-subquery DAG. Plan shape: the late/other flags
+    // collapse to ONE per-order aggregate (n_suppliers, n_late_suppliers)
+    // joined back — the decorrelated form of both subqueries, one
+    // order-keyed shuffle instead of two correlated re-scans.
+    "tpch_q21_shaped" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"), 1L)
+            .otherwise(0L).as("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max("late").as("late"))
+      val perOrder = l.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      l.filter(col("late") === 1)
+        .join(perOrder, "l_orderkey")
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("numwait"), col("s_name"))))
+        .filter(col("rk") <= 25).drop("rk")
+        .orderBy(desc("numwait"), col("s_name"))
+    },
+
+    // Theil-Sen robust trend over daily event counts: the MEDIAN of all
+    // pairwise slopes (Sen 1968) — outlier days move OLS (the
+    // daily_trend_slope query) but barely move this. All pair work runs
+    // on the COLLAPSED day domain (30 rows → 435 pairs), so the
+    // quadratic blowup is in the domain size, never the corpus; the
+    // median pick is deterministic: order by the double slope (identical
+    // IEEE division both engines) with (dy, dx) breaking exact ties, and
+    // the emitted slope is the exact integer micro-ratio of the chosen
+    // pair — floats order, integers answer.
+    "theil_sen_daily_trend" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .select(expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')")
+          .cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("y"))
+      val pairs = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+        .select((col("b.y") - col("a.y")).as("dy"),
+          (col("b.x") - col("a.x")).as("dx"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs
+        .withColumn("rk", row_number().over(Window.orderBy(
+          (col("dy").cast("double") / col("dx")).asc, col("dy"), col("dx"))))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nd))
+        .filter(expr("rk = (n_pairs + 1) DIV 2"))
+        .select(col("n_days"), col("n_pairs"), col("dy").as("med_dy"),
+          col("dx").as("med_dx"),
+          expr("dy * 1000000 DIV dx").as("slope_micro"))
+    },
+
+    // Bloom-filter false-positive audit with PORTABLE hashing: members
+    // (nationkey < 5 customers) set k=3 md5-derived bits in an m=4096
+    // space; every non-member probes the same 3 positions and a probe
+    // matching all three is a FALSE POSITIVE — counted exactly, so the
+    // measured FPR is driver-checkable (unlike an opaque library sketch;
+    // the bloom_semi_join query covers Spark's native filter). Bits and
+    // probes are equality joins on the bit position — the sketch itself
+    // is |bits| rows, broadcast-sized, the 100 TB probe side streams.
+    "bloom_fpr_audit" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey"))
+      val members = cust.filter(col("c_nationkey") < 5).select("k")
+      val probes = cust.filter(col("c_nationkey") >= 5).select("k")
+      def bitsOf(df: DataFrame) = df
+        .withColumn("h", explode(expr("sequence(0, 2)")))
+        .withColumn("bit",
+          md5h(concat(col("h"), lit("|"), col("k"))).bitwiseAND(lit(4095L)))
+      val bits = bitsOf(members).select("bit").distinct()
+      val hits = bitsOf(probes).join(bits, "bit")
+        .groupBy("k").agg(count(lit(1)).as("nhit"))
+      members.agg(count(lit(1)).as("n_members"))
+        .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+        .crossJoin(hits.agg(sum(when(col("nhit") === 3, 1L).otherwise(0L))
+          .as("n_false_positives")))
+    },
+
+    // Two rounds of Weisfeiler-Lehman color refinement on the kNN graph
+    // (Weisfeiler & Leman 1968; the 1-WL test): color₀ = degree, each
+    // round rehashes (own color | sorted neighbor colors). The final
+    // color-class histogram is the graph's structural fingerprint —
+    // 498 of 500 vertices land in singleton classes after 2 rounds on
+    // this substrate (irregular graphs refine fast), and the same
+    // machinery is the canonical GNN-expressiveness baseline. Each round
+    // is one edge-keyed join + one vertex aggregate (linear in edges);
+    // colors are md5Hash64 masked to 63 bits so both engines' signed
+    // views agree, and the sorted-list canonicalization makes the
+    // aggregate order-independent.
+    "wl_refinement_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val adj = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w"))).cache()
+      def step(colors: DataFrame): DataFrame = {
+        val cv = colors.select(col("v").as("vv"), col("c").as("cv"))
+        val cw = colors.select(col("v").as("ww"), col("c").as("cw"))
+        adj.join(cv, col("v") === col("vv")).join(cw, col("w") === col("ww"))
+          .groupBy(col("v"), col("cv"))
+          .agg(expr("""concat_ws(',', transform(array_sort(collect_list(cw)),
+                       x -> CAST(x AS STRING)))""").as("nbrs"))
+          .select(col("v"),
+            graft.ops.Dedup.md5Hash64(concat(col("cv"), lit("|"), col("nbrs")))
+              .bitwiseAND(lit(Long.MaxValue)).as("c"))
+      }
+      val c0 = adj.groupBy("v").agg(count(lit(1)).as("c"))
+      step(step(c0))
+        .groupBy(col("c").as("wl_color"))
+        .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
+        .orderBy("wl_color")
     }
   )
 
@@ -10714,6 +10898,180 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same kNN substrate; per-edge degree products/sums, one row.
+    "degree_assortativity_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
+        |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        |  greatest(src, dst) AS b FROM e WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY 1)
+        |SELECT count(*) AS m,
+        |  CAST(sum(da.deg * db.deg) AS BIGINT) AS sum_didj,
+        |  CAST(sum(da.deg + db.deg) AS BIGINT) AS sum_di_plus_dj,
+        |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+        |    AS sum_di2_dj2
+        |FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b"""
+        .stripMargin,
+
+    // Floor quotas + largest remainders, deterministic lang tiebreak.
+    "quota_largest_remainder" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |base AS (SELECT lang, n, 9973 * n // t.total AS floor_q,
+        |         (9973 * n) % t.total AS rem
+        |         FROM c CROSS JOIN t),
+        |alloc AS (SELECT CAST(9973 - sum(floor_q) AS BIGINT) AS leftover
+        |          FROM base),
+        |r AS (SELECT lang, n, floor_q, rem,
+        |       row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM base)
+        |SELECT lang, n,
+        |  CAST(floor_q + CASE WHEN rk <= a.leftover THEN 1 ELSE 0 END
+        |       AS BIGINT) AS quota
+        |FROM r CROSS JOIN alloc a ORDER BY lang""".stripMargin,
+
+    // The correlated EXISTS / NOT EXISTS formulation — independent of the
+    // Spark side's decorrelated per-order aggregate.
+    "tpch_q21_shaped" ->
+      """WITH l AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late = 1
+        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+
+    // Median pairwise slope over the collapsed day domain; double slope
+    // orders, (dy, dx) breaks ties, integers answer.
+    "theil_sen_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT CAST(b.y - a.y AS BIGINT) AS dy,
+        |         CAST(b.x - a.x AS BIGINT) AS dx
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |stats AS (SELECT count(*) AS n_pairs FROM pairs),
+        |r AS (SELECT dy, dx, row_number() OVER (
+        |        ORDER BY dy::DOUBLE / dx, dy, dx) AS rk FROM pairs)
+        |SELECT (SELECT count(*) FROM daily) AS n_days, s.n_pairs,
+        |  r.dy AS med_dy, r.dx AS med_dx,
+        |  CAST(r.dy * 1000000 // r.dx AS BIGINT) AS slope_micro
+        |FROM r CROSS JOIN stats s WHERE r.rk = (s.n_pairs + 1) // 2"""
+        .stripMargin,
+
+    // Same md5-derived k=3 / m=4096 positions; FP = all three bits set.
+    "bloom_fpr_audit" ->
+      """WITH members AS (SELECT c_custkey AS k FROM customer
+        |                 WHERE c_nationkey < 5),
+        |probes AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_nationkey >= 5),
+        |bits AS (SELECT DISTINCT
+        |    CAST(md5_number_upper(h.h || '|' || m.k) & 4095 AS BIGINT) AS bit
+        |  FROM members m, range(3) h(h)),
+        |hits AS (
+        |  SELECT p.k, count(*) AS nhit
+        |  FROM probes p, range(3) h(h)
+        |  JOIN bits ON CAST(md5_number_upper(h.h || '|' || p.k) & 4095
+        |               AS BIGINT) = bits.bit
+        |  GROUP BY p.k)
+        |SELECT (SELECT count(*) FROM members) AS n_members,
+        |  (SELECT count(*) FROM bits) AS n_bits_set,
+        |  (SELECT count(*) FROM probes) AS n_probes,
+        |  CAST(count(*) FILTER (nhit = 3) AS BIGINT) AS n_false_positives
+        |FROM hits""".stripMargin,
+
+    // Same kNN substrate; two hash-refinement rounds, colors masked to
+    // 63 bits so the signed/unsigned views agree.
+    "wl_refinement_knn" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
+        |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        |  greatest(src, dst) AS b FROM e WHERE src <> dst),
+        |adj AS MATERIALIZED (SELECT a AS v, b AS w FROM u
+        |  UNION ALL SELECT b, a FROM u),
+        |c0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS col
+        |  FROM adj GROUP BY 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT adj.v, CAST(md5_number_upper(
+        |    c0v.col || '|' || array_to_string(list_sort(list(c0w.col)), ','))
+        |    & 9223372036854775807 AS BIGINT) AS col
+        |  FROM adj JOIN c0 c0v ON c0v.v = adj.v
+        |  JOIN c0 c0w ON c0w.v = adj.w
+        |  GROUP BY adj.v, c0v.col),
+        |c2 AS (
+        |  SELECT adj.v, CAST(md5_number_upper(
+        |    c1v.col || '|' || array_to_string(list_sort(list(c1w.col)), ','))
+        |    & 9223372036854775807 AS BIGINT) AS col
+        |  FROM adj JOIN c1 c1v ON c1v.v = adj.v
+        |  JOIN c1 c1w ON c1w.v = adj.w
+        |  GROUP BY adj.v, c1v.col)
+        |SELECT col AS wl_color, count(*) AS n_vertices,
+        |  CAST(sum(v) AS BIGINT) AS id_checksum
+        |FROM c2 GROUP BY 1 ORDER BY wl_color""".stripMargin
   )
 }
