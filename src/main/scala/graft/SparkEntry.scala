@@ -6011,6 +6011,194 @@ object SparkEntry {
         .groupBy(col("c").as("wl_color"))
         .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
         .orderBy("wl_color")
+    },
+
+    // Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995): sort
+    // by normalized text, compare each record only to its 3 successors —
+    // the classic O(n·w) entity-resolution alternative to hash blocking
+    // (dedup_editdist_pairs): a typo in the blocking prefix silently
+    // splits a hash block, but lands ADJACENT in sort order. The window
+    // join is 3 equi-joins (successor rank = pos + offset, offsets
+    // exploded — no non-equi join); the global sort is one range
+    // exchange at scale, and the known SNM boundary-miss at partition
+    // edges is handled by the standard overlap trick (re-run on a
+    // shifted key or w-row partition overlap) — documented, not needed
+    // for the single-sort oracle form.
+    "dedup_sorted_neighborhood" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("nt"))
+      val srt = n.select(col("doc_id"), substring(col("nt"), 1, 300).as("t"),
+        row_number().over(Window.orderBy(col("nt"), col("doc_id"))).as("pos"))
+      val probe = srt.withColumn("o", explode(expr("sequence(1, 3)")))
+        .select(col("doc_id").as("ida"), col("t").as("ta"),
+          (col("pos") + col("o")).as("ppos"))
+      probe.join(srt.select(col("doc_id").as("idb"), col("t").as("tb"),
+          col("pos").as("ppos")), "ppos")
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .filter(col("dist") <= 60)
+        .select(least(col("ida"), col("idb")).as("id1"),
+          greatest(col("ida"), col("idb")).as("id2"), col("dist"))
+        .orderBy("id1", "id2")
+    },
+
+    // Linear interpolation over masked gaps in the hourly event series —
+    // the imputation op AND its quality audit in one: hours with
+    // hidx % 11 ∈ {3,4,5} are masked (deterministic 3-hour "outage"
+    // runs, so interpolation weights genuinely vary across the gap),
+    // each masked hour interpolates between its nearest UNMASKED
+    // neighbors via IGNORE-NULLS window frames, and because the true
+    // value is known the exact micro-unit absolute error ships with the
+    // estimate. All integer arithmetic (truncating DIV measured
+    // identical in both engines); the series lives on the collapsed
+    // hour domain (720 rows).
+    "linear_interpolate_gaps" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("hidx")
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val after = w.rowsBetween(1, Window.unboundedFollowing)
+      val h = Tables.events(s, d)
+        .select(expr("""(unix_micros(CAST(ts AS TIMESTAMP)) -
+                 unix_micros(TIMESTAMP '2024-01-01 00:00:00'))
+                DIV 3600000000""").as("hidx"))
+        .groupBy("hidx").agg(count(lit(1)).as("v"))
+        .withColumn("masked", expr("hidx % 11 IN (3, 4, 5)"))
+      h.withColumn("pt", last(when(!col("masked"), col("hidx")), ignoreNulls = true).over(before))
+        .withColumn("pv", last(when(!col("masked"), col("v")), ignoreNulls = true).over(before))
+        .withColumn("nt", first(when(!col("masked"), col("hidx")), ignoreNulls = true).over(after))
+        .withColumn("nv", first(when(!col("masked"), col("v")), ignoreNulls = true).over(after))
+        .filter(col("masked") && col("pt").isNotNull && col("nt").isNotNull)
+        .select(col("hidx"), col("v").as("v_true"),
+          expr("""pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
+                  DIV (nt - pt))""").as("interp_micro"),
+          expr("""abs(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
+                  DIV (nt - pt)) - v * 1000000)""").as("abs_err_micro"))
+        .orderBy("hidx")
+    },
+
+    // Per-key rate limiting (cap 5 events per user per day, first-N-wins
+    // by event time): the bot/runaway-key mitigation pass every event
+    // pipeline needs, as a data op with its audit — kept vs dropped
+    // counts and how many users hit the cap, per day. One (user, day)
+    // window; at 100 TB the rank is per-key and the cap means state per
+    // key is O(1) in the streaming form (the dedup_debounce cousin).
+    "rate_limit_per_key" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("day"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("user_id", "day").orderBy("ts", "event_id")))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(col("rn") === 6, col("user_id")))
+            .as("n_capped_users"))
+        .orderBy("day")
+    },
+
+    // Consistent-hash ring rebalance audit (Karger et al., STOC 1997):
+    // customers map to the clockwise-next of 8 physical shards × 4
+    // virtual nodes on a 63-bit md5 ring; adding a 9th shard must move
+    // ONLY the keys landing in the new node's arcs. The (before, after)
+    // migration matrix with key checksums IS the partitioner-evolution
+    // audit every stateful service needs. Without vnodes the measured
+    // moved share was 31% (one fat arc) — the vnode=4 config is the
+    // textbook variance fix. Ring positions broadcast (≤36 rows); the
+    // successor pick is min(struct(pos, node)) over pos >= key, with
+    // the global minimum as the wraparound.
+    "consistent_hash_rebalance" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val mask = lit(Long.MaxValue)
+      def ring(nShards: Int): DataFrame = s.range(nShards)
+        .select(col("id").cast("int").as("node"))
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .select(col("node"),
+          md5h(concat(lit("node|"), col("node"), lit("|"), col("r")))
+            .bitwiseAND(mask).as("pos"))
+      val keys = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"),
+          md5h(concat(lit("key|"), col("c_custkey"))).bitwiseAND(mask)
+            .as("kpos"))
+      def assign(nodes: DataFrame, out: String): DataFrame = {
+        val cand = keys.crossJoin(broadcast(nodes))
+          .filter(col("pos") >= col("kpos"))
+          .groupBy("k").agg(min(struct(col("pos"), col("node"))).as("m"))
+          .select(col("k"), col("m.node").as("succ"))
+        val wrap = nodes.agg(min(struct(col("pos"), col("node"))).as("w"))
+          .select(col("w.node").as("wrap_node"))
+        keys.select("k").join(cand, Seq("k"), "left")
+          .crossJoin(broadcast(wrap))
+          .select(col("k"), coalesce(col("succ"), col("wrap_node")).as(out))
+      }
+      assign(ring(8), "shard_before").join(assign(ring(9), "shard_after"), "k")
+        .groupBy("shard_before", "shard_after")
+        .agg(count(lit(1)).as("n_keys"), sum("k").as("key_checksum"))
+        .orderBy("shard_before", "shard_after")
+    },
+
+    // k-anonymous publication with hierarchical generalization (the
+    // Samarati/Sweeney ladder, k = 10): (nation, segment) cells below k
+    // generalize to (nation, *), still-small nation groups roll into the
+    // (*, *) remainder — so every published row covers >= k customers
+    // and nothing is silently dropped unless even the remainder is
+    // sub-k. Complements k_anonymity_audit (which only measures risk):
+    // this one EMITS the safe table. Pure aggregates over the collapsed
+    // cell domain.
+    "kanon_generalize_publish" -> { (s, d) =>
+      val cells = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val pub0 = cells.filter(col("n") >= 10)
+      val lvl1 = cells.filter(col("n") < 10)
+        .groupBy("n_name").agg(sum("n").as("n"))
+      val pub1 = lvl1.filter(col("n") >= 10)
+        .select(col("n_name"), lit("*").as("seg"), col("n"))
+      val rest = lvl1.filter(col("n") < 10).agg(sum("n").as("n"))
+        .filter(col("n") >= 10)
+        .select(lit("*").as("n_name"), lit("*").as("seg"), col("n"))
+      pub0.select(col("n_name"), col("seg"), col("n"))
+        .union(pub1).union(rest)
+        .orderBy("n_name", "seg")
+    },
+
+    // Deterministic bootstrap CI for total purchase revenue (Efron 1979,
+    // with hash-indexed resampling instead of RNG so the 200 resamples
+    // are bit-reproducible and engine-portable): each resample draws 30
+    // day indices via masked-md5 mod n_days, sums EXACT cents, and the
+    // empirical 2.5%/97.5% resample ranks bracket the observed total.
+    // The mask-BEFORE-modulus rule matters: unsigned-md5 % n and
+    // signed-md5 % n disagree, masked agrees. Day domain is collapsed
+    // (30 rows broadcast); 6 000 draws total.
+    "bootstrap_ci_daily_revenue" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val idx = daily.select(col("cents"),
+        (row_number().over(Window.orderBy("day")) - 1).cast("long").as("i"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      val draws = s.range(200).select(col("id").as("b"))
+        .crossJoin(s.range(30).select(col("id").as("j")))
+        .crossJoin(broadcast(nd))
+        .select(col("b"),
+          (md5h(concat(lit("bs|"), col("b"), lit("|"), col("j")))
+            .bitwiseAND(lit(Long.MaxValue)) % col("n_days")).as("pick"))
+      val sums = draws.join(broadcast(idx), col("i") === col("pick"))
+        .groupBy("b").agg(sum("cents").as("resample_cents"))
+      val ranked = sums.withColumn("rk",
+        row_number().over(Window.orderBy(col("resample_cents"), col("b"))))
+      nd.crossJoin(broadcast(ranked.filter(col("rk") === 5)
+          .select(col("resample_cents").as("ci_lo_cents"))))
+        .crossJoin(broadcast(ranked.filter(col("rk") === 195)
+          .select(col("resample_cents").as("ci_hi_cents"))))
+        .crossJoin(broadcast(daily.agg(sum("cents").as("observed_cents"))))
+        .select(col("n_days"), lit(200L).as("n_resamples"),
+          col("ci_lo_cents"), col("ci_hi_cents"), col("observed_cents"))
     }
   )
 
@@ -11072,6 +11260,132 @@ object SparkEntry {
         |  GROUP BY adj.v, c1v.col)
         |SELECT col AS wl_color, count(*) AS n_vertices,
         |  CAST(sum(v) AS BIGINT) AS id_checksum
-        |FROM c2 GROUP BY 1 ORDER BY wl_color""".stripMargin
+        |FROM c2 GROUP BY 1 ORDER BY wl_color""".stripMargin,
+
+    // Same sort key, successor window w=3, 300-char levenshtein.
+    "dedup_sorted_neighborhood" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS nt
+        |  FROM documents),
+        |srt AS (SELECT doc_id, substr(nt, 1, 300) AS t,
+        |        row_number() OVER (ORDER BY nt, doc_id) AS pos FROM n),
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.t AS ta, b.t AS tb
+        |  FROM srt a JOIN srt b ON b.pos BETWEEN a.pos + 1 AND a.pos + 3)
+        |SELECT least(ida, idb) AS id1, greatest(ida, idb) AS id2,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 60
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Same mask rule and IGNORE-NULLS neighbor frames; integer
+    // interpolation with explicit parens (DIV binds multiplicatively).
+    "linear_interpolate_gaps" ->
+      """WITH h AS (
+        |  SELECT date_diff('hour', TIMESTAMP '2024-01-01', ts) AS hidx,
+        |         count(*) AS v
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT hidx, v, hidx % 11 IN (3, 4, 5) AS masked FROM h),
+        |ctx AS (SELECT hidx, v, masked,
+        |  last_value(CASE WHEN NOT masked THEN hidx END IGNORE NULLS)
+        |    OVER (ORDER BY hidx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |  last_value(CASE WHEN NOT masked THEN v END IGNORE NULLS)
+        |    OVER (ORDER BY hidx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  first_value(CASE WHEN NOT masked THEN hidx END IGNORE NULLS)
+        |    OVER (ORDER BY hidx
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+        |  first_value(CASE WHEN NOT masked THEN v END IGNORE NULLS)
+        |    OVER (ORDER BY hidx
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM m)
+        |SELECT hidx, CAST(v AS BIGINT) AS v_true,
+        |  CAST(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
+        |       // (nt - pt)) AS BIGINT) AS interp_micro,
+        |  CAST(abs(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
+        |       // (nt - pt)) - v * 1000000) AS BIGINT) AS abs_err_micro
+        |FROM ctx WHERE masked AND pt IS NOT NULL AND nt IS NOT NULL
+        |ORDER BY hidx""".stripMargin,
+
+    // Same (user, day) rank; cap 5, capped user = rank 6 exists.
+    "rate_limit_per_key" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(count(DISTINCT CASE WHEN rn = 6 THEN user_id END) AS BIGINT)
+        |    AS n_capped_users
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    // Same 63-bit ring, 4 vnodes, arg_min successor with wraparound.
+    "consistent_hash_rebalance" ->
+      """WITH nodes8 AS (SELECT n.n AS node,
+        |    CAST(md5_number_upper('node|' || n.n || '|' || r.r)
+        |         & 9223372036854775807 AS BIGINT) AS pos
+        |  FROM range(8) n(n), range(4) r(r)),
+        |nodes9 AS (SELECT n.n AS node,
+        |    CAST(md5_number_upper('node|' || n.n || '|' || r.r)
+        |         & 9223372036854775807 AS BIGINT) AS pos
+        |  FROM range(9) n(n), range(4) r(r)),
+        |keys AS (SELECT c_custkey AS k,
+        |    CAST(md5_number_upper('key|' || c_custkey)
+        |         & 9223372036854775807 AS BIGINT) AS kpos
+        |  FROM customer),
+        |a8 AS (SELECT k, coalesce(arg_min(node, pos) FILTER (pos >= kpos),
+        |         (SELECT arg_min(node, pos) FROM nodes8)) AS shard_before
+        |       FROM keys CROSS JOIN nodes8 GROUP BY k, kpos),
+        |a9 AS (SELECT k, coalesce(arg_min(node, pos) FILTER (pos >= kpos),
+        |         (SELECT arg_min(node, pos) FROM nodes9)) AS shard_after
+        |       FROM keys CROSS JOIN nodes9 GROUP BY k, kpos)
+        |SELECT CAST(shard_before AS INT) AS shard_before,
+        |  CAST(shard_after AS INT) AS shard_after, count(*) AS n_keys,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM a8 JOIN a9 USING (k) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Same k=10 generalization ladder.
+    "kanon_generalize_publish" ->
+      """WITH cells AS (
+        |  SELECT n_name, c_mktsegment AS seg, count(*) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |pub0 AS (SELECT n_name, seg, n FROM cells WHERE n >= 10),
+        |small AS (SELECT n_name, seg, n FROM cells WHERE n < 10),
+        |lvl1 AS (SELECT n_name, CAST(sum(n) AS BIGINT) AS n
+        |         FROM small GROUP BY 1),
+        |pub1 AS (SELECT n_name, '*' AS seg, n FROM lvl1 WHERE n >= 10),
+        |rest AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM lvl1 WHERE n < 10)
+        |SELECT n_name, seg, CAST(n AS BIGINT) AS n FROM pub0
+        |UNION ALL SELECT n_name, seg, n FROM pub1
+        |UNION ALL SELECT '*', '*', n FROM rest WHERE n >= 10
+        |ORDER BY n_name, seg""".stripMargin,
+
+    // Same masked-md5 index draws; ranks 5/195 of 200 resample sums.
+    "bootstrap_ci_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT cents, row_number() OVER (ORDER BY day) - 1 AS i
+        |        FROM daily),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |draws AS (
+        |  SELECT b.b, CAST((md5_number_upper('bs|' || b.b || '|' || j.j)
+        |    & 9223372036854775807) % nd.n_days AS BIGINT) AS pick
+        |  FROM range(200) b(b), range(30) j(j), nd),
+        |sums AS (SELECT d.b, CAST(sum(i.cents) AS BIGINT) AS resample_cents
+        |  FROM draws d JOIN idx i ON i.i = d.pick GROUP BY 1),
+        |r AS (SELECT resample_cents,
+        |      row_number() OVER (ORDER BY resample_cents, b) AS rk FROM sums)
+        |SELECT nd.n_days, CAST(200 AS BIGINT) AS n_resamples,
+        |  (SELECT resample_cents FROM r WHERE rk = 5) AS ci_lo_cents,
+        |  (SELECT resample_cents FROM r WHERE rk = 195) AS ci_hi_cents,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM daily) AS observed_cents
+        |FROM nd""".stripMargin
   )
 }
