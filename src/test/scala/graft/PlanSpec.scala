@@ -557,4 +557,36 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan.substring(joinIdx)).nonEmpty,
       s"join not fed by aggregates:\n$plan")
   }
+
+  test("feature hashing: partial aggregation before the bucket shuffle, no join") {
+    val plan = SparkEntry.queries("feature_hash_vectors")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // two groupBys (doc×bucket, then doc) × partial+final = 4 aggregates;
+    // the hashing-trick's whole point is a pure aggregate pipeline —
+    // no join and no vocabulary broadcast anywhere in the plan
+    assert("HashAggregate".r.findAllIn(plan).length == 4,
+      s"aggregate pipeline shape changed:\n$plan")
+    assert(!plan.contains("Join"), s"feature hashing must not join:\n$plan")
+  }
+
+  test("containment dedup: equality joins only, counts attach on the id key") {
+    val plan = SparkEntry.queries("dedup_containment_pairs")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must never plan all-pairs:\n$plan")
+  }
+
+  test("WL refinement and SNM window: no cartesian, sort-based window for SNM") {
+    val wl = SparkEntry.queries("wl_refinement_knn")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!wl.contains("CartesianProduct"), s"WL must stay equi-join:\n$wl")
+    val snm = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // successor probe is an EQUI join on the exploded offset rank —
+    // the naive BETWEEN formulation plans a nested-loop join
+    assert(!snm.contains("CartesianProduct") &&
+      !snm.contains("BroadcastNestedLoopJoin"),
+      s"SNM successor probe regressed to non-equi:\n$snm")
+  }
 }
