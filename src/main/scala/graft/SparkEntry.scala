@@ -6199,10 +6199,252 @@ object SparkEntry {
         .crossJoin(broadcast(daily.agg(sum("cents").as("observed_cents"))))
         .select(col("n_days"), lit(200L).as("n_resamples"),
           col("ci_lo_cents"), col("ci_hi_cents"), col("observed_cents"))
+    },
+
+    // ANN retrieval quality as a driver-checked metric: MRR / hit@10 of
+    // the IVF path (nProbe = 3 over the 8 data-derived cells) against
+    // the exact top-1 ground truth, per query (vectors 100–115).
+    // rank = 0 records a miss; rr is the exact integer micro-reciprocal.
+    // nProbe = 1 measured 2/16 hits on these unclustered synthetic
+    // vectors, nProbe = 3 gives 8/16 — a mid-range operating point
+    // where the metric actually discriminates (the config choice is the
+    // same recall-vs-scan-bound dial documented on Ivf). The exact
+    // referee is query-side only (16 × corpus), never corpus × corpus.
+    "ann_mrr_hit_at_k" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val sim = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("s"))
+      val wCell = Window.partitionBy("vec_id").orderBy(desc("s"), col("cid"))
+      val asg = sim.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val qcells = sim.filter(col("vec_id").between(100, 115))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= 3).select(col("vec_id").as("qid"), col("cid"))
+      val qs = emb.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("tid"),
+          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("s"))
+        .cache()
+      val wQ = Window.partitionBy("qid").orderBy(desc("s"), col("tid"))
+      val truth = ex.withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") === 1).select(col("qid"), col("tid").as("truth_id"))
+      val ranked = ex
+        .join(qcells, Seq("qid"))
+        .join(asg.select(col("vec_id").as("tid"), col("cid")), Seq("tid", "cid"))
+        .withColumn("rk", row_number().over(wQ))
+      truth.join(ranked.filter(col("rk") <= 10)
+          .select(col("qid"), col("tid").as("truth_id"), col("rk")),
+          Seq("qid", "truth_id"), "left")
+        .select(col("qid"), col("truth_id"),
+          coalesce(col("rk").cast("long"), lit(0L)).as("rank_in_ivf"),
+          coalesce(expr("1000000 DIV rk"), lit(0L)).as("rr_micro"),
+          when(col("rk").isNotNull, 1L).otherwise(0L).as("hit_at_10"))
+        .orderBy("qid")
+    },
+
+    // Golden-record merge (MDM survivorship): near-dup clusters from the
+    // minhash pipeline + connected components, then per-cluster merged
+    // attributes — member count, longest text's doc (max n_chars,
+    // smallest id tiebreak via one struct max — no second pass), total
+    // chars, member checksum. The step beyond pick-min-id survivor
+    // selection: the published record is ASSEMBLED from the cluster.
+    "golden_record_merge" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id", k = 16,
+        bands = 8, shingleN = 3, threshold = 0.8)
+      val comp = graft.ops.Components.connectedComponents(pairs, "id1", "id2")
+      docs.join(comp, col("doc_id") === col("v"))
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max("n_chars").as("max_n_chars"),
+          sum("n_chars").as("total_chars"),
+          sum("doc_id").as("member_checksum"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+            .as("m"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("n_members"), col("max_n_chars"),
+          col("total_chars"), col("member_checksum"),
+          (-col("m.nid")).as("longest_doc_id"))
+        .orderBy("cluster_id")
+    },
+
+    // CUPED variance-reduction components (Deng et al., WSDM 2013):
+    // per-user pre-period (days 1–15) and experiment-period (16–30)
+    // purchase cents, hash-assigned variants, and the exact integer
+    // moment sums (n, Σx, Σy, Σxy, Σx², Σy²) per variant from which
+    // theta and the adjusted-delta variance are two float formulas the
+    // caller applies. BIGINT-safe: per-user cents ~1e6, xy ~1e12,
+    // sums ~1e15 at sf0.1. The experimentation stack's covariance
+    // reduction as a data op — not a float in sight.
+    "cuped_components" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("variant",
+          md5h(concat(lit("v|"), col("user_id")))
+            .bitwiseAND(lit(Long.MaxValue)) % 2)
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("sum_x"),
+          sum("y").as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+        .orderBy("variant")
+    },
+
+    // Weighted single-source shortest paths on the kNN graph (multi-seed
+    // Bellman-Ford, Graph.weightedSssp): edge weight = the quantized
+    // DISSIMILARITY floor((1 − sim₆)·10⁶) — so a 2-hop path through
+    // close neighbors can beat a 1-hop weak edge, which is exactly what
+    // hop-count BFS (bfs_layers_knn) cannot express. Integer weights
+    // make the fixpoint exact; seeds are vectors 0–3. The floor() is
+    // explicit because CAST(double AS BIGINT) ROUNDS in DuckDB but
+    // truncates in Spark — the documented cross-engine trap. Oracle
+    // unrolls 12 relax rounds (measured fixpoint: 5 at sf0.01, 8 at
+    // sf0.1) and fails loudly if the data ever needs more.
+    "weighted_sssp_knn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val knn = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val uw = knn
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max("sim").as("ms"))
+        .select(col("a"), col("b"),
+          expr("CAST(floor((1 - ms) * 1000000) AS BIGINT)").as("w"))
+      val edges = uw.select(col("a").as("v"), col("b").as("u"), col("w"))
+        .union(uw.select(col("b").as("v"), col("a").as("u"), col("w")))
+      val seeds = edges.select("v").filter(col("v") < 4)
+      graft.ops.Graph.weightedSssp(edges, seeds).orderBy("v")
+    },
+
+    // Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    // retrievers over the same corpus — cosine (normalized) vs raw dot
+    // product (magnitude-sensitive): per query, each list contributes
+    // 10⁶ DIV (60 + rank) in exact integers and the fused top-10 is
+    // re-ranked by summed score with an id tiebreak. THE standard
+    // zero-training way to combine lexical + vector retrieval; here
+    // both arms are exactly recomputable so the fusion itself is
+    // hash-checked. Query-side work only (16 × corpus).
+    "rrf_fusion_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("tid"),
+          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("cos"),
+          graft.ops.Similarity.dot(col("qv"), col("embedding")).as("dp"))
+        .cache()
+      def arm(c: Column): DataFrame = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(c.desc, col("tid"))))
+        .filter(col("rank") <= 50)
+        .select(col("qid"), col("tid"),
+          expr("1000000 DIV (60 + rank)").as("contrib"))
+      arm(col("cos")).union(arm(col("dp")))
+        .groupBy("qid", "tid").agg(sum("contrib").as("rrf_micro"))
+        .withColumn("fused_rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("rrf_micro"), col("tid"))))
+        .filter(col("fused_rank") <= 10)
+        .select("qid", "fused_rank", "tid", "rrf_micro")
+        .orderBy("qid", "fused_rank")
+    },
+
+    // Day-of-week seasonality index for purchase revenue: per ISO
+    // weekday, the mean-vs-overall-mean index as an exact permille by
+    // cross-multiplication (cents·total_days·1000 DIV
+    // (n_days·total_cents)) — the retail seasonal profile without one
+    // float division. Collapsed to 7 rows before any join.
+    "seasonal_weekday_index" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val byDow = daily
+        .groupBy(expr("weekday(day) + 1").as("isodow"))
+        .agg(count(lit(1)).as("n_days"), sum("cents").as("cents"))
+      val tot = byDow.agg(sum("n_days").as("total_days"),
+        sum("cents").as("total_cents"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("isodow"), col("n_days"), col("cents"),
+          expr("cents * total_days * 1000 DIV (n_days * total_cents)")
+            .as("index_permille"))
+        .orderBy("isodow")
     }
   )
 
   // ---- oracles ----------------------------------------------------------
+
+  /** Unrolled Bellman-Ford oracle for weighted_sssp_knn: the kNN chain,
+    * rounded-sim edge weights floor((1 − sim₆)·10⁶), seeds 0–3, and 12
+    * explicit relax rounds (measured fixpoint: 5 at sf0.01, 8 at sf0.1).
+    * A deeper-than-12 fixpoint shows up as a distance mismatch, never a
+    * silent truncation.
+    */
+  private def ssspOracleSql: String = {
+    val rounds = (1 to 12).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT ed.u AS v, d${r - 1}.d + ed.w AS d
+         |    FROM d${r - 1} JOIN ed ON ed.v = d${r - 1}.v
+         |  ) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |s AS (
+       |  SELECT a.vec_id, c.cid,
+       |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+       |              for i in range(1, len(a.embedding) + 1)]) /
+       |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+       |                    for i in range(1, len(a.embedding) + 1)])) *
+       |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+       |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+       |  FROM embeddings a CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM s
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY sim DESC, cid) = 1),
+       |p AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+       |              for i in range(1, len(ax.embedding) + 1)]) /
+       |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+       |                    for i in range(1, len(ax.embedding) + 1)])) *
+       |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+       |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+       |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+       |e AS (SELECT src, dst, round(sim, 6) AS sm FROM (
+       |    SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
+       |uw AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(floor((1 - max(sm)) * 1000000) AS BIGINT) AS w
+       |  FROM e GROUP BY 1, 2),
+       |ed AS MATERIALIZED (SELECT a AS v, b AS u, w FROM uw
+       |  UNION ALL SELECT b, a, w FROM uw),
+       |d0 AS MATERIALIZED (SELECT DISTINCT v, CAST(0 AS BIGINT) AS d
+       |  FROM ed WHERE v < 4),
+       |$rounds
+       |SELECT v, d FROM d12 ORDER BY v""".stripMargin
+  }
 
   /** Unrolled peel oracle for graph_onion_layers_knn: the same kNN chain
     * as degree_distribution_knn's oracle up to the undirected edge set
@@ -11386,6 +11628,166 @@ object SparkEntry {
         |  (SELECT resample_cents FROM r WHERE rk = 5) AS ci_lo_cents,
         |  (SELECT resample_cents FROM r WHERE rk = 195) AS ci_hi_cents,
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM daily) AS observed_cents
-        |FROM nd""".stripMargin
+        |FROM nd""".stripMargin,
+
+    // Exact top-1 truth vs nProbe=3 IVF top-10; rank 0 = miss.
+    "ann_mrr_hit_at_k" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sim AS (SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS s
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY s DESC, cid) = 1),
+        |qcells AS (SELECT vec_id AS qid, cid FROM sim
+        |  WHERE vec_id BETWEEN 100 AND 115
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY s DESC, cid) <= 3),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 115),
+        |ex AS MATERIALIZED (
+        |  SELECT q.qid, e.vec_id AS tid,
+        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |              for i in range(1, len(q.qv) + 1)]) /
+        |    (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)])) *
+        |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e.embedding) + 1)]))) AS s
+        |  FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |truth AS (SELECT qid, tid AS truth_id FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY s DESC, tid) = 1),
+        |ivf AS (SELECT e.qid, e.tid, e.s FROM ex e
+        |  JOIN qcells qc ON qc.qid = e.qid
+        |  JOIN asg ac ON ac.vec_id = e.tid AND ac.cid = qc.cid),
+        |ranked AS (SELECT qid, tid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY s DESC, tid) AS rk FROM ivf),
+        |sys AS (SELECT qid, tid, rk FROM ranked WHERE rk <= 10)
+        |SELECT t.qid, t.truth_id,
+        |  CAST(coalesce(s.rk, 0) AS BIGINT) AS rank_in_ivf,
+        |  CAST(CASE WHEN s.rk IS NULL THEN 0
+        |       ELSE 1000000 // s.rk END AS BIGINT) AS rr_micro,
+        |  CAST(CASE WHEN s.rk IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS hit_at_10
+        |FROM truth t LEFT JOIN sys s ON s.qid = t.qid AND s.tid = t.truth_id
+        |ORDER BY t.qid""".stripMargin,
+
+    // Recursive-CTE clusters (min reachable id), per-cluster merge.
+    "golden_record_merge" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |mins AS (SELECT v, min(w) AS mw FROM reach GROUP BY v),
+        |j AS (SELECT least(d.doc_id, m.mw) AS cid, d.doc_id, d.n_chars
+        |      FROM documents d JOIN mins m ON m.v = d.doc_id),
+        |agg AS (SELECT cid, count(*) AS n_members,
+        |        CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(sum(doc_id) AS BIGINT) AS member_checksum
+        |        FROM j GROUP BY 1),
+        |rep AS (SELECT cid, doc_id AS longest_doc_id FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY cid
+        |    ORDER BY n_chars DESC, doc_id) = 1)
+        |SELECT cid AS cluster_id, n_members, max_n_chars, total_chars,
+        |  member_checksum, longest_doc_id
+        |FROM agg JOIN rep USING (cid)
+        |WHERE n_members >= 2 ORDER BY cluster_id""".stripMargin,
+
+    // Same half-month split, masked-hash variants, exact moments.
+    "cuped_components" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |v AS (SELECT user_id, x, y,
+        |  CAST((md5_number_upper('v|' || user_id) & 9223372036854775807) % 2
+        |       AS BIGINT) AS variant FROM u)
+        |SELECT variant, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "weighted_sssp_knn" -> ssspOracleSql,
+
+    // Cosine arm + dot arm, 10⁶ DIV (60 + rank) contributions, fused
+    // top-10.
+    "rrf_fusion_topk" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 115),
+        |scored AS MATERIALIZED (
+        |  SELECT q.qid, e.vec_id AS tid,
+        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |              for i in range(1, len(q.qv) + 1)]) /
+        |    (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)])) *
+        |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e.embedding) + 1)])))
+        |      AS cos,
+        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |              for i in range(1, len(q.qv) + 1)]) AS dp
+        |  FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |arm_cos AS (SELECT qid, tid, 1000000 // (60 + rank) AS contrib
+        |  FROM (SELECT qid, tid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, tid) AS rank FROM scored)
+        |  WHERE rank <= 50),
+        |arm_dp AS (SELECT qid, tid, 1000000 // (60 + rank) AS contrib
+        |  FROM (SELECT qid, tid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY dp DESC, tid) AS rank FROM scored)
+        |  WHERE rank <= 50),
+        |fused AS (
+        |  SELECT qid, tid, CAST(sum(contrib) AS BIGINT) AS rrf_micro
+        |  FROM (SELECT * FROM arm_cos UNION ALL SELECT * FROM arm_dp)
+        |  GROUP BY 1, 2)
+        |SELECT qid,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf_micro DESC, tid) AS fused_rank,
+        |  tid, rrf_micro
+        |FROM fused
+        |QUALIFY fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin,
+
+    // ISO weekday, exact cross-multiplied index.
+    "seasonal_weekday_index" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |byDow AS (
+        |  SELECT CAST(isodow(day) AS INT) AS isodow, count(*) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS total_days,
+        |        CAST(sum(cents) AS BIGINT) AS total_cents FROM byDow)
+        |SELECT isodow, n_days, cents,
+        |  cents * total_days * 1000 // (n_days * total_cents)
+        |    AS index_permille
+        |FROM byDow CROSS JOIN tot ORDER BY isodow""".stripMargin
   )
 }

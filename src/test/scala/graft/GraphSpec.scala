@@ -73,4 +73,16 @@ class GraphSpec extends SparkSpec {
     // k=3 peel removes everything in ONE round here (all degrees < 3)
     assert(got.values.toSet == Set(1))
   }
+
+  test("weighted SSSP: the longer-hop path wins on total weight") {
+    // 1 → 4 direct costs 10; 1 → 2 → 3 → 4 costs 3+3+3 = 9. Hop-count
+    // BFS would answer 1; weighted relaxation must answer 9 via 3 hops.
+    val uw = Seq((1L, 4L, 10L), (1L, 2L, 3L), (2L, 3L, 3L), (3L, 4L, 3L))
+    val edges = (uw ++ uw.map { case (a, b, w) => (b, a, w) })
+      .toDF("v", "u", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val got = Graph.weightedSssp(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 6L, 4L -> 9L))
+  }
 }
