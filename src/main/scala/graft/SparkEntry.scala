@@ -6385,6 +6385,100 @@ object SparkEntry {
           expr("cents * total_days * 1000 DIV (n_days * total_cents)")
             .as("index_permille"))
         .orderBy("isodow")
+    },
+
+    // Simpson's-paradox audit: the sign of "URGENT orders are worth more
+    // than LOW orders" computed overall AND per nation, every comparison
+    // an exact cross-multiplication (cents_x·n_y vs cents_y·n_x — the
+    // sign of an average difference without dividing). On this corpus
+    // the overall sign is +1 while 12 of 25 nations measure −1 — the
+    // aggregation-reversal trap made visible, which is the whole point
+    // of shipping the audit as a reusable op. One fact aggregate, the
+    // overall row derived from the per-stratum aggregate (no second
+    // scan).
+    "simpsons_paradox_audit" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val per = o.groupBy(col("n_name").as("scope"))
+        .agg(
+          sum(when(col("pri") === "1-URGENT", 1L).otherwise(0L)).as("n_x"),
+          sum(when(col("pri") === "5-LOW", 1L).otherwise(0L)).as("n_y"),
+          sum(when(col("pri") === "1-URGENT", col("cents")).otherwise(0L))
+            .as("cents_x"),
+          sum(when(col("pri") === "5-LOW", col("cents")).otherwise(0L))
+            .as("cents_y"))
+      val tot = per.agg(sum("n_x").as("n_x"), sum("n_y").as("n_y"),
+          sum("cents_x").as("cents_x"), sum("cents_y").as("cents_y"))
+        .select(lit("overall").as("scope"), col("n_x"), col("n_y"),
+          col("cents_x"), col("cents_y"))
+      tot.union(per)
+        .withColumn("sign", expr("""CAST(CASE
+            WHEN n_x = 0 OR n_y = 0 THEN 0
+            WHEN cents_x * n_y > cents_y * n_x THEN 1
+            WHEN cents_x * n_y < cents_y * n_x THEN -1
+            ELSE 0 END AS INT)"""))
+        .orderBy("scope")
+    },
+
+    // Run-length encoding of each user's event-type sequence: change
+    // flags via lag, run ids via prefix sum, then per-user run stats —
+    // the sequence-compression features (n_runs, longest run, runs
+    // share) behavioral models feed on, and the same lag+cumsum
+    // segmentation spine as sessionize/shot-boundary, here keyed per
+    // user (natural partition at 100 TB).
+    "run_length_encode_events" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg", when(lag(col("event_type"), 1).over(w)
+          .isNull.or(lag(col("event_type"), 1).over(w) =!= col("event_type")),
+          1L).otherwise(0L))
+        .withColumn("run_id", sum("chg").over(w))
+        .groupBy("user_id", "run_id").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_events"), count(lit(1)).as("n_runs"),
+          max("len").as("max_run_len"))
+        .withColumn("runs_permille", expr("n_runs * 1000 DIV n_events"))
+        .orderBy("user_id")
+    },
+
+    // Typo-robust lexical search: character-trigram Jaccard between a
+    // misspelled literal query ("sparc streem procesing") and every
+    // document — the pg_trgm model, where BM25's exact-term match gets
+    // zero hits but shared trigrams still rank the right docs. Exact
+    // integer inter/union counts and permille scores; the query's
+    // trigram set is a computed literal both engines derive from the
+    // same string. Per-doc set ops only — no join, corpus-parallel.
+    "trigram_search_typo" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // query trigrams precomputed driver-side from the SAME literal the
+      // oracle slices in SQL — set equality is construction-independent
+      val qtris = "sparc streem procesing".sliding(3).toSeq.distinct
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.Dedup.normalize(col("text")).as("t"))
+        .withColumn("tri", expr(
+          """array_distinct(CASE WHEN char_length(t) < 3
+             THEN CAST(array() AS ARRAY<STRING>)
+             ELSE transform(sequence(1, char_length(t) - 2),
+                            i -> substring(t, i, 3)) END)"""))
+        .withColumn("qtri", array(qtris.map(lit): _*))
+        .select(col("doc_id"),
+          size(array_intersect(col("tri"), col("qtri"))).cast("long")
+            .as("inter"),
+          size(array_union(col("tri"), col("qtri"))).cast("long").as("uni"))
+      docs.withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("jaccard_permille"), col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select("doc_id", "inter", "uni", "jaccard_permille", "rank")
+        .orderBy("rank")
     }
   )
 
@@ -11788,6 +11882,79 @@ object SparkEntry {
         |SELECT isodow, n_days, cents,
         |  cents * total_days * 1000 // (n_days * total_cents)
         |    AS index_permille
-        |FROM byDow CROSS JOIN tot ORDER BY isodow""".stripMargin
+        |FROM byDow CROSS JOIN tot ORDER BY isodow""".stripMargin,
+
+    // Per-nation and overall sign by cross-multiplication.
+    "simpsons_paradox_audit" ->
+      """WITH o AS (
+        |  SELECT n.n_name, o.o_orderpriority AS pri,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o_custkey = c_custkey
+        |  JOIN nation n ON c_nationkey = n_nationkey
+        |  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (
+        |  SELECT n_name AS scope,
+        |    count(*) FILTER (pri = '1-URGENT') AS n_x,
+        |    count(*) FILTER (pri = '5-LOW') AS n_y,
+        |    CAST(coalesce(sum(cents) FILTER (pri = '1-URGENT'), 0)
+        |         AS BIGINT) AS cents_x,
+        |    CAST(coalesce(sum(cents) FILTER (pri = '5-LOW'), 0)
+        |         AS BIGINT) AS cents_y
+        |  FROM o GROUP BY 1),
+        |tot AS (
+        |  SELECT 'overall' AS scope, CAST(sum(n_x) AS BIGINT) AS n_x,
+        |    CAST(sum(n_y) AS BIGINT) AS n_y,
+        |    CAST(sum(cents_x) AS BIGINT) AS cents_x,
+        |    CAST(sum(cents_y) AS BIGINT) AS cents_y FROM per),
+        |allr AS (SELECT * FROM tot UNION ALL SELECT * FROM per)
+        |SELECT scope, n_x, n_y, cents_x, cents_y,
+        |  CAST(CASE WHEN n_x = 0 OR n_y = 0 THEN 0
+        |       WHEN cents_x * n_y > cents_y * n_x THEN 1
+        |       WHEN cents_x * n_y < cents_y * n_x THEN -1
+        |       ELSE 0 END AS INT) AS sign
+        |FROM allr ORDER BY scope""".stripMargin,
+
+    // Same lag change flags, prefix-sum run ids, per-user stats.
+    "run_length_encode_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT user_id,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS BIGINT) AS run_id
+        |  FROM e),
+        |rl AS (SELECT user_id, run_id, count(*) AS len
+        |       FROM runs GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+        |  count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run_len,
+        |  CAST(count(*) * 1000 // sum(len) AS BIGINT) AS runs_permille
+        |FROM rl GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Character-trigram sets from the same normalize and the same typo'd
+    // literal; exact inter/union.
+    "trigram_search_typo" ->
+      """WITH qt AS (
+        |  SELECT list_distinct([substr(q, i, 3)
+        |    for i in range(1, len(q) - 1)]) AS tri
+        |  FROM (SELECT 'sparc streem procesing' AS q)),
+        |dt AS (
+        |  SELECT doc_id, list_distinct([substr(t, i, 3)
+        |    for i in range(1, len(t) - 1)]) AS tri
+        |  FROM (SELECT doc_id,
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM documents)),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(list_intersect(d.tri, q.tri)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(d.tri, q.tri))) AS BIGINT)
+        |      AS uni
+        |  FROM dt d CROSS JOIN qt q)
+        |SELECT doc_id, inter, uni, inter * 1000 // uni AS jaccard_permille,
+        |  row_number() OVER (ORDER BY inter * 1000 // uni DESC, doc_id)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
   )
 }
