@@ -6479,6 +6479,91 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select("doc_id", "inter", "uni", "jaccard_permille", "rank")
         .orderBy("rank")
+    },
+
+    // Storage-encoding size estimator: delta-encode each day's sorted
+    // distinct user ids and price the stream in exact bits and varint
+    // bytes (bit width via the binary-string length — conv(d, 10, 2) in
+    // Spark ≡ printf('%b') in DuckDB; no float log2). The
+    // delta+varint estimate is how columnar writers choose encodings;
+    // doing it as a query makes layout decisions data-driven instead of
+    // guessed. Per-day windows — the day is the natural partition.
+    "delta_varint_size_estimate" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("day").orderBy("user_id")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .withColumn("delta", col("user_id") - lag(col("user_id"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .withColumn("bits", length(conv(col("delta"), 10, 2)).cast("long"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_deltas"), sum("bits").as("sum_bits"),
+          sum(expr("(bits + 6) DIV 7")).as("varint_bytes"))
+        .orderBy("day")
+    },
+
+    // Three-way merge classification (the git model on data): per-user
+    // last value (by the event_id total order) at a BASE cutoff and on
+    // two divergent "branches" (all events to day 20 vs base plus
+    // purchases only), classified into unchanged / changed_a /
+    // changed_b / converged / conflict / added_* — the verdict table a
+    // data-versioning merge needs before auto-resolving. Two full-outer
+    // joins on the user key; value equality is raw stored-double
+    // comparison (no arithmetic, so engine-exact).
+    "three_way_merge_classify" -> { (s, d) =>
+      val ev = Tables.events(s, d).cache()
+      def lastBy(f: DataFrame, out: String): DataFrame = f.groupBy("user_id")
+        .agg(expr("max_by(value, event_id)").as(out))
+      val base = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-10")),
+        "vb")
+      val a = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-20")), "va")
+      val b = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-10") ||
+        (to_date(col("ts")) <= lit("2024-01-20") &&
+          col("event_type") === "purchase")), "vv")
+      base.join(a, Seq("user_id"), "full_outer")
+        .join(b, Seq("user_id"), "full_outer")
+        .withColumn("verdict", expr("""CASE
+            WHEN vb IS NULL AND va IS NOT NULL AND vv IS NOT NULL
+              THEN 'added_both'
+            WHEN vb IS NULL AND va IS NOT NULL THEN 'added_a'
+            WHEN vb IS NULL THEN 'added_b'
+            WHEN va = vb AND vv = vb THEN 'unchanged'
+            WHEN va <> vb AND vv = vb THEN 'changed_a'
+            WHEN va = vb AND vv <> vb THEN 'changed_b'
+            WHEN va = vv THEN 'converged'
+            ELSE 'conflict' END"""))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+        .orderBy("verdict")
+    },
+
+    // Business-day shipping lag: calendar days decompose into full
+    // weeks ×5 plus a remainder filtered through the ISO-weekday wheel
+    // ((start − 1 + x) % 7 + 1 ∉ {6,7}) — exact integer calendar
+    // arithmetic, no holiday table needed for the weekend rule. The
+    // Spark side guards cd % 7 = 0 explicitly: sequence(1, 0) is
+    // DESCENDING in Spark (the [1,0] trap) where DuckDB's range is
+    // empty. Histogram over lags ≤ 60 days with order-key checksums.
+    "business_days_lag" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(min("l_shipdate").as("ship"))
+        .withColumn("cd",
+          datediff(to_date(col("ship")), to_date(col("o_orderdate")))
+            .cast("long"))
+        .filter(col("cd") <= 60)
+        .withColumn("sd", expr("weekday(o_orderdate) + 1"))
+        .withColumn("bus_days", expr(
+          """(cd DIV 7) * 5 + CASE WHEN cd % 7 = 0 THEN 0L
+             ELSE CAST(size(filter(sequence(1L, cd % 7),
+               x -> ((sd - 1 + x) % 7) + 1 NOT IN (6, 7))) AS LONG) END"""))
+        .groupBy("bus_days")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("l_orderkey").as("key_checksum"))
+        .orderBy("bus_days")
     }
   )
 
@@ -11955,6 +12040,69 @@ object SparkEntry {
         |SELECT doc_id, inter, uni, inter * 1000 // uni AS jaccard_permille,
         |  row_number() OVER (ORDER BY inter * 1000 // uni DESC, doc_id)
         |    AS rank
-        |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+        |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // printf('%b') length = conv(d, 10, 2) length; same varint rule.
+    "delta_varint_size_estimate" ->
+      """WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events),
+        |e AS (SELECT day, user_id,
+        |    user_id - lag(user_id) OVER (PARTITION BY day ORDER BY user_id)
+        |      AS delta
+        |  FROM u),
+        |b AS (SELECT day, CAST(length(printf('%b', delta)) AS BIGINT)
+        |        AS bits
+        |  FROM e WHERE delta IS NOT NULL)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_deltas,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes
+        |FROM b GROUP BY day ORDER BY day""".stripMargin,
+
+    // Same event_id-ordered last values and verdict ladder.
+    "three_way_merge_classify" ->
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS vb
+        |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
+        |  GROUP BY 1),
+        |a AS (SELECT user_id, arg_max(value, event_id) AS va FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-20' GROUP BY 1),
+        |b AS (SELECT user_id, arg_max(value, event_id) AS vv FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
+        |     OR (CAST(ts AS DATE) <= DATE '2024-01-20'
+        |         AND event_type = 'purchase')
+        |  GROUP BY 1)
+        |SELECT
+        |  CASE
+        |    WHEN vb IS NULL AND va IS NOT NULL AND vv IS NOT NULL
+        |      THEN 'added_both'
+        |    WHEN vb IS NULL AND va IS NOT NULL THEN 'added_a'
+        |    WHEN vb IS NULL THEN 'added_b'
+        |    WHEN va = vb AND vv = vb THEN 'unchanged'
+        |    WHEN va <> vb AND vv = vb THEN 'changed_a'
+        |    WHEN va = vb AND vv <> vb THEN 'changed_b'
+        |    WHEN va = vv THEN 'converged'
+        |    ELSE 'conflict' END AS verdict,
+        |  count(*) AS n_users, CAST(sum(user_id) AS BIGINT)
+        |    AS user_checksum
+        |FROM base FULL OUTER JOIN a USING (user_id)
+        |FULL OUTER JOIN b USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same weekday-wheel decomposition.
+    "business_days_lag" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, o_orderdate, min(l_shipdate) AS ship
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= o_orderdate GROUP BY 1, 2),
+        |g AS (SELECT l_orderkey,
+        |    date_diff('day', o_orderdate, ship) AS cd,
+        |    isodow(o_orderdate) AS sd
+        |  FROM f WHERE date_diff('day', o_orderdate, ship) <= 60),
+        |h AS (SELECT l_orderkey,
+        |  (cd // 7) * 5 + len([x for x in range(1, (cd % 7) + 1)
+        |    if ((sd - 1 + x) % 7) + 1 NOT IN (6, 7)]) AS bus_days
+        |  FROM g)
+        |SELECT CAST(bus_days AS BIGINT) AS bus_days, count(*) AS n_orders,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
