@@ -6564,6 +6564,88 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum("l_orderkey").as("key_checksum"))
         .orderBy("bus_days")
+    },
+
+    // Exact median by two-pass histogram refinement — the 100 TB median
+    // algorithm, self-verified: pass 1 buckets the domain into 1024
+    // integer-width cells and finds the cell holding the target rank
+    // from a cumulative histogram; pass 2 ranks ONLY inside that cell
+    // (≈ n/1024 rows instead of a global sort). The oracle computes the
+    // same lower median DIRECTLY by global rank, so a hash match is an
+    // end-to-end proof of the refinement logic. All driver-side scalars
+    // travel as broadcast 1-row frames — no collect.
+    "median_two_pass_refine" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(round(col("value") * 1000000).cast("long").as("vm"))
+      val stats = t.agg(count(lit(1)).as("n"), min("vm").as("lo"),
+        max("vm").as("hi"))
+      val t2 = t.crossJoin(broadcast(stats))
+        .withColumn("width", expr("(hi - lo) DIV 1024 + 1"))
+        .withColumn("bucket", expr("(vm - lo) DIV width"))
+      val hist = t2.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      val chosen = hist.crossJoin(broadcast(stats))
+        .filter(expr("cum >= (n + 1) DIV 2"))
+        .orderBy("bucket").limit(1)
+        .select(col("bucket"), (col("cum") - col("cnt")).as("before"))
+      t2.join(broadcast(chosen), "bucket")
+        .withColumn("rn", row_number().over(Window.orderBy("vm")))
+        .filter(expr("rn = (n + 1) DIV 2 - before"))
+        .select(col("n").as("n_values"), col("vm").as("median_micro"))
+    },
+
+    // Robust STL-lite decomposition with EXACT integer medians: trend =
+    // centered 7-day window median (odd window → the 4th sorted
+    // element, no averaging), seasonal = per-ISO-weekday LOWER median
+    // of the detrended series, remainder = the rest. Robust seasonal
+    // decomposition without one float — median windows are sorted
+    // 7-element arrays, the seasonal median indexes the sorted list at
+    // (n+1) DIV 2. Edge days without a full window are excluded by
+    // contract (wn = 7), not padded.
+    "stl_lite_decomposition" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val tr = daily
+        .withColumn("wl", array_sort(collect_list("v").over(w7)))
+        .withColumn("wn", count(lit(1)).over(w7))
+        .filter(col("wn") === 7)
+        .withColumn("trend", element_at(col("wl"), 4))
+        .withColumn("detr", col("v") - col("trend"))
+        .withColumn("dow", expr("weekday(day) + 1"))
+      val seas = tr.groupBy("dow")
+        .agg(expr("element_at(array_sort(collect_list(detr)), " +
+          "CAST((count(1) + 1) DIV 2 AS INT))").as("seasonal"))
+      tr.join(broadcast(seas), "dow")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+          col("trend"), col("seasonal"),
+          (col("v") - col("trend") - col("seasonal")).as("remainder"))
+        .orderBy("day")
+    },
+
+    // SRE error-budget burn: daily error share vs a 1% SLO in exact
+    // hundred-permille units (burn 1000 = exactly at budget), plus the
+    // cumulative month-to-date burn — prefix sums over the collapsed
+    // day domain. The error-budget arithmetic every on-call dashboard
+    // does, engine-exact.
+    "slo_error_budget_burn" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+        .withColumn("cum_err", sum("n_err").over(Window.orderBy("day")))
+        .withColumn("cum_total", sum("n_total").over(Window.orderBy("day")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_total"), col("n_err"),
+          expr("n_err * 100000 DIV n_total").as("burn_permille"),
+          expr("cum_err * 100000 DIV cum_total").as("cum_burn_permille"))
+        .orderBy("day")
     }
   )
 
@@ -12103,6 +12185,54 @@ object SparkEntry {
         |  FROM g)
         |SELECT CAST(bus_days AS BIGINT) AS bus_days, count(*) AS n_orders,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
-        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Direct lower median by global rank — independent of the Spark
+    // side's bucket refinement.
+    "median_two_pass_refine" ->
+      """WITH t AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |n AS (SELECT count(*) AS n FROM t),
+        |r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rk FROM t)
+        |SELECT n.n AS n_values, r.vm AS median_micro
+        |FROM r CROSS JOIN n WHERE r.rk = (n.n + 1) // 2""".stripMargin,
+
+    // Same 7-day window median, per-weekday lower median of detrended.
+    "stl_lite_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT day, v,
+        |  list_sort(list(v) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS wl,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM daily),
+        |t2 AS (SELECT day, v, wl[4] AS trend, v - wl[4] AS detr
+        |       FROM tr WHERE wn = 7),
+        |seas AS (SELECT isodow(day) AS dow,
+        |  list_sort(list(detr))[(count(*) + 1) // 2] AS seasonal
+        |  FROM t2 GROUP BY 1)
+        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, v, trend, s.seasonal,
+        |  v - trend - s.seasonal AS remainder
+        |FROM t2 JOIN seas s ON s.dow = isodow(t2.day)
+        |ORDER BY day""".stripMargin,
+
+    // Same exact burn units and prefix sums.
+    "slo_error_budget_burn" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_total,
+        |    count(*) FILTER (event_type = 'error') AS n_err
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, n_total, n_err,
+        |  CAST(sum(n_err) OVER (ORDER BY day) AS BIGINT) AS cum_err,
+        |  CAST(sum(n_total) OVER (ORDER BY day) AS BIGINT) AS cum_total
+        |  FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n_total AS BIGINT) AS n_total, CAST(n_err AS BIGINT) AS n_err,
+        |  CAST(n_err * 100000 // n_total AS BIGINT) AS burn_permille,
+        |  CAST(cum_err * 100000 // cum_total AS BIGINT)
+        |    AS cum_burn_permille
+        |FROM c ORDER BY day""".stripMargin
   )
 }
