@@ -6646,6 +6646,92 @@ object SparkEntry {
           expr("n_err * 100000 DIV n_total").as("burn_permille"),
           expr("cum_err * 100000 DIV cum_total").as("cum_burn_permille"))
         .orderBy("day")
+    },
+
+    // Deterministic 1:1 matched pairs for causal comparison: users split
+    // into hash-assigned treat/control, stratified by spend quintile,
+    // and paired RANK-TO-RANK within (stratum, arm) — reproducible
+    // matching with zero RNG, the no-model baseline for
+    // propensity-style analyses. Unmatched tail ranks drop by the inner
+    // join (n_pairs = min(arm sizes) per stratum). The ntile runs on
+    // the collapsed user domain, and per-stratum outcome-diff sums are
+    // exact cents.
+    "matched_pairs_stratified" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val v = u
+        .withColumn("treat",
+          md5h(concat(lit("m|"), col("user_id")))
+            .bitwiseAND(lit(Long.MaxValue)) % 2)
+        .withColumn("stratum",
+          ntile(5).over(Window.orderBy(col("cents"), col("user_id"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("stratum", "treat").orderBy("user_id")))
+      val t = v.filter(col("treat") === 1)
+        .select(col("stratum"), col("rk"), col("user_id").as("tu"),
+          col("cents").as("tc"))
+      val c = v.filter(col("treat") === 0)
+        .select(col("stratum"), col("rk"), col("user_id").as("cu"),
+          col("cents").as("cc"))
+      t.join(c, Seq("stratum", "rk"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("tc") - col("cc")).as("sum_outcome_diff"),
+          sum(col("tu") + col("cu")).as("pair_checksum"))
+        .orderBy("stratum")
+    },
+
+    // Right-to-be-forgotten cascade audit: a hash-chosen 5% of
+    // customers, then every dependent row down the FK chain (orders →
+    // lineitems) counted and checksummed BEFORE any delete runs — the
+    // blast-radius report a GDPR erasure job must produce first. Two
+    // semi-join hops on the FK keys; at 100 TB the chosen set
+    // broadcasts and the fact tables stream.
+    "gdpr_erasure_cascade" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val chosen = Tables.customer(s, d).select(col("c_custkey"))
+        .filter(md5h(concat(lit("gdpr|"), col("c_custkey")))
+          .bitwiseAND(lit(Long.MaxValue)) % 20 === 0)
+      val o = Tables.orders(s, d)
+        .join(broadcast(chosen), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey")
+      chosen.agg(count(lit(1)).as("n_customers"),
+          sum("c_custkey").as("cust_checksum"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("order_checksum"))))
+        .crossJoin(broadcast(Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_lineitems"))))
+        .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
+          col("cust_checksum"), col("order_checksum"))
+    },
+
+    // Dense global id assignment WITHOUT a global sort: per-day offsets
+    // from the cumulative day histogram (broadcast-sized) plus the
+    // intra-day (ts, event_id) rank — the two-level scheme that
+    // replaces a single-partition row_number at 100 TB. The oracle
+    // assigns the same ids with one DIRECT global row_number, so the
+    // hash match proves two-level ≡ global total order. Emitted as
+    // per-day (first_id, last_id, id_checksum) — the checksum pins
+    // every id without emitting every row.
+    "dense_id_assignment" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"))
+      val offsets = ev.groupBy("day").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum("n").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      ev.join(broadcast(offsets), "day")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("day").orderBy("ts", "event_id")))
+        .withColumn("id", col("offset") + col("rk") - 1)
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), min("id").as("first_id"),
+          max("id").as("last_id"), sum("id").as("id_checksum"))
+        .orderBy("day")
     }
   )
 
@@ -12233,6 +12319,54 @@ object SparkEntry {
         |  CAST(n_err * 100000 // n_total AS BIGINT) AS burn_permille,
         |  CAST(cum_err * 100000 // cum_total AS BIGINT)
         |    AS cum_burn_permille
-        |FROM c ORDER BY day""".stripMargin
+        |FROM c ORDER BY day""".stripMargin,
+
+    // Same hash arms, quintile strata, rank-to-rank pairing.
+    "matched_pairs_stratified" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT user_id, cents,
+        |  CAST((md5_number_upper('m|' || user_id) & 9223372036854775807) % 2
+        |       AS BIGINT) AS treat,
+        |  ntile(5) OVER (ORDER BY cents, user_id) AS stratum FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY stratum, treat
+        |        ORDER BY user_id) AS rk FROM v)
+        |SELECT t.stratum, count(*) AS n_pairs,
+        |  CAST(sum(t.cents - c.cents) AS BIGINT) AS sum_outcome_diff,
+        |  CAST(sum(t.user_id + c.user_id) AS BIGINT) AS pair_checksum
+        |FROM r t JOIN r c ON t.stratum = c.stratum AND t.rk = c.rk
+        |  AND t.treat = 1 AND c.treat = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same hash-chosen 5% and FK cascade counts.
+    "gdpr_erasure_cascade" ->
+      """WITH chosen AS (SELECT c_custkey FROM customer
+        |  WHERE (md5_number_upper('gdpr|' || c_custkey)
+        |         & 9223372036854775807) % 20 = 0),
+        |o AS (SELECT o_orderkey FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM chosen))
+        |SELECT (SELECT count(*) FROM chosen) AS n_customers,
+        |  (SELECT count(*) FROM o) AS n_orders,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS n_lineitems,
+        |  (SELECT CAST(coalesce(sum(c_custkey), 0) AS BIGINT) FROM chosen)
+        |    AS cust_checksum,
+        |  (SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM o)
+        |    AS order_checksum""".stripMargin,
+
+    // ONE direct global row_number — independent of the two-level form.
+    "dense_id_assignment" ->
+      """WITH ids AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    row_number() OVER (ORDER BY CAST(ts AS DATE), ts, event_id) - 1
+        |      AS id
+        |  FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(min(id) AS BIGINT) AS first_id,
+        |  CAST(max(id) AS BIGINT) AS last_id,
+        |  CAST(sum(id) AS BIGINT) AS id_checksum
+        |FROM ids GROUP BY day ORDER BY day""".stripMargin
   )
 }
