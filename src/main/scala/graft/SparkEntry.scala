@@ -6732,6 +6732,77 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("id").as("first_id"),
           max("id").as("last_id"), sum("id").as("id_checksum"))
         .orderBy("day")
+    },
+
+    // windowFunnel semantics (the ClickHouse operator): per user, the
+    // deepest strictly-ordered view → click → purchase chain whose
+    // WHOLE span fits a 4-hour window anchored at the first step —
+    // funnel_conversion counts step reach, this one enforces the
+    // in-window ordering constraint (1 h measured ZERO level-3 users at
+    // sf0.01; 4 h keeps all levels populated at both SFs — the
+    // vacuous-level check). Existence joins per level on the user key;
+    // per-user event counts bound the join fan-out.
+    "window_funnel_levels" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        .cache()
+      def typed(t: String, a: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(a))
+      val l3 = typed("view", "tv")
+        .join(typed("click", "tc"), "user_id")
+        .join(typed("purchase", "tp"), "user_id")
+        .filter(col("tc") > col("tv") && col("tp") > col("tc") &&
+          col("tp") <= expr("tv + INTERVAL 4 HOUR"))
+        .select("user_id").distinct().withColumn("l", lit(3))
+      val l2 = typed("view", "tv").join(typed("click", "tc"), "user_id")
+        .filter(col("tc") > col("tv") &&
+          col("tc") <= expr("tv + INTERVAL 4 HOUR"))
+        .select("user_id").distinct().withColumn("l", lit(2))
+      val l1 = typed("view", "tv").select("user_id").distinct()
+        .withColumn("l", lit(1))
+      ev.select("user_id").distinct()
+        .join(l1.union(l2).union(l3).groupBy("user_id")
+          .agg(max("l").as("level")), Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("level"), lit(0)).as("level"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+        .orderBy("level")
+    },
+
+    // Audience overlap matrix: distinct shared users for every ordered
+    // event-type pair (the diagonal is each audience's size) — the ads
+    // / segmentation overlap report, from ONE distinct (type, user)
+    // projection self-joined on the user key. |types|² cells.
+    "audience_overlap_matrix" -> { (s, d) =>
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct().cache()
+      tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_shared_users"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Joint decile grid — the 2D dependence structure of (value, hour):
+    // each dimension cut into exact equidepth deciles (the ntile
+    // convention of equidepth_deciles, (value, id) ordered so ties are
+    // deterministic), then cell counts + id checksums over the 10×10
+    // grid. Independence would put ~1% everywhere; the deviation
+    // pattern IS the copula, with zero floats. At 100 TB the ntile
+    // becomes broadcast cutoffs from the percentile_length_filter
+    // histogram pattern — documented, the grid semantics are identical.
+    "joint_decile_grid" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          hour(col("ts")).cast("long").as("hr"))
+        .withColumn("vbin", ntile(10).over(
+          Window.orderBy(col("value"), col("event_id"))))
+        .withColumn("hbin", ntile(10).over(
+          Window.orderBy(col("hr"), col("event_id"))))
+        .groupBy("vbin", "hbin")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
+        .orderBy("vbin", "hbin")
     }
   )
 
@@ -12367,6 +12438,49 @@ object SparkEntry {
         |  CAST(min(id) AS BIGINT) AS first_id,
         |  CAST(max(id) AS BIGINT) AS last_id,
         |  CAST(sum(id) AS BIGINT) AS id_checksum
-        |FROM ids GROUP BY day ORDER BY day""".stripMargin
+        |FROM ids GROUP BY day ORDER BY day""".stripMargin,
+
+    // Same 4-hour anchored window, strict ordering, max level per user.
+    "window_funnel_levels" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type='view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |    AND p.ts <= v.ts + INTERVAL 4 HOUR),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |    AND c.ts <= v.ts + INTERVAL 4 HOUR),
+        |l1 AS (SELECT DISTINCT user_id FROM v),
+        |lv AS (SELECT user_id,
+        |  CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+        |       WHEN user_id IN (SELECT user_id FROM l1) THEN 1
+        |       ELSE 0 END AS level
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT CAST(level AS INT) AS level, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS user_checksum
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // One distinct projection, self-joined on the user key.
+    "audience_overlap_matrix" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_shared_users
+        |FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same deterministic ntile cuts per dimension.
+    "joint_decile_grid" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    ntile(10) OVER (ORDER BY value, event_id) AS vbin,
+        |    ntile(10) OVER (ORDER BY CAST(hour(ts) AS BIGINT), event_id)
+        |      AS hbin
+        |  FROM events)
+        |SELECT vbin, hbin, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
