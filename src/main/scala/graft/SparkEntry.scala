@@ -6811,6 +6811,83 @@ object SparkEntry {
         .groupBy("vbin", "hbin")
         .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
         .orderBy("vbin", "hbin")
+    },
+
+    // Neyman-optimal stratified sampling allocation (Neyman 1934) with
+    // EXACT integer arithmetic end to end: per-stratum weight Nh·σh is
+    // isqrt(n·Σy² − (Σy)²) — the float sqrt is CORRECTED to the true
+    // integer floor by the ±1 adjustment (floor(sqrt(double)) can land
+    // off-by-one near perfect squares, and differently per engine),
+    // then the 10 000-row budget splits by the largest-remainder
+    // machinery from quota_largest_remainder. BIGINT bounds: cents ≤
+    // 1e5, nh·Σy² ≈ 2e16, (Σy)² ≈ 1e18 at sf0.1 — safe; rescale cents
+    // at larger SFs (documented). The variance-aware sampler every
+    // telemetry pipeline wants instead of uniform rates.
+    "neyman_allocation_exact" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), sum("c").as("sy"),
+          sum(col("c") * col("c")).as("syy"))
+        .withColumn("var_scaled", expr("nh * syy - sy * sy"))
+        .withColumn("w0",
+          expr("CAST(floor(sqrt(CAST(var_scaled AS DOUBLE))) AS BIGINT)"))
+        .withColumn("wgt", expr(
+          """w0 - CASE WHEN w0 * w0 > var_scaled THEN 1 ELSE 0 END
+                + CASE WHEN (w0 + 1) * (w0 + 1) <= var_scaled
+                  THEN 1 ELSE 0 END"""))
+      val t = st.agg(sum("wgt").as("tw"))
+      val base = st.crossJoin(broadcast(t))
+        .select(col("event_type"), col("nh"), col("wgt"),
+          expr("10000 * wgt DIV tw").as("floor_q"),
+          expr("(10000 * wgt) % tw").as("rem"))
+      val leftover = base.agg((lit(10000L) - sum("floor_q")).as("leftover"))
+      base.withColumn("rk", row_number().over(
+          Window.orderBy(desc("rem"), col("event_type"))))
+        .crossJoin(broadcast(leftover))
+        .select(col("event_type"), col("nh"), col("wgt").as("neyman_weight"),
+          expr("floor_q + IF(rk <= leftover, 1L, 0L)").as("n_alloc"))
+        .orderBy("event_type")
+    },
+
+    // Deferred revenue recognition: each order's cents spread over the
+    // 3 months from its order month — base share cents DIV 3 plus the
+    // cents % 3 remainder on the earliest months, so every order's
+    // slices sum EXACTLY to its total (the finance closing rule, no
+    // rounding drift ever). One explode by month offset, one rollup.
+    "revenue_recognition_spread" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("m0"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("o", explode(expr("sequence(0, 2)")))
+        .select((col("m0") + col("o")).as("mkey"),
+          expr("cents DIV 3 + IF(o < cents % 3, 1L, 0L)").as("slice"))
+        .groupBy("mkey")
+        .agg(count(lit(1)).as("n_slices"), sum("slice").as("recognized_cents"))
+        .orderBy("mkey")
+    },
+
+    // Cohen's kappa inputs for the langid labeler vs declared labels:
+    // n, observed agreement, and Σ row-marginal·col-marginal — kappa =
+    // (n·agree − Σrc) / (n² − Σrc) is the caller's one division. The
+    // inter-rater reliability audit with both "raters" recomputable.
+    "cohens_kappa_components" -> { (s, d) =>
+      val j = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .cache()
+      val rows = j.groupBy(col("lang").as("k")).agg(count(lit(1)).as("r"))
+      val cols = j.groupBy(col("pred").as("k")).agg(count(lit(1)).as("c"))
+      val marg = rows.join(cols, Seq("k"), "full_outer")
+        .select(coalesce(col("r"), lit(0L)).as("r"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .agg(sum(col("r") * col("c")).as("sum_marginal_products"))
+      j.agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .crossJoin(broadcast(marg))
     }
   )
 
@@ -12490,6 +12567,85 @@ object SparkEntry {
         |  FROM events)
         |SELECT vbin, hbin, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum
-        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same isqrt correction and largest-remainder split.
+    "neyman_allocation_exact" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS nh,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |             CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, nh, nh * syy - sy * sy AS var_scaled,
+        |  CAST(floor(sqrt(CAST(nh * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS w0
+        |  FROM s),
+        |wa AS (SELECT event_type, nh,
+        |  w0 - CASE WHEN w0 * w0 > var_scaled THEN 1 ELSE 0 END
+        |     + CASE WHEN (w0 + 1) * (w0 + 1) <= var_scaled
+        |       THEN 1 ELSE 0 END AS wgt
+        |  FROM w),
+        |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM wa),
+        |base AS (SELECT event_type, nh, wgt, 10000 * wgt // t.tw AS floor_q,
+        |         (10000 * wgt) % t.tw AS rem FROM wa CROSS JOIN t),
+        |alloc AS (SELECT CAST(10000 - sum(floor_q) AS BIGINT) AS leftover
+        |          FROM base),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
+        |        AS rk FROM base)
+        |SELECT event_type, CAST(nh AS BIGINT) AS nh, wgt AS neyman_weight,
+        |  CAST(floor_q + CASE WHEN rk <= a.leftover THEN 1 ELSE 0 END
+        |       AS BIGINT) AS n_alloc
+        |FROM r CROSS JOIN alloc a ORDER BY event_type""".stripMargin,
+
+    // Same 3-month spread with earliest-months remainder.
+    "revenue_recognition_spread" ->
+      """WITH o AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS m0,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |sl AS (
+        |  SELECT m0 + x.x AS mkey,
+        |    cents // 3 + CASE WHEN x.x < cents % 3 THEN 1 ELSE 0 END
+        |      AS slice
+        |  FROM o, range(3) x(x))
+        |SELECT CAST(mkey AS BIGINT) AS mkey, count(*) AS n_slices,
+        |  CAST(sum(slice) AS BIGINT) AS recognized_cents
+        |FROM sl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same stopword predictor; marginal product sum over the label
+    // domain.
+    "cohens_kappa_components" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
+        |  FROM s),
+        |j AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred
+        |  FROM sc),
+        |rows_ AS (SELECT lang AS k, count(*) AS r FROM j GROUP BY 1),
+        |cols_ AS (SELECT pred AS k, count(*) AS c FROM j GROUP BY 1),
+        |marg AS (
+        |  SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT)
+        |    AS sum_marginal_products
+        |  FROM rows_ FULL OUTER JOIN cols_ USING (k))
+        |SELECT (SELECT count(*) FROM j) AS n,
+        |  (SELECT CAST(count(*) FILTER (lang = pred) AS BIGINT) FROM j)
+        |    AS n_agree,
+        |  sum_marginal_products
+        |FROM marg""".stripMargin
   )
 }
