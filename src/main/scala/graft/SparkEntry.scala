@@ -6888,6 +6888,69 @@ object SparkEntry {
           sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
             .as("n_agree"))
         .crossJoin(broadcast(marg))
+    },
+
+    // Bag (multiset) semantics audit: INTERSECT ALL / EXCEPT ALL row
+    // counts between the click and view user-id BAGS — Σ min(mult) and
+    // Σ max(mult_a − mult_b, 0) over the per-key multiplicity join, the
+    // collapsed-domain form that never materializes duplicate rows
+    // (set-semantics EXCEPT loses multiplicities silently — the audit
+    // names the difference). One full-outer join on the collapsed key
+    // domain.
+    "bag_except_intersect" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def bag(t: String, out: String) = ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(out))
+      bag("click", "mc").join(bag("view", "mv"), Seq("user_id"), "full_outer")
+        .select(coalesce(col("mc"), lit(0L)).as("mc"),
+          coalesce(col("mv"), lit(0L)).as("mv"))
+        .agg(sum(least(col("mc"), col("mv"))).as("intersect_all_rows"),
+          sum(greatest(col("mc") - col("mv"), lit(0L)))
+            .as("except_all_rows"),
+          sum("mc").as("click_rows"), sum("mv").as("view_rows"),
+          count(lit(1)).as("n_users"))
+    },
+
+    // Seasonal-naive forecast backtest: predict day t with day t−h for
+    // horizons 1 and 7, score by exact absolute-error sums against the
+    // realized daily counts — the no-model baseline every forecast must
+    // beat, as a self-join on the collapsed day domain (MAE and WAPE
+    // are the caller's divisions over the emitted exact components).
+    "naive_forecast_backtest" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v")).cache()
+      val horizons = Seq(1, 7).toDF("horizon")
+      horizons.crossJoin(daily.select(col("day"), col("v").as("actual")))
+        .join(daily.select(col("day").as("pday"), col("v").as("pred")),
+          expr("pday = date_sub(day, horizon)"))
+        .groupBy("horizon")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("actual") - col("pred"))).as("sum_abs_err"),
+          sum("actual").as("sum_actual"))
+        .orderBy("horizon")
+    },
+
+    // Directed-graph reciprocity of the kNN edge set: the share of
+    // (src → dst) edges whose reverse is also a kNN edge — high
+    // reciprocity means the similarity neighborhood is symmetric (good
+    // for undirected collapsing), low means hubs absorb asymmetric
+    // edges. One self-join on the swapped key pair, exact permille.
+    "knn_reciprocity" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+        .select("src", "dst").cache()
+      val rec = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_directed"))
+        .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+        .select(col("n_directed"), col("n_reciprocal"),
+          expr("n_reciprocal * 1000 DIV n_directed")
+            .as("reciprocity_permille"))
     }
   )
 
@@ -12646,6 +12709,76 @@ object SparkEntry {
         |  (SELECT CAST(count(*) FILTER (lang = pred) AS BIGINT) FROM j)
         |    AS n_agree,
         |  sum_marginal_products
-        |FROM marg""".stripMargin
+        |FROM marg""".stripMargin,
+
+    // Multiplicity join over the collapsed key domain.
+    "bag_except_intersect" ->
+      """WITH c AS (SELECT user_id, count(*) AS m FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT user_id, count(*) AS m FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |j AS (SELECT coalesce(c.m, 0) AS mc, coalesce(v.m, 0) AS mv
+        |      FROM c FULL OUTER JOIN v ON c.user_id = v.user_id)
+        |SELECT CAST(sum(least(mc, mv)) AS BIGINT) AS intersect_all_rows,
+        |  CAST(sum(greatest(mc - mv, 0)) AS BIGINT) AS except_all_rows,
+        |  CAST(sum(mc) AS BIGINT) AS click_rows,
+        |  CAST(sum(mv) AS BIGINT) AS view_rows,
+        |  count(*) AS n_users
+        |FROM j""".stripMargin,
+
+    // Same lag-h self-join on the day domain.
+    "naive_forecast_backtest" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS v
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT h.h AS horizon FROM (VALUES (1), (7)) h(h)),
+        |p AS (SELECT h.horizon, a.v AS actual, b.v AS pred
+        |  FROM h CROSS JOIN d a
+        |  JOIN d b ON b.day = a.day - to_days(CAST(h.horizon AS INT)))
+        |SELECT CAST(horizon AS INT) AS horizon, count(*) AS n_days,
+        |  CAST(sum(abs(actual - pred)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(actual) AS BIGINT) AS sum_actual
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same kNN chain; reverse-edge semi-join.
+    "knn_reciprocity" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3)
+        |SELECT (SELECT count(*) FROM e) AS n_directed,
+        |  (SELECT count(*) FROM e a
+        |   WHERE EXISTS (SELECT 1 FROM e b
+        |                 WHERE b.src = a.dst AND b.dst = a.src))
+        |    AS n_reciprocal,
+        |  (SELECT count(*) FROM e a
+        |   WHERE EXISTS (SELECT 1 FROM e b
+        |                 WHERE b.src = a.dst AND b.dst = a.src)) * 1000
+        |    // (SELECT count(*) FROM e) AS reciprocity_permille"""
+        .stripMargin
   )
 }
