@@ -6951,6 +6951,101 @@ object SparkEntry {
         .select(col("n_directed"), col("n_reciprocal"),
           expr("n_reciprocal * 1000 DIV n_directed")
             .as("reciprocity_permille"))
+    },
+
+    // Functional-dependency profiling (the Tane/Metanome question as a
+    // query): for candidate FDs X → Y, how many X keys map to more than
+    // one Y — n_violating_keys = 0 certifies the dependency (here
+    // nationkey → regionkey holds; source → lang and user → type are
+    // quantified as violated, not just flagged). One distinct-count
+    // aggregate per candidate, unioned — schema-discovery DQ at fact
+    // scale.
+    "functional_dependency_audit" -> { (s, d) =>
+      def fd(df: DataFrame, name: String, k: Column, v: Column): DataFrame =
+        df.groupBy(k.as("k")).agg(countDistinct(v).as("nd"))
+          .select(lit(name).as("fd"), col("nd"))
+      val f1 = fd(Tables.customer(s, d).join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey")),
+        "c_nationkey->n_regionkey", col("c_nationkey"), col("n_regionkey"))
+      val f2 = fd(Tables.documents(s, d), "source->lang", col("source"),
+        col("lang"))
+      val f3 = fd(Tables.events(s, d), "user_id->event_type",
+        col("user_id").cast("string"), col("event_type"))
+      f1.union(f2).union(f3)
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max("nd").as("max_distinct_dependents"))
+        .orderBy("fd")
+    },
+
+    // Triplet-margin mining audit over the IVF cells: per anchor, the
+    // nearest SAME-label (positive) and nearest DIFFERENT-label
+    // (negative) neighbor; a violation is sim_neg + 0.05 > sim_pos —
+    // the count of triplets a contrastive loss would actually train on.
+    // 481/499 violated on these label-random synthetic vectors —
+    // exactly the diagnosis the audit exists to give (embeddings don't
+    // separate the labels). Cell-bounded candidate join, never
+    // all-pairs.
+    "triplet_margin_violations" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val asg = graft.ops.Ivf.assignCells(
+          emb, "embedding", cents.withColumnRenamed("centroid", "centroid"),
+          n = 1)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("label"))
+      val p = asg.as("x").join(asg.as("y"),
+          col("x.cid") === col("y.cid") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("x.label").as("la"),
+          col("y.vec_id").as("b"), col("y.label").as("lb"),
+          graft.ops.Similarity.cosine(col("x.embedding"),
+            col("y.embedding")).as("s"))
+        .cache()
+      def best(cond: Column, out: String) = p.filter(cond)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(desc("s"), col("b"))))
+        .filter(col("rn") === 1).select(col("a"), col("s").as(out))
+      best(col("la") === col("lb"), "sp")
+        .join(best(col("la") =!= col("lb"), "sn"), "a")
+        .withColumn("viol", when(col("sn") + 0.05 > col("sp"), 1L)
+          .otherwise(0L))
+        .agg(count(lit(1)).as("n_triplets"), sum("viol").as("n_violations"),
+          sum(when(col("viol") === 1, col("a")).otherwise(0L))
+            .as("viol_checksum"))
+    },
+
+    // Column-encoding chooser: per day, EXACT size estimates of the
+    // event_type column under plain, dictionary, and RLE encodings
+    // (code width from the binary-string length of n_distinct − 1, run
+    // counts from the lag spine) — the delta_varint_size_estimate
+    // companion that makes the writer's encoding pick a measured
+    // decision, not a default.
+    "encoding_chooser_estimate" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("day").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull
+          .or(lag(col("event_type"), 1).over(w) =!= col("event_type")), 1L)
+          .otherwise(0L))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_distinct"),
+          sum(length(col("event_type")).cast("long")).as("plain_bytes"),
+          sum("chg").as("n_runs"))
+        .withColumn("code_bits",
+          length(conv(greatest(col("n_distinct") - 1, lit(1L)), 10, 2))
+            .cast("long"))
+        .select(col("day"), col("n"), col("n_distinct"), col("plain_bytes"),
+          expr("(n * code_bits + 7) DIV 8").as("dict_bytes"),
+          expr("n_runs * ((code_bits + 7) DIV 8 + 2)").as("rle_bytes"))
+        .orderBy("day")
     }
   )
 
@@ -12779,6 +12874,89 @@ object SparkEntry {
         |   WHERE EXISTS (SELECT 1 FROM e b
         |                 WHERE b.src = a.dst AND b.dst = a.src)) * 1000
         |    // (SELECT count(*) FROM e) AS reciprocity_permille"""
-        .stripMargin
+        .stripMargin,
+
+    // One distinct-count aggregate per candidate FD.
+    "functional_dependency_audit" ->
+      """WITH fd1 AS (
+        |  SELECT 'c_nationkey->n_regionkey' AS fd, c_nationkey AS k,
+        |    count(DISTINCT n_regionkey) AS nd
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 2),
+        |fd2 AS (
+        |  SELECT 'source->lang' AS fd, source AS k,
+        |    count(DISTINCT lang) AS nd
+        |  FROM documents GROUP BY 2),
+        |fd3 AS (
+        |  SELECT 'user_id->event_type' AS fd, CAST(user_id AS VARCHAR) AS k,
+        |    count(DISTINCT event_type) AS nd
+        |  FROM events GROUP BY 2),
+        |allf AS (SELECT fd, nd FROM fd1 UNION ALL SELECT fd, nd FROM fd2
+        |         UNION ALL SELECT fd, nd FROM fd3)
+        |SELECT fd, count(*) AS n_keys,
+        |  CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating_keys,
+        |  CAST(max(nd) AS BIGINT) AS max_distinct_dependents
+        |FROM allf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same cell-bounded positives/negatives and 0.05 margin.
+    "triplet_margin_violations" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sim AS (SELECT a.vec_id, a.label, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS s
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (SELECT vec_id, label, cid FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY s DESC, cid) = 1),
+        |p AS (SELECT x.vec_id AS a, x.label AS la, y.vec_id AS b,
+        |    y.label AS lb,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS s
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |pos AS (SELECT a, s AS sp FROM p WHERE la = lb
+        |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY s DESC, b) = 1),
+        |neg AS (SELECT a, s AS sn FROM p WHERE la <> lb
+        |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY s DESC, b) = 1),
+        |tri AS (SELECT pos.a, CASE WHEN sn + 0.05 > sp THEN 1 ELSE 0 END
+        |          AS viol
+        |  FROM pos JOIN neg USING (a))
+        |SELECT count(*) AS n_triplets,
+        |  CAST(sum(viol) AS BIGINT) AS n_violations,
+        |  CAST(sum(CASE WHEN viol = 1 THEN a ELSE 0 END) AS BIGINT)
+        |    AS viol_checksum
+        |FROM tri""".stripMargin,
+
+    // Same lag spine and bit-width rule.
+    "encoding_chooser_estimate" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY ts, event_id)
+        |       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |per AS (SELECT day, count(*) AS n,
+        |  count(DISTINCT event_type) AS nd,
+        |  CAST(sum(length(event_type)) AS BIGINT) AS plain_bytes,
+        |  CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT day, n, nd, plain_bytes, n_runs,
+        |  CAST(length(printf('%b', greatest(nd - 1, 1))) AS BIGINT)
+        |    AS code_bits
+        |  FROM per)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(nd AS BIGINT) AS n_distinct, plain_bytes,
+        |  CAST((n * code_bits + 7) // 8 AS BIGINT) AS dict_bytes,
+        |  CAST(n_runs * ((code_bits + 7) // 8 + 2) AS BIGINT) AS rle_bytes
+        |FROM b ORDER BY day""".stripMargin
   )
 }
