@@ -7046,6 +7046,83 @@ object SparkEntry {
           expr("(n * code_bits + 7) DIV 8").as("dict_bytes"),
           expr("n_runs * ((code_bits + 7) DIV 8 + 2)").as("rle_bytes"))
         .orderBy("day")
+    },
+
+    // Interval-union coverage by sweep line: each click opens a 5-minute
+    // interval; +1/−1 boundary events sorted (time, starts-first) and a
+    // running active count price exactly the UNION length per day —
+    // overlap counted once (max_concurrent_sessions takes the max of
+    // this same sweep; the integral is the other classic). Exact
+    // epoch-micros, per-day partitions.
+    "interval_union_coverage" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("day"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("st"))
+        .withColumn("en", col("st") + 300000000L)
+      val pts = iv.select(col("day"), col("st").as("t"), lit(1L).as("dd"))
+        .union(iv.select(col("day"), col("en"), lit(-1L)))
+      val w = Window.partitionBy("day").orderBy(col("t"), desc("dd"))
+      val cov = pts
+        .withColumn("active",
+          sum("dd").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("day")
+        .agg(expr("sum(IF(active > 0, nxt - t, 0L)) DIV 1000000")
+          .as("covered_seconds"))
+      iv.groupBy("day").agg(count(lit(1)).as("n_intervals"))
+        .join(cov, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_intervals"), col("covered_seconds"))
+        .orderBy("day")
+    },
+
+    // The federation fallacy, quantified: lower median of per-day-shard
+    // lower medians vs the true global median — the gap (210 000 micro
+    // here) is what a naive "median of shard medians" rollup silently
+    // reports wrong. All exact ranks; the machinery every federated
+    // metrics layer needs to justify shipping histograms instead of
+    // medians.
+    "median_federation_gap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 1000000).cast("long").as("vm"))
+      def lowerMedian(df: DataFrame, part: Seq[String], out: String) = {
+        val w = if (part.isEmpty) Window.orderBy("vm")
+          else Window.partitionBy(part.map(col): _*).orderBy("vm")
+        val wc = if (part.isEmpty) Window.partitionBy()
+          else Window.partitionBy(part.map(col): _*)
+        df.withColumn("rk", row_number().over(w))
+          .withColumn("nn", count(lit(1)).over(wc))
+          .filter(expr("rk = (nn + 1) DIV 2"))
+          .select((part.map(col) :+ col("vm").as(out)): _*)
+      }
+      val sm = lowerMedian(t, Seq("day"), "shard_median")
+      val fed = lowerMedian(sm.select(col("shard_median").as("vm")),
+        Seq.empty, "fed_median")
+      val gm = lowerMedian(t.select("vm"), Seq.empty, "global_median")
+      sm.agg(count(lit(1)).as("n_shards"))
+        .crossJoin(broadcast(fed)).crossJoin(broadcast(gm))
+        .select(col("n_shards"), col("fed_median"), col("global_median"),
+          (col("fed_median") - col("global_median")).as("gap_micro"))
+    },
+
+    // Exact higher-moment sums per event type — n, Σx, Σx², Σx³, Σx⁴ in
+    // whole value units (x ≤ 490, so Σx⁴ ≤ ~1.2e15 at sf0.1 —
+    // BIGINT-safe; the scaling rule is the contract, cents would
+    // overflow at x⁴). Skewness/kurtosis are the caller's float
+    // formulas over these five integers — the one-pass moments pipeline
+    // with map-side combine.
+    "higher_moments_components" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), round(col("value")).cast("long").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(expr("x * x")).as("s2"), sum(expr("x * x * x")).as("s3"),
+          sum(expr("x * x * x * x")).as("s4"))
+        .orderBy("event_type")
     }
   )
 
@@ -12957,6 +13034,62 @@ object SparkEntry {
         |  CAST(nd AS BIGINT) AS n_distinct, plain_bytes,
         |  CAST((n * code_bits + 7) // 8 AS BIGINT) AS dict_bytes,
         |  CAST(n_runs * ((code_bits + 7) // 8 + 2) AS BIGINT) AS rle_bytes
-        |FROM b ORDER BY day""".stripMargin
+        |FROM b ORDER BY day""".stripMargin,
+
+    // Same sweep (starts before ends at equal times), same 5-min spans.
+    "interval_union_coverage" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 300000000 AS en
+        |  FROM events WHERE event_type = 'click'),
+        |pts AS (
+        |  SELECT day, st AS t, 1 AS dd FROM iv
+        |  UNION ALL SELECT day, en, -1 FROM iv),
+        |sw AS (
+        |  SELECT day, t,
+        |    sum(dd) OVER (PARTITION BY day ORDER BY t, dd DESC
+        |                  ROWS UNBOUNDED PRECEDING) AS active,
+        |    lead(t) OVER (PARTITION BY day ORDER BY t, dd DESC) AS nxt
+        |  FROM pts),
+        |cov AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END)
+        |         // 1000000 AS BIGINT) AS covered_seconds
+        |  FROM sw WHERE nxt IS NOT NULL GROUP BY day),
+        |ni AS (SELECT day, count(*) AS n_intervals FROM iv GROUP BY day)
+        |SELECT strftime(ni.day, '%Y-%m-%d') AS day, ni.n_intervals,
+        |  cov.covered_seconds
+        |FROM ni JOIN cov USING (day) ORDER BY day""".stripMargin,
+
+    // Same exact lower-median ranks at the three levels.
+    "median_federation_gap" ->
+      """WITH t AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |shard AS (SELECT day, vm,
+        |    row_number() OVER (PARTITION BY day ORDER BY vm) AS rk,
+        |    count(*) OVER (PARTITION BY day) AS n FROM t),
+        |sm AS (SELECT day, vm AS shard_median FROM shard
+        |       WHERE rk = (n + 1) // 2),
+        |fed AS (SELECT vm2 AS fed_median FROM (
+        |  SELECT shard_median AS vm2,
+        |    row_number() OVER (ORDER BY shard_median) AS rk,
+        |    count(*) OVER () AS n FROM sm) WHERE rk = (n + 1) // 2),
+        |gm AS (SELECT vm AS global_median FROM (
+        |  SELECT vm, row_number() OVER (ORDER BY vm) AS rk,
+        |    count(*) OVER () AS n FROM t) WHERE rk = (n + 1) // 2)
+        |SELECT (SELECT count(*) FROM sm) AS n_shards, fed.fed_median,
+        |  gm.global_median,
+        |  fed.fed_median - gm.global_median AS gap_micro
+        |FROM fed CROSS JOIN gm""".stripMargin,
+
+    // Same whole-unit scaling rule.
+    "higher_moments_components" ->
+      """WITH t AS (SELECT event_type, CAST(round(value) AS BIGINT) AS x
+        |           FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |  CAST(sum(x * x) AS BIGINT) AS s2,
+        |  CAST(sum(x * x * x) AS BIGINT) AS s3,
+        |  CAST(sum(x * x * x * x) AS BIGINT) AS s4
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
