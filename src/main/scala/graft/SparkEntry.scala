@@ -7123,6 +7123,78 @@ object SparkEntry {
           sum(expr("x * x")).as("s2"), sum(expr("x * x * x")).as("s3"),
           sum(expr("x * x * x * x")).as("s4"))
         .orderBy("event_type")
+    },
+
+    // Content-defined chunk dedup (the rsync/borg/restic model, Muthitacharoen
+    // et al. SOSP'01): a chunk boundary falls AFTER any position whose
+    // 8-char window hash has 6 low zero bits (expected chunk ~64 chars),
+    // so an insertion only reshuffles boundaries LOCALLY — unlike
+    // fixed-size blocks where one shifted byte re-chunks the whole file.
+    // Dup slots = chunk occurrences minus distinct chunks (6.7% on this
+    // corpus — the near-dup docs share most chunks). The per-position
+    // md5 is the oracle-portable form; at 100 TB the window hash is a
+    // rolling (Rabin) custom Expression — one multiply per char, not
+    // one digest per position (documented).
+    "cdc_chunk_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
+        .cache()
+      val marks = n
+        .withColumn("i", explode(expr("sequence(8, char_length(t))")))
+        .filter(md5h(expr("substr(t, i - 7, 8)"))
+          .bitwiseAND(lit(63L)) === 0)
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"))
+      val sentinels = n.select(col("doc_id"), lit(1L).as("pos"))
+        .union(n.select(col("doc_id"),
+          expr("CAST(char_length(t) + 1 AS BIGINT)")))
+      val bd = marks.union(sentinels).distinct().join(n, "doc_id")
+      bd.withColumn("en",
+          lead(col("pos"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("en").isNotNull && col("en") > col("pos"))
+        .select(md5(expr("substr(t, CAST(pos AS INT), CAST(en - pos AS INT))"))
+          .as("ch"))
+        .agg(count(lit(1)).as("n_chunk_slots"),
+          countDistinct(col("ch")).as("n_distinct_chunks"),
+          (count(lit(1)) - countDistinct(col("ch"))).as("dup_slots"))
+    },
+
+    // Outlier ensemble on the daily series with all three classic rules
+    // in EXACT integer form: z > 2 as (n·v − S)² > 4(n·Σv² − S²)
+    // (cross-multiplied — no mean, no sqrt), Tukey fences with doubled
+    // bounds (2v < 2q1 − 3·IQR), and |v − med| > 3·MAD with lower-rank
+    // median/MAD. The vote count is the ensemble — methods disagree and
+    // the table shows exactly where.
+    "outlier_ensemble_vote" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v")).cache()
+      val stats = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("v * v")).as("svv"))
+      def rankPick(df: DataFrame, c: String, rankExpr: String, out: String) =
+        df.withColumn("rk", row_number().over(Window.orderBy(col(c))))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
+          .filter(expr(s"rk = $rankExpr"))
+          .select(col(c).as(out))
+      val q1 = rankPick(daily, "v", "(nn + 3) DIV 4", "q1")
+      val q3 = rankPick(daily, "v", "(3 * nn + 1) DIV 4", "q3")
+      val med = rankPick(daily, "v", "(nn + 1) DIV 2", "med")
+      val withMed = daily.crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("v") - col("med")))
+      val mad = rankPick(withMed.select("ad"), "ad", "(nn + 1) DIV 2", "mad")
+      withMed.crossJoin(broadcast(stats)).crossJoin(broadcast(q1))
+        .crossJoin(broadcast(q3)).crossJoin(broadcast(mad))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+          expr("""CAST(IF((n * v - sv) * (n * v - sv) >
+                  4 * (n * svv - sv * sv), 1, 0) AS BIGINT)""").as("z_flag"),
+          expr("""CAST(IF(2 * v < 2 * q1 - 3 * (q3 - q1) OR
+                  2 * v > 2 * q3 + 3 * (q3 - q1), 1, 0) AS BIGINT)""")
+            .as("iqr_flag"),
+          expr("CAST(IF(ad > 3 * mad, 1, 0) AS BIGINT)").as("mad_flag"))
+        .withColumn("n_votes", expr("z_flag + iqr_flag + mad_flag"))
+        .orderBy("day")
     }
   )
 
@@ -13090,6 +13162,69 @@ object SparkEntry {
         |  CAST(sum(x * x) AS BIGINT) AS s2,
         |  CAST(sum(x * x * x) AS BIGINT) AS s3,
         |  CAST(sum(x * x * x * x) AS BIGINT) AS s4
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same boundary rule and chunk hashing.
+    "cdc_chunk_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(
+        |    list_concat([CAST(1 AS BIGINT)],
+        |      list_concat(
+        |        [CAST(i + 1 AS BIGINT) for i in range(8, len(t) + 1)
+        |         if (md5_number_upper(substr(t, i - 7, 8)) & 63) = 0],
+        |        [CAST(len(t) + 1 AS BIGINT)]))) AS pos
+        |  FROM n),
+        |bd AS (SELECT DISTINCT doc_id, t, pos FROM b),
+        |ch AS (
+        |  SELECT doc_id, pos AS st,
+        |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS en, t
+        |  FROM bd),
+        |chunks AS (
+        |  SELECT md5(substr(t, CAST(st AS INT), CAST(en - st AS INT)))
+        |    AS ch
+        |  FROM ch WHERE en IS NOT NULL AND en > st)
+        |SELECT count(*) AS n_chunk_slots,
+        |  count(DISTINCT ch) AS n_distinct_chunks,
+        |  count(*) - count(DISTINCT ch) AS dup_slots
+        |FROM chunks""".stripMargin,
+
+    // Same three exact rules.
+    "outlier_ensemble_vote" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |       CAST(sum(v * v) AS BIGINT) AS svv FROM daily),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r,
+        |       count(*) OVER () AS nn FROM daily),
+        |q1 AS (SELECT v AS q1 FROM rk WHERE r = (nn + 3) // 4),
+        |q3 AS (SELECT v AS q3 FROM rk WHERE r = (3 * nn + 1) // 4),
+        |med AS (SELECT v AS med FROM rk WHERE r = (nn + 1) // 2),
+        |wm AS (SELECT day, v, abs(v - med.med) AS ad
+        |       FROM daily CROSS JOIN med),
+        |madr AS (SELECT ad, row_number() OVER (ORDER BY ad) AS r,
+        |         count(*) OVER () AS nn FROM wm),
+        |mad AS (SELECT ad AS mad FROM madr WHERE r = (nn + 1) // 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, wm.v,
+        |  CAST(CASE WHEN (st.n * wm.v - st.sv) * (st.n * wm.v - st.sv) >
+        |       4 * (st.n * st.svv - st.sv * st.sv)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS z_flag,
+        |  CAST(CASE WHEN 2 * wm.v < 2 * q1.q1 - 3 * (q3.q3 - q1.q1) OR
+        |       2 * wm.v > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS iqr_flag,
+        |  CAST(CASE WHEN wm.ad > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS mad_flag,
+        |  CAST((CASE WHEN (st.n * wm.v - st.sv) * (st.n * wm.v - st.sv) >
+        |        4 * (st.n * st.svv - st.sv * st.sv) THEN 1 ELSE 0 END) +
+        |       (CASE WHEN 2 * wm.v < 2 * q1.q1 - 3 * (q3.q3 - q1.q1) OR
+        |        2 * wm.v > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
+        |        THEN 1 ELSE 0 END) +
+        |       (CASE WHEN wm.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_votes
+        |FROM wm CROSS JOIN st CROSS JOIN q1 CROSS JOIN q3 CROSS JOIN mad
+        |ORDER BY day""".stripMargin
   )
 }
