@@ -7195,6 +7195,88 @@ object SparkEntry {
           expr("CAST(IF(ad > 3 * mad, 1, 0) AS BIGINT)").as("mad_flag"))
         .withColumn("n_votes", expr("z_flag + iqr_flag + mad_flag"))
         .orderBy("day")
+    },
+
+    // Two-sided-geometric (discrete Laplace) noise mechanism, harness
+    // form: noise = tz(h₁) − tz(h₂) where tz counts trailing zero bits
+    // of keyed md5 draws — tz is geometric(1/2) exactly, and the
+    // difference of two geometrics IS the discrete Laplace (Ghosh et
+    // al., STOC 2009). Deterministic per key so the MECHANISM is
+    // hash-checkable (production DP would swap in fresh randomness;
+    // the transform, sensitivity bookkeeping, and post-processing
+    // pipeline are what this pins). tz via h & −h (lowest set bit)
+    // then binary-string length − 1 — no loops, no floats.
+    "dp_geometric_noise_histogram" -> { (s, d) =>
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      def tz(seed: String): Column = {
+        val h = md5h(concat(lit(seed), col("n_name")))
+          .bitwiseAND(lit(Long.MaxValue))
+        (length(conv(h.bitwiseAND(-h), 10, 2)) - 1).cast("long")
+      }
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("true_count"))
+        .withColumn("noise", tz("dp1|") - tz("dp2|"))
+        .select(col("n_name"), col("true_count"), col("noise"),
+          (col("true_count") + col("noise")).as("noisy_count"))
+        .orderBy("n_name")
+    },
+
+    // Round-robin language interleaving WITHOUT a global sort: the
+    // interleave position of (lang, rank-within-lang) is a CLOSED FORM
+    // over the broadcast class counts — Σ_l min(rk−1, n_l) full rounds
+    // plus the within-round offset of classes still alive at this rank
+    // — so the balanced training order (every language appears once per
+    // round until exhausted) assigns shard-locally at 100 TB. Positions
+    // proved dense 0..n−1 before landing; per-class position aggregates
+    // pin every assignment.
+    "round_robin_interleave" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = Tables.documents(s, d).select("doc_id", "lang")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("doc_id")))
+      val lc = Tables.documents(s, d).groupBy(col("lang").as("lang2"))
+        .agg(count(lit(1)).as("nl"))
+      r.crossJoin(broadcast(lc))
+        .groupBy("doc_id", "lang", "rk")
+        .agg((sum(least(col("rk") - 1, col("nl"))) +
+          sum(when(col("lang2") <= col("lang") && col("nl") >= col("rk"), 1L)
+            .otherwise(0L)) - 1).as("p"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("p").as("first_pos"),
+          max("p").as("last_pos"), sum("p").as("pos_checksum"))
+        .orderBy("lang")
+    },
+
+    // Cronbach's alpha inputs (internal-consistency reliability): event
+    // types as items, per-user counts as scores on the DENSE grid
+    // (absent cells are true zeros — the left-join-to-grid step is the
+    // trap), item and total variance NUMERATORS n·Σx²−(Σx)² exact —
+    // alpha = k/(k−1)·(1 − Σitem/total) is the caller's float.
+    "cronbach_alpha_components" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("x"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+        .join(m, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .cache()
+      val iv = grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("x * x")).as("sxx"))
+        .agg(count(lit(1)).as("k"),
+          sum(expr("n * sxx - sx * sx")).as("sum_item_var_num"))
+      val tot = grid.groupBy("user_id").agg(sum("x").as("tx"))
+        .agg(count(lit(1)).as("n_users"), sum("tx").as("s"),
+          sum(expr("tx * tx")).as("ss"))
+        .select(col("n_users"),
+          expr("n_users * ss - s * s").as("total_var_num"))
+      iv.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_users"), col("sum_item_var_num"),
+          col("total_var_num"))
     }
   )
 
@@ -13225,6 +13307,64 @@ object SparkEntry {
         |       (CASE WHEN wm.ad > 3 * mad.mad THEN 1 ELSE 0 END)
         |       AS BIGINT) AS n_votes
         |FROM wm CROSS JOIN st CROSS JOIN q1 CROSS JOIN q3 CROSS JOIN mad
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // Same keyed draws; tz via lowest-set-bit binary length.
+    "dp_geometric_noise_histogram" ->
+      """WITH c AS (SELECT n_name, count(*) AS true_count
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |h AS (SELECT n_name, true_count,
+        |  CAST(md5_number_upper('dp1|' || n_name) & 9223372036854775807
+        |       AS BIGINT) AS h1,
+        |  CAST(md5_number_upper('dp2|' || n_name) & 9223372036854775807
+        |       AS BIGINT) AS h2
+        |  FROM c),
+        |tz AS (SELECT n_name, true_count,
+        |  CAST(length(printf('%b', h1 & (-h1))) - 1 AS BIGINT) AS t1,
+        |  CAST(length(printf('%b', h2 & (-h2))) - 1 AS BIGINT) AS t2
+        |  FROM h)
+        |SELECT n_name, CAST(true_count AS BIGINT) AS true_count,
+        |  t1 - t2 AS noise,
+        |  CAST(true_count + t1 - t2 AS BIGINT) AS noisy_count
+        |FROM tz ORDER BY n_name""".stripMargin,
+
+    // Same closed-form position over the class counts.
+    "round_robin_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |lc AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        |pos AS (
+        |  SELECT r.doc_id, r.lang,
+        |    (SELECT sum(least(r.rk - 1, lc2.nl)) FROM lc lc2) +
+        |    (SELECT count(*) FROM lc lc3
+        |     WHERE lc3.lang <= r.lang AND lc3.nl >= r.rk) - 1 AS p
+        |  FROM r)
+        |SELECT lang, count(*) AS n, CAST(min(p) AS BIGINT) AS first_pos,
+        |  CAST(max(p) AS BIGINT) AS last_pos,
+        |  CAST(sum(p) AS BIGINT) AS pos_checksum
+        |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same dense grid and n·Σx²−(Σx)² numerators.
+    "cronbach_alpha_components" ->
+      """WITH m AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT)
+        |    AS x FROM events GROUP BY 1, 2),
+        |grid AS (SELECT u.user_id, t.event_type, coalesce(m.x, 0) AS x
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |  LEFT JOIN m ON m.user_id = u.user_id
+        |    AND m.event_type = t.event_type),
+        |iv AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT)
+        |    AS s, CAST(sum(x * x) AS BIGINT) AS ss FROM grid GROUP BY 1),
+        |tot AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS tx
+        |        FROM grid GROUP BY 1),
+        |tv AS (SELECT count(*) AS n, CAST(sum(tx) AS BIGINT) AS s,
+        |       CAST(sum(tx * tx) AS BIGINT) AS ss FROM tot)
+        |SELECT (SELECT count(*) FROM iv) AS k, tv.n AS n_users,
+        |  (SELECT CAST(sum(n * ss - s * s) AS BIGINT) FROM iv)
+        |    AS sum_item_var_num,
+        |  CAST(tv.n * tv.ss - tv.s * tv.s AS BIGINT) AS total_var_num
+        |FROM tv""".stripMargin
   )
 }
