@@ -7277,6 +7277,52 @@ object SparkEntry {
       iv.crossJoin(broadcast(tot))
         .select(col("k"), col("n_users"), col("sum_item_var_num"),
           col("total_var_num"))
+    },
+
+    // Top-N-with-ties semantics audit: "top-3 lineitems by quantity per
+    // part" under row_number (exactly 3), rank (ties at the boundary
+    // spill in, gaps after), and dense_rank (every tied LEVEL counts as
+    // one) — three different row counts from the same English sentence,
+    // quantified with checksums. Quantities tie constantly (small
+    // integers), so the three forms genuinely diverge here — the
+    // classic silent over/under-delivery bug in top-N reports.
+    "rank_semantics_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wt = Window.partitionBy("l_partkey").orderBy(desc("l_quantity"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(wt))
+        .withColumn("dr", dense_rank().over(wt))
+        .cache()
+      def form(name: String, cond: Column) = li.filter(cond)
+        .agg(lit(name).as("form"), count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey") + col("l_linenumber")).as("checksum"))
+        .select("form", "n_rows", "checksum")
+      form("dense_rank", col("dr") <= 3)
+        .union(form("rank", col("rk") <= 3))
+        .union(form("row_number", col("rn") <= 3))
+        .orderBy("form")
+    },
+
+    // Exact MODE with a deterministic tiebreak (most frequent quantity
+    // per return flag; equal frequencies resolve to the smallest value)
+    // — the aggregate SQL forgot, as two ordered aggregations: value
+    // counts, then max(struct(freq, −value)). No sort of raw rows.
+    "mode_value_exact" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("freq"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("freq"), (-col("q")).as("nq"))).as("m"),
+          count(lit(1)).as("n_distinct_values"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("modal_quantity"),
+          col("m.freq").as("modal_freq"), col("n_distinct_values"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -13365,6 +13411,45 @@ object SparkEntry {
         |  (SELECT CAST(sum(n * ss - s * s) AS BIGINT) FROM iv)
         |    AS sum_item_var_num,
         |  CAST(tv.n * tv.ss - tv.s * tv.s AS BIGINT) AS total_var_num
-        |FROM tv""".stripMargin
+        |FROM tv""".stripMargin,
+
+    // Same three window forms.
+    "rank_semantics_audit" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+        |    rank() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_quantity DESC) AS rk,
+        |    dense_rank() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_quantity DESC) AS dr
+        |  FROM lineitem)
+        |SELECT 'dense_rank' AS form, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS checksum
+        |FROM li WHERE dr <= 3
+        |UNION ALL
+        |SELECT 'rank', count(*),
+        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT)
+        |FROM li WHERE rk <= 3
+        |UNION ALL
+        |SELECT 'row_number', count(*),
+        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT)
+        |FROM li WHERE rn <= 3
+        |ORDER BY form""".stripMargin,
+
+    // Same two-level mode with smallest-value tiebreak (rank form —
+    // DuckDB's arg_max takes scalar keys only).
+    "mode_value_exact" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    count(*) AS freq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, q AS modal_quantity,
+        |  CAST(freq AS BIGINT) AS modal_freq,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n_distinct_values
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY freq DESC, q) = 1
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
