@@ -7323,6 +7323,368 @@ object SparkEntry {
         .select(col("l_returnflag"), (-col("m.nq")).as("modal_quantity"),
           col("m.freq").as("modal_freq"), col("n_distinct_values"))
         .orderBy("l_returnflag")
+    },
+
+    // Kendall tau-b components over the daily (event count, revenue)
+    // series: every day pair classified concordant / discordant /
+    // x-tied / y-tied / both-tied, in exact integers (revenue in
+    // floor-cents, cast per row BEFORE the sum — a double sum is
+    // addition-order-dependent and would flip ULPs between engines).
+    // The scan + daily aggregate is the linear part; the pair stage is
+    // days² with days bounded by the calendar window, so the self-join
+    // is broadcast and tiny at any corpus size. Tau-b itself
+    // ((C−D)/√((n0−nx)(n0−ny))) is a caller-side float over these
+    // five integers — the engine's contract is the exact counts.
+    "kendall_tau_components" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).as("rev"))
+      val a = daily.select(col("day").as("da"), col("n").as("na"),
+        col("rev").as("ra"))
+      val b = daily.select(col("day").as("db"), col("n").as("nb"),
+        col("rev").as("rb"))
+      a.join(broadcast(b), col("da") < col("db"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("na") - col("nb")) * (col("ra") - col("rb")) > 0,
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("na") - col("nb")) * (col("ra") - col("rb")) < 0,
+            1L).otherwise(0L)).as("discordant"),
+          sum(when(col("na") === col("nb") && col("ra") =!= col("rb"),
+            1L).otherwise(0L)).as("ties_x_only"),
+          sum(when(col("ra") === col("rb") && col("na") =!= col("nb"),
+            1L).otherwise(0L)).as("ties_y_only"),
+          sum(when(col("na") === col("nb") && col("ra") === col("rb"),
+            1L).otherwise(0L)).as("ties_both"))
+    },
+
+    // Spearman rank-correlation components with AVERAGE-rank tie
+    // handling kept integer-exact via the ×2 trick: the doubled average
+    // rank of a tie group is 2·minrank + (groupsize − 1), an integer, so
+    // Σ(2rx − 2ry)² = 4·Σd² needs no fractions. Tie-correction terms
+    // Σ(t³−t) per axis come from value-frequency aggregates, not pair
+    // joins. The windows order 30 daily rows — the single-partition
+    // window is over the AGGREGATE, never the raw scan.
+    "spearman_rank_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).as("rev"))
+        .cache()
+      val ranked = daily
+        .withColumn("rx2", lit(2L) * rank().over(Window.orderBy("n")) +
+          count(lit(1)).over(Window.partitionBy("n")) - 1)
+        .withColumn("ry2", lit(2L) * rank().over(Window.orderBy("rev")) +
+          count(lit(1)).over(Window.partitionBy("rev")) - 1)
+        .agg(count(lit(1)).as("n_days"),
+          sum((col("rx2") - col("ry2")) * (col("rx2") - col("ry2")))
+            .as("sum_d2_x4"))
+      def tieTerm(c: String, out: String) = daily.groupBy(col(c))
+        .agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as(out))
+      ranked.crossJoin(broadcast(tieTerm("n", "tie_x")))
+        .crossJoin(broadcast(tieTerm("rev", "tie_y")))
+        .select("n_days", "sum_d2_x4", "tie_x", "tie_y")
+    },
+
+    // Hodges-Lehmann location-shift estimator between the purchase and
+    // click daily-revenue distributions: the LOWER median (rank
+    // ⌊(m+1)/2⌋ — deterministic, no .5 interpolation) of all pairwise
+    // differences, exact cents. The pairwise stage is days×days
+    // (bounded by the calendar window, broadcast); the value at the
+    // median rank is well-defined under ties because the order key IS
+    // the value. The robust "how much more does a purchase-day gross"
+    // answer that a mean difference gets wrong under heavy tails.
+    "hodges_lehmann_daily_shift" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      def dailyRev(t: String, out: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(to_date(col("ts")).as(out + "_day"))
+          .agg(sum(floor(col("value") * 100)).as(out + "_rev"))
+      val diffs = dailyRev("purchase", "p")
+        .crossJoin(broadcast(dailyRev("click", "c")))
+        .select((col("p_rev") - col("c_rev")).as("diff"))
+      val tot = diffs.agg(count(lit(1)).as("n_pairs"))
+      diffs.withColumn("rn", row_number().over(Window.orderBy("diff")))
+        .crossJoin(broadcast(tot))
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("n_pairs"), col("diff").as("hl_shift_cents"))
+    },
+
+    // Missing-id gap ranges in the completed ('F') orderkey sequence —
+    // the data-quality "which ids never arrived/finished" report. NOT
+    // the single-partition lead() formulation: gap boundaries come from
+    // two shuffle-partitioned anti-joins (k+1 ∉ S starts a gap,
+    // m−1 ∉ S ends one), and only the ~boundary-count survivors meet
+    // the ordering window, so the global sort touches gaps, not keys.
+    // Pairing i-th start with i-th end is exact because starts and
+    // ends strictly alternate between consecutive present keys. The
+    // oracle is the INDEPENDENT lead()-over-sorted-keys formulation.
+    "sequence_gap_ranges" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"))
+      val mm = keys.agg(min("k").as("lo"), max("k").as("hi"))
+      val succ = keys.select((col("k") + 1).as("k1"))
+      val pred = keys.select((col("k") - 1).as("k0"))
+      val starts = succ.join(keys, succ("k1") === keys("k"), "left_anti")
+        .crossJoin(broadcast(mm)).filter(col("k1") < col("hi"))
+        .select(col("k1").as("gap_start"),
+          row_number().over(Window.orderBy("k1")).as("rn"))
+      val ends = pred.join(keys, pred("k0") === keys("k"), "left_anti")
+        .crossJoin(broadcast(mm)).filter(col("k0") > col("lo"))
+        .select(col("k0").as("gap_end"),
+          row_number().over(Window.orderBy("k0")).as("rn"))
+      starts.join(ends, "rn")
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+        .orderBy("gap_start")
+    },
+
+    // t-closeness audit (Li et al. ICDE'07) for nation-level release of
+    // the mktsegment attribute: per nation, the total-variation distance
+    // between its segment distribution and the global one, kept exact by
+    // cross-multiplication — Σ|n_gi·N − N_i·n_g| over a DENSE
+    // nation×segment grid (absent cells are true zeros; skipping the
+    // grid silently drops |0·N − N_i·n_g| terms), denominator 2·n_g·N.
+    // The t > 1/5 gate is the integer comparison 5·num > den — no
+    // float division anywhere. Completes the k-anonymity / l-diversity
+    // publication-audit family with the distributional criterion.
+    "t_closeness_audit" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_nationkey").as("g"), col("c_mktsegment").as("seg"))
+      val cells = cust.groupBy("g", "seg").agg(count(lit(1)).as("n_gi"))
+      val segTot = cust.groupBy("seg").agg(count(lit(1)).as("n_i"))
+      val natTot = cust.groupBy("g").agg(count(lit(1)).as("n_g"))
+      val grand = cust.agg(count(lit(1)).as("n_tot"))
+      val grid = natTot.crossJoin(broadcast(segTot))
+        .join(cells, Seq("g", "seg"), "left")
+        .select(col("g"), col("n_g"), col("n_i"),
+          coalesce(col("n_gi"), lit(0L)).as("n_gi"))
+        .crossJoin(broadcast(grand))
+      grid.groupBy("g")
+        .agg(first("n_g").as("n_cust"),
+          sum(abs(col("n_gi") * col("n_tot") - col("n_i") * col("n_g")))
+            .as("tvd_num"),
+          (lit(2L) * first("n_g") * first("n_tot")).as("tvd_den"))
+        .select(col("g").as("nationkey"), col("n_cust"), col("tvd_num"),
+          col("tvd_den"),
+          (col("tvd_num") * 5 > col("tvd_den")).as("exceeds_t_0_2"))
+        .orderBy("nationkey")
+    },
+
+    // Rounding-mode divergence audit: cents→dollars under HALF_UP vs
+    // HALF_EVEN (banker's), both derived from the SAME integer cents by
+    // pure arithmetic — q = c DIV 100, r = c % 100, half-up adds
+    // [r ≥ 50], half-even adds [r > 50 ∨ (r = 50 ∧ q odd)] — so the
+    // audit measures the rounding POLICY, never an engine's round()
+    // builtin (they disagree across engines, which is the bug this
+    // report exists to quantify: 609 half-cent rows at sf0.01, 322 of
+    // them diverging). Per return flag: row counts and both policy
+    // totals; the delta is the systematic upward bias half-up injects.
+    "rounding_mode_audit" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .select(col("l_returnflag"), col("c"),
+          expr("c DIV 100").as("q"), expr("c % 100").as("r"))
+        .select(col("l_returnflag"),
+          (col("q") + when(col("r") >= 50, 1L).otherwise(0L)).as("up"),
+          (col("q") + when(col("r") > 50 ||
+            (col("r") === 50 && col("q") % 2 === 1), 1L).otherwise(0L))
+            .as("even"),
+          col("r"), col("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("r") === 50, 1L).otherwise(0L)).as("n_half_cent"),
+          sum(when(col("r") === 50 && col("q") % 2 === 0, 1L).otherwise(0L))
+            .as("n_diverge"),
+          sum("up").as("sum_half_up_dollars"),
+          sum("even").as("sum_half_even_dollars"))
+        .orderBy("l_returnflag")
+    },
+
+    // Double-sided FIFO matching (returns applied to shipments per part
+    // in shipdate order) via the cumulative-interval intersection trick:
+    // each side's rows become [cum_before, cum_after) quantity
+    // intervals, and the FIFO allocation between ship row i and return
+    // row j is EXACTLY their interval overlap — no sequential loop, no
+    // driver iteration, just per-part windows and one overlap equi-join
+    // keyed on the part. The ledger/inventory primitive (payment
+    // application, COGS layers) that naive implementations do row-at-
+    // a-time. n_match_pairs is the FIFO-specific output — it depends on
+    // the interleaving, not just the totals. Windows are partitioned by
+    // part (≤49 rows each); the join is part-keyed, co-partitioned at
+    // scale.
+    "fifo_match_returns" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_returnflag"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val w = Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      def side(pred: Column, tag: String) = li.filter(pred)
+        .withColumn("hi", sum("qty").over(w))
+        .select(col("pk"), (col("hi") - col("qty")).as(tag + "_lo"),
+          col("hi").as(tag + "_hi"))
+      val ship = side(col("l_returnflag") =!= "R", "s")
+      val ret = side(col("l_returnflag") === "R", "r")
+      val pairs = ship.join(ret, Seq("pk"))
+        .filter(col("s_lo") < col("r_hi") && col("r_lo") < col("s_hi"))
+        .select(col("pk"),
+          (least(col("s_hi"), col("r_hi")) -
+            greatest(col("s_lo"), col("r_lo"))).as("m"))
+      val totals = li.groupBy("pk").agg(
+        sum(when(col("l_returnflag") =!= "R", col("qty")).otherwise(0L))
+          .as("total_ship_qty"),
+        sum(when(col("l_returnflag") === "R", col("qty")).otherwise(0L))
+          .as("total_return_qty"))
+      pairs.groupBy("pk")
+        .agg(count(lit(1)).as("n_match_pairs"), sum("m").as("matched_qty"))
+        .join(totals, Seq("pk"))
+        .select(col("pk").as("partkey"), col("n_match_pairs"),
+          col("matched_qty"), col("total_ship_qty"),
+          col("total_return_qty"),
+          (col("total_return_qty") - col("matched_qty"))
+            .as("unmatched_return_qty"))
+        .orderBy("partkey")
+    },
+
+    // M4 downsampling (Jugel et al. VLDB'14): per (event_type, 1-of-64
+    // time bucket), the four extreme points — first, last, min-value,
+    // max-value rows — which are exactly the rows a pixel-perfect
+    // line rendering needs; everything else in the bucket cannot change
+    // a 64-pixel-wide chart. All four arg-rows are deterministic via
+    // lexicographic (key, ts, event_id) struct min/max — never a bare
+    // arg_min that ties arbitrarily. Bucket ids are integer arithmetic
+    // over epoch-micros against the broadcast global [lo, hi] span;
+    // one partial-aggregated groupBy, no window, no sort of raw rows.
+    "m4_downsample" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
+          floor(col("value") * 100).as("cents"), col("event_id"))
+      val span = ev.agg(min("eus").as("lo"), max("eus").as("hi"))
+      ev.crossJoin(broadcast(span))
+        .withColumn("bucket",
+          expr("((eus - lo) * 64) DIV (hi - lo + 1)"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_v"), max("cents").as("max_v"),
+          min(struct(col("eus"), col("event_id"), col("cents")))("cents")
+            .as("first_v"),
+          max(struct(col("eus"), col("event_id"), col("cents")))("cents")
+            .as("last_v"),
+          min(struct(col("cents"), col("eus"), col("event_id")))("eus")
+            .as("ts_of_min_us"),
+          max(struct(col("cents"), col("eus"), col("event_id")))("eus")
+            .as("ts_of_max_us"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Chao1 species-richness components (Chao 1984) per source over
+    // token BIGRAMS — "how much vocabulary haven't we crawled yet":
+    // observed distinct D, singletons f1, doubletons f2, and the
+    // bias-corrected estimate D + f1(f1−1)/(2(f2+1)) as an integer
+    // milli-value (always defined, unlike the f1²/2f2 form when f2=0).
+    // Bigrams, not unigrams: the 31-word synthetic vocab saturates
+    // unigrams (f1=0 → vacuous); bigram space is genuinely open
+    // (f1≈300/source at sf0.01). Multiplicity-preserving grams (NOT
+    // Dedup.shingles, which is array_distinct'd) — frequency-of-
+    // frequency statistics die under distinct. One explode + two
+    // map-side-combined aggregates.
+    "chao1_richness_components" -> { (s, d) =>
+      val n = 2
+      val toks = graft.ops.Dedup.tokens(col("text"))
+      val shifted = (0 until n).map(i =>
+        slice(toks, lit(i + 1), size(toks)).as(s"t$i"))
+      val grams = transform(
+        filter(arrays_zip(shifted: _*),
+          x => x.getField(s"t${n - 1}").isNotNull),
+        x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"), explode(grams).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("distinct_bigrams"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .withColumn("chao1_milli",
+          col("distinct_bigrams") * 1000 +
+            expr("(1000 * f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
+        .orderBy("source")
+    },
+
+    // Good-Turing unseen-probability mass (Good 1953) per source over
+    // token TRIGRAMS: P(next gram is novel) ≈ N1/N, and the Turing-
+    // smoothed count for singletons r* = 2·N2/N1 — the leave-one-out
+    // estimate LM smoothing is built on (and the complement of the
+    // [[kn_continuation_counts]] query, which measures KN's context
+    // diversity instead of frequency-of-frequency). Trigrams because
+    // this corpus's trigram space is sparse (N1/N ≈ 0.95 — a crawl
+    // frontier still mostly unseen), all in integer permille.
+    "good_turing_unseen_mass" -> { (s, d) =>
+      val n = 3
+      val toks = graft.ops.Dedup.tokens(col("text"))
+      val shifted = (0 until n).map(i =>
+        slice(toks, lit(i + 1), size(toks)).as(s"t$i"))
+      val grams = transform(
+        filter(arrays_zip(shifted: _*),
+          x => x.getField(s"t${n - 1}").isNotNull),
+        x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"), explode(grams).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_trigrams"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .withColumn("unseen_mass_permille",
+          expr("(1000 * n1) DIV n_trigrams"))
+        .withColumn("smoothed_r1_permille",
+          expr("(1000 * 2 * n2) DIV n1"))
+        .orderBy("source")
+    },
+
+    // Bitmap-index set intersection (the roaring/bitmap-join physical
+    // technique): per event_type, user ids packed into 32-bits-per-word
+    // bitmap words (word = id DIV 32, bit_or of 1<<(id%32)); the
+    // audience intersection of two types is then Σ popcount(A & B) over
+    // a word-keyed equi-join — cardinality-proportional-to-words work
+    // instead of a row-level distinct join. 32-bit packing in a BIGINT
+    // sidesteps sign-bit semantics divergence at 1<<63 across engines.
+    // The row-level exact intersect runs IN the same query and the
+    // `agree` boolean pins bit-for-bit equivalence — the oracle
+    // re-derives both sides independently.
+    "bitmap_index_intersect" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val words = ev
+        .select(col("t"), expr("u DIV 32").as("w"),
+          expr("shiftleft(1L, CAST(u % 32 AS INT))").as("bit"))
+        .groupBy("t", "w").agg(expr("bit_or(bit)").as("bits"))
+      val bm = words.as("a").join(words.as("b"),
+          col("a.w") === col("b.w") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+        .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))))
+          .as("bitmap_intersect"))
+      val ex = ev.as("x").join(ev.as("y"),
+          col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      bm.join(ex, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("bitmap_intersect").cast("long").as("bitmap_intersect"),
+          col("exact_intersect"),
+          (col("bitmap_intersect") === col("exact_intersect")).as("agree"))
+        .orderBy("type_a", "type_b")
     }
   )
 
@@ -13450,6 +13812,258 @@ object SparkEntry {
         |FROM c
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |  ORDER BY freq DESC, q) = 1
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Same pair classification over the same daily aggregate.
+    "kendall_tau_components" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN a.n = b.n AND a.rev <> b.rev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_x_only,
+        |  CAST(sum(CASE WHEN a.rev = b.rev AND a.n <> b.n
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_y_only,
+        |  CAST(sum(CASE WHEN a.n = b.n AND a.rev = b.rev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_both
+        |FROM d a JOIN d b ON a.dy < b.dy""".stripMargin,
+
+    // Same doubled-average-rank form.
+    "spearman_rank_components" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT 2 * rank() OVER (ORDER BY n)
+        |      + count(*) OVER (PARTITION BY n) - 1 AS rx2,
+        |    2 * rank() OVER (ORDER BY rev)
+        |      + count(*) OVER (PARTITION BY rev) - 1 AS ry2
+        |  FROM d),
+        |tx AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_x
+        |  FROM (SELECT count(*) AS t FROM d GROUP BY n)),
+        |ty AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_y
+        |  FROM (SELECT count(*) AS t FROM d GROUP BY rev))
+        |SELECT (SELECT count(*) FROM d) AS n_days,
+        |  (SELECT CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) FROM r)
+        |    AS sum_d2_x4,
+        |  tx.tie_x, ty.tie_y
+        |FROM tx, ty""".stripMargin,
+
+    // Same lower-median-of-pairwise-differences.
+    "hodges_lehmann_daily_shift" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS dy,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(ts AS DATE) AS dy,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |df AS (SELECT p.rev - c.rev AS diff FROM p CROSS JOIN c),
+        |r AS (SELECT diff, row_number() OVER (ORDER BY diff) AS rn FROM df),
+        |t AS (SELECT count(*) AS n_pairs FROM df)
+        |SELECT t.n_pairs, r.diff AS hl_shift_cents
+        |FROM r, t WHERE r.rn = (t.n_pairs + 1) // 2""".stripMargin,
+
+    // INDEPENDENT formulation: lead() over the sorted present keys
+    // (the engine side derives the same ranges from two anti-joins).
+    "sequence_gap_ranges" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM s)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS gap_len
+        |FROM l WHERE nk > k + 1 ORDER BY 1""".stripMargin,
+
+    // Same dense-grid cross-multiplied total variation.
+    "t_closeness_audit" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS g, c_mktsegment AS seg FROM customer),
+        |cells AS (SELECT g, seg, count(*) AS n_gi FROM c GROUP BY 1, 2),
+        |st AS (SELECT seg, count(*) AS n_i FROM c GROUP BY 1),
+        |nt AS (SELECT g, count(*) AS n_g FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM c),
+        |grid AS (
+        |  SELECT nt.g, nt.n_g, st.n_i, coalesce(cells.n_gi, 0) AS n_gi,
+        |    tot.n_tot
+        |  FROM nt CROSS JOIN st CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.g = nt.g AND cells.seg = st.seg)
+        |SELECT nationkey, n_cust, tvd_num, tvd_den,
+        |  tvd_num * 5 > tvd_den AS exceeds_t_0_2
+        |FROM (
+        |  SELECT g AS nationkey, min(n_g) AS n_cust,
+        |    CAST(sum(abs(n_gi * n_tot - n_i * n_g)) AS BIGINT) AS tvd_num,
+        |    CAST(2 * min(n_g) * min(n_tot) AS BIGINT) AS tvd_den
+        |  FROM grid GROUP BY 1)
+        |ORDER BY nationkey""".stripMargin,
+
+    // Same integer-arithmetic rounding policies.
+    "rounding_mode_audit" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |x AS (SELECT l_returnflag, c // 100 AS q, c % 100 AS r FROM b)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN r = 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_half_cent,
+        |  CAST(sum(CASE WHEN r = 50 AND q % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_diverge,
+        |  CAST(sum(q + CASE WHEN r >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sum_half_up_dollars,
+        |  CAST(sum(q + CASE WHEN r > 50 OR (r = 50 AND q % 2 = 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS sum_half_even_dollars
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same interval-intersection formulation (window sums per part).
+    "fifo_match_returns" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk, l_returnflag AS rf, l_shipdate,
+        |    l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |ship AS (
+        |  SELECT pk, CAST(hi - qty AS BIGINT) AS s_lo,
+        |    CAST(hi AS BIGINT) AS s_hi FROM (
+        |    SELECT pk, qty, sum(qty) OVER (PARTITION BY pk
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+        |    FROM li WHERE rf <> 'R')),
+        |ret AS (
+        |  SELECT pk, CAST(hi - qty AS BIGINT) AS r_lo,
+        |    CAST(hi AS BIGINT) AS r_hi FROM (
+        |    SELECT pk, qty, sum(qty) OVER (PARTITION BY pk
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+        |    FROM li WHERE rf = 'R')),
+        |p AS (
+        |  SELECT ship.pk, least(s_hi, r_hi) - greatest(s_lo, r_lo) AS m
+        |  FROM ship JOIN ret ON ship.pk = ret.pk
+        |  WHERE s_lo < r_hi AND r_lo < s_hi),
+        |tot AS (
+        |  SELECT pk,
+        |    CAST(sum(CASE WHEN rf <> 'R' THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_ship_qty,
+        |    CAST(sum(CASE WHEN rf = 'R' THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_return_qty
+        |  FROM li GROUP BY 1),
+        |agg AS (
+        |  SELECT pk, count(*) AS n_match_pairs,
+        |    CAST(sum(m) AS BIGINT) AS matched_qty
+        |  FROM p GROUP BY 1)
+        |SELECT agg.pk AS partkey, n_match_pairs, matched_qty,
+        |  total_ship_qty, total_return_qty,
+        |  total_return_qty - matched_qty AS unmatched_return_qty
+        |FROM agg JOIN tot ON agg.pk = tot.pk
+        |ORDER BY partkey""".stripMargin,
+
+    // INDEPENDENT formulation: QUALIFY row_number picks per extreme
+    // (the engine side uses lexicographic struct min/max aggregates).
+    "m4_downsample" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ((epoch_us(ts) - min(epoch_us(ts)) OVER ()) * 64)
+        |      // (max(epoch_us(ts)) OVER () - min(epoch_us(ts)) OVER ()
+        |         + 1) AS bucket,
+        |    epoch_us(ts) AS eus,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |g AS (SELECT event_type, bucket, count(*) AS n,
+        |    min(cents) AS min_v, max(cents) AS max_v
+        |  FROM e GROUP BY 1, 2),
+        |fv AS (SELECT event_type, bucket, cents AS first_v FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY eus, event_id) = 1),
+        |lv AS (SELECT event_type, bucket, cents AS last_v FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY eus DESC, event_id DESC) = 1),
+        |tmin AS (SELECT event_type, bucket, eus AS ts_of_min_us FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY cents, eus, event_id) = 1),
+        |tmax AS (SELECT event_type, bucket, eus AS ts_of_max_us FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY cents DESC, eus DESC, event_id DESC) = 1)
+        |SELECT g.event_type, g.bucket, n, min_v, max_v, first_v, last_v,
+        |  ts_of_min_us, ts_of_max_us
+        |FROM g
+        |JOIN fv USING (event_type, bucket)
+        |JOIN lv USING (event_type, bucket)
+        |JOIN tmin USING (event_type, bucket)
+        |JOIN tmax USING (event_type, bucket)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Same multiplicity-preserving bigram frequency-of-frequencies.
+    "chao1_richness_components" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS tok,
+        |    generate_subscripts(string_split(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT a.source, a.tok || ' ' || b.tok AS g
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c AS (SELECT source, g, count(*) AS c FROM big GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS distinct_bigrams,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(count(*) * 1000
+        |    + (1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |       * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+        |      // (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+        |    AS BIGINT) AS chao1_milli
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same trigram frequency-of-frequency permilles.
+    "good_turing_unseen_mass" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS tok,
+        |    generate_subscripts(string_split(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |cc AS (SELECT source, g, count(*) AS c FROM tri GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+        |    // sum(c) AS BIGINT) AS unseen_mass_permille,
+        |  CAST((1000 * 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |    // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS smoothed_r1_permille
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same word-packed bitmap + row-level twin, derived independently.
+    "bitmap_index_intersect" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |wd AS (
+        |  SELECT t, u // 32 AS w,
+        |    bit_or(1::BIGINT << CAST(u % 32 AS INT)) AS bits
+        |  FROM ev GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT a.t AS type_a, b.t AS type_b,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
+        |      AS bitmap_intersect
+        |  FROM wd a JOIN wd b ON a.w = b.w AND a.t < b.t GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT x.t AS type_a, y.t AS type_b, count(*) AS exact_intersect
+        |  FROM ev x JOIN ev y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+        |SELECT bm.type_a, bm.type_b, bitmap_intersect, exact_intersect,
+        |  bitmap_intersect = exact_intersect AS agree
+        |FROM bm JOIN ex
+        |  ON bm.type_a = ex.type_a AND bm.type_b = ex.type_b
+        |ORDER BY 1, 2""".stripMargin
   )
 }
