@@ -7685,10 +7685,296 @@ object SparkEntry {
           col("exact_intersect"),
           (col("bitmap_intersect") === col("exact_intersect")).as("agree"))
         .orderBy("type_a", "type_b")
+    },
+
+    // Exact Gini coefficient of customer revenue concentration via the
+    // rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), all integer
+    // cents — the single-number complement of the top-share Pareto
+    // query. Tie-safe: equal revenues contribute the same Σi·x term
+    // under any tie order, so the row_number is deterministic AND
+    // immaterial. The global rank runs over the per-customer AGGREGATE
+    // (3 orders of magnitude smaller than the scan), not raw orders.
+    // Σi·x peaks ~1e17 at sf0.1 — an order of magnitude of BIGINT
+    // headroom; the overflow frontier is ~sf10, documented here.
+    "gini_concentration_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy("o_custkey").agg(sum("c").as("x"))
+      rev.withColumn("i",
+          row_number().over(Window.orderBy("x", "o_custkey")).cast("long"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("x").as("total_cents"),
+          sum(col("i") * col("x")).as("rank_weighted_sum"))
+        .select(col("n_customers"), col("total_cents"),
+          col("rank_weighted_sum"),
+          (lit(2L) * col("rank_weighted_sum") -
+            (col("n_customers") + 1) * col("total_cents")).as("gini_num"),
+          (col("n_customers") * col("total_cents")).as("gini_den"))
+        .withColumn("gini_milli",
+          // NOT (1000·num) DIV den: num·1000 tops 5.6e19 at sf0.1 —
+          // past BIGINT. num DIV (den DIV 1000) stays in range and both
+          // engines evaluate the identical expression.
+          expr("gini_num DIV (gini_den DIV 1000)"))
+    },
+
+    // ABC inventory classification: parts ranked by revenue, class A =
+    // rows while cumulative share ≤ 80%, B until 95%, C after — the
+    // thresholds applied by CROSS-MULTIPLICATION against the broadcast
+    // grand total (cum·5 ≤ total·4, cum·20 ≤ total·19), no percentage
+    // floats. The cumulative window runs over the per-part aggregate.
+    // Class boundaries are deterministic under the (revenue DESC,
+    // partkey) total order.
+    "abc_inventory_classes" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .groupBy("l_partkey").agg(sum("c").as("x"))
+      val tot = rev.agg(sum("x").as("total"))
+      rev.withColumn("cum",
+          sum("x").over(Window.orderBy(desc("x"), col("l_partkey"))))
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 5 <= col("total") * 4, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("x").as("revenue_cents"),
+          first("total").as("t"))
+        .select(col("cls"),
+          col("n_parts"), col("revenue_cents"),
+          expr("(1000 * revenue_cents) DIV t").as("share_permille"))
+        .orderBy("cls")
+    },
+
+    // Harmonic centrality truncated at 3 hops over the kNN graph,
+    // scaled by 6 to stay integer-exact: h₆(v) = 6·|N₁| + 3·|N₂| +
+    // 2·|N₃| (1/d for d=1,2,3 over common denominator 6). Hop sets are
+    // SET-differences of equi-join frontiers (never path counts — the
+    // recursive oracle multi-counts paths and min-collapses; here each
+    // hop subtracts all earlier hops), bounded by degree^3 per vertex,
+    // so every stage is a shuffle-partitioned join at any graph size.
+    // Same edge construction as the BFS/components family
+    // (IVF-celled kNN, k=3, undirected).
+    "harmonic_centrality_3hop" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+        .localCheckpoint()
+      val d1 = sym.distinct()
+      val d2 = d1.as("p").join(d1.select(col("v").as("w"),
+          col("w").as("x")).as("q"), "w")
+        .select(col("v"), col("x").as("w")).distinct()
+        .filter(col("v") =!= col("w"))
+        .join(d1, Seq("v", "w"), "left_anti")
+      val d3 = d2.as("p").join(d1.select(col("v").as("w"),
+          col("w").as("x")).as("q"), "w")
+        .select(col("v"), col("x").as("w")).distinct()
+        .filter(col("v") =!= col("w"))
+        .join(d1, Seq("v", "w"), "left_anti")
+        .join(d2, Seq("v", "w"), "left_anti")
+      def cnt(df: DataFrame, out: String) =
+        df.groupBy("v").agg(count(lit(1)).as(out))
+      emb.select(col("vec_id").as("v"))
+        .join(cnt(d1, "n1"), Seq("v"), "left")
+        .join(cnt(d2, "n2"), Seq("v"), "left")
+        .join(cnt(d3, "n3"), Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("n3"), lit(0L)).as("n3"))
+        .withColumn("harmonic_x6",
+          col("n1") * 6 + col("n2") * 3 + col("n3") * 2)
+        .orderBy("v")
+    },
+
+    // Unnormalized Haar wavelet detail coefficients over a DENSE 64-
+    // bucket (event_type, time) grid — which dyadic window holds the
+    // burst, per scale. Level l coefficient at parent p is
+    // Σ±bucket_sum with the sign from bit l−1 of the bucket id, so all
+    // six levels come from ONE cross join with a 6-row literal — no
+    // iteration, no sequential transform. Empty buckets are true zeros
+    // (the dense grid is the correctness trap: skipping it shifts
+    // every coefficient whose support has a gap). L1 energy + max +
+    // argmax per (type, level), all integer cents; L2 would overflow
+    // BIGINT at sf0.1 (coeff² tops ~1e21), so the squared form is the
+    // caller's float — documented, not silently emitted.
+    "haar_wavelet_energy" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
+          floor(col("value") * 100).as("cents"))
+      val span = ev.agg(min("eus").as("lo"), max("eus").as("hi"))
+      val bsum = ev.crossJoin(broadcast(span))
+        .withColumn("bucket", expr("((eus - lo) * 64) DIV (hi - lo + 1)"))
+        .groupBy("event_type", "bucket").agg(sum("cents").as("x"))
+      val grid = bsum.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
+        .join(bsum, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val lvls = s.range(1, 7).select(col("id").as("lvl"))
+      grid.crossJoin(broadcast(lvls))
+        .select(col("event_type"), col("lvl"),
+          expr("bucket DIV shiftleft(1, CAST(lvl AS INT))").as("p"),
+          expr("""CASE WHEN (bucket DIV shiftleft(1, CAST(lvl AS INT) - 1))
+            % 2 = 1 THEN -x ELSE x END""").as("t"))
+        .groupBy("event_type", "lvl", "p").agg(sum("t").as("c"))
+        .groupBy("event_type", "lvl")
+        .agg(count(lit(1)).as("n_coeffs"),
+          sum(abs(col("c"))).as("sum_abs_coeff"),
+          max(abs(col("c"))).as("max_abs_coeff"),
+          (-max(struct(abs(col("c")).as("a"), (-col("p")).as("np")))("np"))
+            .as("argmax_parent"))
+        .orderBy("event_type", "lvl")
+    },
+
+    // Weighted isotonic regression (nondecreasing daily mean purchase
+    // value) via the closed-form minimax characterization of the PAVA
+    // solution: fitted(i) = max_{j≤i} min_{k≥i} mean(y over days j..k)
+    // — no sequential pooling loop, just prefix sums and two bounded
+    // non-equi joins over the 30-row daily aggregate (465 interval
+    // averages, 14k (i,j,k) terms — the frame is calendar-bounded, not
+    // data-bounded, so this holds at any corpus size). Interval means
+    // are single IEEE divisions of exact integer sums — bit-identical
+    // across engines — and the emitted value is floor(×1000).
+    "isotonic_regression_daily" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100)).as("y"),
+          count(lit(1)).as("n"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy("day")).cast("long"))
+        .cache()
+      val pref = daily.select(col("idx"), col("y"), col("n"))
+        .union(s.range(1).select(lit(0L).as("idx"), lit(0L).as("y"),
+          lit(0L).as("n")))
+        .withColumn("sc", sum("y").over(Window.orderBy("idx")))
+        .withColumn("nc", sum("n").over(Window.orderBy("idx")))
+        .select(col("idx"), col("sc"), col("nc"))
+      val avgs = pref.as("pj").join(pref.as("pk"),
+          col("pk.idx") >= col("pj.idx") + 1)
+        .select((col("pj.idx") + 1).as("j"), col("pk.idx").as("k"),
+          ((col("pk.sc") - col("pj.sc")).cast("double") /
+            (col("pk.nc") - col("pj.nc")).cast("double")).as("avgv"))
+      val fit = avgs.join(daily.select(col("idx").as("i")),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min("avgv").as("m"))
+        .groupBy("i").agg(max("m").as("fitted"))
+      daily.join(fit, col("idx") === col("i"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n").as("n_events"), col("y").as("day_sum_cents"),
+          floor(col("fitted") * 1000).cast("long").as("fitted_milli"))
+        .orderBy("day")
+    },
+
+    // Hilbert-curve layout keys for (value, time) locality — the
+    // space-filling alternative to [[zorder_events]] with strictly
+    // better adjacency (no Z-jumps across quadrant seams). Order-8
+    // (256×256 grid): the classic xy2d bit loop unrolled into 8
+    // deterministic column stages — quadrant = CASE on (rx,ry) (no
+    // engine-specific XOR), then the conditional reflect+swap rotation.
+    // Coordinates quantize against the broadcast global spans by
+    // integer cross-multiplication. Emitted as 256 key-range buckets
+    // (count + min/max/sum of the 16-bit key) — the write-layout
+    // histogram a range-partitioned writer would consume.
+    "hilbert_layout_events" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
+          floor(col("value") * 100).as("cents"))
+      val span = ev.agg(min("eus").as("tlo"), max("eus").as("thi"),
+        min("cents").as("vlo"), max("cents").as("vhi"))
+      var df = ev.crossJoin(broadcast(span))
+        .select(col("event_id"),
+          expr("CAST(((cents - vlo) * 256) DIV (vhi - vlo + 1) AS INT)")
+            .as("x"),
+          expr("CAST(((eus - tlo) * 256) DIV (thi - tlo + 1) AS INT)")
+            .as("y"),
+          lit(0L).as("hd"))
+      for (sz <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+        df = df
+          .withColumn("rx", when((col("x").bitwiseAND(lit(sz))) > 0, 1)
+            .otherwise(0))
+          .withColumn("ry", when((col("y").bitwiseAND(lit(sz))) > 0, 1)
+            .otherwise(0))
+          .withColumn("hd", col("hd") + lit(sz.toLong * sz) *
+            when(col("rx") === 1 && col("ry") === 0, 3)
+              .when(col("rx") === 1, 2).otherwise(col("ry")))
+          // reflect with N−1 (=255, the FULL grid), not s−1: the
+          // coordinate can exceed s at this stage, and the canonical
+          // rot() reflects within the whole grid (checked by hand
+          // against the order-2 curve: (3,1)→12, (1,2)→7).
+          .withColumn("nx",
+            when(col("ry") === 0,
+              when(col("rx") === 1, lit(255) - col("y"))
+                .otherwise(col("y"))).otherwise(col("x")))
+          .withColumn("ny",
+            when(col("ry") === 0,
+              when(col("rx") === 1, lit(255) - col("x"))
+                .otherwise(col("x"))).otherwise(col("y")))
+          .select(col("event_id"), col("nx").as("x"), col("ny").as("y"),
+            col("hd"))
+      }
+      df.groupBy(expr("hd DIV 256").as("key_bucket"))
+        .agg(count(lit(1)).as("n"), min("hd").as("min_key"),
+          max("hd").as("max_key"), sum("hd").as("key_sum"))
+        .orderBy("key_bucket")
     }
   )
 
   // ---- oracles ----------------------------------------------------------
+
+  /** Unrolled xy2d Hilbert oracle for hilbert_layout_events: the same 8
+    * rotation stages as the engine side, generated as chained CTEs (each
+    * stage reads the previous stage's (x, y, hd) — the sequential bit
+    * loop made relational).
+    */
+  private def hilbertOracleSql: String = {
+    val stages = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+      case (sz, i) =>
+        s"""h${i + 1} AS (
+           |  SELECT event_id,
+           |    hd + ${sz * sz} * (CASE
+           |      WHEN (x & $sz) > 0 AND (y & $sz) = 0 THEN 3
+           |      WHEN (x & $sz) > 0 THEN 2
+           |      WHEN (y & $sz) > 0 THEN 1 ELSE 0 END) AS hd,
+           |    CASE WHEN (y & $sz) = 0 THEN
+           |      CASE WHEN (x & $sz) > 0 THEN 255 - y ELSE y END
+           |    ELSE x END AS x,
+           |    CASE WHEN (y & $sz) = 0 THEN
+           |      CASE WHEN (x & $sz) > 0 THEN 255 - x ELSE x END
+           |    ELSE y END AS y
+           |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS eus,
+       |    CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |sp AS (SELECT min(eus) AS tlo, max(eus) AS thi,
+       |  min(cents) AS vlo, max(cents) AS vhi FROM e),
+       |h0 AS (
+       |  SELECT event_id,
+       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x,
+       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM e CROSS JOIN sp),
+       |$stages
+       |SELECT hd // 256 AS key_bucket, count(*) AS n,
+       |  min(hd) AS min_key, max(hd) AS max_key,
+       |  CAST(sum(hd) AS BIGINT) AS key_sum
+       |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Unrolled Bellman-Ford oracle for weighted_sssp_knn: the kNN chain,
     * rounded-sim edge weights floor((1 − sim₆)·10⁶), seeds 0–3, and 12
@@ -14064,6 +14350,182 @@ object SparkEntry {
         |  bitmap_intersect = exact_intersect AS agree
         |FROM bm JOIN ex
         |  ON bm.type_a = ex.type_a AND bm.type_b = ex.type_b
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Same rank-formula components.
+    "gini_concentration_components" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |  CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+        |  FROM rev),
+        |a AS (SELECT count(*) AS n_customers,
+        |  CAST(sum(x) AS BIGINT) AS total_cents,
+        |  CAST(sum(i * x) AS BIGINT) AS rank_weighted_sum FROM r),
+        |b AS (SELECT n_customers, total_cents, rank_weighted_sum,
+        |  2 * rank_weighted_sum - (n_customers + 1) * total_cents
+        |    AS gini_num,
+        |  n_customers * total_cents AS gini_den FROM a)
+        |SELECT *, gini_num // (gini_den // 1000) AS gini_milli
+        |FROM b""".stripMargin,
+
+    // Same cross-multiplied cumulative-share classes.
+    "abc_inventory_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM rev),
+        |cm AS (SELECT x,
+        |  CAST(sum(x) OVER (ORDER BY x DESC, l_partkey) AS BIGINT) AS cum
+        |  FROM rev),
+        |cl AS (SELECT x, total,
+        |  CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |       WHEN cum * 20 <= total * 19 THEN 'B'
+        |       ELSE 'C' END AS cls
+        |  FROM cm CROSS JOIN t)
+        |SELECT cls, count(*) AS n_parts,
+        |  CAST(sum(x) AS BIGINT) AS revenue_cents,
+        |  (1000 * CAST(sum(x) AS BIGINT)) // min(total) AS share_permille
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same kNN edges; per-vertex truncated BFS via bounded recursion,
+    // min-collapsed — an INDEPENDENT formulation of the hop sets.
+    "harmonic_centrality_3hop" ->
+      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |verts AS (SELECT DISTINCT vec_id AS v FROM embeddings),
+        |walk AS (
+        |  SELECT v AS src, v AS dst, 0 AS d FROM verts
+        |  UNION ALL
+        |  SELECT walk.src, s2.w AS dst, walk.d + 1
+        |  FROM walk JOIN sym2 s2 ON s2.v = walk.dst WHERE walk.d < 3),
+        |lab AS (SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2),
+        |cnts AS (SELECT src AS v,
+        |    CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n3
+        |  FROM lab GROUP BY 1)
+        |SELECT verts.v AS v, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+        |  coalesce(n3, 0) AS n3,
+        |  coalesce(n1, 0) * 6 + coalesce(n2, 0) * 3 + coalesce(n3, 0) * 2
+        |    AS harmonic_x6
+        |FROM verts LEFT JOIN cnts ON cnts.v = verts.v
+        |ORDER BY verts.v""".stripMargin,
+
+    // Same dense grid + literal level table.
+    "haar_wavelet_energy" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS eus,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |sp AS (SELECT min(eus) AS lo, max(eus) AS hi FROM e),
+        |b AS (
+        |  SELECT event_type, ((eus - lo) * 64) // (hi - lo + 1) AS bucket,
+        |    CAST(sum(cents) AS BIGINT) AS x
+        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, g.bucket, coalesce(b.x, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+        |  LEFT JOIN b ON b.event_type = t.event_type
+        |    AND b.bucket = g.bucket),
+        |terms AS (
+        |  SELECT event_type, lvl, bucket // (1 << lvl) AS p,
+        |    CASE WHEN (bucket // (1 << (lvl - 1))) % 2 = 1
+        |      THEN -x ELSE x END AS t
+        |  FROM grid CROSS JOIN (SELECT unnest(range(1, 7)) AS lvl) l),
+        |co AS (SELECT event_type, lvl, p, CAST(sum(t) AS BIGINT) AS c
+        |  FROM terms GROUP BY 1, 2, 3),
+        |mx AS (
+        |  SELECT event_type, lvl, count(*) AS n_coeffs,
+        |    CAST(sum(abs(c)) AS BIGINT) AS sum_abs_coeff,
+        |    CAST(max(abs(c)) AS BIGINT) AS max_abs_coeff
+        |  FROM co GROUP BY 1, 2),
+        |am AS (
+        |  SELECT co.event_type, co.lvl, min(co.p) AS argmax_parent
+        |  FROM co JOIN mx ON co.event_type = mx.event_type
+        |    AND co.lvl = mx.lvl AND abs(co.c) = mx.max_abs_coeff
+        |  GROUP BY 1, 2)
+        |SELECT mx.event_type, mx.lvl, n_coeffs, sum_abs_coeff,
+        |  max_abs_coeff, argmax_parent
+        |FROM mx JOIN am
+        |  ON am.event_type = mx.event_type AND am.lvl = mx.lvl
+        |ORDER BY mx.event_type, mx.lvl""".stripMargin,
+
+    // Same minimax characterization over prefix sums.
+    "isotonic_regression_daily" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y,
+        |    count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |di AS (SELECT day, y, n,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM d),
+        |d0 AS (SELECT idx, y, n FROM di
+        |  UNION ALL SELECT 0, 0, 0),
+        |p AS (SELECT idx,
+        |  CAST(sum(y) OVER (ORDER BY idx) AS BIGINT) AS sc,
+        |  CAST(sum(n) OVER (ORDER BY idx) AS BIGINT) AS nc
+        |  FROM d0),
+        |a AS (
+        |  SELECT pj.idx + 1 AS j, pk.idx AS k,
+        |    CAST(pk.sc - pj.sc AS DOUBLE)
+        |      / CAST(pk.nc - pj.nc AS DOUBLE) AS avgv
+        |  FROM p pj JOIN p pk ON pk.idx >= pj.idx + 1),
+        |im AS (
+        |  SELECT di.idx AS i, a.j, min(avgv) AS m
+        |  FROM a JOIN di ON a.j <= di.idx AND a.k >= di.idx
+        |  GROUP BY 1, 2),
+        |f AS (SELECT i, max(m) AS fitted FROM im GROUP BY 1)
+        |SELECT strftime(di.day, '%Y-%m-%d') AS day, di.n AS n_events,
+        |  di.y AS day_sum_cents,
+        |  CAST(floor(fitted * 1000) AS BIGINT) AS fitted_milli
+        |FROM di JOIN f ON f.i = di.idx
+        |ORDER BY day""".stripMargin,
+
+    "hilbert_layout_events" -> hilbertOracleSql
   )
 }
