@@ -7930,6 +7930,935 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("hd").as("min_key"),
           max("hd").as("max_key"), sum("hd").as("key_sum"))
         .orderBy("key_bucket")
+    },
+
+    // B-cubed cluster-quality evaluation (Bagga & Baldwin '98) of cheap
+    // (lang, length-bucket) BLOCKING used as a stand-in clustering,
+    // judged against the exact near-dup components as gold — "how much
+    // precision does blocking-as-clustering give up" (answer: most of
+    // it; recall stays high because near-identical docs share buckets).
+    // Per-item P/R = cell/|C|, cell/|L| need only the (block, component)
+    // contingency cells and the two size tables — three aggregates, no
+    // per-pair work. Emitted as Σ over items of floor(1000·p_i) — items
+    // in the same cell share the same floor, so the cell-weighted sum
+    // is exact. The oracle rebuilds gold from the all-pairs Jaccard
+    // closure (independent of the engine's LSH+components path).
+    "bcubed_blocking_eval" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      val comp = graft.ops.Components.connectedComponents(pairs)
+        .withColumnRenamed("v", "doc_id")
+      val lbl = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          concat_ws("_", col("lang"), expr("n_chars DIV 256")).as("cid"),
+          coalesce(col("comp"), col("doc_id")).as("lid"))
+      val sized = lbl
+        .join(lbl.groupBy("cid").agg(count(lit(1)).as("nc")), "cid")
+        .join(lbl.groupBy("lid").agg(count(lit(1)).as("nl")), "lid")
+      sized.groupBy("cid", "lid", "nc", "nl")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum("m").as("n_docs"),
+          sum(col("m") * expr("(1000 * m) DIV nc"))
+            .as("precision_milli_sum"),
+          sum(col("m") * expr("(1000 * m) DIV nl"))
+            .as("recall_milli_sum"))
+        .select(col("n_docs"), col("precision_milli_sum"),
+          col("recall_milli_sum"),
+          expr("precision_milli_sum DIV n_docs").as("avg_precision_milli"),
+          expr("recall_milli_sum DIV n_docs").as("avg_recall_milli"))
+    },
+
+    // Per-edge triangle support over the kNN graph — the k-truss
+    // building block (edge is in the k-truss iff support ≥ k−2): for
+    // each undirected edge (a,b), the number of common neighbors, via
+    // two equi-joins through the symmetric adjacency (self-loops absent
+    // so a,b never count themselves). Support-0 edges survive through
+    // the left join — dropping them silently is the classic bug this
+    // histogram would hide. Output is the support distribution with id
+    // checksums.
+    "edge_triangle_support" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+      val cn = und
+        .join(sym.select(col("v").as("a"), col("w").as("x")), "a")
+        .join(sym.select(col("v").as("b"), col("w").as("x")), Seq("b", "x"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      und.join(cn, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("support"))
+        .groupBy("support")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("a") + col("b")).as("edge_checksum"))
+        .orderBy("support")
+    },
+
+    // Merkle partition tree over the 32-slot daily calendar (30 data
+    // days + 2 padding leaves): leaf = md5 of the day's aggregate
+    // fingerprint (count | cents sum | id sum), parent = md5 of
+    // "left|right" — the incremental-sync primitive: two replicas
+    // compare roots, then walk only the divergent subtree (log₂ 32 = 5
+    // probes) instead of diffing 30 partitions. Everything is hex-
+    // string md5 chaining — no integer hash representation to diverge
+    // between engines — and padding leaves hash their marker, so tree
+    // shape is fixed. Five groupBy stages over ≤32 rows; the leaf
+    // aggregate is the only data-sized pass.
+    "merkle_tree_days" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).as("sc"),
+          sum(col("event_id")).as("se"))
+      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          col("n"), col("sc"), col("se"))
+      val leaves = s.range(32).select(col("id").as("idx"))
+        .join(base, Seq("idx"), "left")
+        .select(col("idx"),
+          when(col("n").isNull,
+            md5(concat_ws("|", lit("E"), col("idx"))))
+          .otherwise(md5(concat_ws("|", lit("L"), col("idx"), col("n"),
+            col("sc"), col("se")))).as("h"))
+      var nodes = leaves
+      var out = leaves.withColumn("level", lit(0))
+      for (l <- 1 to 5) {
+        // group key aliased "p", NOT "idx": the parity test inside the
+        // aggregate must see the CHILD's idx, not the parent's.
+        nodes = nodes.groupBy(expr("idx DIV 2").as("p"))
+          .agg(md5(concat_ws("|",
+            min(when(col("idx") % 2 === 0, col("h"))),
+            min(when(col("idx") % 2 === 1, col("h"))))).as("h"))
+          .select(col("p").as("idx"), col("h"))
+        out = out.union(nodes.withColumn("level", lit(l)))
+      }
+      out.select(col("level"), col("idx"), col("h").as("node_hash"))
+        .orderBy("level", "idx")
+    },
+
+    // Difference-in-differences: users who signed up during the
+    // "campaign" window (days 10–19) vs everyone else, purchase value
+    // before (days 0–9) vs after (days 20+). All four cell components
+    // are exact integers; the DiD point estimate is four IEEE quotients
+    // combined and floored to milli-cents — identical across engines
+    // because each quotient is a single division of exact sums. The
+    // standard pre/post × treat/control causal readout, one scan + one
+    // broadcast semi-join.
+    "diff_in_diff_components" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .crossJoin(broadcast(Tables.events(s, d)
+          .agg(min(to_date(col("ts"))).as("d0"))))
+        .select(col("user_id"), col("event_type"),
+          datediff(to_date(col("ts")), col("d0")).as("day"),
+          floor(col("value") * 100).as("cents"))
+      val treated = ev.filter(col("event_type") === "signup" &&
+          col("day") >= 10 && col("day") < 20)
+        .select(col("user_id")).distinct().withColumn("tr", lit(1))
+      val cells = ev.filter(col("event_type") === "purchase" &&
+          (col("day") < 10 || col("day") >= 20))
+        .join(broadcast(treated), Seq("user_id"), "left")
+        .select(when(col("tr").isNotNull, "T").otherwise("C").as("grp"),
+          when(col("day") < 10, "pre").otherwise("post").as("period"),
+          col("cents"))
+        .groupBy("grp", "period")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      def cell(g: String, p: String, c: String) =
+        min(when(col("grp") === g && col("period") === p, col(c)))
+      cells.agg(
+          cell("T", "pre", "n").as("t_pre_n"),
+          cell("T", "pre", "sc").as("t_pre_cents"),
+          cell("T", "post", "n").as("t_post_n"),
+          cell("T", "post", "sc").as("t_post_cents"),
+          cell("C", "pre", "n").as("c_pre_n"),
+          cell("C", "pre", "sc").as("c_pre_cents"),
+          cell("C", "post", "n").as("c_post_n"),
+          cell("C", "post", "sc").as("c_post_cents"))
+        .withColumn("did_milli", floor(lit(1000.0) *
+          ((col("t_post_cents").cast("double") / col("t_post_n") -
+            col("t_pre_cents").cast("double") / col("t_pre_n")) -
+           (col("c_post_cents").cast("double") / col("c_post_n") -
+            col("c_pre_cents").cast("double") / col("c_pre_n"))))
+          .cast("long"))
+    },
+
+    // Split conformal prediction interval per event type (Vovk;
+    // Lei et al. JASA'18): calibration = days 0–14, point predictor =
+    // lower-median of calibration cents, score = |x − med|, radius =
+    // the ⌈0.9(n+1)⌉-th smallest score (the finite-sample-valid rank,
+    // clamped to n), then EMPIRICAL COVERAGE measured on the held-out
+    // days 15+ in permille. Every step is an exact integer rank
+    // selection — no quantile interpolation, no floats anywhere — so
+    // the distribution-free ≥90% guarantee is checkable: covered
+    // permille lands near 900 for every type. Per-type windows over
+    // the calibration split only.
+    "conformal_interval_per_type" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .crossJoin(broadcast(Tables.events(s, d)
+          .agg(min(to_date(col("ts"))).as("d0"))))
+        .select(col("event_type"), col("event_id"),
+          datediff(to_date(col("ts")), col("d0")).as("day"),
+          floor(col("value") * 100).as("cents"))
+      val cal = ev.filter(col("day") < 15)
+      val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val wMed = Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+      val med = cal.withColumn("rn", row_number().over(wMed))
+        .join(broadcast(nCal), "event_type")
+        .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
+        .select(col("event_type"), col("n_cal"),
+          col("cents").as("median_cents"))
+      val resid = cal.join(broadcast(med), "event_type")
+        .withColumn("r", abs(col("cents") - col("median_cents")))
+      val wQ = Window.partitionBy("event_type").orderBy("r", "event_id")
+      val q = resid.withColumn("qs", row_number().over(wQ))
+        .filter(col("qs") ===
+          expr("least(n_cal, (9 * n_cal + 18) DIV 10)"))
+        .select(col("event_type"), col("r").as("q_resid"))
+      val bounds = med.join(q, "event_type")
+      ev.filter(col("day") >= 15)
+        .join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(first("n_cal").as("n_cal"),
+          first("median_cents").as("median_cents"),
+          first("q_resid").as("q_resid"),
+          count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - col("median_cents")) <=
+            col("q_resid"), 1L).otherwise(0L)).as("n_covered"))
+        .withColumn("coverage_permille",
+          expr("(1000 * n_covered) DIV n_test"))
+        .orderBy("event_type")
+    },
+
+    // Longest strictly-increasing run of daily revenue — the gaps-and-
+    // islands streak readout: run groups are idx minus the running
+    // count of "up" days (a new group starts at every non-up day), the
+    // winner is max(struct(len, −start)) for earliest-start ties.
+    // Windows run over the 30-row daily aggregate.
+    "longest_growth_streak" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100)).as("rev"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      val flagged = daily
+        .withColumn("up",
+          when(col("rev") > lag("rev", 1).over(Window.orderBy("idx")), 1L)
+            .otherwise(0L))
+        .withColumn("grp", col("idx") -
+          sum("up").over(Window.orderBy("idx")))
+      val streaks = flagged.groupBy("grp")
+        .agg(count(lit(1)).as("len"),
+          min("idx").as("start_idx"),
+          date_format(min("day"), "yyyy-MM-dd").as("start_day"),
+          date_format(max("day"), "yyyy-MM-dd").as("end_day"),
+          // endpoint values via idx-ordered struct extrema — first/last
+          // inside groupBy are order-nondeterministic, never use them
+          (max(struct(col("idx"), col("rev")))("rev") -
+            min(struct(col("idx"), col("rev")))("rev")).as("growth_cents"))
+      streaks.agg(count(lit(1)).as("n_streaks"),
+          max(struct(col("len").as("l"), (-col("start_idx")).as("ns"),
+            struct(col("start_day"), col("end_day"), col("growth_cents"))
+              .as("pick"))).as("w"))
+        .select(col("n_streaks"), col("w.l").as("streak_len_days"),
+          col("w.pick.start_day").as("start_day"),
+          col("w.pick.end_day").as("end_day"),
+          col("w.pick.growth_cents").as("growth_cents"))
+    },
+
+    // Bin-packing bounds audit for corpus sharding at cap=1024 chars:
+    // the straddling packer achieves exactly L1 = ⌈S/cap⌉ (its
+    // optimality certificate), the Martello-Toth L2 bound prices the
+    // NO-SPLIT constraint (big items >cap/2 monopolize bins; small
+    // mass beyond their free space forces more), and per-source
+    // packing pays up to one extra partial pack per source — the
+    // fragmentation cost of shard-local packing quantified exactly.
+    // All ceilings via (a + cap − 1) DIV cap; one row.
+    "binpack_fragmentation_audit" -> { (s, d) =>
+      val cap = 1024L
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+      val bySrc = docs.groupBy("source")
+        .agg(sum("n_chars").as("sc"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr(s"(sc + $cap - 1) DIV $cap")).as("per_source_packs"))
+      val glob = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum(when(col("n_chars") > cap / 2, 1L).otherwise(0L))
+            .as("big_items"),
+          sum(when(col("n_chars") > cap / 2, lit(cap) - col("n_chars"))
+            .otherwise(0L)).as("big_free"),
+          sum(when(col("n_chars") <= cap / 2, col("n_chars"))
+            .otherwise(0L)).as("small_mass"))
+        .withColumn("l1", expr(s"(total_chars + $cap - 1) DIV $cap"))
+        .withColumn("l2", col("big_items") +
+          expr(s"(greatest(0L, small_mass - big_free) + $cap - 1) DIV $cap"))
+      glob.crossJoin(broadcast(bySrc))
+        .select(col("n_docs"), col("total_chars"), col("l1"),
+          col("big_items"), col("l2"), col("n_sources"),
+          col("per_source_packs"),
+          (col("per_source_packs") - col("l1"))
+            .as("fragmentation_extra_packs"))
+    },
+
+    // Newman modularity components of the LABEL partition on the kNN
+    // graph — "do the embedding labels explain the graph's community
+    // structure": per label c, intra-edge count L_c, degree mass D_c,
+    // and the cross-multiplied contribution 4m·L_c − D_c² (so
+    // Q = Σ contrib / 4m² with no fractions; the signed quotient is
+    // the caller's — engines disagree on negative integer division
+    // semantics, so it is NOT emitted). Labels cluster the vectors
+    // that the kNN edges follow, so contributions are strongly
+    // positive — the partition genuinely explains the graph.
+    "modularity_label_partition" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val lbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val m = und.agg(count(lit(1)).as("m_edges"))
+      val intra = und
+        .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
+        .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .join(lbl.withColumnRenamed("vec_id", "v"), "v")
+        .groupBy("label").agg(count(lit(1)).as("degree_sum"))
+      deg.join(intra, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"))
+        .crossJoin(broadcast(m))
+        .withColumn("contrib_num",
+          lit(4L) * col("m_edges") * col("intra_edges") -
+            col("degree_sum") * col("degree_sum"))
+        .select("label", "intra_edges", "degree_sum", "m_edges",
+          "contrib_num")
+        .orderBy("label")
+    },
+
+    // In-batch negative collision audit for contrastive training:
+    // vectors land in 16 hash batches (the same Knuth multiplicative
+    // assignment as sample_split — engine-neutral integer arithmetic),
+    // and within each batch the share of same-label pairs is what a
+    // random in-batch negative sampler would collide with. Collision
+    // permille ≈ the label prior (~100‰ at 10 balanced labels) — the
+    // quantified argument for hard-negative mining over in-batch
+    // negatives. Same-label pairs per batch = Σ_c C(n_c,2), no pair
+    // join anywhere.
+    "inbatch_negative_collisions" -> { (s, d) =>
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("(vec_id * 2654435761) % 4294967296 % 16").as("batch"))
+      val cells = b.groupBy("batch", "label").agg(count(lit(1)).as("nc"))
+      cells.groupBy("batch")
+        .agg(sum("nc").as("n"),
+          sum(expr("nc * (nc - 1) DIV 2")).as("same_label_pairs"))
+        .withColumn("total_pairs", expr("n * (n - 1) DIV 2"))
+        .withColumn("collision_permille",
+          expr("(1000 * same_label_pairs) DIV total_pairs"))
+        .orderBy("batch")
+    },
+
+    // Cross-method near-dup agreement: the MinHash/Jaccard pair set vs
+    // the SimHash/Hamming pair set on the same corpus, full-outer
+    // joined — both/minhash_only/simhash_only counts with id
+    // checksums. On this corpus SimHash≤8 is the looser net (~400
+    // extra pairs at sf0.01: the 31-word shared vocab keeps weighted
+    // bit majorities close even for unrelated docs) while 2 true
+    // near-dup pairs slip past it — exactly the method-selection
+    // evidence a dedup pipeline owner needs. Reuses both production
+    // paths; the oracle recomputes both from first principles
+    // (all-pairs Jaccard, md5 SimHash).
+    "neardup_method_agreement" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashExactPairs(docs, "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+        .select(col("id1"), col("id2")).withColumn("in_m", lit(1))
+      val sh = Dedup.simhashPairs(docs, "text", "doc_id",
+          maxDistance = 8, tokenHash = Dedup.md5Hash64)
+        .select(col("id1"), col("id2")).withColumn("in_s", lit(1))
+      mh.join(sh, Seq("id1", "id2"), "full_outer")
+        .select(
+          when(col("in_m").isNotNull && col("in_s").isNotNull, "both")
+            .when(col("in_m").isNotNull, "minhash_only")
+            .otherwise("simhash_only").as("cls"),
+          col("id1"), col("id2"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id1") + col("id2")).as("id_checksum"))
+        .orderBy("cls")
+    },
+
+    // Robust scale estimators side by side on the daily-revenue series:
+    // MAD (lower-median of |x − median|) and the Rousseeuw-Croux Qn
+    // (the C(h,2)-th smallest pairwise |xi − xj|, h = n DIV 2 + 1) —
+    // Qn needs no location estimate and reaches 82% Gaussian
+    // efficiency vs MAD's 37%, which is why it exists. Every step is
+    // an exact integer rank selection; the pairwise stage is days²,
+    // calendar-bounded, broadcast.
+    "robust_scale_qn_mad" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100)).as("x"))
+        .cache()
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      val med = daily.withColumn("rn", row_number().over(
+          Window.orderBy("x", "day")))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_days + 1) DIV 2"))
+        .select(col("n_days"), col("x").as("median_cents"))
+      val mad = daily.crossJoin(broadcast(med))
+        .withColumn("r", abs(col("x") - col("median_cents")))
+        .withColumn("rn", row_number().over(Window.orderBy("r", "day")))
+        .filter(col("rn") === expr("(n_days + 1) DIV 2"))
+        .select(col("n_days"), col("median_cents"),
+          col("r").as("mad_cents"))
+      val diffs = daily.select(col("day").as("da"), col("x").as("xa"))
+        .join(broadcast(daily.select(col("day").as("db"),
+          col("x").as("xb"))), col("da") < col("db"))
+        .select(abs(col("xa") - col("xb")).as("pd"), col("da"), col("db"))
+      val qn = diffs.withColumn("rn",
+          row_number().over(Window.orderBy("pd", "da", "db")))
+        .crossJoin(broadcast(n.select(col("n_days").as("nd"))))
+        .withColumn("n_pairs", expr("nd * (nd - 1) DIV 2"))
+        .withColumn("k_rank",
+          expr("(nd DIV 2 + 1) * (nd DIV 2) DIV 2"))
+        .filter(col("rn") === col("k_rank"))
+        .select(col("n_pairs"), col("k_rank"), col("pd").as("qn_cents"))
+      mad.crossJoin(broadcast(qn))
+    },
+
+    // Exact 1-Wasserstein (earth mover's) distance between every pair
+    // of event-type value distributions over a shared 64-bucket
+    // histogram, cross-multiplied to integers: EMD·N_a·N_b =
+    // Σ_buckets |CDF_a·N_b − CDF_b·N_a| (bucket-width units). The
+    // dense per-type grid is mandatory — a missing bucket row would
+    // silently skip its |ΔCDF| term. The distributional-drift metric
+    // that KS's max-gap understates; 10 pair rows, integer permille.
+    "wasserstein_histogram_exact" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val span = ev.agg(min("cents").as("lo"), max("cents").as("hi"))
+      val hist = ev.crossJoin(broadcast(span))
+        .withColumn("bucket",
+          expr("((cents - lo) * 64) DIV (hi - lo + 1)"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val grid = hist.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
+        .join(hist, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("cdf", sum("cnt").over(Window
+          .partitionBy("event_type").orderBy("bucket")))
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("ntot"))
+      val g = grid.join(tot, "event_type")
+      g.select(col("event_type").as("type_a"), col("bucket"),
+          col("cdf").as("ca"), col("ntot").as("na"))
+        .join(g.select(col("event_type").as("type_b"), col("bucket"),
+          col("cdf").as("cb"), col("ntot").as("nb")), Seq("bucket"))
+        .filter(col("type_a") < col("type_b"))
+        .filter(col("bucket") < 63)
+        .groupBy("type_a", "type_b")
+        .agg(first("na").as("n_a"), first("nb").as("n_b"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("emd_num"))
+        .withColumn("emd_den", col("n_a") * col("n_b"))
+        .withColumn("emd_milli_buckets",
+          expr("(1000 * emd_num) DIV emd_den"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Randomization test for the purchase-vs-click mean gap: 200
+    // DETERMINISTIC label reassignments (Knuth hash of event_id mixed
+    // with the permutation index — reproducible on any engine, no RNG),
+    // p-value = share of reassignments whose |mean diff| reaches the
+    // observed one, with the add-one finite-sample convention. Group
+    // sums stay exact integers; each mean is ONE IEEE division of
+    // exact sums, so the double comparison is bit-identical across
+    // engines (the fully-integer cross-multiplied comparison overflows
+    // BIGINT at sf0.1 — |S·n|·n_A·n_B tops ~3e21 — documented, not
+    // attempted). One scan → 200× fan-out → one aggregate.
+    "permutation_test_exact" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).as("cents"))
+      val obs = ev.agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("sa"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "click", col("cents"))
+            .otherwise(0L)).as("sb"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("nb"))
+        .select((col("sa") + col("sb")).as("total_cents"),
+          (col("na") + col("nb")).as("n_events"),
+          abs(col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / col("nb")).as("obs_stat"))
+      val perms = ev.crossJoin(broadcast(
+          s.range(200).select(col("id").as("perm"))))
+        .withColumn("side", expr(
+          "((event_id * 2654435761 + perm * 40503) % 4294967296) % 2"))
+        .groupBy("perm")
+        .agg(sum(when(col("side") === 0, col("cents")).otherwise(0L))
+          .as("sa"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, col("cents")).otherwise(0L))
+            .as("sb"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("perm"),
+          abs(col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / col("nb")).as("stat"))
+      perms.crossJoin(broadcast(obs))
+        .agg(first("n_events").as("n_events"),
+          floor(first("obs_stat") * 1000).cast("long")
+            .as("obs_diff_milli"),
+          count(lit(1)).as("b_perms"),
+          sum(when(col("stat") >= col("obs_stat"), 1L).otherwise(0L))
+            .as("n_ge"))
+        .withColumn("p_permille",
+          expr("(1000 * (n_ge + 1)) DIV (b_perms + 1)"))
+    },
+
+    // Quantile DEFINITION audit at p50/p90 per event type: nearest-rank
+    // (percentile_disc's ceil), the lower type-1 value, and linear
+    // interpolation held EXACT by the ×100 trick — interp×100 =
+    // 100·x_k + r·(x_{k+1} − x_k) with r = (n−1)·p mod 100 — so three
+    // "the median" answers that genuinely differ sit side by side with
+    // no float interpolation anywhere. The practical complement of
+    // rank_semantics_audit: same English, three numbers.
+    "quantile_semantics_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).as("cents"))
+      val ranked = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("cents", "event_id")))
+      val targets = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(s.range(2)
+          .select((col("id") * 40 + 50).as("p"))))
+        .withColumn("k_disc", expr("(p * n + 99) DIV 100"))
+        .withColumn("k_low", expr("1 + ((n - 1) * p) DIV 100"))
+        .withColumn("r", expr("((n - 1) * p) % 100"))
+        .withColumn("k_high",
+          expr("least(n, k_low + CASE WHEN r > 0 THEN 1 ELSE 0 END)"))
+      targets
+        .join(ranked.select(col("event_type").as("et1"), col("rn"),
+          col("cents").as("x_disc")),
+          col("event_type") === col("et1") && col("k_disc") === col("rn"))
+        .drop("et1", "rn")
+        .join(ranked.select(col("event_type").as("et2"), col("rn"),
+          col("cents").as("x_low")),
+          col("event_type") === col("et2") && col("k_low") === col("rn"))
+        .drop("et2", "rn")
+        .join(ranked.select(col("event_type").as("et3"), col("rn"),
+          col("cents").as("x_high")),
+          col("event_type") === col("et3") && col("k_high") === col("rn"))
+        .drop("et3", "rn")
+        .select(col("event_type"), col("p"), col("n"),
+          col("x_disc").as("disc_cents"),
+          col("x_low").as("lower_cents"),
+          (lit(100L) * col("x_low") +
+            col("r") * (col("x_high") - col("x_low")))
+            .as("interp_cents_x100"))
+        .orderBy("event_type", "p")
+    },
+
+    // Madow systematic PPS sampling: exactly k=100 draws, inclusion
+    // proportional to n_chars, via equally-spaced thresholds
+    // t_j = (2j+1)·W/2k walked through the cumulative-weight line —
+    // multiplicity of doc i is c(W_i) − c(W_{i−1}) with
+    // c(x) = clamp((2k·x + W − 1) DIV 2W, 0, k), pure integer floors
+    // (Σ multiplicities = k by construction — the exact-size guarantee
+    // Bernoulli weighted sampling can't give). The cumulative window
+    // runs over doc METADATA (id, chars); oversized docs (w > W/k)
+    // surface as multiplicity > 1 rather than silently capping.
+    "pps_systematic_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 100L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("wcum", sum("n_chars").over(Window.orderBy("doc_id")))
+      val tot = docs.agg(max("wcum").as("w"))
+      docs.crossJoin(broadcast(tot))
+        .withColumn("c_hi", expr(
+          s"least($k, greatest(0L, (2 * $k * wcum + w - 1) DIV (2 * w)))"))
+        .withColumn("c_lo", expr(s"least($k, greatest(0L, " +
+          s"(2 * $k * (wcum - n_chars) + w - 1) DIV (2 * w)))"))
+        .withColumn("multiplicity", col("c_hi") - col("c_lo"))
+        .filter(col("multiplicity") >= 1)
+        .select(col("doc_id"), col("n_chars"), col("multiplicity"))
+        .orderBy("doc_id")
+    },
+
+    // NDCG@5 with LINEAR (harmonic) discounts kept rational: gains
+    // scaled by 60 = lcm(2..6) make every discount an integer
+    // (30,20,15,12,10), so DCG×60 is exact — the log2 discount of
+    // classic NDCG is irrational and can't be hash-checked; the linear
+    // variant ranks retrieval quality identically at k=5. Relevance =
+    // same-label under the IVF-celled kNN retrieval; ideal DCG is the
+    // constant 87 (≥5 relevant exist corpus-wide for every label).
+    // Per-label mean NDCG in integer milli — the retrieval-eval
+    // complement of ann_mrr_hit_at_k.
+    "ndcg_linear_discount" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val knn = graft.ops.KnnGraph.inCells(emb, cents, k = 5)
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val gains = knn
+        .join(lbl.select(col("vec_id").as("src"), col("label").as("ls")),
+          "src")
+        .join(lbl.select(col("vec_id").as("dst"), col("label").as("ld")),
+          "dst")
+        .withColumn("w", expr("""CASE rank WHEN 1 THEN 30 WHEN 2 THEN 20
+          WHEN 3 THEN 15 WHEN 4 THEN 12 ELSE 10 END"""))
+        .withColumn("g",
+          when(col("ls") === col("ld"), col("w")).otherwise(lit(0)))
+      gains.groupBy("src")
+        .agg(min("ls").as("label"), sum("g").as("dcg"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_queries"), sum("dcg").as("sum_dcg_x60"))
+        .withColumn("mean_ndcg_milli",
+          expr("(1000 * sum_dcg_x60) DIV (87 * n_queries)"))
+        .orderBy("label")
+    },
+
+    // Sparse-vector / AboveThreshold replay (Dwork & Roth Alg. 1, the
+    // non-refreshing variant): daily event counts probed against a
+    // noisy threshold (mean count + two-sided geometric noise — the
+    // same trailing-zeros-of-keyed-md5 mechanism as
+    // dp_geometric_noise_histogram, deterministic so the MECHANISM is
+    // hash-checkable), per-day query noise keyed by the date string,
+    // and only the FIRST 5 above-threshold days are released — the
+    // privacy win of SVT is that the non-released comparisons cost
+    // nothing. Threshold refresh after each release is the sequential
+    // part deliberately traded away; documented, standard composition.
+    "dp_sparse_vector_replay" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      def tz(seed: String, key: Column): Column = {
+        val h = md5h(concat(lit(seed), key)).bitwiseAND(lit(Long.MaxValue))
+        (length(conv(h.bitwiseAND(-h), 10, 2)) - 1).cast("long")
+      }
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("true_count"))
+      // integer mean via DIV: Spark's `/` then cast truncates while
+      // DuckDB's CAST(double) rounds — floor division sidesteps both
+      val thr = daily.agg(sum("true_count").as("s"),
+          count(lit(1)).as("n"))
+        .select(expr("s DIV n").as("t"))
+        .select(col("t"),
+          (col("t") + tz("svtT1|", lit("T")) - tz("svtT2|", lit("T")))
+            .as("tn"))
+      daily.crossJoin(broadcast(thr))
+        .withColumn("noisy_count", col("true_count") +
+          tz("svtq1|", col("day")) - tz("svtq2|", col("day")))
+        .filter(col("noisy_count") >= col("tn"))
+        .withColumn("hit_rank", row_number().over(Window.orderBy("day")))
+        .filter(col("hit_rank") <= 5)
+        .select(col("day"), col("true_count"), col("noisy_count"),
+          col("t").as("threshold"), col("tn").as("noisy_threshold"),
+          col("hit_rank"))
+        .orderBy("day")
+    },
+
+    // Order fill-rate (OTIF): per order, were ALL lines shipped within
+    // 7 days of the order date — full / partial / none per priority
+    // class, with the on-time-in-full permille. The line→order
+    // classification is one equi-join + two-level aggregate; the
+    // conditional counts make the three classes from one pass.
+    "order_fill_rate" -> { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      val perOrder = j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate") <=
+            col("o_orderdate") + expr("INTERVAL 7 DAY"), 1L)
+            .otherwise(0L)).as("n_fast"))
+        .withColumn("cls",
+          when(col("n_fast") === col("n_lines"), "full7")
+            .when(col("n_fast") > 0, "partial7").otherwise("none7"))
+      perOrder.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("cls") === "full7", 1L).otherwise(0L)).as("full7"),
+          sum(when(col("cls") === "partial7", 1L).otherwise(0L))
+            .as("partial7"),
+          sum(when(col("cls") === "none7", 1L).otherwise(0L)).as("none7"))
+        .withColumn("otif_permille", expr("(1000 * full7) DIV n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // IVF recall-vs-probes tuning curve: the 16 benchmark queries
+    // retrieved at nProbe ∈ {1,2,4,8}, recall@10 against the in-query
+    // exact top-10 — the monotone table an ANN operator is tuned from
+    // (recall climbs toward 1000‰ as probes widen; the knee picks the
+    // production setting). Query-cell ranks are computed once at the
+    // widest probe depth and filtered per config, so the whole sweep
+    // is ONE candidate join + one window, not four retrieval runs.
+    "ivf_recall_curve" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val sim = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("s"))
+      val wCell = Window.partitionBy("vec_id").orderBy(desc("s"), col("cid"))
+      val corpusCell = sim.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1).select(col("vec_id").as("tid"), col("cid"))
+      val qcells = sim.filter(col("vec_id").between(100, 115))
+        .withColumn("crank", row_number().over(wCell))
+        .filter(col("crank") <= 8)
+        .select(col("vec_id").as("qid"), col("cid"), col("crank"))
+      val qs = emb.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("tid"),
+          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("s"))
+        .cache()
+      val wQ = Window.partitionBy("qid").orderBy(desc("s"), col("tid"))
+      val exact = ex.withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 10).select(col("qid"), col("tid"))
+      val configs = s.range(4)
+        .select(expr("shiftleft(1, CAST(id AS INT))").as("np"))
+      val retrieved = ex
+        .join(qcells, "qid")
+        .join(corpusCell, Seq("tid", "cid"))
+        .crossJoin(broadcast(configs))
+        .filter(col("crank") <= col("np"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("np", "qid").orderBy(desc("s"), col("tid"))))
+        .filter(col("rk") <= 10)
+        .select(col("np"), col("qid"), col("tid"))
+      retrieved.join(exact, Seq("qid", "tid"))
+        .groupBy("np").agg(count(lit(1)).as("sum_hits"))
+        .withColumn("n_queries", lit(16L))
+        .withColumn("recall_permille",
+          expr("(1000 * sum_hits) DIV (10 * n_queries)"))
+        .select("np", "n_queries", "sum_hits", "recall_permille")
+        .orderBy("np")
+    },
+
+    // Train/test contamination under two split designs on the SAME
+    // near-dup pair graph: a 90/10 hash split vs a 90/10 id-order
+    // (temporal proxy) split — crossing pairs are test examples whose
+    // near-duplicate sits in train, i.e. silent eval inflation. The
+    // point of the comparison: random splitting scatters duplicate
+    // clusters across the boundary while an order-correlated split
+    // keeps them together (near-dups have nearby ids in this corpus).
+    "split_leakage_comparison" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      val mx = docs.agg(max("doc_id").as("mx"))
+      def randTrain(c: Column): Column =
+        (c * 2654435761L % 4294967296L % 1000000L) < 900000L
+      pairs.crossJoin(broadcast(mx))
+        .select(
+          (randTrain(col("id1")) =!= randTrain(col("id2")))
+            .as("cross_random"),
+          ((col("id1") * 10 < (col("mx") + 1) * 9) =!=
+            (col("id2") * 10 < (col("mx") + 1) * 9)).as("cross_temporal"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cross_random"), 1L).otherwise(0L))
+            .as("random_crossing"),
+          sum(when(col("cross_temporal"), 1L).otherwise(0L))
+            .as("temporal_crossing"))
+        .withColumn("random_leak_permille",
+          expr("(1000 * random_crossing) DIV n_pairs"))
+        .withColumn("temporal_leak_permille",
+          expr("(1000 * temporal_crossing) DIV n_pairs"))
+    },
+
+    // Rich-club coefficient of the kNN graph: for each degree
+    // threshold k, the density among nodes of degree > k —
+    // φ(k)·1000 = 2000·E_k / (N_k(N_k−1)) in integers. Rising φ(k)
+    // means hubs preferentially interconnect (a "rich club"); the
+    // hub-structure diagnostic that degree assortativity summarizes
+    // to one number. Degrees from one aggregate; the 8-threshold
+    // sweep is conditional sums, not 8 graph passes.
+    "rich_club_coefficient" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val ks = s.range(1, 9).select(col("id").as("k"))
+      val nk = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .crossJoin(broadcast(ks))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .withColumn("phi_permille",
+          expr("""CASE WHEN n_nodes >= 2
+            THEN (2000 * n_edges) DIV (n_nodes * (n_nodes - 1))
+            ELSE 0 END"""))
+        .orderBy("k")
+    },
+
+    // Budget-constrained curation as FRACTIONAL knapsack (greedy by
+    // value density is provably optimal for the LP relaxation — the
+    // optimality certificate ships with the answer): maximize distinct-
+    // token value under a 10%-of-corpus character budget. Density
+    // ordering uses one IEEE quotient per doc (deterministic); sums and
+    // the fractional tail stay integer (milli for the split item). The
+    // cumulative window runs over doc metadata, and the LP bound =
+    // greedy value means any integer packer can be audited against
+    // this exact ceiling.
+    "budget_curation_knapsack" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(Dedup.tokens(col("text")))).cast("long")
+            .as("v"))
+      val budget = docs.agg((sum("n_chars")).as("tc"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_docs"), expr("tc DIV 10").as("budget_chars"))
+      val ordered = docs
+        .withColumn("cum", sum("n_chars").over(Window.orderBy(
+          (col("v").cast("double") / col("n_chars")).desc, col("doc_id"))))
+        .crossJoin(broadcast(budget))
+      val full = ordered.filter(col("cum") <= col("budget_chars"))
+        .agg(count(lit(1)).as("n_selected_full"),
+          sum("v").as("full_value"), sum("n_chars").as("full_chars"))
+      // aggregate form so a budget landing exactly on an item boundary
+      // (no fractional row) still yields one output row, not zero
+      val frac = ordered
+        .filter(col("cum") - col("n_chars") < col("budget_chars") &&
+          col("cum") > col("budget_chars"))
+        .agg(coalesce(min("doc_id"), lit(-1L)).as("frac_doc_id"),
+          coalesce(min(expr("""(1000 * v * (budget_chars - (cum - n_chars)))
+            DIV n_chars""")), lit(0L)).as("frac_value_milli"))
+      budget.crossJoin(broadcast(full))
+        .crossJoin(broadcast(frac))
+        .select(col("n_docs"), col("budget_chars"),
+          col("n_selected_full"), col("full_value"), col("full_chars"),
+          col("frac_doc_id"), col("frac_value_milli"),
+          (col("full_value") * 1000 + col("frac_value_milli"))
+            .as("lp_bound_milli"))
+    },
+
+    // Pairwise source-similarity matrix: total-variation distance
+    // between every two sources' token distributions, exact by
+    // cross-multiplication over the DENSE source×token grid (this
+    // corpus's open vocabulary is bounded, so the grid is small; the
+    // dense join is again the correctness trap — a token absent from
+    // one source still contributes its full mass term). The "which
+    // crawls duplicate which" triage matrix; 190 pair rows, integer
+    // permille.
+    "source_similarity_tvd_matrix" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"), explode(Dedup.tokens(col("text")))
+          .as("tok"))
+      val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val grid = cnt.select("source").distinct()
+        .crossJoin(cnt.select("tok").distinct())
+        .join(cnt, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val tot = grid.groupBy("source").agg(sum("c").as("n"))
+      val g = grid.join(tot, "source")
+      g.select(col("source").as("src_a"), col("tok"), col("c").as("ca"),
+          col("n").as("na"))
+        .join(g.select(col("source").as("src_b"), col("tok"),
+          col("c").as("cb"), col("n").as("nb")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(first("na").as("n_a"), first("nb").as("n_b"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("tvd_num"))
+        .withColumn("tvd_permille",
+          expr("(1000 * tvd_num) DIV (2 * n_a * n_b)"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // Product-quantization code collision as a close-pair candidate
+    // net, evaluated against exact cosine ≥ 0.4 (the raw table's
+    // same-cluster neighbor band — it has NO true near-dups, max
+    // pairwise ~0.6, so 0.95 would be a vacuous truth set; 0.4 yields
+    // ~59 gold pairs at sf0.01): precision/recall of "agree on all 4
+    // sub-codes" as a dedup pre-filter. Code signatures from the same codebook as
+    // embed_pq_assign; candidates via signature equality — group sizes,
+    // never all-pairs on the corpus side.
+    "pq_neardup_eval" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          col("embedding").as("cv"))
+      val sig = emb.select(col("vec_id"),
+          explode(expr("sequence(0, 3)")).as("sub"), col("embedding"))
+        .join(broadcast(cb))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(slice(embedding, sub * 16 + 1, 16),
+                                slice(cv, sub * 16 + 1, 16),
+                                (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                                          (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .groupBy("vec_id")
+        .agg(concat_ws("_", (0 to 3).map(i =>
+          min(when(col("sub") === i, col("m.code")))): _*).as("sig"))
+      val cand = sig.select(col("vec_id").as("id1"), col("sig"))
+        .join(sig.select(col("vec_id").as("id2"), col("sig")), "sig")
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+      val truth = emb.select(col("vec_id").as("id1"),
+          col("embedding").as("v1"))
+        .join(emb.select(col("vec_id").as("id2"),
+          col("embedding").as("v2")), col("id1") < col("id2"))
+        .filter(graft.ops.Similarity.cosine(col("v1"), col("v2")) >= 0.4)
+        .select("id1", "id2")
+      val tp = cand.join(truth, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("true_pos"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(tp))
+        .select(col("n_candidates"), col("n_truth"), col("true_pos"),
+          expr("CASE WHEN n_candidates > 0 THEN " +
+            "(1000 * true_pos) DIV n_candidates ELSE 0 END")
+            .as("precision_permille"),
+          expr("CASE WHEN n_truth > 0 THEN " +
+            "(1000 * true_pos) DIV n_truth ELSE 0 END")
+            .as("recall_permille"))
     }
   )
 
@@ -14526,6 +15455,914 @@ object SparkEntry {
         |FROM di JOIN f ON f.i = di.idx
         |ORDER BY day""".stripMargin,
 
-    "hilbert_layout_events" -> hilbertOracleSql
+    "hilbert_layout_events" -> hilbertOracleSql,
+
+    // Gold = all-pairs Jaccard closure (independent of the engine's
+    // LSH+min-label path); blocking labels re-derived from scratch.
+    "bcubed_blocking_eval" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |comp AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
+        |lbl AS (
+        |  SELECT d.doc_id,
+        |    d.lang || '_' || CAST(d.n_chars // 256 AS VARCHAR) AS cid,
+        |    coalesce(c.comp, d.doc_id) AS lid
+        |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
+        |ncs AS (SELECT cid, count(*) AS nc FROM lbl GROUP BY 1),
+        |nls AS (SELECT lid, count(*) AS nl FROM lbl GROUP BY 1),
+        |cells AS (
+        |  SELECT l.cid, l.lid, ncs.nc, nls.nl, count(*) AS m
+        |  FROM lbl l JOIN ncs ON ncs.cid = l.cid
+        |  JOIN nls ON nls.lid = l.lid GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(sum(m) AS BIGINT) AS n_docs,
+        |  CAST(sum(m * ((1000 * m) // nc)) AS BIGINT)
+        |    AS precision_milli_sum,
+        |  CAST(sum(m * ((1000 * m) // nl)) AS BIGINT) AS recall_milli_sum,
+        |  CAST(sum(m * ((1000 * m) // nc)) AS BIGINT)
+        |    // CAST(sum(m) AS BIGINT) AS avg_precision_milli,
+        |  CAST(sum(m * ((1000 * m) // nl)) AS BIGINT)
+        |    // CAST(sum(m) AS BIGINT) AS avg_recall_milli
+        |FROM cells""".stripMargin,
+
+    // Same kNN edges; common-neighbor counts with zero-support edges
+    // kept via the left join.
+    "edge_triangle_support" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |cn AS (
+        |  SELECT u.a, u.b, count(*) AS sup
+        |  FROM u JOIN sym2 s1 ON s1.v = u.a
+        |  JOIN sym2 s2 ON s2.v = u.b AND s2.w = s1.w
+        |  GROUP BY 1, 2),
+        |se AS (
+        |  SELECT u.a, u.b, coalesce(cn.sup, 0) AS support
+        |  FROM u LEFT JOIN cn ON cn.a = u.a AND cn.b = u.b)
+        |SELECT support, count(*) AS n_edges,
+        |  CAST(sum(a + b) AS BIGINT) AS edge_checksum
+        |FROM se GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same hex-string chaining, stages as nested subqueries (the inner
+    // alias split avoids DuckDB's lateral-alias capture of `idx`).
+    "merkle_tree_days" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |    CAST(sum(event_id) AS BIGINT) AS se
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT date_diff('day', (SELECT min(day) FROM d), day)
+        |    AS idx, n, sc, se FROM d),
+        |l0 AS (
+        |  SELECT g.idx,
+        |    CASE WHEN b.n IS NULL THEN md5(concat_ws('|', 'E', g.idx))
+        |         ELSE md5(concat_ws('|', 'L', g.idx, b.n, b.sc, b.se))
+        |    END AS h
+        |  FROM (SELECT unnest(range(0, 32)) AS idx) g
+        |  LEFT JOIN b ON b.idx = g.idx),
+        |l1 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
+        |  SELECT idx // 2 AS p,
+        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
+        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
+        |  FROM l0 GROUP BY 1)),
+        |l2 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
+        |  SELECT idx // 2 AS p,
+        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
+        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
+        |  FROM l1 GROUP BY 1)),
+        |l3 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
+        |  SELECT idx // 2 AS p,
+        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
+        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
+        |  FROM l2 GROUP BY 1)),
+        |l4 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
+        |  SELECT idx // 2 AS p,
+        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
+        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
+        |  FROM l3 GROUP BY 1)),
+        |l5 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
+        |  SELECT idx // 2 AS p,
+        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
+        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
+        |  FROM l4 GROUP BY 1))
+        |SELECT 0 AS level, idx, h AS node_hash FROM l0
+        |UNION ALL SELECT 1, idx, h FROM l1
+        |UNION ALL SELECT 2, idx, h FROM l2
+        |UNION ALL SELECT 3, idx, h FROM l3
+        |UNION ALL SELECT 4, idx, h FROM l4
+        |UNION ALL SELECT 5, idx, h FROM l5
+        |ORDER BY level, idx""".stripMargin,
+
+    // Same four cells + IEEE-quotient point estimate.
+    "diff_in_diff_components" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |e AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('day', d0.d0, CAST(ts AS DATE)) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events CROSS JOIN d0),
+        |tr AS (SELECT DISTINCT user_id FROM e
+        |  WHERE event_type = 'signup' AND day >= 10 AND day < 20),
+        |p AS (
+        |  SELECT CASE WHEN tr.user_id IS NOT NULL THEN 'T' ELSE 'C' END
+        |      AS grp,
+        |    CASE WHEN e.day < 10 THEN 'pre' ELSE 'post' END AS period,
+        |    e.cents
+        |  FROM e LEFT JOIN tr ON tr.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND (e.day < 10 OR e.day >= 20)),
+        |c AS (SELECT grp, period, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM p GROUP BY 1, 2),
+        |w AS (SELECT
+        |  min(CASE WHEN grp = 'T' AND period = 'pre' THEN n END)
+        |    AS t_pre_n,
+        |  min(CASE WHEN grp = 'T' AND period = 'pre' THEN sc END)
+        |    AS t_pre_cents,
+        |  min(CASE WHEN grp = 'T' AND period = 'post' THEN n END)
+        |    AS t_post_n,
+        |  min(CASE WHEN grp = 'T' AND period = 'post' THEN sc END)
+        |    AS t_post_cents,
+        |  min(CASE WHEN grp = 'C' AND period = 'pre' THEN n END)
+        |    AS c_pre_n,
+        |  min(CASE WHEN grp = 'C' AND period = 'pre' THEN sc END)
+        |    AS c_pre_cents,
+        |  min(CASE WHEN grp = 'C' AND period = 'post' THEN n END)
+        |    AS c_post_n,
+        |  min(CASE WHEN grp = 'C' AND period = 'post' THEN sc END)
+        |    AS c_post_cents
+        |  FROM c)
+        |SELECT t_pre_n, t_pre_cents, t_post_n, t_post_cents,
+        |  c_pre_n, c_pre_cents, c_post_n, c_post_cents,
+        |  CAST(floor(1000.0 *
+        |    ((CAST(t_post_cents AS DOUBLE) / t_post_n
+        |      - CAST(t_pre_cents AS DOUBLE) / t_pre_n)
+        |   - (CAST(c_post_cents AS DOUBLE) / c_post_n
+        |      - CAST(c_pre_cents AS DOUBLE) / c_pre_n))) AS BIGINT)
+        |    AS did_milli
+        |FROM w""".stripMargin,
+
+    // Same exact rank selections via QUALIFY.
+    "conformal_interval_per_type" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |e AS (
+        |  SELECT event_type, event_id,
+        |    date_diff('day', d0.d0, CAST(ts AS DATE)) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events CROSS JOIN d0),
+        |cal AS (SELECT * FROM e WHERE day < 15),
+        |nc AS (SELECT event_type, count(*) AS n_cal FROM cal GROUP BY 1),
+        |med AS (
+        |  SELECT cal.event_type, nc.n_cal, cal.cents AS median_cents
+        |  FROM cal JOIN nc USING (event_type)
+        |  QUALIFY row_number() OVER (PARTITION BY cal.event_type
+        |    ORDER BY cents, event_id) = (n_cal + 1) // 2),
+        |res AS (
+        |  SELECT cal.event_type, cal.event_id, med.n_cal,
+        |    abs(cal.cents - med.median_cents) AS r
+        |  FROM cal JOIN med USING (event_type)),
+        |q AS (SELECT event_type, r AS q_resid FROM res
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |      ORDER BY r, event_id)
+        |    = least(n_cal, (9 * n_cal + 18) // 10)),
+        |t AS (
+        |  SELECT e.event_type, med.n_cal, med.median_cents, q.q_resid,
+        |    count(*) AS n_test,
+        |    CAST(sum(CASE WHEN abs(e.cents - med.median_cents)
+        |      <= q.q_resid THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM e JOIN med USING (event_type) JOIN q USING (event_type)
+        |  WHERE e.day >= 15 GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n_cal, median_cents, q_resid, n_test,
+        |  n_covered, (1000 * n_covered) // n_test AS coverage_permille
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    // Same islands construction; winner via QUALIFY, endpoint values
+    // via scalar arg_min/arg_max on idx.
+    "longest_growth_streak" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, rev,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM d),
+        |f AS (SELECT day, rev, idx,
+        |  CASE WHEN rev > lag(rev) OVER (ORDER BY idx) THEN 1 ELSE 0 END
+        |    AS up FROM i),
+        |g AS (SELECT day, rev, idx,
+        |  idx - CAST(sum(up) OVER (ORDER BY idx) AS BIGINT) AS grp
+        |  FROM f),
+        |st AS (
+        |  SELECT grp, count(*) AS len, min(idx) AS start_idx,
+        |    strftime(min(day), '%Y-%m-%d') AS start_day,
+        |    strftime(max(day), '%Y-%m-%d') AS end_day,
+        |    CAST(arg_max(rev, idx) - arg_min(rev, idx) AS BIGINT)
+        |      AS growth_cents
+        |  FROM g GROUP BY 1),
+        |win AS (SELECT * FROM st
+        |  QUALIFY row_number() OVER (ORDER BY len DESC, start_idx) = 1),
+        |tot AS (SELECT count(*) AS n_streaks FROM st)
+        |SELECT tot.n_streaks, win.len AS streak_len_days, win.start_day,
+        |  win.end_day, win.growth_cents
+        |FROM tot, win""".stripMargin,
+
+    // Same closed-form bounds.
+    "binpack_fragmentation_audit" ->
+      """WITH g AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN n_chars > 512 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS big_items,
+        |    CAST(sum(CASE WHEN n_chars > 512 THEN 1024 - n_chars
+        |      ELSE 0 END) AS BIGINT) AS big_free,
+        |    CAST(sum(CASE WHEN n_chars <= 512 THEN n_chars ELSE 0 END)
+        |      AS BIGINT) AS small_mass
+        |  FROM documents),
+        |ps AS (
+        |  SELECT count(*) AS n_sources,
+        |    CAST(sum((sc + 1023) // 1024) AS BIGINT) AS per_source_packs
+        |  FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc
+        |        FROM documents GROUP BY 1))
+        |SELECT n_docs, total_chars, (total_chars + 1023) // 1024 AS l1,
+        |  big_items,
+        |  big_items + (greatest(0, small_mass - big_free) + 1023) // 1024
+        |    AS l2,
+        |  n_sources, per_source_packs,
+        |  per_source_packs - (total_chars + 1023) // 1024
+        |    AS fragmentation_extra_packs
+        |FROM g CROSS JOIN ps""".stripMargin,
+
+    // Same kNN edges; label sums re-derived independently.
+    "modularity_label_partition" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |lbl AS (SELECT vec_id, label FROM embeddings),
+        |m AS (SELECT count(*) AS m_edges FROM u),
+        |deg AS (
+        |  SELECT l.label, count(*) AS degree_sum
+        |  FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) t
+        |  JOIN lbl l ON l.vec_id = t.v GROUP BY 1),
+        |intra AS (
+        |  SELECT la.label, count(*) AS intra_edges
+        |  FROM u JOIN lbl la ON la.vec_id = u.a
+        |  JOIN lbl lb2 ON lb2.vec_id = u.b
+        |  WHERE la.label = lb2.label GROUP BY 1)
+        |SELECT deg.label, coalesce(intra.intra_edges, 0) AS intra_edges,
+        |  deg.degree_sum, m.m_edges,
+        |  4 * m.m_edges * coalesce(intra.intra_edges, 0)
+        |    - deg.degree_sum * deg.degree_sum AS contrib_num
+        |FROM deg LEFT JOIN intra ON intra.label = deg.label CROSS JOIN m
+        |ORDER BY deg.label""".stripMargin,
+
+    // Same Knuth assignment and pair combinatorics.
+    "inbatch_negative_collisions" ->
+      """WITH b AS (
+        |  SELECT vec_id, label,
+        |    (vec_id * 2654435761) % 4294967296 % 16 AS batch
+        |  FROM embeddings),
+        |cc AS (SELECT batch, label, count(*) AS nc FROM b GROUP BY 1, 2)
+        |SELECT batch, CAST(sum(nc) AS BIGINT) AS n,
+        |  CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS same_label_pairs,
+        |  CAST(sum(nc) * (sum(nc) - 1) // 2 AS BIGINT) AS total_pairs,
+        |  (1000 * CAST(sum(nc * (nc - 1) // 2) AS BIGINT))
+        |    // CAST(sum(nc) * (sum(nc) - 1) // 2 AS BIGINT)
+        |    AS collision_permille
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Both pair sets from first principles: all-pairs Jaccard and the
+    // md5 SimHash reassembly, full-outer joined.
+    "neardup_method_agreement" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |mh AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents),
+        |hh AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.b,
+        |    CASE WHEN 2 * sum(((h >> r.b) & 1)::BIGINT) > count(*)
+        |         THEN 1::UBIGINT << r.b ELSE 0::UBIGINT END AS bv
+        |  FROM hh, range(64) r(b)
+        |  GROUP BY doc_id, r.b),
+        |fp AS (SELECT doc_id, bit_or(bv) AS f FROM bits GROUP BY doc_id),
+        |sh2 AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 8),
+        |j AS (
+        |  SELECT coalesce(mh.id1, sh2.id1) AS id1,
+        |    coalesce(mh.id2, sh2.id2) AS id2,
+        |    CASE WHEN mh.id1 IS NOT NULL AND sh2.id1 IS NOT NULL
+        |         THEN 'both'
+        |         WHEN mh.id1 IS NOT NULL THEN 'minhash_only'
+        |         ELSE 'simhash_only' END AS cls
+        |  FROM mh FULL OUTER JOIN sh2
+        |    ON mh.id1 = sh2.id1 AND mh.id2 = sh2.id2)
+        |SELECT cls, count(*) AS n_pairs,
+        |  CAST(sum(id1 + id2) AS BIGINT) AS id_checksum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same exact rank selections.
+    "robust_scale_qn_mad" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n_days FROM d),
+        |med AS (SELECT n.n_days, d.x AS median_cents FROM d CROSS JOIN n
+        |  QUALIFY row_number() OVER (ORDER BY x, day) = (n_days + 1) // 2),
+        |mad AS (
+        |  SELECT med.n_days, med.median_cents,
+        |    abs(d.x - med.median_cents) AS mad_cents
+        |  FROM d CROSS JOIN med
+        |  QUALIFY row_number() OVER (ORDER BY abs(d.x - med.median_cents),
+        |    d.day) = (med.n_days + 1) // 2),
+        |pd AS (SELECT a.day AS da, b.day AS db, abs(a.x - b.x) AS pd
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |qn AS (SELECT pd.pd AS qn_cents FROM pd CROSS JOIN n
+        |  QUALIFY row_number() OVER (ORDER BY pd, da, db)
+        |    = (n_days // 2 + 1) * (n_days // 2) // 2)
+        |SELECT mad.n_days, mad.median_cents, mad.mad_cents,
+        |  CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+        |  CAST((n.n_days // 2 + 1) * (n.n_days // 2) // 2 AS BIGINT)
+        |    AS k_rank,
+        |  qn.qn_cents
+        |FROM mad CROSS JOIN qn CROSS JOIN n""".stripMargin,
+
+    // Same dense-grid CDF cross-multiplication.
+    "wasserstein_histogram_exact" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |sp AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e),
+        |h AS (
+        |  SELECT event_type, ((cents - lo) * 64) // (hi - lo + 1)
+        |      AS bucket, count(*) AS cnt
+        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, g.bucket, coalesce(h.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+        |  LEFT JOIN h ON h.event_type = t.event_type
+        |    AND h.bucket = g.bucket),
+        |cd AS (SELECT event_type, bucket,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+        |    AS BIGINT) AS cdf FROM grid),
+        |tt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS ntot
+        |  FROM grid GROUP BY 1),
+        |g2 AS (SELECT cd.event_type, cd.bucket, cd.cdf, tt.ntot
+        |  FROM cd JOIN tt USING (event_type))
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  min(a.ntot) AS n_a, min(b.ntot) AS n_b,
+        |  CAST(sum(abs(a.cdf * b.ntot - b.cdf * a.ntot)) AS BIGINT)
+        |    AS emd_num,
+        |  min(a.ntot) * min(b.ntot) AS emd_den,
+        |  (1000 * CAST(sum(abs(a.cdf * b.ntot - b.cdf * a.ntot))
+        |    AS BIGINT)) // (min(a.ntot) * min(b.ntot))
+        |    AS emd_milli_buckets
+        |FROM g2 a JOIN g2 b
+        |  ON a.bucket = b.bucket AND a.event_type < b.event_type
+        |WHERE a.bucket < 63
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same deterministic reassignments and IEEE mean comparison.
+    "permutation_test_exact" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |o AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+        |      ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM ev),
+        |ob AS (SELECT na + nb AS n_events,
+        |  abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |    AS obs_stat FROM o),
+        |pm AS (
+        |  SELECT x.perm,
+        |    CAST(sum(CASE WHEN side = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN side = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM (SELECT ev.cents, pp.perm,
+        |      ((event_id * 2654435761 + pp.perm * 40503) % 4294967296)
+        |        % 2 AS side
+        |    FROM ev CROSS JOIN
+        |      (SELECT unnest(range(0, 200)) AS perm) pp) x
+        |  GROUP BY 1),
+        |st AS (SELECT perm,
+        |  abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS stat
+        |  FROM pm),
+        |agg AS (SELECT count(*) AS b_perms,
+        |    CAST(sum(CASE WHEN st.stat >= ob.obs_stat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM st CROSS JOIN ob)
+        |SELECT ob.n_events,
+        |  CAST(floor(ob.obs_stat * 1000) AS BIGINT) AS obs_diff_milli,
+        |  agg.b_perms, agg.n_ge,
+        |  (1000 * (agg.n_ge + 1)) // (agg.b_perms + 1) AS p_permille
+        |FROM ob CROSS JOIN agg""".stripMargin,
+
+    // Same three definitions against the same ranked rows.
+    "quantile_semantics_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |rk AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS rn FROM ev),
+        |tg AS (
+        |  SELECT t.event_type, t.n, pp.p,
+        |    (pp.p * t.n + 99) // 100 AS k_disc,
+        |    1 + ((t.n - 1) * pp.p) // 100 AS k_low,
+        |    ((t.n - 1) * pp.p) % 100 AS r,
+        |    least(t.n, 1 + ((t.n - 1) * pp.p) // 100
+        |      + CASE WHEN ((t.n - 1) * pp.p) % 100 > 0 THEN 1 ELSE 0 END)
+        |      AS k_high
+        |  FROM (SELECT event_type, count(*) AS n FROM ev GROUP BY 1) t
+        |  CROSS JOIN (SELECT unnest([50, 90]) AS p) pp)
+        |SELECT tg.event_type, tg.p, tg.n,
+        |  d.cents AS disc_cents, lo.cents AS lower_cents,
+        |  CAST(100 * lo.cents + tg.r * (hi.cents - lo.cents) AS BIGINT)
+        |    AS interp_cents_x100
+        |FROM tg
+        |JOIN rk d ON d.event_type = tg.event_type AND d.rn = tg.k_disc
+        |JOIN rk lo ON lo.event_type = tg.event_type AND lo.rn = tg.k_low
+        |JOIN rk hi ON hi.event_type = tg.event_type AND hi.rn = tg.k_high
+        |ORDER BY tg.event_type, tg.p""".stripMargin,
+
+    // Same integer threshold-walk multiplicities.
+    "pps_systematic_sample" ->
+      """WITH dcs AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS wcum
+        |  FROM documents),
+        |w AS (SELECT max(wcum) AS w FROM dcs),
+        |sel AS (
+        |  SELECT doc_id, n_chars,
+        |    least(100, greatest(0, (200 * wcum + w.w - 1) // (2 * w.w)))
+        |    - least(100, greatest(0,
+        |        (200 * (wcum - n_chars) + w.w - 1) // (2 * w.w)))
+        |      AS multiplicity
+        |  FROM dcs CROSS JOIN w)
+        |SELECT doc_id, n_chars, multiplicity FROM sel
+        |WHERE multiplicity >= 1 ORDER BY doc_id""".stripMargin,
+
+    // Same kNN edges (rank kept through), same 60-scaled gains.
+    "ndcg_linear_discount" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst, rank FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 5),
+        |l AS (SELECT vec_id, label FROM embeddings),
+        |g AS (
+        |  SELECT e.src, ls.label AS lsrc,
+        |    CASE WHEN ls.label = ld.label THEN
+        |      CASE e.rank WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15
+        |        WHEN 4 THEN 12 ELSE 10 END
+        |    ELSE 0 END AS gain
+        |  FROM e JOIN l ls ON ls.vec_id = e.src
+        |  JOIN l ld ON ld.vec_id = e.dst),
+        |q AS (SELECT src, min(lsrc) AS label,
+        |  CAST(sum(gain) AS BIGINT) AS dcg FROM g GROUP BY 1)
+        |SELECT label, count(*) AS n_queries,
+        |  CAST(sum(dcg) AS BIGINT) AS sum_dcg_x60,
+        |  (1000 * CAST(sum(dcg) AS BIGINT)) // (87 * count(*))
+        |    AS mean_ndcg_milli
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same keyed trailing-zeros noise; printf('%b') is DuckDB's binary
+    // rendering of h & −h (length−1 = trailing-zero count).
+    "dp_sparse_vector_replay" ->
+      """WITH dd AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    count(*) AS true_count
+        |  FROM events GROUP BY 1),
+        |th AS (SELECT CAST(sum(true_count) AS BIGINT) // count(*) AS t
+        |  FROM dd),
+        |tn AS (SELECT t,
+        |    t + CAST(length(printf('%b', h1 & (-h1))) - 1 AS BIGINT)
+        |      - CAST(length(printf('%b', h2 & (-h2))) - 1 AS BIGINT)
+        |      AS tn
+        |  FROM (SELECT t,
+        |    CAST(md5_number_upper('svtT1|T') & 9223372036854775807
+        |      AS BIGINT) AS h1,
+        |    CAST(md5_number_upper('svtT2|T') & 9223372036854775807
+        |      AS BIGINT) AS h2 FROM th)),
+        |nz AS (SELECT day, true_count,
+        |    CAST(true_count AS BIGINT)
+        |      + CAST(length(printf('%b', hq1 & (-hq1))) - 1 AS BIGINT)
+        |      - CAST(length(printf('%b', hq2 & (-hq2))) - 1 AS BIGINT)
+        |      AS noisy_count
+        |  FROM (SELECT day, true_count,
+        |    CAST(md5_number_upper('svtq1|' || day) & 9223372036854775807
+        |      AS BIGINT) AS hq1,
+        |    CAST(md5_number_upper('svtq2|' || day) & 9223372036854775807
+        |      AS BIGINT) AS hq2
+        |    FROM dd)),
+        |hits AS (
+        |  SELECT nz.day, nz.true_count, nz.noisy_count, tn.t AS threshold,
+        |    tn.tn AS noisy_threshold,
+        |    row_number() OVER (ORDER BY nz.day) AS hit_rank
+        |  FROM nz CROSS JOIN tn WHERE nz.noisy_count >= tn.tn)
+        |SELECT day, CAST(true_count AS BIGINT) AS true_count, noisy_count,
+        |  threshold, noisy_threshold, hit_rank
+        |FROM hits WHERE hit_rank <= 5 ORDER BY day""".stripMargin,
+
+    // Same join + conditional class counts.
+    "order_fill_rate" ->
+      """WITH po AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN l.l_shipdate <=
+        |      o.o_orderdate + INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fast
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT o_orderpriority,
+        |    CASE WHEN n_fast = n_lines THEN 'full7'
+        |         WHEN n_fast > 0 THEN 'partial7'
+        |         ELSE 'none7' END AS cls
+        |  FROM po)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN cls = 'full7' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS full7,
+        |  CAST(sum(CASE WHEN cls = 'partial7' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS partial7,
+        |  CAST(sum(CASE WHEN cls = 'none7' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS none7,
+        |  (1000 * CAST(sum(CASE WHEN cls = 'full7' THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS otif_permille
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same cells / candidates / exact top-10, config sweep by filter.
+    "ivf_recall_curve" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id AS tid, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |qc AS (
+        |  SELECT vec_id AS qid, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, cid) AS crank
+        |  FROM s WHERE vec_id BETWEEN 100 AND 115
+        |  QUALIFY crank <= 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 115),
+        |ex AS (
+        |  SELECT q.qid, e2.vec_id AS tid,
+        |    list_sum([e2.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, len(e2.embedding) + 1)]) /
+        |    (sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e2.embedding) + 1)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
+        |  FROM embeddings e2 CROSS JOIN q WHERE e2.vec_id <> q.qid),
+        |exact AS (SELECT qid, tid FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, tid) <= 10),
+        |cf AS (SELECT unnest([1, 2, 4, 8]) AS np),
+        |cand AS (
+        |  SELECT cf.np, ex.qid, ex.tid, ex.sim
+        |  FROM ex JOIN qc ON qc.qid = ex.qid
+        |  JOIN asg ON asg.tid = ex.tid AND asg.cid = qc.cid
+        |  CROSS JOIN cf WHERE qc.crank <= cf.np),
+        |ret AS (SELECT np, qid, tid FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY np, qid
+        |    ORDER BY sim DESC, tid) <= 10)
+        |SELECT ret.np, CAST(16 AS BIGINT) AS n_queries,
+        |  count(*) AS sum_hits,
+        |  (1000 * count(*)) // 160 AS recall_permille
+        |FROM ret JOIN exact
+        |  ON exact.qid = ret.qid AND exact.tid = ret.tid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gold pairs from the all-pairs closure; same split formulas.
+    "split_leakage_comparison" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e2 AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |cl AS (SELECT
+        |    ((id1 * 2654435761 % 4294967296 % 1000000) < 900000)
+        |      <> ((id2 * 2654435761 % 4294967296 % 1000000) < 900000)
+        |      AS cross_random,
+        |    (id1 * 10 < (mx + 1) * 9) <> (id2 * 10 < (mx + 1) * 9)
+        |      AS cross_temporal
+        |  FROM e2 CROSS JOIN mx)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN cross_random THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS random_crossing,
+        |  CAST(sum(CASE WHEN cross_temporal THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS temporal_crossing,
+        |  (1000 * CAST(sum(CASE WHEN cross_random THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS random_leak_permille,
+        |  (1000 * CAST(sum(CASE WHEN cross_temporal THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS temporal_leak_permille
+        |FROM cl""".stripMargin,
+
+    // Same kNN edges; degree thresholds swept by cross join.
+    "rich_club_coefficient" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |dg AS (SELECT v, count(*) AS dg FROM sym2 GROUP BY 1),
+        |ks AS (SELECT unnest(range(1, 9)) AS k),
+        |nk AS (SELECT k, count(*) AS n_nodes FROM dg CROSS JOIN ks
+        |  WHERE dg.dg > ks.k GROUP BY 1),
+        |ekt AS (
+        |  SELECT k, count(*) AS n_edges
+        |  FROM u JOIN dg da2 ON da2.v = u.a JOIN dg db2 ON db2.v = u.b
+        |  CROSS JOIN ks
+        |  WHERE da2.dg > ks.k AND db2.dg > ks.k GROUP BY 1)
+        |SELECT nk.k, nk.n_nodes, coalesce(ekt.n_edges, 0) AS n_edges,
+        |  CASE WHEN nk.n_nodes >= 2
+        |    THEN (2000 * coalesce(ekt.n_edges, 0))
+        |      // (nk.n_nodes * (nk.n_nodes - 1))
+        |    ELSE 0 END AS phi_permille
+        |FROM nk LEFT JOIN ekt ON ekt.k = nk.k
+        |ORDER BY nk.k""".stripMargin,
+
+    // Same density order, boundary-robust aggregate fractional tail.
+    "budget_curation_knapsack" ->
+      """WITH dv AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(string_split(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) // 10 AS budget_chars FROM dv),
+        |o AS (SELECT doc_id, n_chars, v,
+        |    CAST(sum(n_chars) OVER (ORDER BY CAST(v AS DOUBLE) / n_chars
+        |      DESC, doc_id) AS BIGINT) AS cum
+        |  FROM dv),
+        |f AS (SELECT count(*) AS n_selected_full,
+        |    CAST(sum(v) AS BIGINT) AS full_value,
+        |    CAST(sum(n_chars) AS BIGINT) AS full_chars
+        |  FROM o CROSS JOIN b WHERE cum <= budget_chars),
+        |fr AS (SELECT coalesce(min(doc_id), -1) AS frac_doc_id,
+        |    coalesce(min((1000 * v * (budget_chars - (cum - n_chars)))
+        |      // n_chars), 0) AS frac_value_milli
+        |  FROM o CROSS JOIN b
+        |  WHERE cum - n_chars < budget_chars AND cum > budget_chars)
+        |SELECT b.n_docs, b.budget_chars, f.n_selected_full, f.full_value,
+        |  f.full_chars, fr.frac_doc_id, fr.frac_value_milli,
+        |  CAST(f.full_value * 1000 + fr.frac_value_milli AS BIGINT)
+        |    AS lp_bound_milli
+        |FROM b CROSS JOIN f CROSS JOIN fr""".stripMargin,
+
+    // Same dense-grid cross-multiplied TVD per source pair.
+    "source_similarity_tvd_matrix" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s2.source, t2.tok, coalesce(cnt.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM cnt) s2
+        |  CROSS JOIN (SELECT DISTINCT tok FROM cnt) t2
+        |  LEFT JOIN cnt ON cnt.source = s2.source AND cnt.tok = t2.tok),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grid
+        |  GROUP BY 1),
+        |g AS (SELECT grid.source, grid.tok, CAST(grid.c AS BIGINT) AS c,
+        |  tot.n FROM grid JOIN tot USING (source))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  min(a.n) AS n_a, min(b.n) AS n_b,
+        |  CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS tvd_num,
+        |  (1000 * CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT))
+        |    // (2 * min(a.n) * min(b.n)) AS tvd_permille
+        |FROM g a JOIN g b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same codebook assignment (embed_pq_assign's oracle CTE), same
+    // exact-cosine truth, counts joined.
+    "pq_neardup_eval" ->
+      """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code,
+        |    embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |dx AS (
+        |  SELECT e.vec_id, sub.s AS sub, cb.code,
+        |    list_sum([ (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE) *
+        |               (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE)
+        |               for i in range(1 + sub.s * 16, 17 + sub.s * 16)])
+        |      AS dist
+        |  FROM embeddings e, range(4) sub(s), cb),
+        |asgn AS (SELECT vec_id, sub, code FROM dx
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |                             ORDER BY dist, code) = 1),
+        |sig AS (SELECT vec_id,
+        |    string_agg(CAST(code AS VARCHAR), '_' ORDER BY sub) AS sig
+        |  FROM asgn GROUP BY 1),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |truth AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, len(b.embedding) + 1)])))
+        |    >= 0.4),
+        |tp AS (SELECT count(*) AS true_pos
+        |  FROM cand JOIN truth
+        |    ON truth.id1 = cand.id1 AND truth.id2 = cand.id2),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand),
+        |nt AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT nc.n_candidates, nt.n_truth, tp.true_pos,
+        |  CASE WHEN nc.n_candidates > 0
+        |    THEN (1000 * tp.true_pos) // nc.n_candidates ELSE 0 END
+        |    AS precision_permille,
+        |  CASE WHEN nt.n_truth > 0
+        |    THEN (1000 * tp.true_pos) // nt.n_truth ELSE 0 END
+        |    AS recall_permille
+        |FROM nc CROSS JOIN nt CROSS JOIN tp""".stripMargin
   )
 }

@@ -589,4 +589,49 @@ class PlanSpec extends SparkSpec {
       !snm.contains("BroadcastNestedLoopJoin"),
       s"SNM successor probe regressed to non-equi:\n$snm")
   }
+
+  test("gap ranges: boundaries via two anti-joins; ordering windows see boundaries only") {
+    val plan = SparkEntry.queries("sequence_gap_ranges")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the raw key set is reduced by LeftAnti JOINS before any global
+    // window — a lead()-over-all-keys formulation would show zero anti
+    // joins and a single-partition sort of the full key column
+    assert("LeftAnti".r.findAllIn(plan).length == 2,
+      s"expected 2 anti-join boundary derivations:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("FIFO match: part-keyed equi-join with overlap residual, never nested-loop") {
+    val plan = SparkEntry.queries("fifo_match_returns")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval intersection must ride the pk equi-join:\n$plan")
+  }
+
+  test("M4 / Haar / Hilbert: the only non-equi join is the 1-row span broadcast") {
+    for (q <- Seq("m4_downsample", "hilbert_layout_events")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+        s"$q: expected exactly the broadcast span join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+    // haar adds the literal 64-bucket grid and 6-level tables — three
+    // more broadcast-literal cross joins, every one BuildRight with a
+    // constant-size side; the pin is that ALL of them broadcast (no
+    // CartesianProduct, which would shuffle the data side)
+    val haar = SparkEntry.queries("haar_wavelet_energy")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!haar.contains("CartesianProduct"), s"haar cartesian:\n$haar")
+  }
+
+  test("bitmap intersect and wasserstein pair joins stay equi-keyed") {
+    for (q <- Seq("bitmap_index_intersect", "wasserstein_histogram_exact")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: pair stage must join on word/bucket keys:\n$plan")
+    }
+  }
 }
