@@ -8859,6 +8859,100 @@ object SparkEntry {
           expr("CASE WHEN n_truth > 0 THEN " +
             "(1000 * true_pos) DIV n_truth ELSE 0 END")
             .as("recall_permille"))
+    },
+
+    // Incremental top-k maintenance readout: the top-10 most-active
+    // users at the 2024-01-25 watermark vs after the remaining days
+    // arrive — every user in EITHER leaderboard, with both ranks and
+    // the transition class (entered/left/up/down/same). The delta a
+    // materialized top-k view must reproduce without a full recompute;
+    // the full-outer join of the two ranked frames IS the maintenance
+    // contract. Ranks over per-user aggregates only.
+    "ivm_topk_delta" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      def top10(pred: Column, rankName: String, cntName: String) =
+        ev.filter(pred).groupBy("user_id")
+          .agg(count(lit(1)).as(cntName))
+          .withColumn(rankName, row_number().over(
+            Window.orderBy(desc(cntName), col("user_id"))))
+          .filter(col(rankName) <= 10)
+      val before = top10(to_date(col("ts")) < to_date(lit("2024-01-25")),
+        "rank_before", "n_before")
+      val after = top10(lit(true), "rank_after", "n_after")
+      before.join(after, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("rank_before"), lit(0)).as("rank_before"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("rank_after"), lit(0)).as("rank_after"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .withColumn("status",
+          when(col("rank_before") === 0, "entered")
+            .when(col("rank_after") === 0, "left")
+            .when(col("rank_after") < col("rank_before"), "up")
+            .when(col("rank_after") > col("rank_before"), "down")
+            .otherwise("same"))
+        .orderBy(when(col("rank_after") === 0, 99)
+          .otherwise(col("rank_after")), col("user_id"))
+    },
+
+    // Point-in-time join leakage audit for a feature store: daily
+    // click-count features become available at day end; purchase labels
+    // join either NAIVELY (user's latest feature day, future included)
+    // or AS-OF (latest strictly-before day). Rows where the two
+    // disagree are silent train-serve skew; naive rows whose feature
+    // day is on/after the label's day are outright future leakage. The
+    // per-label fan-out is the user's bounded feature-day history.
+    "pit_join_leak_audit" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("event_id"))
+      val feat = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("clicks"))
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("day").as("label_day"),
+          col("event_id"))
+      val naive = feat.groupBy("user_id")
+        .agg(max("day").as("naive_day"))
+      val pit = labels.join(feat, Seq("user_id"))
+        .filter(col("day") < col("label_day"))
+        .groupBy("user_id", "label_day", "event_id")
+        .agg(max("day").as("pit_day"))
+      labels.join(broadcast(naive), Seq("user_id"), "left")
+        .join(pit, Seq("user_id", "label_day", "event_id"), "left")
+        .agg(count(lit(1)).as("n_labels"),
+          sum(when(col("naive_day") >= col("label_day"), 1L)
+            .otherwise(0L)).as("n_naive_leaked"),
+          sum(when(col("pit_day").isNotNull, 1L).otherwise(0L))
+            .as("n_pit_joined"),
+          sum(when(col("pit_day") === col("naive_day"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("leak_permille",
+          expr("(1000 * n_naive_leaked) DIV n_labels"))
+    },
+
+    // Randomized-response frequency recovery (Warner '65, the local-DP
+    // mechanism): each event reports "am I a purchase" truthfully
+    // except a deterministic-hash 1-in-4 flip; the aggregator sees only
+    // flipped reports yet recovers the true count via the unbiased
+    // inverse T̂ = (4R − N)/2 at p = 1/4. Per-day rows show the
+    // recovery error concentrating as N grows. Deterministic flips
+    // make the MECHANISM hash-checkable (the same swap-for-production
+    // note as the other DP queries).
+    "randomized_response_debias" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("t"),
+          when(expr("(event_id * 2654435761) % 4294967296 % 4") === 0,
+            1L).otherwise(0L).as("flip"))
+        .withColumn("r", expr("CASE WHEN flip = 1 THEN 1 - t ELSE t END"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("t").as("true_pos"),
+          sum("r").as("reported_pos"))
+        .withColumn("debiased", expr("(4 * reported_pos - n) DIV 2"))
+        .withColumn("abs_err", abs(col("debiased") - col("true_pos")))
+        .orderBy("day")
     }
   )
 
@@ -16363,6 +16457,85 @@ object SparkEntry {
         |  CASE WHEN nt.n_truth > 0
         |    THEN (1000 * tp.true_pos) // nt.n_truth ELSE 0 END
         |    AS recall_permille
-        |FROM nc CROSS JOIN nt CROSS JOIN tp""".stripMargin
+        |FROM nc CROSS JOIN nt CROSS JOIN tp""".stripMargin,
+
+    // Same two ranked frames, full-outer.
+    "ivm_topk_delta" ->
+      """WITH b AS (
+        |  SELECT user_id, count(*) AS n_before,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |      AS INTEGER) AS rank_before
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-25'
+        |  GROUP BY 1 QUALIFY rank_before <= 10),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_after,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |      AS INTEGER) AS rank_after
+        |  FROM events GROUP BY 1 QUALIFY rank_after <= 10),
+        |j AS (
+        |  SELECT coalesce(b.user_id, a.user_id) AS user_id,
+        |    coalesce(b.rank_before, 0) AS rank_before,
+        |    coalesce(b.n_before, 0) AS n_before,
+        |    coalesce(a.rank_after, 0) AS rank_after,
+        |    coalesce(a.n_after, 0) AS n_after
+        |  FROM b FULL OUTER JOIN a ON a.user_id = b.user_id)
+        |SELECT user_id, rank_before, CAST(n_before AS BIGINT) AS n_before,
+        |  rank_after, CAST(n_after AS BIGINT) AS n_after,
+        |  CASE WHEN rank_before = 0 THEN 'entered'
+        |       WHEN rank_after = 0 THEN 'left'
+        |       WHEN rank_after < rank_before THEN 'up'
+        |       WHEN rank_after > rank_before THEN 'down'
+        |       ELSE 'same' END AS status
+        |FROM j
+        |ORDER BY CASE WHEN rank_after = 0 THEN 99 ELSE rank_after END,
+        |  user_id""".stripMargin,
+
+    // Same naive-latest vs strict-as-of comparison.
+    "pit_join_leak_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id
+        |  FROM events),
+        |feat AS (SELECT user_id, day, count(*) AS clicks FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |labels AS (SELECT user_id, day AS label_day, event_id FROM ev
+        |  WHERE event_type = 'purchase'),
+        |nv AS (SELECT user_id, max(day) AS naive_day FROM feat
+        |  GROUP BY 1),
+        |pit AS (
+        |  SELECT l.user_id, l.label_day, l.event_id,
+        |    max(f.day) AS pit_day
+        |  FROM labels l JOIN feat f ON f.user_id = l.user_id
+        |    AND f.day < l.label_day
+        |  GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_labels,
+        |  CAST(sum(CASE WHEN nv.naive_day >= l.label_day THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_naive_leaked,
+        |  CAST(sum(CASE WHEN pit.pit_day IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pit_joined,
+        |  CAST(sum(CASE WHEN pit.pit_day = nv.naive_day THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_agree,
+        |  (1000 * CAST(sum(CASE WHEN nv.naive_day >= l.label_day THEN 1
+        |    ELSE 0 END) AS BIGINT)) // count(*) AS leak_permille
+        |FROM labels l
+        |LEFT JOIN nv ON nv.user_id = l.user_id
+        |LEFT JOIN pit ON pit.user_id = l.user_id
+        |  AND pit.label_day = l.label_day AND pit.event_id = l.event_id""".stripMargin,
+
+    // Same deterministic flips and unbiased inverse.
+    "randomized_response_debias" ->
+      """WITH x AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN (event_id * 2654435761) % 4294967296 % 4 = 0
+        |      THEN 1 ELSE 0 END AS flip
+        |  FROM events),
+        |y AS (SELECT day, t,
+        |  CASE WHEN flip = 1 THEN 1 - t ELSE t END AS r FROM x)
+        |SELECT day, count(*) AS n, CAST(sum(t) AS BIGINT) AS true_pos,
+        |  CAST(sum(r) AS BIGINT) AS reported_pos,
+        |  (4 * CAST(sum(r) AS BIGINT) - count(*)) // 2 AS debiased,
+        |  abs((4 * CAST(sum(r) AS BIGINT) - count(*)) // 2
+        |    - CAST(sum(t) AS BIGINT)) AS abs_err
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
