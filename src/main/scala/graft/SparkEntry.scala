@@ -55,6 +55,41 @@ object SparkEntry {
   /** Per-invocation counter for the streaming query's memory-sink name. */
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Order-8 Hilbert key (256×256 grid): the canonical xy2d bit loop
+    * unrolled into 8 deterministic column stages — quadrant CASE on
+    * (rx,ry), then the conditional reflect(N−1)+swap rotation. Expects
+    * integer columns `x`,`y` in [0,256); adds `hd` and consumes x/y.
+    * Shared by hilbert_layout_events and layout_prune_comparison.
+    */
+  private def withHilbertKey(in: DataFrame): DataFrame = {
+    var df = in.withColumn("hd", lit(0L))
+    for (sz <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+      df = df
+        .withColumn("rx", when((col("x").bitwiseAND(lit(sz))) > 0, 1)
+          .otherwise(0))
+        .withColumn("ry", when((col("y").bitwiseAND(lit(sz))) > 0, 1)
+          .otherwise(0))
+        .withColumn("hd", col("hd") + lit(sz.toLong * sz) *
+          when(col("rx") === 1 && col("ry") === 0, 3)
+            .when(col("rx") === 1, 2).otherwise(col("ry")))
+        // reflect with N−1 (=255, the FULL grid), not s−1: the
+        // coordinate can exceed s at this stage, and the canonical
+        // rot() reflects within the whole grid (checked by hand
+        // against the order-2 curve: (3,1)→12, (1,2)→7).
+        .withColumn("nx",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255) - col("y"))
+              .otherwise(col("y"))).otherwise(col("x")))
+        .withColumn("ny",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255) - col("x"))
+              .otherwise(col("x"))).otherwise(col("y")))
+        .withColumn("x", col("nx")).withColumn("y", col("ny"))
+        .drop("rx", "ry", "nx", "ny")
+    }
+    df
+  }
+
   /** Write-once staging dirs for the streaming query, keyed per
     * (session, sfDir): the staged fixture never changes within a session,
     * and re-writing it every bench pass would time fixture prep, not the
@@ -7895,37 +7930,12 @@ object SparkEntry {
           floor(col("value") * 100).as("cents"))
       val span = ev.agg(min("eus").as("tlo"), max("eus").as("thi"),
         min("cents").as("vlo"), max("cents").as("vhi"))
-      var df = ev.crossJoin(broadcast(span))
+      val df = withHilbertKey(ev.crossJoin(broadcast(span))
         .select(col("event_id"),
           expr("CAST(((cents - vlo) * 256) DIV (vhi - vlo + 1) AS INT)")
             .as("x"),
           expr("CAST(((eus - tlo) * 256) DIV (thi - tlo + 1) AS INT)")
-            .as("y"),
-          lit(0L).as("hd"))
-      for (sz <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
-        df = df
-          .withColumn("rx", when((col("x").bitwiseAND(lit(sz))) > 0, 1)
-            .otherwise(0))
-          .withColumn("ry", when((col("y").bitwiseAND(lit(sz))) > 0, 1)
-            .otherwise(0))
-          .withColumn("hd", col("hd") + lit(sz.toLong * sz) *
-            when(col("rx") === 1 && col("ry") === 0, 3)
-              .when(col("rx") === 1, 2).otherwise(col("ry")))
-          // reflect with N−1 (=255, the FULL grid), not s−1: the
-          // coordinate can exceed s at this stage, and the canonical
-          // rot() reflects within the whole grid (checked by hand
-          // against the order-2 curve: (3,1)→12, (1,2)→7).
-          .withColumn("nx",
-            when(col("ry") === 0,
-              when(col("rx") === 1, lit(255) - col("y"))
-                .otherwise(col("y"))).otherwise(col("x")))
-          .withColumn("ny",
-            when(col("ry") === 0,
-              when(col("rx") === 1, lit(255) - col("x"))
-                .otherwise(col("x"))).otherwise(col("y")))
-          .select(col("event_id"), col("nx").as("x"), col("ny").as("y"),
-            col("hd"))
-      }
+            .as("y")))
       df.groupBy(expr("hd DIV 256").as("key_bucket"))
         .agg(count(lit(1)).as("n"), min("hd").as("min_key"),
           max("hd").as("max_key"), sum("hd").as("key_sum"))
@@ -8953,6 +8963,179 @@ object SparkEntry {
         .withColumn("debiased", expr("(4 * reported_pos - n) DIV 2"))
         .withColumn("abs_err", abs(col("debiased") - col("true_pos")))
         .orderBy("day")
+    },
+
+    // DAU/MAU stickiness: daily actives over 28-day rolling actives,
+    // integer permille — the product-analytics engagement headline.
+    // Exact rolling DISTINCT via presence scatter (each (user, day)
+    // contributes to the 28 windows ending day..day+27, then distinct
+    // collapses multi-day users), the same shuffle-shape as the 7-day
+    // variant: no per-window re-scan, no approximate sketch.
+    "dau_mau_stickiness" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27))")).as("wday"))
+        .distinct()
+        .join(broadcast(ud.select(col("day").as("wday")).distinct()),
+          "wday")
+        .groupBy("wday").agg(count(lit(1)).as("mau_28d"))
+      dau.join(mau, col("day") === col("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau_28d"),
+          expr("(1000 * dau) DIV mau_28d").as("stickiness_permille"))
+        .orderBy("day")
+    },
+
+    // Freedman-Diaconis bin width per event type, fully integer: IQR
+    // from nearest-rank quartiles, ∛n as the LARGEST k with k³ ≤ n
+    // (argmax over a literal k-range — no floating pow, whose rounding
+    // differs across engines), width = max(1, 2·IQR DIV ∛n), bin count
+    // from the exact value range. The histogram-sizing rule every
+    // auto-binning chart needs, emitted as auditable components.
+    "fd_histogram_binwidth" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).as("cents"))
+      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        min("cents").as("lo"), max("cents").as("hi"))
+      val ranked = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("cents", "event_id")))
+      def at(pct: Int, out: String) = ranked
+        .join(broadcast(stats.select(col("event_type"),
+          expr(s"($pct * n + 99) DIV 100").as("k"))), "event_type")
+        .filter(col("rn") === col("k"))
+        .select(col("event_type"), col("cents").as(out))
+      val icbrt = stats.crossJoin(broadcast(
+          s.range(1, 100).select(col("id").as("k"))))
+        .filter(col("k") * col("k") * col("k") <= col("n"))
+        .groupBy("event_type").agg(max("k").as("icbrt"))
+      stats.join(at(25, "q25"), "event_type")
+        .join(at(75, "q75"), "event_type")
+        .join(icbrt, "event_type")
+        .withColumn("iqr", col("q75") - col("q25"))
+        .withColumn("fd_width_cents",
+          expr("greatest(1L, (2 * iqr) DIV icbrt)"))
+        .withColumn("n_bins",
+          expr("(hi - lo) DIV fd_width_cents + 1"))
+        .select("event_type", "n", "q25", "q75", "iqr", "icbrt",
+          "fd_width_cents", "n_bins")
+        .orderBy("event_type")
+    },
+
+    // Histogram-based self-join cardinality estimate vs ground truth:
+    // the optimizer technique (per-bucket count products under a
+    // within-bucket uniformity assumption, est_b = c_b² DIV ndv_b)
+    // scored against the exact Σc(k)² — the gap IS the skew the
+    // uniformity assumption hides. Everything from ONE key-domain
+    // aggregate; the "join size" never runs a join.
+    "histogram_selfjoin_estimate" -> { (s, d) =>
+      val keys = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+      val span = keys.agg(min("k").as("lo"), max("k").as("hi"))
+      val exact = keys.agg(sum(col("c") * col("c")).as("actual_pairs"),
+        count(lit(1)).as("n_keys"))
+      val est = keys.crossJoin(broadcast(span))
+        .withColumn("bucket", expr("((k - lo) * 64) DIV (hi - lo + 1)"))
+        .groupBy("bucket")
+        .agg(sum("c").as("cb"), count(lit(1)).as("ndv"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("(cb * cb) DIV ndv")).as("est_pairs"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_keys"), col("n_buckets"), col("actual_pairs"),
+          col("est_pairs"),
+          expr("(1000 * abs(est_pairs - actual_pairs)) DIV actual_pairs")
+            .as("err_permille"))
+    },
+
+    // Layout file-skipping comparison under a (value-band × time-window)
+    // box predicate: the SAME rows chunked three ways — natural
+    // (id-range), Z-order (Morton key-range), Hilbert (key-range) —
+    // and for each layout, how many of its 256 key-space chunks a
+    // scanner must touch. This is the measured payoff of multi-dim
+    // clustering: natural id order is time-correlated, so it prunes
+    // via the TIME window only (67/256 chunks touched at sf0.1); the
+    // space-filling layouts add the value dimension and touch 15/203
+    // (926‰ vs 738‰ pruned). All three keys are pure column
+    // arithmetic in one scan; chunk counts are three conditional
+    // distinct-aggregates, no window.
+    "layout_prune_comparison" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
+          floor(col("value") * 100).as("cents"))
+      val span = ev.agg(min("eus").as("tlo"), max("eus").as("thi"),
+        min("cents").as("vlo"), max("cents").as("vhi"),
+        min("event_id").as("ilo"), max("event_id").as("ihi"))
+      val base = ev.crossJoin(broadcast(span))
+        .select(col("event_id"),
+          expr("CAST(((cents - vlo) * 256) DIV (vhi - vlo + 1) AS INT)")
+            .as("x"),
+          expr("CAST(((eus - tlo) * 256) DIV (thi - tlo + 1) AS INT)")
+            .as("y"),
+          expr("((event_id - ilo) * 256) DIV (ihi - ilo + 1)")
+            .as("chunk_nat"))
+      val keyed = withHilbertKey(base.withColumn("x0", col("x"))
+          .withColumn("y0", col("y")))
+        .withColumn("zd",
+          graft.ops.ZOrder.zValue(Seq(col("x0"), col("y0")), 8))
+        .select(col("chunk_nat"), expr("zd DIV 256").as("chunk_z"),
+          expr("hd DIV 256").as("chunk_h"),
+          (col("x0").between(100, 140) && col("y0").between(64, 128))
+            .as("matched"))
+      def layout(name: String, chunk: String) = keyed.agg(
+          lit(name).as("layout"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_rows_matched"),
+          countDistinct(when(col("matched"), col(chunk)))
+            .as("chunks_touched"),
+          countDistinct(col(chunk)).as("chunks_total"))
+        .withColumn("prune_permille",
+          expr("(1000 * (chunks_total - chunks_touched)) DIV chunks_total"))
+      layout("1_natural", "chunk_nat")
+        .union(layout("2_zorder", "chunk_z"))
+        .union(layout("3_hilbert", "chunk_h"))
+        .orderBy("layout")
+    },
+
+    // Optimizer selectivity formulas scored against reality: equality
+    // est = n/ndv, range est = n·(hi−v+1)/(hi−lo+1) (uniformity),
+    // conjunction est = est_eq·est_range/n (independence) — each with
+    // its actual count and permille error from ONE stats pass + ONE
+    // predicate pass. The independence assumption's failure mode is
+    // the point: type and value are correlated here, and the audit
+    // quantifies by how much.
+    "predicate_selectivity_audit" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val stats = ev.agg(count(lit(1)).as("n"),
+        countDistinct("event_type").as("ndv"),
+        min("cents").as("lo"), max("cents").as("hi"))
+        .withColumn("v", expr("lo + (hi - lo + 1) DIV 2"))
+      val actual = ev.crossJoin(broadcast(stats))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("act_eq"),
+          sum(when(col("cents") >= col("v"), 1L).otherwise(0L))
+            .as("act_range"),
+          sum(when(col("event_type") === "click" &&
+            col("cents") >= col("v"), 1L).otherwise(0L)).as("act_conj"))
+      stats.crossJoin(broadcast(actual))
+        .select(col("n"), col("ndv"),
+          expr("n DIV ndv").as("est_eq"), col("act_eq"),
+          expr("(n * (hi - v + 1)) DIV (hi - lo + 1)").as("est_range"),
+          col("act_range"),
+          expr("((n DIV ndv) * ((n * (hi - v + 1)) DIV (hi - lo + 1))) DIV n")
+            .as("est_conj"), col("act_conj"))
+        .select(
+          expr("stack(3, " +
+            "'1_eq_type', est_eq, act_eq, " +
+            "'2_range_value', est_range, act_range, " +
+            "'3_conj_indep', est_conj, act_conj) " +
+            "AS (predicate, est_rows, actual_rows)"))
+        .withColumn("err_permille",
+          expr("(1000 * abs(est_rows - actual_rows)) DIV actual_rows"))
+        .orderBy("predicate")
     }
   )
 
@@ -8997,6 +9180,71 @@ object SparkEntry {
        |  min(hd) AS min_key, max(hd) AS max_key,
        |  CAST(sum(hd) AS BIGINT) AS key_sum
        |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Same Hilbert CTE ladder as [[hilbertOracleSql]] but carrying the
+    * natural chunk and the frozen (x0, y0) coordinates through, plus the
+    * Morton interleave, for layout_prune_comparison.
+    */
+  private def layoutPruneOracleSql: String = {
+    val stages = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+      case (sz, i) =>
+        s"""h${i + 1} AS (
+           |  SELECT chunk_nat, x0, y0,
+           |    hd + ${sz * sz} * (CASE
+           |      WHEN (x & $sz) > 0 AND (y & $sz) = 0 THEN 3
+           |      WHEN (x & $sz) > 0 THEN 2
+           |      WHEN (y & $sz) > 0 THEN 1 ELSE 0 END) AS hd,
+           |    CASE WHEN (y & $sz) = 0 THEN
+           |      CASE WHEN (x & $sz) > 0 THEN 255 - y ELSE y END
+           |    ELSE x END AS x,
+           |    CASE WHEN (y & $sz) = 0 THEN
+           |      CASE WHEN (x & $sz) > 0 THEN 255 - x ELSE x END
+           |    ELSE y END AS y
+           |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    val zterms = (for {
+      (dim, dd) <- Seq("x0", "y0").zipWithIndex
+      i <- 0 until 8
+    } yield s"((($dim >> $i) & 1) << ${i * 2 + dd})").mkString(" | ")
+    def lay(name: String, chunk: String) =
+      s"""SELECT '$name' AS layout,
+         |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rows_matched,
+         |  count(DISTINCT CASE WHEN matched THEN $chunk END)
+         |    AS chunks_touched,
+         |  count(DISTINCT $chunk) AS chunks_total,
+         |  (1000 * (count(DISTINCT $chunk)
+         |    - count(DISTINCT CASE WHEN matched THEN $chunk END)))
+         |    // count(DISTINCT $chunk) AS prune_permille
+         |FROM k""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS eus,
+       |    CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |sp AS (SELECT min(eus) AS tlo, max(eus) AS thi,
+       |  min(cents) AS vlo, max(cents) AS vhi,
+       |  min(event_id) AS ilo, max(event_id) AS ihi FROM e),
+       |h0 AS (
+       |  SELECT
+       |    ((event_id - ilo) * 256) // (ihi - ilo + 1) AS chunk_nat,
+       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x0,
+       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y0,
+       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x,
+       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM e CROSS JOIN sp),
+       |$stages,
+       |k AS (
+       |  SELECT chunk_nat, zd // 256 AS chunk_z, hd // 256 AS chunk_h,
+       |    (x0 BETWEEN 100 AND 140 AND y0 BETWEEN 64 AND 128) AS matched
+       |  FROM (SELECT h8.*, CAST($zterms AS BIGINT) AS zd FROM h8))
+       |${lay("1_natural", "chunk_nat")}
+       |UNION ALL
+       |${lay("2_zorder", "chunk_z")}
+       |UNION ALL
+       |${lay("3_hilbert", "chunk_h")}
+       |ORDER BY layout""".stripMargin
   }
 
   /** Unrolled Bellman-Ford oracle for weighted_sssp_knn: the kNN chain,
@@ -16536,6 +16784,110 @@ object SparkEntry {
         |  (4 * CAST(sum(r) AS BIGINT) - count(*)) // 2 AS debiased,
         |  abs((4 * CAST(sum(r) AS BIGINT) - count(*)) // 2
         |    - CAST(sum(t) AS BIGINT)) AS abs_err
-        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same presence scatter over 28 windows.
+    "dau_mau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |sc AS (
+        |  SELECT DISTINCT user_id, day + CAST(o.o AS INTEGER) AS wday
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS o) o),
+        |grid AS (SELECT DISTINCT day AS wday FROM ud),
+        |mau AS (
+        |  SELECT sc.wday, count(*) AS mau_28d
+        |  FROM sc JOIN grid ON grid.wday = sc.wday GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
+        |  mau.mau_28d, (1000 * dau.dau) // mau.mau_28d
+        |    AS stickiness_permille
+        |FROM dau JOIN mau ON mau.wday = dau.day
+        |ORDER BY day""".stripMargin,
+
+    // Same nearest-rank quartiles and literal-range cube root.
+    "fd_histogram_binwidth" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, count(*) AS n, min(cents) AS lo,
+        |  max(cents) AS hi FROM ev GROUP BY 1),
+        |rk AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS rn FROM ev),
+        |q25 AS (SELECT rk.event_type, rk.cents AS q25
+        |  FROM rk JOIN st USING (event_type)
+        |  WHERE rk.rn = (25 * st.n + 99) // 100),
+        |q75 AS (SELECT rk.event_type, rk.cents AS q75
+        |  FROM rk JOIN st USING (event_type)
+        |  WHERE rk.rn = (75 * st.n + 99) // 100),
+        |ic AS (
+        |  SELECT event_type, max(k.k) AS icbrt
+        |  FROM st CROSS JOIN (SELECT unnest(range(1, 100)) AS k) k
+        |  WHERE k.k * k.k * k.k <= st.n GROUP BY 1),
+        |j AS (
+        |  SELECT st.event_type, st.n, q25.q25, q75.q75,
+        |    q75.q75 - q25.q25 AS iqr, ic.icbrt, st.lo, st.hi
+        |  FROM st JOIN q25 USING (event_type)
+        |  JOIN q75 USING (event_type) JOIN ic USING (event_type))
+        |SELECT event_type, n, q25, q75, iqr, icbrt,
+        |  greatest(1, (2 * iqr) // icbrt) AS fd_width_cents,
+        |  (hi - lo) // greatest(1, (2 * iqr) // icbrt) + 1 AS n_bins
+        |FROM j ORDER BY event_type""".stripMargin,
+
+    // Same bucketed estimate against the exact count-product sum.
+    "histogram_selfjoin_estimate" ->
+      """WITH keys AS (
+        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |sp AS (SELECT min(k) AS lo, max(k) AS hi FROM keys),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual_pairs,
+        |  count(*) AS n_keys FROM keys),
+        |bk AS (
+        |  SELECT ((k - lo) * 64) // (hi - lo + 1) AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cb, count(*) AS ndv
+        |  FROM keys CROSS JOIN sp GROUP BY 1),
+        |es AS (SELECT count(*) AS n_buckets,
+        |  CAST(sum((cb * cb) // ndv) AS BIGINT) AS est_pairs FROM bk)
+        |SELECT ex.n_keys, es.n_buckets, ex.actual_pairs, es.est_pairs,
+        |  (1000 * abs(es.est_pairs - ex.actual_pairs)) // ex.actual_pairs
+        |    AS err_permille
+        |FROM ex CROSS JOIN es""".stripMargin,
+
+    "layout_prune_comparison" -> layoutPruneOracleSql,
+
+    // Same formulas, stacked rows.
+    "predicate_selectivity_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (SELECT count(*) AS n, count(DISTINCT event_type) AS ndv,
+        |  min(cents) AS lo, max(cents) AS hi FROM ev),
+        |s2 AS (SELECT n, ndv, lo, hi, lo + (hi - lo + 1) // 2 AS v
+        |  FROM st),
+        |act AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS act_eq,
+        |    CAST(sum(CASE WHEN cents >= s2.v THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS act_range,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND cents >= s2.v
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS act_conj
+        |  FROM ev CROSS JOIN s2),
+        |es AS (
+        |  SELECT s2.n // s2.ndv AS est_eq,
+        |    (s2.n * (s2.hi - s2.v + 1)) // (s2.hi - s2.lo + 1)
+        |      AS est_range,
+        |    ((s2.n // s2.ndv) * ((s2.n * (s2.hi - s2.v + 1))
+        |      // (s2.hi - s2.lo + 1))) // s2.n AS est_conj,
+        |    act.act_eq, act.act_range, act.act_conj
+        |  FROM s2 CROSS JOIN act),
+        |u AS (
+        |  SELECT '1_eq_type' AS predicate, est_eq AS est_rows,
+        |    act_eq AS actual_rows FROM es
+        |  UNION ALL SELECT '2_range_value', est_range, act_range FROM es
+        |  UNION ALL SELECT '3_conj_indep', est_conj, act_conj FROM es)
+        |SELECT predicate, est_rows, actual_rows,
+        |  (1000 * abs(est_rows - actual_rows)) // actual_rows
+        |    AS err_permille
+        |FROM u ORDER BY predicate""".stripMargin
   )
 }
