@@ -9136,6 +9136,103 @@ object SparkEntry {
         .withColumn("err_permille",
           expr("(1000 * abs(est_rows - actual_rows)) DIV actual_rows"))
         .orderBy("predicate")
+    },
+
+    // The inspection paradox, quantified on gap sessions: the session
+    // covering a RANDOM instant is length-biased — its expected
+    // duration is Σd²/Σd, not Σd/n — and the permille bias
+    // (n·Σd² − (Σd)²)/(Σd)² is exactly how much longer the "typical
+    // observed" session looks than the typical session. Durations in
+    // whole minutes keep n·Σd² inside BIGINT at sf0.1 (seconds² would
+    // overflow); zero-length singleton sessions stay in, documented —
+    // they're real sessions the paradox under-samples.
+    "inspection_paradox_sessions" -> { (s, d) =>
+      val sess = graft.ops.Sessionize.withSessionIndex(
+          Tables.events(s, d).select(col("user_id"), col("ts")),
+          Seq("user_id"), "ts", gapSeconds = 1800L)
+        .groupBy("user_id", "session_idx")
+        // integer DIV, not double `/`+cast: a float quotient landing on
+        // an exact integer boundary can round up where floor would not
+        .agg(expr("""(unix_micros(CAST(max(ts) AS TIMESTAMP)) -
+          unix_micros(CAST(min(ts) AS TIMESTAMP))) DIV 60000000""")
+          .as("dmin"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum("dmin").as("sum_min"),
+          sum(col("dmin") * col("dmin")).as("sum_min_sq"))
+        .select(col("n_sessions"), col("sum_min"), col("sum_min_sq"),
+          expr("(1000 * sum_min) DIV n_sessions").as("mean_milli_min"),
+          expr("(1000 * sum_min_sq) DIV sum_min")
+            .as("length_biased_mean_milli_min"),
+          expr("""(1000 * (n_sessions * sum_min_sq - sum_min * sum_min))
+            DIV (sum_min * sum_min)""").as("bias_permille"))
+    },
+
+    // Percentile subadditivity gap — why capacity planning by
+    // per-component p95s over-provisions: over the dense (day, hour)
+    // load grid, p95 of the TOTAL vs the sum of per-type p95s, both
+    // nearest-rank-exact. The gap is the diversification benefit that
+    // "sum the p95s" silently discards.
+    "percentile_subadditivity_gap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).as("hr"))
+      val cells = ev.groupBy("day", "hr", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = ev.select("day").distinct()
+        .crossJoin(broadcast(s.range(24).select(
+          col("id").cast("int").as("hr"))))
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+        .join(cells, Seq("day", "hr", "event_type"), "left")
+        .select(col("day"), col("hr"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val nb = grid.select("day", "hr").distinct()
+        .agg(count(lit(1)).as("n_buckets"))
+      val totP95 = grid.groupBy("day", "hr").agg(sum("c").as("tot"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy("tot", "day", "hr")))
+        .crossJoin(broadcast(nb))
+        .filter(col("rn") === expr("(95 * n_buckets + 99) DIV 100"))
+        .select(col("n_buckets"), col("tot").as("p95_of_total"))
+      val perType = grid.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("c", "day", "hr")))
+        .crossJoin(broadcast(nb))
+        .filter(col("rn") === expr("(95 * n_buckets + 99) DIV 100"))
+        .agg(sum("c").as("sum_of_type_p95s"))
+      totP95.crossJoin(broadcast(perType))
+        .select(col("n_buckets"), col("p95_of_total"),
+          col("sum_of_type_p95s"),
+          (col("sum_of_type_p95s") - col("p95_of_total")).as("gap"),
+          expr("""(1000 * (sum_of_type_p95s - p95_of_total))
+            DIV p95_of_total""").as("gap_permille"))
+    },
+
+    // Cluster-sampling design-effect components (balanced ANOVA, m=6
+    // events per user so every sum-of-squares clears its denominator):
+    // km·SSB = k·Σs_i² − T² and m·SSW = m·Σy² − Σs_i², both exact
+    // integers; ICC and DEFF = 1 + (m−1)·ICC are caller floats over
+    // these. The survey-sampling companion to neyman_allocation_exact:
+    // how much a user-clustered sample inflates variance vs SRS.
+    "design_effect_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val y = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).as("y"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy("event_id")))
+        .filter(col("rn") <= 6)
+      val per = y.groupBy("user_id")
+        .agg(count(lit(1)).as("m_i"), sum("y").as("s_i"),
+          sum(col("y") * col("y")).as("ss_i"))
+        .filter(col("m_i") === 6)
+      per.agg(count(lit(1)).as("k"),
+          sum("s_i").as("t_sum"),
+          sum(col("s_i") * col("s_i")).as("sum_si_sq"),
+          sum("ss_i").as("sum_y_sq"))
+        .select(col("k"), lit(6L).as("m"), col("t_sum"), col("sum_y_sq"),
+          (col("k") * col("sum_si_sq") - col("t_sum") * col("t_sum"))
+            .as("km_ssb"),
+          (lit(6L) * col("sum_y_sq") - col("sum_si_sq")).as("m_ssw"))
     }
   )
 
@@ -16888,6 +16985,92 @@ object SparkEntry {
         |SELECT predicate, est_rows, actual_rows,
         |  (1000 * abs(est_rows - actual_rows)) // actual_rows
         |    AS err_permille
-        |FROM u ORDER BY predicate""".stripMargin
+        |FROM u ORDER BY predicate""".stripMargin,
+
+    // Same gap sessions and minute durations.
+    "inspection_paradox_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS BIGINT) AS sidx
+        |  FROM flagged),
+        |ss AS (
+        |  SELECT user_id, sidx,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS dmin
+        |  FROM idx GROUP BY 1, 2),
+        |a AS (SELECT count(*) AS n_sessions,
+        |  CAST(sum(dmin) AS BIGINT) AS sum_min,
+        |  CAST(sum(dmin * dmin) AS BIGINT) AS sum_min_sq FROM ss)
+        |SELECT n_sessions, sum_min, sum_min_sq,
+        |  (1000 * sum_min) // n_sessions AS mean_milli_min,
+        |  (1000 * sum_min_sq) // sum_min
+        |    AS length_biased_mean_milli_min,
+        |  (1000 * (n_sessions * sum_min_sq - sum_min * sum_min))
+        |    // (sum_min * sum_min) AS bias_permille
+        |FROM a""".stripMargin,
+
+    // Same dense load grid and nearest-rank selections.
+    "percentile_subadditivity_gap" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(extract(hour FROM ts) AS INTEGER) AS hr FROM events),
+        |cells AS (SELECT day, hr, event_type, count(*) AS c FROM ev
+        |  GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT d.day, h.hr, t.event_type, coalesce(cells.c, 0) AS c
+        |  FROM (SELECT DISTINCT day FROM ev) d
+        |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  LEFT JOIN cells ON cells.day = d.day AND cells.hr = h.hr
+        |    AND cells.event_type = t.event_type),
+        |nb AS (SELECT count(*) AS n_buckets
+        |  FROM (SELECT DISTINCT day, hr FROM grid)),
+        |tt AS (
+        |  SELECT day, hr, CAST(sum(c) AS BIGINT) AS tot FROM grid
+        |  GROUP BY 1, 2),
+        |tp AS (SELECT nb.n_buckets, tt.tot AS p95_of_total
+        |  FROM tt CROSS JOIN nb
+        |  QUALIFY row_number() OVER (ORDER BY tot, day, hr)
+        |    = (95 * n_buckets + 99) // 100),
+        |pt AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS sum_of_type_p95s FROM (
+        |    SELECT event_type, c FROM grid CROSS JOIN nb
+        |    QUALIFY row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, day, hr) = (95 * n_buckets + 99) // 100))
+        |SELECT tp.n_buckets, tp.p95_of_total, pt.sum_of_type_p95s,
+        |  pt.sum_of_type_p95s - tp.p95_of_total AS gap,
+        |  (1000 * (pt.sum_of_type_p95s - tp.p95_of_total))
+        |    // tp.p95_of_total AS gap_permille
+        |FROM tp CROSS JOIN pt""".stripMargin,
+
+    // Same balanced take-6 ANOVA integers.
+    "design_effect_components" ->
+      """WITH y AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM (SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id) AS rn
+        |    FROM events) WHERE rn <= 6),
+        |per AS (
+        |  SELECT user_id, count(*) AS m_i,
+        |    CAST(sum(y) AS BIGINT) AS s_i,
+        |    CAST(sum(y * y) AS BIGINT) AS ss_i
+        |  FROM y GROUP BY 1),
+        |b AS (SELECT * FROM per WHERE m_i = 6),
+        |a AS (SELECT count(*) AS k,
+        |  CAST(sum(s_i) AS BIGINT) AS t_sum,
+        |  CAST(sum(s_i * s_i) AS BIGINT) AS sum_si_sq,
+        |  CAST(sum(ss_i) AS BIGINT) AS sum_y_sq FROM b)
+        |SELECT k, CAST(6 AS BIGINT) AS m, t_sum, sum_y_sq,
+        |  k * sum_si_sq - t_sum * t_sum AS km_ssb,
+        |  6 * sum_y_sq - sum_si_sq AS m_ssw
+        |FROM a""".stripMargin
   )
 }
