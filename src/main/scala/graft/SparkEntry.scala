@@ -9257,12 +9257,17 @@ object SparkEntry {
       val sh = docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
-      val sigs = sh.groupBy("doc_id").agg(
-        min(Dedup.md5Hash64(concat(lit("mh0|"), col("g")))
-          .bitwiseAND(lit(Long.MaxValue))).as("s0"),
-        (1 until 16).map(i =>
-          min(Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
-            .bitwiseAND(lit(Long.MaxValue))).as(s"s$i")): _*)
+      // distinct-shingle collapse (the simhash lesson): the 3-gram
+      // DOMAIN is thousands while (doc, shingle) occurrences are
+      // millions — hashing 16 md5s per occurrence benched 16 s at
+      // sf0.1; per distinct shingle + a broadcast join back, 1-2 s.
+      // Values identical.
+      val gh = sh.select("g").distinct().select(col("g") +: (0 until 16)
+        .map(i => Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
+          .bitwiseAND(lit(Long.MaxValue)).as(s"h$i")): _*)
+      val sigs = sh.join(broadcast(gh), "g").groupBy("doc_id").agg(
+        min(col("h0")).as("s0"),
+        (1 until 16).map(i => min(col(s"h$i")).as(s"s$i")): _*)
       def candidates(bands: Int, rows: Int) = {
         val keys = array((0 until bands).map(j =>
           struct(lit(j).as("bi"), concat_ws(",",
@@ -9376,6 +9381,105 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunk_slots"),
           countDistinct(col("ch")).as("n_distinct_chunks"),
           (count(lit(1)) - countDistinct(col("ch"))).as("dup_slots"))
+    },
+
+    // Cosine DISTANCE is not a metric — the triangle-inequality
+    // violation rate over all ordered triples of a 30-vector panel,
+    // counted exactly: d(a,c) > d(a,b) + d(b,c) for each of the three
+    // middle choices. The number an ANN index design that assumes
+    // metric pruning (vp-trees, triangle-based candidate elimination)
+    // silently depends on; >0 here is the proof it would prune wrong.
+    // 435 pairwise cosines computed once, 4 060 triples by equi-joins
+    // on the pair table.
+    "cosine_triangle_violations" -> { (s, d) =>
+      val v = Tables.embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding"))
+      val p = v.select(col("vec_id").as("i"), col("embedding").as("vi"))
+        .join(v.select(col("vec_id").as("j"), col("embedding").as("vj")),
+          col("i") < col("j"))
+        .select(col("i"), col("j"),
+          (lit(1.0) - graft.ops.Similarity.cosine(col("vi"), col("vj")))
+            .as("dist"))
+        .cache()
+      def side(i: String, j: String, out: String) =
+        p.select(col("i").as(i), col("j").as(j), col("dist").as(out))
+      val t = side("a", "b", "dab").join(side("b", "c", "dbc"), "b")
+        .join(side("a", "c", "dac"), Seq("a", "c"))
+      t.select(col("a"), col("b"), col("c"),
+          (col("dac") - col("dab") - col("dbc")).as("v1"),
+          (col("dab") - col("dac") - col("dbc")).as("v2"),
+          (col("dbc") - col("dab") - col("dac")).as("v3"))
+        .agg(count(lit(1)).as("n_triples"),
+          sum(when(col("v1") > 0, 1L).otherwise(0L) +
+            when(col("v2") > 0, 1L).otherwise(0L) +
+            when(col("v3") > 0, 1L).otherwise(0L))
+            .as("n_violating_checks"),
+          sum(when(col("v1") > 0 || col("v2") > 0 || col("v3") > 0, 1L)
+            .otherwise(0L)).as("n_violating_triples"),
+          floor(greatest(max("v1"), max("v2"), max("v3")) * 1000)
+            .cast("long").as("max_violation_milli"))
+        .withColumn("n_checks", col("n_triples") * 3)
+        .select("n_triples", "n_checks", "n_violating_checks",
+          "n_violating_triples", "max_violation_milli")
+    },
+
+    // Longest consecutive-day activity streak per user (the GitHub-
+    // streak readout), then the distribution of per-user maxima: the
+    // islands anchor day − rank(day) collapses each run to a constant,
+    // all on the distinct (user, day) presence table.
+    "user_activity_streaks" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val streaks = ud.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+        .withColumn("anchor", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("max_streak"))
+      streaks.groupBy("max_streak")
+        .agg(count(lit(1)).as("n_users"),
+          sum("user_id").as("user_id_checksum"))
+        .orderBy("max_streak")
+    },
+
+    // Event-protocol conformance over gap sessions: purchases with no
+    // prior engagement (view/click) in-session, sessions OPENING on an
+    // error, and signups arriving after an in-session purchase — the
+    // state-machine audit that catches instrumentation bugs (lost
+    // events, replayed batches) before they poison funnels. Running
+    // flags via unbounded-preceding-exclusive windows inside each
+    // (user, session); per-day counts.
+    "state_machine_conformance" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.ops.Sessionize.withSessionIndex(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        Seq("user_id"), "ts", gapSeconds = 1800L)
+      val w = Window.partitionBy("user_id", "session_idx")
+        .orderBy("ts", "event_id")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("engaged_before",
+          max(when(col("event_type").isin("view", "click"), 1L)
+            .otherwise(0L)).over(wPrev))
+        .withColumn("purchase_before",
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wPrev))
+      flagged.groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L))
+          .as("n_sessions_opened"),
+          sum(when(col("event_type") === "purchase" &&
+            coalesce(col("engaged_before"), lit(0L)) === 0, 1L)
+            .otherwise(0L)).as("n_blind_purchases"),
+          sum(when(col("rn") === 1 && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("n_error_opened_sessions"),
+          sum(when(col("event_type") === "signup" &&
+            coalesce(col("purchase_before"), lit(0L)) === 1, 1L)
+            .otherwise(0L)).as("n_late_signups"))
+        .orderBy("day")
     }
   )
 
@@ -17347,6 +17451,89 @@ object SparkEntry {
         |JOIN thr ON thr.dp = stp.stop_depth
         |CROSS JOIN n""".stripMargin,
 
-    "cdc_chunk_dedup_rabin" -> rabinCdcOracleSql
+    "cdc_chunk_dedup_rabin" -> rabinCdcOracleSql,
+
+    // Same pair table and triple joins.
+    "cosine_triangle_violations" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 30),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    1.0 - (
+        |    list_sum([a.embedding[i2]::DOUBLE * b.embedding[i2]::DOUBLE
+        |              for i2 in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i2]::DOUBLE * a.embedding[i2]::DOUBLE
+        |                    for i2 in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([b.embedding[i2]::DOUBLE * b.embedding[i2]::DOUBLE
+        |                    for i2 in range(1, len(b.embedding) + 1)]))))
+        |      AS dist
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+        |t AS (
+        |  SELECT ab.i AS a, ab.j AS b, bc.j AS c,
+        |    ac.dist - ab.dist - bc.dist AS v1,
+        |    ab.dist - ac.dist - bc.dist AS v2,
+        |    bc.dist - ab.dist - ac.dist AS v3
+        |  FROM p ab JOIN p bc ON bc.i = ab.j
+        |  JOIN p ac ON ac.i = ab.i AND ac.j = bc.j)
+        |SELECT count(*) AS n_triples, count(*) * 3 AS n_checks,
+        |  CAST(sum((CASE WHEN v1 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v2 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v3 > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS n_violating_checks,
+        |  CAST(sum(CASE WHEN v1 > 0 OR v2 > 0 OR v3 > 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_violating_triples,
+        |  CAST(floor(greatest(max(v1), max(v2), max(v3)) * 1000)
+        |    AS BIGINT) AS max_violation_milli
+        |FROM t""".stripMargin,
+
+    // Same islands anchor.
+    "user_activity_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |st AS (SELECT user_id,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY day) AS INT) AS anchor FROM ud),
+        |ln AS (SELECT user_id, anchor, count(*) AS len FROM st
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(len) AS max_streak FROM ln GROUP BY 1)
+        |SELECT max_streak, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_checksum
+        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same session windows and running flags.
+    "state_machine_conformance" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER ws IS NULL
+        |         OR lag(ts) OVER ws + INTERVAL 1800 SECONDS < ts THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW ws AS (PARTITION BY user_id ORDER BY ts)),
+        |idx AS (SELECT user_id, ts, event_id, event_type,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sidx
+        |  FROM flagged),
+        |wf AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER wss AS rn,
+        |    max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0
+        |      END) OVER (wss ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS engaged_before,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (wss ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS purchase_before
+        |  FROM idx WINDOW wss AS (PARTITION BY user_id, sidx
+        |    ORDER BY ts, event_id))
+        |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions_opened,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    AND coalesce(engaged_before, 0) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_blind_purchases,
+        |  CAST(sum(CASE WHEN rn = 1 AND event_type = 'error' THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_error_opened_sessions,
+        |  CAST(sum(CASE WHEN event_type = 'signup'
+        |    AND coalesce(purchase_before, 0) = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_signups
+        |FROM wf GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
