@@ -8805,7 +8805,7 @@ object SparkEntry {
           .as("tok"))
       val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
       val grid = cnt.select("source").distinct()
-        .crossJoin(cnt.select("tok").distinct())
+        .crossJoin(broadcast(cnt.select("tok").distinct()))
         .join(cnt, Seq("source", "tok"), "left")
         .select(col("source"), col("tok"),
           coalesce(col("c"), lit(0L)).as("c"))
@@ -9480,6 +9480,330 @@ object SparkEntry {
             coalesce(col("purchase_before"), lit(0L)) === 1, 1L)
             .otherwise(0L)).as("n_late_signups"))
         .orderBy("day")
+    },
+
+    // The unbiased pass@k estimator (Chen et al. 2021, Codex §2.1):
+    // 1 − C(n−c,k)/C(n,k) per task, kept EXACT as falling factorials —
+    // C(n−c,k)/C(n,k) = ff(n−c,k)/ff(n,k), products of ≤5 small
+    // integers, no binomial table, no floats. Tasks = users, attempts
+    // = their first ≤10 purchases, success = cents above the global
+    // lower-median. The table also carries the naive per-attempt rate:
+    // the gap between mean pass@5 and per-attempt success is exactly
+    // why the estimator exists.
+    "pass_at_k_estimator" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).as("cents"))
+      val nTot = pur.agg(count(lit(1)).as("np"))
+      val med = pur.withColumn("rn", row_number().over(
+          Window.orderBy("cents", "event_id")))
+        .crossJoin(broadcast(nTot))
+        .filter(col("rn") === expr("(np + 1) DIV 2"))
+        .select(col("cents").as("median_cents"))
+      val tasks = pur
+        .withColumn("att", row_number().over(
+          Window.partitionBy("user_id").orderBy("event_id")))
+        .filter(col("att") <= 10)
+        .crossJoin(broadcast(med))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") > col("median_cents"), 1L).otherwise(0L))
+            .as("c"))
+        .filter(col("n") >= 5)
+      def ff(c: Column) = c * (c - 1) * (c - 2) * (c - 3) * (c - 4)
+      val per = tasks
+        .withColumn("num",
+          when(col("n") - col("c") >= 5, ff(col("n") - col("c")))
+            .otherwise(0L))
+        .withColumn("den", ff(col("n")))
+        .withColumn("pass5_milli",
+          lit(1000L) - expr("(1000 * num) DIV den"))
+      per.agg(count(lit(1)).as("n_tasks"),
+          sum("n").as("total_attempts"), sum("c").as("total_successes"),
+          sum("pass5_milli").as("sum_pass5_milli"))
+        .select(col("n_tasks"), col("total_attempts"),
+          col("total_successes"),
+          expr("(1000 * total_successes) DIV total_attempts")
+            .as("per_attempt_milli"),
+          expr("sum_pass5_milli DIV n_tasks").as("mean_pass5_milli"))
+    },
+
+    // BLEU-1 modified precision across the near-dup pairs (higher id =
+    // candidate, lower = reference): Σ min(count_cand, count_ref) over
+    // shared tokens ÷ candidate length, clip-counted with
+    // multiplicity — Papineni et al.'s defense against the repeated-
+    // word exploit, here measuring how much of each near-duplicate is
+    // literally recycled text. Brevity-penalty INPUTS (both lengths)
+    // ship as columns; the exp() of the penalty itself is a caller
+    // float. One token-count aggregate semi-joined to the 25 pairs.
+    "bleu1_neardup_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"))
+      val cnt = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(Dedup.tokens(col("text")))
+          .as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val lens = cnt.groupBy("doc_id").agg(sum("c").as("len"))
+      val clipped = pairs
+        .join(cnt.select(col("doc_id").as("id1"), col("tok"),
+          col("c").as("cr")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("tok"),
+          col("c").as("cc")), Seq("id2", "tok"))
+        .groupBy("id1", "id2")
+        .agg(sum(least(col("cr"), col("cc"))).as("clipped_matches"))
+      pairs.join(clipped, Seq("id1", "id2"), "left")
+        .join(lens.select(col("doc_id").as("id1"), col("len").as("len_ref")),
+          "id1")
+        .join(lens.select(col("doc_id").as("id2"),
+          col("len").as("len_cand")), "id2")
+        .select(col("id1"), col("id2"), col("len_ref"), col("len_cand"),
+          coalesce(col("clipped_matches"), lit(0L)).as("clipped_matches"))
+        .withColumn("p1_milli",
+          expr("(1000 * clipped_matches) DIV len_cand"))
+        .orderBy("id1", "id2")
+    },
+
+    // The AGM / worst-case-optimal-join motivation, measured: counting
+    // triangles through a binary join plan materializes every WEDGE
+    // (Σ d(d−1)/2 two-paths) before the closing edge filters them; the
+    // wedge-to-triangle ratio IS the intermediate-result blowup a WCOJ
+    // avoids. On the kNN graph: edges, wedges, closed triangles
+    // (3·triangle count via closing-edge join), blowup in permille.
+    // Degrees from one aggregate; the wedge count never materializes
+    // wedges — that's the point of computing it from degrees.
+    "agm_triangle_blowup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val sym = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("dg"))
+      val wedges = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+      val m = und.agg(count(lit(1)).as("n_edges"))
+      // closed wedges: ordered triangle (a<b<c) found via two edges
+      // (a,b), (b,c) plus the closing (a,c)
+      val tri = und.select(col("a"), col("b"))
+        .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      m.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("""CASE WHEN n_triangles > 0
+            THEN (1000 * n_wedges) DIV n_triangles ELSE -1 END""")
+            .as("wedge_per_triangle_milli"))
+    },
+
+    // Arc price elasticity between consecutive days, fully integer by
+    // clearing the per-day mean-price fractions: with q = purchases,
+    // S = cents sum, e = ((q₂−q₁)(S₁q₂+S₂q₁)) / ((S₂q₁−S₁q₂)(q₁+q₂))
+    // — numerator and denominator emitted as exact signed BIGINTs (the
+    // signed quotient stays with the caller: engines disagree on
+    // negative integer division). The day pairs where demand moved
+    // WITH price (positive ratio) are visible as matching signs.
+    "arc_elasticity_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("q"),
+          sum(floor(col("value") * 100)).as("sc"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("q1", lag("q", 1).over(w))
+        .withColumn("s1", lag("sc", 1).over(w))
+        .filter(col("q1").isNotNull)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("q1"), col("q").as("q2"), col("s1"), col("sc").as("s2"))
+        .withColumn("e_num",
+          expr("(q2 - q1) * (s1 * q2 + s2 * q1)"))
+        .withColumn("e_den",
+          expr("(s2 * q1 - s1 * q2) * (q1 + q2)"))
+        .orderBy("day")
+    },
+
+    // Regression-discontinuity components at the activity median:
+    // running variable = user's event count, outcome = the user's
+    // purchase cents sum; four cells (below/above threshold × narrow
+    // ±2 / wide ±8 bandwidth) with exact counts and sums — the
+    // local-mean gap at the cutoff vs the wide-bandwidth gap is the
+    // bandwidth-sensitivity check every RDD referee asks for. One user
+    // aggregate + one broadcast threshold.
+    "regression_discontinuity_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("activity"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100)).otherwise(0L)).as("pc"))
+      val nU = users.agg(count(lit(1)).as("nu"))
+      val thr = users.withColumn("rn", row_number().over(
+          Window.orderBy("activity", "user_id")))
+        .crossJoin(broadcast(nU))
+        .filter(col("rn") === expr("(nu + 1) DIV 2"))
+        .select(col("activity").as("cut"))
+      def cell(side: String, bw: Int) = {
+        val in =
+          if (side == "below")
+            col("activity") < col("cut") &&
+              col("activity") >= col("cut") - bw
+          else
+            col("activity") >= col("cut") &&
+              col("activity") < col("cut") + bw
+        struct(sum(when(in, 1L).otherwise(0L)).as("n"),
+          sum(when(in, col("pc")).otherwise(0L)).as("s"))
+      }
+      users.crossJoin(broadcast(thr))
+        .agg(first("cut").as("cutoff_activity"),
+          cell("below", 2).as("below_narrow"),
+          cell("above", 2).as("above_narrow"),
+          cell("below", 8).as("below_wide"),
+          cell("above", 8).as("above_wide"))
+        .select(col("cutoff_activity"),
+          col("below_narrow.n").as("n_below_narrow"),
+          col("below_narrow.s").as("cents_below_narrow"),
+          col("above_narrow.n").as("n_above_narrow"),
+          col("above_narrow.s").as("cents_above_narrow"),
+          col("below_wide.n").as("n_below_wide"),
+          col("below_wide.s").as("cents_below_wide"),
+          col("above_wide.n").as("n_above_wide"),
+          col("above_wide.s").as("cents_above_wide"))
+    },
+
+    // Approximate-query-processing error audit: a deterministic 10%
+    // hash sample, scaled ×10, against exact per-type counts — the
+    // per-group permille error is what a sample-based dashboard
+    // silently carries, and it varies BY GROUP (small groups err
+    // more), which the per-type rows make visible.
+    "sample_scale_error_audit" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (expr("(event_id * 2654435761) % 4294967296 % 10") === 0)
+            .as("in_sample"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("exact_n"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("sample_n"))
+        .withColumn("scaled_n", col("sample_n") * 10)
+        .withColumn("err_permille",
+          expr("(1000 * abs(scaled_n - exact_n)) DIV exact_n"))
+        .orderBy("event_type")
+    },
+
+    // Near-dup cluster cohesion — the transitive-merge safety QA: per
+    // connected component of the ≥0.8 pair graph, its size, how many
+    // of its C(size,2) pairs are actually strong, and the weakest
+    // strong link. A cluster with missing internal pairs was formed by
+    // CHAINING (a~b~c with a,c dissimilar) — exactly the case where
+    // min-label survivor selection merges non-duplicates; is_chained
+    // flags it. Jaccard millis floored from the same rounded values
+    // both engines compute.
+    "neardup_cluster_cohesion" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8).cache()
+      val comp = graft.ops.Components.connectedComponents(pairs)
+      val withComp = pairs
+        .join(comp.select(col("v").as("id1"), col("comp")), "id1")
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("size"))
+      withComp.groupBy("comp")
+        .agg(count(lit(1)).as("n_strong_pairs"),
+          min(floor(col("jaccard") * 1000).cast("long"))
+            .as("min_jaccard_milli"),
+          max(floor(col("jaccard") * 1000).cast("long"))
+            .as("max_jaccard_milli"))
+        .join(sizes, "comp")
+        .select(col("comp").as("cluster_id"), col("size"),
+          expr("size * (size - 1) DIV 2").as("n_possible_pairs"),
+          col("n_strong_pairs"), col("min_jaccard_milli"),
+          col("max_jaccard_milli"),
+          (col("n_strong_pairs") < expr("size * (size - 1) DIV 2"))
+            .as("is_chained"))
+        .orderBy("cluster_id")
+    },
+
+    // Lincoln-Petersen capture-recapture: estimate the user population
+    // from two day "captures" (first and last day) and their overlap —
+    // N̂ = n₁·n₂/m — against the true distinct count the estimator
+    // never sees. The mark-recapture arithmetic behind dark-pool /
+    // coverage estimation, exact integers end to end.
+    "capture_recapture_users" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val span = ud.agg(min("day").as("d1"), max("day").as("d2"))
+      val tagged = ud.crossJoin(broadcast(span))
+      val s1 = tagged.filter(col("day") === col("d1"))
+        .select("user_id").distinct()
+      val s2 = tagged.filter(col("day") === col("d2"))
+        .select("user_id").distinct()
+      val m = s1.join(s2, "user_id").agg(count(lit(1)).as("m"))
+      s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(ud.select("user_id").distinct()
+          .agg(count(lit(1)).as("true_n"))))
+        .withColumn("estimated_n", expr("(n1 * n2) DIV m"))
+        .withColumn("err_permille",
+          expr("(1000 * abs(estimated_n - true_n)) DIV true_n"))
+    },
+
+    // Brown-Forsythe (median-centered Levene) spread-homogeneity
+    // components per event type: absolute deviations from each type's
+    // EXACT lower-median stay integers, so n, Σ|z|, Σz² per group are
+    // exact and the W statistic is the caller's float — the
+    // variance-equality check that must pass before pooling types in
+    // any ANOVA, median-centered because the raw Levene is wrecked by
+    // the same heavy tails it's testing for.
+    "levene_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).as("cents"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val med = ev.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("cents", "event_id")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col("cents").as("med"))
+      ev.join(broadcast(med), "event_type")
+        .withColumn("z", abs(col("cents") - col("med")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first("med").as("median_cents"),
+          sum("z").as("sum_absdev"),
+          sum(col("z") * col("z")).as("sum_absdev_sq"))
+        .orderBy("event_type")
+    },
+
+    // Wald-Wolfowitz runs test components on the daily up/down revenue
+    // sequence: observed runs vs the exact expected-runs rational
+    // E·n = n + 2·n₁·n₂ — is the series trending/mean-reverting or
+    // coin-flip random. All integers; the z-score's variance term is
+    // the caller's float over these.
+    "runs_test_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100)).as("rev"))
+      val w = Window.orderBy("day")
+      val signs = daily.withColumn("prev", lag("rev", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", when(col("rev") > col("prev"), 1L).otherwise(0L))
+        .withColumn("flip",
+          when(col("up") =!= lag("up", 1).over(w), 1L).otherwise(0L))
+      signs.agg(
+          sum("up").as("n1"),
+          sum(lit(1L) - col("up")).as("n2"),
+          (sum(when(col("flip").isNull, 0L).otherwise(col("flip"))) + 1L)
+            .as("n_runs"))
+        .select(col("n1"), col("n2"), col("n_runs"),
+          (col("n1") + col("n2") + lit(2L) * col("n1") * col("n2"))
+            .as("expected_runs_num"),
+          (col("n1") + col("n2")).as("expected_runs_den"))
     }
   )
 
@@ -17534,6 +17858,288 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup'
         |    AND coalesce(purchase_before, 0) = 1 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_late_signups
-        |FROM wf GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM wf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same falling factorials.
+    "pass_at_k_estimator" ->
+      """WITH pur AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |np AS (SELECT count(*) AS np FROM pur),
+        |med AS (SELECT cents AS median_cents FROM pur CROSS JOIN np
+        |  QUALIFY row_number() OVER (ORDER BY cents, event_id)
+        |    = (np + 1) // 2),
+        |att AS (SELECT user_id, cents FROM (
+        |    SELECT user_id, cents,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |        AS att
+        |    FROM pur) WHERE att <= 10),
+        |tk AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CASE WHEN cents > med.median_cents THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM att CROSS JOIN med GROUP BY 1 HAVING count(*) >= 5),
+        |per AS (SELECT n, c,
+        |    CASE WHEN n - c >= 5 THEN (n-c) * (n-c-1) * (n-c-2)
+        |      * (n-c-3) * (n-c-4) ELSE 0 END AS num,
+        |    n * (n-1) * (n-2) * (n-3) * (n-4) AS den
+        |  FROM tk),
+        |p2 AS (SELECT n, c, 1000 - (1000 * num) // den AS pass5_milli
+        |  FROM per)
+        |SELECT count(*) AS n_tasks,
+        |  CAST(sum(n) AS BIGINT) AS total_attempts,
+        |  CAST(sum(c) AS BIGINT) AS total_successes,
+        |  (1000 * CAST(sum(c) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+        |    AS per_attempt_milli,
+        |  CAST(sum(pass5_milli) AS BIGINT) // count(*)
+        |    AS mean_pass5_milli
+        |FROM p2""".stripMargin,
+
+    // Pairs from the all-pairs closure; same clip counting.
+    "bleu1_neardup_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM cnt
+        |  GROUP BY 1),
+        |cl AS (
+        |  SELECT pr.id1, pr.id2,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped_matches
+        |  FROM pr JOIN cnt a ON a.doc_id = pr.id1
+        |  JOIN cnt b ON b.doc_id = pr.id2 AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT pr.id1, pr.id2, lr.len AS len_ref, lc.len AS len_cand,
+        |  coalesce(cl.clipped_matches, 0) AS clipped_matches,
+        |  (1000 * coalesce(cl.clipped_matches, 0)) // lc.len AS p1_milli
+        |FROM pr
+        |LEFT JOIN cl ON cl.id1 = pr.id1 AND cl.id2 = pr.id2
+        |JOIN lens lr ON lr.doc_id = pr.id1
+        |JOIN lens lc ON lc.doc_id = pr.id2
+        |ORDER BY pr.id1, pr.id2""".stripMargin,
+
+    // Same kNN edges; wedges from degrees, triangles by closing edge.
+    "agm_triangle_blowup" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, c.cid,
+        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+        |  FROM embeddings a CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY sim DESC, cid) = 1),
+        |p AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |              for i in range(1, len(ax.embedding) + 1)]) /
+        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ax.embedding) + 1)])) *
+        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY sim DESC, dst) AS rank
+        |    FROM p) WHERE rank <= 3),
+        |u AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym2 AS (SELECT a AS v, b AS w FROM u
+        |         UNION ALL SELECT b AS v, a AS w FROM u),
+        |dg AS (SELECT v, count(*) AS dg FROM sym2 GROUP BY 1),
+        |wd AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
+        |  AS n_wedges FROM dg),
+        |m AS (SELECT count(*) AS n_edges FROM u),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM u ab JOIN u bc ON bc.a = ab.b
+        |  JOIN u ac ON ac.a = ab.a AND ac.b = bc.b)
+        |SELECT m.n_edges, wd.n_wedges, tri.n_triangles,
+        |  CASE WHEN tri.n_triangles > 0
+        |    THEN (1000 * wd.n_wedges) // tri.n_triangles ELSE -1 END
+        |    AS wedge_per_triangle_milli
+        |FROM m CROSS JOIN wd CROSS JOIN tri""".stripMargin,
+
+    // Same cleared-fraction components.
+    "arc_elasticity_components" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS q,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT day, CAST(q AS BIGINT) AS q2, sc AS s2,
+        |    CAST(lag(q) OVER (ORDER BY day) AS BIGINT) AS q1,
+        |    lag(sc) OVER (ORDER BY day) AS s1
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, q1, q2, s1, s2,
+        |  (q2 - q1) * (s1 * q2 + s2 * q1) AS e_num,
+        |  (s2 * q1 - s1 * q2) * (q1 + q2) AS e_den
+        |FROM l WHERE q1 IS NOT NULL ORDER BY day""".stripMargin,
+
+    // Same four cells around the same median cutoff.
+    "regression_discontinuity_components" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*) AS activity,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pc
+        |  FROM events GROUP BY 1),
+        |nu AS (SELECT count(*) AS nu FROM users),
+        |thr AS (SELECT activity AS cut FROM users CROSS JOIN nu
+        |  QUALIFY row_number() OVER (ORDER BY activity, user_id)
+        |    = (nu + 1) // 2)
+        |SELECT min(cut) AS cutoff_activity,
+        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_narrow,
+        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 2
+        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_below_narrow,
+        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_narrow,
+        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 2
+        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_above_narrow,
+        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_wide,
+        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 8
+        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_below_wide,
+        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_wide,
+        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 8
+        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_above_wide
+        |FROM users CROSS JOIN thr""".stripMargin,
+
+    // Same hash sample and scaling.
+    "sample_scale_error_audit" ->
+      """SELECT event_type, count(*) AS exact_n,
+        |  CAST(sum(CASE WHEN (event_id * 2654435761) % 4294967296 % 10
+        |    = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sample_n,
+        |  CAST(sum(CASE WHEN (event_id * 2654435761) % 4294967296 % 10
+        |    = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10 AS scaled_n,
+        |  (1000 * abs(CAST(sum(CASE WHEN (event_id * 2654435761)
+        |    % 4294967296 % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10
+        |    - count(*))) // count(*) AS err_permille
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same closure components; jaccard rounded to 6 then floored to
+    // milli on both sides.
+    "neardup_cluster_cohesion" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |strong AS (SELECT id1, id2, j FROM p WHERE j >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM strong
+        |  UNION ALL SELECT id2, id1 FROM strong),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |comp AS (SELECT v, least(v, min(w)) AS comp FROM reach
+        |  GROUP BY v),
+        |wc AS (
+        |  SELECT c1.comp, count(*) AS n_strong_pairs,
+        |    CAST(min(floor(round(s9.j, 6) * 1000)) AS BIGINT)
+        |      AS min_jaccard_milli,
+        |    CAST(max(floor(round(s9.j, 6) * 1000)) AS BIGINT)
+        |      AS max_jaccard_milli
+        |  FROM strong s9 JOIN comp c1 ON c1.v = s9.id1 GROUP BY 1),
+        |sz AS (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
+        |SELECT wc.comp AS cluster_id, sz.size,
+        |  sz.size * (sz.size - 1) // 2 AS n_possible_pairs,
+        |  wc.n_strong_pairs, wc.min_jaccard_milli, wc.max_jaccard_milli,
+        |  wc.n_strong_pairs < sz.size * (sz.size - 1) // 2 AS is_chained
+        |FROM wc JOIN sz ON sz.comp = wc.comp ORDER BY 1""".stripMargin,
+
+    // Same two captures and estimator.
+    "capture_recapture_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sp AS (SELECT min(day) AS da, max(day) AS db FROM ud),
+        |s1 AS (SELECT DISTINCT user_id FROM ud CROSS JOIN sp
+        |  WHERE day = da),
+        |s2 AS (SELECT DISTINCT user_id FROM ud CROSS JOIN sp
+        |  WHERE day = db),
+        |mm AS (SELECT count(*) AS m FROM s1 JOIN s2 USING (user_id)),
+        |a AS (SELECT count(*) AS n1 FROM s1),
+        |b AS (SELECT count(*) AS n2 FROM s2),
+        |tt AS (SELECT count(DISTINCT user_id) AS true_n FROM ud)
+        |SELECT a.n1, b.n2, mm.m, tt.true_n,
+        |  (a.n1 * b.n2) // mm.m AS estimated_n,
+        |  (1000 * abs((a.n1 * b.n2) // mm.m - tt.true_n)) // tt.true_n
+        |    AS err_permille
+        |FROM a CROSS JOIN b CROSS JOIN mm CROSS JOIN tt""".stripMargin,
+
+    // Same per-type medians and integer deviations.
+    "levene_components" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |nn AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+        |med AS (
+        |  SELECT ev.event_type, ev.cents AS med
+        |  FROM ev JOIN nn USING (event_type)
+        |  QUALIFY row_number() OVER (PARTITION BY ev.event_type
+        |    ORDER BY cents, event_id) = (n + 1) // 2),
+        |z AS (SELECT ev.event_type, med.med,
+        |    abs(ev.cents - med.med) AS z
+        |  FROM ev JOIN med USING (event_type))
+        |SELECT event_type, count(*) AS n, min(med) AS median_cents,
+        |  CAST(sum(z) AS BIGINT) AS sum_absdev,
+        |  CAST(sum(z * z) AS BIGINT) AS sum_absdev_sq
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same sign sequence and run counting.
+    "runs_test_components" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM events GROUP BY 1),
+        |s1 AS (SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev
+        |  FROM daily),
+        |s2 AS (SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
+        |  FROM s1 WHERE prev IS NOT NULL),
+        |s3 AS (SELECT up,
+        |  CASE WHEN up <> lag(up) OVER (ORDER BY day) THEN 1 ELSE 0 END
+        |    AS flip FROM s2)
+        |SELECT CAST(sum(up) AS BIGINT) AS n1,
+        |  CAST(sum(1 - up) AS BIGINT) AS n2,
+        |  CAST(sum(flip) + 1 AS BIGINT) AS n_runs,
+        |  CAST(sum(up) + sum(1 - up) + 2 * sum(up) * sum(1 - up)
+        |    AS BIGINT) AS expected_runs_num,
+        |  CAST(sum(up) + sum(1 - up) AS BIGINT) AS expected_runs_den
+        |FROM s3""".stripMargin
   )
 }
