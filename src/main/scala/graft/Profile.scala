@@ -120,6 +120,91 @@ object Profile {
       }
       println("[profile] (block, length-bucket) histogram (top 10):")
       keyed.groupBy("__blk", "__lb").count().orderBy(desc("count")).show(10)
+    } else if (args.tail.headOption.contains("shingleonly")) {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      (1 to 3).foreach { i =>
+        time(s"string shingle explode run$i")(docs.repartition(col("doc_id"))
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+          .count())
+      }
+      (1 to 3).foreach { i =>
+        time(s"hashed shingle explode run$i")(docs.repartition(col("doc_id"))
+          .select(col("doc_id"), explode(Dedup.hashedShingles(col("text"), 3)).as("g"))
+          .count())
+      }
+    } else if (args.tail.headOption.contains("bandcurve")) {
+      // Stage breakdown of minhash_band_recall_curve (VERDICT r8 #4).
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val sh = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      time("shingle explode")(sh.count())
+      val gh = sh.select("g").distinct().select((col("g") +: (0 until 16)
+        .map(i => Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
+          .bitwiseAND(lit(Long.MaxValue)).as(s"h$i"))) :+
+          xxhash64(col("g")).as("xh"): _*)
+      time("distinct md5 hashes")(gh.count())
+      val hashed = sh.join(broadcast(gh), "g").drop("g").cache()
+      time("hashed join (cache)")(hashed.count())
+      val sigs = hashed.groupBy("doc_id").agg(
+        min(col("h0")).as("s0"),
+        (1 until 16).map(i => min(col(s"h$i")).as(s"s$i")): _*).cache()
+      time("sigs")(sigs.count())
+      def candidates(bands: Int, rows: Int) = {
+        val keys = array((0 until bands).map(j =>
+          struct(lit(j).as("bi"), concat_ws(",",
+            (0 until rows).map(x => col(s"s${j * rows + x}")): _*).as("bk"))): _*)
+        val b = sigs.select(col("doc_id"), explode(keys).as("e"))
+          .select(col("doc_id"), col("e.bi").as("bi"), col("e.bk").as("bk"))
+        b.select(col("doc_id").as("id1"), col("bi"), col("bk"))
+          .join(b.select(col("doc_id").as("id2"), col("bi"), col("bk")),
+            Seq("bi", "bk"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+          .withColumn("config", lit(s"b${bands}_r$rows"))
+      }
+      time("cand 1x16")(candidates(1, 16).count())
+      time("cand 2x8")(candidates(2, 8).count())
+      time("cand 4x4")(candidates(4, 4).count())
+      time("cand 8x2")(candidates(8, 2).count())
+      val xsigs = hashed.groupBy("doc_id").agg(
+        min(xxhash64(lit(0), col("xh"))).as("sig_0"),
+        (1 until 16).map(i => min(xxhash64(lit(i), col("xh"))).as(s"sig_$i")): _*)
+      val gcand = Dedup.minhashCandidates(xsigs, "doc_id", k = 16, bands = 8)
+      time("gold candidates")(gcand.count())
+      val arrs = hashed.groupBy("doc_id").agg(collect_set(col("xh")).as("hs"))
+      time("gold verify")(gcand
+        .join(arrs.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+        .join(arrs.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
+        .filter(size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2"))) >= 0.8).count())
+      spark.sharedState.cacheManager.clearCache()
+      time("full query")(SparkEntry.queries("minhash_band_recall_curve")(spark, sfDir).count())
+    } else if (args.tail.headOption.contains("funnel")) {
+      // Stage breakdown of curation_funnel (VERDICT r8 #7).
+      import org.apache.spark.sql.functions._
+      import graft.ops.{Dedup, TextAnalysis}
+      val docs = Tables.documents(spark, sfDir)
+      val evalDocs = docs.filter(col("source") === "src0")
+      val raw = TextAnalysis.withQualityScore(
+        docs.filter(col("source") =!= "src0"), "text", "quality").cache()
+      time("quality+cache")(raw.count())
+      val lenPred = col("n_chars").between(100, 20000)
+      val qPred = round(col("quality"), 6) >= 0.9
+      time("head conditional sums")(raw.agg(count(lit(1)),
+        sum(when(lenPred, 1L)), sum(when(lenPred && qPred, 1L))).count())
+      val s2 = raw.filter(lenPred && qPred)
+      val s3 = Dedup.decontaminate(s2, evalDocs, "text", "doc_id", n = 5).cache()
+      time("decontaminate+cache")(s3.count())
+      val pairs = Dedup.minhashExactPairs(s3, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      time("minhash pairs")(pairs.count())
+      time("survivors (components)")(Dedup.nearDupSurvivors(s3, pairs, "doc_id").count())
+      spark.sharedState.cacheManager.clearCache()
+      time("full query")(SparkEntry.queries("curation_funnel")(spark, sfDir).count())
     } else args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>

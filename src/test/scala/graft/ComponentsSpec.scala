@@ -56,6 +56,31 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("small-graph fast path ≡ distributed rounds (localEdgeBound gate both ways)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 60L); b <- Gen.choose(0L, 60L)
+    } yield (a, b))
+    for (i <- 0 until 4) {
+      val edges = edgesGen
+        .apply(Gen.Parameters.default.withSize(40), Seed(101L + i)).get
+        .toDF("id1", "id2")
+      val local = Components.connectedComponents(edges, "id1", "id2",
+        maxIters = 25, localEdgeBound = Int.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val dist = Components.connectedComponents(edges, "id1", "id2",
+        maxIters = 25, localEdgeBound = 0) // force the iterative path
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"seed ${101 + i}")
+    }
+    // non-numeric vertex keys take the same fast path (Comparable ordering)
+    val s = Seq(("b", "a"), ("c", "b"), ("x", "y")).toDF("id1", "id2")
+    val got = Components.connectedComponents(s)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("star contraction: 1000-vertex chain converges in O(log n) rounds, exact labels") {
     // shuffled so the chain isn't accidentally id-ordered on disk
     val rnd = new scala.util.Random(42)

@@ -156,6 +156,46 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive, s"missed=${naive -- fast} spurious=${fast -- naive}")
   }
 
+  test("density-gate fallback (minhash candidates) ≡ direct prefix path (sf0.01)") {
+    // VERDICT r8 #2: forcing the per-doc candidate budget to 0 routes the
+    // SAME corpus through the MinHash-banded fallback; the emitted pair
+    // set must equal the lossless prefix path's (this corpus's real pairs
+    // sit far above the J=0.5 threshold, where banding recall is ~1).
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val blockCols = Seq("lang" -> col("lang"),
+      "len_bucket" -> (col("n_chars") / 64).cast("long"))
+    def run(budget: Int) =
+      Dedup.ngramJaccardPairs(real, "text", "doc_id", blockCols,
+          n = 2, threshold = 0.5, fallbackCandidatesPerDoc = budget)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = run(Int.MaxValue)
+    val fallback = run(0)
+    assert(direct.nonEmpty, "vacuous fixture: no pairs at all")
+    assert(fallback == direct,
+      s"missed=${direct -- fallback} spurious=${fallback -- direct}")
+  }
+
+  test("containmentPairs (prefix-filtered) ≡ naive all-pairs containment (sf0.01)") {
+    // VERDICT r8 #1: the rarest-(m+1)-shingles prefix filter is lossless
+    // for the asymmetric threshold — verified against the literal
+    // all-pairs definition on the real corpus.
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val fast = Dedup.containmentPairs(real, "text", "doc_id",
+        n = 3, thresholdPermille = 900)
+      .select("contained_id", "container_id", "inter", "n_contained")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sh = real.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+    val naive = sh.toDF("ida", "sa").join(sh.toDF("idb", "sb"),
+        col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"))
+      .filter($"inter" * 10 >= $"na" * 9 && $"na" > 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == naive, s"missed=${naive -- fast} spurious=${fast -- naive}")
+  }
+
   test("adversarial single block: disjoint-content docs yield ZERO prefix candidates") {
     // 300 docs forced into one (lang, bucket) block but sharing no shingle:
     // the old full self-join paid 300*299/2 = 44850 verify pairs here; the

@@ -215,6 +215,67 @@ object ScaleBench {
       labeled.groupBy("dist").agg(count(lit(1)).as("n"))
     }
 
+    // VERDICT r8 #3: the four top-of-bench-profile iterative graph
+    // queries, measured on the cells ∝ n kNN substrate. Each mirrors its
+    // driver query exactly except the centroid count (the driver fixes
+    // cells=8 for DuckDB-oracle feasibility; fixed cells at 10× the
+    // vectors is the documented config error — Σ|cell|² quadratic).
+    // components_star_cells* above already covers graph_components_knn.
+    time(s"wl_refinement_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+      val adj = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w"))).cache()
+      def step(colors: DataFrame): DataFrame = {
+        val cv = colors.select(col("v").as("vv"), col("c").as("cv"))
+        val cw = colors.select(col("v").as("ww"), col("c").as("cw"))
+        adj.join(cv, col("v") === col("vv")).join(cw, col("w") === col("ww"))
+          .groupBy(col("v"), col("cv"))
+          .agg(expr("""concat_ws(',', transform(array_sort(collect_list(cw)),
+                       x -> CAST(x AS STRING)))""").as("nbrs"))
+          .select(col("v"),
+            graft.ops.Dedup.md5Hash64(concat(col("cv"), lit("|"), col("nbrs")))
+              .bitwiseAND(lit(Long.MaxValue)).as("c"))
+      }
+      val c0 = adj.groupBy("v").agg(count(lit(1)).as("c"))
+      step(step(c0)).groupBy(col("c")).agg(count(lit(1)).as("n"))
+    }
+    time(s"onion_layers_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val und = graft.ops.Graph.undirected(
+        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+      graft.ops.Graph.onionLayers(und, k = 4)
+        .groupBy("layer").agg(count(lit(1)).as("n"))
+    }
+    time(s"weighted_sssp_cells$knnCells") {
+      val cents = emb.filter(col("vec_id") < knnCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val knn = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val uw = knn
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max("sim").as("ms"))
+        .select(col("a"), col("b"),
+          expr("CAST(floor((1 - ms) * 1000000) AS BIGINT)").as("w"))
+      val edges = uw.select(col("a").as("v"), col("b").as("u"), col("w"))
+        .union(uw.select(col("b").as("v"), col("a").as("u"), col("w")))
+      val seeds = edges.select("v").filter(col("v") < 4)
+      graft.ops.Graph.weightedSssp(edges, seeds)
+    }
+    // VERDICT r8 #1 evidence: the prefix-filtered containment join on the
+    // low-diversity fixture (the corpus shape that killed the old
+    // uncapped inverted-index self-join).
+    time("dedup_containment_pairs") {
+      graft.ops.Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, thresholdPermille = 900)
+    }
+
     time("ngram_candidates_df_order") {
       val tok = sh0.select(col("doc_id"), explode(col("__s0")).as("__t"))
       val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
