@@ -5593,6 +5593,155 @@ object SparkEntry {
         .orderBy("cntrycode")
     },
 
+    // TPC-H Q2 shape on the generated schema (no partsupp table): the
+    // part-supplier catalog derives from lineitem — cost(p, s) = the
+    // minimum extended price that supplier ever charged for that part,
+    // in exact decimal cents. For LARGE parts, find every EUROPE-region
+    // supplier achieving the REGIONAL minimum cost (the correlated-min
+    // subquery Q2 is famous for, as a groupBy + equality join back —
+    // the decorrelation Catalyst would apply anyway, written directly).
+    // Region suppliers prune BEFORE the min, so the per-part aggregate
+    // only sees the correlated scope.
+    "tpch_q2_shaped" -> { (s, d) =>
+      val eurSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_regionkey") === 3),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("cost_cents"))
+      val regional = cost.join(broadcast(eurSupp),
+        col("l_suppkey") === col("s_suppkey"))
+      val minCost = regional.groupBy(col("l_partkey"))
+        .agg(min(col("cost_cents")).as("min_cents"))
+      regional
+        .join(minCost, Seq("l_partkey"))
+        .filter(col("cost_cents") === col("min_cents"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost_cents"))
+        .orderBy(col("cost_cents"), col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape: profit by (nation, year) for parts whose name
+    // carries a color token — revenue side only (no ps_supplycost in
+    // this schema), in the Q1-proven DECIMAL arithmetic so both engines
+    // sum identical exact values. The part filter broadcasts and prunes
+    // the fact scan before the supplier/nation joins.
+    "tpch_q9_shaped" -> { (s, d) =>
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(sum(price * disc).cast("double").as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q11 shape: per-part inventory value from ASIA-region
+    // suppliers, kept only when it exceeds 0.01% of the total — the
+    // HAVING-against-a-scalar-subquery pattern as exact cross-
+    // multiplication in cents (part_cents · 10000 > total_cents; never a
+    // float fraction). The scalar total rides a broadcast cross join.
+    "tpch_q11_shaped" -> { (s, d) =>
+      val asiaSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_regionkey") === 2),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+      val perPart = v.groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 10000 > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(desc("value_cents"), col("l_partkey"))
+    },
+
+    // TPC-H Q12 shape: l_returnflag stands in for the absent l_shipmode;
+    // a line is LATE when it ships more than 90 days after its order
+    // date. Per flag, count urgent-priority vs other-priority late
+    // lines — the two conditional sums Q12 uses to weigh shipping modes
+    // against order priority. The date predicate rides the equi-join.
+    "tpch_q12_shaped" -> { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q16 shape: how many distinct suppliers serve each
+    // (brand, type, size) combination — excluding one brand, one type,
+    // and every "complaint" supplier (negative account balance stands in
+    // for the comment LIKE filter), the exclusion as an anti-join rather
+    // than NOT IN (the not_in_null_semantics lesson). count_distinct
+    // partial-aggregates per node before the final exchange.
+    "tpch_q16_shaped" -> { (s, d) =>
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(50)
+    },
+
+    // TPC-H Q20 shape: AFRICA-region suppliers who concentrated more
+    // than half of their all-time shipped quantity of some small-named
+    // part into 1998 — the nested "available > ½·shipped" correlated
+    // aggregate as one (part, supplier) rollup with conditional sums
+    // (2·qty_1998 > qty_total in exact integers; l_quantity is integral
+    // by construction), then a semi-join up to supplier names.
+    "tpch_q20_shaped" -> { (s, d) =>
+      val afrSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_regionkey") === 0),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val qual = Tables.lineitem(s, d)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(year(col("l_shipdate")) === 1998,
+            col("l_quantity").cast("long")).otherwise(0L)).as("qty_1998"),
+          sum(col("l_quantity").cast("long")).as("qty_total"))
+        .filter(col("qty_1998") * 2 > col("qty_total"))
+        .select(col("l_suppkey")).distinct()
+      afrSupp.join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_name")
+    },
+
     // Asymmetric containment dedup (Broder 1997's C(A,B) = |A∩B|/|A| on
     // 3-token shingles): catches subset/superset duplicates — a doc whose
     // content is embedded in a longer one — which symmetric Jaccard
@@ -14813,6 +14962,99 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Correlated-min over the lineitem-derived catalog; exact decimal
+    // cents on both sides.
+    "tpch_q2_shaped" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 3),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |      AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |reg AS (
+        |  SELECT c.l_partkey, c.cost_cents, e.s_name, e.n_name, e.acctbal_cents
+        |  FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey),
+        |mn AS (SELECT l_partkey, min(cost_cents) AS min_cents
+        |       FROM reg GROUP BY 1)
+        |SELECT r.acctbal_cents, r.s_name, r.n_name, p.p_partkey, p.p_name,
+        |  r.cost_cents
+        |FROM reg r JOIN mn ON r.l_partkey = mn.l_partkey
+        |  AND r.cost_cents = mn.min_cents
+        |JOIN part p ON r.l_partkey = p.p_partkey
+        |WHERE p.p_type = 'LARGE'
+        |ORDER BY r.cost_cents, p.p_partkey, r.s_name
+        |LIMIT 100""".stripMargin,
+
+    "tpch_q9_shaped" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q11_shaped" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 2)),
+        |pp AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
+        |       FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pp)
+        |SELECT l_partkey, value_cents FROM pp, t
+        |WHERE value_cents * 10000 > total_cents
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "tpch_q12_shaped" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q16_shaped" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+
+    "tpch_q20_shaped" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1998
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS qty_1998,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 0
+        |  AND s_suppkey IN (SELECT l_suppkey FROM q
+        |                    WHERE qty_1998 * 2 > qty_total)
+        |ORDER BY s_name""".stripMargin,
 
     // Same 3-shingles as the minhash oracle; all-pairs is fine at oracle
     // SF, direction-specific containment vs the contained side's count.
