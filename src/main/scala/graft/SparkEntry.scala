@@ -357,6 +357,91 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     },
 
+    // Chained stateful windowed aggregations in ONE streaming query —
+    // the multiple-stateful-operators capability (Spark 3.4+): 5-minute
+    // per-type aggregates re-windowed into 60-minute rollups via
+    // window(window_col), both levels watermark-driven, append mode.
+    // The rollup carries only ASSOCIATIVE, order-independent exact
+    // aggregates (count / min / max), so two-level ≡ direct-60m is an
+    // engine-exact identity the oracle checks (a double sum would be
+    // order-dependent). The sentinel closes level-1 windows, whose
+    // emission in the same query advances level-2 past every real hour.
+    "streaming_two_level_windows" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEvents.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_q").toString
+          val ev = Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"),
+              col("event_type"), col("value"))
+          ev.write.parquet(s"$tmp/in")
+          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
+            .withColumn("event_type", lit("__sentinel"))
+            .withColumn("value", lit(0.0))
+            .write.mode("append").parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(inDir)
+      val l1 = stream.withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val l2 = l1
+        .groupBy(window(col("window"), "60 minutes"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          min(col("lo")).as("min_value"), max(col("hi")).as("max_value"))
+      val qn = s"streaming_2lvl_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        l2.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).filter(col("event_type") =!= "__sentinel")
+        .select(col("event_type"), tsStr(col("window.start")).as("hour"),
+          col("n_events"), col("min_value"), col("max_value"))
+        .orderBy("event_type", "hour")
+    },
+
+    // Complete-output-mode ranked result — the one output mode the rest
+    // of the streaming family doesn't touch, and the only mode where a
+    // global sort+limit is legal in a streaming query: top-10 users by
+    // event count, the whole result re-emitted per micro-batch, final
+    // table ≡ the batch ranking. Complete mode keeps ALL group state by
+    // contract — bounded here by user cardinality, the documented
+    // trade-off vs append's watermark-evicted state.
+    "streaming_topk_complete" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEventsFull.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_ij").toString
+          Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val topk = src.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy(desc("n_events"), col("user_id"))
+        .limit(10)
+      val qn = s"streaming_topk_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        topk.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn)
+        .select(col("user_id"), col("n_events"), col("sum_id"))
+        .orderBy(desc("n_events"), col("user_id"))
+    },
+
     // Streaming gap sessionization: session_window(ts, 30 min) merges
     // each user's events into variable-length sessions in STREAMING
     // state (append mode, watermark-driven emission — a session emits
@@ -10514,6 +10599,25 @@ object SparkEntry {
         |FROM b LEFT JOIN dim
         |  ON b.bts >= dim.start_k AND b.bts <= dim.settle_k
         |ORDER BY event_type, ts""".stripMargin,
+
+    // Two-level streaming rollup ≡ direct 60-minute aggregation: the
+    // carried aggregates are associative (count/min/max), so the
+    // identity is exact.
+    "streaming_two_level_windows" ->
+      """SELECT event_type,
+        |  strftime(time_bucket(INTERVAL '60 minutes', ts),
+        |           '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(*) AS n_events, min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
+
+    // Complete-mode top-k ≡ the batch ranking (deterministic id
+    // tiebreak).
+    "streaming_topk_complete" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
 
     // Batch gap sessionization with session_window's boundary rule
     // (an event at exactly prev+gap opens a NEW session — windows are
