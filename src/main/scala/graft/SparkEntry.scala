@@ -442,6 +442,157 @@ object SparkEntry {
         .orderBy(desc("n_events"), col("user_id"))
     },
 
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): rank raw-corpus
+    // documents by how target-like their hashed n-gram profile is. The
+    // target is the src0 slice; features are distinct word bigrams
+    // hashed into 256 buckets (md5Hash64 masked — the oracle-portable
+    // hash family); a document's score is the exact-integer linear
+    // discriminant Σ_b (target_count[b]·S_tot − source_count[b]·T_tot)
+    // over its buckets — sign(log target/source likelihood ratio) per
+    // bucket without a float in sight. The 256-row count tables
+    // broadcast; the per-doc score is one map-side join + aggregation,
+    // so the corpus is scanned twice total (histogram, score) at any
+    // scale. Top-50 most target-like raw docs emitted.
+    "dsir_importance_weights" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .withColumn("b", pmod(Dedup.md5Hash64(col("g"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(256L)))
+        .select("doc_id", "source", "b")
+      val tgt = bg.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+      val src = bg.filter(col("source") =!= "src0")
+        .groupBy("b").agg(count(lit(1)).as("s_cnt"))
+      val tots = bg.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_tot"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("s_tot"))
+      bg.filter(col("source") =!= "src0")
+        .join(broadcast(tgt), Seq("b"), "left")
+        .join(broadcast(src), Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("t_cnt"), lit(0L)) * col("s_tot") -
+          coalesce(col("s_cnt"), lit(0L)) * col("t_tot")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(50)
+    },
+
+    // Multimodal composition: video near-dup detection by KEYFRAME
+    // SIGNATURE — sample every 8th frame of the deterministic luminance
+    // tracks (the video_shot_boundaries convention, with ~1 in 20
+    // videos planted as exact re-encodes of their predecessor via a
+    // shared content id), quantize each keyframe to a 3-bit luminance
+    // band (the aHash-style coarsening that absorbs per-frame jitter's
+    // sub-band variation... here content-keyed, so re-encodes quantize
+    // identically), hash the 5-keyframe band vector to one 64-bit
+    // signature, and keep the minimum video id per signature group —
+    // frame sample → per-frame feature → signature → hash-group dedup,
+    // the exact pipeline shape a 100 TB video corpus needs (one shuffle
+    // of 16-byte rows, video bytes never move twice).
+    "video_keyframe_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val md5h: Column => Column = Dedup.md5Hash64
+      val w = Window.partitionBy("vid").orderBy("f")
+      val content = when(pmod(col("vid"), lit(20)) === 1, col("vid") - 1)
+        .otherwise(col("vid"))
+      val fr = s.range(300).select(col("id").as("vid"))
+        .withColumn("cid", content)
+        .withColumn("f", explode(expr("sequence(0, 39)")))
+      val lum = fr
+        .withColumn("cut_true", when(col("f") > 0 &&
+          md5h(concat(lit("cut|"), col("cid"), lit("|"), col("f")))
+            .bitwiseAND(lit(7L)) === 0, 1L).otherwise(0L))
+        .withColumn("shot_true", sum("cut_true").over(w))
+        .withColumn("lum",
+          md5h(concat(lit("b|"), col("cid"), lit("|"), col("shot_true")))
+            .bitwiseAND(lit(255L)) +
+          md5h(concat(lit("j|"), col("cid"), lit("|"), col("f")))
+            .bitwiseAND(lit(15L)))
+      // sort_array on (f, band) structs pins the keyframe order —
+      // collect_list alone is partition-order-dependent.
+      val sig = lum.filter(pmod(col("f"), lit(8)) === 0)
+        .groupBy(col("vid"))
+        .agg(md5h(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("f").as("f"),
+            (col("lum") / 32).cast("long").as("band")))),
+          x => x.getField("band").cast("string"))))
+          .bitwiseAND(lit(Long.MaxValue)).as("signature"))
+      sig.groupBy(col("signature"))
+        .agg(min(col("vid")).as("survivor_vid"),
+          count(lit(1)).as("n_copies"),
+          sum(col("vid")).as("vid_checksum"))
+        .filter(col("n_copies") > 1)
+        .orderBy("survivor_vid")
+    },
+
+    // Dataset.observe — Spark's zero-extra-scan observability API: data-
+    // quality metrics (row count, exact cents total, value bounds, null
+    // props count) ride the SAME job as the main action as a
+    // CollectMetrics node, where a naive gate would pay a second full
+    // aggregation pass. The observed map is re-emitted as a one-row
+    // frame and oracled against the direct aggregate — proving the
+    // piggybacked metrics equal a dedicated scan's.
+    "observed_metrics_audit" -> { (s, d) =>
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation(
+        s"gate_metrics_${streamRun.incrementAndGet()}")
+      val df = Tables.events(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
+      df.count() // the main action the metrics piggyback on
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("value_cents").asInstanceOf[Long],
+        m("min_user").asInstanceOf[Long],
+        m("max_user").asInstanceOf[Long],
+        m("null_props").asInstanceOf[Long]))
+        .toDF("n_rows", "value_cents", "min_user", "max_user", "null_props")
+    },
+
+    // Krippendorff's alpha (nominal) COMPONENTS — the multi-rater
+    // generalization of cohens_kappa_components: event types play the
+    // raters, users the units, rating = the rater's event count mod 4.
+    // Only complete units (all 5 raters present) enter, so the
+    // per-unit pair denominator (m−1) is constant and every component
+    // is an exact integer: observed disagreement = ordered rater pairs
+    // disagreeing within a unit; expected disagreement components =
+    // the pooled category marginals n_c (Σ n_c·n_c' over c≠c' and the
+    // grand N are caller arithmetic). α = 1 − (N−1)·D_o_pairs /
+    // (m−1)/n_units / Σ_{c≠c'} n_c·n_c' — assembled from these exact
+    // integers by the caller, never a float in the data plane.
+    "krippendorff_alpha_components" -> { (s, d) =>
+      val r = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(pmod(count(lit(1)), lit(4)).as("rating"))
+      val complete = r.groupBy("user_id")
+        .agg(count(lit(1)).as("m")).filter(col("m") === 5)
+        .select("user_id")
+      val ru = r.join(complete, Seq("user_id"), "left_semi")
+      val disagree = ru.as("a")
+        .join(ru.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+        .agg(sum(when(col("a.rating") =!= col("b.rating"), 1L)
+          .otherwise(0L)).as("observed_disagree_pairs"),
+          count(lit(1)).as("total_pairs"))
+      val marginals = ru.groupBy("rating")
+        .agg(count(lit(1)).as("n_c"))
+      val nUnits = complete.agg(count(lit(1)).as("n_units"))
+      disagree.crossJoin(broadcast(nUnits))
+        .crossJoin(broadcast(marginals
+          .agg(sum(col("n_c")).as("n_total"),
+            sum(col("n_c") * col("n_c")).as("sum_nc_sq"))))
+        .select(col("n_units"), col("n_total"), col("sum_nc_sq"),
+          col("observed_disagree_pairs"), col("total_pairs"),
+          (col("n_total") * col("n_total") - col("sum_nc_sq"))
+            .as("expected_disagree_pairs_numer"))
+    },
+
     // Streaming gap sessionization: session_window(ts, 30 min) merges
     // each user's events into variable-length sessions in STREAMING
     // state (append mode, watermark-driven emission — a session emits
@@ -10618,6 +10769,95 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1
         |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    // Hashed-bigram linear discriminant, exact integers end to end;
+    // md5_number_upper masked = the Spark side's md5Hash64 family.
+    "dsir_importance_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct([s[i] || ' ' || s[i+1]
+        |                          for i in range(1, len(s))])) AS g
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |bb AS (SELECT doc_id, source,
+        |  CAST((md5_number_upper(g) & 9223372036854775807) % 256 AS BIGINT)
+        |    AS b FROM bg),
+        |t AS (SELECT b, count(*) AS t_cnt FROM bb
+        |      WHERE source = 'src0' GROUP BY 1),
+        |s AS (SELECT b, count(*) AS s_cnt FROM bb
+        |      WHERE source <> 'src0' GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM bb WHERE source = 'src0') AS t_tot,
+        |  (SELECT count(*) FROM bb WHERE source <> 'src0') AS s_tot)
+        |SELECT bb.doc_id,
+        |  CAST(sum(coalesce(t.t_cnt, 0) * tot.s_tot -
+        |           coalesce(s.s_cnt, 0) * tot.t_tot) AS BIGINT) AS score
+        |FROM bb LEFT JOIN t USING (b) LEFT JOIN s USING (b), tot
+        |WHERE bb.source <> 'src0'
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Same deterministic luminance construction as video_shot_boundaries
+    // but content-keyed (vid % 20 == 1 re-encodes its predecessor), then
+    // the identical keyframe-band signature grouping.
+    "video_keyframe_dedup" ->
+      """WITH vids AS (SELECT unnest(range(300)) AS vid),
+        |base AS (SELECT vid,
+        |  CASE WHEN vid % 20 = 1 THEN vid - 1 ELSE vid END AS cid
+        |  FROM vids),
+        |fr AS (SELECT vid, cid, f.f AS f FROM base, range(40) f(f)),
+        |cuts AS (SELECT vid, cid, f,
+        |  CAST(sum(CASE WHEN f > 0 AND
+        |      (md5_number_upper('cut|' || cid || '|' || f) & 7) = 0
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS shot_true
+        |  FROM fr),
+        |lum AS (SELECT vid, cid, f,
+        |  CAST((md5_number_upper('b|' || cid || '|' || shot_true) & 255) +
+        |       (md5_number_upper('j|' || cid || '|' || f) & 15) AS BIGINT)
+        |    AS lum
+        |  FROM cuts),
+        |sig AS (SELECT vid,
+        |  CAST(md5_number_upper(string_agg(lum // 32, ',' ORDER BY f))
+        |       & 9223372036854775807 AS BIGINT) AS signature
+        |  FROM lum WHERE f % 8 = 0 GROUP BY vid)
+        |SELECT signature, min(vid) AS survivor_vid, count(*) AS n_copies,
+        |  CAST(sum(vid) AS BIGINT) AS vid_checksum
+        |FROM sig GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY survivor_vid""".stripMargin,
+
+    // The observed metrics must equal a dedicated aggregation pass.
+    "observed_metrics_audit" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_props
+        |FROM events""".stripMargin,
+
+    // Complete-unit coincidence components; all exact integers.
+    "krippendorff_alpha_components" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, count(*) % 4 AS rating
+        |  FROM events GROUP BY 1, 2),
+        |cu AS (SELECT user_id FROM r GROUP BY 1 HAVING count(*) = 5),
+        |ru AS (SELECT r.* FROM r JOIN cu USING (user_id)),
+        |d AS (SELECT
+        |  CAST(sum(CASE WHEN a.rating <> b.rating THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS observed_disagree_pairs,
+        |  count(*) AS total_pairs
+        |  FROM ru a JOIN ru b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type),
+        |m AS (SELECT CAST(sum(nc) AS BIGINT) AS n_total,
+        |  CAST(sum(nc * nc) AS BIGINT) AS sum_nc_sq FROM (
+        |    SELECT rating, count(*) AS nc FROM ru GROUP BY 1) t(rating, nc)),
+        |u AS (SELECT count(*) AS n_units FROM cu)
+        |SELECT u.n_units, m.n_total, m.sum_nc_sq,
+        |  d.observed_disagree_pairs, d.total_pairs,
+        |  m.n_total * m.n_total - m.sum_nc_sq
+        |    AS expected_disagree_pairs_numer
+        |FROM d, m, u""".stripMargin,
 
     // Batch gap sessionization with session_window's boundary rule
     // (an event at exactly prev+gap opens a NEW session — windows are
