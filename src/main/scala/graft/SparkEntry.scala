@@ -126,6 +126,16 @@ object SparkEntry {
   private val stagedOrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the Avro ingestion fixture (row-oriented interchange —
+    * the Kafka-adjacent format of the family). */
+  private val stagedAvro =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Staging for the XML ingestion fixture (Spark 4's built-in XML
+    * source; documents as <doc> row elements). */
+  private val stagedXml =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the schema-evolution fixture (two parquet batches with
     * different schemas under one root). */
   private val stagedEvo =
@@ -745,6 +755,60 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // Avro round-trip — the row-oriented interchange format of the
+    // ingestion family (csv/jsonl/orc/parquet/xml siblings): documents
+    // written once as Avro, read back with an explicit schema, same
+    // length-gated per-lang checksums. The Avro classes ship inside this
+    // build's sql module but are absent from its DataSourceRegister
+    // service file, so the provider is named by class — functionally the
+    // same built-in source, minus the short-name lookup.
+    "avro_ingest" -> { (s, d) =>
+      val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+      val inDir = stagedAvro.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_avro").toString
+          Tables.documents(s, d).write.format(avroProvider).save(s"$tmp/in")
+          s"$tmp/in"
+        })
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .format(avroProvider).load(inDir)
+        .filter(col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    },
+
+    // XML round-trip through Spark 4's built-in XML source (<doc> row
+    // elements): entity escaping / whitespace preservation across the
+    // write-read boundary is exactly what the text-length checksum
+    // catches — a source that trims or re-escapes text shifts
+    // sum_text_len even when row counts match.
+    "xml_ingest" -> { (s, d) =>
+      val inDir = stagedXml.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_xml").toString
+          Tables.documents(s, d).write.format("xml")
+            .option("rowTag", "doc").save(s"$tmp/in")
+          s"$tmp/in"
+        })
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .format("xml").option("rowTag", "doc").load(inDir)
+        .filter(col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    },
+
     // The table-layout read path at 100 TB: events written once as a
     // hive-partitioned directory tree (partition column = event_type),
     // then a two-partition read whose filter prunes at PLANNING time —
@@ -853,6 +917,50 @@ object SparkEntry {
       withStatePartitions(s, 8) {
         deduped
           .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).orderBy("fp_md5")
+    },
+
+    // The BUILT-IN dropDuplicatesWithinWatermark over the same planted-
+    // duplicate stream as streaming_dedup_hashes: the native API and the
+    // custom mapGroupsWithState dedup must emit the identical
+    // fingerprint set (same oracle). Same state contract, too — keys are
+    // evictable once the watermark passes, which is the property that
+    // keeps state bounded on an unbounded feed; the custom op remains
+    // the variant with controllable eviction semantics
+    // (streaming_dedup_eviction drives that difference).
+    "streaming_dropdup_api" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedDocs.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_dedup").toString
+          val base = Tables.documents(s, d)
+            .select(
+              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
+                .as("ts"),
+              col("text"), col("doc_id"))
+          base.unionAll(
+              base.filter(col("doc_id") < 25)
+                .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
+                  col("text"), col("doc_id")))
+            .drop("doc_id")
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, text STRING")
+        .parquet(inDir)
+      val deduped = stream
+        .withColumn("fp_md5", TextAnalysis.fingerprintMd5(col("text")))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark("fp_md5")
+      val qn = s"streaming_dropdup_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        deduped.select(col("fp_md5"))
           .writeStream.format("memory").queryName(qn)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
           .awaitTermination(180000)
@@ -12037,6 +12145,23 @@ object SparkEntry {
         |FROM documents WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Same checksum contract through the Avro and XML round-trips.
+    "avro_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "xml_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // The partition-pruned two-type aggregate, straight off events;
     // cents are exact integers in both engines.
     "partitioned_pruned_read" ->
@@ -12082,6 +12207,13 @@ object SparkEntry {
     // fingerprint set (one-per-hash is the operator's contract; the md5
     // projection is survivor-identity-invariant).
     "streaming_dedup_hashes" ->
+      """SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY fp_md5""".stripMargin,
+
+    // The built-in dropDuplicatesWithinWatermark must emit the same
+    // distinct-fingerprint set as the custom dedup op.
+    "streaming_dropdup_api" ->
       """SELECT DISTINCT
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY fp_md5""".stripMargin,

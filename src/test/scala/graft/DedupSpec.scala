@@ -196,6 +196,20 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive, s"missed=${naive -- fast} spurious=${fast -- naive}")
   }
 
+  test("containment density-gate fallback ≡ exact prefix path (sf0.01)") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(budget: Int) =
+      Dedup.containmentPairs(real, "text", "doc_id",
+          n = 3, thresholdPermille = 900, fallbackCandidatesPerDoc = budget)
+        .select("contained_id", "container_id", "inter", "n_contained")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = run(Int.MaxValue)
+    val fallback = run(0)
+    assert(exact.nonEmpty, "vacuous fixture: no containment pairs")
+    assert(fallback == exact,
+      s"missed=${exact -- fallback} spurious=${fallback -- exact}")
+  }
+
   test("adversarial single block: disjoint-content docs yield ZERO prefix candidates") {
     // 300 docs forced into one (lang, bucket) block but sharing no shingle:
     // the old full self-join paid 300*299/2 = 44850 verify pairs here; the
