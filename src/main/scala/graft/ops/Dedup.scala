@@ -799,50 +799,53 @@ object Dedup {
     val ex = sh.select(col(idCol), explode(col("__arr")).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__k"))
     val dfreq = ex.groupBy("__k").agg(count(lit(1)).as("__df"))
-    // m+1 with exact integers: ceil(n·p/1000) = (n·p + 999) div 1000.
-    val prefLen = (size(col("__arr")) -
-      floor((size(col("__arr")) * thresholdPermille + 999) / 1000) + 1)
-    val pref = ex.join(dfreq, "__k")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__k"))))
-      .join(sh.select(col(idCol), prefLen.cast("int").as("__plen")), idCol)
-      .filter(col("__rk") <= col("__plen"))
-      .cache() // read twice: the density probe, then the candidate join
-    // Density gate (same shape as ngramJaccardPairs'): each prefix row
-    // (doc, shingle) meets df(shingle) container rows in the candidate
-    // join, so Σ df over prefix rows IS the join's output size — one
-    // aggregate predicts the cost before paying it. On a low-diversity
-    // corpus even the RAREST shingles' df grows linearly with the corpus
-    // (measured: 5.3× wall for 10× docs on the 36-word fixture, linear
-    // answer), so past the per-doc budget we bail to MinHash-banded
-    // candidates + the same exact two-sided containment verify.
-    // The fallback's recall caveat is ASYMMETRIC containment's own: a
-    // small doc inside a much larger one has low Jaccard and can evade
-    // banding; near-equal-size containment pairs (the overwhelming
-    // near-dup case, J ≥ t·|A|/|B|≈t) surface with the usual S-curve
-    // certainty. The lossless prefix path remains the default wherever
+      .cache() // shingle-domain-sized; feeds the probe and the df-ranking
+    // Density gate (same idea as ngramJaccardPairs', but priced from the
+    // df TABLE ALONE so the bail-out path never pays the per-occurrence
+    // ranking window): the full inverted self-join emits Σ_k df·(df−1)
+    // rows; the prefix join keeps ≈ the (1−t) rarest fraction of each
+    // doc's shingles, so its mass is ≈ (1−t)·Σ df·(df−1) — an upper-
+    // bound estimate that one shingle-domain aggregate computes. On a
+    // low-diversity corpus even the rarest shingles' df grows linearly
+    // with the corpus (measured: 5.3× wall for 10× docs on the 36-word
+    // fixture before the gate), so past the per-doc budget we go
+    // straight to MinHash-banded candidates (k=16/b=8 families derived
+    // from the SAME hashed-shingle rows — no re-shingling, 4× cheaper
+    // than the 64-family signature) + the exact two-sided containment
+    // verify. The fallback's recall caveat is ASYMMETRIC containment's
+    // own: a small doc inside a much larger one has low Jaccard and can
+    // evade banding; near-equal-size containment pairs (the
+    // overwhelming near-dup case, J ≈ t) surface with S-curve
+    // certainty. The lossless prefix path stays the default wherever
     // the probe says it is affordable.
-    val mass = pref.agg(sum(col("__df")).as("__m"))
+    val m0 = dfreq.agg(sum(col("__df") * (col("__df") - 1)).as("__m"))
       .first().getAs[Any]("__m") match {
         case null => 0L
         case v: java.lang.Number => v.longValue()
       }
+    val prefixFrac = math.max(0.05, (1000 - thresholdPermille) / 1000.0)
     val nDocs = sh.count()
     val cand =
-      if (mass <= fallbackCandidatesPerDoc.toLong * math.max(nDocs, 1L)) {
+      if (m0 * prefixFrac <=
+          fallbackCandidatesPerDoc.toLong * math.max(nDocs, 1L)) {
+        // m+1 with exact integers: ceil(n·p/1000) = (n·p + 999) div 1000.
+        val prefLen = (size(col("__arr")) -
+          floor((size(col("__arr")) * thresholdPermille + 999) / 1000) + 1)
+        val pref = ex.join(dfreq, "__k")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__k"))))
+          .join(sh.select(col(idCol), prefLen.cast("int").as("__plen")), idCol)
+          .filter(col("__rk") <= col("__plen"))
         pref.select(col(idCol).as("contained_id"), col("__k"))
           .join(ex.select(col(idCol).as("container_id"), col("__k")), "__k")
           .filter(col("contained_id") =!= col("container_id"))
           .select("contained_id", "container_id").distinct()
       } else {
-        val k = 64; val bands = 16; val r = k / bands
-        val exploded = sh.select(col(idCol),
-          explode(col("__arr")).as("__g"))
-          .select(col(idCol), xxhash64(col("__g")).as("__t"))
-        val sig = exploded.groupBy(col(idCol)).agg(
-          min(xxhash64(lit(0), col("__t"))).as("sig_0"),
+        val k = 16; val bands = 8
+        val sig = ex.groupBy(col(idCol)).agg(
+          min(xxhash64(lit(0), col("__k"))).as("sig_0"),
           (1 until k).map(i =>
-            min(xxhash64(lit(i), col("__t"))).as(s"sig_$i")): _*)
+            min(xxhash64(lit(i), col("__k"))).as(s"sig_$i")): _*)
         val undirected = minhashCandidates(sig, idCol, k, bands)
         // containment is directional: verify both orientations of each
         // banded pair
