@@ -924,6 +924,42 @@ object SparkEntry {
       s.table(qn).orderBy("fp_md5")
     },
 
+    // UPDATE output mode — the third and final output mode (append and
+    // complete covered elsewhere): running per-user counts re-emit on
+    // every change, so the memory sink holds one row per (user,
+    // emission). The result folds emissions with max(n_events) — counts
+    // are monotone, so the fold equals the final state no matter how
+    // AvailableNow splits the input into micro-batches, making the
+    // query batching-invariant by construction rather than by luck.
+    "streaming_update_mode_counts" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = stagedEventsFull.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_stream_ij").toString
+          Tables.events(s, d)
+            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+              col("event_type"), col("event_id"))
+            .write.parquet(s"$tmp/in")
+          s"$tmp/in"
+        })
+      val src = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
+        .parquet(inDir)
+      val counts = src.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+      val qn = s"streaming_upd_${streamRun.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        counts.writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(180000)
+      }
+      s.table(qn).groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_id")).as("sum_id"))
+        .orderBy("user_id")
+    },
+
     // The BUILT-IN dropDuplicatesWithinWatermark over the same planted-
     // duplicate stream as streaming_dedup_hashes: the native API and the
     // custom mapGroupsWithState dedup must emit the identical
@@ -1593,6 +1629,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // VariantType end-to-end (Spark 4's semi-structured column type):
+    // heterogeneous JSON documents — shape varies by event_type, built
+    // deterministically from the row's own fields — parsed once with
+    // parse_json into VARIANT, then SHREDDED back out with typed
+    // variant_get paths (string/long) whose absent-path reads are null,
+    // and aggregated per shape. This is the open-schema ingestion path a
+    // real pipeline needs when upstream JSON isn't uniform: parse once,
+    // extract typed columns lazily, no UDFs. The oracle inverts the
+    // construction directly from the base columns — same aggregates,
+    // proving the parse→shred round trip is lossless.
+    "variant_shred_json" -> { (s, d) =>
+      val cents = floor(col("value") * 100).cast("long")
+      val doc = when(col("event_type") === "purchase",
+          concat(lit("{\"t\":\"p\",\"cents\":"), cents,
+            lit(",\"k\":"), get_json_object(col("props"), "$.k"), lit("}")))
+        .when(col("event_type") === "view",
+          concat(lit("{\"t\":\"v\",\"page\":\"/p/"),
+            pmod(col("user_id"), lit(50)), lit("\"}")))
+        .otherwise(concat(lit("{\"t\":\"o\",\"n\":"),
+          pmod(col("event_id"), lit(7)), lit("}")))
+      Tables.events(s, d)
+        .withColumn("v", parse_json(doc))
+        .select(
+          expr("variant_get(v, '$.t', 'string')").as("shape"),
+          expr("variant_get(v, '$.cents', 'long')").as("cents"),
+          expr("variant_get(v, '$.page', 'string')").as("page"),
+          expr("variant_get(v, '$.n', 'long')").as("n"))
+        .groupBy("shape")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cents")).as("sum_cents"),
+          count_distinct(col("page")).as("n_pages"),
+          sum(col("n")).as("sum_n"))
+        .orderBy("shape")
     },
 
     // Time-RANGE window frame (not rows): trailing 10-minute count and
@@ -12217,6 +12288,28 @@ object SparkEntry {
       """SELECT DISTINCT
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY fp_md5""".stripMargin,
+
+    // Update-mode emissions folded by the monotone max equal the batch
+    // per-user aggregate.
+    "streaming_update_mode_counts" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // The variant construction inverted directly from the base columns:
+    // the parse→shred round trip must be lossless.
+    "variant_shred_json" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'p'
+        |  WHEN event_type = 'view' THEN 'v' ELSE 'o' END AS shape,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT CASE WHEN event_type = 'view'
+        |    THEN '/p/' || (user_id % 50) END) AS n_pages,
+        |  CAST(sum(CASE WHEN event_type NOT IN ('purchase', 'view')
+        |    THEN event_id % 7 END) AS BIGINT) AS sum_n
+        |FROM events GROUP BY 1 ORDER BY shape""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
