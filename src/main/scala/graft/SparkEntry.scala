@@ -151,6 +151,11 @@ object SparkEntry {
   private val stagedPart =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the dynamic-partition-pruning fixture: the partitioned
+    * fact PLUS a real dim table carrying the above-average qualifier. */
+  private val stagedDpp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the transformWithState fixture (per-(user, ts) collapsed
     * events in four sequential time-quartile files, so running state is
     * genuinely cross-micro-batch and arrival order is event-time order). */
@@ -830,6 +835,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("event_type")
+    },
+
+    // Dynamic partition pruning — the RUNTIME twin of
+    // partitioned_pruned_read's planning-time prune: the qualifying
+    // event types come from a SCAN-derived dimension (above-average
+    // frequency — not a literal list, so no static filter exists to push
+    // at planning time); DPP snapshots the broadcast dim's key set at
+    // runtime and skips every non-matching partition DIRECTORY of the
+    // fact table before reading it. At 100 TB this is the difference
+    // between scanning two partitions and scanning all of them whenever
+    // the filter arrives through a join instead of a WHERE literal.
+    // PlanSpec pins the `dynamicpruning` subquery in the fact scan.
+    "dpp_runtime_prune" -> { (s, d) =>
+      val root = stagedDpp.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_dpp").toString
+          Tables.events(s, d).write.partitionBy("event_type")
+            .parquet(s"$tmp/t")
+          // the dim is a real table (written once at staging, like any
+          // warehouse dimension): per-type totals plus a frequency
+          // rank — so the query-side predicate is `rk <= 2`, a
+          // literal comparison over the dim SCAN. Both shape details
+          // are load-bearing for DPP (measured — the rule declined
+          // both alternatives): the filter must sit directly above a
+          // scan (not above an aggregation subplan), and
+          // isLikelySelective rejects a bare boolean attribute, so a
+          // stored `qualifies` flag never triggers pruning while the
+          // rank comparison does.
+          import org.apache.spark.sql.expressions.Window
+          Tables.events(s, d)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(desc("type_total"), col("event_type"))))
+            .coalesce(1).write.parquet(s"$tmp/dim")
+          tmp
+        })
+      val dim = s.read.parquet(s"$root/dim")
+        .filter(col("rk") <= 2)
+        .select(col("event_type"), col("type_total"))
+      s.read.parquet(s"$root/t")
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          max(col("type_total")).as("type_total"))
         .orderBy("event_type")
     },
 
@@ -12242,6 +12294,22 @@ object SparkEntry {
         |    AS value_cents
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Top-2 types by frequency (type-name tiebreak), joined back.
+    "dpp_runtime_prune" ->
+      """WITH freq AS (
+        |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1),
+        |dim AS (SELECT event_type, type_total,
+        |          row_number() OVER (ORDER BY type_total DESC, event_type)
+        |            AS rk
+        |        FROM freq)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  CAST(max(dim.type_total) AS BIGINT) AS type_total
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |WHERE dim.rk <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same lossless-round-trip check as jsonl_ingest, widened to every
     // column: the CSV scan must recover every row and field and

@@ -33,6 +33,13 @@ class PlanSpec extends SparkSpec {
     assert(!ej.contains("CartesianProduct"))
   }
 
+  test("dpp_runtime_prune: fact scan carries a dynamicpruning partition filter") {
+    val df = SparkEntry.queries("dpp_runtime_prune")(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+  }
+
   test("fused 5m pipeline: the 5-min aggregate is planned once, one broadcast NLJ") {
     // simple mode prints the operator tree once (formatted repeats each
     // node in the detail section, which would double every count)
