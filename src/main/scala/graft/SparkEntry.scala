@@ -4401,6 +4401,52 @@ object SparkEntry {
     // mass actually present (series edges), all integer until the final
     // milli-unit quotient. An 8-term lag chain over the day-collapsed
     // series: one type-keyed exchange, no state beyond the frame.
+    // Holt's linear (double-exponential) smoothing with α=β=½, EXACT:
+    // the recurrence l_t = (obs_t + l_{t-1} + b_{t-1})/2,
+    // b_t = (l_t − l_{t-1} + b_{t-1})/2 carries denominators 2^t, so the
+    // engine tracks the 4^t-SCALED integers L_t = 4^t·l_t, B_t = 4^t·b_t:
+    //   L_t = 2·4^{t-1}·obs_t + 2(L_{t-1}+B_{t-1})
+    //   B_t = 4^{t-1}·obs_t − L_{t-1} + 3·B_{t-1}
+    // — a pure-integer DECIMAL(38,0) recurrence (≤1e25 over a 30-day
+    // corpus; the 4^t over-provisioning is what keeps every division
+    // out of the loop). The sequential fold runs as `aggregate` over
+    // each key's day-sorted series: per-key state never leaves its
+    // executor, keys parallelize — the distributed-safe shape for ANY
+    // exact linear recurrence, vs ewma_daily_counts' truncated-window
+    // approximation. Final level/trend divide once by 4^n (a power of
+    // two — exponent shift, both engines' nearest-rounding of the same
+    // integer), so the emitted doubles are engine-exact.
+    "holt_linear_exact" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("obs"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("obs"))))
+          .as("xs"))
+        .withColumn("acc", expr("""
+          aggregate(xs,
+            named_struct(
+              'L', CAST(0 AS DECIMAL(38,0)), 'B', CAST(0 AS DECIMAL(38,0)),
+              'p', CAST(0 AS DECIMAL(38,0)), 't', 0),
+            (a, x) -> CASE WHEN a.t = 0 THEN named_struct(
+                'L', CAST(4 AS DECIMAL(38,0)) * x.obs,
+                'B', CAST(0 AS DECIMAL(38,0)),
+                'p', CAST(4 AS DECIMAL(38,0)), 't', 1)
+              ELSE named_struct(
+                'L', CAST(2 AS DECIMAL(38,0)) * a.p * x.obs
+                     + CAST(2 AS DECIMAL(38,0)) * (a.L + a.B),
+                'B', a.p * x.obs - a.L + CAST(3 AS DECIMAL(38,0)) * a.B,
+                'p', a.p * CAST(4 AS DECIMAL(38,0)),
+                't', a.t + 1) END)"""))
+        .select(col("event_type"), col("acc.t").as("n_days"),
+          (col("acc.L").cast("double") / pow(lit(4.0), col("acc.t")))
+            .as("level"),
+          (col("acc.B").cast("double") / pow(lit(4.0), col("acc.t")))
+            .as("trend"))
+        .withColumn("forecast_next", col("level") + col("trend"))
+        .orderBy("event_type")
+    },
+
     "ewma_daily_counts" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
@@ -14242,6 +14288,38 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The same scaled-integer recurrence as a recursive CTE over day
+    // ranks; HUGEINT internally (≤1e25), doubles only at the final
+    // power-of-two division.
+    "holt_linear_exact" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, obs,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, rn AS t, n,
+        |    CAST(4 * obs AS HUGEINT) AS L, CAST(0 AS HUGEINT) AS B,
+        |    CAST(4 AS HUGEINT) AS p
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, r.n,
+        |    2 * r.p * i.obs + 2 * (r.L + r.B),
+        |    r.p * i.obs - r.L + 3 * r.B,
+        |    r.p * 4
+        |  FROM rec r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.rn = r.t + 1)
+        |SELECT event_type, CAST(t AS INT) AS n_days,
+        |  CAST(L AS DOUBLE) / power(4, t) AS level,
+        |  CAST(B AS DOUBLE) / power(4, t) AS trend,
+        |  CAST(L AS DOUBLE) / power(4, t) + CAST(B AS DOUBLE) / power(4, t)
+        |    AS forecast_next
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
 
     // The same 8-term lag chain, weights 2^7..2^0, edge-renormalized.
     "ewma_daily_counts" -> {
