@@ -4447,6 +4447,85 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Exact precision/recall curve at decile cutoffs — the table-valued
+    // companion to roc_auc_ranksum: rows ranked by score (cents desc, id
+    // tiebreak), cumulative true-positive counts via one running sum
+    // over the same order, sampled at k = ⌈i·n/10⌉. precision/recall as
+    // exact permille integers. The global ranking is one range exchange
+    // (the SNM discipline); everything after it is cutoff-row-sized.
+    "pr_curve_points" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val wo = Window.orderBy(desc("cents"), col("event_id"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(wo))
+        .withColumn("tp", sum(col("y")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(expr("rk * 10 % n = 0")) // rk = i·n/10 exactly (n % 10 = 0 here)
+        .select(expr("CAST(rk * 10 DIV n AS INT)").as("decile"),
+          col("rk").as("k"), col("tp"),
+          expr("1000 * tp DIV rk").as("precision_permille"),
+          expr("1000 * tp DIV pos").as("recall_permille"))
+        .orderBy("decile")
+    },
+
+    // Maximum non-overlapping interval selection (activity selection,
+    // the earliest-deadline-first greedy): each user's purchases open a
+    // value-minutes-long interval; the fold walks the END-sorted
+    // intervals keeping one whenever it starts at/after the last kept
+    // end — provably optimal, inherently sequential, and therefore the
+    // same per-key `aggregate` fold shape as holt_linear_exact: state
+    // rides inside each key's array, keys parallelize, no driver loop.
+    // Epoch-micros integers end to end.
+    "interval_scheduling_max_sessions" -> { (s, d) =>
+      val iv = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("st"),
+          (floor(col("value")).cast("long") * 60L * 1000000L).as("dur"))
+        .select(col("user_id"), col("st"), (col("st") + col("dur")).as("en"))
+      iv.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sort_array(collect_list(struct(col("en"), col("st")))).as("xs"))
+        .withColumn("max_nonoverlap", expr("""
+          aggregate(xs,
+            named_struct('cnt', CAST(0 AS BIGINT), 'last_end', CAST(-1 AS BIGINT)),
+            (a, x) -> CASE WHEN x.st >= a.last_end
+              THEN named_struct('cnt', a.cnt + 1, 'last_end', x.en)
+              ELSE a END).cnt"""))
+        .select(col("user_id"), col("n_intervals"), col("max_nonoverlap"))
+        .orderBy("user_id")
+    },
+
+    // Calendar densification — the structural gap-filler reporting needs
+    // before any day-over-day window runs: the full (type × day) grid
+    // from one broadcast bounds row + sequence(), left-joined to the
+    // sparse daily aggregate, absent days zero-filled and flagged. The
+    // grid is dimension-sized (types × days), never fact-sized, so the
+    // only fact-scale work is the one daily aggregation.
+    "calendar_densify_zero_fill" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val grid = daily.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_gap"))
+        .orderBy("event_type", "day")
+    },
+
     "ewma_daily_counts" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
@@ -14288,6 +14367,72 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Ranked cumulative TPs sampled at exact decile ranks.
+    "pr_curve_points" ->
+      """WITH s AS (
+        |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY cents DESC, event_id) AS rk,
+        |    CAST(sum(y) OVER (ORDER BY cents DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tp
+        |  FROM s),
+        |t AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM s)
+        |SELECT CAST(rk * 10 // n AS INT) AS decile, CAST(rk AS BIGINT) AS k,
+        |  tp, CAST(1000 * tp // rk AS BIGINT) AS precision_permille,
+        |  CAST(1000 * tp // pos AS BIGINT) AS recall_permille
+        |FROM r, t WHERE rk * 10 % n = 0 ORDER BY decile""".stripMargin,
+
+    // END-sorted greedy via a recursive CTE over per-user interval
+    // ranks, carrying (cnt, last_end).
+    "interval_scheduling_max_sessions" ->
+      """WITH RECURSIVE iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60 * 1000000
+        |      AS en
+        |  FROM events WHERE event_type = 'purchase'),
+        |idx AS (
+        |  SELECT user_id, st, en,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY en, st) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM iv),
+        |rec AS (
+        |  SELECT user_id, rn AS t, n,
+        |    CASE WHEN st >= -1 THEN CAST(1 AS BIGINT) ELSE 0 END AS cnt,
+        |    en AS last_end
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.user_id, i.rn, r.n,
+        |    CASE WHEN i.st >= r.last_end THEN r.cnt + 1 ELSE r.cnt END,
+        |    CASE WHEN i.st >= r.last_end THEN i.en ELSE r.last_end END
+        |  FROM rec r JOIN idx i
+        |    ON i.user_id = r.user_id AND i.rn = r.t + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
+        |  cnt AS max_nonoverlap
+        |FROM rec WHERE t = n ORDER BY user_id""".stripMargin,
+
+    // Dimension-sized calendar grid left-joined to the sparse aggregate.
+    "calendar_densify_zero_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |      FROM events),
+        |grid AS (
+        |  SELECT t.event_type, CAST(g.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+        |    LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+        |      INTERVAL 1 DAY)) AS day) g)
+        |SELECT grid.event_type AS event_type,
+        |  strftime(grid.day, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+        |  daily.n IS NULL AS is_gap
+        |FROM grid LEFT JOIN daily
+        |  ON grid.event_type = daily.event_type AND grid.day = daily.day
+        |ORDER BY 1, 2""".stripMargin,
 
     // The same scaled-integer recurrence as a recursive CTE over day
     // ranks; HUGEINT internally (≤1e25), doubles only at the final
