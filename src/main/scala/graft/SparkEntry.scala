@@ -2717,6 +2717,91 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Cross-split contamination MATRIX — the pairwise companion to the
+    // train-side decontaminate gate: for each split pair, how many
+    // distinct 8-gram TYPES they share (the leakage the split hash
+    // cannot prevent when near-identical docs land in different
+    // splits). Grams collapse to distinct (split, gram) rows first —
+    // gram-type-sized, never corpus-sized — then one self-join on the
+    // gram key counts each unordered pair. String grams keep the DuckDB
+    // oracle byte-exact; per-split totals ride along so shared counts
+    // read as rates.
+    "split_contamination_matrix" -> { (s, d) =>
+      val g = graft.ops.Sampling.splitByHash(Tables.documents(s, d),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .repartition(col("doc_id"))
+        .select(col("split"),
+          explode(Dedup.shingles(col("text"), 8)).as("g"))
+        .distinct()
+      val tot = g.groupBy("split").agg(count(lit(1)).as("n_grams"))
+      g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .join(tot.select(col("split").as("split_a"),
+          col("n_grams").as("n_grams_a")), "split_a")
+        .join(tot.select(col("split").as("split_b"),
+          col("n_grams").as("n_grams_b")), "split_b")
+        .select(col("split_a"), col("split_b"), col("n_shared_grams"),
+          col("n_grams_a"), col("n_grams_b"))
+        .orderBy("split_a", "split_b")
+    },
+
+    // Near-dup cluster SIZE distribution — the corpus-health histogram a
+    // dedup report leads with (how much mass sits in big duplicate
+    // families): minhash-banded exact pairs → connected components →
+    // per-component sizes → count-of-counts, plus the singleton row
+    // (docs in no pair) closing the total back to the corpus count.
+    "dedup_cluster_size_histogram" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
+      val comp = graft.ops.Components.connectedComponents(pairs)
+      val hist = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val verts = comp.agg(count(lit(1)).as("nv"))
+      val singles = docs.agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(verts))
+        .select(lit(1L).as("cluster_size"),
+          (col("nd") - col("nv")).as("n_clusters"))
+      hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
+    // Matryoshka-prefix retrieval audit (Kusupati et al. 2022): how much
+    // of the exact full-dimension top-10 survives when ranking by only
+    // the FIRST 16 of 64 dimensions — the truncation a matryoshka-
+    // trained index exploits for cheap first-stage retrieval. Both arms
+    // are exact brute force over the same broadcast query set (one
+    // corpus scan computes both cosines); the emitted overlap@10 per
+    // query is the measured truncation cost.
+    "matryoshka_prefix_overlap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cf"),
+          Similarity.cosine(slice(col("embedding"), 1, 16),
+            slice(col("qv"), 1, 16)).as("cp"))
+        .cache() // both rankings read the same scored frame
+      def top10(c: Column) = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(c.desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id")
+      top10(col("cf")).join(top10(col("cp")), Seq("query_id", "vec_id"),
+          "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("overlap_at_10"))
+        .orderBy("query_id")
+    },
+
     // LLM sequence packing: documents accumulate in id order into packs of
     // ~2048 tokens (pack-then-chunk preprocessing); two-level prefix sum,
     // no global window. Oracle = the same cumulative sum as a SQL window.
@@ -4500,6 +4585,37 @@ object SparkEntry {
               ELSE a END).cnt"""))
         .select(col("user_id"), col("n_intervals"), col("max_nonoverlap"))
         .orderBy("user_id")
+    },
+
+    // NATIVE recursive CTE (new in Spark 4.x — the last classic SQL
+    // construct the engine's surface lacked): minimum-hop reachability
+    // over the behavioral transition graph (distinct consecutive
+    // event-type pairs per user, self-loops dropped — a ≤ 5-vertex
+    // graph, so the recursion is bounded by hops < 5 and the working set
+    // stays dimension-sized). The SAME SQL text runs in DuckDB as the
+    // oracle, which is the point: recursion is now portable surface, not
+    // an iterate-in-Scala special case (the Components loops remain the
+    // scale path for vertex-count-sized graphs).
+    "recursive_cte_reachability" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("rc_events")
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_type
+            FROM rc_events)
+          WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+        reach(src, dst, hops) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION ALL
+          SELECT r.src, e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON r.dst = e.src
+          WHERE r.hops < 5 AND r.src <> e.dst),
+        m AS (SELECT src, dst, min(hops) AS min_hops
+              FROM reach GROUP BY src, dst)
+        SELECT src, dst, CAST(min_hops AS INT) AS min_hops
+        FROM m ORDER BY src, dst""")
     },
 
     // Calendar densification — the structural gap-filler reporting needs
@@ -13081,6 +13197,101 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // Same split hash; distinct (split, 8-gram string) rows then one
+    // self-join per unordered split pair.
+    "split_contamination_matrix" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 800000 THEN 'train'
+        |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          (doc_id * 2654435761) % 4294967296 % 1000000 AS b
+        |        FROM documents)),
+        |g AS (
+        |  SELECT DISTINCT split, g FROM (
+        |    SELECT split,
+        |      unnest(list_distinct([array_to_string(s[i:i+7], ' ')
+        |                            for i in range(1, len(s) - 6)])) AS g
+        |    FROM (SELECT split, regexp_split_to_array(
+        |            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+        |            AS s
+        |          FROM sp))),
+        |tot AS (SELECT split, count(*) AS n FROM g GROUP BY 1)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  count(*) AS n_shared_grams,
+        |  CAST(max(ta.n) AS BIGINT) AS n_grams_a,
+        |  CAST(max(tb.n) AS BIGINT) AS n_grams_b
+        |FROM g a JOIN g b ON a.g = b.g AND a.split < b.split
+        |JOIN tot ta ON ta.split = a.split
+        |JOIN tot tb ON tb.split = b.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same exact-Jaccard closure as dedup_neardup_survivors; labels →
+    // sizes → count-of-counts + the singleton row.
+    "dedup_cluster_size_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(
+        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(v, w) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
+        |labels AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
+        |sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp),
+        |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters
+        |         FROM sizes GROUP BY 1),
+        |tot AS (SELECT count(*) AS nd FROM documents),
+        |nv AS (SELECT count(*) AS nv FROM labels)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist
+        |      UNION ALL SELECT 1, nd - nv FROM tot, nv)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Both exact rankings from one scored set; overlap of the two
+    // top-10 membership sets per query.
+    "matryoshka_prefix_overlap" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, len(q.qv) + 1)]))) AS cf,
+        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+        |              for i in range(1, 17)]) /
+        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    for i in range(1, 17)])) *
+        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+        |                    for i in range(1, 17)]))) AS cp
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |rf AS (SELECT query_id, vec_id, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY cf DESC, vec_id) AS r
+        |       FROM s),
+        |rp AS (SELECT query_id, vec_id, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY cp DESC, vec_id) AS r
+        |       FROM s)
+        |SELECT rf.query_id AS query_id, count(*) AS overlap_at_10
+        |FROM rf JOIN rp ON rf.query_id = rp.query_id
+        |  AND rf.vec_id = rp.vec_id
+        |WHERE rf.r <= 10 AND rp.r <= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The token count mirrors text_stats; pack id is an exclusive running
     // sum over id order — integer arithmetic end to end.
     "pack_sequences" ->
@@ -14367,6 +14578,26 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The IDENTICAL recursive SQL, modulo the view name.
+    "recursive_cte_reachability" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+        |reach(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1
+        |  FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE r.hops < 5 AND r.src <> e.dst),
+        |m AS (SELECT src, dst, min(hops) AS min_hops
+        |      FROM reach GROUP BY src, dst)
+        |SELECT src, dst, CAST(min_hops AS INT) AS min_hops
+        |FROM m ORDER BY src, dst""".stripMargin,
 
     // Ranked cumulative TPs sampled at exact decile ranks.
     "pr_curve_points" ->
