@@ -4618,6 +4618,59 @@ object SparkEntry {
         FROM m ORDER BY src, dst""")
     },
 
+    // SQL pipe syntax (Spark 4's |> operator chain — SQL in dataflow
+    // order): the same filter → aggregate → having-ish → order shape
+    // every report query uses, written as stages. Semantically identical
+    // to the nested form (the parser desugars it), so the oracle is the
+    // classic SQL — the point is surface parity for users migrating
+    // pipeline-style SQL.
+    "pipe_syntax_report" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("ps_orders")
+      s.sql("""
+        FROM ps_orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS total_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> ORDER BY o_orderpriority""")
+    },
+
+    // Collation-aware grouping (Spark 4 collations): a mixed-case
+    // variant key (deterministically case-mangled from the row id)
+    // grouped under UTF8_LCASE — the engine-level answer to the
+    // lower()-everywhere normalization idiom. The representative key a
+    // collated GROUP BY returns is unspecified, so the output key is
+    // explicitly lower()ed; counts must equal the case-insensitive
+    // grouping the oracle computes.
+    "collation_aware_grouping" -> { (s, d) =>
+      val mangled = when(pmod(col("doc_id"), lit(2)) === 0,
+        upper(col("lang"))).otherwise(col("lang"))
+      Tables.documents(s, d)
+        .select(mangled.as("k"), col("doc_id"))
+        .groupBy(expr("k COLLATE UTF8_LCASE").as("kc"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+        .select(lower(col("kc")).as("lang"), col("n_docs"), col("sum_id"))
+        .orderBy("lang")
+    },
+
+    // Parameterized SQL with IDENTIFIER() — the injection-safe templating
+    // added in Spark 4: values bind as named parameters, the grouping
+    // COLUMN binds through IDENTIFIER (a quoted identifier, not string
+    // splicing). The oracle is the resolved query; the surface under
+    // test is the binding path.
+    "parameterized_sql_audit" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("px_events")
+      s.sql(
+        """SELECT IDENTIFIER(:grp) AS event_type, count(*) AS n,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+          |    AS value_cents
+          |FROM px_events WHERE value > :lo
+          |GROUP BY IDENTIFIER(:grp) ORDER BY 1""".stripMargin,
+        Map("grp" -> "event_type", "lo" -> 50.0))
+    },
+
     // Calendar densification — the structural gap-filler reporting needs
     // before any day-over-day window runs: the full (type × day) grid
     // from one broadcast bounds row + sequence(), left-joined to the
@@ -14578,6 +14631,30 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The pipe chain desugared to classic SQL.
+    "pipe_syntax_report" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Case-insensitive grouping over the same deterministic mangling.
+    "collation_aware_grouping" ->
+      """SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+        |             ELSE lang END) AS lang,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The resolved parameterized query.
+    "parameterized_sql_audit" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE value > 50.0
+        |GROUP BY event_type ORDER BY 1""".stripMargin,
 
     // The IDENTICAL recursive SQL, modulo the view name.
     "recursive_cte_reachability" ->
