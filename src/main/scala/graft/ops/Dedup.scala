@@ -85,25 +85,22 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleN: Int = 3): DataFrame = {
-    // hash each shingle to a long ONCE, then derive the k families by
-    // hashing (seed, long) — k cheap 8-byte hashes instead of k string
-    // hashes per shingle.
-    //
-    // The repartition keys an exchange on the aggregation key BEFORE the
-    // ~50× shingle explode: Catalyst sees HashPartitioning(id) already
-    // satisfied for the groupBy below, so this REPLACES the aggregation
-    // shuffle rather than adding one — same single exchange, moved earlier.
-    // It shuffles text once instead of k longs, but decouples the heavy
-    // per-document shingle/hash compute from scan-split parallelism (a
-    // single small parquet file is one split; without this the whole
-    // corpus shingles on one core).
-    val exploded = df
-      .select(col(idCol), col(textCol))
+    // hash each shingle to a long ONCE, then derive the k families in a
+    // single array traversal via the native codegen
+    // [[graft.functions.MinHashSigs]] expression (round 9) — bit-equal to
+    // the original explode + k-aggregate form (MinHashSigsSpec pins it)
+    // but with NO shuffle at all: the per-document minima never needed to
+    // leave their row. The repartition stays for scan-split parallelism
+    // only (a single small parquet file is one split; without it the
+    // whole corpus shingles on one core).
+    df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
-      .select(col(idCol), explode(hashedShingles(col(textCol), shingleN)).as("__sh"))
-    exploded.groupBy(col(idCol)).agg(
-      min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
-      (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+      .select(col(idCol),
+        graft.functions.minhashSigs(
+          hashedShingles(col(textCol), shingleN), k).as("__sig"))
+      .filter(col("__sig").isNotNull) // shingle-less docs: absent, as before
+      .select(col(idCol) +:
+        (0 until k).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
   }
 
   /** LSH banding: hash each band of r consecutive signature components to a
@@ -162,13 +159,17 @@ object Dedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // see minhashSignature: replaces the agg shuffle
+      .repartition(col(idCol)) // scan-split parallelism (see minhashSignature)
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
       .cache()
-    val exploded = sh.select(col(idCol), explode(col("__s")).as("__sh"))
-    val sig = exploded.groupBy(col(idCol)).agg(
-      min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
-      (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+    // one-pass native signatures off the cached arrays — zero shuffle
+    // (round 9; bit-equal to the explode+agg form, MinHashSigsSpec)
+    val sig = sh
+      .select(col(idCol),
+        graft.functions.minhashSigs(col("__s"), k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until k).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
     val cand = minhashCandidates(sig, idCol, k, bands)
     val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
     val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
@@ -722,16 +723,18 @@ object Dedup {
         ngramPrefixCandidates(sh, idCol, names, threshold)
       else {
         // MinHash from the ALREADY-hashed shingle sets (no re-shingling):
-        // k=64 seed-derived families over the cached __s longs. Block
+        // k=64 seed-derived families over the cached __s longs, computed
+        // by the one-pass native signature expression (no shuffle). Block
         // columns ride in the banding join key, so cross-block candidates
         // never materialize — the fallback prunes WITHIN the blocking
         // semantics exactly like the prefix path.
         val k = 64; val bands = 16; val r = k / bands
-        val exploded = sh.select(Seq(col(idCol)) ++ names.map(col) :+
-          explode(col("__s")).as("__sh"): _*)
-        val sig = exploded.groupBy((idCol +: names).map(col): _*).agg(
-          min(xxhash64(lit(0), col("__sh"))).as("sig_0"),
-          (1 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"sig_$i")): _*)
+        val sig = sh
+          .select(Seq(col(idCol)) ++ names.map(col) :+
+            graft.functions.minhashSigs(col("__s"), k).as("__sig"): _*)
+          .filter(col("__sig").isNotNull)
+          .select(Seq(col(idCol)) ++ names.map(col) ++
+            (0 until k).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
         val bandHashes = (0 until bands).map { b =>
           xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)
         }
