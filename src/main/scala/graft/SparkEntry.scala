@@ -470,13 +470,20 @@ object SparkEntry {
     // so the corpus is scanned twice total (histogram, score) at any
     // scale. Top-50 most target-like raw docs emitted.
     "dsir_importance_weights" -> { (s, d) =>
-      val bg = Tables.documents(s, d)
+      val raw = Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("source"),
           explode(Dedup.shingles(col("text"), 2)).as("g"))
-        .withColumn("b", pmod(Dedup.md5Hash64(col("g"))
-          .bitwiseAND(lit(Long.MaxValue)), lit(256L)))
+      // distinct-shingle collapse (the recall-curve lesson): md5 is the
+      // expensive hash, and the bigram DOMAIN is ~100× smaller than the
+      // occurrence stream — hash each distinct bigram once, broadcast
+      // the (g, bucket) table back.
+      val gb = raw.select("g").distinct()
+        .select(col("g"), pmod(Dedup.md5Hash64(col("g"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(256L)).as("b"))
+      val bg = raw.join(broadcast(gb), "g")
         .select("doc_id", "source", "b")
+        .cache() // feeds the two histograms, totals, and the score pass
       val tgt = bg.filter(col("source") === "src0")
         .groupBy("b").agg(count(lit(1)).as("t_cnt"))
       val src = bg.filter(col("source") =!= "src0")
