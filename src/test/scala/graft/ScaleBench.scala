@@ -241,7 +241,8 @@ object ScaleBench {
               .bitwiseAND(lit(Long.MaxValue)).as("c"))
       }
       val c0 = adj.groupBy("v").agg(count(lit(1)).as("c"))
-      step(step(c0)).groupBy(col("c")).agg(count(lit(1)).as("n"))
+      val c1 = step(c0).cache() // see the driver query: read twice per round
+      step(c1).groupBy(col("c")).agg(count(lit(1)).as("n"))
     }
     time(s"onion_layers_cells$knnCells") {
       val cents = emb.filter(col("vec_id") < knnCells)
