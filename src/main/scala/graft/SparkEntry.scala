@@ -4625,6 +4625,48 @@ object SparkEntry {
         FROM m ORDER BY src, dst""")
     },
 
+    // KMV (k-minimum-values) distinct sketch MERGEABILITY, proven in
+    // exact integers: each event type's sketch is the k smallest
+    // distinct md5-hash values of its users; merging two sketches
+    // (k smallest of their union) must equal the sketch built directly
+    // over the union of the raw streams — the identity that makes KMV
+    // (and every θ-family sketch) a one-pass, arbitrarily-partitionable
+    // distinct estimator. The estimate itself is the caller's float
+    // k/θ; the engine emits the sketches' exact element sums plus the
+    // asserted identity, so the oracle re-derives everything without a
+    // single approximate value.
+    "kmv_sketch_mergeability" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          Dedup.md5Hash64(col("user_id").cast("string"))
+            .bitwiseAND(lit(Long.MaxValue)).as("h"))
+        .distinct()
+      val k = 8
+      def sketch(df: DataFrame, label: String) = df
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") <= k)
+        .agg(sum(col("h")).as(s"${label}_sum"), max(col("h")).as(s"${label}_kth"))
+      val clickS = sketch(h.filter(col("event_type") === "click")
+        .select("h").distinct(), "click")
+      val viewS = sketch(h.filter(col("event_type") === "view")
+        .select("h").distinct(), "view")
+      // merged = k smallest of the two sketches' UNION OF ELEMENTS…
+      val perType = h.withColumn("rk",
+          row_number().over(Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("rk") <= k).select("h").distinct()
+      val mergedS = sketch(perType, "merged")
+      // …vs the sketch built directly over the union of raw streams
+      val directS = sketch(h.select("h").distinct(), "direct")
+      clickS.crossJoin(broadcast(viewS))
+        .crossJoin(broadcast(mergedS)).crossJoin(broadcast(directS))
+        .select(lit(k).as("k"), col("click_sum"), col("view_sum"),
+          col("merged_sum"), col("direct_sum"),
+          (col("merged_sum") === col("direct_sum") &&
+            col("merged_kth") === col("direct_kth")).as("mergeable"))
+    },
+
     // SQL pipe syntax (Spark 4's |> operator chain — SQL in dataflow
     // order): the same filter → aggregate → having-ish → order shape
     // every report query uses, written as stages. Semantically identical
@@ -14643,6 +14685,33 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same sketches over the md5 twin hash; the identity re-derived.
+    "kmv_sketch_mergeability" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+        |         & 9223372036854775807 AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cs AS (SELECT CAST(sum(h) AS BIGINT) AS click_sum FROM (
+        |  SELECT DISTINCT h FROM h WHERE event_type = 'click'
+        |  ORDER BY h LIMIT 8)),
+        |vs AS (SELECT CAST(sum(h) AS BIGINT) AS view_sum FROM (
+        |  SELECT DISTINCT h FROM h WHERE event_type = 'view'
+        |  ORDER BY h LIMIT 8)),
+        |pt AS (
+        |  SELECT DISTINCT h FROM (
+        |    SELECT h, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h) AS rk FROM h) WHERE rk <= 8),
+        |ms AS (SELECT CAST(sum(h) AS BIGINT) AS merged_sum,
+        |         CAST(max(h) AS BIGINT) AS merged_kth FROM (
+        |  SELECT h FROM pt ORDER BY h LIMIT 8)),
+        |ds AS (SELECT CAST(sum(h) AS BIGINT) AS direct_sum,
+        |         CAST(max(h) AS BIGINT) AS direct_kth FROM (
+        |  SELECT DISTINCT h FROM h ORDER BY h LIMIT 8))
+        |SELECT 8 AS k, click_sum, view_sum, merged_sum, direct_sum,
+        |  merged_sum = direct_sum AND merged_kth = direct_kth AS mergeable
+        |FROM cs, vs, ms, ds""".stripMargin,
 
     // The pipe chain desugared to classic SQL.
     "pipe_syntax_report" ->
