@@ -33,6 +33,43 @@ class PlanSpec extends SparkSpec {
     assert(!ej.contains("CartesianProduct"))
   }
 
+  test("AQE splits a skewed sort-merge join partition (OptimizeSkewedJoin)") {
+    // The AUTOMATIC twin of skew_salted_join's manual remedy: with one
+    // key carrying ~all rows and broadcast disabled, AQE must mark the
+    // skewed partition (skew=true / skew join markers in the final
+    // adaptive plan) and split it by the advisory size. Aggressive
+    // thresholds keep the fixture small; confs restored after.
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(60000)
+        .select(when($"id" % 100 =!= 0, lit(7L)).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val right = spark.range(3000)
+        .select(($"id" % 50).as("k"), $"id".as("w"))
+      // global aggregate downstream: a same-key groupBy would REQUIRE the
+      // join's hash partitioning and veto the skew split (measured — AQE
+      // only coalesced); a partition-agnostic consumer lets it fire
+      val joined = left.join(right, "k").agg(sum($"v").as("s"))
+      joined.collect() // AQE finalizes only on execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("OptimizeSkewedJoin")
+        || plan.contains("isSkew=true"),
+        s"no skew-join optimization in final plan:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("dpp_runtime_prune: fact scan carries a dynamicpruning partition filter") {
     val df = SparkEntry.queries("dpp_runtime_prune")(spark, sf0001)
     val plan = planOf(df)
