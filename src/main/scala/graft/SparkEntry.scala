@@ -4672,6 +4672,31 @@ object SparkEntry {
         FROM m ORDER BY src, dst""")
     },
 
+    // listagg WITHIN GROUP (Spark 4.1's ordered string aggregation —
+    // the ANSI form of the collect_list+array_join idiom): per type,
+    // the comma list of its top-3 busiest days, ordered inside the
+    // aggregate itself. The WITHIN GROUP ordering is the point: an
+    // unordered string agg is partition-order-nondeterministic and
+    // would hash-flake, which is exactly why the idiom needed the
+    // sort_array detour until now.
+    "listagg_top_days" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(desc("n"), col("day"))))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+      daily.createOrReplaceTempView("la_daily")
+      s.sql("""
+        SELECT event_type,
+          listagg(day, ',') WITHIN GROUP (ORDER BY day) AS top_days,
+          CAST(sum(n) AS BIGINT) AS n_events
+        FROM la_daily GROUP BY event_type ORDER BY event_type""")
+    },
+
     // KMV (k-minimum-values) distinct sketch MERGEABILITY, proven in
     // exact integers: each event type's sketch is the k smallest
     // distinct md5-hash values of its users; merging two sketches
@@ -14735,6 +14760,21 @@ object SparkEntry {
         |  CAST(max(n_days) AS BIGINT) AS n_days
         |FROM s WHERE s_abs = m
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Top-3 days re-ranked, string_agg with the same explicit order.
+    "listagg_top_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n DESC, day) AS rk FROM daily)
+        |  WHERE rk <= 3)
+        |SELECT event_type,
+        |  string_agg(day, ',' ORDER BY day) AS top_days,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM top3 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same sketches over the md5 twin hash; the identity re-derived.
     "kmv_sketch_mergeability" ->
