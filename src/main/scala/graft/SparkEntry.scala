@@ -4697,6 +4697,26 @@ object SparkEntry {
         FROM la_daily GROUP BY event_type ORDER BY event_type""")
     },
 
+    // try_* arithmetic under ANSI mode (Spark 4's default): the
+    // pipeline-safe error algebra — division by a data-derived zero and
+    // a constructed long overflow both yield NULL instead of killing
+    // the job, where the plain ANSI operators would throw. The
+    // denominators/multipliers are count moduli, so BOTH branches of
+    // each guard occur at every SF (e.g. purchase's 1981 events ≡ 0
+    // mod 7 at sf0.01, error's 19810 at sf0.1). The oracle mirrors
+    // try_* with explicit CASE guards — exactly the cross-engine
+    // contract try_* encodes.
+    "try_arithmetic_audit" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_events"),
+          expr("try_divide(n_events, n_events % 7)").as("div_probe"),
+          expr("try_multiply(4611686018427387904L, n_events % 3)")
+            .as("overflow_probe"))
+        .orderBy("event_type")
+    },
+
     // KMV (k-minimum-values) distinct sketch MERGEABILITY, proven in
     // exact integers: each event type's sketch is the k smallest
     // distinct md5-hash values of its users; merging two sketches
@@ -14775,6 +14795,18 @@ object SparkEntry {
         |  string_agg(day, ',' ORDER BY day) AS top_days,
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM top3 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // CASE guards spell out the try_* semantics: zero divisor → NULL,
+    // product past 2^63−1 → NULL (multiplier 2 × 2^62 overflows,
+    // 1 × 2^62 and 0 do not).
+    "try_arithmetic_audit" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CASE WHEN count(*) % 7 = 0 THEN NULL
+        |       ELSE count(*)::DOUBLE / (count(*) % 7) END AS div_probe,
+        |  CASE WHEN count(*) % 3 = 2 THEN NULL
+        |       ELSE CAST(4611686018427387904 * (count(*) % 3) AS BIGINT)
+        |  END AS overflow_probe
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same sketches over the md5 twin hash; the identity re-derived.
     "kmv_sketch_mergeability" ->
