@@ -4717,6 +4717,27 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Declarative SQL UDFs (Spark 4.1's CREATE FUNCTION … RETURN expr):
+    // reusable scalar logic WITHOUT leaving the optimizer — the body is
+    // inlined as a catalyst expression at resolution (codegen, pushdown,
+    // constant folding all apply), unlike a Scala/Python UDF's opaque
+    // black box. The money-cents and day-bucket helpers every query
+    // re-spells become named functions; the oracle is the inlined form,
+    // which is the semantic contract.
+    "sql_udf_inline" -> { (s, d) =>
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(floor(x * 100) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_day(t TIMESTAMP) " +
+        "RETURNS STRING RETURN date_format(t, 'yyyy-MM-dd')")
+      Tables.events(s, d).createOrReplaceTempView("su_events")
+      s.sql("""
+        SELECT graft_day(CAST(ts AS TIMESTAMP)) AS day,
+          count(*) AS n,
+          CAST(sum(graft_cents(value)) AS BIGINT) AS value_cents
+        FROM su_events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    },
+
     // KMV (k-minimum-values) distinct sketch MERGEABILITY, proven in
     // exact integers: each event type's sketch is the k smallest
     // distinct md5-hash values of its users; merging two sketches
@@ -14795,6 +14816,14 @@ object SparkEntry {
         |  string_agg(day, ',' ORDER BY day) AS top_days,
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM top3 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The UDF bodies inlined — the resolution-time contract.
+    "sql_udf_inline" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CASE guards spell out the try_* semantics: zero divisor → NULL,
     // product past 2^63−1 → NULL (multiplier 2 × 2^62 overflows,
