@@ -45,7 +45,13 @@ object PlanAudit {
         val plan = df.queryExecution
           .explainString(ExplainMode.fromString("simple"))
         def c(p: String) = p.r.findAllIn(plan).length
-        val ex = c("Exchange")
+        // Shuffles specifically: "Exchange hashpartitioning(...)" etc.
+        // A bare "Exchange" pattern also hits BroadcastExchange (its
+        // mode text starts with "HashedRelation…", but the operator name
+        // itself contains the substring) and ReusedExchange, inflating
+        // the metric this audit documents as the scale currency.
+        val ex = c(
+          "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)")
         val smj = c("SortMergeJoin")
         val nlj = c("BroadcastNestedLoopJoin")
         val cart = c("CartesianProduct")

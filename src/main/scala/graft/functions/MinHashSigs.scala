@@ -39,6 +39,21 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  // Both eval paths read elements with arr.getLong(j), which on a
+  // null-slot or non-long array would silently mis-hash garbage instead
+  // of skipping like the pinned xxhash64-aggregate form — so reject
+  // anything but ARRAY<BIGINT> with containsNull=false at ANALYSIS time.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs requires ARRAY<BIGINT> with containsNull=false " +
+            s"(hashed shingles never contain nulls); got ${other.sql}")
+    }
+
   // seed_i = xxhash64(lit(i)) under the default seed 42 — the exact fold
   // prefix of the built-in xxhash64(lit(i), e).
   private lazy val seeds: Array[Long] =

@@ -49,34 +49,43 @@ object Components {
     if (nEdges <= localEdgeBound) {
       val vType = pairEdges.schema("v").dataType
       val collected = pairEdges.collect()
-      pairEdges.unpersist()
-      // Union-find with path compression over opaque vertex keys (the
-      // label type follows the input column type). Root choice = minimum
-      // member, matching the distributed fixpoint exactly.
-      val parent = scala.collection.mutable.Map.empty[Any, Any]
-      def find(x: Any): Any = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+      // Min-label root choice needs a real total order on the keys. A
+      // null or non-Comparable key (struct/array/binary vertex ids) has
+      // none here — comparing such keys as "equal" would pick ARBITRARY
+      // roots and silently violate the documented min-label contract — so
+      // those graphs fall through to the iterative path, whose min()
+      // aggregate orders every Spark type natively. (ADVICE r9.)
+      val locallyOrderable = collected.forall { r =>
+        r.get(0).isInstanceOf[java.lang.Comparable[_]] &&
+          r.get(1).isInstanceOf[java.lang.Comparable[_]]
       }
-      val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
-        case (x: java.lang.Comparable[_], y) =>
-          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-        case _ => 0
+      if (locallyOrderable) {
+        pairEdges.unpersist()
+        // Union-find with path compression over opaque vertex keys (the
+        // label type follows the input column type). Root choice = minimum
+        // member, matching the distributed fixpoint exactly.
+        val parent = scala.collection.mutable.Map.empty[Any, Any]
+        def find(x: Any): Any = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        val ord: Ordering[Any] = (a: Any, b: Any) =>
+          a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+        collected.foreach { r =>
+          val (a, b) = (find(r.get(0)), find(r.get(1)))
+          if (a != b) { if (ord.lt(a, b)) parent(b) = a else parent(a) = b }
+        }
+        val vertices = collected.iterator
+          .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+        val rows = vertices.toSeq.map(v =>
+          org.apache.spark.sql.Row(v, find(v)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", vType),
+          org.apache.spark.sql.types.StructField("comp", vType)))
+        return edges.sparkSession.createDataFrame(
+          edges.sparkSession.sparkContext.parallelize(rows, 1), schema)
       }
-      collected.foreach { r =>
-        val (a, b) = (find(r.get(0)), find(r.get(1)))
-        if (a != b) { if (ord.lt(a, b)) parent(b) = a else parent(a) = b }
-      }
-      val vertices = collected.iterator
-        .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
-      val rows = vertices.toSeq.map(v =>
-        org.apache.spark.sql.Row(v, find(v)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("v", vType),
-        org.apache.spark.sql.types.StructField("comp", vType)))
-      return edges.sparkSession.createDataFrame(
-        edges.sparkSession.sparkContext.parallelize(rows, 1), schema)
     }
     val sym = pairEdges
       .union(pairEdges.select(col("w").as("v"), col("v").as("w")))

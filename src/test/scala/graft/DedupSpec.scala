@@ -210,6 +210,26 @@ class DedupSpec extends SparkSpec {
       s"missed=${exact -- fallback} spurious=${fallback -- exact}")
   }
 
+  test("containment fallback finds small-doc-inside-large-doc pairs (low Jaccard)") {
+    // ADVICE r9: the old symmetric-Jaccard banding fallback missed exactly
+    // these — a 12-word doc embedded verbatim in a 600-word doc has
+    // containment 1.0 but Jaccard ~0.02, far below any banding S-curve.
+    // The min-wise probe's recall is (1-C)^16-bounded regardless of the
+    // size ratio, so with budget=0 (fallback forced) the pair MUST appear.
+    val small = (0 until 12).map(j => s"needle$j").mkString(" ")
+    val bigTail = (0 until 600).map(j => s"hay$j").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$small $bigTail"),
+      (3L, bigTail)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, thresholdPermille = 900, fallbackCandidatesPerDoc = 0)
+      .select("contained_id", "container_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"small-in-large pair missed: $got")
+    assert(!got.contains((2L, 1L)), "containment direction inverted")
+  }
+
   test("adversarial single block: disjoint-content docs yield ZERO prefix candidates") {
     // 300 docs forced into one (lang, bucket) block but sharing no shingle:
     // the old full self-join paid 300*299/2 = 44850 verify pairs here; the
