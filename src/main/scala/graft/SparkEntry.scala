@@ -161,6 +161,38 @@ object SparkEntry {
   private val stagedIvf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the persisted kNN-graph substrate (VERDICT r9 #1): the
+    * within-cell top-5 edge list, built ONCE per (session, sfDir) and
+    * written partitioned by source cell. The ~12 graph-family queries
+    * all analyze this SAME graph; serving rank≤k slices from the layout
+    * replaces a per-query corpus-wide similarity join (the whole top of
+    * the r9 bench profile) with a graph-sized pruned parquet scan. */
+  private val stagedKnn =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The graph family's shared kNN edge frame (src, rank, dst, sim) at
+    * k ≤ 5, served from the build-once layout. Centroids are the 8
+    * lowest-id vectors (the family's fixed deterministic seeding), kMax=5
+    * because rank≤k on the (sim desc, dst)-ranked edge list is EXACTLY
+    * the k-graph for every k ≤ kMax — one layout serves all consumers. */
+  private def knnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k <= 5, s"persisted kNN layout is built at kMax=5; got k=$k")
+    val root = stagedKnn.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$d", _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_knn").toString
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("centroid"))
+        graft.ops.KnnGraph.persistInCells(emb, cents, kMax = 5,
+          path = s"$tmp/edges")
+        tmp
+      })
+    graft.ops.KnnGraph.readEdges(s, s"$root/edges", k)
+  }
+
   /** Staging for the transformWithState fixture (per-(user, ts) collapsed
     * events in four sequential time-quartile files, so running state is
     * genuinely cross-micro-batch and arrival order is event-time order). */
@@ -1443,8 +1475,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val edges = graft.ops.KnnGraph.inCells(
-          emb.select(col("vec_id"), col("embedding")), cents, k = 3)
+      val edges = knnEdges(s, d, 3)
         .select(col("src"), col("dst"))
       val lbl = emb.select(col("vec_id"), col("label"))
       val votes = edges
@@ -1500,7 +1531,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val edges = knnEdges(s, d, 3)
         .select(col("src"), col("dst"))
       graft.ops.PageRank.iterate(
           emb.select(col("vec_id").as("id")), edges, iters = 2)
@@ -2645,6 +2676,16 @@ object SparkEntry {
         .orderBy("src", "rank")
     },
 
+    // The persisted kNN-graph substrate's correctness proof (VERDICT r9
+    // #1): the k=3 slice SERVED from the build-once cell-partitioned
+    // layout (rank pushed to the parquet scan) must hash-equal the
+    // freshly-built graph — it shares embed_knn_graph's exact DuckDB
+    // oracle, so persisted ≡ fresh ≡ oracle in one row. Every other
+    // graph-family query reads this same layout via knnEdges.
+    "knn_graph_persisted" -> { (s, d) =>
+      knnEdges(s, d, 3).orderBy("src", "rank")
+    },
+
     // Multimodal plumbing, driver-checkable: a deterministic 1000-row media
     // fixture (id-derived dimensions, every 13th row corrupt) flows through
     // the REAL binary-column pipeline — Dataset[MediaFile] → per-partition
@@ -3337,7 +3378,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val edges = knnEdges(s, d, 3)
       graft.ops.Graph.triangleCounts(graft.ops.Graph.undirected(edges))
         .orderBy("vertex")
     },
@@ -3428,7 +3469,7 @@ object SparkEntry {
       // join) would otherwise each rebuild the cosine candidate join —
       // wall-clock wash at local[32] (legs overlap), but 3× less work;
       // see ops/Graph.triangleCounts for the measured trade-off
-      val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val e = knnEdges(s, d, 3)
         .select("src", "dst").cache()
       val two = e.select(col("src").as("a"), col("dst").as("m"))
         .join(e.select(col("src").as("m"), col("dst").as("c")), "m")
@@ -4888,7 +4929,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val edges = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val edges = knnEdges(s, d, 3)
       graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
         .orderBy("vertex")
     },
@@ -5414,7 +5455,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+        knnEdges(s, d, 3))
       graft.ops.Components.connectedComponentsStar(und, "a", "b")
         .groupBy("comp")
         .agg(count(lit(1)).as("n_vertices"), max("v").as("max_vertex"))
@@ -5520,7 +5561,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+        knnEdges(s, d, 3))
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w")))
         .localCheckpoint()
@@ -6211,7 +6252,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+        knnEdges(s, d, 3))
       und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("degree"))
         .groupBy("degree")
@@ -6760,7 +6801,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val adj = und.select(col("a").as("n"), col("b").as("v"))
         .union(und.select(col("b").as("n"), col("a").as("v")))
       val wed = adj.as("l")
@@ -6926,7 +6967,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+        knnEdges(s, d, 3))
       graft.ops.Graph.onionLayers(und, k = 4)
         .groupBy("layer")
         .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
@@ -7003,7 +7044,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       und
@@ -7152,7 +7193,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val adj = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w"))).cache()
       def step(colors: DataFrame): DataFrame = {
@@ -7491,7 +7532,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val knn = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val knn = knnEdges(s, d, 3)
       val uw = knn
         .groupBy(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -8107,7 +8148,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val e = graft.ops.KnnGraph.inCells(emb, cents, k = 3)
+      val e = knnEdges(s, d, 3)
         .select("src", "dst").cache()
       val rec = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -8935,7 +8976,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3))
+        knnEdges(s, d, 3))
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w")))
         .localCheckpoint()
@@ -9129,7 +9170,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w")))
       val cn = und
@@ -9369,7 +9410,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val lbl = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"))
       val m = und.agg(count(lit(1)).as("m_edges"))
@@ -9668,7 +9709,7 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
-      val knn = graft.ops.KnnGraph.inCells(emb, cents, k = 5)
+      val knn = knnEdges(s, d, 5)
       val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
       val gains = knn
         .join(lbl.select(col("vec_id").as("src"), col("label").as("ls")),
@@ -9855,7 +9896,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val deg = und.select(col("a").as("v"))
         .union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -10750,7 +10791,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("centroid"))
       val und = graft.ops.Graph.undirected(
-        graft.ops.KnnGraph.inCells(emb, cents, k = 3)).cache()
+        knnEdges(s, d, 3)).cache()
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w")))
       val deg = sym.groupBy("v").agg(count(lit(1)).as("dg"))
@@ -11376,6 +11417,47 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The k=3 within-cell kNN edge list — shared by embed_knn_graph
+    * (fresh build) and knn_graph_persisted (layout-served slice): cell
+    * assignment over the 8 lowest-id centroids, exact within-cell top-3
+    * by (sim desc, dst); both engines compute the cosine as a double dot
+    * product in index order, so rounded sims and ranking are
+    * bit-identical. */
+  private val knnGraphK3OracleSql: String =
+    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+      |      FROM embeddings WHERE vec_id < 8),
+      |s AS (
+      |  SELECT a.vec_id, c.cid,
+      |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+      |              for i in range(1, len(a.embedding) + 1)]) /
+      |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+      |                    for i in range(1, len(a.embedding) + 1)])) *
+      |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+      |                    for i in range(1, len(c.cv) + 1)]))) AS sim
+      |  FROM embeddings a CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cid FROM s
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY sim DESC, cid) = 1),
+      |p AS (
+      |  SELECT x.vec_id AS src, y.vec_id AS dst,
+      |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+      |              for i in range(1, len(ax.embedding) + 1)]) /
+      |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
+      |                    for i in range(1, len(ax.embedding) + 1)])) *
+      |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
+      |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+      |  JOIN embeddings ax ON ax.vec_id = x.vec_id
+      |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
+      |r AS (
+      |  SELECT src, dst, sim,
+      |    row_number() OVER (PARTITION BY src
+      |                       ORDER BY sim DESC, dst) AS rank
+      |  FROM p)
+      |SELECT src, rank, dst, round(sim, 6) AS sim FROM r
+      |WHERE rank <= 3 ORDER BY src, rank""".stripMargin
 
   /** Exact top-5 of the PERTURBED near-dup queries + the asserted recall
     * bound — oracle for the approximate ANN driver entries (see
@@ -13245,41 +13327,11 @@ object SparkEntry {
     // Same cell-assignment CTE as the SemDeDup oracle, then an exact
     // within-cell top-3 by (sim desc, dst) — both engines compute the
     // cosine as a double dot product in index order, so the rounded sims
-    // and the ranking are bit-identical.
-    "embed_knn_graph" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |r AS (
-        |  SELECT src, dst, sim,
-        |    row_number() OVER (PARTITION BY src
-        |                       ORDER BY sim DESC, dst) AS rank
-        |  FROM p)
-        |SELECT src, rank, dst, round(sim, 6) AS sim FROM r
-        |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+    // and the ranking are bit-identical. knn_graph_persisted shares this
+    // oracle verbatim: the layout-served slice must hash-equal the fresh
+    // build.
+    "knn_graph_persisted" -> knnGraphK3OracleSql,
+    "embed_knn_graph" -> knnGraphK3OracleSql,
 
     // Mirrors the deterministic fixture arithmetic in the query: dimensions
     // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)
