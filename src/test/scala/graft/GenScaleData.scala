@@ -88,7 +88,64 @@ object GenScaleData {
     vecs.repartition(4).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
 
-    println(s"wrote $nDocs docs + $nVecs vecs to $outDir")
+    // events: the reference-parity time-series family's input (VERDICT r9
+    // #2 — asof/sessionize/windows/debounce/5m-pipeline had no measured
+    // growth story). Same shape as the driver table: one month span,
+    // event_id ordered by ts, 5 uniform event types, ~67 events/user.
+    // 10× the fixture means 10× events AND 10× users — per-user rate
+    // (and so per-user session/debounce structure) stays scale-invariant,
+    // so growth ratios measure the OPERATOR, not a densifying fixture.
+    // ts is a monotone ramp over the month plus a sub-step hash jitter;
+    // ~2% of events copy the predecessor's (user, type) — with
+    // consecutive timestamps a step apart, that plants debounce-able
+    // rapid-repeat bursts at a scale-invariant rate.
+    val nEvents = args.lift(3).map(_.toLong).getOrElse(nDocs * 2)
+    val nUsers = args.lift(4).map(_.toLong).getOrElse(math.max(nEvents / 67, 1L))
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val eid = col("event_id")
+    val stepMicros = 30L * 86400 * 1000000 / math.max(nEvents, 1L)
+    val evBase = when(pmod(eid, lit(50)) === 1, eid - 1).otherwise(eid)
+    val events = spark.range(nEvents).select(col("id").as("event_id"))
+      .withColumn("ts", timestamp_micros(
+        lit(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L) +
+          eid * stepMicros + pmod(h(11, eid), lit(stepMicros))))
+      .withColumn("user_id", pmod(h(7, evBase), lit(nUsers)))
+      .withColumn("event_type", element_at(lit(types.toArray),
+        (pmod(h(8, evBase), lit(types.size)) + 1).cast("int")))
+      .withColumn("value",
+        round(pmod(h(9, eid), lit(15000)) / lit(100.0), 2))
+      .withColumn("props",
+        concat(lit("{\"k\": "), pmod(h(10, eid), lit(100)), lit("}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
+    // orders: the DIMENSION side of continuous_5m_pipeline's monthDim
+    // (interval join's broadcast table). Fixed at 1000 rows regardless of
+    // fixture scale — dims don't grow with the fact table; the pipeline's
+    // growth story is the events side.
+    val oid = col("o_orderkey")
+    val orders = spark.range(1000).select(col("id").as("o_orderkey"))
+      .withColumn("o_custkey", pmod(h(12, oid), lit(200)))
+      .withColumn("o_orderstatus",
+        element_at(lit(Array("O", "F", "P")),
+          (pmod(h(13, oid), lit(3)) + 1).cast("int")))
+      .withColumn("o_totalprice",
+        round(pmod(h(14, oid), lit(5000000)) / lit(100.0), 2))
+      .withColumn("o_orderdate", timestamp_micros(
+        lit(java.time.LocalDateTime.of(2023, 10, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L) +
+          pmod(h(15, oid), lit(120L * 86400 * 1000000))))
+      .withColumn("o_orderpriority",
+        concat(pmod(h(16, oid), lit(5)) + 1, lit("-PRIO")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    orders.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+
+    println(s"wrote $nDocs docs + $nVecs vecs + $nEvents events " +
+      s"($nUsers users) to $outDir")
     spark.stop()
   }
 }

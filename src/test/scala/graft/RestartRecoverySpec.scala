@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.pipeline.IdempotentSink
+import graft.streaming.StreamingPipeline
+
+/** Exactly-once ACROSS A CHECKPOINT RESTART (VERDICT r9 #4) — the failure
+  * mode a production user hits first. The streaming suite covers W1–W4
+  * within one query lifetime; this spec kills a checkpointed windowed
+  * aggregation mid-stream, additionally deletes the final epoch's COMMIT
+  * marker (the crash-after-sink-write-before-commit window), resumes from
+  * the checkpoint, and asserts the resumed sink is byte-equal to an
+  * uninterrupted straight-through run:
+  *
+  *  - offsets recovery: the restart must NOT reprocess files whose epoch
+  *    committed, and MUST reprocess the redelivered (uncommitted) epoch;
+  *  - state recovery: 5-min windows STRADDLE the kill point (13 s ticks,
+  *    file boundaries at 13-min marks), so post-restart rows must merge
+  *    into pre-kill window state out of the state store, not a fresh map;
+  *  - sink idempotency: the redelivered epoch overwrites its own batch
+  *    directory (IdempotentSink), so at-least-once delivery still yields
+  *    exactly-once contents — the continuously-held Gate-2 guarantee
+  *    (reference main.py:459-472's "double insurance", here across a
+  *    genuine restart boundary).
+  */
+class RestartRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val barSchema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("open", DoubleType), StructField("high", DoubleType),
+    StructField("low", DoubleType), StructField("close", DoubleType),
+    StructField("volume", LongType)))
+
+  /** 240 deterministic ticks at 13 s spacing from 10:00:00 — 52 minutes,
+    * so 5-min windows never align with the 4×60-row file boundaries. */
+  private def ticks: Seq[(Timestamp, Double)] = {
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    (0 until 240).map(i =>
+      (new Timestamp(base + i * 13000L), (i % 37) + i / 100.0))
+  }
+
+  private def writeQuartile(inDir: String, q: Int): Unit =
+    ticks.slice(q * 60, (q + 1) * 60).toDF("ts", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+  private def runAvailable(inDir: String, chk: String,
+      sink: IdempotentSink): Unit = {
+    val src = spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val bars = StreamingPipeline.ohlcvStream(src, "v", "5 minutes",
+      lateness = "1 minute")
+    val q = bars.writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.writeBatch(batch, id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  private def contents(sink: IdempotentSink): Set[(Timestamp, Double, Double, Double, Double, Long)] =
+    sink.existing(spark).drop("batch")
+      .as[(Timestamp, Double, Double, Double, Double, Long)]
+      .collect().toSet
+
+  test("killed checkpointed query + redelivered epoch resumes to the exact straight-through sink") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-restart").toString
+
+    // interrupted run: two quartiles arrive, the job processes them and
+    // dies; then we delete the LAST commit marker, so the restart replays
+    // that epoch (sink already holds its output — the redelivery case).
+    writeQuartile(s"$root/in", 0)
+    writeQuartile(s"$root/in", 1)
+    val sinkA = IdempotentSink(s"$root/outA", barSchema)
+    runAvailable(s"$root/in", s"$root/chk", sinkA)
+    val afterKill = contents(sinkA)
+    assert(afterKill.nonEmpty, "no windows closed before the kill")
+
+    val commits = new java.io.File(s"$root/chk/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastEpoch = commits.last.getName.toLong
+    assert(commits.last.delete(), "could not delete last commit marker")
+    // local FS is ChecksumFs: the marker's .crc sibling must go too, or
+    // the replayed epoch's commit-file rename hits the stale checksum and
+    // Spark misdiagnoses it as a concurrent query on the checkpoint
+    new java.io.File(commits.last.getParentFile, s".$lastEpoch.crc").delete()
+
+    // the rest of the stream arrives; resume from the same checkpoint
+    writeQuartile(s"$root/in", 2)
+    writeQuartile(s"$root/in", 3)
+    runAvailable(s"$root/in", s"$root/chk", sinkA)
+
+    // uninterrupted reference run over the identical input
+    val sinkB = IdempotentSink(s"$root/outB", barSchema)
+    runAvailable(s"$root/in", s"$root/chk2", sinkB)
+    val straight = contents(sinkB)
+
+    assert(contents(sinkA) == straight,
+      s"resumed != straight-through: only-resumed=${contents(sinkA) -- straight} " +
+        s"only-straight=${straight -- contents(sinkA)}")
+    // the redelivered epoch really re-ran (its batch dir was rewritten)
+    assert(new java.io.File(s"$root/outA/batch=$lastEpoch").exists)
+    // windows emitted before the kill survived the restart untouched
+    assert(afterKill.subsetOf(contents(sinkA)))
+    // exactly-once contents: no window appears twice across batch dirs
+    val perWindow = sinkA.existing(spark).groupBy("ts").count()
+      .filter(col("count") > 1).count()
+    assert(perWindow == 0L, "a window was emitted twice after redelivery")
+    // state recovery is load-bearing: at least one emitted window must
+    // straddle the kill boundary (rows from files 1 AND 2)
+    val killBoundary = ticks(120)._1
+    val straddling = straight.exists { case (ts, _, _, _, _, n) =>
+      ts.getTime <= killBoundary.getTime &&
+        ts.getTime + 300000L > killBoundary.getTime && n > 0
+    }
+    assert(straddling, "fixture degenerate: no window straddles the kill")
+  }
+}

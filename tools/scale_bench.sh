@@ -7,16 +7,17 @@
 # Usage: tools/scale_bench.sh [outJson]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-SCALE_r08.json}"
-QUERIES="dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_lang_block,dedup_editdist_pairs,embed_neardup_lsh,embed_neardup_exact,vocab_top_tokens,percentile_length_filter"
+OUT="${1:-SCALE_r10.json}"
+QUERIES="dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_lang_block,dedup_editdist_pairs,embed_neardup_lsh,embed_neardup_exact,vocab_top_tokens,percentile_length_filter,asof_join_clicks,hopping_window_counts,sessionize_gap,dedup_debounce,continuous_5m_pipeline"
 
-sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000"
-sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf1 50000 20000"
+sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000 10000 150"
+sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf1 50000 20000 100000 1500"
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ONLY="$QUERIES" SPARK_GRAFT_BENCH_PASSES=2 \
-    sbt -batch "runMain graft.Bench" | grep '"metric":"total"' | head -1
+  SPARK_GRAFT_BENCH_OUT=/tmp/scale_bench_full.json \
+    sbt -batch "runMain graft.Bench" | grep '"metric":"total"' | sed 's/^\[info\] //' | head -1
 }
 
 BASE_JSON=$(run_bench /root/repo/tmp-sf01gen)
@@ -27,9 +28,9 @@ import json, os, sys
 base = json.loads(os.environ["BASE"])
 big = json.loads(os.environ["BIG"])
 out = {
-    "baseline": {"dir": base["sf"], "docs": 5000, "vecs": 2000,
+    "baseline": {"dir": base["sf"], "docs": 5000, "vecs": 2000, "events": 10000,
                  "queries": base["queries"], "spread": base.get("spread", {})},
-    "x10": {"dir": big["sf"], "docs": 50000, "vecs": 20000,
+    "x10": {"dir": big["sf"], "docs": 50000, "vecs": 20000, "events": 100000,
             "queries": big["queries"], "spread": big.get("spread", {})},
     "growth": {q: (round(big["queries"][q] / base["queries"][q], 2)
                    if base["queries"][q] > 0 else None)
