@@ -85,6 +85,17 @@ object PlanAudit {
       .map(r => s"${r._1}=${r._2}").mkString(", ")
     println(s"[plan-audit] top exchange counts: $top")
     spark.stop()
+    // Close-gate contract (VERDICT r9 #3): the audit is only evidence if
+    // it covers the WHOLE frozen surface — a run from a stale build (or
+    // one that predates late-added queries) must fail loudly, not ship a
+    // silently-partial artifact.
+    val expected = SparkEntry.queries.size
+    if (rows.size + failed.size != expected) {
+      println(s"[plan-audit] GATE FAIL: audited ${rows.size + failed.size} " +
+        s"of $expected queries")
+      sys.exit(3)
+    }
+    if (failed.nonEmpty) sys.exit(1)
     if (cartesianOffenders.nonEmpty) sys.exit(2)
   }
 }
