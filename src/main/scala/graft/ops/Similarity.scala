@@ -107,6 +107,41 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Query-directed multi-probe bucket list (Lv et al. 2007): the query's
+    * own [[signBucket]] bucket plus every subset-flip of the `nFlip`
+    * planes with the SMALLEST |dot| margin — the hyperplanes the query
+    * sits closest to, which are exactly where a true neighbour most
+    * probably landed on the other side. Returns 2^nFlip probe buckets;
+    * one table at `planes` bits probed 2^nFlip ways buys the recall of
+    * ~2^nFlip independent tables while the CORPUS is hashed (and at the
+    * persisted-layout scale, PARTITIONED) exactly once — the probing
+    * cost lives entirely on the tiny query side. Margin sorting is
+    * deterministic (ties break on the plane bit), so every engine and
+    * run probes the identical bucket list.
+    */
+  def multiProbeBuckets(vec: Column, dim: Int, planes: Int, nFlip: Int,
+      table: Int = 0): Column = {
+    require(nFlip >= 0 && nFlip <= planes && nFlip <= 16,
+      "nFlip must be in [0, min(planes, 16)]")
+    val entries = (0 until planes).map { p =>
+      val plane = lit((0 until dim).map(j =>
+        mix(64 * table + p, j).toFloat).toArray)
+      val dot = graft.functions.vectors.vecDot(vec, plane)
+      struct(abs(dot).as("m"),
+        when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L).as("bit"),
+        lit(1L << p).as("mask"))
+    }
+    val base = entries.map(_.getField("bit")).reduce(_ bitwiseOR _)
+    val byMargin = sort_array(array(entries: _*))
+    val flips = (0 until nFlip).map(i =>
+      element_at(byMargin, i + 1).getField("mask"))
+    array((0 until (1 << nFlip)).map { c =>
+      val flip = (0 until nFlip).filter(b => (c & (1 << b)) != 0)
+        .map(flips(_)).foldLeft(lit(0L): Column)(_ bitwiseXOR _)
+      base.bitwiseXOR(flip)
+    }: _*)
+  }
+
   /** ANN top-k: restrict the scan to corpus vectors in the query's LSH
     * bucket, then exact-rerank. Recall < 1 by construction (a near
     * neighbour can land across a hyperplane); increase recall by lowering
