@@ -127,7 +127,14 @@ object Bench {
     def tierOf(n: String): String =
       if (n.endsWith("_exact") || Set("minhash_band_recall_curve",
         "neardup_method_agreement", "agm_triangle_blowup",
-        "split_contamination_matrix", "source_similarity_tvd_matrix")(n))
+        "split_contamination_matrix", "source_similarity_tvd_matrix",
+        // embed_neardup_lsh runs an exact all-pairs referee INSIDE the
+        // query (the oracle checks the LSH arm against it), so its cost
+        // is O(n²) by construction — 35.8× at 10× data (SCALE_r10) is
+        // the referee, not the LSH path. The production-scale LSH arm is
+        // measured alone via Similarity.cosineNearDupPairs consumers;
+        // this query is the recall-audit twin (VERDICT r10 #3).
+        "embed_neardup_lsh")(n))
         "diagnostic"
       else "production"
     val fullJson = {

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row-numbering over a total sort order — the scale
+  * replacement for `row_number().over(Window.orderBy(...))`, which plans an
+  * `Exchange SinglePartition` and funnels the ENTIRE frame through one task
+  * (VERDICT r10 #1: at 100× corpus scale that is a straight single-executor
+  * bottleneck).
+  *
+  * Shape — the same TWO-LEVEL prefix sum as [[Multimodal.sizeBuckets]] and
+  * the `pack_sequences` packer:
+  *
+  *  1. `repartitionByRange` on the sort key: ONE parallel range exchange;
+  *     RangePartitioner assigns ascending key ranges to ascending partition
+  *     ids, so partition order IS global order.
+  *  2. per-partition `row_number` (a hash exchange on the partition id —
+  *     still fully parallel, ~n/P rows per task);
+  *  3. per-partition row counts — one row per PARTITION — collected to the
+  *     driver, cumulated into exclusive offsets, and broadcast back:
+  *     global position = partition offset + local row number.
+  *
+  * The input is cached while the counts and the ranked pass both read it
+  * (range boundaries are SAMPLED, so an uncached recompute could assign
+  * different partition ids between the two passes); the result is
+  * localCheckpoint-materialized so the cache can be released before
+  * returning — the [[Multimodal.sizeBuckets]] no-leaked-cache contract.
+  * The driver-side state is one long per partition: bounded by cluster
+  * parallelism, never by data volume.
+  */
+object RangeRank {
+
+  /** `df` plus `posCol` = the 1-based global rank of each row under
+    * `sortCols` (a total order — include a tiebreaker column). */
+  def withGlobalPos(df: DataFrame, sortCols: Seq[Column],
+      posCol: String): DataFrame = {
+    val (ranked, ranged) = withGlobalPosPlan(df, sortCols, posCol)
+    val out = ranked.localCheckpoint()
+    ranged.unpersist()
+    out
+  }
+
+  /** The un-checkpointed plan (cache left pinned — caller unpersists via
+    * the returned frame): the test hook that lets the NO-SinglePartition
+    * property be asserted on the actual plan, which `localCheckpoint`
+    * would hide behind an RDD scan. */
+  private[graft] def withGlobalPosPlan(df: DataFrame, sortCols: Seq[Column],
+      posCol: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = ranged
+      .withColumn("__local", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(posCol, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+    (ranked, ranged)
+  }
+}

@@ -678,4 +678,49 @@ class PlanSpec extends SparkSpec {
         s"$q: pair stage must join on word/bucket keys:\n$plan")
     }
   }
+
+  test("range-rank: no single-partition exchange, matches the global window") {
+    // VERDICT r10 #1: dedup_sorted_neighborhood's positions must come
+    // from the two-level prefix-sum rank, never a global row_number
+    // window (one task sorting the whole corpus). Asserted on the
+    // un-checkpointed plan (the test hook — localCheckpoint would hide
+    // the ranking stage behind an RDD scan), then value-checked against
+    // the global-window oracle form.
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        substring(graft.ops.Dedup.normalize(col("text")), 1, 300).as("t"))
+    val (ranked, cached) = graft.ops.RangeRank.withGlobalPosPlan(
+      docs, Seq(col("t"), col("doc_id")), "pos")
+    try {
+      val plan = planOf(ranked)
+      assert(!plan.contains("SinglePartition"),
+        s"single-partition exchange in range-rank:\n$plan")
+      assert(plan.contains("rangepartitioning"),
+        s"no range exchange in range-rank:\n$plan")
+      import org.apache.spark.sql.expressions.Window
+      val oracle = docs.select(col("doc_id"), row_number()
+        .over(Window.orderBy("t", "doc_id")).cast("long").as("pos"))
+      assert(ranked.select("doc_id", "pos").except(oracle).count() == 0L,
+        "two-level rank diverges from the global window")
+    } finally { cached.unpersist(); () }
+    // and the full query plan (checkpoint downstream) stays parallel too
+    val q = planOf(SparkEntry.queries("dedup_sorted_neighborhood")(
+      spark, sf0001))
+    assert(!q.contains("SinglePartition"),
+      s"dedup_sorted_neighborhood plans a single-partition exchange:\n$q")
+  }
+
+  test("fingerprint family never hints a corpus-proportional broadcast") {
+    // VERDICT r10 #2: the r10 forms broadcast the distinct token-trigram
+    // domain — linear in the corpus, a guaranteed driver OOM at scale.
+    // The rewritten queries hash per occurrence; pin = no broadcast hint
+    // survives anywhere in either logical plan (bounded auto-broadcasts
+    // chosen by Catalyst from size estimates remain legitimate).
+    for (q <- Seq("fingerprint_modp_candidates", "winnowing_fingerprints")) {
+      val analyzed = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$q still carries a broadcast hint")
+    }
+  }
 }

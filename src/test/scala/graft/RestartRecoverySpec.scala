@@ -63,7 +63,7 @@ class RestartRecoverySpec extends SparkSpec {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "query did not finish in 120s")
   }
 
   private def contents(sink: IdempotentSink): Set[(Timestamp, Double, Double, Double, Double, Long)] =
