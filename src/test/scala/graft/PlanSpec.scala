@@ -710,6 +710,16 @@ class PlanSpec extends SparkSpec {
       s"dedup_sorted_neighborhood plans a single-partition exchange:\n$q")
   }
 
+  test("quantile sketch: bottom-k selections run as WindowGroupLimit") {
+    // The sketch's scalability claim: every rank<=k selection prunes to
+    // k rows per key on the MAP side before its exchange — the shuffle
+    // carries <= k*partitions rows per key, never the stream.
+    val plan = planOf(SparkEntry.queries("quantile_sketch_mergeable")(
+      spark, sf0001))
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 3,
+      s"bottom-k selections not group-limited:\n$plan")
+  }
+
   test("fingerprint family never hints a corpus-proportional broadcast") {
     // VERDICT r10 #2: the r10 forms broadcast the distinct token-trigram
     // domain — linear in the corpus, a guaranteed driver OOM at scale.
