@@ -125,6 +125,62 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** STAR candidate edges — the bounded-candidate-mass variant of
+    * [[minhashCandidates]] for hot buckets. The pairwise band join emits
+    * m(m−1)/2 candidates from a bucket holding m docs: a viral document
+    * duplicated 10M times at corpus scale turns ONE bucket into 10¹⁴
+    * pairs. Here every bucket instead contributes edges from its
+    * MINIMUM-id member (the anchor) to each other member — ≤ bands·n
+    * edges TOTAL regardless of clique sizes, while an m-clique stays
+    * connected through its anchor (the RefinedWeb/SlimPajama-style
+    * union-find edge set: cluster structure is what dedup needs, not the
+    * full pair list). The anchor window is a plain per-bucket min — one
+    * exchange on (band, bucket), no sort.
+    */
+  def minhashStarEdges(sig: DataFrame, idCol: String,
+      k: Int = 16, bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = k / bands
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)
+    }
+    val buckets = sig.select(col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    buckets
+      .withColumn("__anchor",
+        min(col(idCol)).over(Window.partitionBy("band", "bucket")))
+      .filter(col(idCol) =!= col("__anchor"))
+      .select(col("__anchor").as("id1"), col(idCol).as("id2"))
+      .distinct()
+  }
+
+  /** Star edges verified by EXACT n-gram Jaccard — the one-shingling-pass
+    * composition of [[minhashStarEdges]], mirroring [[minhashExactPairs]].
+    */
+  def minhashStarExactEdges(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
+      .cache()
+    val sig = sh
+      .select(col(idCol),
+        graft.functions.minhashSigs(col("__s"), k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until k).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
+    val cand = minhashStarEdges(sig, idCol, k, bands)
+    val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
+    val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
+    cand.join(l, "id1").join(r, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Estimated Jaccard from two signatures: fraction of equal components. */
   private def sigSimilarity(k: Int): Column = {
     val eq = (0 until k).map(i =>

@@ -349,4 +349,32 @@ class DedupSpec extends SparkSpec {
     assert(v == List((10L, true, Some(1L)), (11L, true, Some(1L)),
       (12L, false, None), (13L, false, None)))
   }
+
+  test("star edges bound an m-clique to m-1 edges where pairwise banding emits m(m-1)/2") {
+    // The hot-bucket guard: 200 exact copies of one text + 50 distinct
+    // docs. Pairwise band candidates blow up quadratically in the clique
+    // (19 900 pairs); star edges stay linear AND keep the clique
+    // connected through its anchor — same connected components.
+    import spark.implicits._
+    val m = 200
+    val clique = (0 until m).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val rest = (0 until 50).map(i =>
+      (1000L + i, s"unique document body number $i with words nothing shares ${i * 7}"))
+    val df = (clique ++ rest).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "text", "doc_id", k = 16, shingleN = 3)
+    val star = Dedup.minhashStarEdges(sig, "doc_id", k = 16, bands = 8)
+    val pairwise = Dedup.minhashCandidates(sig, "doc_id", k = 16, bands = 8)
+    val starN = star.count()
+    val pairN = pairwise.count()
+    assert(pairN >= m.toLong * (m - 1) / 2,
+      s"expected the quadratic clique blow-up, got $pairN")
+    assert(starN <= 8L * (m + 50),
+      s"star edges must be <= bands*n, got $starN")
+    // the clique stays one component: every member reaches the anchor
+    val comp = graft.ops.Components.connectedComponents(
+      star.select(col("id1"), col("id2")), "id1", "id2")
+    assert(comp.filter(col("comp") === 0L).count() == m.toLong,
+      "clique not connected through its anchor")
+  }
 }
