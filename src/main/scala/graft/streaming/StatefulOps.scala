@@ -156,4 +156,44 @@ object StatefulOps {
         new TimerSessionProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append)
   }
+
+  case class QEvent(event_type: String, event_id: Long, cents: Long,
+      hk: Long)
+  case class QElem(hk: Long, id: Long, cents: Long)
+  case class QSketchState(n: Long, elems: List[QElem])
+  case class QSketchOut(event_type: String, n_seen: Long, k_size: Int,
+      hk_checksum: Long, est_p50: Long)
+
+  /** Streaming bottom-k quantile sketch — [[graft.ops.QuantileSketch]]'s
+    * merge identity turned into per-key streaming state: each micro-batch
+    * folds its rows into the k smallest (hk, id) elements, and because
+    * bottomK(state ∪ batch) = bottomK(all rows seen) EXACTLY, the final
+    * sketch — and therefore the emitted checksum and median estimate —
+    * is batching-invariant: any file order, any trigger sizing, any
+    * restart produces the same final row per key, reproducible by a
+    * BATCH oracle over the full table. State is O(k) per key forever
+    * (the bounded-state contract a growing-reservoir design would
+    * violate). Emits the running summary each batch; the final summary
+    * is the per-key row with the largest n_seen (strictly monotone — a
+    * key emits only on batches that contained its rows).
+    */
+  def bottomKSketchStream(ev: Dataset[QEvent], k: Int): Dataset[QSketchOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[QEvent],
+            state: GroupState[QSketchState]) => {
+          val prev = state.getOption.getOrElse(QSketchState(0L, Nil))
+          val batch = rows.toList
+          val n = prev.n + batch.size
+          val merged = (prev.elems ++
+            batch.map(e => QElem(e.hk, e.event_id, e.cents)))
+            .sortBy(e => (e.hk, e.id)).take(k)
+          state.update(QSketchState(n, merged))
+          val byVal = merged.sortBy(e => (e.cents, e.id))
+          val est = byVal((merged.size + 1) / 2 - 1).cents
+          Iterator.single(QSketchOut(key, n, merged.size,
+            merged.map(_.hk).reduce(_ ^ _), est))
+        })
+  }
 }
