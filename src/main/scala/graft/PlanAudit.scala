@@ -17,7 +17,11 @@ import org.apache.spark.sql.execution.ExplainMode
   *  - `cartesian`      — CartesianProduct: NEVER acceptable; the audit
   *                       exits non-zero if any query plans one;
   *  - `codegen_spans`  — WholeStageCodegen regions (more is better,
-  *                       fewer means interpreted seams).
+  *                       fewer means interpreted seams);
+  *  - `single_partition` — Exchange SinglePartition occurrences (fine
+  *                       below an aggregate's single row or a final
+  *                       top-k; a corpus-scale funnel otherwise — the
+  *                       r10 dedup_sorted_neighborhood hazard class).
   *
   * Queries whose BUILDER executes work (streaming lifecycles, adaptive
   * probes) still yield a final batch plan; failures are recorded, never
@@ -56,23 +60,31 @@ object PlanAudit {
         val nlj = c("BroadcastNestedLoopJoin")
         val cart = c("CartesianProduct")
         val wsc = c("WholeStageCodegen")
+        // The r10-#1 hazard class, tracked per query: a SinglePartition
+        // exchange funnels every row through one task. Legitimate when
+        // the input is an aggregate's single row or a final top-k;
+        // corpus-scale rows above one are the dedup_sorted_neighborhood
+        // failure mode — the artifact makes each occurrence reviewable.
+        val single = c("Exchange SinglePartition")
         if (cart > 0) cartesianOffenders ::= name
-        Some((name, ex, smj, nlj, cart, wsc))
+        Some((name, ex, smj, nlj, cart, wsc, single))
       } catch {
         case e: Throwable =>
           failed ::= s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(120)}"
           None
       }
     }
-    rows.foreach { case (n, ex, smj, nlj, cart, wsc) =>
+    rows.foreach { case (n, ex, smj, nlj, cart, wsc, single) =>
       out.append(s"""  "$n": {"exchanges": $ex, "sort_merge": $smj, """ +
-        s""""bcast_nlj": $nlj, "cartesian": $cart, "codegen_spans": $wsc},\n""")
+        s""""bcast_nlj": $nlj, "cartesian": $cart, "codegen_spans": $wsc, """ +
+        s""""single_partition": $single},\n""")
     }
     val summary =
       s"""  "__summary": {"n_queries": ${rows.size}, "failed": ${failed.size}, """ +
         s""""cartesian_offenders": [${cartesianOffenders.map("\"" + _ + "\"").mkString(",")}], """ +
         s""""total_exchanges": ${rows.map(_._2).sum}, """ +
         s""""queries_with_smj": ${rows.count(_._3 > 0)}, """ +
+        s""""queries_with_single_partition": ${rows.count(_._7 > 0)}, """ +
         s""""max_exchanges": ${if (rows.isEmpty) 0 else rows.map(_._2).max}}\n}"""
     out.append(summary)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_AUDIT_OUT", "plan_audit.json")

@@ -599,10 +599,14 @@ object Dedup {
     * Block-count choice: for small d, q = 1 with b = d+1 blocks keeps keys
     * wide (64/b bits). At larger d single blocks get too narrow — d = 8
     * with q = 1 means 7-bit keys and ~n²/2⁷ random bucket collisions — so
-    * q = 2 with b = d+2 is used instead: C(b,2) keys, each carrying
-    * 2·64/b ≈ 13 bits of selectivity. Key count per doc stays modest
-    * (d = 8 → 45) and each key is one xxhash64 long, so candidate
-    * generation remains a single equality self-join.
+    * q = 2 with b = d+2 is the starting point: C(b,2) keys, each carrying
+    * 2·64/b ≈ 13 bits of selectivity. The banding runs over DISTINCT
+    * fingerprints (duplicate cliques collapse before the join) and the
+    * depth q is ADAPTIVE (see [[fingerprintHammingPairs]]): measured
+    * candidate mass above the per-fingerprint budget upgrades to
+    * q = 3, 4 — more tables, exponentially more selective keys — the
+    * corpus-growth knob that keeps the banded self-join linear where a
+    * fixed q is quadratic.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3,
@@ -616,43 +620,141 @@ object Dedup {
     * factored out so non-text fingerprints reuse the same
     * completeness-guaranteed candidate generation. Emits
     * (id1, id2, distance), id1 < id2, distance <= maxDistance.
+    *
+    * CANONICALIZE-THEN-BAND: the banded self-join runs over DISTINCT
+    * fingerprint values, not documents. Duplicate cliques — the hot-key
+    * hazard of every real corpus (viral text ⇒ thousands of docs with
+    * the SAME simhash, colliding in every table at every depth) —
+    * collapse to one representative before any join, so clique size
+    * never multiplies bucket mass. Doc-level pairs come back from two
+    * output-bound equality joins on the fingerprint value: cross-group
+    * pairs via the verified fingerprint pairs, intra-group (distance 0)
+    * pairs via a self-join of identical fingerprints. Candidate rows
+    * carry both fingerprint VALUES (the value is its own key), so exact
+    * Hamming verification is a row-local bit_count — no re-attach join.
+    *
+    * ADAPTIVE COMBINATION DEPTH (the Manku WWW'07 multi-table schema as a
+    * corpus-growth knob, priced like [[ngramJaccardPairs]]'s density
+    * gate): any q with b = d + q blocks is COMPLETE — d flipped bits
+    * touch ≤ d blocks, leaving ≥ q untouched, so some q-subset key
+    * matches exactly — which makes q a free parameter trading table
+    * count C(b, q) against key selectivity q·64/b bits. A fixed q goes
+    * quadratic once the distinct-fingerprint count outgrows the key
+    * space (d = 8, q = 2: ~13-bit keys ⇒ candidate mass ~
+    * n²·C(10,2)/2¹³ — measured 8.85× at 10× corpus in SCALE_r11 before
+    * the gate). The depth is PRICED IN CLOSED FORM from the distinct
+    * count: expected random mass C(b,q)·n²/2^(1+w) against a
+    * `candidatesPerDoc · n_distinct` budget, deepening until it fits or
+    * the table cap (512 keys/fp) is hit — d = 8 upgrades q 2→3
+    * (165 keys, ~17.5 bits) around 50k distinct fps and 3→4 (495 keys,
+    * ~21 bits) around 500k; each step is ~16× fewer random collisions
+    * for ~3× more (linear) key rows. The analytic form is deliberate:
+    * an r11 measurement experiment showed bucket mass is flat across
+    * q = 2..4 on dense corpora — true near-duplicates share untouched
+    * blocks at every depth, so only the random term (which the formula
+    * prices exactly) responds to q, and a measurement probe costs more
+    * than the join it tunes (2.5 s of probe against a 0.9 s join at
+    * 5k docs, mostly Catalyst codegen of per-combo keys). Every depth
+    * yields the SAME verified output; the gate changes cost, never
+    * answers. `candidatesPerDoc = Int.MaxValue` pins the shallowest
+    * depth (no gate).
     */
   def fingerprintHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
-      maxDistance: Int): DataFrame = {
+      maxDistance: Int, candidatesPerDoc: Int = 64): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance=$maxDistance outside the supported 0..16 banding range")
-    val blocks = if (maxDistance <= 4) maxDistance + 1 else maxDistance + 2
-    val q = if (maxDistance <= 4) 1 else 2
-    val bounds = (0 to blocks).map(c => 64 * c / blocks)
-    def blockVal(h: Column, c: Int): Column = {
-      val start = bounds(c)
-      val width = bounds(c + 1) - start
-      val v = shiftright(h, start)
-      if (start + width >= 64) v else v.bitwiseAND((1L << width) - 1)
-    }
-    val combos = (0 until blocks).combinations(q).toSeq
     val fp = fps.select(col(idCol), col(fpCol)).cache()
-    // one 64-bit key per block combination; the combo index is hashed in
-    // so distinct combos occupy distinct key spaces (a cross-combo hash
-    // collision only adds a candidate, which exact verification discards)
-    val keys = combos.zipWithIndex.map { case (cs, i) =>
-      xxhash64(lit(i) +: cs.map(c => blockVal(col(fpCol), c)): _*)
+    // the canonical frame: one row per distinct fingerprint VALUE — the
+    // value is both the join payload and the pair identity
+    val dfp = fp.select(col(fpCol).as("__f")).distinct().cache()
+
+    // keyed frame at combination depth q over b = maxDistance + q blocks:
+    // one 64-bit key per q-subset of blocks; depth and combo position are
+    // hashed in so distinct combos occupy distinct key spaces (a
+    // cross-combo hash collision only adds a candidate, which exact
+    // verification discards). The q-subsets ship as ONE array literal
+    // consumed by posexplode + transform/element_at — per-combo key
+    // expressions (C(12,4) = 495 of them at the deepest probe) made
+    // Catalyst codegen the bottleneck: ~6 s of plan compilation per
+    // call against a 0.8 s join, invariant in the row count
+    def keyedAt(q: Int): DataFrame = {
+      val blocks = math.max(maxDistance + q, 1)
+      val bounds = (0 to blocks).map(c => 64 * c / blocks)
+      def blockVal(h: Column, c: Int): Column = {
+        val start = bounds(c)
+        val width = bounds(c + 1) - start
+        val v = shiftright(h, start)
+        if (start + width >= 64) v else v.bitwiseAND((1L << width) - 1)
+      }
+      val vals = array((0 until blocks).map(c => blockVal(col("__f"), c)): _*)
+      val combos = (0 until blocks).combinations(q).map(_.toSeq).toSeq
+      dfp.select(col("__f"), vals.as("__vals"),
+          posexplode(typedLit(combos)).as(Seq("__pos", "__combo")))
+        .select(col("__f"),
+          xxhash64(lit(q), col("__pos"),
+            transform(col("__combo"),
+              i => element_at(col("__vals"), i + 1))).as("__key"))
     }
-    val keyed = fp.select(col(idCol), explode(array(keys: _*)).as("__key"))
-    val l = keyed.select(col(idCol).as("id1"), col("__key"))
-    val r = keyed.select(col(idCol).as("id2"), col("__key"))
-    // candidates dedupe on the bare (id1, id2) — fingerprints re-attach
-    // AFTER the distinct (the cached fp frame broadcasts), keeping the
-    // shuffled distinct rows at 16 bytes
-    val cand = l.join(r, "__key")
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cand
-      .join(fp.select(col(idCol).as("id1"), col(fpCol).as("h1")), "id1")
-      .join(fp.select(col(idCol).as("id2"), col(fpCol).as("h2")), "id2")
+    val qStart = if (maxDistance <= 4) 1 else 2
+    // deepest q whose table count C(d+q, q) stays within the linear
+    // explode budget (512 keys/fingerprint)
+    val qMax = (qStart to 4).takeWhile { q =>
+      (1 to q).foldLeft(BigInt(1))((a, i) => a * (maxDistance + i) / i) <= 512
+    }.lastOption.getOrElse(qStart)
+    var q = qStart
+    if (candidatesPerDoc != Int.MaxValue && qMax > qStart) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      // depth only affects the RANDOM collision term: fingerprints that
+      // genuinely sit ≤ d bits apart share untouched blocks at EVERY
+      // depth (measured r11: bucket mass flat within 10% across
+      // q = 2..4 on dense corpora), so the choice is priced in closed
+      // form from the distinct count alone — no measurement job can
+      // change it. Expected random mass at depth q over b = d + q
+      // blocks: C(b,q) tables × n²/2 pairs / 2^w keys, with w taken as
+      // the MINIMUM combo width (sum of the q narrowest blocks) so the
+      // estimate errs toward deepening, whose cost is linear key rows.
+      val n = math.max(dfp.count(), 1L).toDouble
+      def predictedRandomMass(depth: Int): Double = {
+        val b = maxDistance + depth
+        val tables = (1 to depth)
+          .foldLeft(BigInt(1))((a, i) => a * (b - depth + i) / i).toDouble
+        val widths = (0 until b).map(c => 64 * (c + 1) / b - 64 * c / b)
+        val wMin = widths.sorted.take(depth).sum
+        tables * n * n / 2 / math.pow(2, wMin)
+      }
+      val budget = candidatesPerDoc.toDouble * n
+      while (q < qMax && predictedRandomMass(q) > budget) q += 1
+      if (q > qStart) log.warn(
+        s"fingerprintHammingPairs depth gate engaged: predicted random " +
+          s"bucket mass ${predictedRandomMass(qStart).toLong} at " +
+          s"q=$qStart exceeds $candidatesPerDoc/fingerprint over " +
+          s"${n.toLong} distinct fingerprints; deepened to q=$q " +
+          s"(b=${maxDistance + q} blocks, predicted " +
+          s"${predictedRandomMass(q).toLong})")
+    }
+    val keyed = keyedAt(q)
+    // verified DISTINCT-FINGERPRINT pairs: the candidate row already
+    // carries both values, so verification is row-local (bit_count of
+    // the xor) — no join back to a lookup table
+    val l = keyed.select(col("__f").as("h1"), col("__key"))
+    val r = keyed.select(col("__f").as("h2"), col("__key"))
+    val fpPairs = l.join(r, "__key")
+      .filter(col("h1") < col("h2"))
+      .select("h1", "h2").distinct()
       .withColumn("distance", hamming(col("h1"), col("h2")))
       .filter(col("distance") <= maxDistance)
-      .select("id1", "id2", "distance")
+    // expand back to document pairs — both joins are equality joins on
+    // the fingerprint value and emit only true output rows
+    val l2 = fp.select(col(idCol).as("ida"), col(fpCol).as("h1"))
+    val r2 = fp.select(col(idCol).as("idb"), col(fpCol).as("h2"))
+    val cross = fpPairs.join(l2, "h1").join(r2, "h2")
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("distance"))
+    val intra = fp.select(col(idCol).as("id1"), col(fpCol).as("__f"))
+      .join(fp.select(col(idCol).as("id2"), col(fpCol).as("__f")), "__f")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).as("distance"))
+    cross.unionAll(intra)
   }
 
   // ---- exact n-gram Jaccard ---------------------------------------------

@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive depth gate: forced-deepest banding == fixed-depth == brute force") {
+    // candidatesPerDoc = 0 forces every upgrade step (q -> qMax), the
+    // configuration a 100x corpus would select; the verified output must
+    // be IDENTICAL at every depth — the gate may only change cost.
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (d <- Seq(3, 8)) {
+      val fp = Dedup.simhash64(real, "text", "doc_id")
+      val deepest = Dedup.fingerprintHammingPairs(fp, "doc_id", "simhash",
+          maxDistance = d, candidatesPerDoc = 0)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val fixed = Dedup.fingerprintHammingPairs(fp, "doc_id", "simhash",
+          maxDistance = d, candidatesPerDoc = Int.MaxValue)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(deepest == fixed,
+        s"d=$d missed=${fixed -- deepest} spurious=${deepest -- fixed}")
+    }
+  }
+
   test("md5Hash64 equals DuckDB md5_number_upper (little-endian u64 of first 8 digest bytes)") {
     // Constants verified directly against DuckDB 1.0:
     //   md5_number_upper('abc') = 12704604231530709392 (= -5742139842178842224)
