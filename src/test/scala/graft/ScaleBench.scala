@@ -67,6 +67,14 @@ object ScaleBench {
     time("dedup_simhash_pairs_xxhash") {
       graft.ops.Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 8)
     }
+    // tight threshold (d = 3): the complement of the d = 8 evidence —
+    // on this corpus d = 8's ANSWER is quadratic (92.8× pairs at 10×
+    // docs), so its runtime tail is the answer's size; at d = 3 the
+    // answer stays near-linear and this entry shows the canonical
+    // banding + analytic depth gate tracking it, x100 tier included
+    time("dedup_simhash_pairs_d3") {
+      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+    }
     time("dedup_ngram_lang_block") {
       graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         blockCols = Seq("lang" -> col("lang"),
