@@ -117,6 +117,45 @@ class StreamingSpec extends SparkSpec {
       && kept.contains(2L) && kept.contains(4L), s"kept: $kept")
   }
 
+  test("dedup state is watermark-bounded: numRowsTotal tracks the lateness window, not stream length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
+    // 6 micro-batches of 100 DISTINCT docs each, event time advancing 20
+    // minutes per batch under a 10-minute watermark: the state store may
+    // only hold keys within the lateness window of the max event time,
+    // so it must stay ~1 batch deep (plus one batch of eviction lag) —
+    // an unbounded dedup would end at 600 state rows and OOM a
+    // long-running job at production rates. This is the operational
+    // metric (StateOperatorProgress.numRowsTotal) a 100 TB stream is
+    // monitored by, asserted rather than eyeballed.
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    for (b <- 0 until 6) {
+      (0 until 100).map { i =>
+        (b * 100L + i, new Timestamp(base + b * 20 * 60000L + i * 100L),
+          s"doc b$b i$i unique ${b * 100 + i}")
+      }.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+    val q = StreamingPipeline.dedupStream(stream, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_state_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsTotal)
+    assert(stateRows.nonEmpty, "no state-operator progress recorded")
+    assert(stateRows.max <= 300,
+      s"state grew to ${stateRows.max} rows — watermark eviction did not " +
+        s"engage (per-batch history: ${stateRows.mkString(",")})")
+    // all inputs distinct: eviction must forget KEYS, not drop output.
+    // (>= 400 not == 600: if the file source ever processed a batch far
+    // out of order, its rows would be legitimately late-dropped.)
+    assert(spark.table("dedup_state_out").count() >= 400)
+  }
+
   test("stream-stream interval join matches the batch join, state watermark-bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ssj").toString
     val clicks = Seq(
