@@ -134,7 +134,13 @@ object Bench {
         // the referee, not the LSH path. The production-scale LSH arm is
         // measured alone via Similarity.cosineNearDupPairs consumers;
         // this query is the recall-audit twin (VERDICT r10 #3).
-        "embed_neardup_lsh")(n))
+        "embed_neardup_lsh",
+        // pq_neardup_eval computes its ground truth by an exact
+        // all-pairs cosine join (the point of the query IS measuring PQ
+        // candidate precision/recall against exact truth), so its cost
+        // is O(n²) by construction — same grounds as embed_neardup_lsh.
+        // The production PQ path is the linear embed_pq_assign.
+        "pq_neardup_eval")(n))
         "diagnostic"
       else "production"
     val fullJson = {
