@@ -10,8 +10,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-SCALE_r11.json}"
-QUERIES="dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_lang_block,dedup_editdist_pairs,embed_neardup_lsh,embed_neardup_exact,embed_neardup_lsh_scaled,vocab_top_tokens,percentile_length_filter,asof_join_clicks,hopping_window_counts,sessionize_gap,dedup_debounce,continuous_5m_pipeline,dedup_sorted_neighborhood,fingerprint_modp_candidates,winnowing_fingerprints,dedup_star_clusters,corpus_integrity_checksum"
-X100_QUERIES="dedup_minhash_pairs,dedup_ngram_lang_block,dedup_sorted_neighborhood,fingerprint_modp_candidates,winnowing_fingerprints,embed_neardup_lsh_scaled,dedup_star_clusters,corpus_integrity_checksum"
+QUERIES="dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_lang_block,dedup_editdist_pairs,embed_neardup_lsh,embed_neardup_exact,embed_neardup_lsh_scaled,vocab_top_tokens,percentile_length_filter,asof_join_clicks,hopping_window_counts,sessionize_gap,dedup_debounce,continuous_5m_pipeline,dedup_sorted_neighborhood,fingerprint_modp_candidates,winnowing_fingerprints,dedup_star_clusters,corpus_integrity_checksum,dsir_importance_weights,source_overlap_kmv"
+X100_QUERIES="dedup_minhash_pairs,dedup_ngram_lang_block,dedup_sorted_neighborhood,fingerprint_modp_candidates,winnowing_fingerprints,embed_neardup_lsh_scaled,dedup_star_clusters,corpus_integrity_checksum,dsir_importance_weights,source_overlap_kmv"
 
 sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000 10000 150"
 sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf1 50000 20000 100000 1500"
