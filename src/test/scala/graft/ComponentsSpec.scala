@@ -135,4 +135,50 @@ class ComponentsSpec extends SparkSpec {
       .filter(col("comp") =!= col("mn"))
     assert(badLabel.isEmpty)
   }
+
+  /** The ivm_components_delta contraction identity: old labels collapse
+    * each component to its min-id super-node, delta edges map through
+    * the labels, components of the CONTRACTED graph relabel the touched
+    * clusters — and the result must equal components recomputed from
+    * scratch on the union. The fixture exercises every delta shape:
+    * a cross-component merge, an intra-component edge (no-op), a
+    * chain-of-merges (3 old components fused through 2 delta edges),
+    * and brand-new vertices (singleton entering and singleton pair). */
+  test("incremental delta relabel == from-scratch components on the union") {
+    val e0 = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (10L, 11L))
+      .toDF("a", "b")
+    val delta = Seq(
+      (2L, 3L),   // merges {1,2} with {3,4}
+      (5L, 6L),   // intra-component, must change nothing
+      (4L, 7L),   // chains the merged {1,2,3,4} with {7,8}
+      (11L, 20L), // new vertex 20 joins {10,11}
+      (30L, 31L)  // entirely new pair
+    ).toDF("a", "b")
+    val l0 = Components.connectedComponents(e0, "a", "b")
+    val dverts = delta.select(col("a").as("v"))
+      .unionByName(delta.select(col("b").as("v"))).distinct()
+    val stale = l0.unionByName(
+      dverts.join(l0, Seq("v"), "left_anti")
+        .select(col("v"), col("v").as("comp")))
+    val contracted = delta
+      .join(stale.select(col("v").as("a"), col("comp").as("ca")), "a")
+      .join(stale.select(col("v").as("b"), col("comp").as("cb")), "b")
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .filter(col("a") =!= col("b"))
+    val cc2 = Components.connectedComponents(contracted, "a", "b")
+    val incr = stale
+      .join(cc2.select(col("v").as("comp"), col("comp").as("newc")),
+        Seq("comp"), "left")
+      .select(col("v"),
+        coalesce(col("newc"), col("comp")).as("comp"))
+    val scratch = Components.connectedComponents(
+      e0.unionByName(delta), "a", "b")
+    assert(incr.count() == scratch.count())
+    assert(incr.except(scratch).isEmpty && scratch.except(incr).isEmpty,
+      "incremental relabel diverges from the from-scratch components")
+    // spot-pin the merge chain and the untouched component
+    val m = incr.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 7L, 8L).forall(m(_) == 1L))
+    assert(m(5L) == 5L && m(6L) == 5L && m(20L) == 10L && m(31L) == 30L)
+  }
 }
