@@ -726,11 +726,45 @@ class PlanSpec extends SparkSpec {
     // The rewritten queries hash per occurrence; pin = no broadcast hint
     // survives anywhere in either logical plan (bounded auto-broadcasts
     // chosen by Catalyst from size estimates remain legitimate).
-    for (q <- Seq("fingerprint_modp_candidates", "winnowing_fingerprints")) {
+    for (q <- Seq("fingerprint_modp_candidates", "winnowing_fingerprints",
+      // r11 session 2: vocab / per-user tables unhinted (same hazard
+      // class); these two queries now carry NO hint at all
+      "cooccurrence_window", "pit_join_leak_audit")) {
       val analyzed = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.analyzed.toString
       assert(!analyzed.contains("ResolvedHint"),
         s"$q still carries a broadcast hint")
     }
+  }
+
+  test("KMV source sketch: rank<=k prunes per partition before the exchange") {
+    // source_overlap_kmv's sketch subplan materializes behind a
+    // localCheckpoint, so pin the operator shape directly: bottomK over
+    // the per-source shingle-hash stream must plan a Partial
+    // WindowGroupLimit — each map task keeps its own 64 smallest hashes
+    // and the exchange carries ≤ k·P rows per source, never the corpus.
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
+      .select(col("source"), graft.ops.Dedup.md5Hash64(col("g"))
+        .bitwiseAND(lit(Long.MaxValue)).as("h"))
+      .distinct()
+    val plan = graft.ops.QuantileSketch
+      .bottomK(sh, Seq(col("source")), col("h"), col("h"), 64)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"sketch selection lost its partial top-k:\n$plan")
+  }
+
+  test("ivm_components_delta serves yesterday's labels from the staged state") {
+    // The maintenance query must READ the materialized label state, not
+    // rebuild components over the full graph per run: the executed plan
+    // scans the graft_cc_state parquet staging (the contraction CC over
+    // the tiny delta resolves to a local fast path, so the only
+    // iterative-components cost is inside the one-time staging build).
+    val plan = SparkEntry.queries("ivm_components_delta")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("graft_cc_state"),
+      s"label state not served from the staged layout:\n$plan")
   }
 }
