@@ -181,4 +181,51 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L, 7L, 8L).forall(m(_) == 1L))
     assert(m(5L) == 5L && m(6L) == 5L && m(20L) == 10L && m(31L) == 30L)
   }
+
+  /** Contraction composes across MANY delta batches — the streaming /
+    * daily-maintenance claim: folding the update over b batches must
+    * equal one from-scratch run over everything, for every prefix. A
+    * deterministic hash-split of a random-ish graph into 6 batches
+    * exercises merges, re-merges of previously merged clusters, and
+    * vertices first seen mid-stream. */
+  test("delta relabel folds over 6 batches, prefix-exact at every step") {
+    def applyDelta(labels: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame) = {
+      val dverts = delta.select(col("a").as("v"))
+        .unionByName(delta.select(col("b").as("v"))).distinct()
+      val stale = labels.unionByName(
+        dverts.join(labels, Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("comp")))
+      val contracted = delta
+        .join(stale.select(col("v").as("a"), col("comp").as("ca")), "a")
+        .join(stale.select(col("v").as("b"), col("comp").as("cb")), "b")
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .filter(col("a") =!= col("b"))
+      val cc2 = Components.connectedComponents(contracted, "a", "b")
+      stale.join(cc2.select(col("v").as("comp"), col("comp").as("newc")),
+          Seq("comp"), "left")
+        .select(col("v"),
+          coalesce(col("newc"), col("comp")).as("comp"))
+        .localCheckpoint() // state handoff, as a deployment would persist
+    }
+    // 300 edges over 120 vertices: dense enough to force re-merges
+    val edges = spark.range(300).select(
+        pmod(Dedup.md5Hash64(concat(lit("ea|"), col("id")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(120L)).as("a"),
+        pmod(Dedup.md5Hash64(concat(lit("eb|"), col("id")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(120L)).as("b"),
+        pmod(col("id"), lit(6L)).as("batch"))
+      .filter(col("a") =!= col("b")).cache()
+    var labels = spark.emptyDataFrame
+      .withColumn("v", lit(0L)).withColumn("comp", lit(0L)).limit(0)
+    for (i <- 0L until 6L) {
+      labels = applyDelta(labels,
+        edges.filter(col("batch") === i).select("a", "b"))
+      val scratch = Components.connectedComponents(
+        edges.filter(col("batch") <= i).select("a", "b"), "a", "b")
+      assert(labels.except(scratch).isEmpty &&
+        scratch.except(labels).isEmpty,
+        s"fold diverges from scratch after batch $i")
+    }
+  }
 }
