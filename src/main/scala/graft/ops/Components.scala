@@ -191,4 +191,41 @@ object Components {
     vertices.join(labels, Seq("v"), "left")
       .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
   }
+
+  /** Incremental maintenance: fold a delta edge batch into existing
+    * component labels WITHOUT recomputing over the full graph.
+    *
+    * Contraction argument: every label is the min id of its component,
+    * so collapsing each old component to its label-node and running
+    * components over the delta edges MAPPED THROUGH the labels (at most
+    * |delta| edges) yields, per touched old label, the min over the
+    * merged labels — which IS the merged component's min id. Composing
+    * over any batch sequence therefore equals one from-scratch run
+    * (ComponentsSpec pins the identity per delta shape and as a 6-batch
+    * fold; PropertySpec randomizes graph and batch split). Vertices
+    * first seen in the delta enter as singleton labels.
+    *
+    * `labels` is (v, comp) — yesterday's materialized state, e.g. the
+    * staged parquet the `ivm_components_delta` query serves; `delta` is
+    * an undirected edge batch with columns (a, b). Cost ∝ |delta| +
+    * |touched components|; the contracted run takes
+    * [[connectedComponents]]' small-graph fast path in practice.
+    */
+  def applyDelta(labels: DataFrame, delta: DataFrame): DataFrame = {
+    val dverts = delta.select(col("a").as("v"))
+      .unionByName(delta.select(col("b").as("v"))).distinct()
+    val stale = labels.unionByName(
+      dverts.join(labels, Seq("v"), "left_anti")
+        .select(col("v"), col("v").as("comp")))
+    val contracted = delta
+      .join(stale.select(col("v").as("a"), col("comp").as("ca")), "a")
+      .join(stale.select(col("v").as("b"), col("comp").as("cb")), "b")
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .filter(col("a") =!= col("b"))
+    val cc2 = connectedComponents(contracted, "a", "b")
+    stale.join(cc2.select(col("v").as("comp"), col("comp").as("newc")),
+        Seq("comp"), "left")
+      .select(col("v"), col("comp").as("old_comp"),
+        coalesce(col("newc"), col("comp")).as("new_comp"))
+  }
 }

@@ -155,22 +155,8 @@ class ComponentsSpec extends SparkSpec {
       (30L, 31L)  // entirely new pair
     ).toDF("a", "b")
     val l0 = Components.connectedComponents(e0, "a", "b")
-    val dverts = delta.select(col("a").as("v"))
-      .unionByName(delta.select(col("b").as("v"))).distinct()
-    val stale = l0.unionByName(
-      dverts.join(l0, Seq("v"), "left_anti")
-        .select(col("v"), col("v").as("comp")))
-    val contracted = delta
-      .join(stale.select(col("v").as("a"), col("comp").as("ca")), "a")
-      .join(stale.select(col("v").as("b"), col("comp").as("cb")), "b")
-      .select(col("ca").as("a"), col("cb").as("b"))
-      .filter(col("a") =!= col("b"))
-    val cc2 = Components.connectedComponents(contracted, "a", "b")
-    val incr = stale
-      .join(cc2.select(col("v").as("comp"), col("comp").as("newc")),
-        Seq("comp"), "left")
-      .select(col("v"),
-        coalesce(col("newc"), col("comp")).as("comp"))
+    val incr = Components.applyDelta(l0, delta)
+      .select(col("v"), col("new_comp").as("comp"))
     val scratch = Components.connectedComponents(
       e0.unionByName(delta), "a", "b")
     assert(incr.count() == scratch.count())
@@ -190,24 +176,10 @@ class ComponentsSpec extends SparkSpec {
     * vertices first seen mid-stream. */
   test("delta relabel folds over 6 batches, prefix-exact at every step") {
     def applyDelta(labels: org.apache.spark.sql.DataFrame,
-        delta: org.apache.spark.sql.DataFrame) = {
-      val dverts = delta.select(col("a").as("v"))
-        .unionByName(delta.select(col("b").as("v"))).distinct()
-      val stale = labels.unionByName(
-        dverts.join(labels, Seq("v"), "left_anti")
-          .select(col("v"), col("v").as("comp")))
-      val contracted = delta
-        .join(stale.select(col("v").as("a"), col("comp").as("ca")), "a")
-        .join(stale.select(col("v").as("b"), col("comp").as("cb")), "b")
-        .select(col("ca").as("a"), col("cb").as("b"))
-        .filter(col("a") =!= col("b"))
-      val cc2 = Components.connectedComponents(contracted, "a", "b")
-      stale.join(cc2.select(col("v").as("comp"), col("comp").as("newc")),
-          Seq("comp"), "left")
-        .select(col("v"),
-          coalesce(col("newc"), col("comp")).as("comp"))
+        delta: org.apache.spark.sql.DataFrame) =
+      Components.applyDelta(labels, delta)
+        .select(col("v"), col("new_comp").as("comp"))
         .localCheckpoint() // state handoff, as a deployment would persist
-    }
     // 300 edges over 120 vertices: dense enough to force re-merges
     val edges = spark.range(300).select(
         pmod(Dedup.md5Hash64(concat(lit("ea|"), col("id")))

@@ -96,4 +96,58 @@ class PropertySpec extends SparkSpec {
       .repartition(17))
     assert(a == b)
   }
+
+  test("incremental components fold == scratch on random graphs and splits") {
+    // arbitrary edge lists, arbitrary batch assignment: folding
+    // Components.applyDelta over the batches must equal one
+    // from-scratch run at the final step (prefix exactness is pinned
+    // structurally in ComponentsSpec; here graph and split randomize)
+    import graft.ops.Components
+    val graphGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 50L)
+      b <- Gen.choose(0L, 50L)
+      if a != b
+      batch <- Gen.choose(0, 3)
+    } yield (math.min(a, b), math.max(a, b), batch))
+    for (i <- 0 until 3) {
+      val edges = graphGen
+        .apply(Gen.Parameters.default.withSize(120), Seed(7L + i))
+        .get.distinct
+      val df = edges.toDF("a", "b", "batch").cache()
+      var labels = Seq.empty[(Long, Long)].toDF("v", "comp")
+      for (k <- 0 to 3)
+        labels = Components.applyDelta(labels,
+            df.filter(col("batch") === k).select("a", "b"))
+          .select(col("v"), col("new_comp").as("comp"))
+          .localCheckpoint()
+      val scratch = Components.connectedComponents(
+        df.select("a", "b"), "a", "b")
+      assert(labels.except(scratch).isEmpty &&
+        scratch.except(labels).isEmpty,
+        s"sample $i: fold diverges from scratch over ${edges.size} edges")
+    }
+  }
+
+  test("bottom-k sketches merge exactly under any random sharding") {
+    import graft.ops.QuantileSketch.bottomK
+    for (i <- 0 until 3) {
+      val nShards = 2 + i * 3 // 2, 5, 8 shards
+      val df = spark.range(4000).select(
+          col("id"),
+          (col("id") % 2).as("grp"),
+          graft.ops.Dedup.md5Hash64(concat(lit(s"ps$i|"), col("id")))
+            .bitwiseAND(lit(Long.MaxValue)).as("hk"),
+          pmod(graft.ops.Dedup.md5Hash64(concat(lit(s"sh$i|"), col("id"))),
+            lit(nShards.toLong)).as("shard"))
+        .cache()
+      val direct = bottomK(df, Seq(col("grp")), col("hk"), col("id"), 32)
+        .select("grp", "id")
+      val merged = bottomK(
+        bottomK(df, Seq(col("grp"), col("shard")), col("hk"), col("id"), 32),
+        Seq(col("grp")), col("hk"), col("id"), 32)
+        .select("grp", "id")
+      assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+        s"$nShards-way shard merge diverges from the direct sketch")
+    }
+  }
 }
