@@ -39,15 +39,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (scheduler, codegen compiler, parquet footer reads)
-    // so the first measured query isn't charged ~3s of one-time JVM setup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm the session (scheduler, codegen compiler, parquet footer
+      // reads) so the first measured query isn't charged ~3s of one-time
+      // setup.
+      s.range(1000).selectExpr("sum(id)").collect()
+      s
+    }
+    var spark = newSession()
     // Optional comma-separated subset for local iteration (e.g. diagnosing
     // a single query's regression without paying the full-suite wall time).
     // The driver never sets this, so driver runs always time the full map.
@@ -92,6 +97,29 @@ object Bench {
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
     val spread = names.map(n => n -> spreadOf(samples(n))).toMap
+    // Solo column (VERDICT r11 #1): in-suite numbers on the heavy tail
+    // disagreed with solo measurement by up to ~4× (krippendorff 2.92 s
+    // in-suite vs 1.41 s solo on byte-identical code) — block-manager and
+    // codegen-cache pressure from 420 neighbors, not the query's own
+    // cost. Every query whose in-suite best exceeds the threshold is
+    // re-measured in a FRESH SparkSession (stop + rebuild: new block
+    // manager, empty caches; JIT stays warm, which is what "solo
+    // steady-state" means — same protocol as the r11 graft.Profile
+    // re-measures). min-of-2 in the fresh session: run 1 pays staging +
+    // codegen, run 2 is the steady state. Round-over-round grading reads
+    // the solo column where present; `best` keeps meaning "in-suite".
+    val soloThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "1.5").toDouble
+    val soloNames = names.filter(n => best(n) > soloThreshold)
+    val solo = soloNames.map { n =>
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+      val a = timeOne(n); val b = timeOne(n)
+      val ok = List(a, b).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
     // Locale-independent formatting: f"" interpolators use the JVM default
     // locale, which under a comma-decimal locale would print "1,234" and
     // corrupt the JSON.
@@ -143,19 +171,27 @@ object Bench {
         "pq_neardup_eval")(n))
         "diagnostic"
       else "production"
+    // Grading total: solo where measured, in-suite best elsewhere — the
+    // suite-context-proof number rounds should be compared on.
+    val totalSolo = names.map { n =>
+      val b = solo.getOrElse(n, best(n))
+      if (b >= 0) b else 0.0
+    }.sum
     val fullJson = {
       val entries = names.map { n =>
         val raw = samples(n).reverse.map(sec).mkString("[", ",", "]")
-        s"""  "$n": {"best": ${sec(best(n))}, "spread": ${sec(spread(n))}, "tier": "${tierOf(n)}", "samples": $raw}"""
+        val soloField =
+          solo.get(n).map(v => s""""solo": ${sec(v)}, """).getOrElse("")
+        s"""  "$n": {"best": ${sec(best(n))}, $soloField"spread": ${sec(spread(n))}, "tier": "${tierOf(n)}", "samples": $raw}"""
       }.mkString(",\n")
-      s"""{"sf":"$sfDir","passes":$passes,"total_sec":${sec(total)},"failed":$failedJson,"queries":{\n$entries\n}}"""
+      s"""{"sf":"$sfDir","passes":$passes,"total_sec":${sec(total)},"total_solo_adjusted":${sec(totalSolo)},"solo_threshold":${sec(soloThreshold)},"failed":$failedJson,"queries":{\n$entries\n}}"""
     }
     try {
       val w = new java.io.PrintWriter(fullOut)
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () } // bench output must never die on I/O
     // Full per-query line first (for humans and full-capture harnesses)…
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_solo_adjusted":${sec(totalSolo)},"queries":$qs,"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     // …then a compact summary LAST. The driver keeps only a bounded tail of
     // stdout; the full line above outgrows it as the query count rises, so
     // the final line must be a self-contained JSON record that always fits:
@@ -165,7 +201,7 @@ object Bench {
     // full set or double-count the two lines.
     val slowest = names.filter(best(_) >= 0).sortBy(n => -best(n)).take(10)
       .map(k => s"\"" + k + "\":" + sec(best(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"truncated":true,"nqueries":${names.size},"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_solo_adjusted":${sec(totalSolo)},"queries":$slowest,"truncated":true,"nqueries":${names.size},"spread":$noisyJson,"failed":$failedJson,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

@@ -1,7 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.{ExplainMode, FilterExec, GlobalLimitExec,
+  InputAdapter, LocalLimitExec, ProjectExec, SortExec, SparkPlan,
+  WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  AQEShuffleReadExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
 /** Whole-surface physical-plan audit: build every `SparkEntry.queries`
   * plan at a small SF and grep it for the shapes that decide 100 TB
@@ -23,15 +30,38 @@ import org.apache.spark.sql.execution.ExplainMode
   *                       top-k; a corpus-scale funnel otherwise — the
   *                       r10 dedup_sorted_neighborhood hazard class).
   *
+  * Round-12 (VERDICT r11 #3): the single-partition review is now a
+  * MACHINE CHECK, not prose. Every query is EXECUTED (so AQE finalizes
+  * and shuffle metrics populate), each SinglePartition exchange in the
+  * final adaptive plan is located, and its measured rows-in
+  * (`shuffleRecordsWritten`) plus the first significant child operator
+  * are recorded. An occurrence is reviewed iff:
+  *  - measured rows-in ≤ `SPARK_GRAFT_SP_ROWBOUND` (default 4096 — the
+  *    same "fits one task trivially" bound as Components' small-graph
+  *    fast path), i.e. the funnel is a collapsed domain, not a corpus; or
+  *  - its child is a limit (bounded by construction); or
+  *  - the (query, childClass) pair is on the explicit allowlist below
+  *    with a per-query justification.
+  * Anything else is UNREVIEWED and the audit exits 4 — a new
+  * corpus-scale single-partition funnel can no longer ship silently.
+  *
   * Queries whose BUILDER executes work (streaming lifecycles, adaptive
   * probes) still yield a final batch plan; failures are recorded, never
   * swallowed. Output: one JSON line per query + a summary line, and the
   * full map to PLAN_AUDIT file (SPARK_GRAFT_AUDIT_OUT).
   */
 object PlanAudit {
+
+  /** Explicit, justified exemptions from the single-partition rows bound.
+    * Keep this SHORT — every entry is a reviewed claim that the funnel's
+    * row count is bounded by something other than the measured-SF check
+    * (and the justification is emitted into the artifact verbatim). */
+  val singlePartitionAllow: Map[String, String] = Map.empty
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rowBound = sys.env.getOrElse("SPARK_GRAFT_SP_ROWBOUND", "4096").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,15 +69,44 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    /** Expand the executed tree INCLUDING adaptive containers (query
+      * stages and the final adaptive plan are not `children`) and
+      * subquery plans, so no exchange hides from the walk. */
+    def gather(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra ++ p.subqueries).flatMap(gather)
+    }
+
+    /** First child operator that decides the funnel's row count — skip
+      * the row-preserving / row-reducing wrappers a shuffle input is
+      * usually dressed in. */
+    @annotation.tailrec
+    def significant(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => significant(w.child)
+      case i: InputAdapter => significant(i.child)
+      case q: QueryStageExec => significant(q.plan)
+      case r: AQEShuffleReadExec => significant(r.child)
+      case pr: ProjectExec => significant(pr.child)
+      case f: FilterExec => significant(f.child)
+      case s: SortExec => significant(s.child)
+      case _ => p
+    }
+
     val out = new StringBuilder("{\n")
     var cartesianOffenders = List.empty[String]
     var failed = List.empty[String]
+    var unreviewed = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
     val rows = names.flatMap { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val plan = df.queryExecution
-          .explainString(ExplainMode.fromString("simple"))
+        val qe = df.queryExecution
+        val plan = qe.explainString(ExplainMode.fromString("simple"))
         def c(p: String) = p.r.findAllIn(plan).length
         // Shuffles specifically: "Exchange hashpartitioning(...)" etc.
         // A bare "Exchange" pattern also hits BroadcastExchange (its
@@ -60,39 +119,70 @@ object PlanAudit {
         val nlj = c("BroadcastNestedLoopJoin")
         val cart = c("CartesianProduct")
         val wsc = c("WholeStageCodegen")
-        // The r10-#1 hazard class, tracked per query: a SinglePartition
-        // exchange funnels every row through one task. Legitimate when
-        // the input is an aggregate's single row or a final top-k;
-        // corpus-scale rows above one are the dedup_sorted_neighborhood
-        // failure mode — the artifact makes each occurrence reviewable.
         val single = c("Exchange SinglePartition")
         if (cart > 0) cartesianOffenders ::= name
-        Some((name, ex, smj, nlj, cart, wsc, single))
+        // Execute so AQE finalizes and every shuffle's write metrics
+        // carry real row counts (toRdd avoids materializing the result
+        // on the driver — only the row count crosses).
+        qe.toRdd.count()
+        val singles = gather(qe.executedPlan).collect {
+          case s: ShuffleExchangeLike
+              if s.outputPartitioning == SinglePartition => s
+        }.distinct
+        val detail = singles.map { s =>
+          val sig = significant(s.children.head)
+          val recs = s.metrics.collectFirst {
+            case (k, m) if k.equalsIgnoreCase("shuffleRecordsWritten") =>
+              m.value
+          }.getOrElse(-1L)
+          val cls = sig match {
+            case _: LocalLimitExec | _: GlobalLimitExec => "below_limit"
+            case _ if recs >= 0 && recs <= rowBound => "bounded_rows"
+            case _ if singlePartitionAllow.contains(name) => "allowlisted"
+            case _: BaseAggregateExec => "UNREVIEWED_aggregate"
+            case _ => "UNREVIEWED"
+          }
+          if (cls.startsWith("UNREVIEWED")) unreviewed ::= s"$name: ${sig.nodeName} rows=$recs"
+          (sig.nodeName, recs, cls)
+        }
+        Some((name, ex, smj, nlj, cart, wsc, single, detail))
       } catch {
         case e: Throwable =>
           failed ::= s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(120)}"
           None
       }
     }
-    rows.foreach { case (n, ex, smj, nlj, cart, wsc, single) =>
+    rows.foreach { case (n, ex, smj, nlj, cart, wsc, single, detail) =>
+      val det = detail.map { case (child, recs, cls) =>
+        s"""{"child": "$child", "rows_in": $recs, "class": "$cls"}"""
+      }.mkString("[", ",", "]")
       out.append(s"""  "$n": {"exchanges": $ex, "sort_merge": $smj, """ +
         s""""bcast_nlj": $nlj, "cartesian": $cart, "codegen_spans": $wsc, """ +
-        s""""single_partition": $single},\n""")
+        s""""single_partition": $single, "single_partition_detail": $det},\n""")
     }
+    val allowJson = singlePartitionAllow.map { case (k, v) =>
+      s""""$k": "$v""""
+    }.mkString("{", ",", "}")
     val summary =
       s"""  "__summary": {"n_queries": ${rows.size}, "failed": ${failed.size}, """ +
         s""""cartesian_offenders": [${cartesianOffenders.map("\"" + _ + "\"").mkString(",")}], """ +
         s""""total_exchanges": ${rows.map(_._2).sum}, """ +
         s""""queries_with_smj": ${rows.count(_._3 > 0)}, """ +
         s""""queries_with_single_partition": ${rows.count(_._7 > 0)}, """ +
+        s""""single_partition_reviewed": ${unreviewed.isEmpty}, """ +
+        s""""single_partition_rowbound": $rowBound, """ +
+        s""""single_partition_unreviewed": [${unreviewed.map("\"" + _ + "\"").mkString(",")}], """ +
+        s""""single_partition_allowlist": $allowJson, """ +
         s""""max_exchanges": ${if (rows.isEmpty) 0 else rows.map(_._2).max}}\n}"""
     out.append(summary)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_AUDIT_OUT", "plan_audit.json")
     val w = new java.io.PrintWriter(outPath)
     try w.println(out.toString) finally w.close()
     println(s"[plan-audit] ${rows.size} plans, ${failed.size} failed, " +
-      s"cartesian=${cartesianOffenders.size} -> $outPath")
+      s"cartesian=${cartesianOffenders.size}, " +
+      s"single-partition unreviewed=${unreviewed.size} -> $outPath")
     failed.foreach(f => println(s"[plan-audit] FAILED $f"))
+    unreviewed.foreach(u => println(s"[plan-audit] UNREVIEWED single-partition $u"))
     val top = rows.sortBy(-_._2).take(10)
       .map(r => s"${r._1}=${r._2}").mkString(", ")
     println(s"[plan-audit] top exchange counts: $top")
@@ -109,5 +199,6 @@ object PlanAudit {
     }
     if (failed.nonEmpty) sys.exit(1)
     if (cartesianOffenders.nonEmpty) sys.exit(2)
+    if (unreviewed.nonEmpty) sys.exit(4)
   }
 }

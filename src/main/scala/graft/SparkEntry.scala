@@ -23,7 +23,21 @@ import graft.time.{RolloverCalendar, SessionCalendar}
   *  - every result is deterministically ordered by its key columns;
   *  - column names are identical on both sides.
   */
-object SparkEntry {
+object SparkEntry extends QueryShared
+    with QueriesAnalytics1
+    with QueriesAnalytics2
+    with QueriesDedup
+    with QueriesEmbedding
+    with QueriesGraph
+    with QueriesIngest
+    with QueriesMultimodal
+    with QueriesSampling
+    with QueriesSketch
+    with QueriesStats
+    with QueriesStreaming
+    with QueriesText
+    with QueriesTimeSeries
+    with QueriesTpch {
 
   /** Flagship query (driver smoke-checks rows>0 at sf0.001): the
     * reference's core dataflow shape (resample → session filter → label →
@@ -48,21627 +62,17 @@ object SparkEntry {
       .drop("start_k", "settle_k")
   }
 
-  // ---- shared fragments -------------------------------------------------
-
-  private def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
-
-  /** Per-invocation counter for the streaming query's memory-sink name. */
-  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Order-8 Hilbert key (256×256 grid): the canonical xy2d bit loop
-    * unrolled into 8 deterministic column stages — quadrant CASE on
-    * (rx,ry), then the conditional reflect(N−1)+swap rotation. Expects
-    * integer columns `x`,`y` in [0,256); adds `hd` and consumes x/y.
-    * Shared by hilbert_layout_events and layout_prune_comparison.
-    */
-  private def withHilbertKey(in: DataFrame): DataFrame = {
-    var df = in.withColumn("hd", lit(0L))
-    for (sz <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
-      df = df
-        .withColumn("rx", when((col("x").bitwiseAND(lit(sz))) > 0, 1)
-          .otherwise(0))
-        .withColumn("ry", when((col("y").bitwiseAND(lit(sz))) > 0, 1)
-          .otherwise(0))
-        .withColumn("hd", col("hd") + lit(sz.toLong * sz) *
-          when(col("rx") === 1 && col("ry") === 0, 3)
-            .when(col("rx") === 1, 2).otherwise(col("ry")))
-        // reflect with N−1 (=255, the FULL grid), not s−1: the
-        // coordinate can exceed s at this stage, and the canonical
-        // rot() reflects within the whole grid (checked by hand
-        // against the order-2 curve: (3,1)→12, (1,2)→7).
-        .withColumn("nx",
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(255) - col("y"))
-              .otherwise(col("y"))).otherwise(col("x")))
-        .withColumn("ny",
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(255) - col("x"))
-              .otherwise(col("x"))).otherwise(col("y")))
-        .withColumn("x", col("nx")).withColumn("y", col("ny"))
-        .drop("rx", "ry", "nx", "ny")
-    }
-    df
-  }
-
-  /** Write-once staging dirs for the streaming query, keyed per
-    * (session, sfDir): the staged fixture never changes within a session,
-    * and re-writing it every bench pass would time fixture prep, not the
-    * streaming path (the bucketed-join query's write-once rationale).
-    */
-  private val stagedEvents =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Unique per-session staging key (ADVICE r10): the previous
-    * `System.identityHashCode(session)` key could — after a session is
-    * GC'd — collide with a NEW session's hash and serve it a stale layout
-    * built from a different session's view of the same dir. A WeakHashMap
-    * of random UUIDs is collision-free and still lets dead sessions (and
-    * their map entries) be collected.
-    */
-  private val sessionTags = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-  private def sessionTag(s: SparkSession): String =
-    sessionTags.computeIfAbsent(s,
-      _ => java.util.UUID.randomUUID().toString)
-
-  /** Staged-fixture temp dir with JVM-exit cleanup (ADVICE r10): every
-    * staged layout used to leak its parquet tree past process death;
-    * registering one recursive-delete hook per root bounds the leak to
-    * the process lifetime (in-process reuse is already handled by the
-    * staging maps).
-    */
-  private def stagedTmpDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
-
-  /** Same write-once staging for the streaming-dedup documents fixture. */
-  private val stagedDocs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the stream-stream join fixture (events with ids/keys). */
-  private val stagedEventsFull =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the JSONL ingestion fixture (documents as JSON lines
-    * plus three planted malformed lines). */
-  private val stagedJsonl =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the CSV ingestion fixture (documents as CSV plus three
-    * planted malformed lines: under-length, bad type, over-length). */
-  private val stagedCsv =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging root for the idempotent-sink fixture (events split into 4
-    * source files; `in/` is the stream source, `out/` the sink). */
-  private val stagedIdem =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the ORC ingestion fixture (documents round-tripped
-    * through the third interchange format). */
-  private val stagedOrc =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the Avro ingestion fixture (row-oriented interchange —
-    * the Kafka-adjacent format of the family). */
-  private val stagedAvro =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the XML ingestion fixture (Spark 4's built-in XML
-    * source; documents as <doc> row elements). */
-  private val stagedXml =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the schema-evolution fixture (two parquet batches with
-    * different schemas under one root). */
-  private val stagedEvo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the streaming session-window fixture (events keyed by
-    * user plus a far-future sentinel that flushes the final sessions). */
-  private val stagedSess =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the hive-partitioned events layout (directory per
-    * event_type, the partition-pruning read path). */
-  private val stagedPart =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the dynamic-partition-pruning fixture: the partitioned
-    * fact PLUS a real dim table carrying the above-average qualifier. */
-  private val stagedDpp =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the persisted IVF index: embeddings partitioned by cell
-    * id plus the trained centroid table — the index IS the layout. */
-  private val stagedIvf =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the persisted kNN-graph substrate (VERDICT r9 #1): the
-    * within-cell top-5 edge list, built ONCE per (session, sfDir) and
-    * written partitioned by source cell. The ~12 graph-family queries
-    * all analyze this SAME graph; serving rank≤k slices from the layout
-    * replaces a per-query corpus-wide similarity join (the whole top of
-    * the r9 bench profile) with a graph-sized pruned parquet scan. */
-  private val stagedKnn =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** The graph family's shared kNN edge frame (src, rank, dst, sim) at
-    * k ≤ 5, served from the build-once layout. Centroids are the 8
-    * lowest-id vectors (the family's fixed deterministic seeding), kMax=5
-    * because rank≤k on the (sim desc, dst)-ranked edge list is EXACTLY
-    * the k-graph for every k ≤ kMax — one layout serves all consumers. */
-  private def knnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
-    require(k <= 5, s"persisted kNN layout is built at kMax=5; got k=$k")
-    val root = stagedKnn.computeIfAbsent(
-      s"${sessionTag(s)}:$d", _ => {
-        val tmp = stagedTmpDir("graft_knn")
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cid"),
-            col("embedding").as("centroid"))
-        graft.ops.KnnGraph.persistInCells(emb, cents, kMax = 5,
-          path = s"$tmp/edges")
-        tmp
-      })
-    graft.ops.KnnGraph.readEdges(s, s"$root/edges", k)
-  }
-
-  /** Staging for the incremental-components state: "yesterday's"
-    * materialized (v, comp) labels over the 90% edge split — the
-    * artifact a production deployment holds between maintenance runs,
-    * built once per (session, sfDir) like the kNN layout itself so the
-    * measured query is the DELTA path, not a from-scratch rebuild. */
-  private val stagedCcLabels =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the transformWithState fixture (per-(user, ts) collapsed
-    * events in four sequential time-quartile files, so running state is
-    * genuinely cross-micro-batch and arrival order is event-time order). */
-  private val stagedTws =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the streaming quantile-sketch fixture: events split into
-    * four files by event_id residue — deliberately NOT time-ordered,
-    * because the sketch's merge identity makes the final state
-    * batching-invariant under ANY arrival order (that invariance is the
-    * thing the oracle checks). */
-  private val stagedQSketch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the left-outer stream-stream join fixture: events plus
-    * one sentinel per SIDE (purchase and view) past end + horizon +
-    * lateness, so both input watermarks advance far enough to flush every
-    * real unmatched left row (outer emission waits for window close). */
-  private val stagedEventsOuter =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the dedup state-eviction fixture: the documents stream
-    * in one file, then a second file of duplicates TWO DAYS later — far
-    * past the watermark delay, so their key state has been evicted and
-    * the duplicates re-emit (the bounded-state contract made visible). */
-  private val stagedDedupEvict =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the timer-session fixture: clicks in one file, then two
-    * watermark advancers (max+13h, max+2d) — the first pushes the
-    * watermark past every real session's end + gap, the second's BATCH
-    * fires the timers against it (timer expiry is checked during a
-    * batch, with the watermark computed at the end of the previous one). */
-  private val stagedTimerSess =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Staging for the streaming-MERGE fixture: the pre-cutoff per-user
-    * snapshot (`state/v0`) plus the post-cutoff change feed in four
-    * sequential time-quartile files (`in/q0..q3`) — time-ordered arrival
-    * is what makes sequential latest-wins equal the one-shot MERGE. */
-  private val stagedMergeCdc =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
-    * a state-sized value, restoring the session setting afterwards. The
-    * conf at stream START fixes the STATE STORE partition count for the
-    * query's whole life — a real streaming deployment sizes it to arrival
-    * rate and state volume, not to the session's batch shuffle width
-    * (here 32, which costs 32 state-store instances per stateful operator
-    * per micro-batch; these fixtures carry kilobytes of state each).
-    */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
-
-  /** Monthly calendar dimension derived from `orders` — the settle-config
-    * analog on driver testdata: non-overlapping [start_k, settle_k]
-    * intervals (min/max order date within each month) + a numeric payload.
-    */
-  private def monthDim(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
-      .agg(min(col("o_orderdate")).as("start_k"),
-        max(col("o_orderdate")).as("settle_k"),
-        count(lit(1)).cast("double").as("accumulated_contract_diff"))
-
-  private val monthDimSql =
-    """SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
-      |       min(o_orderdate) AS start_k, max(o_orderdate) AS settle_k,
-      |       CAST(count(*) AS DOUBLE) AS accumulated_contract_diff
-      |FROM orders GROUP BY 1""".stripMargin
-
-  // ---- queries ----------------------------------------------------------
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // A1: 5-min OHLCV resample (closed-right, left-labeled), per event_type.
-    "resample_5m_ohlcv" -> { (s, d) =>
-      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "5 minutes",
-          keys = Seq(col("event_type")))
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"))
-        .orderBy("event_type", "ts")
-    },
-
-    // A2: 60-min resample with the day session's 45-minute phase offset.
-    "resample_60m_offset45" -> { (s, d) =>
-      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
-          phase = "45 minutes", keys = Seq(col("event_type")))
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"))
-        .orderBy("event_type", "ts")
-    },
-
-    // A3: plain 60-min resample (no phase offset).
-    "resample_60m" -> { (s, d) =>
-      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
-          keys = Seq(col("event_type")))
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"))
-        .orderBy("event_type", "ts")
-    },
-
-    // W1-W4 under the driver's independent check: the STREAMING 5-min
-    // OHLCV path (StreamingPipeline.ohlcvStream — watermark, append-mode
-    // emit-on-close, tumbling window state) run to completion over the
-    // events fixture as a file-source stream, oracled by the exact batch
-    // SQL it must equal. Mechanics: the fixture is staged to a temp dir
-    // plus ONE sentinel row a day past the end; ingesting the sentinel
-    // advances the watermark past every real window, and the no-data
-    // micro-batch that follows (on by default) flushes them from state —
-    // so the emitted set is exactly the batch answer, with the sentinel's
-    // own (still-open) window never emitted and its row filtered
-    // defensively. The staging copy + scalar max(ts) are harness-side
-    // stream simulation (a file stream needs a writable dir), not the
-    // measured operator; in production the source is readStream on the
-    // ingest feed and no sentinel exists — windows close as real time
-    // advances. State at scale: (event_type × open windows) rows, bounded
-    // by the watermark horizon, sharded across executors by group key.
-    "streaming_5m_ohlcv" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      // Stage ts as TIMESTAMP (LTZ): EventTimeWatermark rejects NTZ. The
-      // NTZ→LTZ cast and the final date_format both use the session zone,
-      // so the emitted wall-clock strings are cast-invariant; 5-minute
-      // buckets stay aligned under any whole-minute zone offset (the
-      // driver's Verify session pins UTC regardless). Staged once per
-      // (session, sfDir) — the fixture is invariant across bench passes.
-      val inDir = stagedEvents.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_q")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"),
-              col("event_type"), col("value"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
-            .withColumn("event_type", lit("__sentinel"))
-            .withColumn("value", lit(0.0))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .parquet(inDir)
-      val bars = graft.streaming.StreamingPipeline.ohlcvStream(
-        stream, "value", "5 minutes", lateness = "1 minute",
-        keys = Seq(col("event_type")))
-      // unique sink name per invocation: bench re-runs the query in one
-      // session, and append-mode memory sinks accumulate under a reused name
-      val qn = s"streaming_5m_ohlcv_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        bars.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).filter(col("event_type") =!= "__sentinel")
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"))
-        .orderBy("event_type", "ts")
-    },
-
-    // VERDICT r8 #8: the reference's back-adjust INTERVAL JOIN inside the
-    // micro-batch plan — streaming 5-min bars (watermark, append-mode
-    // emit-on-close) left-joined against a BROADCAST settle-config
-    // dimension on a range condition (ts ∈ [start_k, settle_k]), exactly
-    // the batch ContinuousPipeline composition in streaming form. The
-    // dim derives per-DAY intervals from the same events fixture (the
-    // orders-month dim of the batch query doesn't overlap the events
-    // clock), is computed batch-side like any config table, and
-    // broadcast-NLJ-joins each micro-batch's emitted bars — stream-static
-    // joins are stateless, so the only streaming state stays the window
-    // aggregation's. adj_close = close + diff is emitted UNROUNDED: the
-    // diff is an integral count, so the IEEE sum is engine-exact, where
-    // a round(·, 2) on a full-precision double is the documented
-    // cross-engine flake. Day-boundary bars whose bucket start precedes
-    // the day's first tick stay unmatched and take the
-    // default-then-overwrite path (empty label, diff 0).
-    "streaming_backadjust_5m" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEvents.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_q")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"),
-              col("event_type"), col("value"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
-            .withColumn("event_type", lit("__sentinel"))
-            .withColumn("value", lit(0.0))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .parquet(inDir)
-      val bars = graft.streaming.StreamingPipeline.ohlcvStream(
-        stream, "value", "5 minutes", lateness = "1 minute",
-        keys = Seq(col("event_type")))
-      val dim = Tables.events(s, d)
-        .groupBy(date_format(col("ts"), "yyyyMMdd").as("contract_day"))
-        .agg(min(col("ts").cast("timestamp")).as("start_k"),
-          max(col("ts").cast("timestamp")).as("settle_k"),
-          count(lit(1)).cast("double").as("accumulated_contract_diff"))
-      val adj = bars.join(broadcast(dim),
-        col("ts") >= col("start_k") && col("ts") <= col("settle_k"), "left")
-      val qn = s"streaming_adj_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        adj.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).filter(col("event_type") =!= "__sentinel")
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("close"), col("volume"),
-          coalesce(col("contract_day"), lit("")).as("contract_day"),
-          (col("close") + coalesce(col("accumulated_contract_diff"),
-            lit(0.0))).as("adj_close"))
-        .orderBy("event_type", "ts")
-    },
-
-    // Chained stateful windowed aggregations in ONE streaming query —
-    // the multiple-stateful-operators capability (Spark 3.4+): 5-minute
-    // per-type aggregates re-windowed into 60-minute rollups via
-    // window(window_col), both levels watermark-driven, append mode.
-    // The rollup carries only ASSOCIATIVE, order-independent exact
-    // aggregates (count / min / max), so two-level ≡ direct-60m is an
-    // engine-exact identity the oracle checks (a double sum would be
-    // order-dependent). The sentinel closes level-1 windows, whose
-    // emission in the same query advances level-2 past every real hour.
-    "streaming_two_level_windows" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEvents.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_q")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"),
-              col("event_type"), col("value"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
-            .withColumn("event_type", lit("__sentinel"))
-            .withColumn("value", lit(0.0))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .parquet(inDir)
-      val l1 = stream.withWatermark("ts", "1 minute")
-        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          min(col("value")).as("lo"), max(col("value")).as("hi"))
-      val l2 = l1
-        .groupBy(window(col("window"), "60 minutes"), col("event_type"))
-        .agg(sum(col("n")).as("n_events"),
-          min(col("lo")).as("min_value"), max(col("hi")).as("max_value"))
-      val qn = s"streaming_2lvl_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        l2.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).filter(col("event_type") =!= "__sentinel")
-        .select(col("event_type"), tsStr(col("window.start")).as("hour"),
-          col("n_events"), col("min_value"), col("max_value"))
-        .orderBy("event_type", "hour")
-    },
-
-    // Complete-output-mode ranked result — the one output mode the rest
-    // of the streaming family doesn't touch, and the only mode where a
-    // global sort+limit is legal in a streaming query: top-10 users by
-    // event count, the whole result re-emitted per micro-batch, final
-    // table ≡ the batch ranking. Complete mode keeps ALL group state by
-    // contract — bounded here by user cardinality, the documented
-    // trade-off vs append's watermark-evicted state.
-    "streaming_topk_complete" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEventsFull.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_ij")
-          Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val topk = src.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
-        .orderBy(desc("n_events"), col("user_id"))
-        .limit(10)
-      val qn = s"streaming_topk_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        topk.writeStream.format("memory").queryName(qn)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn)
-        .select(col("user_id"), col("n_events"), col("sum_id"))
-        .orderBy(desc("n_events"), col("user_id"))
-    },
-
-    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
-    // for Language Models via Importance Resampling"): rank raw-corpus
-    // documents by how target-like their hashed n-gram profile is. The
-    // target is the src0 slice; features are distinct word bigrams
-    // hashed into 256 buckets (md5Hash64 masked — the oracle-portable
-    // hash family); a document's score is the exact-integer linear
-    // discriminant Σ_b (target_count[b]·S_tot − source_count[b]·T_tot)
-    // over its buckets — sign(log target/source likelihood ratio) per
-    // bucket without a float in sight. The 256-row count tables
-    // broadcast; the per-doc score is one map-side join + aggregation,
-    // so the corpus is scanned twice total (histogram, score) at any
-    // scale. Top-50 most target-like raw docs emitted.
-    "dsir_importance_weights" -> { (s, d) =>
-      val raw = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("source"),
-          explode(Dedup.shingles(col("text"), 2)).as("g"))
-      // Bucket per OCCURRENCE (the fingerprint_modp lesson, VERDICT r10
-      // #2): the distinct-bigram domain grows with the corpus, so a
-      // broadcast of a (g, bucket) side table is a driver OOM at 100×
-      // scale. One md5 per occurrence is a row-local expression — no
-      // join, no shuffle, no corpus-proportional broadcast — and lands
-      // in the same 256 buckets, so every downstream histogram is
-      // bit-identical.
-      val bg = raw
-        .select(col("doc_id"), col("source"),
-          pmod(Dedup.md5Hash64(col("g"))
-            .bitwiseAND(lit(Long.MaxValue)), lit(256L)).as("b"))
-        .cache() // feeds the two histograms, totals, and the score pass
-      val tgt = bg.filter(col("source") === "src0")
-        .groupBy("b").agg(count(lit(1)).as("t_cnt"))
-      val src = bg.filter(col("source") =!= "src0")
-        .groupBy("b").agg(count(lit(1)).as("s_cnt"))
-      val tots = bg.agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_tot"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("s_tot"))
-      bg.filter(col("source") =!= "src0")
-        .join(broadcast(tgt), Seq("b"), "left")
-        .join(broadcast(src), Seq("b"), "left")
-        .crossJoin(broadcast(tots))
-        .groupBy(col("doc_id"))
-        .agg(sum(coalesce(col("t_cnt"), lit(0L)) * col("s_tot") -
-          coalesce(col("s_cnt"), lit(0L)) * col("t_tot")).as("score"))
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(50)
-    },
-
-    // Multimodal composition: video near-dup detection by KEYFRAME
-    // SIGNATURE — sample every 8th frame of the deterministic luminance
-    // tracks (the video_shot_boundaries convention, with ~1 in 20
-    // videos planted as exact re-encodes of their predecessor via a
-    // shared content id), quantize each keyframe to a 3-bit luminance
-    // band (the aHash-style coarsening that absorbs per-frame jitter's
-    // sub-band variation... here content-keyed, so re-encodes quantize
-    // identically), hash the 5-keyframe band vector to one 64-bit
-    // signature, and keep the minimum video id per signature group —
-    // frame sample → per-frame feature → signature → hash-group dedup,
-    // the exact pipeline shape a 100 TB video corpus needs (one shuffle
-    // of 16-byte rows, video bytes never move twice).
-    "video_keyframe_dedup" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = Dedup.md5Hash64
-      val w = Window.partitionBy("vid").orderBy("f")
-      val content = when(pmod(col("vid"), lit(20)) === 1, col("vid") - 1)
-        .otherwise(col("vid"))
-      val fr = s.range(300).select(col("id").as("vid"))
-        .withColumn("cid", content)
-        .withColumn("f", explode(expr("sequence(0, 39)")))
-      val lum = fr
-        .withColumn("cut_true", when(col("f") > 0 &&
-          md5h(concat(lit("cut|"), col("cid"), lit("|"), col("f")))
-            .bitwiseAND(lit(7L)) === 0, 1L).otherwise(0L))
-        .withColumn("shot_true", sum("cut_true").over(w))
-        .withColumn("lum",
-          md5h(concat(lit("b|"), col("cid"), lit("|"), col("shot_true")))
-            .bitwiseAND(lit(255L)) +
-          md5h(concat(lit("j|"), col("cid"), lit("|"), col("f")))
-            .bitwiseAND(lit(15L)))
-      // sort_array on (f, band) structs pins the keyframe order —
-      // collect_list alone is partition-order-dependent.
-      val sig = lum.filter(pmod(col("f"), lit(8)) === 0)
-        .groupBy(col("vid"))
-        .agg(md5h(concat_ws(",", transform(
-          sort_array(collect_list(struct(col("f").as("f"),
-            (col("lum") / 32).cast("long").as("band")))),
-          x => x.getField("band").cast("string"))))
-          .bitwiseAND(lit(Long.MaxValue)).as("signature"))
-      sig.groupBy(col("signature"))
-        .agg(min(col("vid")).as("survivor_vid"),
-          count(lit(1)).as("n_copies"),
-          sum(col("vid")).as("vid_checksum"))
-        .filter(col("n_copies") > 1)
-        .orderBy("survivor_vid")
-    },
-
-    // Dataset.observe — Spark's zero-extra-scan observability API: data-
-    // quality metrics (row count, exact cents total, value bounds, null
-    // props count) ride the SAME job as the main action as a
-    // CollectMetrics node, where a naive gate would pay a second full
-    // aggregation pass. The observed map is re-emitted as a one-row
-    // frame and oracled against the direct aggregate — proving the
-    // piggybacked metrics equal a dedicated scan's.
-    "observed_metrics_audit" -> { (s, d) =>
-      import s.implicits._
-      val obs = new org.apache.spark.sql.Observation(
-        s"gate_metrics_${streamRun.incrementAndGet()}")
-      val df = Tables.events(s, d).observe(obs,
-        count(lit(1)).as("n_rows"),
-        sum(floor(col("value") * 100).cast("long")).as("value_cents"),
-        min(col("user_id")).as("min_user"),
-        max(col("user_id")).as("max_user"),
-        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
-      df.count() // the main action the metrics piggyback on
-      val m = obs.get
-      Seq((m("n_rows").asInstanceOf[Long],
-        m("value_cents").asInstanceOf[Long],
-        m("min_user").asInstanceOf[Long],
-        m("max_user").asInstanceOf[Long],
-        m("null_props").asInstanceOf[Long]))
-        .toDF("n_rows", "value_cents", "min_user", "max_user", "null_props")
-    },
-
-    // Krippendorff's alpha (nominal) COMPONENTS — the multi-rater
-    // generalization of cohens_kappa_components: event types play the
-    // raters, users the units, rating = the rater's event count mod 4.
-    // Only complete units (all 5 raters present) enter, so the
-    // per-unit pair denominator (m−1) is constant and every component
-    // is an exact integer: observed disagreement = ordered rater pairs
-    // disagreeing within a unit; expected disagreement components =
-    // the pooled category marginals n_c (Σ n_c·n_c' over c≠c' and the
-    // grand N are caller arithmetic). α = 1 − (N−1)·D_o_pairs /
-    // (m−1)/n_units / Σ_{c≠c'} n_c·n_c' — assembled from these exact
-    // integers by the caller, never a float in the data plane.
-    "krippendorff_alpha_components" -> { (s, d) =>
-      val r = Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(pmod(count(lit(1)), lit(4)).as("rating"))
-      val complete = r.groupBy("user_id")
-        .agg(count(lit(1)).as("m")).filter(col("m") === 5)
-        .select("user_id")
-      val ru = r.join(complete, Seq("user_id"), "left_semi")
-      val disagree = ru.as("a")
-        .join(ru.as("b"), col("a.user_id") === col("b.user_id") &&
-          col("a.event_type") =!= col("b.event_type"))
-        .agg(sum(when(col("a.rating") =!= col("b.rating"), 1L)
-          .otherwise(0L)).as("observed_disagree_pairs"),
-          count(lit(1)).as("total_pairs"))
-      val marginals = ru.groupBy("rating")
-        .agg(count(lit(1)).as("n_c"))
-      val nUnits = complete.agg(count(lit(1)).as("n_units"))
-      disagree.crossJoin(broadcast(nUnits))
-        .crossJoin(broadcast(marginals
-          .agg(sum(col("n_c")).as("n_total"),
-            sum(col("n_c") * col("n_c")).as("sum_nc_sq"))))
-        .select(col("n_units"), col("n_total"), col("sum_nc_sq"),
-          col("observed_disagree_pairs"), col("total_pairs"),
-          (col("n_total") * col("n_total") - col("sum_nc_sq"))
-            .as("expected_disagree_pairs_numer"))
-    },
-
-    // Streaming gap sessionization: session_window(ts, 30 min) merges
-    // each user's events into variable-length sessions in STREAMING
-    // state (append mode, watermark-driven emission — a session emits
-    // only once the watermark proves no event can extend it; the
-    // sentinel advances the watermark past every real session). The
-    // emitted set must equal the batch lag-based gap sessionization —
-    // same [start, last+gap) windows, boundary event at exactly +gap
-    // starts a NEW session in both formulations. The event-id checksum
-    // makes session MEMBERSHIP, not just counts, oracle-checked.
-    "streaming_session_window" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedSess.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_sess")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_id"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("ts"))
-            .withColumn("user_id", lit(-1L))
-            .withColumn("event_id", lit(-1L))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_id BIGINT")
-        .parquet(inDir)
-      val sessions = src
-        .withWatermark("ts", "1 minute")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("event_id")).as("sum_event_id"))
-      val qn = s"streaming_sess_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        sessions.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).filter(col("user_id") =!= -1L)
-        .select(col("user_id"),
-          tsStr(col("session_window.start")).as("session_start"),
-          tsStr(col("session_window.end")).as("session_end"),
-          col("n_events"), col("sum_event_id"))
-        .orderBy("user_id", "session_start")
-    },
-
-    // JSONL ingestion with corrupt-record quarantine: the documents table
-    // round-trips through JSON lines plus 3 planted malformed lines; the
-    // PERMISSIVE scan surfaces them as a '__corrupt' group instead of
-    // dying or silently dropping. Per-language row counts AND doc_id sums
-    // prove the round-trip lossless (a dropped or mangled row moves a
-    // sum); the oracle recomputes both from the parquet table and appends
-    // the known quarantine row.
-    "jsonl_ingest" -> { (s, d) =>
-      val inDir = stagedJsonl.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_jsonl")
-          Tables.documents(s, d).write.json(s"$tmp/in")
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$tmp/in/zz_corrupt.json"),
-            ("{\"doc_id\": 1, \"text\": \"unclosed\n" +
-              "not json at all\n" +
-              "{\"doc_id\":, \"lang\": \"xx\"}\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          s"$tmp/in"
-        })
-      graft.sources.JsonlSource.readDocuments(s, inDir)
-        .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang"))
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"))
-        .orderBy("lang")
-    },
-
-    // Data profiling (the ANALYZE pass a catalog runs before planning):
-    // per-column null counts, exact distinct cardinalities, and min/max
-    // rendered as strings — in ONE scan of the table. The five exact
-    // distincts share a single Expand-based aggregate (row multiplication
-    // ×|columns|, still one pass over 100 TB, and each is map-side
-    // partially aggregated); the per-column rows come from a stack()
-    // unpivot of the 1-row aggregate, not five scans.
-    "table_profile" -> { (s, d) =>
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      val statCols = cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c")))
-      val one = Tables.documents(s, d)
-        .agg(count(lit(1)).as("n_rows"), statCols: _*)
-      val stackArgs = cols
-        .map(c => s"'$c', n_rows, nulls_$c, nd_$c, min_$c, max_$c")
-        .mkString(", ")
-      one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-          "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)")
-        .orderBy("col_name")
-    },
-
-    // Schema evolution on the lake: an early batch wrote (doc_id, lang),
-    // a later one added n_chars; mergeSchema unifies them at read time
-    // (old rows surface NULL for the added column) while the batch=N
-    // directory key doubles as a partition column. The aggregate proves
-    // no row or value was lost or misattributed across the schema break.
-    "schema_evolution_read" -> { (s, d) =>
-      val root = stagedEvo.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_evo")
-          val docs = Tables.documents(s, d)
-          docs.filter(col("doc_id") % 2 === 0)
-            .select(col("doc_id"), col("lang"))
-            .write.parquet(s"$tmp/t/batch=0")
-          docs.filter(col("doc_id") % 2 === 1)
-            .select(col("doc_id"), col("lang"), col("n_chars"))
-            .write.parquet(s"$tmp/t/batch=1")
-          s"$tmp/t"
-        })
-      s.read.option("mergeSchema", "true").parquet(root)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_rows"),
-          count(col("n_chars")).as("n_with_chars"),
-          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
-        .orderBy("lang")
-    },
-
-    // ORC ingestion, the third interchange format (the columnar one):
-    // documents round-trip through ORC with a declared schema, and the
-    // read-side filter must reach the ORC reader as a pushed predicate
-    // (PlanSpec pins it) — stripe/row-group statistics skip cold data at
-    // scale exactly like parquet. Per-lang counts + id/char/text-length
-    // sums prove the round-trip lossless.
-    "orc_ingest" -> { (s, d) =>
-      val inDir = stagedOrc.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_orc")
-          Tables.documents(s, d).write.orc(s"$tmp/in")
-          s"$tmp/in"
-        })
-      s.read
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .orc(inDir)
-        .filter(col("n_chars") >= 100)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).as("sum_id"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(length(col("text"))).as("sum_text_len"))
-        .orderBy("lang")
-    },
-
-    // Avro round-trip — the row-oriented interchange format of the
-    // ingestion family (csv/jsonl/orc/parquet/xml siblings): documents
-    // written once as Avro, read back with an explicit schema, same
-    // length-gated per-lang checksums. The Avro classes ship inside this
-    // build's sql module but are absent from its DataSourceRegister
-    // service file, so the provider is named by class — functionally the
-    // same built-in source, minus the short-name lookup.
-    "avro_ingest" -> { (s, d) =>
-      val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
-      val inDir = stagedAvro.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_avro")
-          Tables.documents(s, d).write.format(avroProvider).save(s"$tmp/in")
-          s"$tmp/in"
-        })
-      s.read
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .format(avroProvider).load(inDir)
-        .filter(col("n_chars") >= 100)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).as("sum_id"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(length(col("text"))).as("sum_text_len"))
-        .orderBy("lang")
-    },
-
-    // XML round-trip through Spark 4's built-in XML source (<doc> row
-    // elements): entity escaping / whitespace preservation across the
-    // write-read boundary is exactly what the text-length checksum
-    // catches — a source that trims or re-escapes text shifts
-    // sum_text_len even when row counts match.
-    "xml_ingest" -> { (s, d) =>
-      val inDir = stagedXml.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_xml")
-          Tables.documents(s, d).write.format("xml")
-            .option("rowTag", "doc").save(s"$tmp/in")
-          s"$tmp/in"
-        })
-      s.read
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .format("xml").option("rowTag", "doc").load(inDir)
-        .filter(col("n_chars") >= 100)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).as("sum_id"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(length(col("text"))).as("sum_text_len"))
-        .orderBy("lang")
-    },
-
-    // The table-layout read path at 100 TB: events written once as a
-    // hive-partitioned directory tree (partition column = event_type),
-    // then a two-partition read whose filter prunes at PLANNING time —
-    // the scan lists only the matching directories (PlanSpec pins the
-    // PartitionFilters; a filter that runs post-scan would read every
-    // partition). Value sums in integer cents, exact in any engine.
-    "partitioned_pruned_read" -> { (s, d) =>
-      val root = stagedPart.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_part")
-          Tables.events(s, d).write.partitionBy("event_type")
-            .parquet(s"$tmp/t")
-          s"$tmp/t"
-        })
-      s.read.parquet(root)
-        .filter(col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
-        .orderBy("event_type")
-    },
-
-    // Dynamic partition pruning — the RUNTIME twin of
-    // partitioned_pruned_read's planning-time prune: the qualifying
-    // event types come from a SCAN-derived dimension (above-average
-    // frequency — not a literal list, so no static filter exists to push
-    // at planning time); DPP snapshots the broadcast dim's key set at
-    // runtime and skips every non-matching partition DIRECTORY of the
-    // fact table before reading it. At 100 TB this is the difference
-    // between scanning two partitions and scanning all of them whenever
-    // the filter arrives through a join instead of a WHERE literal.
-    // PlanSpec pins the `dynamicpruning` subquery in the fact scan.
-    "dpp_runtime_prune" -> { (s, d) =>
-      val root = stagedDpp.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_dpp")
-          Tables.events(s, d).write.partitionBy("event_type")
-            .parquet(s"$tmp/t")
-          // the dim is a real table (written once at staging, like any
-          // warehouse dimension): per-type totals plus a frequency
-          // rank — so the query-side predicate is `rk <= 2`, a
-          // literal comparison over the dim SCAN. Both shape details
-          // are load-bearing for DPP (measured — the rule declined
-          // both alternatives): the filter must sit directly above a
-          // scan (not above an aggregation subplan), and
-          // isLikelySelective rejects a bare boolean attribute, so a
-          // stored `qualifies` flag never triggers pruning while the
-          // rank comparison does.
-          import org.apache.spark.sql.expressions.Window
-          Tables.events(s, d)
-            .groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
-            .withColumn("rk", row_number().over(
-              Window.orderBy(desc("type_total"), col("event_type"))))
-            .coalesce(1).write.parquet(s"$tmp/dim")
-          tmp
-        })
-      val dim = s.read.parquet(s"$root/dim")
-        .filter(col("rk") <= 2)
-        .select(col("event_type"), col("type_total"))
-      s.read.parquet(s"$root/t")
-        .join(broadcast(dim), Seq("event_type"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
-          max(col("type_total")).as("type_total"))
-        .orderBy("event_type")
-    },
-
-    // CSV ingestion with quarantine, the second interchange format:
-    // documents round-trip through headerless CSV plus three planted
-    // malformed lines (under-length, doc_id type failure, over-length).
-    // PERMISSIVE coercion may still fill SOME fields of a malformed row
-    // (the type-failure line parses lang='en'), so classification keys
-    // on the corrupt column, not on field nullness — and the corrupt
-    // group's sums are forced to 0 rather than trusting partial parses.
-    // The aggregate deliberately touches ALL FIVE data columns: the CSV
-    // parser prunes to required columns, and a pruned parse cannot flag
-    // a malformed field it never parses (the over-length line counts as
-    // well-formed if only the leading columns are read) — so the full
-    // projection is what makes the quarantine count correct, and the
-    // extra sums double as a stronger lossless-round-trip check.
-    "csv_ingest" -> { (s, d) =>
-      val inDir = stagedCsv.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_csv")
-          Tables.documents(s, d).write.option("header", "false")
-            .csv(s"$tmp/in")
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$tmp/in/zz_corrupt.csv"),
-            ("xx\n" +
-              "abc,some text,en,src0,12\n" +
-              "1,text,en,src0,5,extra,extra2\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          s"$tmp/in"
-        })
-      val corrupt = col("_corrupt_record").isNotNull
-      graft.sources.CsvSource.readDocuments(s, inDir)
-        .groupBy(when(corrupt, lit("__corrupt"))
-          .otherwise(col("lang")).as("lang"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(corrupt, lit(0L)).otherwise(col("doc_id"))).as("sum_id"),
-          sum(when(corrupt, lit(0L)).otherwise(col("n_chars")))
-            .as("sum_chars"),
-          sum(when(corrupt, lit(0L)).otherwise(length(col("text"))))
-            .as("sum_text_len"),
-          count_distinct(when(corrupt, lit(null)).otherwise(col("source")))
-            .as("n_sources"))
-        .orderBy("lang")
-    },
-
-    // Streaming exact dedup under the driver's check: documents flow as a
-    // file stream through dropDuplicatesWithinWatermark on the normalized
-    // text hash. WHICH member of a duplicate group survives depends on
-    // arrival order inside a micro-batch (partition-parallel, not
-    // deterministic), so the emitted value is the survivor-identity-
-    // INVARIANT projection: one md5 text fingerprint per surviving row —
-    // exactly the corpus's distinct-fingerprint set iff the streaming
-    // dedup kept one-per-hash, which is what the oracle asserts. Emission
-    // is immediate (the operator filters, it does not window), so no
-    // sentinel row is needed; the watermark column only bounds state.
-    "streaming_dedup_hashes" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedDocs.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_dedup")
-          // the driver corpus has no EXACT dups (only near-dups), so the
-          // stream plants 25 identical copies 10s after their originals;
-          // a dedup regression surfaces as 525 emitted fingerprints
-          val base = Tables.documents(s, d)
-            .select(
-              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
-                .as("ts"),
-              col("text"), col("doc_id"))
-          base.unionAll(
-              base.filter(col("doc_id") < 25)
-                .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
-                  col("text"), col("doc_id")))
-            .drop("doc_id")
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, text STRING")
-        .parquet(inDir)
-      val deduped = graft.streaming.StreamingPipeline
-        .dedupStream(stream, lateness = "1 minute")
-      val qn = s"streaming_dedup_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        deduped
-          .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).orderBy("fp_md5")
-    },
-
-    // UPDATE output mode — the third and final output mode (append and
-    // complete covered elsewhere): running per-user counts re-emit on
-    // every change, so the memory sink holds one row per (user,
-    // emission). The result folds emissions with max(n_events) — counts
-    // are monotone, so the fold equals the final state no matter how
-    // AvailableNow splits the input into micro-batches, making the
-    // query batching-invariant by construction rather than by luck.
-    "streaming_update_mode_counts" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEventsFull.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_ij")
-          Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val counts = src.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
-      val qn = s"streaming_upd_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        counts.writeStream.format("memory").queryName(qn)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).groupBy("user_id")
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("sum_id")).as("sum_id"))
-        .orderBy("user_id")
-    },
-
-    // The BUILT-IN dropDuplicatesWithinWatermark over the same planted-
-    // duplicate stream as streaming_dedup_hashes: the native API and the
-    // custom mapGroupsWithState dedup must emit the identical
-    // fingerprint set (same oracle). Same state contract, too — keys are
-    // evictable once the watermark passes, which is the property that
-    // keeps state bounded on an unbounded feed; the custom op remains
-    // the variant with controllable eviction semantics
-    // (streaming_dedup_eviction drives that difference).
-    "streaming_dropdup_api" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedDocs.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_dedup")
-          val base = Tables.documents(s, d)
-            .select(
-              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
-                .as("ts"),
-              col("text"), col("doc_id"))
-          base.unionAll(
-              base.filter(col("doc_id") < 25)
-                .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
-                  col("text"), col("doc_id")))
-            .drop("doc_id")
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, text STRING")
-        .parquet(inDir)
-      val deduped = stream
-        .withColumn("fp_md5", TextAnalysis.fingerprintMd5(col("text")))
-        .withWatermark("ts", "1 minute")
-        .dropDuplicatesWithinWatermark("fp_md5")
-      val qn = s"streaming_dropdup_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        deduped.select(col("fp_md5"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).orderBy("fp_md5")
-    },
-
-    // Exactly-once sink contents under at-least-once delivery: the
-    // events fixture (4 source files) drains through [[IdempotentSink]]
-    // in 4 micro-batches (maxFilesPerTrigger=1), then the WHOLE stream
-    // runs a second time from a fresh checkpoint — a full redelivery of
-    // every batch. Deterministic (batchId → data) + per-batch overwrite
-    // means the second run replaces each batch's directory instead of
-    // appending, so the per-type counts equal the plain batch aggregate
-    // and the '__batches' row pins the 4-batch split. A sink that
-    // appended on redelivery would double every count.
-    "streaming_idempotent_sink" -> { (s, d) =>
-      import org.apache.spark.sql.types.StructType
-      val root = stagedIdem.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_idem")
-          Tables.events(s, d)
-            .select(col("event_id"), col("event_type"), col("value"))
-            .repartition(4)
-            .write.parquet(s"$tmp/in")
-          tmp
-        })
-      val schema = StructType.fromDDL(
-        "event_id LONG, event_type STRING, value DOUBLE")
-      val sink = graft.pipeline.IdempotentSink(s"$root/out", schema)
-      def drainOnce(): Unit = withStatePartitions(s, 8) {
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$root/in")
-        sink.attach(stream).awaitTermination(180000)
-      }
-      drainOnce()
-      drainOnce() // redelivery: same batches, overwritten not appended
-      val rows = sink.existing(s)
-      rows.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
-        .unionByName(rows.agg(
-          count_distinct(col("batch")).as("n"), lit(0L).as("sum_id"))
-          .select(lit("__batches").as("event_type"), col("n"), col("sum_id")))
-        .orderBy("event_type")
-    },
-
-    // Stream-stream interval join under the driver's check: purchases
-    // join each user's views in the following 60 minutes, both sides
-    // watermarked (the state-eviction property that makes the join viable
-    // on unbounded feeds). Inner stream-stream joins emit matches eagerly
-    // — the watermark only bounds state — and the staged fixture drains
-    // in one AvailableNow batch, so the emitted pair set is exactly the
-    // batch join's and the arrival order cannot drop late rows.
-    "streaming_interval_join" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEventsFull.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_ij")
-          Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
-        src.filter(col("event_type") === "purchase")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        src.filter(col("event_type") === "view")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute")
-      val qn = s"streaming_ij_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn)
-        .select(col("l_user_id").as("user_id"),
-          col("l_event_id"), col("r_event_id"))
-        .orderBy("l_event_id", "r_event_id")
-    },
-
-    // SCD2 validity intervals from an event log: each user's state
-    // changes become [valid_from, valid_to) rows via lead(ts) over the
-    // per-user order; the current state stays open (null valid_to). The
-    // warehouse-standard "point-in-time reconstructable" layout — one
-    // window pass, exchange keyed by user.
-    "scd2_intervals" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("value"),
-          col("ts"), col("event_id"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
-        .select(col("user_id"), col("event_type"),
-          round(col("value"), 6).as("value"),
-          tsStr(col("ts")).as("valid_from"),
-          tsStr(col("valid_to")).as("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "event_type")
-    },
-
-    // Masked-LM objective construction: deterministic masking (every
-    // position ≡ 1 mod 7) replaces the token with <mask> in the input
-    // and collects the original tokens as labels — the BERT-style
-    // example builder, as pure per-row array expressions (indexed
-    // transform + filter, zero exchanges before the order-by). A real
-    // pipeline swaps the position rule for a keyed hash; the fixed rule
-    // keeps the oracle exact.
-    "mlm_masking" -> { (s, d) =>
-      val t = Dedup.tokens(col("text"))
-      val masked = transform(t, (x, i) =>
-        when(i % 7 === 1, lit("<mask>")).otherwise(x))
-      val labels = filter(
-        transform(t, (x, i) => when(i % 7 === 1, x)), _.isNotNull)
-      Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          array_join(masked, " ").as("input"),
-          array_join(labels, " ").as("labels"),
-          size(labels).as("n_masked"))
-        .orderBy("doc_id")
-    },
-
-    // Retrieval/pretraining chunking: overlapping 64-token windows at
-    // stride 48 per document — the standard RAG / long-document split.
-    // Start offsets come from an in-row `sequence`, the window from an
-    // in-row `slice`: pure per-row expressions, zero exchanges before
-    // the final order-by, output rows ≈ n_tokens/stride per doc.
-    "doc_chunking" -> { (s, d) =>
-      val size_ = 64
-      val stride = 48
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
-        .withColumn("n_tok", size(col("t")))
-        .filter(col("n_tok") > 0)
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), col("n_tok") - 1, lit(stride)))
-            .as("start"))
-        .select(col("doc_id"),
-          (col("start") / stride).cast("int").as("chunk_idx"),
-          array_join(slice(col("t"), col("start") + 1, lit(size_)), " ")
-            .as("chunk_text"),
-          size(slice(col("t"), col("start") + 1, lit(size_))).as("n_tokens"))
-        .orderBy("doc_id", "chunk_idx")
-    },
-
-    // Leave-one-out target encoding (the categorical-feature encoding
-    // that avoids self-leakage): each event's feature for its type is
-    // (type target sum − own target, type count − 1), emitted as the
-    // exact integer numerator/denominator pair — the downstream division
-    // is the consumer's one deterministic op, and no float ever crosses
-    // the engine boundary. One tiny type aggregate broadcast back onto
-    // the stream; per-row arithmetic after, no second corpus exchange.
-    "target_encoding_loo" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val stats = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("tn"), sum(col("cents")).as("tsum"))
-      ev.join(broadcast(stats), "event_type")
-        .select(col("event_id"), col("event_type"),
-          (col("tsum") - col("cents")).as("enc_num"),
-          (col("tn") - 1).as("enc_den"))
-        .orderBy("event_id")
-    },
-
-    // Equi-width histogram (the profiling/optimizer statistic): 10 bins
-    // per event type over a global [floor(min), ceil(max)] range — the
-    // 1-row range broadcast makes binning a per-row expression, and the
-    // bin arithmetic runs on identical doubles in any engine (floor of
-    // the same quotient), so the integer counts match exactly.
-    "value_histogram" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-      val rng = ev.agg(floor(min(col("value"))).cast("double").as("lo"),
-        ceil(max(col("value"))).cast("double").as("hi"))
-      ev.crossJoin(broadcast(rng))
-        .withColumn("bin", least(
-          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10)),
-          lit(9L)))
-        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "bin")
-    },
-
-    // k-anonymity audit (data-governance gate before a corpus release):
-    // quasi-identifier buckets (lang, source, 50-char length band) with
-    // fewer than k=5 members re-identify their documents; the audit
-    // emits exactly the violating buckets. One map-side-combined
-    // aggregate over the grouping key.
-    "k_anonymity_audit" -> { (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(col("lang"), col("source"),
-          expr("n_chars div 50").as("len_bucket"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") < 5)
-        .orderBy("lang", "source", "len_bucket")
-    },
-
-    // Robust anomaly detection: per-type median absolute deviation
-    // (MAD) outlier counts at the standard 3σ-equivalent cut
-    // (3 · 1.4826 · MAD). Exact interpolated percentiles (the
-    // quantile_values parity) keep med/mad bit-identical across engines,
-    // so the threshold comparison cannot flip; two percentile passes +
-    // the final count all shuffle on the same small type key.
-    "anomaly_mad_outliers" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-      val med = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val mad = ev.join(med, "event_type")
-        .groupBy("event_type")
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-      ev.join(med, "event_type").join(mad, "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          round(first(col("med")), 6).as("med"),
-          round(first(col("mad")), 6).as("mad"),
-          sum(when(abs(col("value") - col("med")) >
-            lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"))
-        .orderBy("event_type")
-    },
-
-    // Cohort retention: users grouped by first-active week, counted per
-    // week offset — the product-analytics staple. Weeks are integer
-    // day-offsets from 2024-01-01 (a Monday) divided by 7, so both
-    // engines share exact integer week arithmetic instead of relying on
-    // matching week-truncation conventions. Two aggregations on the same
-    // user_id exchange + one equality join.
-    "retention_cohorts" -> { (s, d) =>
-      val active = Tables.events(s, d)
-        .select(col("user_id"),
-          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
-            .cast("int").as("week_idx"))
-        .distinct()
-      val cohort = active.groupBy("user_id")
-        .agg(min(col("week_idx")).as("cohort_week"))
-      active.join(cohort, "user_id")
-        .groupBy(col("cohort_week"),
-          (col("week_idx") - col("cohort_week")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    },
-
-    // Ordered conversion funnel: signup → first view strictly after the
-    // signup → first purchase strictly after that view, per user. Each
-    // step joins the previous step's first-event time on the same
-    // user_id key and takes a conditional min — step frames shrink
-    // monotonically, and every join is an equality join on the key.
-    "funnel_conversion" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val t1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val t2 = ev.filter(col("event_type") === "view")
-        .join(t1, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val t3 = ev.filter(col("event_type") === "purchase")
-        .join(t2, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      def step(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(name).as("step"), col("n_users"))
-      step("1_signup", t1)
-        .unionByName(step("2_view_after_signup", t2))
-        .unionByName(step("3_purchase_after_view", t3))
-        .orderBy("step")
-    },
-
-    // End-to-end curation funnel: the standard pre-training gate chain
-    // (length → heuristic quality → eval-set decontamination → MinHash
-    // near-dup collapse), composed from the SAME operators the individual
-    // queries drive, reporting per-stage survivor counts — the data-flow
-    // report a corpus build publishes. src0 plays the held-out eval
-    // corpus. Stages are MATERIALIZED (cache + count) exactly as a
-    // production corpus build materializes each stage's survivors: a
-    // lazy 5-branch union re-derives the quality/gram lineage once per
-    // branch and measured 1.4× slower (6.4 s vs 4.7 s, sf0.1 bench);
-    // here each heavy pass (quality score, eval-gram join, minhash
-    // banding) runs once. The driver-side values are five scalar
-    // counts, never data. Round-9 (VERDICT r8 #7): the first three
-    // stage counts are pure cascading predicates over the SAME cached
-    // projection, so they collapse into one conditional-sum pass (one
-    // action instead of three sequential count() jobs); only decontam
-    // and near-dup — whose survivor sets feed later stages — still
-    // materialize their own counts.
-    // Floor (VERDICT r10 #6): measured SOLO at sf0.1 (3-pass best, no
-    // suite cache pressure) = 2.42 s — inside the r9 ≤2.5 s target. The
-    // ~3.1 s in-suite figure is the 400+-query suite evicting the
-    // stage caches between passes, not query cost; the decon/near-dup
-    // overlap (concurrent jobs on the cached s3) is the floor's source.
-    "curation_funnel" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val evalDocs = docs.filter(col("source") === "src0")
-      val raw = TextAnalysis.withQualityScore(
-        docs.filter(col("source") =!= "src0"), "text", "quality").cache()
-      val lenPred = col("n_chars").between(100, 20000)
-      val qPred = round(col("quality"), 6) >= 0.9
-      val head = raw.agg(count(lit(1)).as("n_raw"),
-        sum(when(lenPred, 1L).otherwise(0L)).as("n_len"),
-        sum(when(lenPred && qPred, 1L).otherwise(0L)).as("n_q")).first()
-      val (nRaw, nLen, nQ) =
-        (head.getLong(0), head.getLong(1), head.getLong(2))
-      val s2 = raw.filter(lenPred && qPred)
-      val s3 = Dedup.decontaminate(s2, evalDocs, "text", "doc_id", n = 5)
-        .cache()
-      // The two remaining counts both derive from cached s3 and neither
-      // feeds the other — overlap them as concurrent jobs (VERDICT r9
-      // #7; the scheduler interleaves their stages across the same
-      // executors, and BlockInfoManager's per-block write locks make the
-      // cache-fill race safe: whichever job reaches a partition first
-      // materializes it, the other blocks on the lock and reads the
-      // cached block). Wall time ≈ max(decon, neardup), not the sum.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fDecon = Future(s3.count())
-      val fDedup = Future(Dedup.nearDupSurvivors(s3,
-        Dedup.minhashExactPairs(s3, "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.8), "doc_id")
-        .count())
-      // Duration.Inf: overall timeout policy belongs to the bench/driver
-      // harness — a fixed bound here turned a legitimately-slow scale-tier
-      // run into a spurious TimeoutException (ADVICE r10).
-      val nDecon = Await.result(fDecon, Duration.Inf)
-      val nDedup = Await.result(fDedup, Duration.Inf)
-      raw.unpersist()
-      s3.unpersist()
-      Seq(("0_raw", nRaw), ("1_length", nLen), ("2_quality", nQ),
-          ("3_decontam", nDecon), ("4_neardup", nDedup))
-        .toDF("stage", "n_docs")
-        .orderBy("stage")
-    },
-
-    // Training-example construction: each user's event stream becomes
-    // next-event-prediction examples — a sliding 4-event context window
-    // (space-joined, frame-ordered) plus the following event as the
-    // label. Both windows (context frame, lead) share one per-user
-    // ordering, so the query pays a single key exchange; contexts
-    // shorter than 4 and the terminal row (no label) are dropped.
-    "next_event_examples" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("step", row_number().over(w))
-        .withColumn("context", array_join(
-          collect_list(col("event_type")).over(w.rowsBetween(-3, 0)), " "))
-        .withColumn("label", lead(col("event_type"), 1).over(w))
-        .filter(col("step") >= 4 && col("label").isNotNull)
-        .select(col("user_id"), col("step"), col("context"), col("label"))
-        .orderBy("user_id", "step")
-    },
-
-    // RAG diversity re-ranking: exact top-8 ANN candidates per query
-    // (self excluded) re-ordered by maximal marginal relevance (λ=0.5,
-    // 3 picks) so near-duplicate passages don't crowd the context
-    // window. Sequential only in the pick dimension (3 unrolled
-    // candidate-sized stages), parallel across queries; relevance and
-    // pairwise sims enter the score rounded to 6 decimals, so the
-    // greedy argmax is reproducible in any engine (ranks are emitted,
-    // scores stay internal).
-    "rag_mmr_rerank" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val top = graft.ops.Similarity.topKBruteForce(
-          emb.join(q.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_anti"),
-          q, k = 8)
-      val cand = top
-        .select(col("query_id"), col("vec_id"), col("sim").as("rel"))
-        .join(emb, "vec_id")
-        .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
-        // candidates are (queries × k) rows but every MMR iteration
-        // re-reads them — cache so the corpus-wide ANN scoring runs once,
-        // not once per unrolled pick stage
-        .cache()
-      graft.ops.Mmr.rerank(cand, picks = 3, lambda = 0.5)
-        .select(col("query_id"), col("mmr_rank"), col("vec_id"))
-        .orderBy("query_id", "mmr_rank")
-    },
-
-    // One label-propagation step over the kNN similarity graph — the
-    // semi-supervised labeling / weak-supervision pass: every vector
-    // takes the majority label of its top-3 in-cell neighbours
-    // (tie-break: smaller label id), isolated vectors keep their own.
-    // Vote counts are integers and the winner is a WindowGroupLimit-style
-    // rank over (votes desc, label), so the step is deterministic in any
-    // engine; one equality join to fetch neighbour labels + one
-    // src-keyed aggregate — graph-sized work, no vectors after the join.
-    "label_propagation" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val edges = knnEdges(s, d, 3)
-        .select(col("src"), col("dst"))
-      val lbl = emb.select(col("vec_id"), col("label"))
-      val votes = edges
-        .join(lbl.select(col("vec_id").as("dst"), col("label").as("nb_label")),
-          "dst")
-        .groupBy(col("src"), col("nb_label")).agg(count(lit(1)).as("v"))
-      val w = Window.partitionBy(col("src")).orderBy(desc("v"), asc("nb_label"))
-      val prop = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("vec_id"), col("nb_label"))
-      lbl.join(prop, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"),
-          coalesce(col("nb_label"), col("label")).as("prop_label"),
-          (coalesce(col("nb_label"), col("label")) =!= col("label"))
-            .as("changed"))
-        .orderBy("vec_id")
-    },
-
-    // Count-min sketch heavy hitters: token frequencies summarized into a
-    // 4×512 integer sketch, the top-10 exact heavy hitters point-queried
-    // against it. The sketch never under-counts (over_ok) and the excess
-    // stays inside 2N/w (bound_ok) — both re-asserted by the oracle,
-    // which rebuilds the identical sketch from the md5 bucket hash. One
-    // corpus token exchange; everything downstream is vocabulary- or
-    // sketch-sized; at 100 TB the sketch is the shippable summary
-    // (mergeable cell-wise across partitions and days).
-    "countmin_heavy_hitters" -> { (s, d) =>
-      val (w, dRows) = (512, 4)
-      val toks = Tables.documents(s, d)
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy("token").agg(count(lit(1)).as("n"))
-      val tot = toks.agg(sum(col("n")).as("big_n"))
-      val sk = graft.ops.CountMin.sketch(toks, "token", "n", w, dRows)
-      val top = toks.orderBy(desc("n"), asc("token")).limit(10)
-      graft.ops.CountMin.estimate(top, sk, "token", w, dRows)
-        .crossJoin(broadcast(tot))
-        .select(col("token"), col("n"), col("est"),
-          (col("est") >= col("n")).as("over_ok"),
-          ((col("est") - col("n")) * w <= col("big_n") * 2).as("bound_ok"))
-        .orderBy("token")
-    },
-
-    // Graph centrality over the kNN similarity graph: two integer-exact
-    // PageRank iterations (micro-unit ranks, damping 0.85 as the exact
-    // rule 150000 + (85·Σ floor(r/outdeg)) div 100) over the same
-    // within-cell top-3 edge set as embed_knn_graph. Each iteration is
-    // one equality join on src + one map-side-combined dst aggregate —
-    // graph-keyed shuffles only, nothing driver-side; all-integer
-    // arithmetic means no float drift between engines or retries.
-    "pagerank_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val edges = knnEdges(s, d, 3)
-        .select(col("src"), col("dst"))
-      graft.ops.PageRank.iterate(
-          emb.select(col("vec_id").as("id")), edges, iters = 2)
-        .select(col("id").as("vec_id"), col("rank").as("pagerank_micro"))
-        // Sanity guard (ranks are >= the 150000 teleport floor) that also
-        // keeps count-only consumers honest: without a referenced rank
-        // column, both iterations are provably-unique-key outer joins and
-        // Catalyst folds the ENTIRE computation out of a count() — the
-        // bench would time nothing (observed: 0.7 s at a corpus where the
-        // materialized query costs ~50 s).
-        .filter(col("pagerank_micro") > 0)
-        .orderBy("vec_id")
-    },
-
-    // Word co-occurrence table (the SGNS/GloVe training substrate):
-    // unordered token pairs within a ±2-position window, canonicalized
-    // (least, greatest), with per-token marginals — the integer
-    // statistics PMI/lift derive from (emitted as exact counts; no
-    // log/float leaves the query). Pair generation is posexplode + two
-    // lead windows on one doc-keyed exchange — linear and codegen'd.
-    // (First cut used nested array HOFs over the token expression:
-    // interpreted, and every element_at re-evaluated the split —
-    // O(tokens²) string work per document, 30.8 s vs 1 s at sf0.1. Same
-    // trap text_repetition documents; windows are the scaling form.)
-    "cooccurrence_window" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(lower(trim(col("text"))), "\\s+")))
-        .toDF("doc_id", "pos", "tok")
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val pairs = toks
-        .withColumn("n1", lead(col("tok"), 1).over(w))
-        .withColumn("n2", lead(col("tok"), 2).over(w))
-        .select(col("tok"), explode(array(col("n1"), col("n2"))).as("nb"))
-        .filter(col("nb").isNotNull)
-        .select(least(col("tok"), col("nb")).as("a"),
-          greatest(col("tok"), col("nb")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      // No broadcast hint on the unigram table: the vocabulary grows
-      // with the corpus (Heaps' law), so pinning it to the driver is the
-      // r10-#2 hazard class. Unhinted, AQE broadcasts it while it is
-      // small and falls back to a shuffled join once it is not.
-      val tokc = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      pairs
-        .join(tokc.select(col("tok").as("a"), col("n").as("n_a")), "a")
-        .join(tokc.select(col("tok").as("b"), col("n").as("n_b")), "b")
-        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"))
-        .orderBy("a", "b")
-    },
-
-    // Incremental materialized-view maintenance: yesterday's aggregate
-    // STATE merged with today's delta must equal the direct aggregate
-    // over everything — the partial-aggregate mergeability that makes
-    // per-day incremental pipelines correct (counts and integer-cent
-    // sums are both associative merges; the oracle computes the direct
-    // form, so a green hash IS the merge-equals-recompute proof).
-    "incremental_agg_merge" -> { (s, d) =>
-      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      def part(f: Column) = ev.filter(f).groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-      part(col("ts") < cutoff).unionByName(part(col("ts") >= cutoff))
-        .groupBy("event_type")
-        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
-        .orderBy("event_type")
-    },
-
-    // Exact-k per-stratum sampling (reservoir semantics, deterministic):
-    // exactly 3 documents per language by keyed-hash rank — the
-    // fixed-budget variant fraction sampling can't give you. The rank
-    // executes as a WindowGroupLimit (per-partition heaps), so no
-    // language's documents ever gather into one task for a full sort.
-    "sample_k_per_group" -> { (s, d) =>
-      graft.ops.Sampling.exactKPerGroup(
-          Tables.documents(s, d), "doc_id", "lang", k = 3)
-        .select(col("lang"), col("doc_id"), col("n_chars"))
-        .orderBy("lang", "doc_id")
-    },
-
-    // Tokenizer training, iteration 0: the BPE pair statistics every
-    // merge decision reads — adjacent character-pair counts weighted by
-    // word frequency, top-20 by (count desc, pair). The Sennrich ACL'16
-    // collapse: statistics run over the DISTINCT word table (one corpus
-    // exchange for word counts; the pair explosion touches
-    // vocabulary-sized data only), and the top-k is a per-partition heap
-    // (TakeOrderedAndProject), never a full sort. The full merge loop is
-    // ops/Bpe.trainMerges (spec-tested); each extra iteration repeats
-    // this query's vocabulary-sized tail.
-    "bpe_merge_step" -> { (s, d) =>
-      graft.ops.Bpe.pairCounts(
-          graft.ops.Bpe.wordTable(Tables.documents(s, d), "text"))
-        .orderBy(desc("cnt"), asc("pair"))
-        .limit(20)
-    },
-
-    // Markov transition model over user event streams (session-flow
-    // analytics, the statistics a next-event baseline trains on): per-user
-    // ordered (event, next-event) pairs roll up to global transition
-    // counts plus the conditional probability within each source state.
-    // One user exchange for the pairing lead; the count aggregate
-    // map-side-combines down to |types|² rows before its (tiny) exchange;
-    // p = n/total is one exact long/long division per output row, the
-    // identical double in any engine.
-    "event_transitions" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("prev_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
-      pairs
-        .withColumn("p", round(col("n") /
-          sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
-        .orderBy("prev_type", "next_type")
-    },
-
-    // Leakage-free dataset split: the split key is the GROUP (user), not
-    // the row — every event of a user lands in the same split, the rule
-    // that keeps one user's history out of both train and test.
-    // Assignment is the same zero-shuffle keyed hash as sample_split,
-    // applied to user_id; the only exchange is the per-split summary
-    // aggregate (the id checksum makes membership, not just sizes,
-    // oracle-checked).
-    "group_split_leakfree" -> { (s, d) =>
-      graft.ops.Sampling.splitByHash(Tables.events(s, d), "user_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("split"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"),
-          sum(col("event_id")).as("sum_event_id"))
-        .orderBy("split")
-    },
-
-    // Recency-weighted user features (time-decay aggregation — the
-    // engagement-score shape): each event contributes value·2^-age_days,
-    // decay floored at 10 days. The aggregate is EXACT integer
-    // arithmetic end to end — cents × the power-of-two weight 2^(10-d) —
-    // emitted in those integer units (score = units/102400.0 is a
-    // client-side constant rescale; u/102400 has 12 fractional decimal
-    // digits, so a rounded-double column would sit on round-tie
-    // boundaries). Single map-side-combined user aggregate.
-    "time_decay_features" -> { (s, d) =>
-      val ref = lit("2024-01-31").cast("date")
-      val ageD = least(greatest(
-        datediff(ref, col("ts").cast("date")), lit(0)), lit(10))
-      Tables.events(s, d)
-        .withColumn("units",
-          round(col("value") * 100).cast("long") *
-            pow(lit(2), lit(10) - ageD).cast("long"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("units")).as("decay_units"))
-        .orderBy("user_id")
-    },
-
-    // Batch MERGE (CDC apply): fold the post-cutoff half of the event log
-    // into the pre-cutoff per-user state snapshot — latest change per key
-    // wins the batch, a terminal 'error' event is the delete tombstone.
-    // The snapshot is touched by one left-anti join (never a full-outer);
-    // the change side collapses on the same key exchange its window uses.
-    "merge_upsert" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("value"),
-          col("ts"), col("event_id"))
-      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val base = ev.filter(col("ts") < cutoff)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      val changes = ev.filter(col("ts") >= cutoff)
-        .withColumn("op",
-          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
-      graft.ops.Merge.applyChanges(base, changes, Seq("user_id"),
-          orderCols = Seq(col("ts"), col("event_id")))
-        .select(col("user_id"), col("event_type"),
-          round(col("value"), 6).as("value"),
-          tsStr(col("ts")).as("ts"), col("event_id"))
-        .orderBy("user_id")
-    },
-
-    // Semi-structured extraction: JSON path over the props string column,
-    // aggregated per event type — exact integer statistics.
-    "json_extract_props" -> { (s, d) =>
-      Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type")
-    },
-
-    // VariantType end-to-end (Spark 4's semi-structured column type):
-    // heterogeneous JSON documents — shape varies by event_type, built
-    // deterministically from the row's own fields — parsed once with
-    // parse_json into VARIANT, then SHREDDED back out with typed
-    // variant_get paths (string/long) whose absent-path reads are null,
-    // and aggregated per shape. This is the open-schema ingestion path a
-    // real pipeline needs when upstream JSON isn't uniform: parse once,
-    // extract typed columns lazily, no UDFs. The oracle inverts the
-    // construction directly from the base columns — same aggregates,
-    // proving the parse→shred round trip is lossless.
-    "variant_shred_json" -> { (s, d) =>
-      val cents = floor(col("value") * 100).cast("long")
-      val doc = when(col("event_type") === "purchase",
-          concat(lit("{\"t\":\"p\",\"cents\":"), cents,
-            lit(",\"k\":"), get_json_object(col("props"), "$.k"), lit("}")))
-        .when(col("event_type") === "view",
-          concat(lit("{\"t\":\"v\",\"page\":\"/p/"),
-            pmod(col("user_id"), lit(50)), lit("\"}")))
-        .otherwise(concat(lit("{\"t\":\"o\",\"n\":"),
-          pmod(col("event_id"), lit(7)), lit("}")))
-      Tables.events(s, d)
-        .withColumn("v", parse_json(doc))
-        .select(
-          expr("variant_get(v, '$.t', 'string')").as("shape"),
-          expr("variant_get(v, '$.cents', 'long')").as("cents"),
-          expr("variant_get(v, '$.page', 'string')").as("page"),
-          expr("variant_get(v, '$.n', 'long')").as("n"))
-        .groupBy("shape")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("cents")).as("sum_cents"),
-          count_distinct(col("page")).as("n_pages"),
-          sum(col("n")).as("sum_n"))
-        .orderBy("shape")
-    },
-
-    // Time-RANGE window frame (not rows): trailing 10-minute count and
-    // exact-decimal sum per event type, frame keyed on epoch millis so
-    // both engines share integer frame semantics.
-    "window_range_frame" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // ts is TIMESTAMP_NTZ (nanos rebuild); under the UTC session the
-      // LTZ cast is the identity instant, which unix_millis requires
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(unix_millis(col("ts").cast("timestamp_ltz")))
-        .rangeBetween(-600000L, 0L)
-      Tables.events(s, d)
-        .select(col("event_id"), col("event_type"),
-          count(lit(1)).over(w).as("n_10m"),
-          sum(col("value").cast("decimal(18,6)")).over(w)
-            .cast("double").as("sum_10m"))
-        .orderBy("event_id")
-    },
-
-    // Unpivot/melt — the pivot inverse: OHLC bars reshaped to long form
-    // (ts, metric, value), Spark's native unpivot operator.
-    "unpivot_bars" -> { (s, d) =>
-      Resample.ohlcvFromTicks(Tables.events(s, d), "value", "60 minutes",
-          keys = Seq(col("event_type")))
-        .select(col("event_type"), tsStr(col("ts")).as("ts"),
-          col("open"), col("high"), col("low"), col("close"))
-        .unpivot(Array(col("event_type"), col("ts")),
-          Array(col("open"), col("high"), col("low"), col("close")),
-          "metric", "value")
-        .orderBy("event_type", "ts", "metric")
-    },
-
-    // O3: ordered limit (the reference's tail-N slice, main.py:354-356).
-    "topn_recent" -> { (s, d) =>
-      Tables.events(s, d)
-        .orderBy(desc("ts"), desc("event_id"))
-        .limit(200)
-        .select(col("event_id"), tsStr(col("ts")).as("ts"), col("event_type"))
-    },
-
-    // Equi joins across the star schema: broadcast dims, aggregated
-    // revenue per region/nation (generalizes the reference's join surface).
-    // The lineitem⋈orders fact-fact arm carries an explicit SHUFFLE_HASH
-    // hint: both sides are fact tables at 100 TB (never broadcastable), and
-    // without the hint the physical shape flapped between AQE broadcast and
-    // sort-merge across rounds — the r6 +42% bench regression was exactly
-    // that flip. A shuffled hash join is the stable scale plan: one
-    // exchange per side on the join key, no sort, per-partition hash build
-    // on the smaller (orders) side. PlanSpec pins this shape.
-    "equi_join_stars" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d).hint("shuffle_hash")
-      val c = Tables.customer(s, d)
-      val n = Tables.nation(s, d)
-      val r = Tables.region(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_lines"))
-        .orderBy("r_name", "n_name")
-    },
-
-    // Bucketed-table layout, driver-checkable: both fact sides are first
-    // written bucketed+sorted on the join key (paying the shuffle ONCE at
-    // write time), then the fact-fact join AND the per-order aggregate run
-    // with zero exchanges — the scan's bucket partitioning satisfies both
-    // the join and the grouping distribution. This is the layout feature
-    // the 100 TB story leans on hardest: a recurring fact-fact join's
-    // dominant cost becomes a metadata property of the table. The `merge`
-    // hint keeps the join a sort-merge at test SF (where orders would
-    // otherwise broadcast and the bucketing would demonstrate nothing);
-    // PlanSpec asserts the executed plan's only exchange is the final
-    // order-by. Bucketing is invisible to semantics, so plain join SQL is
-    // the oracle. Tables land in java.io.tmpdir (the caller's cwd — hence
-    // default warehouse — may not be writable).
-    //
-    // Write-once-if-absent (VERDICT r7 #4): the bucketed tables are
-    // keyed by (application id, source dir) — app id isolates concurrent
-    // sessions (a fixed shared path let two runs overwrite each other's
-    // tables mid-query), the source-dir hash keeps two scale factors in
-    // one session apart. A later pass in the same session finds the
-    // catalog entry and skips straight to the join, so the timed body is
-    // the zero-exchange join the query is named for, not the write
-    // amortization (which at 100 TB is paid once per table LIFETIME, not
-    // per query — timing it every pass misread as a regression in r6/r7).
-    "bucketed_join_zero_shuffle" -> { (s, d) =>
-      val tok = (s.sparkContext.applicationId + "_" +
-        java.lang.Integer.toHexString(d.hashCode))
-        .replaceAll("[^A-Za-z0-9_]", "_")
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_wh_$tok"
-      val liName = s"bq_lineitem_$tok"
-      val oName = s"bq_orders_$tok"
-      if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(oName)) {
-        Bucketing.writeBucketed(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-          liName, "l_orderkey", 8, Some(s"$wh/$liName"))
-        Bucketing.writeBucketed(
-          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
-          oName, "o_orderkey", 8, Some(s"$wh/$oName"))
-      }
-      val li = s.table(liName)
-      val o = s.table(oName).hint("merge")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
-        .orderBy("o_orderkey")
-    },
-
-    // Rollup aggregation (subtotals + grand total; NULL levels coalesced
-    // to 'ALL' so both engines agree on representation and ordering).
-    "rollup_orders" -> { (s, d) =>
-      Tables.orders(s, d)
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
-        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
-          col("n"), col("total"))
-        .orderBy("o_orderstatus", "o_orderpriority")
-    },
-
-    // U2 + C2: append the PREDICTED next contract row to a settle-config
-    // dimension derived from orders months (rollover prediction: month+1,
-    // third-Wednesday settle, start = prev settle + 5 min, accumulated
-    // diff rolled forward; its own next_contract_diff unknown -> NULL).
-    "union_predicted_contract" -> { (s, d) =>
-      val cfg = Tables.orders(s, d)
-        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
-        .agg(count(lit(1)).cast("double").as("next_contract_diff"),
-          min(col("o_orderdate")).as("start_k"),
-          max(col("o_orderdate")).as("settle_k"))
-        .withColumn("accumulated_contract_diff", lit(100.0))
-      RolloverCalendar.predictNext(cfg)
-        .select(col("contract_year_month"), col("next_contract_diff"),
-          col("accumulated_contract_diff"),
-          tsStr(col("start_k")).as("start_k"), tsStr(col("settle_k")).as("settle_k"))
-        .orderBy("contract_year_month")
-    },
-
-    // F-1: day-session time-of-day filter (08:45 <= tod <= 13:45, inclusive).
-    "session_filter_day" -> { (s, d) =>
-      Tables.events(s, d)
-        .filter(SessionCalendar.isDay(col("ts")))
-        .select(col("event_id"), tsStr(col("ts")).as("ts"),
-          col("event_type"), col("value"))
-        .orderBy("event_id")
-    },
-
-    // F-2: night-session filter, wraps midnight (tod >= 15:00 OR <= 05:00).
-    "session_filter_night" -> { (s, d) =>
-      Tables.events(s, d)
-        .filter(SessionCalendar.isNight(col("ts")))
-        .select(col("event_id"), tsStr(col("ts")).as("ts"),
-          col("event_type"), col("value"))
-        .orderBy("event_id")
-    },
-
-    // F1/F2: session id + yyMMdd-D/N labeling incl. pre-dawn attribution
-    // to the previous day and the 14:xx UNKNOWN gap.
-    "session_labels" -> { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_id"), tsStr(col("ts")).as("ts"),
-          SessionCalendar.sessionId(col("ts")).as("session_id"),
-          SessionCalendar.marketType(col("ts")).as("market_type"))
-        .orderBy("event_id")
-    },
-
-    // J1: broadcast interval join + back-adjustment (left outer, no-match
-    // → diff 0 / empty contract id), lineitem probe vs monthly dimension.
-    "interval_join_backadjust" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate").as("ts"), col("l_extendedprice").as("close"))
-      IntervalJoin.leftJoin(li, monthDim(s, d),
-          col("ts"), col("start_k"), col("settle_k"))
-        .select(col("l_orderkey"), col("l_linenumber"), tsStr(col("ts")).as("ts"),
-          coalesce(col("contract_year_month"), lit("")).as("contract_year_month"),
-          round(col("close") +
-            coalesce(col("accumulated_contract_diff"), lit(0.0)), 2).as("adj_close"))
-        .orderBy("l_orderkey", "l_linenumber", "ts")
-    },
-
-    // §3.2 END-TO-END: the reference's whole resample_and_split chain as
-    // ONE plan (main.py:259-323) — ticks → 1-min bars → 5-min closed-right
-    // resample → one-pass day/night label (the 5-min aggregate appears
-    // ONCE; no union double-compute) → broadcast interval back-adjust.
-    "continuous_5m_pipeline" -> { (s, d) =>
-      val bars1m = Resample.ohlcvFromTicks(Tables.events(s, d), "value", "1 minute")
-      graft.pipeline.ContinuousPipeline.fiveMinute(bars1m, monthDim(s, d))
-        .select(tsStr(col("ts")).as("ts"), col("open"), col("high"),
-          col("low"), col("close"), col("volume"), col("date_market_type"),
-          col("contract_year_month"), col("accumulated_contract_diff"))
-        .orderBy("ts")
-    },
-
-    // S3+F-5 (Gate 2): watermark probe on a "sink" (orders) + strictly-newer
-    // incremental filter on the fact table.
-    "watermark_incremental" -> { (s, d) =>
-      val wm = Watermark.maxTs(Tables.orders(s, d), "o_orderdate")
-      Watermark.newerThan(Tables.lineitem(s, d), wm, "l_shipdate")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          tsStr(col("l_shipdate")).as("ts"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber", "ts")
-    },
-
-    // J2: exact anti-join incremental (rows absent from the sink).
-    "antijoin_new_rows" -> { (s, d) =>
-      Watermark.notInSink(Tables.orders(s, d), Tables.lineitem(s, d)
-          .withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
-        .select(col("o_orderkey"), col("o_custkey"),
-          tsStr(col("o_orderdate")).as("o_orderdate"))
-        .orderBy("o_orderkey")
-    },
-
-    // A-family: grouped aggregation with partial+final hash agg (TPC-H Q1
-    // shape). The 4/6-decimal product sums use EXACT decimal arithmetic in
-    // both engines (double sums at ~1e9 magnitude can't even represent 6
-    // decimals, so double+round flips last-ULP between engines — observed
-    // at sf0.1); the final cast-to-double of equal decimals is identical.
-    "tpch_q1_agg" -> { (s, d) =>
-      val price = col("l_extendedprice").cast("decimal(12,2)")
-      val disc = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
-      val tax = lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-          sum(price).cast("double").as("sum_base_price"),
-          sum(price * disc).cast("double").as("sum_disc_price"),
-          sum(price * disc * tax).cast("double").as("sum_charge"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
-
-    // A4/W5: per-session bar counts (the completeness gate's aggregate).
-    "completeness_counts" -> { (s, d) =>
-      QualityGates.sessionCounts(Tables.events(s, d))
-        .orderBy("session_id")
-    },
-
-    // O2: last row per key (deterministic last via max_by on unique ts).
-    "last_per_key" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(tsStr(max(col("ts"))).as("last_ts"),
-          max_by(col("value"), col("ts")).as("last_value"),
-          count(lit(1)).as("n"))
-        .orderBy("user_id")
-    },
-
-    // U1: union of labeled day + night session frames, time-ordered.
-    "union_sessions" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val day = ev.filter(SessionCalendar.isDay(col("ts")))
-        .withColumn("market_type", lit("D"))
-      val night = ev.filter(SessionCalendar.isNight(col("ts")))
-        .withColumn("market_type", lit("N"))
-      day.unionByName(night)
-        .select(col("event_id"), tsStr(col("ts")).as("ts"),
-          col("market_type"), col("value"))
-        .orderBy("ts", "event_id")
-    },
-
-    // F7/F8: third-Wednesday settlement date + next contract month, per
-    // distinct order month.
-    "third_wednesday" -> { (s, d) =>
-      Tables.orders(s, d)
-        .select(trunc(col("o_orderdate"), "MM").as("month_start"))
-        .distinct()
-        .select(
-          date_format(col("month_start"), "yyyyMM").as("contract_year_month"),
-          date_format(RolloverCalendar.thirdWednesday(col("month_start")),
-            "yyyy-MM-dd").as("third_wed"),
-          tsStr(RolloverCalendar.settleK(col("month_start"))).as("settle_k"),
-          RolloverCalendar.nextContractMonth(
-            date_format(col("month_start"), "yyyyMM")).as("next_contract"))
-        .orderBy("contract_year_month")
-    },
-
-    // A6: running rollover total — prefix sum over the ordered dimension
-    // (decimal-typed so the window accumulation is exact in both engines).
-    "rollover_prefix_sum" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val monthly = Tables.orders(s, d)
-        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("contract_year_month"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("month_diff"))
-      val w = Window.orderBy("contract_year_month")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      monthly
-        .withColumn("accumulated_diff",
-          coalesce(sum(col("month_diff")).over(w), lit(0).cast("decimal(18,2)")))
-        .select(col("contract_year_month"),
-          col("month_diff").cast("double").as("month_diff"),
-          col("accumulated_diff").cast("double").as("accumulated_diff"))
-        .orderBy("contract_year_month")
-    },
-
-    // S2: schema-on-read coercion — extract from a JSON-ish string column,
-    // try_cast with NULL-on-failure (the reference's errors='coerce' loads).
-    "scan_coercion" -> { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_raw"))
-        .select(col("event_id"),
-          expr("try_cast(k_raw AS BIGINT)").as("k"),
-          expr("try_cast(k_raw AS DATE) IS NULL").as("bad_cast_nulled"))
-        .orderBy("event_id")
-    },
-
-    // P1/P3/P6/P8: projection family — drop, literal column, reorder,
-    // timestamp formatting.
-    "projection_shape" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .drop("l_comment", "l_tax")
-        .withColumn("mxf_code", lit("MXFR1"))
-        .select(tsStr(col("l_shipdate")).as("ts"), col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"), col("mxf_code"))
-        .orderBy("l_orderkey", "l_linenumber", "ts")
-    },
-
-    // Backward as-of join: each non-click event gets the user's most
-    // recent click at-or-before it (trades/quotes shape; union +
-    // last-ignoreNulls window — ONE shuffle by key, no range probe).
-    "asof_join_clicks" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val trades = ev.filter(col("event_type") =!= "click")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val quotes = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
-          col("value").as("quote_value"), col("event_id").as("quote_id"))
-      // tieCols: if two quotes share (user_id, ts), the greater quote_id
-      // wins deterministically (mirrored in the oracle's QUALIFY dedup).
-      AsOfJoin.backward(trades, quotes, Seq("user_id"), "ts",
-          Seq("quote_value", "quote_id"), tieCols = Seq("quote_id"))
-        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
-          col("value"), col("quote_value"), col("quote_id"))
-        .orderBy("event_id")
-    },
-
-    // Gap-based sessionization (30-min inactivity) per user.
-    "sessionize_gap" -> { (s, d) =>
-      Sessionize.sessions(Tables.events(s, d), Seq("user_id"), "ts",
-          gapSeconds = 1800)
-        .select(col("user_id"), col("session_idx"),
-          tsStr(col("session_start")).as("session_start"),
-          tsStr(col("session_end")).as("session_end"), col("n_events"))
-        .orderBy("user_id", "session_idx")
-    },
-
-    // Big-big point-in-interval range join, bucketed — no broadcast side:
-    // attribute every error event to the same user's active click-session.
-    // Both sides shuffle on (user_id, 30-min bucket); intervals replicate
-    // into covered buckets, the refine filter restores exact bounds.
-    "range_join_error_attribution" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val sessions = Sessionize.sessions(
-        ev.filter(col("event_type") === "click"),
-        Seq("user_id"), "ts", gapSeconds = 43200)
-      val errors = ev.filter(col("event_type") === "error")
-        .select("user_id", "ts", "event_id")
-      graft.ops.RangeJoin.pointInInterval(errors, sessions, Seq("user_id"),
-          "ts", "session_start", "session_end", bucketSeconds = 43200)
-        .groupBy("user_id", "session_idx")
-        .agg(count(lit(1)).as("n_errors"),
-          tsStr(min(col("ts"))).as("first_error"))
-        .orderBy("user_id", "session_idx")
-    },
-
-    // Keyed snapshot diff (CDC audit): per-user last event state as of
-    // Feb 1 vs the full range — added/changed/unchanged via null-safe
-    // full-outer compare ('removed' is impossible on append-only events
-    // but the code path is spec-covered).
-    "snapshot_diff_users" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-      def lastState(df: DataFrame): DataFrame = df
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("user_id", "event_type", "value")
-      val oldSnap = lastState(ev.filter(
-        col("ts") < lit("2024-02-01 00:00:00").cast("timestamp_ntz")))
-      val newSnap = lastState(ev)
-      graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("user_id"),
-          Seq("event_type", "value"))
-        .select("user_id", "status", "old_event_type", "old_value",
-          "new_event_type", "new_value")
-        .orderBy("user_id")
-    },
-
-    // ---- LLM-data-pipeline extensions ----------------------------------
-
-    // Intra-document repetition removal: order-preserving first-occurrence
-    // token dedup over the normalized text (pure per-row expressions).
-    "text_dedup_tokens" -> { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-          TextAnalysis.dedupTokens(col("text")).as("dedup_text"),
-          size(split(TextAnalysis.dedupTokens(col("text")), " "))
-            .cast("long").as("n_unique"))
-        .orderBy("doc_id")
-    },
-
-    // PII redaction over a planted contact-line fixture (the corpus itself
-    // is PII-free; the fixture derives deterministically from doc_id, the
-    // same pattern the multimodal queries use). Counts are pre-redaction;
-    // the redacted text ships as md5 so the oracle compares a fixed-width
-    // digest instead of a kilobyte string.
-    "pii_redact" -> { (s, d) =>
-      val planted = Tables.documents(s, d).select(col("doc_id"),
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com or call "),
-          (lit(7000000000L) + col("doc_id") * 104729L).cast("string"))
-          .as("text"))
-      planted.select(col("doc_id"),
-          TextAnalysis.emailCount(col("text")).cast("long").as("n_emails"),
-          TextAnalysis.longDigitCount(col("text")).cast("long")
-            .as("n_digit_runs"),
-          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
-        .orderBy("doc_id")
-    },
-
-    // Exact percentile outlier filter: keep documents at or above the
-    // exact p95 of n_chars. The threshold comes from a value-histogram +
-    // prefix sum — one shuffle of the (tiny) distinct-value domain, never
-    // a global sort of the data; the unpartitioned window runs over the
-    // histogram only. Exact by construction (no approx-quantile sketch).
-    "percentile_length_filter" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("n_chars").rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val total = docs.agg(count(lit(1)).as("n"))
-      val thr = hist.withColumn("cum", sum("c").over(w))
-        .crossJoin(broadcast(total))
-        .filter(col("cum") >= ceil(col("n") * 0.95))
-        .agg(min("n_chars").as("thr"))
-      docs.join(broadcast(thr), docs("n_chars") >= col("thr"))
-        .select("doc_id", "n_chars", "lang")
-        .orderBy("doc_id")
-    },
-
-
-    // Exact dedup: survivors after normalize-hash-groupBy (min id wins).
-    "dedup_exact_survivors" -> { (s, d) =>
-      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    },
-
-    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (trigrams, >=0.8).
-    // The oracle is the brute-force pairwise equivalent; LSH banding makes
-    // the Spark side scale while returning the same pairs. k=32/16 bands:
-    // at j>=0.8 the per-band hit rate is j^2=0.64, so the miss probability
-    // is (1-0.64)^16 ~ 8e-8 — and the surviving pairs here are all j>=0.98.
-    "dedup_minhash_pairs" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // k=16/8 bands (r=2): per-band match prob j² — a j≥0.8 pair is missed
-      // with prob (1-0.64)^8 ≈ 3e-4, and the surviving oracle pairs are all
-      // j≥0.98 (miss ≈ 3e-12). The fused form shingles the corpus once for
-      // both signature and exact verification.
-      Dedup.minhashExactPairs(docs, "text", "doc_id", k = 16, bands = 8,
-          shingleN = 3, threshold = 0.8)
-        .orderBy("id1", "id2")
-    },
-
-    // Star-edge cluster dedup (the hot-bucket guard): candidates come
-    // from Dedup.minhashStarEdges — each band bucket links its members
-    // to the bucket's MIN id only, so candidate mass is ≤ bands·n even
-    // when a viral doc forms an m-clique (the pairwise band join would
-    // emit m²/2 there; DedupSpec pins the m−1-vs-m²/2 bound). Verified
-    // star edges then go through Components.connectedComponents — run
-    // to CONVERGENCE with per-round localCheckpoint lineage truncation
-    // (the r11 unrolled 4-round form accumulated every round's plan
-    // into the final frame: 346 static exchanges) and the ≤4096-edge
-    // driver union-find fast path for fixture-sized pair graphs. The
-    // oracle computes the true transitive closure over the exact
-    // J≥0.8 pair graph, so the match asserts star-candidate
-    // connectivity ≡ full pair-graph connectivity at any diameter —
-    // no hop-count coupling between the two sides.
-    "dedup_star_clusters" -> { (s, d) =>
-      val e = Dedup.minhashStarExactEdges(Tables.documents(s, d), "text",
-        "doc_id", k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      graft.ops.Components.connectedComponents(e, "id1", "id2")
-        .groupBy(col("comp").as("cluster_rep"))
-        .agg(count(lit(1)).as("n_members"), sum("v").as("id_checksum"))
-        .filter(col("n_members") >= 2)
-        .orderBy("cluster_rep")
-    },
-
-    // Exact n-gram Jaccard all-pairs within (language, length-bucket)
-    // blocks (bigrams): a j>=0.5 pair must have similar shingle counts,
-    // so the 64-char n_chars bucket is a second lossless blocking key.
-    "dedup_ngram_lang_block" -> { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          blockCols = Seq("lang" -> col("lang"),
-            "len_bucket" -> (col("n_chars") / 64).cast("long")),
-          n = 2, threshold = 0.5)
-        .select("lang", "id1", "id2", "jaccard")
-        .orderBy("lang", "id1", "id2")
-    },
-
-    // Near-dup SURVIVOR selection: minhash-LSH pairs → connected
-    // components (min-label propagation) → keep each cluster's minimum
-    // doc_id. Same output shape as dedup_exact_survivors; the oracle
-    // computes the transitive closure with a recursive CTE.
-    "dedup_neardup_survivors" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-
-    // Quality-aware variant: same pair graph, but each cluster keeps its
-    // LONGEST member (n_chars, ties -> lowest id) instead of its lowest
-    // id — "keep the best copy". The oracle labels components via the
-    // recursive closure and re-picks the argmax.
-    "dedup_neardup_best" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      Dedup.nearDupSurvivorsBy(docs, pairs, "doc_id", col("n_chars"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-
-    // URL-canonicalization dedup — the web-corpus staple: the same page
-    // recrawled under scheme/www/default-port/tracking-param/fragment
-    // variants must collapse to one canonical key BEFORE content dedup.
-    // The corpus carries no URLs, so they are synthesized
-    // deterministically from doc_id (same convention as image_ahash's
-    // pixels): 3 surface variants per logical URL (doc_id DIV 3), half
-    // the groups carrying a REAL query param that must survive while
-    // utm_* / fbclid and fragments are stripped.
-    // UrlCanonical.canonicalizeUrl is expression-only (9 chained
-    // regexp_replace inside the scan's codegen span); the dedup is the
-    // usual hash-groupBy survivor pick — at 100 TB the key is computed
-    // where the row is read, one exchange on the canonical key.
-    "url_canonical_dedup" -> { (s, d) =>
-      val url = expr("""
-        CASE
-          WHEN doc_id % 3 = 0 THEN
-            'https://example' || CAST((doc_id DIV 3) % 50 AS STRING) ||
-            '.com/p' || CAST((doc_id DIV 3) % 97 AS STRING) || '/x' ||
-            CASE WHEN (doc_id DIV 3) % 2 = 1
-              THEN '?q=' || CAST((doc_id DIV 3) % 5 AS STRING) ELSE '' END
-          WHEN doc_id % 3 = 1 THEN
-            'HTTPS://WWW.EXAMPLE' || CAST((doc_id DIV 3) % 50 AS STRING) ||
-            '.COM:443/p' || CAST((doc_id DIV 3) % 97 AS STRING) || '/x/' ||
-            CASE WHEN (doc_id DIV 3) % 2 = 1
-              THEN '?q=' || CAST((doc_id DIV 3) % 5 AS STRING) ELSE '' END
-          ELSE
-            'http://example' || CAST((doc_id DIV 3) % 50 AS STRING) ||
-            '.com/p' || CAST((doc_id DIV 3) % 97 AS STRING) || '/x' ||
-            CASE WHEN (doc_id DIV 3) % 2 = 1
-              THEN '?q=' || CAST((doc_id DIV 3) % 5 AS STRING) ||
-                   '&utm_source=feed&utm_campaign=c1'
-              ELSE '?utm_source=feed&utm_campaign=c1' END || '#frag'
-        END""")
-      Tables.documents(s, d)
-        .withColumn("url", url)
-        .withColumn("curl",
-          graft.ops.UrlCanonical.canonicalizeUrl(col("url")))
-        .groupBy(col("curl").as("canonical_url"))
-        .agg(count(lit(1)).as("n_variants"),
-          min("doc_id").as("survivor_id"),
-          sum("doc_id").as("id_checksum"))
-        .orderBy("canonical_url")
-    },
-
-    // Fuzzy dedup via edit distance: same-prefix blocking, Levenshtein
-    // over capped normalized text — exact integer distances.
-    "dedup_editdist_pairs" -> { (s, d) =>
-      Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
-          prefixLen = 40, maxLen = 300, maxDist = 60)
-        .orderBy("id1", "id2")
-    },
-
-    // Substring-level dedup (Lee et al. ACL 2022): duplicated k-token
-    // spans anywhere in the corpus → per-doc merged-interval coverage +
-    // trim gate. Occurrences travel as 64-bit span hashes; the oracle
-    // re-derives everything from the literal substrings, so a hash
-    // collision or position drift would hash-fail the round.
-    "dedup_substring_spans" -> { (s, d) =>
-      graft.ops.SubstringDedup.dupSpanCoverage(Tables.documents(s, d),
-          "text", "doc_id", k = 8, maxDupFrac = 0.5)
-        .orderBy("doc_id")
-    },
-
-    // Benchmark decontamination: src0 plays the eval corpus; training
-    // docs sharing any 5-gram with it are dropped. Survivor ids are
-    // hash-independent, so the string-gram oracle applies.
-    "decontaminate_survivors" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      Dedup.decontaminate(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
-          "text", "doc_id", n = 5)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-
-    // Graded companion to the gate above: per-document eval-overlap
-    // fraction (GPT-3 appendix-C style). score == 0 must coincide exactly
-    // with surviving the boolean gate — the oracle recomputes both from
-    // the same string grams, so the hash-green row also re-proves the
-    // gate/score consistency.
-    "decontaminate_score" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      Dedup.contaminationScore(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
-          "text", "doc_id", n = 5)
-        .select(col("doc_id"), col("source"),
-          round(col("contamination"), 6).as("contamination"),
-          (col("contamination") > 0).as("contaminated"))
-        .orderBy("doc_id")
-    },
-
-    // SimHash near-dup pairs (Hamming <= 8, frequency-weighted;
-    // combination banding covers the full radius by pigeonhole — DedupSpec
-    // asserts equality with brute-force all-pairs). Token hash is the
-    // oracle-portable md5Hash64 (= DuckDB md5_number_upper), so the DuckDB
-    // oracle reproduces the fingerprints bit-for-bit and the driver
-    // hash-checks the exact (id1, id2, distance) output; the xxhash64
-    // default remains the cheaper scale-path hash for non-oracle callers.
-    "dedup_simhash_pairs" -> { (s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          maxDistance = 8, tokenHash = Dedup.md5Hash64)
-        .orderBy("id1", "id2")
-    },
-
-    // Text statistics: token counts, punctuation/digit ratios, mean length.
-    "text_stats" -> { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
-        round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_token_len"))
-        .orderBy("doc_id")
-    },
-
-    // Heuristic language id per document + corpus distribution.
-    "text_langid" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
-    },
-
-    // Quality scoring (composite, two-phase) + English stopword ratio.
-    "text_quality" -> { (s, d) =>
-      TextAnalysis.withQualityScore(Tables.documents(s, d), "text", "quality")
-        .select(col("doc_id"), col("quality"),
-          round(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("stop_en"))
-        .orderBy("doc_id")
-    },
-
-    // Gopher-style repetition metrics (Rae et al. 2021 §A1.1): mass of
-    // the single most frequent 1/2/3-gram per document + the keep gate at
-    // the published thresholds, via the explode + count-aggregation form
-    // (one linear token-level exchange — the per-row HOF form is
-    // interpreted-quadratic per doc and exists only for inline checks).
-    // The oracle recomputes the exact fractions via unnest + max/sum.
-    // Keyword extraction: top-3 terms per document by smoothed TF-IDF
-    // (sklearn form), ties broken by term. df reuses the (doc,term)
-    // aggregate, so the token explode is exchanged once.
-    "tfidf_top_terms" -> { (s, d) =>
-      graft.ops.TermIndex.tfidfTopTerms(Tables.documents(s, d),
-          "text", "doc_id", k = 3)
-        .orderBy("doc_id", "rank")
-    },
-
-    // Inverted-index build: per term, total df + the first 64 posting doc
-    // ids as a comma-joined string. The cap applies BEFORE collect_list
-    // (row_number window), so no agg buffer holds a stop-word's full list.
-    "inverted_index" -> { (s, d) =>
-      graft.ops.TermIndex.invertedIndex(Tables.documents(s, d),
-          "text", "doc_id", minDf = 2L, maxPostings = 64)
-        .orderBy("term")
-    },
-
-    // BM25 retrieval over a 3-term query: "dup" is the rare term (df≈26 of
-    // 500 -> idf≈2.9, dominates), hash/join are near-stopwords (idf≈0.02),
-    // so the ranking exercises the full idf spread. Global top-20 via
-    // orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
-    // single-partition sort of the corpus).
-    "bm25_search" -> { (s, d) =>
-      graft.ops.TermIndex.bm25Search(Tables.documents(s, d),
-          "text", "doc_id", queryTerms = Seq("hash", "join", "dup"),
-          k1 = 1.2, b = 0.75, topK = 20)
-        .orderBy("rank")
-    },
-
-    // CCNet-style LM quality scoring, self-contained: an add-one-smoothed
-    // bigram model trained on the corpus in the same job scores each
-    // document's bits-per-token; high-entropy docs are dropped. The keep
-    // gate reads the ROUNDED bits column so both engines decide from the
-    // identical value. 4.95 bits is corpus-tuned (the sf0.01 distribution
-    // spans 4.73-5.24): like every perplexity gate, the cut point comes
-    // from the corpus percentile you want, not from theory.
-    "lm_perplexity" -> { (s, d) =>
-      graft.ops.LanguageModel.bigramScore(Tables.documents(s, d),
-          "text", "doc_id", maxBits = 4.95)
-        .orderBy("doc_id")
-    },
-
-    "text_repetition" -> { (s, d) =>
-      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "text", "doc_id")
-        .select(col("doc_id"),
-          round(col("top1_frac"), 6).as("top1_frac"),
-          round(col("top2_frac"), 6).as("top2_frac"),
-          round(col("top3_frac"), 6).as("top3_frac"),
-          col("keep"))
-        .orderBy("doc_id")
-    },
-
-    // Document fingerprint, oracle-checkable form: md5 of the normalized
-    // text (DuckDB md5 emits identical lowercase hex). The order-sensitive
-    // rolling xxhash64 fingerprint has no DuckDB twin and stays
-    // ScalaTest-verified (TextAnalysisSpec).
-    "text_fingerprint" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
-        .orderBy("doc_id")
-    },
-
-    // Exact brute-force cosine top-5 for a 10-query batch.
-    "embed_topk_bruteforce" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.topKBruteForce(emb, q, k = 5).orderBy("query_id", "rank")
-    },
-
-    // ANN sign-LSH, driver-checkable via a recall bound (VERDICT r7 #3).
-    // Queries are deterministically perturbed copies of the first 10
-    // corpus vectors (per-coordinate scale 1 + {-3..3}·0.08 keyed on
-    // (vec_id, coordinate); cosine to the source ≈ 0.985) — the near-dup
-    // retrieval task ANN is FOR. This table is isotropic (max pairwise
-    // sim ≈ 0.6 at sf0.1), so a blanket recall≥0.8 against the exact
-    // top-5 of RANDOM queries is unachievable by any sub-linear method —
-    // the honest, standard metric is recall@1 on near-dup queries. The
-    // emitted rows are the EXACT top-5 of the perturbed queries (DuckDB
-    // recomputes them bit-for-bit: double math over float-cast inputs),
-    // plus one global boolean: the banded-LSH path must retrieve the
-    // true nearest neighbour for ≥ 80% of queries. At 6 planes × 4
-    // tables the theory gives per-query retrieval 1−(1−s⁶)⁴ ≈ 0.99 for
-    // s = 1−acos(0.985)/π ≈ 0.945, so the 0.8 floor has real margin
-    // (measured 10/10 at sf0.001/0.01/0.1). The oracle recomputes the
-    // exact side and asserts the bound TRUE — an LSH regression (e.g.
-    // query/corpus bucketing drifting apart) flips it and hash-fails.
-    "embed_topk_lsh" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val q = perturbedQueries(emb)
-      val exact = Similarity.topKBruteForce(emb, q, k = 5)
-      val ann = Similarity.topKLsh(emb, q, k = 5, dim = 64,
-        planes = 6, tables = 4)
-      withRecallOk(exact, ann)
-    },
-
-    // ANN IVF with the same recall@1-on-near-dup-queries bound: a query
-    // ≈ its source vector lands in the source's centroid cell (or an
-    // adjacent one — nProbe=3 covers Voronoi-boundary cases), so the
-    // probed cells contain the true neighbour with high probability
-    // while scanning ~nProbe/k of the corpus. Same oracle contract as
-    // embed_topk_lsh.
-    "embed_topk_ivf" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
-      val q = perturbedQueries(emb)
-      val exact = Similarity.topKBruteForce(emb, q, k = 5)
-      val ann = graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 3)
-      withRecallOk(exact, ann)
-    },
-
-    // The SERVING shape of IVF at 100 TB: the index is not an in-memory
-    // structure but the STORAGE LAYOUT — embeddings written once
-    // partitioned by cell id (with their trained centroids beside them),
-    // so a query's nProbe cells prune to a handful of partition
-    // DIRECTORIES at scan time and the cluster reads only those. The
-    // probed cell-id list is queries×nProbe ids (≤ 30 — a documented
-    // driver-bounded collect, the IVF analog of the k-means centroid
-    // precedent); everything else is the same broadcast-rerank as the
-    // in-memory path, and the same planted-recall oracle applies.
-    "ann_persisted_ivf_index" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val root = stagedIvf.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_ivf")
-          val emb = Tables.embeddings(s, d)
-          val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
-          centroids.coalesce(1).write.parquet(s"$tmp/centroids")
-          graft.ops.Ivf.assignCells(emb, "embedding", centroids, n = 1)
-            .write.partitionBy("cid").parquet(s"$tmp/index")
-          tmp
-        })
-      val emb = Tables.embeddings(s, d)
-      val centroids = s.read.parquet(s"$root/centroids")
-      val q = perturbedQueries(emb)
-      val queryCells = graft.ops.Ivf.assignCells(q, "query_vec",
-        centroids, n = 3)
-      val needed = queryCells.select("cid").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val scanned = s.read.parquet(s"$root/index")
-        .filter(col("cid").isin(needed.map(Int.box): _*))
-      val ann = scanned.join(broadcast(queryCells), "cid")
-        .withColumn("sim", Similarity.cosine(col("embedding"), col("query_vec")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("vec_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("sim"), 6).as("sim"))
-      val exact = Similarity.topKBruteForce(emb, q, k = 5)
-      withRecallOk(exact, ann)
-    },
-
-    // Exact-degenerate ANN configs: same code paths as the approximate
-    // variants above, but parameterized so recall is provably 1 — LSH with
-    // 0 planes = one bucket = full scan; IVF probing all k cells = full
-    // scan. Both therefore share the brute-force oracle, giving the driver
-    // a hash-checkable row through the ANN machinery (the approximate
-    // configs stay as the bench/spec entries).
-    "embed_topk_lsh_exact" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.topKLsh(emb, q, k = 5, dim = 64, planes = 0)
-        .orderBy("query_id", "rank")
-    },
-
-    "embed_topk_ivf_exact" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      graft.ops.Ivf.topK(emb, q, centroids, k = 5, nProbe = 16)
-        .orderBy("query_id", "rank")
-    },
-
-    // Embedding near-duplicate pairs via banded multi-table sign-LSH,
-    // driver-checkable via a pair-recall bound (VERDICT r7 #3). The raw
-    // table has NO true near-dups (max pairwise sim ≈ 0.6), so the query
-    // augments it with 20 deterministic planted near-dups — perturbed
-    // copies of the first 20 vectors at id+1_000_000, sim ≈ 0.985 to
-    // their source, reproduced exactly by the DuckDB oracle. Emitted: the
-    // exact pair/target counts on the augmented corpus (oracled exactly)
-    // plus two booleans the oracle asserts TRUE:
-    //  - recall_ok: the LSH pass finds ≥ 80% of TARGET pairs (sim ≥
-    //    0.92, the 8-planes×4-tables banding design point: per-pair
-    //    collision 1−(1−s⁸)⁴ ≥ 0.8 exactly when s ≥ 0.871 ⇔ sim ≥
-    //    0.919). Asserting recall over ALL pairs ≥ threshold 0.3 would
-    //    be dishonest: a sim-0.3 pair collides with probability ~0.06
-    //    by design — banding prunes the quadratic join BECAUSE it drops
-    //    low-sim pairs.
-    //  - subset_ok: every LSH pair is an exact pair (the candidate
-    //    filter re-checks true cosine, so LSH can narrow but never
-    //    invent a pair).
-    //
-    // Config note (why 8 planes here when Similarity.scala's scaladoc
-    // prescribes 16×4 at corpus scale): plane count must track corpus
-    // size. 2^planes buckets per table only prune if vectors share
-    // buckets — at this table's 500–2 000 vectors, 16 planes = 65 536
-    // buckets makes nearly every bucket a singleton, the candidate set
-    // collapses toward empty, and the demo measures nothing. 8 planes
-    // (256 buckets/table, ~2–8 vectors each) exercises the real
-    // candidate-join machinery at test SF while staying the SAME code
-    // path a 100 TB caller runs at 16×4.
-    //
-    // The exact all-pairs referee exists FOR the oracle — which also
-    // makes this query O(n²) BY CONSTRUCTION and therefore tier =
-    // diagnostic in Bench.scala (VERDICT r10 #3: the 35.8× growth at 10×
-    // was the referee's quadratic arm, tagged production — the tag and
-    // the SCALE analysis now agree). The production-scale form is
-    // embed_neardup_lsh_scaled below: LSH arm only, planes ∝ log₂ n,
-    // recall monitored on planted canaries exactly like the 20 here.
-    "embed_neardup_lsh" -> { (s, d) =>
-      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // perturb BEFORE renaming: in a single select the lateral-alias
-      // rule would resolve the perturbation's vec_id to the +1000000
-      // alias, silently keying the factors off the wrong id (observed —
-      // every coordinate diverged from the oracle's).
-      val planted = base.filter(col("vec_id") < 20)
-        .select(col("vec_id"),
-          perturb(col("vec_id"), col("embedding")).as("embedding"))
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = base.unionAll(planted)
-      val exact = Similarity.cosineNearDupPairs(corpus, dim = 64,
-        threshold = 0.3, planes = 0)
-      val lsh = Similarity.cosineNearDupPairs(corpus, dim = 64,
-        threshold = 0.3, planes = 8, tables = 4)
-      exact.join(lsh.select(col("id1"), col("id2"), lit(1).as("in_lsh")),
-          Seq("id1", "id2"), "full_outer")
-        .agg(
-          count(col("sim")).as("n_exact"),
-          count(when(col("sim") >= 0.92, 1)).as("n_target"),
-          (count(when(col("sim") >= 0.92 && col("in_lsh").isNotNull, 1))
-            .cast("double") >=
-            count(when(col("sim") >= 0.92, 1)).cast("double") * 0.8)
-            .as("recall_ok"),
-          (count(when(col("sim").isNull, 1)) === 0).as("subset_ok"))
-    },
-
-    // The production-tier LSH near-dup pass (VERDICT r10 #3): the LSH
-    // arm ALONE — no all-pairs referee — with plane count scaled to the
-    // corpus so bucket occupancy stays constant: planes = clamp(8..16,
-    // ceil(log₂(n/4))) ⇒ expected candidate mass ~4n per table, LINEAR
-    // in n where the fixed-8-plane config grew ~n²/2⁸. Tables rise 4→6
-    // past 12 planes so per-pair recall at the planted sim (≈0.985,
-    // per-plane agreement s≈0.945) stays ≥0.95: 1−(1−s^p)^T. Recall is
-    // monitored on the 20 planted canaries — known ids (i, i+10⁶), so
-    // the truth set is a 20-row equality join (linear, oracle-exact)
-    // instead of the n² referee; the candidate filter re-checks true
-    // cosine, so found pairs are exact by construction. The one count()
-    // sizing the planes is a scalar driver read (watermark precedent).
-    "embed_neardup_lsh_scaled" -> { (s, d) =>
-      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val planted = base.filter(col("vec_id") < 20)
-        .select(col("vec_id"),
-          perturb(col("vec_id"), col("embedding")).as("embedding"))
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = base.unionAll(planted)
-      val n = corpus.count()
-      val planes = math.max(8, math.min(16,
-        math.ceil(math.log(math.max(2.0, n / 4.0)) / math.log(2.0)).toInt))
-      val tables = if (planes <= 12) 4 else 6
-      val lsh = Similarity.cosineNearDupPairs(corpus, dim = 64,
-        threshold = 0.92, planes = planes, tables = tables)
-      val truth = base.filter(col("vec_id") < 20)
-        .join(planted.select((col("vec_id") - 1000000L).as("vec_id"),
-          col("embedding").as("pv")), "vec_id")
-        .withColumn("sim", Similarity.cosine(col("embedding"), col("pv")))
-        .filter(col("sim") >= 0.92)
-        .select(col("vec_id").as("id1"),
-          (col("vec_id") + 1000000L).as("id2"))
-      truth.join(lsh.select(col("id1"), col("id2"), lit(1).as("hit")),
-          Seq("id1", "id2"), "left_outer")
-        .agg(count(lit(1)).as("n_target"),
-          (sum(coalesce(col("hit"), lit(0))).cast("double") >=
-            count(lit(1)).cast("double") * 0.8).as("recall_ok"))
-    },
-
-    // Exact-degenerate config of the same code path (0 planes = one
-    // bucket = all pairs), hash-checkable against the all-pairs oracle.
-    "embed_neardup_exact" -> { (s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
-          threshold = 0.3, planes = 0)
-        .orderBy("id1", "id2")
-    },
-
-    // SemDeDup (Abbas et al. 2023): assign every vector to its nearest of
-    // 8 seed centroids (in-row argmax, zero shuffle), then inside each
-    // cell drop vectors with a lower-id cosine-near duplicate. The raw
-    // table has no near-dups at eps=0.9 (max pairwise ~0.6), so the same
-    // 20 planted perturbed copies as embed_neardup_lsh provide the
-    // prunable structure; the oracle recomputes assignment and pruning
-    // from the literal vectors, so a planted copy landing in a different
-    // Voronoi cell (and surviving) is reproduced identically.
-    "semdedup_survivors" -> { (s, d) =>
-      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val planted = base.filter(col("vec_id") < 20)
-        .select(col("vec_id"),
-          perturb(col("vec_id"), col("embedding")).as("embedding"))
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      graft.ops.SemDedup.survivors(base.unionAll(planted), k = 8, eps = 0.9)
-        .orderBy("vec_id")
-    },
-
-    // End-to-end retrieval (the RAG read path): perturbed queries →
-    // exact cosine top-3 over the embedding corpus → fetch the matched
-    // documents' text by the shared id. The ANN arm is the established
-    // exact scorer (broadcast queries, partial top-k); the fetch is one
-    // equality join against the documents table — at scale the id join
-    // is the point: candidates travel as ids, text is fetched once for
-    // k·|queries| rows, never for the corpus.
-    "rag_retrieve_docs" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val hits = Similarity.topKBruteForce(emb, perturbedQueries(emb), k = 3)
-      hits.join(Tables.documents(s, d),
-          hits("vec_id") === col("doc_id"))
-        .select(col("query_id"), col("rank"), col("doc_id"), col("lang"),
-          substring(col("text"), 1, 40).as("snippet"), col("sim"))
-        .orderBy("query_id", "rank")
-    },
-
-    // One Lloyd step of k-means, driver-checked: assign every vector to
-    // its nearest seed centroid (in-row codegen argmax — zero exchanges),
-    // then recompute per-cell per-dimension means. This is exactly the
-    // update [[Ivf.trainCentroids]] iterates; the only shuffles are the
-    // (cid, pos) partial aggregate and the final order-by.
-    "kmeans_update_centroids" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      graft.ops.Ivf.assignCells(emb, "embedding", cents, n = 1)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("v").cast("double")), 6).as("mean"))
-        .orderBy("cid", "pos")
-    },
-
-    // kNN-graph construction (diversity sampling / density estimation
-    // substrate): every vector's top-3 cosine neighbours within its
-    // Voronoi cell — zero-shuffle cell assignment over the 8 seed
-    // centroids, equality join on cid, per-source WindowGroupLimit rank.
-    // nProbe=1 keeps the result exactly reproducible by the oracle; the
-    // cross-boundary nProbe>1 recall gain is spec-asserted instead.
-    "embed_knn_graph" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      graft.ops.KnnGraph.inCells(emb, cents, k = 3)
-        .orderBy("src", "rank")
-    },
-
-    // The persisted kNN-graph substrate's correctness proof (VERDICT r9
-    // #1): the k=3 slice SERVED from the build-once cell-partitioned
-    // layout (rank pushed to the parquet scan) must hash-equal the
-    // freshly-built graph — it shares embed_knn_graph's exact DuckDB
-    // oracle, so persisted ≡ fresh ≡ oracle in one row. Every other
-    // graph-family query reads this same layout via knnEdges.
-    "knn_graph_persisted" -> { (s, d) =>
-      knnEdges(s, d, 3).orderBy("src", "rank")
-    },
-
-    // Multimodal plumbing, driver-checkable: a deterministic 1000-row media
-    // fixture (id-derived dimensions, every 13th row corrupt) flows through
-    // the REAL binary-column pipeline — Dataset[MediaFile] → per-partition
-    // decode (stubbed codec, real batching) → resize metadata math. The
-    // oracle reproduces the arithmetic from range(1000) in DuckDB; only
-    // integral outputs are kept (the float scale stays internal).
-    "multimodal_decode_resize" -> { (s, d) =>
-      import s.implicits._
-      val media = (0L until 1000L).map { id =>
-        val corrupt = id % 13 == 0
-        val w = 16 + (id * 37 % 4096).toInt
-        val h = 16 + (id * 53 % 2160).toInt
-        val c = 1 + (id % 4).toInt
-        val content =
-          if (corrupt) Array[Byte](1, 2, 3)
-          else graft.ops.Multimodal.fakeHeader(w, h, c) ++
-            Array.fill((id % 97).toInt)(0x5A.toByte)
-        graft.ops.Multimodal.MediaFile(id, "image", content, Map.empty)
-      }.toDS().repartition(8)
-      graft.ops.Multimodal.resizeMeta(
-          graft.ops.Multimodal.decodeStub(media), maxSide = 512)
-        .select(col("media_id"), col("format"), col("width"), col("height"),
-          col("channels"), col("n_bytes"), col("valid"),
-          col("out_width"), col("out_height"))
-        .orderBy("media_id")
-    },
-
-    // Video frame sampling: metadata-driven explode, every 5th frame.
-    "multimodal_frame_sample" -> { (s, d) =>
-      import s.implicits._
-      val videos = (0L until 500L).map { id =>
-        graft.ops.Multimodal.MediaFile(id, "video", Array.emptyByteArray,
-          Map("n_frames" -> ((id * 7) % 240).toString))
-      }.toDS().repartition(8)
-      graft.ops.Multimodal.frameSample(videos.toDF(), everyN = 5)
-        .orderBy("media_id", "frame_idx")
-    },
-
-    // Audio segmentation: a deterministic 400-row audio fixture (id-derived
-    // sample rate / duration, every 11th row corrupt) through the real
-    // binary pipeline — fake-header parse per partition, then fixed
-    // 10-second segment explode in exact sample arithmetic.
-    "multimodal_audio_segments" -> { (s, d) =>
-      import s.implicits._
-      val media = (0L until 400L).map { id =>
-        val corrupt = id % 11 == 0
-        val rate = Seq(8000, 16000, 44100, 48000)((id % 4).toInt)
-        val nSamples = id * 31 % 700000
-        val content =
-          if (corrupt) Array[Byte](9, 9)
-          else graft.ops.Multimodal.fakeAudioHeader(rate, nSamples, 2)
-        graft.ops.Multimodal.MediaFile(id, "audio", content, Map.empty)
-      }.toDS().repartition(8)
-      graft.ops.Multimodal.audioSegments(
-          graft.ops.Multimodal.audioMetaStub(media).toDF(), segmentSeconds = 10)
-        .orderBy("media_id", "seg_idx")
-    },
-
-    // Z-order (Morton) clustering key over two normalized dimensions —
-    // the multi-column file-skipping layout; exact bit interleaving in
-    // both engines. zorderBy itself is plan-shape-tested in ZOrderSpec.
-    "zorder_events" -> { (s, d) =>
-      val u = graft.ops.ZOrder.normalizeMod(col("user_id"), 16)
-      val v = graft.ops.ZOrder.normalizeMod(
-        floor(col("value") * 100).cast("long"), 16)
-      Tables.events(s, d)
-        .select(col("event_id"), graft.ops.ZOrder.zValue(Seq(u, v), 16).as("zval"))
-        .orderBy("event_id")
-    },
-
-    // Symmetric per-vector int8 quantization (max-abs scale) — the 4×
-    // shrink before writing an ANN corpus; map-only, zero shuffle. The
-    // oracle checks every lane through exact integer checksums.
-    "embed_quantize_int8" -> { (s, d) =>
-      val q = graft.ops.Quantize.int8Lanes(col("embedding"))
-      Tables.embeddings(s, d).select(col("vec_id"),
-        round(graft.ops.Quantize.maxAbs(col("embedding")), 6).as("scale"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"))
-        .orderBy("vec_id")
-    },
-
-    // Deterministic stratified sampling: per-language keep-rates via keyed
-    // multiplicative hashing — no RNG, no shuffle, retry-stable; the
-    // oracle reruns the identical integer arithmetic.
-    "sample_stratified" -> { (s, d) =>
-      graft.ops.Sampling.stratifiedSample(Tables.documents(s, d), "doc_id",
-          "lang", Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    },
-
-    // Length-weighted importance sampling: keep probability
-    // min(1, n_chars·2000/10⁶) — long documents always survive, short
-    // ones proportionally. Same keyed hash, all-integer cutoff, zero
-    // shuffle; the scheme any per-row weight (quality tier, source
-    // priority) plugs into.
-    "sample_weighted" -> { (s, d) =>
-      graft.ops.Sampling.weightedSample(Tables.documents(s, d), "doc_id",
-          col("n_chars"), perMillionPerUnit = 2000L)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-
-    // Temperature mixing (α=0.5): per-language keep-rates derived from
-    // the exact language counts (share ∝ n^0.5, scaled so no group
-    // up-samples — languages are the skewed axis here: en is 3.4× fr, so
-    // en keeps ~54% while fr keeps all), then the deterministic keyed-hash
-    // filter. The oracle rebuilds the cutoffs from the same counts and
-    // reruns the integer hash verbatim.
-    "mix_temperature_sample" -> { (s, d) =>
-      graft.ops.Sampling.temperatureMix(Tables.documents(s, d),
-          "doc_id", "lang", alpha = 0.5)
-        .select(col("doc_id"), col("source"), col("lang"))
-        .orderBy("doc_id")
-    },
-
-    // Train/val/test split: disjoint + exhaustive by hash-bucket ranges.
-    "sample_split" -> { (s, d) =>
-      graft.ops.Sampling.splitByHash(Tables.documents(s, d), "doc_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")
-    },
-
-    // Cross-split contamination MATRIX — the pairwise companion to the
-    // train-side decontaminate gate: for each split pair, how many
-    // distinct 8-gram TYPES they share (the leakage the split hash
-    // cannot prevent when near-identical docs land in different
-    // splits). Grams collapse to distinct (split, gram) rows first —
-    // gram-type-sized, never corpus-sized — then one self-join on the
-    // gram key counts each unordered pair. String grams keep the DuckDB
-    // oracle byte-exact; per-split totals ride along so shared counts
-    // read as rates.
-    "split_contamination_matrix" -> { (s, d) =>
-      val g = graft.ops.Sampling.splitByHash(Tables.documents(s, d),
-          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .repartition(col("doc_id"))
-        .select(col("split"),
-          explode(Dedup.shingles(col("text"), 8)).as("g"))
-        .distinct()
-      val tot = g.groupBy("split").agg(count(lit(1)).as("n_grams"))
-      g.as("a").join(g.as("b"),
-          col("a.g") === col("b.g") && col("a.split") < col("b.split"))
-        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
-        .agg(count(lit(1)).as("n_shared_grams"))
-        .join(tot.select(col("split").as("split_a"),
-          col("n_grams").as("n_grams_a")), "split_a")
-        .join(tot.select(col("split").as("split_b"),
-          col("n_grams").as("n_grams_b")), "split_b")
-        .select(col("split_a"), col("split_b"), col("n_shared_grams"),
-          col("n_grams_a"), col("n_grams_b"))
-        .orderBy("split_a", "split_b")
-    },
-
-    // Near-dup cluster SIZE distribution — the corpus-health histogram a
-    // dedup report leads with (how much mass sits in big duplicate
-    // families): minhash-banded exact pairs → connected components →
-    // per-component sizes → count-of-counts, plus the singleton row
-    // (docs in no pair) closing the total back to the corpus count.
-    "dedup_cluster_size_histogram" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      val comp = graft.ops.Components.connectedComponents(pairs)
-      val hist = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-      val verts = comp.agg(count(lit(1)).as("nv"))
-      val singles = docs.agg(count(lit(1)).as("nd"))
-        .crossJoin(broadcast(verts))
-        .select(lit(1L).as("cluster_size"),
-          (col("nd") - col("nv")).as("n_clusters"))
-      hist.unionByName(singles)
-        .groupBy("cluster_size")
-        .agg(sum(col("n_clusters")).as("n_clusters"))
-        .orderBy("cluster_size")
-    },
-
-    // Matryoshka-prefix retrieval audit (Kusupati et al. 2022): how much
-    // of the exact full-dimension top-10 survives when ranking by only
-    // the FIRST 16 of 64 dimensions — the truncation a matryoshka-
-    // trained index exploits for cheap first-stage retrieval. Both arms
-    // are exact brute force over the same broadcast query set (one
-    // corpus scan computes both cosines); the emitted overlap@10 per
-    // query is the measured truncation cost.
-    "matryoshka_prefix_overlap" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val qs = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val scored = emb.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("qv")).as("cf"),
-          Similarity.cosine(slice(col("embedding"), 1, 16),
-            slice(col("qv"), 1, 16)).as("cp"))
-        .cache() // both rankings read the same scored frame
-      def top10(c: Column) = scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(c.desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
-        .select("query_id", "vec_id")
-      top10(col("cf")).join(top10(col("cp")), Seq("query_id", "vec_id"),
-          "left_semi")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("overlap_at_10"))
-        .orderBy("query_id")
-    },
-
-    // LLM sequence packing: documents accumulate in id order into packs of
-    // ~2048 tokens (pack-then-chunk preprocessing); two-level prefix sum,
-    // no global window. Oracle = the same cumulative sum as a SQL window.
-    "pack_sequences" -> { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      graft.ops.Packing.packSequences(docs, "n_tokens", "doc_id",
-          maxTokens = 2048L)
-        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
-        .orderBy("doc_id")
-    },
-
-    // Gap filling: per event_type, the dense 5-minute close series between
-    // first and last observation — missing buckets synthesized via
-    // sequence+explode and forward-filled with the running last non-null.
-    "resample_fill_forward" -> { (s, d) =>
-      val base = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          graft.ops.Resample.bucket(col("ts"), "5 minutes",
-            closedRight = false).as("bts"))
-        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
-      graft.ops.Resample.fillForward(base, Seq("event_type"), "bts",
-          "5 MINUTES", Seq("close"))
-        .select(col("event_type"), tsStr(col("bts")).as("ts"),
-          col("close"), col("is_filled"))
-        .orderBy("event_type", "ts")
-    },
-
-    // Columnar array analytics: per-dimension mean/extremes across the
-    // embedding corpus — posexplode + groupBy(dim), one shuffle of
-    // (dim, partial agg), never the vectors themselves.
-    "embed_dim_stats" -> { (s, d) =>
-      Tables.embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("dim")
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("v").cast("double")), 6).as("mean"),
-          round(min(col("v").cast("double")), 6).as("lo"),
-          round(max(col("v").cast("double")), 6).as("hi"))
-        .orderBy("dim")
-    },
-
-    // Correlated scalar subqueries — exercises Catalyst's decorrelation
-    // (rewrite to aggregate + join). The above-nation-average predicate is
-    // kept exact by comparing acctbal·count > sum instead of dividing:
-    // decimal multiply/compare is order-insensitive where a double average
-    // is not, so both engines agree at the boundary.
-    "subquery_above_avg_balance" -> { (s, d) =>
-      Tables.customer(s, d).createOrReplaceTempView("customer_v")
-      s.sql("""
-        SELECT c_custkey, c_name FROM customer_v c
-        WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
-              (SELECT COUNT(*) FROM customer_v x
-               WHERE x.c_nationkey = c.c_nationkey)
-            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer_v x
-               WHERE x.c_nationkey = c.c_nationkey)
-        ORDER BY c_custkey""")
-    },
-
-    // TPC-H Q5 shape: 6-table star-within-star — the fact joins orders
-    // (fact-fact shuffle) while customer/supplier/nation/region broadcast;
-    // the same-nation predicate makes supplier a second dim arm, not a
-    // second fact. Decimal revenue for exact cross-engine parity.
-    "tpch_q5_region_revenue" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-      val c = Tables.customer(s, d)
-      val sup = Tables.supplier(s, d)
-      val n = Tables.nation(s, d)
-      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(c),
-          o("o_custkey") === c("c_custkey") &&
-            c("c_nationkey") === sup("s_nationkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue"))
-        .orderBy(desc("revenue"), col("n_name"))
-    },
-
-    // CUBE over orders: all 2^2 grouping sets in one pass (the grouping-
-    // sets expansion happens below the partial aggregate, so it's still a
-    // single shuffle); grouping_id disambiguates NULL-as-rollup from
-    // NULL-as-data.
-    "cube_orders" -> { (s, d) =>
-      Tables.orders(s, d)
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"),
-          grouping_id().as("gid"))
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
-    },
-
-    // Skew toolkit, driver-checkable: a salted two-phase aggregation is
-    // algebraically identical to the plain groupBy (decimal sums make the
-    // equality exact, not merely approximate — double addition is order-
-    // sensitive and the salt reorders it), so the plain SQL is its oracle.
-    "skew_twophase_agg" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-        col("l_orderkey"), col("l_quantity").cast("decimal(12,2)").as("q"))
-      graft.ops.Skew.twoPhaseAgg(li, Seq(col("l_returnflag")),
-          col("l_orderkey"), n = 8, fn = "sum", cols = Seq("q" -> "sum_qty"))
-        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
-        .orderBy("l_returnflag")
-    },
-
-    // Salted replicate join ≡ the plain equality join, row for row.
-    "skew_salted_join" -> { (s, d) =>
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("nkey"))
-      val nat = Tables.nation(s, d)
-        .select(col("n_nationkey").as("nkey"), col("n_name"))
-      graft.ops.Skew.saltedJoin(cust, nat, "nkey", col("c_custkey"), n = 4)
-        .select(col("c_custkey"), col("n_name"))
-        .orderBy("c_custkey")
-    },
-
-    // Window analytics over the event stream: lag/lead neighbours, a
-    // 10-row moving average (exact decimal sum / count), and the rank
-    // family over a deterministic (value, id) ordering.
-    "window_analytics" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val wt = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val mwin = wt.rowsBetween(-9, 0)
-      val wv = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      Tables.events(s, d).select(
-          col("event_id"), col("event_type"), tsStr(col("ts")).as("ts"),
-          lag(col("value"), 1).over(wt).as("prev_value"),
-          lead(col("value"), 1).over(wt).as("next_value"),
-          (sum(col("value").cast("decimal(10,2)")).over(mwin).cast("double") /
-            count(lit(1)).over(mwin)).as("moving_avg"),
-          rank().over(wv).as("value_rank"),
-          ntile(4).over(wv).as("quartile"),
-          cume_dist().over(wv).as("cdist"))
-        .orderBy("event_id")
-    },
-
-    // Approximate percentile sketch, made oracle-checkable via its error
-    // bound: approx_percentile(accuracy=1000) guarantees the returned
-    // element's RANK is within the Greenwald-Khanna error of the target
-    // rank q·n. The sketch works in INTEGER ranks, so the usable bound is
-    // ⌈eps·n⌉ (+1 for the target's own ceil-rounding), not the real-valued
-    // eps·n — measured: deviation exactly 2 at n=1982 where eps·n=1.982.
-    // The query verifies the guarantee against the data itself — the
-    // returned value's feasible rank interval [count(<v)+1, count(<=v)]
-    // must intersect [q·n − slack, q·n + slack] — and emits the boolean;
-    // the oracle computes the same exact counts and asserts TRUE, so a
-    // sketch drifting out of spec hash-mismatches. (The approx VALUES stay
-    // engine-specific and are not emitted.)
-    "approx_quantiles" -> { (s, d) =>
-      val eps = 1.0 / 1000
-      val ap = Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("ap50"),
-          approx_percentile(col("value"), lit(0.9), lit(1000)).as("ap90"))
-      def okAt(q: Double, v: Column) = {
-        // count(value), not count(*): approx_percentile ignores NULLs, so
-        // the rank target q·n must be computed over the non-null
-        // population (the lt/le sums already are — a NULL comparison falls
-        // to the otherwise-0 branch). With count(*) a null-bearing column
-        // would shift the target and falsely flip the bound booleans.
-        val n = count(col("value"))
-        val slack = ceil(n * eps) + 1
-        val lt = sum(when(col("value") < v, 1L).otherwise(0L))
-        val le = sum(when(col("value") <= v, 1L).otherwise(0L))
-        (lt + 1 <= lit(q) * n + slack) && (le >= lit(q) * n - slack)
-      }
-      Tables.events(s, d).join(broadcast(ap), "event_type")
-        .groupBy(col("event_type"))
-        .agg(count(col("value")).as("n"),
-          okAt(0.5, col("ap50")).as("ok_p50"),
-          okAt(0.9, col("ap90")).as("ok_p90"))
-        .orderBy("event_type")
-    },
-
-    // TPC-H Q3 shape: selective join + grouped revenue + top-10.
-    "tpch_q3_shipping" -> { (s, d) =>
-      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") < lit("2000-03-15 00:00:00").cast("timestamp"))
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") > lit("2000-03-15 00:00:00").cast("timestamp"))
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue"))
-        .select(col("l_orderkey"), tsStr(col("o_orderdate")).as("o_orderdate"),
-          col("o_orderpriority"), col("revenue"))
-        .orderBy(desc("revenue"), col("l_orderkey"))
-        .limit(10)
-    },
-
-    // Left-semi join (EXISTS): customers that placed at least one urgent order.
-    "semi_join_exists" -> { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d)
-            .filter(col("o_orderpriority") === "1-URGENT")
-            .select(col("o_custkey").as("c_custkey")),
-          Seq("c_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .orderBy("c_custkey")
-    },
-
-    // Bloom-pruned semi join: identical result to the plain EXISTS (the
-    // bloom admits only false positives; the exact join removes them) —
-    // the probe side is filtered by might_contain BEFORE its shuffle.
-    "bloom_semi_join" -> { (s, d) =>
-      graft.ops.BloomJoin.semiJoin(
-          Tables.lineitem(s, d),
-          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
-          "l_orderkey", "o_orderkey",
-          expectedItems = 65536L, numBits = 1L << 20)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
-            .as("sum_qty"))
-        .orderBy("l_returnflag")
-    },
-
-    // Per-group feature normalization (z-score of value within
-    // event_type). Mean and variance derive from EXACT decimal sums —
-    // value has 2 decimals, value² has 4 — then one identical double
-    // computation per engine, so the hash compare holds at any SF.
-    "zscore_by_type" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val stats = ev.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(14,2)")).cast("double").as("s1"),
-        sum((col("value") * col("value")).cast("decimal(20,4)"))
-          .cast("double").as("s2"))
-      val withStats = ev.join(broadcast(stats), "event_type")
-        .withColumn("mean", col("s1") / col("n"))
-        .withColumn("variance",
-          col("s2") / col("n") - col("mean") * col("mean"))
-      withStats.select(col("event_id"), col("event_type"),
-          round((col("value") - col("mean")) / sqrt(col("variance")), 6)
-            .as("zscore"))
-        .orderBy("event_id")
-    },
-
-    // Vocabulary building: top tokens by corpus frequency with dense
-    // ranks — the explode + count + rank shape a tokenizer-training
-    // pipeline runs at corpus scale (partial top-k applies to the rank
-    // window, see PlanSpec).
-    "vocab_top_tokens" -> { (s, d) =>
-      Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
-        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("freq"), col("token"))))
-        .filter(col("rank") <= 100)
-        .select("rank", "token", "freq")
-        .orderBy("rank")
-    },
-
-    // HAVING: post-aggregation filter on grouped lineitems.
-    "having_filter" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"),
-          count(lit(1)).as("n_lines"))
-        .filter(col("total_qty") > 150.0)
-        .orderBy("l_orderkey")
-    },
-
-    // Exact interpolated percentiles per group (median + p90).
-    "quantile_values" -> { (s, d) =>
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")
-    },
-
-    // Pivot: event counts per user bucketed by event_type as columns.
-    "pivot_event_counts" -> { (s, d) =>
-      Tables.events(s, d)
-        .withColumn("ub", (col("user_id") / 10).cast("long"))
-        .groupBy(col("ub"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("ub")
-    },
-
-    // Exact distinct aggregation per group.
-    "events_distinct_users" -> { (s, d) =>
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")
-    },
-
-    // Cumulative distinct users per day — the running-distinct problem
-    // without a windowed DISTINCT: each user collapses to their first-seen
-    // day (one shuffle), then a running sum over the tiny per-day frame.
-    "cumulative_new_users" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val firstSeen = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(min(to_date(col("ts"))).as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
-      firstSeen
-        .withColumn("cum_users",
-          sum(col("new_users")).over(
-            Window.orderBy(col("day"))
-              .rowsBetween(Window.unboundedPreceding, 0)))
-        .select(col("day").cast("string").as("day"),
-          col("new_users"), col("cum_users"))
-        .orderBy("day")
-    },
-
-    // Set operations beyond union: EXCEPT (clickers who never purchased)
-    // and INTERSECT (clickers who also hit an error) — Catalyst plans both
-    // as aggregated anti/semi joins on the hashed key.
-    "events_except_intersect" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      def users(t: String) =
-        ev.filter(col("event_type") === t).select(col("user_id"))
-      users("click").except(users("purchase"))
-        .withColumn("relation", lit("click_minus_purchase"))
-        .unionByName(users("click").intersect(users("error"))
-          .withColumn("relation", lit("click_and_error")))
-        .orderBy("relation", "user_id")
-    },
-
-    // FULL OUTER join: per-nation counts of high-balance customers vs
-    // suppliers — either side may be absent, coalesced to zero.
-    "join_full_outer" -> { (s, d) =>
-      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
-        .groupBy(col("c_nationkey").as("nationkey"))
-        .agg(count(lit(1)).as("n_cust"))
-      val supp = Tables.supplier(s, d).filter(col("s_acctbal") > 7000)
-        .groupBy(col("s_nationkey").as("nationkey"))
-        .agg(count(lit(1)).as("n_supp"))
-      cust.join(supp, Seq("nationkey"), "full_outer")
-        .select(col("nationkey"),
-          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
-          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-        .orderBy("nationkey")
-    },
-
-    // HLL++ approximate distinct, made oracle-checkable via its error
-    // bound: approx_count_distinct runs at rsd = 0.05 (the default), so
-    // the estimate sits within 3·rsd = 15% of the exact count with
-    // overwhelming probability — and deterministically for a fixed
-    // dataset, which is what the driver re-checks. The exact count (a
-    // second aggregation the oracle reproduces) and the bound boolean are
-    // emitted; the HLL estimate itself stays engine-specific.
-    "events_hll_users" -> { (s, d) =>
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          approx_count_distinct(col("user_id"), 0.05).as("__approx"))
-        .select(col("event_type"), col("n_users"),
-          (abs(col("__approx") - col("n_users")) <=
-            lit(0.15) * col("n_users")).as("within_3rsd"))
-        .orderBy("event_type")
-    },
-
-    // HLL sketch SHARD-MERGE audit with Spark's native Datasketches
-    // aggregates (the codegen'd built-in, not a reimplementation): each
-    // of 4 hash-shards builds its own hll_sketch_agg partial, the
-    // partials union via hll_union_agg, and BOTH the direct and the
-    // merged estimates must stay inside the lgK=12 accuracy spec — the
-    // property that lets a 1000-executor distinct-count run as map-side
-    // partials + one tiny reduce, with per-day sketches re-aggregating
-    // to any window without rescanning. Estimate EQUALITY is
-    // deliberately not asserted: unlike the bottom-k/KMV family (whose
-    // merge is a set identity, kmv_sketch_mergeability), Datasketches
-    // HLL promotes sparse→dense differently on the one-shot and union
-    // paths at mid cardinalities, so merged ≡ direct holds only for
-    // register-dense sketches. The estimates are implementation
-    // constants (no RNG), but only exact counts and booleans are
-    // oracle-portable — DuckDB's HLL is a different implementation.
-    "hll_sketch_merge_audit" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("user_id"),
-          pmod(col("event_id"), lit(4L)).as("shard"))
-      val shardSk = ev.groupBy("event_type", "shard")
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
-      val merged = shardSk.groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-          .as("est_merged"))
-      val direct = ev.groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
-          .as("est_direct"),
-          countDistinct(col("user_id")).as("n_exact"))
-      direct.join(merged, "event_type")
-        .select(col("event_type"), col("n_exact"),
-          (abs(col("est_direct") - col("n_exact")) * 50
-            <= col("n_exact")).as("direct_within_2pct"),
-          (abs(col("est_merged") - col("n_exact")) * 50
-            <= col("n_exact")).as("merged_within_2pct"))
-        .orderBy("event_type")
-    },
-
-    // Item-item co-occurrence similarity ("users who did A also did B") —
-    // the collaborative-filtering building block. Scale shape: the corpus
-    // collapses to DISTINCT (type, user) once (≤ |users|·|types| rows, one
-    // exchange), the self-join is keyed on user_id so each user emits at
-    // most |types|² pairs, and those partial-aggregate map-side down to a
-    // |types|²-row result before any shuffle; the per-type marginals are
-    // tiny and broadcast. Jaccard = co/(|A|+|B|−co) is a quotient of exact
-    // integers, so the rounded double is bit-identical in any engine.
-    "item_similarity_jaccard" -> { (s, d) =>
-      val ut = Tables.events(s, d)
-        .select(col("event_type"), col("user_id")).distinct()
-      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val co = ut.select(col("user_id"), col("event_type").as("type_a"))
-        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
-          "user_id")
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b").agg(count(lit(1)).as("co_users"))
-      co.join(broadcast(sizes.select(col("event_type").as("type_a"),
-          col("n").as("a_users"))), "type_a")
-        .join(broadcast(sizes.select(col("event_type").as("type_b"),
-          col("n").as("b_users"))), "type_b")
-        .select(col("type_a"), col("type_b"), col("co_users"),
-          col("a_users"), col("b_users"),
-          round(col("co_users").cast("double") /
-            (col("a_users") + col("b_users") - col("co_users")), 6)
-            .as("jaccard"))
-        .orderBy("type_a", "type_b")
-    },
-
-    // Deterministic shard manifest — the write-side contract of a training
-    // corpus release: every document routes to shard md5(id) mod 16 (the
-    // oracle-portable hash; mod a power of two, where signed pmod ≡
-    // unsigned %), and the manifest rows carry counts, byte totals and id
-    // checksums a downstream loader re-verifies per shard. One map-side-
-    // combined aggregate; at 100 TB the same expression feeds
-    // repartition(shard) so each shard writes from its own task group.
-    "shard_manifest" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("shard",
-          pmod(Dedup.md5Hash64(col("doc_id").cast("string")), lit(16L))
-            .cast("int"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          sum(col("doc_id")).as("id_checksum"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("shard")
-    },
-
-    // Mergeable corpus-integrity checksum — the read-side twin of
-    // shard_manifest for validating a corpus copy/migration by CONTENT,
-    // not just ids: 8 per-shard rows, the xor-MERGE of those rows
-    // (shard = -1), and an independent direct global scan (shard = -2).
-    // XOR is the aggregate — commutative, associative, self-inverse —
-    // so shard checksums combine into the corpus checksum without
-    // re-reading data: at 100 TB each shard validates in its own
-    // map-side-combined pass (or incrementally per file) and the merge
-    // is 8 longs. Rows -1 and -2 carrying identical values inside the
-    // hash-checked output is the in-band mergeability proof. Content
-    // hash = oracle-portable md5Hash64 over doc_id|lang|text, masked to
-    // 63 bits so both engines xor in signed-safe range.
-    "corpus_integrity_checksum" -> { (s, d) =>
-      val md5h: Column => Column = Dedup.md5Hash64
-      val rows = Tables.documents(s, d).select(
-        pmod(md5h(col("doc_id").cast("string")), lit(8L)).cast("int")
-          .as("shard"),
-        md5h(concat_ws("\u0001", col("doc_id"), col("lang"), col("text")))
-          .bitwiseAND(lit(Long.MaxValue)).as("h"),
-        col("n_chars"))
-      val shards = rows.groupBy("shard").agg(
-        count(lit(1)).as("n_docs"),
-        expr("bit_xor(h)").as("content_xor"),
-        sum("n_chars").as("char_sum"))
-      val merged = shards.agg(
-        sum("n_docs").as("n_docs"),
-        expr("bit_xor(content_xor)").as("content_xor"),
-        sum("char_sum").as("char_sum"))
-        .select(lit(-1).as("shard"), col("n_docs"), col("content_xor"),
-          col("char_sum"))
-      val direct = rows.agg(
-        count(lit(1)).as("n_docs"),
-        expr("bit_xor(h)").as("content_xor"),
-        sum("n_chars").as("char_sum"))
-        .select(lit(-2).as("shard"), col("n_docs"), col("content_xor"),
-          col("char_sum"))
-      shards.unionByName(merged).unionByName(direct).orderBy("shard")
-    },
-
-    // Debounce dedup: collapse bursts of same-(user, type) events arriving
-    // within 10 minutes of the previous one, keeping each burst's first
-    // event — the log-cleaning twin of gap sessionization (a burst IS a
-    // gap session; `keep` marks its opening row). One window exchange on
-    // the composite key; the interval comparison stays in exact
-    // microsecond arithmetic so both engines agree on every boundary. The
-    // output aggregates to per-key counts + kept-id checksums, proving the
-    // kept SET, not just its size.
-    "dedup_debounce" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("keep", col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr("INTERVAL 10 MINUTES"))
-        .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("keep"), col("event_id")).otherwise(0L))
-            .as("kept_checksum"))
-        .orderBy("user_id", "event_type")
-    },
-
-    // Equi-depth binning: per-type deciles by (value, event_id) — the
-    // discretization/quantile-binning feature transform. ntile's ANSI
-    // split (first n mod 10 buckets take the extra row) is identical in
-    // both engines, and the explicit event_id tie-break makes bucket
-    // membership deterministic even on repeated values. NOTE the scale
-    // trade-off, deliberately documented: ntile is a per-type global sort
-    // (one window exchange; fine while each type fits an executor's
-    // spill budget). When a single group outgrows that, the exact
-    // histogram + prefix-sum form (`percentile_length_filter`,
-    // `winsorize_stats`) computes the same cutoffs without any global
-    // sort — this query demonstrates the window form and its boundary
-    // semantics.
-    "equidepth_deciles" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("decile", ntile(10).over(w))
-        .groupBy("event_type", "decile")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_checksum"),
-          round(min(col("value")), 6).as("lo"),
-          round(max(col("value")), 6).as("hi"))
-        .orderBy("event_type", "decile")
-    },
-
-    // Triangle counting over the kNN similarity graph — the community-
-    // density signal (an embedding whose kNN edges close many triangles
-    // sits inside a tight cluster; triangle-free edges are hub artifacts).
-    // Compact-forward scheme: orient edges low→high, wedge-join on the
-    // middle vertex, close against the oriented edge set — each triangle
-    // x<y<z materializes exactly once, wedge work is degree-bounded
-    // (out-degree ≤ k here; see ops/Graph for the power-law orientation
-    // refinement). Exact integer counts; the oracle rebuilds the same
-    // edges from cosines and the same oriented joins.
-    "triangle_count_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val edges = knnEdges(s, d, 3)
-      graft.ops.Graph.triangleCounts(graft.ops.Graph.undirected(edges))
-        .orderBy("vertex")
-    },
-
-    // Rolling 7-day distinct users per day — the DAU/WAU-style sliding
-    // distinct, which naive plans answer with one full distinct per day.
-    // Exact sliding-distinct decomposition instead: collapse events to
-    // DISTINCT (user, day) once, fan each row out to the ≤7 window days
-    // it can serve (constant-factor explode, not data-squared), dedupe
-    // (user, window_day), and count. Every exchange is key-partitioned;
-    // the day grid is tiny and broadcast; no global window state. Only
-    // days that actually occur in the data are emitted.
-    "rolling_7d_distinct_users" -> { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val wd = ud.select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
-        .distinct()
-      val grid = ud.select(col("day").as("wday")).distinct()
-      wd.join(broadcast(grid), "wday")
-        .groupBy("wday")
-        .agg(count(lit(1)).as("active_users_7d"))
-        .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
-          col("active_users_7d"))
-        .orderBy("day")
-    },
-
-    // Winsorized robust statistics per event type — clamp at discrete
-    // p05/p95 before aggregating, the outlier-tolerant cousin of
-    // zscore_by_type. Everything derives from the per-(type, cents) value
-    // HISTOGRAM: events scan ONCE into a distinct-domain table, the
-    // cutoffs come from a prefix sum over that tiny domain (the
-    // percentile_length_filter machinery — no global sort, no per-type
-    // ntile window over raw rows), and the clipped counts and winsorized
-    // sum are histogram-weighted integer arithmetic. Cutoffs are DATA
-    // values (smallest cents with cum ≥ ⌈q·n⌉), so the clamped domain
-    // stays integer-exact; the mean is a quotient of exact integers.
-    "winsorize_stats" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      // NOT cached: the histogram feeds three consumers, but each rebuild
-      // is one cheap scan+aggregate and the legs overlap as concurrent
-      // stages; an eager cache measured no better (within noise) while
-      // serializing materialization — same finding as market_basket_lift.
-      val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.withColumn("cum", sum("c").over(w))
-        .join(broadcast(hist.groupBy("event_type").agg(sum("c").as("n"))),
-          "event_type")
-      def cut(q: Double, name: String) =
-        cum.filter(col("cum") >= ceil(col("n") * q))
-          .groupBy("event_type").agg(min("cents").as(name))
-      hist.join(broadcast(cut(0.05, "lo_cents")), "event_type")
-        .join(broadcast(cut(0.95, "hi_cents")), "event_type")
-        .groupBy("event_type")
-        .agg(sum(col("c")).as("n"),
-          min(col("lo_cents")).as("lo_cents"),
-          min(col("hi_cents")).as("hi_cents"),
-          sum(when(col("cents") < col("lo_cents"), col("c")).otherwise(0L))
-            .as("n_clip_lo"),
-          sum(when(col("cents") > col("hi_cents"), col("c")).otherwise(0L))
-            .as("n_clip_hi"),
-          sum(col("c") * greatest(least(col("cents"), col("hi_cents")),
-            col("lo_cents"))).as("wsum_cents"))
-        .withColumn("w_mean",
-          round(col("wsum_cents").cast("double") / col("n") / 100.0, 6))
-        .orderBy("event_type")
-    },
-
-    // 2-hop recommendations over the kNN graph — triadic closure
-    // ("neighbours of my neighbours that I'm not yet linked to"), the
-    // item-to-item recommender over a similarity graph and the expansion
-    // step of diffusion-based retrieval. Path counts are exact integers;
-    // direct edges and self-loops are excluded; top-3 per source by
-    // (paths desc, id) runs as a WindowGroupLimit. The middle-vertex join
-    // fans out ≤ k per edge endpoint (out-degree capped at k), so total
-    // path work is ≤ n·k² — linear in n at fixed k, same argument as the
-    // triangle count.
-    "knn_2hop_recommend" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      // cached: three join legs (both path hops + the direct-edge anti
-      // join) would otherwise each rebuild the cosine candidate join —
-      // wall-clock wash at local[32] (legs overlap), but 3× less work;
-      // see ops/Graph.triangleCounts for the measured trade-off
-      val e = knnEdges(s, d, 3)
-        .select("src", "dst").cache()
-      val two = e.select(col("src").as("a"), col("dst").as("m"))
-        .join(e.select(col("src").as("m"), col("dst").as("c")), "m")
-        .filter(col("a") =!= col("c"))
-        .groupBy("a", "c").agg(count(lit(1)).as("n_paths"))
-      val w = Window.partitionBy("a").orderBy(desc("n_paths"), col("c"))
-      two.join(e.select(col("src").as("a"), col("dst").as("c")),
-          Seq("a", "c"), "left_anti")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("a").as("src"), col("rank"), col("c").as("rec"),
-          col("n_paths"))
-        .orderBy("src", "rank")
-    },
-
-    // Incremental dedup — each new crawl batch checked against the
-    // existing index, never against itself: the steady-state production
-    // shape (the full-corpus queries are the bootstrap). Batch = doc_id
-    // ending in 8/9 (a deterministic 20% at any sf); every batch doc gets
-    // a verdict row with its best corpus match. The oracle brute-forces
-    // the exact cross-side trigram Jaccard, so both LSH completeness (a
-    // missed ≥0.8 pair) and verdict arithmetic are hash-checked.
-    "dedup_incremental_minhash" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val verdicts = Dedup.incrementalVerdicts(
-        docs.filter(col("doc_id") % 10 < 8),
-        docs.filter(col("doc_id") % 10 >= 8),
-        "text", "doc_id", k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      verdicts.orderBy("doc_id")
-    },
-
-    // Stream-static enrichment join — the dimension-lookup pattern
-    // (routing events through a reference table) in Structured Streaming:
-    // a stateless per-batch broadcast hash join, no watermark, no state
-    // store; the static side is (re)planned each micro-batch, which is
-    // exactly how slowly-changing reference data picks up between
-    // batches at scale. The memory-sink table is then batch-aggregated;
-    // the oracle joins the same VALUES dimension in SQL, so the stream
-    // must deliver every event exactly once with the right enrichment.
-    "streaming_static_join" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      import s.implicits._
-      val inDir = stagedEventsFull.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_ij")
-          Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-            .write.parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val dim = Seq(
-        ("click", "engagement", 2), ("view", "engagement", 1),
-        ("purchase", "transactional", 10), ("signup", "transactional", 5),
-        ("error", "ops", 0)).toDF("event_type", "category", "points")
-      val qn = s"streaming_static_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        src.join(broadcast(dim), Seq("event_type"))
-          .select(col("event_id"), col("user_id"), col("category"),
-            col("points"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).groupBy("category")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_checksum"),
-          sum(col("points")).as("sum_points"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("category")
-    },
-
-    // A/B experiment readout — users split by a deterministic hash-free
-    // rule (user_id parity stands in for the assignment hash), per-metric
-    // Welch z-statistic per event type. One conditional-aggregation pass
-    // (no per-variant scans); moments accumulate in EXACT decimal sums
-    // (the zscore_by_type convention: double sums at corpus scale flip
-    // last-ULP between engines), and the z arithmetic is the same fixed
-    // IEEE op sequence in both engines, so round(z, 6) hash-matches.
-    "ab_test_metrics" -> { (s, d) =>
-      val ev = Tables.events(s, d).withColumn("b", (col("user_id") % 2) === 1)
-      def cnt(b: Boolean) = sum(when(col("b") === b, 1L).otherwise(0L))
-      def s1(b: Boolean) = sum(when(col("b") === b,
-        col("value").cast("decimal(14,2)")).otherwise(lit(null)))
-      def s2(b: Boolean) = sum(when(col("b") === b,
-        (col("value") * col("value")).cast("decimal(20,4)")).otherwise(lit(null)))
-      ev.groupBy("event_type")
-        .agg(cnt(false).as("n_a"), cnt(true).as("n_b"),
-          s1(false).cast("double").as("sum_a"),
-          s1(true).cast("double").as("sum_b"),
-          s2(false).cast("double").as("ss_a"),
-          s2(true).cast("double").as("ss_b"))
-        .withColumn("m_a", col("sum_a") / col("n_a"))
-        .withColumn("m_b", col("sum_b") / col("n_b"))
-        .withColumn("v_a", col("ss_a") / col("n_a") - col("m_a") * col("m_a"))
-        .withColumn("v_b", col("ss_b") / col("n_b") - col("m_b") * col("m_b"))
-        .select(col("event_type"), col("n_a"), col("n_b"),
-          col("sum_a"), col("sum_b"),
-          round((col("m_b") - col("m_a")) /
-            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 6)
-            .as("welch_z"))
-        .orderBy("event_type")
-    },
-
-    // Last-touch attribution — every purchase credits the user's most
-    // recent prior click/view (the marketing twin of the trades/quotes
-    // as-of join, composed from the SAME AsOfJoin.backward operator:
-    // one key-hash shuffle + streaming window pass, no range probe).
-    // Purchases with no prior touch fall into the 'none' channel. The
-    // oracle recomputes attribution with DuckDB's native ASOF JOIN — an
-    // independent implementation of the semantics — then the same
-    // channel rollup; revenue stays in exact cents.
-    "attribution_last_touch" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("ts"),
-          col("event_type").as("touch_type"), col("event_id").as("touch_id"))
-      AsOfJoin.backward(purchases, touches, Seq("user_id"), "ts",
-          Seq("touch_type", "touch_id"), tieCols = Seq("touch_id"))
-        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(round(col("value") * 100).cast("long")).as("revenue_cents"),
-          sum(col("event_id")).as("id_checksum"))
-        .orderBy("channel")
-    },
-
-    // Trailing-baseline anomaly ratio — each (type, day)'s event count
-    // against the sum of its previous 7 OBSERVED days (rows-frame
-    // window; calendar gaps shrink the frame, so only rows with a full
-    // 7-day history emit). The monitoring twin of anomaly_mad_outliers:
-    // that one is distributional within a day, this one is temporal
-    // across days. Day counts aggregate first (events scan once into a
-    // |types|·|days| table), so the window runs over the tiny aggregate,
-    // never the raw stream; the ratio is a quotient of exact integers.
-    "daily_anomaly_baseline" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-7, -1)
-      daily
-        .withColumn("baseline_sum", sum("n").over(w))
-        .withColumn("baseline_days", count("n").over(w))
-        .filter(col("baseline_days") === 7)
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
-          col("baseline_sum"),
-          round(col("n") * lit(7.0) / col("baseline_sum"), 6).as("ratio"))
-        .orderBy("event_type", "day")
-    },
-
-    // Market-basket lift over the TPC-H fact tables: brands co-ordered
-    // within an order, lift = P(a,b)/(P(a)·P(b)) from exact integer
-    // counts. Baskets collapse to DISTINCT (order, brand) first — the
-    // within-order self-join then fans out only |brands in order|² per
-    // order and partial-aggregates to a |brands|²-row result; the brand
-    // marginals and the order total are broadcast. The lift quotient's
-    // operand order is mirrored exactly in the oracle.
-    "market_basket_lift" -> { (s, d) =>
-      // NOT cached: four consumers re-derive the lineitem×part join, but
-      // it is a cheap AQE-broadcast join and the four legs run as
-      // concurrent stages — an eager cache measured consistently SLOWER
-      // (2.66 s → 2.9 s at sf0.1) because materialization serializes the
-      // legs (the pagerank finding: ReuseExchange/cheap rebuild beats an
-      // eager cache when the rebuild is scan+broadcast).
-      val baskets = Tables.lineitem(s, d)
-        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
-      val nOrders = baskets.select(col("okey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val marg = baskets.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"))
-      val co = baskets.select(col("okey"), col("p_brand").as("brand_a"))
-        .join(baskets.select(col("okey"), col("p_brand").as("brand_b")),
-          "okey")
-        .filter(col("brand_a") < col("brand_b"))
-        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("co_orders"))
-      co.join(broadcast(marg.select(col("p_brand").as("brand_a"),
-          col("n").as("a_orders"))), "brand_a")
-        .join(broadcast(marg.select(col("p_brand").as("brand_b"),
-          col("n").as("b_orders"))), "brand_b")
-        .crossJoin(broadcast(nOrders))
-        .filter(col("co_orders") >= 10)
-        .select(col("brand_a"), col("brand_b"), col("co_orders"),
-          col("a_orders"), col("b_orders"),
-          round(col("co_orders").cast("double") * col("n_orders") /
-            (col("a_orders").cast("double") * col("b_orders")), 6)
-            .as("lift"))
-        .orderBy("brand_a", "brand_b")
-    },
-
-    // l-diversity audit — the companion governance gate to
-    // k_anonymity_audit: a quasi-identifier bucket is risky not only
-    // when it is SMALL but when all its rows trace to few distinct
-    // sensitive values (here: distinct users behind an (event_type,
-    // day, hour, value-decile) cell — the value decile keeps cells
-    // sparse as row volume grows, so the audit stays meaningful at any
-    // sf). Flags buckets with fewer than 3 distinct users. Single
-    // aggregate; distinct-count partials combine map-side.
-    "l_diversity_audit" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
-          hour(col("ts")).as("hr"),
-          floor(col("value") / 10).cast("long").as("value_bucket"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"))
-        .filter(col("n_users") < 3)
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("hr"), col("value_bucket"), col("n"), col("n_users"))
-        .orderBy("event_type", "day", "hr", "value_bucket")
-    },
-
-    // Spark 4 `transformWithState` under the driver's gate — per-user
-    // running high-water marks with typed ValueState on the RocksDB
-    // provider, state carried across FOUR micro-batches (time-quartile
-    // files, maxFilesPerTrigger=1). The fixture collapses ties to
-    // per-(user, ts) maxima so the emitted set is arrival-order-invariant,
-    // and the quartile split follows global event-time rank so each user's
-    // rows arrive in ts order across batches. The oracle is the batch
-    // prefix-maximum: a row emits iff it strictly exceeds every earlier
-    // value of its user — any state loss or leak across batch boundaries
-    // changes the emitted set and fails the hash.
-    "streaming_tws_highwater" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val root = stagedTws.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_tws")
-          val ev = Tables.events(s, d)
-            .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
-            .agg(max(col("value")).as("value"))
-          val n = ev.count()
-          // single-partition window: fixture staging only, runs once
-          val ranked = ev.withColumn("rn",
-            row_number().over(Window.orderBy(col("ts"), col("user_id"))))
-          for (i <- 0 until 4)
-            ranked.filter(col("rn") > i * n / 4 && col("rn") <= (i + 1) * n / 4)
-              .select("user_id", "ts", "value")
-              .coalesce(1).write.parquet(s"$tmp/in/q$i")
-          tmp
-        })
-      val pkey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(pkey)
-      s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val src = s.readStream
-          .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
-          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-          .as[graft.streaming.StatefulOps.Tick]
-        val qn = s"streaming_tws_${streamRun.incrementAndGet()}"
-        withStatePartitions(s, 8) {
-          graft.streaming.StatefulOps.highWaterMarksTws(src)
-            .toDF().writeStream.format("memory").queryName(qn)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-            .awaitTermination(180000)
-        }
-        s.table(qn).select(col("user_id"), tsStr(col("ts")).as("ts"),
-            round(col("value"), 6).as("value"))
-          .orderBy("user_id", "ts", "value")
-      } finally prev match {
-        case Some(v) => s.conf.set(pkey, v)
-        case None => s.conf.unset(pkey)
-      }
-    },
-
-    // Ordered event-path trigrams per user — the n=3 extension of
-    // event_transitions (Markov pairs): which three-step journeys occur,
-    // how often. Two leads over one user-keyed window exchange; the
-    // aggregate output is ≤ |types|³ rows with map-side partials.
-    "event_path_trigrams" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("e1"))
-        .withColumn("e2", lead(col("e1"), 1).over(w))
-        .withColumn("e3", lead(col("e1"), 2).over(w))
-        .filter(col("e3").isNotNull)
-        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
-        .orderBy("e1", "e2", "e3")
-    },
-
-    // Pairwise Pearson correlation of the per-type DAILY count series —
-    // "do error spikes co-move with purchase volume?" All moments are
-    // exact integers over the DENSE day×type grid (absent days count 0 —
-    // an inner join on observed days would silently bias the
-    // correlation), so the final quotient is the only float op and both
-    // engines execute the identical expression. The grid is |days|·|types|
-    // rows: the self-join and moment sums are all small-side work after
-    // one events scan.
-    "type_correlation_matrix" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val grid = daily.select("day").distinct()
-        .crossJoin(daily.select("event_type").distinct())
-        .join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("n"), lit(0L)).as("n"))
-      val pairs = grid.select(col("day"), col("event_type").as("type_a"),
-          col("n").as("x"))
-        .join(grid.select(col("day"), col("event_type").as("type_b"),
-          col("n").as("y")), "day")
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-      pairs.select(col("type_a"), col("type_b"), col("nd"),
-          col("sx"), col("sy"), col("sxy"),
-          round((col("nd") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            (sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-             sqrt((col("nd") * col("syy") - col("sy") * col("sy"))
-              .cast("double"))), 6).as("pearson_r"))
-        .orderBy("type_a", "type_b")
-    },
-
-    // Signup→purchase conversion-delay quantiles per weekly cohort — the
-    // time-to-convert funnel readout. Delays are exact epoch-millis
-    // integers (the window_range_frame convention), quantiles are the
-    // exact interpolated percentile over those integers (the
-    // anomaly_mad convention: Spark percentile ≡ DuckDB quantile_cont,
-    // bit-identical on integer inputs). Non-converters are counted but
-    // excluded from the delay distribution.
-    "convert_time_quantiles" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("signup_ts"))
-      val firstP = su.join(
-          ev.filter(col("event_type") === "purchase")
-            .select(col("user_id"), col("ts").as("p_ts")), "user_id")
-        .filter(col("p_ts") >= col("signup_ts"))
-        .groupBy("user_id").agg(min("p_ts").as("first_p"))
-      su.join(firstP, Seq("user_id"), "left")
-        .select(
-          floor(datediff(to_date(col("signup_ts")), lit("2024-01-01")) / 7)
-            .cast("int").as("cohort_week"),
-          (unix_millis(col("first_p").cast("timestamp_ltz")) -
-            unix_millis(col("signup_ts").cast("timestamp_ltz")))
-            .as("delay_ms"))
-        .groupBy("cohort_week")
-        .agg(count(lit(1)).as("n_signups"),
-          count(col("delay_ms")).as("n_converted"),
-          round(expr("percentile(delay_ms, 0.5)"), 6).as("med_delay_ms"),
-          round(expr("percentile(delay_ms, 0.9)"), 6).as("p90_delay_ms"))
-        .orderBy("cohort_week")
-    },
-
-    // FORWARD as-of join — "the next touch after each purchase" (did the
-    // user come back?), the look-ahead twin of asof_join_clicks, driving
-    // AsOfJoin.forward: the same one-shuffle union-window plan with the
-    // frame reversed; equal timestamps do NOT match (strict bound). The
-    // oracle recomputes with DuckDB's native ASOF on `p.ts < c.ts` — an
-    // independent implementation — after the same (user, ts) tie dedup
-    // (lowest id, the forward scan's first-met row).
-    "asof_forward_next_touch" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("next_click_id"))
-      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts",
-          Seq("next_click_id"), tieCols = Seq("next_click_id"))
-        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
-          col("next_click_id"))
-        .orderBy("event_id")
-    },
-
-    // One PCA power-iteration step x ↦ Gᵀ(G·x) over the embedding matrix
-    // in integer MICRO-UNITS (the pagerank convention: quantize once,
-    // then every product/sum is exact in any engine). x = all-ones, so
-    // (G·x)_i is each row's coordinate sum and the output is the
-    // unnormalized next iterate per dimension — the dominant-eigenvector
-    // direction of GᵀG after repetition. Scale shape: one posexplode, a
-    // row-keyed aggregate, an id-equality join back, a dim-keyed
-    // aggregate — two map-side-combined shuffles, never a dim×dim Gram
-    // materialization (the matvec form survives dim far beyond 64; at
-    // petabyte row counts promote the sums to decimal(38,0)).
-    "pca_power_step" -> { (s, d) =>
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"),
-          round(col("v").cast("double") * 1000).cast("long").as("q"))
-      val rowSum = q.groupBy("vec_id").agg(sum("q").as("s"))
-      q.join(rowSum, "vec_id")
-        .groupBy("pos")
-        .agg(sum(col("q") * col("s")).as("v_next"),
-          count(lit(1)).as("n_terms"))
-        .orderBy("pos")
-    },
-
-    // TPC-H Q7 shape — bidirectional nation-pair shipping volume by year:
-    // two broadcast nation dims aliased onto opposite legs of the
-    // supplier/customer chain, the OR'd pair predicate, exact decimal
-    // revenue. The date slice prunes at the lineitem scan.
-    "tpch_q7_nation_volume" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
-          col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
-      val n1 = Tables.nation(s, d)
-        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, d)
-        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
-      li.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
-          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    },
-
-    // Session-relative ordinal features — "the 3rd event of the visit,
-    // 42 s in": the feature-engineering staple over gap sessions,
-    // composed from the SAME Sessionize.withSessionIndex used by
-    // sessionize_gap. Both windows share the one user-keyed exchange
-    // (the second adds session_idx to the sort, not a new shuffle). The
-    // Σ ordinal·event_id checksum pins every event's position, not just
-    // session sizes; duration stays in exact epoch millis.
-    "session_ordinal_features" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val sess = Sessionize.withSessionIndex(
-        Tables.events(s, d), Seq("user_id"), "ts", gapSeconds = 1800)
-      val w = Window.partitionBy("user_id", "session_idx")
-        .orderBy(col("ts"), col("event_id"))
-      sess.withColumn("ordinal", row_number().over(w))
-        .groupBy("user_id", "session_idx")
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("ordinal") * col("event_id")).as("ord_checksum"),
-          (max(unix_millis(col("ts").cast("timestamp_ltz"))) -
-            min(unix_millis(col("ts").cast("timestamp_ltz"))))
-            .as("duration_ms"))
-        .orderBy("user_id", "session_idx")
-    },
-
-    // k-fold cross-validation assignment — the multi-fold generalization
-    // of sample_split: fold = md5(id) mod 8 (power of two: signed pmod ≡
-    // DuckDB's unsigned %), disjoint and exhaustive by construction,
-    // retry-stable, zero shuffle before the tiny aggregate. Per-fold ×
-    // language counts + id checksums prove membership, so a loader can
-    // verify leave-one-fold-out slices.
-    "kfold_assign" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("fold",
-          pmod(Dedup.md5Hash64(col("doc_id").cast("string")), lit(8L))
-            .cast("int"))
-        .groupBy("fold", "lang")
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
-        .orderBy("fold", "lang")
-    },
-
-    // Concurrent-interval counting ("how many orders were open each
-    // day") via the DIFFERENCE ARRAY: each [open, close] interval
-    // contributes +1 at open and −1 at close+1, deltas aggregate per
-    // day, and one running sum over the |days| table yields the curve.
-    // The naive plan — a day×interval range join — is O(days·orders);
-    // this is one aggregate plus a window over ~thousands of rows. The
-    // only global window runs AFTER the reduction to the day domain
-    // (the raw fact tables never see a single-partition operator).
-    "open_orders_backlog" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val iv = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(max(to_date(col("l_shipdate"))).as("close_day")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(to_date(col("o_orderdate")).as("open_day"), col("close_day"))
-        .filter(col("close_day") >= col("open_day"))
-      val deltas = iv.select(col("open_day").as("day"), lit(1L).as("delta"))
-        .unionAll(iv.select(date_add(col("close_day"), 1).as("day"),
-          lit(-1L).as("delta")))
-        .groupBy("day").agg(sum("delta").as("d"))
-      deltas
-        .withColumn("n_open", sum("d").over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n_open"))
-        .orderBy("day")
-    },
-
-    // Per-type linear TREND of the daily count series — grouped least
-    // squares over the dense day grid (absent days are real zeros, as in
-    // type_correlation_matrix). Slope arrives as an exact integer
-    // (numerator, denominator) pair — the target_encoding_loo convention
-    // — plus the rounded quotient; x is the day index from the shared
-    // epoch, so the slope unit is events/day.
-    "daily_trend_slope" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val grid = daily.select("day").distinct()
-        .crossJoin(daily.select("event_type").distinct())
-        .join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"),
-          datediff(col("day"), lit("2024-01-01")).cast("long").as("x"),
-          coalesce(col("n"), lit(0L)).as("y"))
-      grid.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("event_type"), col("nd"),
-          (col("nd") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-          (col("nd") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
-          round((col("nd") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
-            .as("slope"))
-        .orderBy("event_type")
-    },
-
-    // HOPPING (sliding) windows — Spark's native window(ts, '1 hour',
-    // '15 minutes'): each event lands in 4 overlapping windows, the
-    // dashboard smoothing primitive tumbling windows can't express. The
-    // oracle rebuilds the same windows from 15-minute base buckets
-    // (shared origin) shifted 0–3 slides — a window appears iff one of
-    // its constituent buckets is non-empty, exactly Spark's emission
-    // rule.
-    "hopping_window_counts" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"),
-          window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("event_id")).as("id_checksum"))
-        .select(col("event_type"), tsStr(col("w.start")).as("wstart"),
-          col("n"), col("id_checksum"))
-        .orderBy("event_type", "wstart")
-    },
-
-    // Declarative data-quality expectations — the contract check a
-    // pipeline runs before publishing: per-table rule evaluation in ONE
-    // conditional-aggregation pass each (null keys, value range,
-    // derived-column consistency) plus referential integrity as
-    // left-anti join counts. Each rule reports (checked, violations);
-    // the union is a handful of rows. At 100 TB each leg is one
-    // map-side-combined scan; none shuffle more than a count.
-    "dq_expectations" -> { (s, d) =>
-      import s.implicits._
-      val ev = Tables.events(s, d)
-      def rule(name: String, checked: Column, viol: Column, df: DataFrame) =
-        df.agg(count(checked).as("n_checked"),
-          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
-          .select(lit(name).as("rule"), col("n_checked"),
-            col("n_violations"))
-      val fkOrders = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("orders_customer_fk").as("rule"),
-          lit(null).cast("long").as("n_checked"), col("n_violations"))
-      val fkLineitem = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("lineitem_orders_fk").as("rule"),
-          lit(null).cast("long").as("n_checked"), col("n_violations"))
-      rule("events_user_not_null", lit(1), col("user_id").isNull, ev)
-        .unionByName(rule("events_value_in_range", lit(1),
-          col("value") < 0 || col("value") > 250, ev))
-        .unionByName(rule("documents_nchars_consistent", lit(1),
-          col("n_chars") =!= length(col("text")), Tables.documents(s, d)))
-        .unionByName(fkOrders)
-        .unionByName(fkLineitem)
-        .orderBy("rule")
-    },
-
-    // LINEAR multi-touch attribution — every purchase splits its revenue
-    // EQUALLY across all click/view touches in the prior 24 h (the
-    // fractional-credit generalization of attribution_last_touch's
-    // winner-take-all ASOF). Credit stays exact: micro-cents =
-    // cents·10⁶ DIV n_touches — floor division on positive operands is
-    // identical in both engines, so no float ever crosses; a purchase
-    // with an empty touch window keeps full credit in the 'none'
-    // channel. Plan: one user-keyed equality join (the 24 h bound caps
-    // per-user fan-out), the touch count as a purchase-keyed window on
-    // the join output, then a channel-sized aggregate — no range probe,
-    // no cartesian.
-    "attribution_linear_multitouch" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts").as("p_ts"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
-          col("event_type").as("touch_type"), col("event_id").as("t_id"))
-      purchases.join(touches,
-          col("user_id") === col("t_user") &&
-            col("t_ts") < col("p_ts") &&
-            col("t_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"), "left")
-        .select(col("p_id"), col("cents"), col("touch_type"), col("t_id"))
-        .withColumn("n", count(col("t_id")).over(Window.partitionBy("p_id")))
-        .withColumn("units", col("cents") * lit(1000000L))
-        .withColumn("credit_micro",
-          when(col("t_id").isNull, col("units")).otherwise(expr("units DIV n")))
-        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
-        .agg(countDistinct(col("p_id")).as("n_purchases"),
-          count(col("t_id")).as("n_touches"),
-          sum(col("credit_micro")).as("credit_micro"),
-          coalesce(sum(col("t_id")), lit(0L)).as("touch_checksum"))
-        .orderBy("channel")
-    },
-
-    // Zone-map data skipping over a z-ordered layout — footer-stats file
-    // pruning (the Delta/Iceberg skipping pattern) as a driver-checked
-    // operator. Each row maps to the "file" a z-order write would place
-    // it in (chunk = top 10 bits of zorder_events' exact 32-bit Morton
-    // key), every chunk carries min/max footer stats on BOTH natural
-    // dimensions, and a 2-D range query scans only the chunks whose stat
-    // ranges overlap it. Pruning is lossless by construction — stats
-    // BOUND chunk contents — and the query PROVES it by running the
-    // direct filter too and comparing exact aggregates; the summary row
-    // reports total vs scanned chunks (the skipped fraction is I/O a
-    // real reader never pays: 1 of 20 chunks at sf0.01). At 100 TB the
-    // stats table is file-count-sized metadata (broadcast) and the
-    // candidate set prunes BEFORE the scan inside the reader;
-    // partitioned_pruned_read pins the planner-time directory variant,
-    // this is the footer-stats variant. At driver SFs every user fits
-    // one u-cell, so pruning is carried by the value dimension (the u
-    // bits engage once |users| > 2^11 — locality, not correctness).
-    "zone_map_prune" -> { (s, d) =>
-      val u = graft.ops.ZOrder.normalizeMod(col("user_id"), 16)
-      val v = graft.ops.ZOrder.normalizeMod(
-        floor(col("value") * 100).cast("long"), 16)
-      val rows = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          floor(col("value") * 100).cast("long").as("cents"),
-          shiftright(graft.ops.ZOrder.zValue(Seq(u, v), 16), 22).as("chunk"))
-      val (cLo, cHi, uLo, uHi) = (9000L, 9499L, 3L, 11L)
-      val stats = rows.groupBy(col("chunk"))
-        .agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
-          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
-      val cand = stats.filter(col("max_c") >= cLo && col("min_c") <= cHi &&
-        col("max_u") >= uLo && col("min_u") <= uHi)
-      val matchAgg = Seq(
-        count(lit(1)), coalesce(sum(col("event_id")), lit(0L)),
-        coalesce(sum(col("cents")), lit(0L)))
-      val scanned = rows.join(broadcast(cand.select(col("chunk"))), Seq("chunk"))
-        .filter(col("cents").between(cLo, cHi) &&
-          col("user_id").between(uLo, uHi))
-        .agg(matchAgg(0).as("n_rows"), matchAgg(1).as("id_checksum"),
-          matchAgg(2).as("cents_sum"))
-      val direct = rows
-        .filter(col("cents").between(cLo, cHi) &&
-          col("user_id").between(uLo, uHi))
-        .agg(matchAgg(0).as("d_rows"), matchAgg(1).as("d_id"),
-          matchAgg(2).as("d_cents"))
-      stats.agg(count(lit(1)).as("n_chunks"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
-        .crossJoin(scanned).crossJoin(direct)
-        .select(col("n_chunks"), col("n_scanned"), col("n_rows"),
-          col("id_checksum"), col("cents_sum"),
-          (col("n_rows") === col("d_rows") &&
-            col("id_checksum") === col("d_id") &&
-            col("cents_sum") === col("d_cents")).as("lossless"))
-    },
-
-    // Streaming CDC apply — merge_upsert's semantics under a stream: the
-    // post-cutoff change feed drains in 4 time-quartile micro-batches
-    // (maxFilesPerTrigger=1) and each foreachBatch MERGEs its batch into
-    // the persisted snapshot (read → Merge.applyChanges → rewrite to a
-    // new version — the Delta-less production shape, where a batch pays
-    // CHANGE-volume cost, never snapshot cost; see Merge's scaladoc).
-    // Sequential latest-wins over time-ordered batches equals the
-    // one-shot batch MERGE, so the oracle is merge_upsert's own SQL: any
-    // state lost, duplicated, or mis-ordered across batch boundaries —
-    // including a tombstoned key resurfacing — fails the hash. State
-    // versions are per-run temp dirs (the staged v0 is read-only), so
-    // bench re-runs never collide.
-    "streaming_merge_upsert" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.expressions.Window
-      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val root = stagedMergeCdc.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_merge")
-          val ev = Tables.events(s, d)
-            .select(col("user_id"), col("event_type"), col("value"),
-              col("ts").cast("timestamp").as("ts"), col("event_id"))
-          val w = Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").desc, col("event_id").desc)
-          ev.filter(col("ts") < cutoff)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-            .write.parquet(s"$tmp/state/v0")
-          val changes = ev.filter(col("ts") >= cutoff)
-          val n = changes.count()
-          // single-partition window: fixture staging only, runs once
-          val ranked = changes.withColumn("rn",
-            row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-          for (i <- 0 until 4)
-            ranked.filter(col("rn") > i * n / 4 && col("rn") <= (i + 1) * n / 4)
-              .drop("rn").coalesce(1).write.parquet(s"$tmp/in/q$i")
-          tmp
-        })
-      val runTmp = stagedTmpDir("graft_merge_run")
-      val version = new java.util.concurrent.atomic.AtomicInteger(0)
-      @volatile var cur = s"$root/state/v0"
-      val src = s.readStream.schema(
-          "user_id BIGINT, event_type STRING, value DOUBLE, " +
-            "ts TIMESTAMP, event_id BIGINT")
-        .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-      withStatePartitions(s, 8) {
-        src.writeStream
-          .option("checkpointLocation", s"$runTmp/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val base = s.read.parquet(cur)
-            val changes = batch.withColumn("op",
-              when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
-            val next = s"$runTmp/v${version.incrementAndGet()}"
-            graft.ops.Merge.applyChanges(base, changes, Seq("user_id"),
-                orderCols = Seq(col("ts"), col("event_id")))
-              .write.parquet(next)
-            cur = next
-            ()
-          }
-          .trigger(Trigger.AvailableNow()).start().awaitTermination(180000)
-      }
-      s.read.parquet(cur)
-        .select(col("user_id"), col("event_type"),
-          round(col("value"), 6).as("value"),
-          tsStr(col("ts")).as("ts"), col("event_id"))
-        .orderBy("user_id")
-    },
-
-    // Vocabulary coverage cutoff — the tokenizer-sizing question "how
-    // many types cover 90% of token mass?" (the long-tail shape that
-    // decides vocab size and OOV policy). Corpus scans once into the
-    // vocabulary-sized frequency table; the cumulative window and the
-    // total are vocab-sized work (the window's single partition holds
-    // |vocab| rows, NOT corpus rows — same rationale as vocab_top_tokens'
-    // rank). A type is kept while the mass BEFORE it is under 90% of
-    // total, so the crossing type is included; the comparison is
-    // 10·(cum−freq) < 9·total — pure integers, no float share crosses
-    // engines. One summary row: vocab size, kept size, kept/total mass,
-    // and a token-length checksum pinning the kept SET.
-    "vocab_coverage_cutoff" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val f = Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
-        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(desc("freq"), col("token"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      f.withColumn("cum", sum("freq").over(w))
-        .crossJoin(broadcast(f.agg(sum(col("freq")).as("total"))))
-        .withColumn("kept", (col("cum") - col("freq")) * 10 < col("total") * 9)
-        .agg(count(lit(1)).as("n_vocab"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("freq")).otherwise(0L)).as("mass_kept"),
-          max(col("total")).as("mass_total"),
-          sum(when(col("kept"), length(col("token"))).otherwise(0L))
-            .as("kept_len_checksum"))
-    },
-
-    // Weighted median — "the price point below which half the REVENUE
-    // sits" per event type (weight = the value itself, in cents). The
-    // percentile family's weighted generalization, computed from the
-    // per-(type, cents) value histogram: one events scan, an ordered
-    // cumulative window over the histogram (histogram-sized, not
-    // event-sized — the winsorize_stats shape), a broadcast per-type
-    // total join, then min(cents) where 2·cum ≥ total. All exact
-    // integers; no interpolation, so the answer is a real data value.
-    "revenue_weighted_median" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val h = Tables.events(s, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
-        .groupBy(col("event_type"), col("cents"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rev", col("cents") * col("n"))
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = h.groupBy("event_type")
-        .agg(sum(col("rev")).as("total_rev"), sum(col("n")).as("n_events"))
-      h.withColumn("cum_rev", sum("rev").over(w))
-        .join(broadcast(tot), "event_type")
-        .filter(col("cum_rev") * 2 >= col("total_rev"))
-        .groupBy(col("event_type"))
-        .agg(min(col("cents")).as("wmedian_cents"),
-          max(col("total_rev")).as("total_rev_cents"),
-          max(col("n_events")).as("n_events"))
-        .orderBy("event_type")
-    },
-
-    // NEAREST as-of — each purchase matched to its closest click/view in
-    // EITHER direction (pandas merge_asof direction='nearest'),
-    // completing the as-of family: backward (inclusive, r2), forward
-    // (strict, r8s7), nearest = both passes composed and the smaller
-    // |Δt| chosen (backward wins exact ties, including Δt = 0). Two
-    // union-window passes on the same user key — the only exchanges; the
-    // deltas are exact epoch-micros longs (the fixture carries no
-    // sub-microsecond components, checked), and the rollup pins channel ×
-    // direction counts, id checksums, and total delta.
-    "asof_nearest_touch" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
-      def side(p: String) = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("ts"), col("ts").as(s"${p}_ts"),
-          col("event_type").as(s"${p}_type"), col("event_id").as(s"${p}_id"))
-      val back = AsOfJoin.backward(purchases, side("b"), Seq("user_id"),
-        "ts", Seq("b_ts", "b_type", "b_id"), tieCols = Seq("b_id"))
-      val both = AsOfJoin.forward(back, side("f"), Seq("user_id"),
-        "ts", Seq("f_ts", "f_type", "f_id"), tieCols = Seq("f_id"))
-      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
-      both
-        .withColumn("db", us(col("ts")) - us(col("b_ts")))
-        .withColumn("df", us(col("f_ts")) - us(col("ts")))
-        .withColumn("dir",
-          when(col("b_id").isNull && col("f_id").isNull, "none")
-            .when(col("f_id").isNull ||
-              (col("b_id").isNotNull && col("db") <= col("df")), "backward")
-            .otherwise("forward"))
-        .withColumn("near_type", when(col("dir") === "backward", col("b_type"))
-          .when(col("dir") === "forward", col("f_type")))
-        .withColumn("near_id", when(col("dir") === "backward", col("b_id"))
-          .when(col("dir") === "forward", col("f_id")))
-        .withColumn("delta_us", when(col("dir") === "backward", col("db"))
-          .when(col("dir") === "forward", col("df")).otherwise(lit(0L)))
-        .groupBy(coalesce(col("near_type"), lit("none")).as("channel"),
-          col("dir"))
-        .agg(count(lit(1)).as("n_purchases"),
-          coalesce(sum(col("near_id")), lit(0L)).as("id_checksum"),
-          sum(col("delta_us")).as("delta_us_sum"))
-        .orderBy("channel", "dir")
-    },
-
-    // Source-level reputation gate — the domain-prior curation step
-    // (RefinedWeb/C4 keep low-quality DOMAINS out, not just documents):
-    // per-source mean document type-token ratio as the template/boiler-
-    // plate signal (a domain whose pages all reuse the same few words is
-    // spam-shaped). Per-doc TTR in exact integer milli-units
-    // (distinct·1000 DIV total), source mean as sum DIV n_docs — no
-    // float crosses engines; the 500-milli gate splits the driver's 20
-    // sources at every SF. One token-level aggregate per (source, doc),
-    // then source-sized work; the doc-stat join is broadcast-size.
-    "source_reputation_gate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val docTok = docs.repartition(col("doc_id"))
-        .select(col("source"), col("doc_id"),
-          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .groupBy("source", "doc_id")
-        .agg(count(lit(1)).as("tot"), countDistinct(col("token")).as("dis"))
-        .withColumn("ttr_milli", expr("dis * 1000 DIV tot"))
-      val chars = docs.groupBy("source")
-        .agg(sum(col("n_chars")).as("sum_chars"))
-      docTok.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ttr_milli")).as("ttr_sum"))
-        .join(broadcast(chars), "source")
-        .select(col("source"), col("n_docs"),
-          expr("ttr_sum DIV n_docs").as("mean_ttr_milli"),
-          expr("sum_chars DIV n_docs").as("mean_chars"),
-          (expr("ttr_sum DIV n_docs") >= 500).as("keep"))
-        .orderBy("source")
-    },
-
-    // Daily bounce rate — the share of single-event sessions per day
-    // (the engagement-health staple), composed from the SAME gap
-    // sessionizer every session query drives. Sessions aggregate first
-    // (one user-keyed exchange inside Sessionize + one day-sized
-    // aggregate); the rate is an exact integer permille, the
-    // n_events=1 predicate is the bounce definition.
-    "bounce_rate_daily" -> { (s, d) =>
-      Sessionize.sessions(Tables.events(s, d), Seq("user_id"), "ts",
-          gapSeconds = 1800)
-        .groupBy(to_date(col("session_start")).as("day"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n_sessions"), col("n_bounces"),
-          expr("n_bounces * 1000 DIV n_sessions").as("bounce_permille"))
-        .orderBy("day")
-    },
-
-    // TPC-H Q10 shape — top returned-revenue customers in a quarter:
-    // lineitem(R) ⋈ orders(quarter) ⋈ customer ⋈ broadcast nation,
-    // exact decimal revenue, top-20 with an explicit custkey tiebreak so
-    // the cut is deterministic in both engines. The orderBy+limit plans
-    // as TakeOrderedAndProject (per-partition heaps), never a full sort
-    // of the customer aggregate.
-    "tpch_q10_returned_items" -> { (s, d) =>
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
-      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(desc("revenue"), col("c_custkey"))
-        .limit(20)
-    },
-
-    // Mann-Whitney rank-sum ROC AUC — how well document length predicts
-    // lang='en' (the shape of every quality-classifier gate evaluation).
-    // Histogram-collapsed: one exchange builds the per-distinct-length
-    // (pos, neg) table; the cumulative window runs on the 313-value score
-    // domain, never the corpus. All outputs exact integers (micro-units).
-    "roc_auc_ranksum" -> { (s, d) =>
-      graft.ops.MlMetrics.rankAuc(Tables.documents(s, d),
-        col("n_chars"), col("lang") === "en")
-    },
-
-    // Distributed decision-tree split finding: the n_chars threshold that
-    // best separates lang='en' by weighted Gini impurity, argmin over the
-    // same collapsed histogram + prefix sums, exact micro-unit integers
-    // with a smallest-threshold tiebreak.
-    "gini_best_split" -> { (s, d) =>
-      graft.ops.MlMetrics.giniBestSplit(Tables.documents(s, d),
-        col("n_chars"), col("lang") === "en")
-    },
-
-    // Gaps-and-islands: per user, maximal runs of consecutive active days
-    // (the classic streak/coverage primitive). Day collapse first (one
-    // exchange, ≤ users×days rows), then the row_number difference trick
-    // groups consecutive day numbers; both windows key on user_id.
-    "activity_islands" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val days = Tables.events(s, d)
-        .select(col("user_id"),
-          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
-            .cast("long").as("day_num"))
-        .distinct()
-      val w = Window.partitionBy("user_id").orderBy("day_num")
-      days
-        .withColumn("grp", col("day_num") - row_number().over(w))
-        .groupBy(col("user_id"), col("grp"))
-        .agg(count(lit(1)).as("len"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_islands"), max("len").as("longest"),
-          sum("len").as("active_days"))
-        .orderBy("user_id")
-    },
-
-    // Two-sample Kolmogorov-Smirnov drift test between the click and view
-    // value distributions, over the cents-quantized domain (floor(100·v) —
-    // identical IEEE double ops in both engines; quantizing the ECDF
-    // domain is also the 100 TB plan: the histogram stays bounded while
-    // the scan is one pass). D is kept as the exact integer numerator
-    // max|n2·cum1 − n1·cum2| plus its micro-unit ratio; `at_cents` is the
-    // smallest location attaining it.
-    "ks_drift_cents" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val q = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "view"))
-        .select(col("event_type"), floor(col("value") * 100).as("cents"))
-      val hist = q.groupBy("cents").agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.select(col("cents"),
-        sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
-      val tot = hist.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      val diffs = cum.crossJoin(broadcast(tot))
-        .select(col("cents"),
-          abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dnum"),
-          col("n1"), col("n2"))
-      val dmax = diffs.agg(max("dnum").as("d_num"))
-      diffs.join(broadcast(dmax), col("dnum") === col("d_num"))
-        .groupBy("n1", "n2", "d_num")
-        .agg(min("cents").as("at_cents"))
-        .select(col("n1"), col("n2"), col("d_num"),
-          expr("d_num * 1000000 DIV (n1 * n2)").as("d_micro"),
-          col("at_cents"))
-    },
-
-    // Join-cardinality estimation from per-key counts — the optimizer-side
-    // primitive for join planning: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k),
-    // computed from one linear groupBy per side instead of materializing
-    // the (here quadratic self-)join. The ORACLE runs the real join and
-    // counts it, so the hash-compare proves the identity on data. Also
-    // emits the skew diagnosis (heaviest key and its pair contribution) —
-    // the number that decides salting vs broadcast at 100 TB.
-    "join_size_estimate" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      val cnts = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      cnts
-        .agg(count(lit(1)).as("n_keys"),
-          sum(col("c") * col("c")).as("total_pairs"),
-          max(struct(col("c"), (-col("l_partkey")).as("nk"))).as("m"))
-        .select(col("n_keys"), col("total_pairs"),
-          (col("m.c") * col("m.c")).as("max_key_pairs"),
-          (-col("m.nk")).as("skew_key"))
-    },
-
-    // Anti-entropy table diff — per-day-partition order-insensitive
-    // checksums (Merkle-style leaf level) between `events` and a replica
-    // with planted divergence (rows dropped at event_id%997=3, value
-    // corrupted at %997=5). Row hash = md5Hash64 mod 2⁴⁴ over the typed
-    // payload (power-of-two modulus: signed pmod ≡ DuckDB's unsigned —
-    // the kfold_assign identity), so a day's checksum is a plain BIGINT
-    // sum: each side is one scan + one day-sized aggregate, and only
-    // mismatching partitions would need re-sync. Payload hashes
-    // cents = floor(100·value) — never a double rendered to string.
-    "table_checksum_diff" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("event_id"),
-        to_date(col("ts")).as("day"), floor(col("value") * 100).as("cents"))
-      def side(df: DataFrame) = df.groupBy("day")
-        .agg(count(lit(1)).as("n"),
-          sum(pmod(Dedup.md5Hash64(concat_ws("|",
-            col("event_id"), col("cents"))), lit(17592186044416L))).as("chk"))
-      val src = side(ev)
-      val dst = side(ev.filter(col("event_id") % 997 =!= 3)
-        .withColumn("cents", when(col("event_id") % 997 === 5,
-          col("cents") + 1).otherwise(col("cents"))))
-      src.join(dst.withColumnRenamed("n", "n_dst")
-          .withColumnRenamed("chk", "chk_dst"), Seq("day"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n").as("n_src"), col("n_dst"),
-          (col("chk") === col("chk_dst")).as("chk_match"))
-        .orderBy("day")
-    },
-
-    // Cross-source quantile normalization — map each document's
-    // within-source length rank onto the GLOBAL length distribution (the
-    // standard fix for incomparable quality scores across heterogeneous
-    // corpus sources). Source-side permille from a per-source window
-    // (row_number, doc_id tiebreak); global side is the collapsed
-    // histogram + prefix sum (313 distinct lengths), broadcast as
-    // (lo, hi] permille intervals — the interval join is against a
-    // domain-sized dimension, never row×row.
-    "quantile_normalize_scores" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val total = docs.agg(count(lit(1)).as("n"))
-      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
-      val wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-      val glob = hist.withColumn("cum", sum("c").over(wg))
-        .crossJoin(broadcast(total))
-        .withColumn("hi", expr("cum * 1000 DIV n"))
-        .withColumn("lo", coalesce(lag(col("hi"), 1)
-          .over(Window.orderBy("n_chars")), lit(-1L)))
-        .select(col("n_chars").as("norm_chars"), col("lo"), col("hi"))
-      val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-      val ranked = docs
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rk", row_number().over(ws))
-        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
-        .withColumn("permille",
-          expr("(CAST(rk AS BIGINT) - 1) * 1000 DIV (n_src - 1)"))
-      ranked.join(broadcast(glob),
-          col("permille") > col("lo") && col("permille") <= col("hi"))
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          col("permille"), col("norm_chars"))
-        .orderBy("doc_id")
-    },
-
-    // CUSUM change-point detection per event_type over the daily count
-    // series: the day k maximizing |Σ_{d≤k}(c_d·D − total)| — the exact
-    // integer scaling of the classic cumulative-deviation-from-mean
-    // statistic (multiplied through by D so no rational mean appears).
-    // All windows run on the day-collapsed series (≤ types × days rows);
-    // earliest-day tiebreak makes the argmax deterministic.
-    "cusum_changepoint" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wt = Window.partitionBy("event_type")
-      val wo = Window.partitionBy("event_type").orderBy("day")
-      val cus = daily
-        .withColumn("total", sum("c").over(wt))
-        .withColumn("n_days", count(lit(1)).over(wt))
-        .withColumn("cum", sum("c").over(
-          wo.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("k", row_number().over(wo).cast("long"))
-        .withColumn("s_abs",
-          abs(col("n_days") * col("cum") - col("k") * col("total")))
-      cus.withColumn("m", max("s_abs").over(wt))
-        .filter(col("s_abs") === col("m"))
-        .groupBy("event_type")
-        .agg(min("day").as("day"), max("m").as("s_abs"),
-          max("n_days").as("n_days"))
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("change_day"),
-          col("s_abs"), col("n_days"))
-        .orderBy("event_type")
-    },
-
-    // Bounded-lag EWMA smoothing of the per-type daily count series —
-    // weights 2⁷..2⁰ over the last 8 observations, renormalized by the
-    // mass actually present (series edges), all integer until the final
-    // milli-unit quotient. An 8-term lag chain over the day-collapsed
-    // series: one type-keyed exchange, no state beyond the frame.
-    // Holt's linear (double-exponential) smoothing with α=β=½, EXACT:
-    // the recurrence l_t = (obs_t + l_{t-1} + b_{t-1})/2,
-    // b_t = (l_t − l_{t-1} + b_{t-1})/2 carries denominators 2^t, so the
-    // engine tracks the 4^t-SCALED integers L_t = 4^t·l_t, B_t = 4^t·b_t:
-    //   L_t = 2·4^{t-1}·obs_t + 2(L_{t-1}+B_{t-1})
-    //   B_t = 4^{t-1}·obs_t − L_{t-1} + 3·B_{t-1}
-    // — a pure-integer DECIMAL(38,0) recurrence (≤1e25 over a 30-day
-    // corpus; the 4^t over-provisioning is what keeps every division
-    // out of the loop). The sequential fold runs as `aggregate` over
-    // each key's day-sorted series: per-key state never leaves its
-    // executor, keys parallelize — the distributed-safe shape for ANY
-    // exact linear recurrence, vs ewma_daily_counts' truncated-window
-    // approximation. Final level/trend divide once by 4^n (a power of
-    // two — exponent shift, both engines' nearest-rounding of the same
-    // integer), so the emitted doubles are engine-exact.
-    "holt_linear_exact" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100).cast("long")).as("obs"))
-      daily.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("day"), col("obs"))))
-          .as("xs"))
-        .withColumn("acc", expr("""
-          aggregate(xs,
-            named_struct(
-              'L', CAST(0 AS DECIMAL(38,0)), 'B', CAST(0 AS DECIMAL(38,0)),
-              'p', CAST(0 AS DECIMAL(38,0)), 't', 0),
-            (a, x) -> CASE WHEN a.t = 0 THEN named_struct(
-                'L', CAST(4 AS DECIMAL(38,0)) * x.obs,
-                'B', CAST(0 AS DECIMAL(38,0)),
-                'p', CAST(4 AS DECIMAL(38,0)), 't', 1)
-              ELSE named_struct(
-                'L', CAST(2 AS DECIMAL(38,0)) * a.p * x.obs
-                     + CAST(2 AS DECIMAL(38,0)) * (a.L + a.B),
-                'B', a.p * x.obs - a.L + CAST(3 AS DECIMAL(38,0)) * a.B,
-                'p', a.p * CAST(4 AS DECIMAL(38,0)),
-                't', a.t + 1) END)"""))
-        .select(col("event_type"), col("acc.t").as("n_days"),
-          (col("acc.L").cast("double") / pow(lit(4.0), col("acc.t")))
-            .as("level"),
-          (col("acc.B").cast("double") / pow(lit(4.0), col("acc.t")))
-            .as("trend"))
-        .withColumn("forecast_next", col("level") + col("trend"))
-        .orderBy("event_type")
-    },
-
-    // Exact precision/recall curve at decile cutoffs — the table-valued
-    // companion to roc_auc_ranksum: rows ranked by score (cents desc, id
-    // tiebreak), cumulative true-positive counts via one running sum
-    // over the same order, sampled at k = ⌈i·n/10⌉. precision/recall as
-    // exact permille integers. The global ranking is one range exchange
-    // (the SNM discipline); everything after it is cutoff-row-sized.
-    "pr_curve_points" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val scored = Tables.events(s, d)
-        .select(col("event_id"),
-          floor(col("value") * 100).cast("long").as("cents"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-      val wo = Window.orderBy(desc("cents"), col("event_id"))
-      val ranked = scored
-        .withColumn("rk", row_number().over(wo))
-        .withColumn("tp", sum(col("y")).over(
-          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      ranked.crossJoin(broadcast(tot))
-        .filter(expr("rk * 10 % n = 0")) // rk = i·n/10 exactly (n % 10 = 0 here)
-        .select(expr("CAST(rk * 10 DIV n AS INT)").as("decile"),
-          col("rk").as("k"), col("tp"),
-          expr("1000 * tp DIV rk").as("precision_permille"),
-          expr("1000 * tp DIV pos").as("recall_permille"))
-        .orderBy("decile")
-    },
-
-    // Maximum non-overlapping interval selection (activity selection,
-    // the earliest-deadline-first greedy): each user's purchases open a
-    // value-minutes-long interval; the fold walks the END-sorted
-    // intervals keeping one whenever it starts at/after the last kept
-    // end — provably optimal, inherently sequential, and therefore the
-    // same per-key `aggregate` fold shape as holt_linear_exact: state
-    // rides inside each key's array, keys parallelize, no driver loop.
-    // Epoch-micros integers end to end.
-    "interval_scheduling_max_sessions" -> { (s, d) =>
-      val iv = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("st"),
-          (floor(col("value")).cast("long") * 60L * 1000000L).as("dur"))
-        .select(col("user_id"), col("st"), (col("st") + col("dur")).as("en"))
-      iv.groupBy("user_id")
-        .agg(count(lit(1)).as("n_intervals"),
-          sort_array(collect_list(struct(col("en"), col("st")))).as("xs"))
-        .withColumn("max_nonoverlap", expr("""
-          aggregate(xs,
-            named_struct('cnt', CAST(0 AS BIGINT), 'last_end', CAST(-1 AS BIGINT)),
-            (a, x) -> CASE WHEN x.st >= a.last_end
-              THEN named_struct('cnt', a.cnt + 1, 'last_end', x.en)
-              ELSE a END).cnt"""))
-        .select(col("user_id"), col("n_intervals"), col("max_nonoverlap"))
-        .orderBy("user_id")
-    },
-
-    // NATIVE recursive CTE (new in Spark 4.x — the last classic SQL
-    // construct the engine's surface lacked): minimum-hop reachability
-    // over the behavioral transition graph (distinct consecutive
-    // event-type pairs per user, self-loops dropped — a ≤ 5-vertex
-    // graph, so the recursion is bounded by hops < 5 and the working set
-    // stays dimension-sized). The SAME SQL text runs in DuckDB as the
-    // oracle, which is the point: recursion is now portable surface, not
-    // an iterate-in-Scala special case (the Components loops remain the
-    // scale path for vertex-count-sized graphs).
-    "recursive_cte_reachability" -> { (s, d) =>
-      Tables.events(s, d).createOrReplaceTempView("rc_events")
-      s.sql("""
-        WITH RECURSIVE edges AS (
-          SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-              lag(event_type) OVER (PARTITION BY user_id
-                ORDER BY ts, event_id) AS prev_type
-            FROM rc_events)
-          WHERE prev_type IS NOT NULL AND prev_type <> event_type),
-        reach(src, dst, hops) AS (
-          SELECT src, dst, 1 FROM edges
-          UNION ALL
-          SELECT r.src, e.dst, r.hops + 1
-          FROM reach r JOIN edges e ON r.dst = e.src
-          WHERE r.hops < 5 AND r.src <> e.dst),
-        m AS (SELECT src, dst, min(hops) AS min_hops
-              FROM reach GROUP BY src, dst)
-        SELECT src, dst, CAST(min_hops AS INT) AS min_hops
-        FROM m ORDER BY src, dst""")
-    },
-
-    // listagg WITHIN GROUP (Spark 4.1's ordered string aggregation —
-    // the ANSI form of the collect_list+array_join idiom): per type,
-    // the comma list of its top-3 busiest days, ordered inside the
-    // aggregate itself. The WITHIN GROUP ordering is the point: an
-    // unordered string agg is partition-order-nondeterministic and
-    // would hash-flake, which is exactly why the idiom needed the
-    // sort_array detour until now.
-    "listagg_top_days" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(Window.partitionBy("event_type")
-          .orderBy(desc("n"), col("day"))))
-        .filter(col("rk") <= 3)
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
-      daily.createOrReplaceTempView("la_daily")
-      s.sql("""
-        SELECT event_type,
-          listagg(day, ',') WITHIN GROUP (ORDER BY day) AS top_days,
-          CAST(sum(n) AS BIGINT) AS n_events
-        FROM la_daily GROUP BY event_type ORDER BY event_type""")
-    },
-
-    // try_* arithmetic under ANSI mode (Spark 4's default): the
-    // pipeline-safe error algebra — division by a data-derived zero and
-    // a constructed long overflow both yield NULL instead of killing
-    // the job, where the plain ANSI operators would throw. The
-    // denominators/multipliers are count moduli, so BOTH branches of
-    // each guard occur at every SF (e.g. purchase's 1981 events ≡ 0
-    // mod 7 at sf0.01, error's 19810 at sf0.1). The oracle mirrors
-    // try_* with explicit CASE guards — exactly the cross-engine
-    // contract try_* encodes.
-    "try_arithmetic_audit" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("event_type"), col("n_events"),
-          expr("try_divide(n_events, n_events % 7)").as("div_probe"),
-          expr("try_multiply(4611686018427387904L, n_events % 3)")
-            .as("overflow_probe"))
-        .orderBy("event_type")
-    },
-
-    // Declarative SQL UDFs (Spark 4.1's CREATE FUNCTION … RETURN expr):
-    // reusable scalar logic WITHOUT leaving the optimizer — the body is
-    // inlined as a catalyst expression at resolution (codegen, pushdown,
-    // constant folding all apply), unlike a Scala/Python UDF's opaque
-    // black box. The money-cents and day-bucket helpers every query
-    // re-spells become named functions; the oracle is the inlined form,
-    // which is the semantic contract.
-    "sql_udf_inline" -> { (s, d) =>
-      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
-        "RETURNS BIGINT RETURN CAST(floor(x * 100) AS BIGINT)")
-      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_day(t TIMESTAMP) " +
-        "RETURNS STRING RETURN date_format(t, 'yyyy-MM-dd')")
-      Tables.events(s, d).createOrReplaceTempView("su_events")
-      s.sql("""
-        SELECT graft_day(CAST(ts AS TIMESTAMP)) AS day,
-          count(*) AS n,
-          CAST(sum(graft_cents(value)) AS BIGINT) AS value_cents
-        FROM su_events WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY 1""")
-    },
-
-    // Mergeable QUANTILE sketch (VERDICT r10 #7 — the streaming-
-    // compatible twin of the exact histogram percentiles): the bottom-k
-    // hash sample of ops/QuantileSketch. Proven here, all in exact
-    // integers: (1) MERGEABILITY — the sketch merged from the two
-    // event_id-parity shards equals the sketch built directly over the
-    // whole stream, element for element (bottomK(A∪B) =
-    // bottomK(bottomK(A)∪bottomK(B)), the property that lets shards be
-    // partitions, days, or micro-batches with O(k) state per key
-    // forever); (2) ACCURACY — the sketch-median's rank in the full
-    // stream sits within 4σ = n·4·sqrt(1/4k) = n/8 of the true median
-    // rank (rank-space error, the right metric for a quantile sketch —
-    // value-space error is unbounded on heavy tails). The rank≤k
-    // selections plan as WindowGroupLimit (map-side top-k per key before
-    // the exchange); the exact-median referee runs on the bounded
-    // distinct-cents histogram, never a global sort of the stream.
-    "quantile_sketch_mergeable" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 256
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).cast("long").as("cents"))
-        .withColumn("hk", Dedup.md5Hash64(
-            concat(lit("qsk|"), col("event_id")))
-          .bitwiseAND(lit(Long.MaxValue)))
-        .withColumn("half", pmod(col("event_id"), lit(2L)))
-      val shards = graft.ops.QuantileSketch.bottomK(ev,
-        Seq(col("event_type"), col("half")), col("hk"), col("event_id"), k)
-      val merged = graft.ops.QuantileSketch.bottomK(shards,
-        Seq(col("event_type")), col("hk"), col("event_id"), k)
-      val direct = graft.ops.QuantileSketch.bottomK(ev,
-        Seq(col("event_type")), col("hk"), col("event_id"), k)
-      val mism = merged.select(col("event_type"), col("event_id"))
-        .unionAll(direct.select(col("event_type"), col("event_id")))
-        .groupBy("event_type", "event_id").agg(count(lit(1)).as("c"))
-        .filter(col("c") =!= 2)
-        .groupBy("event_type").agg(count(lit(1)).as("n_mismatch"))
-      val est = merged
-        .withColumn("vr", row_number().over(Window
-          .partitionBy("event_type").orderBy("cents", "event_id")))
-        .withColumn("ksz",
-          count(lit(1)).over(Window.partitionBy("event_type")))
-        .filter(col("vr") === expr("(ksz + 1) DIV 2"))
-        .select(col("event_type"), col("cents").as("est_p50"))
-      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val hist = ev.groupBy("event_type", "cents")
-        .agg(count(lit(1)).as("c"))
-      val exact = hist
-        .withColumn("cum", sum("c").over(Window
-          .partitionBy("event_type").orderBy("cents")))
-        .join(tot, "event_type")
-        .filter(col("cum") >= expr("(n + 1) DIV 2"))
-        .withColumn("r", row_number().over(Window
-          .partitionBy("event_type").orderBy("cents")))
-        .filter(col("r") === 1)
-        .select(col("event_type"), col("cents").as("exact_p50"))
-      val er = hist.join(est, "event_type")
-        .groupBy("event_type", "est_p50")
-        .agg((sum(when(col("cents") < col("est_p50"), col("c"))
-          .otherwise(0L)) + 1L).as("est_rank"))
-      tot.join(est, "event_type").join(exact, "event_type")
-        .join(er, Seq("event_type", "est_p50"))
-        .join(mism, Seq("event_type"), "left_outer")
-        .select(col("event_type"), col("n"), col("est_p50"),
-          col("exact_p50"),
-          (coalesce(col("n_mismatch"), lit(0L)) === 0).as("merge_ok"),
-          abs(col("est_rank") - expr("(n + 1) DIV 2")).as("rank_gap"),
-          (abs(col("est_rank") - expr("(n + 1) DIV 2")) * 8 <= col("n"))
-            .as("bound_ok"))
-        .orderBy("event_type")
-    },
-
-    // The STREAMING form of the bottom-k quantile sketch: per-key state
-    // maintained by flatMapGroupsWithState across four micro-batches of
-    // events split by id RESIDUE (deliberately unordered arrival — the
-    // merge identity makes the final sketch invariant to any batching,
-    // and that invariance IS the check: the final per-key summary must
-    // hash-match a BATCH oracle computed over the whole table at once).
-    // State is O(k) per key forever; the emitted rows are the per-batch
-    // running summaries, and the final one is the max-n_seen row
-    // (n_seen is strictly monotone per key).
-    "streaming_quantile_sketch" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.expressions.Window
-      val inDir = stagedQSketch.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_qsk")
-          val ev = Tables.events(s, d)
-            .select(col("event_type"), col("event_id"),
-              floor(col("value") * 100).cast("long").as("cents"),
-              Dedup.md5Hash64(concat(lit("qsk|"), col("event_id")))
-                .bitwiseAND(lit(Long.MaxValue)).as("hk"))
-          (0 until 4).foreach(i => ev
-            .filter(pmod(col("event_id"), lit(4L)) === lit(i.toLong))
-            .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("event_type STRING, event_id BIGINT, cents BIGINT, hk BIGINT")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-      import s.implicits._
-      val out = graft.streaming.StatefulOps.bottomKSketchStream(
-        stream.as[graft.streaming.StatefulOps.QEvent], k = 256)
-      val qn = s"streaming_qsk_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        out.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn)
-        .withColumn("rk", row_number().over(Window
-          .partitionBy("event_type").orderBy(desc("n_seen"))))
-        .filter(col("rk") === 1).drop("rk")
-        .orderBy("event_type")
-    },
-
-    // KMV (k-minimum-values) distinct sketch MERGEABILITY, proven in
-    // exact integers: each event type's sketch is the k smallest
-    // distinct md5-hash values of its users; merging two sketches
-    // (k smallest of their union) must equal the sketch built directly
-    // over the union of the raw streams — the identity that makes KMV
-    // (and every θ-family sketch) a one-pass, arbitrarily-partitionable
-    // distinct estimator. The estimate itself is the caller's float
-    // k/θ; the engine emits the sketches' exact element sums plus the
-    // asserted identity, so the oracle re-derives everything without a
-    // single approximate value.
-    "kmv_sketch_mergeability" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val h = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "view"))
-        .select(col("event_type"),
-          Dedup.md5Hash64(col("user_id").cast("string"))
-            .bitwiseAND(lit(Long.MaxValue)).as("h"))
-        .distinct()
-      val k = 8
-      def sketch(df: DataFrame, label: String) = df
-        .withColumn("rk", row_number().over(Window.orderBy("h")))
-        .filter(col("rk") <= k)
-        .agg(sum(col("h")).as(s"${label}_sum"), max(col("h")).as(s"${label}_kth"))
-      val clickS = sketch(h.filter(col("event_type") === "click")
-        .select("h").distinct(), "click")
-      val viewS = sketch(h.filter(col("event_type") === "view")
-        .select("h").distinct(), "view")
-      // merged = k smallest of the two sketches' UNION OF ELEMENTS…
-      val perType = h.withColumn("rk",
-          row_number().over(Window.partitionBy("event_type").orderBy("h")))
-        .filter(col("rk") <= k).select("h").distinct()
-      val mergedS = sketch(perType, "merged")
-      // …vs the sketch built directly over the union of raw streams
-      val directS = sketch(h.select("h").distinct(), "direct")
-      clickS.crossJoin(broadcast(viewS))
-        .crossJoin(broadcast(mergedS)).crossJoin(broadcast(directS))
-        .select(lit(k).as("k"), col("click_sum"), col("view_sum"),
-          col("merged_sum"), col("direct_sum"),
-          (col("merged_sum") === col("direct_sum") &&
-            col("merged_kth") === col("direct_kth")).as("mergeable"))
-    },
-
-    // Cross-source overlap triage via per-source KMV sketches over the
-    // 3-shingle domain: before paying for a cross-corpus near-dup join
-    // at 100 TB, estimate every source pair's shingle-set union size and
-    // Jaccard from CONSTANT per-source state — the k smallest md5
-    // values of each source's distinct shingle set (one linear scan;
-    // row_number() <= k plans a WindowGroupLimit, so every map task
-    // prunes to its own k before the exchange, and the sketches are
-    // exactly mergeable across shards/days per QuantileSketchSpec).
-    // Pair math then runs on 20 sketches of 64 hashes: the merged
-    // bottom-k's k-th value θ gives |A∪B| ≈ (k−1)·2⁶³/θ (switching to
-    // the exact count when the union sketch is exhaustive), and the
-    // fraction of merged-sketch elements present in BOTH sketches
-    // estimates Jaccard (Beyer et al., SIGMOD'07). This is the number
-    // dataset cards quote ("crawl B is x% of crawl A") and the gate that
-    // decides which corpus pairs are worth a full cross-dedup. Integer
-    // outputs only: DECIMAL(38,0) intermediates, integral DIV.
-    "source_overlap_kmv" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 64
-      val sh = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("source"),
-          explode(Dedup.shingles(col("text"), 3)).as("g"))
-        .select(col("source"), Dedup.md5Hash64(col("g"))
-          .bitwiseAND(lit(Long.MaxValue)).as("h"))
-        .distinct()
-      // h is distinct within source, so it is its own tiebreak.
-      val sk = graft.ops.QuantileSketch.bottomK(
-        sh, Seq(col("source")), col("h"), col("h"), k)
-        .localCheckpoint() // 20×64 rows; pair math never re-scans text
-      val srcs = sk.select("source").distinct()
-      val pr = srcs.select(col("source").as("src_a"))
-        .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
-        .filter(col("src_a") < col("src_b"))
-      val ea = pr.join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
-        .select(col("src_a"), col("src_b"), col("h"),
-          lit(1L).as("in_a"), lit(0L).as("in_b"))
-      val eb = pr.join(sk.withColumnRenamed("source", "src_b"), Seq("src_b"))
-        .select(col("src_a"), col("src_b"), col("h"),
-          lit(0L).as("in_a"), lit(1L).as("in_b"))
-      val merged = ea.unionByName(eb)
-        .groupBy("src_a", "src_b", "h")
-        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("src_a", "src_b").orderBy("h")))
-        .filter(col("rk") <= k)
-      merged.groupBy("src_a", "src_b")
-        .agg(count(lit(1)).as("n_sk"), max("h").as("theta"),
-          sum(col("in_a") * col("in_b")).as("n_both"))
-        .withColumn("est_union", expr(
-          s"CASE WHEN n_sk < $k THEN n_sk ELSE " +
-            "CAST((CAST(n_sk AS DECIMAL(38,0)) - 1) * 9223372036854775807" +
-            " DIV theta AS BIGINT) END"))
-        .withColumn("est_jaccard_permille",
-          expr("(1000 * n_both) DIV n_sk"))
-        .withColumn("est_common", expr(
-          "CAST(CAST(n_both AS DECIMAL(38,0)) * est_union DIV n_sk" +
-            " AS BIGINT)"))
-        .select("src_a", "src_b", "n_sk", "theta", "n_both",
-          "est_union", "est_jaccard_permille", "est_common")
-        .orderBy("src_a", "src_b")
-    },
-
-    // SQL pipe syntax (Spark 4's |> operator chain — SQL in dataflow
-    // order): the same filter → aggregate → having-ish → order shape
-    // every report query uses, written as stages. Semantically identical
-    // to the nested form (the parser desugars it), so the oracle is the
-    // classic SQL — the point is surface parity for users migrating
-    // pipeline-style SQL.
-    "pipe_syntax_report" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("ps_orders")
-      s.sql("""
-        FROM ps_orders
-        |> WHERE o_orderstatus <> 'F'
-        |> AGGREGATE count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
-               AS total_cents
-           GROUP BY o_orderpriority
-        |> WHERE n_orders > 10
-        |> ORDER BY o_orderpriority""")
-    },
-
-    // Collation-aware grouping (Spark 4 collations): a mixed-case
-    // variant key (deterministically case-mangled from the row id)
-    // grouped under UTF8_LCASE — the engine-level answer to the
-    // lower()-everywhere normalization idiom. The representative key a
-    // collated GROUP BY returns is unspecified, so the output key is
-    // explicitly lower()ed; counts must equal the case-insensitive
-    // grouping the oracle computes.
-    "collation_aware_grouping" -> { (s, d) =>
-      val mangled = when(pmod(col("doc_id"), lit(2)) === 0,
-        upper(col("lang"))).otherwise(col("lang"))
-      Tables.documents(s, d)
-        .select(mangled.as("k"), col("doc_id"))
-        .groupBy(expr("k COLLATE UTF8_LCASE").as("kc"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
-        .select(lower(col("kc")).as("lang"), col("n_docs"), col("sum_id"))
-        .orderBy("lang")
-    },
-
-    // Parameterized SQL with IDENTIFIER() — the injection-safe templating
-    // added in Spark 4: values bind as named parameters, the grouping
-    // COLUMN binds through IDENTIFIER (a quoted identifier, not string
-    // splicing). The oracle is the resolved query; the surface under
-    // test is the binding path.
-    "parameterized_sql_audit" -> { (s, d) =>
-      Tables.events(s, d).createOrReplaceTempView("px_events")
-      s.sql(
-        """SELECT IDENTIFIER(:grp) AS event_type, count(*) AS n,
-          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-          |    AS value_cents
-          |FROM px_events WHERE value > :lo
-          |GROUP BY IDENTIFIER(:grp) ORDER BY 1""".stripMargin,
-        Map("grp" -> "event_type", "lo" -> 50.0))
-    },
-
-    // Calendar densification — the structural gap-filler reporting needs
-    // before any day-over-day window runs: the full (type × day) grid
-    // from one broadcast bounds row + sequence(), left-joined to the
-    // sparse daily aggregate, absent days zero-filled and flagged. The
-    // grid is dimension-sized (types × days), never fact-sized, so the
-    // only fact-scale work is the one daily aggregation.
-    "calendar_densify_zero_fill" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = Tables.events(s, d)
-        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
-      val grid = daily.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"),
-          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      grid.join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          col("n").isNull.as("is_gap"))
-        .orderBy("event_type", "day")
-    },
-
-    "ewma_daily_counts" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wo = Window.partitionBy("event_type").orderBy("day")
-      val terms = (0 to 7).map { j =>
-        val w = 1L << (7 - j)
-        (when(lag(col("c"), j).over(wo).isNotNull,
-            lag(col("c"), j).over(wo) * w).otherwise(0L),
-          when(lag(col("c"), j).over(wo).isNotNull, lit(w)).otherwise(0L))
-      }
-      daily
-        .withColumn("num", terms.map(_._1).reduce(_ + _))
-        .withColumn("den", terms.map(_._2).reduce(_ + _))
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
-          expr("num * 1000 DIV den").as("ewma_milli"))
-        .orderBy("event_type", "day")
-    },
-
-    // Local clustering coefficient per vertex of the kNN similarity graph
-    // (same cells/k config as triangle_count_knn so the DuckDB oracle can
-    // rebuild the identical graph): 2·tri/(deg·(deg−1)) in exact
-    // micro-units — the community-density signal that separates
-    // intra-cluster vectors from hub artifacts before label propagation.
-    "clustering_coeff_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val edges = knnEdges(s, d, 3)
-      graft.ops.Graph.localClustering(graft.ops.Graph.undirected(edges))
-        .orderBy("vertex")
-    },
-
-    // SEVENTH driver-checked streaming lifecycle: watermarked stream-stream
-    // LEFT OUTER interval join — every purchase paired with the follow-on
-    // views inside [ts, ts+60 min], and purchases with NO such view emitted
-    // null-padded exactly once, after the watermark closes their window
-    // (outer results are final, state evicted — the semantics batch
-    // left-joins get for free and streams only get via the time-range
-    // condition). Per-side sentinels past end + horizon + lateness flush
-    // the tail; the oracle is the plain batch LEFT JOIN.
-    "streaming_left_outer_join" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEventsOuter.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_loj")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 2 DAYS")).as("ts"))
-            .select(col("ts"), lit(-1L).as("user_id"),
-              explode(array(lit("purchase"), lit("view"))).as("event_type"),
-              lit(-1L).as("event_id"))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
-        src.filter(col("event_type") === "purchase")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        src.filter(col("event_type") === "view")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute",
-        joinType = "leftOuter")
-      val qn = s"streaming_loj_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).filter(col("l_event_id") >= 0)
-        .select(col("l_user_id").as("user_id"), col("l_event_id"),
-          col("r_event_id"), col("r_event_id").isNull.as("unmatched"))
-        .orderBy("l_event_id", "r_event_id")
-    },
-
-    // U-shaped (position-based) attribution — 40% first touch, 40% last,
-    // 20% split across middles (n=1 → 100%, n=2 → 50/50, no touch →
-    // "none"); completes the last-touch / linear family. Exact micro-cent
-    // floor division everywhere; one conversion-keyed window ranks the
-    // 24 h lookback touches.
-    "attribution_position_based" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts").as("p_ts"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
-          col("event_type").as("touch_type"), col("event_id").as("t_id"))
-      val wp = Window.partitionBy("p_id")
-      purchases.join(touches,
-          col("user_id") === col("t_user") &&
-            col("t_ts") < col("p_ts") &&
-            col("t_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"), "left")
-        .select(col("p_id"), col("cents"), col("touch_type"), col("t_id"),
-          col("t_ts"))
-        .withColumn("n", count(col("t_id")).over(wp))
-        .withColumn("rn", row_number().over(
-          wp.orderBy(col("t_ts"), col("t_id"))).cast("long"))
-        .withColumn("units", col("cents") * lit(1000000L))
-        .withColumn("credit_micro",
-          when(col("t_id").isNull, col("units"))
-            .when(col("n") === 1, col("units"))
-            .when(col("n") === 2, expr("units DIV 2"))
-            .when(col("rn") === 1 || col("rn") === col("n"),
-              expr("units * 2 DIV 5"))
-            .otherwise(expr("units DIV 5 DIV (n - 2)")))
-        .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
-        .agg(countDistinct(col("p_id")).as("n_purchases"),
-          count(col("t_id")).as("n_touches"),
-          sum(col("credit_micro")).as("credit_micro"),
-          coalesce(sum(col("t_id")), lit(0L)).as("touch_checksum"))
-        .orderBy("channel")
-    },
-
-    // Freshness-lag DQ gate — per event_type staleness against the table
-    // high-water mark (the monitor every ingestion SLA hangs off): lag in
-    // exact integer seconds from epoch-micros floor division, plus the
-    // SLA boolean. One scan, partial max per type, broadcast global max.
-    "dq_freshness_lag" -> { (s, d) =>
-      val perType = Tables.events(s, d)
-        .groupBy("event_type").agg(max(col("ts")).as("max_ts"))
-      val global = perType.agg(max(col("max_ts")).as("global_ts"))
-      perType.crossJoin(broadcast(global))
-        .select(col("event_type"), tsStr(col("max_ts")).as("max_ts"),
-          expr("""(unix_micros(CAST(global_ts AS TIMESTAMP)) -
-                   unix_micros(CAST(max_ts AS TIMESTAMP))) DIV 1000000""")
-            .as("lag_seconds"))
-        .withColumn("fresh", col("lag_seconds") < 86400)
-        .orderBy("event_type")
-    },
-
-    // TPC-H Q6 shape — forecast revenue change: a pure scan-filter-agg
-    // whose whole plan should collapse into one WholeStageCodegen span
-    // over the pushed-down parquet scan. Exact decimal product sum.
-    "tpch_q6_forecast_revenue" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            col("l_discount").cast("decimal(4,2)"))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-    },
-
-    // TPC-H Q14 shape — promo revenue share in a year: broadcast part
-    // dim, conditional decimal aggregation, and the share emitted as an
-    // exact integer ratio of micro-cent sums (DECIMAL×10⁴ → BIGINT) so
-    // no double division crosses the oracle boundary.
-    "tpch_q14_promo_share" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-      li.join(broadcast(Tables.part(s, d)),
-          col("l_partkey") === col("p_partkey"))
-        .withColumn("rev", col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-        .agg(
-          sum(when(col("p_type").startsWith("PROMO"), col("rev"))
-            .otherwise(lit(0).cast("decimal(16,4)"))).as("promo"),
-          sum(col("rev")).as("total"))
-        .select(
-          (col("promo") * 10000).cast("long").as("promo_u"),
-          (col("total") * 10000).cast("long").as("total_u"))
-        .withColumn("promo_share_micro",
-          expr("promo_u * 1000000 DIV total_u"))
-    },
-
-    // TPC-H Q18 shape — large-quantity orders: the group-by-HAVING
-    // derived semi join (aggregate once, join back), customer enrichment,
-    // deterministic top-100. Quantities are integer-valued doubles, so
-    // their sums are exact and cast cleanly to BIGINT in both engines.
-    "tpch_q18_large_orders" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val big = li.groupBy("l_orderkey")
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-        .filter(col("sum_qty") > 150)
-      Tables.orders(s, d)
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_totalprice"), col("sum_qty").cast("long").as("sum_qty"))
-        .orderBy(desc("o_totalprice"), col("o_orderkey"))
-        .limit(100)
-    },
-
-    // Tolerance-bounded backward as-of join (pandas merge_asof
-    // tolerance) — each purchase takes the user's last click, but only
-    // if it happened within the 10-minute attribution window; older
-    // matches null out. Completes the as-of family
-    // (backward/forward/nearest/tolerance); same one-shuffle union-window
-    // plan, the tolerance is a post-fill projection.
-    "asof_tolerance_join" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOfJoin.backwardTolerance(purchases, clicks, Seq("user_id"), "ts",
-          valueCols = Seq("click_id"), tolerance = "10 MINUTES",
-          tieCols = Seq("click_id"))
-        .select(col("user_id"), tsStr(col("ts")).as("ts"), col("event_id"),
-          col("click_id"), tsStr(col("asof_matched_ts")).as("click_ts"))
-        .orderBy("event_id")
-    },
-
-    // Hard-negative mining for contrastive training — per anchor, the 2
-    // most similar DIFFERENT-label vectors from its Voronoi cell (easy
-    // negatives are already far; these are the pairs that move the
-    // loss). Same fixed-8-centroid config as the other cell queries so
-    // the oracle rebuilds the identical candidate set; production scales
-    // cells ∝ n (the SemDeDup/kNN argument).
-    "hard_negative_mining" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      graft.ops.KnnGraph.hardNegatives(emb, cents, k = 2)
-        .orderBy("src", "rank")
-    },
-
-    // Curriculum phases — split the corpus into 4 training phases of
-    // ~equal CHARACTER mass in length order (curriculum learning's
-    // easy-to-hard schedule with balanced compute per phase). Phase
-    // boundaries come from the exclusive prefix mass over the collapsed
-    // length histogram: one exchange, domain-sized windows, exact
-    // integer floor arithmetic.
-    "curriculum_phases" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val hist = Tables.documents(s, d)
-        .groupBy("n_chars").agg(count(lit(1)).as("c"))
-        .withColumn("mass", col("n_chars") * col("c"))
-      val w = Window.orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val tot = hist.agg(sum("mass").as("total_mass"))
-      hist.withColumn("cum_excl", coalesce(sum("mass").over(w), lit(0L)))
-        .crossJoin(broadcast(tot))
-        .withColumn("phase", expr("cum_excl * 4 DIV total_mass"))
-        .groupBy("phase")
-        .agg(sum("c").as("n_docs"), sum("mass").as("sum_chars"),
-          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
-        .orderBy("phase")
-    },
-
-    // TWAP — time-weighted average value per (type, day): each
-    // observation holds until the next one (lead), weights are exact
-    // epoch-micros interval lengths, the average is one integer floor
-    // quotient. The finance-standard mean for irregular ticks; one
-    // (type, day)-keyed window + aggregate, event_id tiebreak for
-    // within-timestamp determinism.
-    "twap_daily" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
-          floor(col("value") * 100).as("cents"), col("event_id"))
-      val w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-      ev.withColumn("next_ts", lead(col("ts"), 1).over(w))
-        .filter(col("next_ts").isNotNull)
-        .withColumn("dt_us", expr("""unix_micros(CAST(next_ts AS TIMESTAMP)) -
-          unix_micros(CAST(ts AS TIMESTAMP))"""))
-        .groupBy("event_type", "day")
-        .agg(sum(expr("cents * dt_us")).as("num"), sum("dt_us").as("den"),
-          count(lit(1)).as("n_intervals"))
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          expr("num DIV den").as("twap_cents"), col("n_intervals"))
-        .orderBy("event_type", "day")
-    },
-
-    // TPC-H Q15 shape — top supplier(s) by quarter revenue, ALL ties kept
-    // via the max-revenue self-comparison (the view+subquery formulation,
-    // here an exact DECIMAL equality join against the 1-row broadcast
-    // max — double revenue would make tie detection engine-dependent).
-    "tpch_q15_top_supplier" -> { (s, d) =>
-      val rev = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
-        .groupBy("l_suppkey")
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .as("total_rev"))
-      val mx = rev.agg(max(col("total_rev")).as("mx"))
-      rev.join(broadcast(mx), col("total_rev") === col("mx"))
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"),
-          col("total_rev").cast("double").as("total_revenue"))
-        .orderBy("s_suppkey")
-    },
-
-    // EIGHTH streaming lifecycle: dropDuplicatesWithinWatermark's
-    // bounded-state contract made VISIBLE — duplicates arriving within
-    // the watermark delay are dropped (25 planted +10 s copies), but a
-    // second wave TWO DAYS later re-emits: their key state was evicted
-    // when the watermark passed, which is exactly the unbounded-state
-    // trade every streaming dedup at scale accepts. Two files,
-    // maxFilesPerTrigger=1, so eviction happens between micro-batches;
-    // the oracle counts docs 25..49's fingerprints twice.
-    "streaming_dedup_eviction" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedDedupEvict.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_evict")
-          val base = Tables.documents(s, d)
-            .select(
-              expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")
-                .as("ts"),
-              col("text"), col("doc_id"))
-          base.unionAll(base.filter(col("doc_id") < 25)
-              .select((col("ts") + expr("INTERVAL 10 SECONDS")).as("ts"),
-                col("text"), col("doc_id")))
-            .drop("doc_id").coalesce(1).write.parquet(s"$tmp/in")
-          // two watermark-advancer batches between the waves: eviction is
-          // a between-batches effect (a batch must first ADVANCE the
-          // watermark, a later one evicts) — without them the engine may
-          // legally still suppress the far duplicates (the contract
-          // beyond the delay is best-effort, and a single-hop fixture
-          // measured exactly that: 500 rows, duplicates suppressed).
-          Seq("1", "36").zipWithIndex.foreach { case (h, i) =>
-            base.limit(1)
-              .select((col("ts") + expr(s"INTERVAL $h HOURS")).as("ts"),
-                lit(s"__advancer_$i").as("text"))
-              .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-          }
-          base.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-            .select((col("ts") + expr("INTERVAL 2 DAYS")).as("ts"),
-              col("text"))
-            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, text STRING")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-      val deduped = graft.streaming.StreamingPipeline
-        .dedupStream(stream, lateness = "1 minute")
-      val qn = s"streaming_evict_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        deduped
-          .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn).orderBy("fp_md5")
-    },
-
-    // Explicit GROUPING SETS (the third grouping surface next to
-    // cube_orders / rollup_orders): two independent one-dimension
-    // rollups plus the grand total in ONE pass — the report-page shape
-    // that would otherwise be three scans unioned. grouping_id
-    // disambiguates the null-keyed rows exactly as the SQL standard
-    // bitmask both engines implement.
-    "grouping_sets_report" -> { (s, d) =>
-      Tables.orders(s, d)
-        .groupingSets(
-          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
-          col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
-            .as("total"),
-          grouping_id().as("gid"))
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
-    },
-
-    // Benford first-digit audit over order totals — the classic
-    // fabricated-data screen. The first significant digit comes from the
-    // DECIMAL(12,2) string rendering (both engines format decimals
-    // identically; log10-based extraction could flip at power-of-ten
-    // boundaries between libm implementations). Expected Benford masses
-    // are integer permille literals; everything else is exact counts.
-    "benford_digit_audit" -> { (s, d) =>
-      val exp = array(Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
-        .map(v => lit(v.toLong)): _*)
-      val digits = Tables.orders(s, d)
-        .select(substring(col("o_totalprice").cast("decimal(12,2)")
-          .cast("string"), 1, 1).cast("int").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("obs"))
-      val tot = digits.agg(sum("obs").as("n"))
-      digits.crossJoin(broadcast(tot))
-        .select(col("digit"), col("obs"),
-          expr("obs * 1000 DIV n").as("obs_permille"),
-          element_at(exp, col("digit")).as("exp_permille"))
-        .withColumn("excess_permille",
-          col("obs_permille") - col("exp_permille"))
-        .orderBy("digit")
-    },
-
-    // Pareto concentration — the smallest top-revenue customer set
-    // covering ≥ 80% of total revenue (the 80/20 report): per-customer
-    // cent sums, revenue-descending rank + prefix sum, integer 4/5
-    // cross-multiplication for the cutoff. The global window runs over
-    // the CUSTOMER aggregate (orders-many → customers-few); at 100 TB
-    // the same cutoff comes from a revenue histogram exactly like
-    // percentile_length_filter.
-    "pareto_customer_concentration" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val rev = Tables.orders(s, d)
-        .groupBy("o_custkey")
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("long")).as("cents"))
-      val w = Window.orderBy(desc("cents"), col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = rev
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("cents"), col("o_custkey"))).cast("long"))
-        .withColumn("cum", sum("cents").over(w))
-      val tot = rev.agg(sum("cents").as("total_cents"),
-        count(lit(1)).as("n_customers"))
-      ranked.crossJoin(broadcast(tot))
-        .filter(col("cum") * 5 >= col("total_cents") * 4)
-        .agg(min("rk").as("n_top80"), max("n_customers").as("n_customers"),
-          max("total_cents").as("total_cents"))
-        .select(col("n_top80"), col("n_customers"),
-          expr("n_top80 * 1000 DIV n_customers").as("top_share_permille"),
-          col("total_cents"))
-    },
-
-    // Day-over-day trending — per day, the event type with the largest
-    // relative count growth (permille vs previous day), the "what's
-    // spiking" feed. All windows on the day×type collapsed series;
-    // deterministic (delta desc, type) tiebreak; day 1 has no baseline
-    // and is skipped.
-    "trending_types_daily" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wt = Window.partitionBy("event_type").orderBy("day")
-      val wd = Window.partitionBy("day")
-        .orderBy(desc("delta_permille"), col("event_type"))
-      daily
-        .withColumn("prev", lag(col("c"), 1).over(wt))
-        .filter(col("prev").isNotNull)
-        .withColumn("delta_permille",
-          expr("(c - prev) * 1000 DIV prev"))
-        .withColumn("rn", row_number().over(wd))
-        .filter(col("rn") === 1)
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("event_type").as("top_type"), col("c"), col("prev"),
-          col("delta_permille"))
-        .orderBy("day")
-    },
-
-    // NINTH streaming lifecycle: watermarked stream-stream FULL OUTER
-    // interval join — unmatched PURCHASES null-pad on the right,
-    // unmatched VIEWS null-pad on the left, each emitted exactly once
-    // after the watermark closes the window in which a match could still
-    // have arrived (a view can match a purchase up to 60 min BEFORE it,
-    // so its close is ts on the left bound). Same staged fixture and
-    // per-side sentinels as the left-outer lifecycle; oracle is the
-    // batch FULL OUTER join.
-    "streaming_full_outer_join" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedEventsOuter.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_loj")
-          val ev = Tables.events(s, d)
-            .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-              col("event_type"), col("event_id"))
-          ev.write.parquet(s"$tmp/in")
-          ev.agg((max(col("ts")) + expr("INTERVAL 2 DAYS")).as("ts"))
-            .select(col("ts"), lit(-1L).as("user_id"),
-              explode(array(lit("purchase"), lit("view"))).as("event_type"),
-              lit(-1L).as("event_id"))
-            .write.mode("append").parquet(s"$tmp/in")
-          s"$tmp/in"
-        })
-      val src = s.readStream
-        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, event_id BIGINT")
-        .parquet(inDir)
-      val joined = graft.streaming.StreamingPipeline.intervalJoinStream(
-        src.filter(col("event_type") === "purchase")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        src.filter(col("event_type") === "view")
-          .select(col("ts"), col("user_id"), col("event_id")),
-        keyCol = "user_id", horizon = "60 minutes", lateness = "1 minute",
-        joinType = "fullOuter")
-      val qn = s"streaming_foj_${streamRun.incrementAndGet()}"
-      withStatePartitions(s, 8) {
-        joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(180000)
-      }
-      s.table(qn)
-        .filter((col("l_event_id").isNull || col("l_event_id") >= 0) &&
-          (col("r_event_id").isNull || col("r_event_id") >= 0))
-        .select(coalesce(col("l_user_id"), col("r_user_id")).as("user_id"),
-          col("l_event_id"), col("r_event_id"))
-        .orderBy("l_event_id", "r_event_id")
-    },
-
-    // Skyline (Pareto front) over parts — cheapest-for-their-size parts:
-    // p on the front iff no part is both cheaper and at-least-as-large
-    // (minimize retail cents, maximize size). Collapse to the per-size
-    // maximum first... inverted: per distinct CENTS the max size, then a
-    // running-max scan over the price-sorted domain keeps exactly the
-    // dominance-free rows. One exchange to the (cents → max size)
-    // histogram; the scan window runs on the collapsed price domain. The
-    // multidimensional generalization is grid-partitioned prefilter +
-    // candidate merge — this 2-D form is the window special case.
-    "skyline_price_size" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val parts = Tables.part(s, d)
-        .select(col("p_partkey"),
-          (col("p_retailprice").cast("decimal(12,2)") * 100)
-            .cast("long").as("cents"),
-          col("p_size"))
-      val bySize = parts.groupBy("cents").agg(max("p_size").as("best_size"))
-      val w = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val front = bySize
-        .withColumn("max_below",
-          coalesce(max("best_size").over(w), lit(-1)))
-        .filter(col("best_size") > col("max_below"))
-        .select(col("cents").as("f_cents"), col("best_size"))
-      // re-attach the part(s) realizing each front point (smallest key
-      // wins ties so the emitted set is deterministic)
-      parts.join(broadcast(front),
-          col("cents") === col("f_cents") &&
-            col("p_size") === col("best_size"))
-        .groupBy(col("f_cents").as("cents"), col("best_size"))
-        .agg(min("p_partkey").as("p_partkey"), count(lit(1)).as("n_ties"))
-        .orderBy("cents")
-    },
-
-    // Connected components over the kNN similarity graph, as a
-    // first-class ORACLED surface for the iterative algorithm the dedup
-    // survivors ride (Components is otherwise only spec- and
-    // indirectly-covered). Alternating small-star/large-star (Kiveris et
-    // al., SoCC'14) — O(log n) rounds on ANY graph shape, each round one
-    // aggregation + one join hash-partitioned by vertex, which is the
-    // 100 TB algorithm (plain min-label propagation needs O(diameter)
-    // rounds on chains). Output is the component summary: min-id label,
-    // size, max vertex. Oracle: DuckDB WITH RECURSIVE transitive closure
-    // → min reachable label per vertex (component-size² intermediate —
-    // fine at oracle SFs, and exactly the formulation the distributed
-    // algorithm exists to avoid).
-    "graph_components_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3))
-      graft.ops.Components.connectedComponentsStar(und, "a", "b")
-        .groupBy("comp")
-        .agg(count(lit(1)).as("n_vertices"), max("v").as("max_vertex"))
-        .orderBy("comp")
-    },
-
-    // Incremental connected-components maintenance — the daily update a
-    // persisted 100 TB dedup-cluster graph needs when a delta batch of
-    // edges arrives: NEVER re-run components over the full edge set.
-    // The algebra is contraction: yesterday's labels collapse each old
-    // component to its min-id super-node; delta edges map through the
-    // labels onto the contracted graph; components of THAT tiny graph
-    // (≤ |Δ| edges) relabel only the touched clusters (an old label is
-    // the min id of its component, so min over merged labels IS the
-    // merged component's min id — the invariant that makes the
-    // composition exact). Cost ∝ |Δ| + touched components; the full
-    // graph is read once for yesterday's state, which a production
-    // deployment holds materialized. The 10% delta is a deterministic
-    // hash split of the kNN edge set (edges "arriving late"); the
-    // oracle recomputes the merged graph FROM SCRATCH, so the green
-    // hash proves incremental ≡ scratch, per vertex.
-    "ivm_components_delta" -> { (s, d) =>
-      val und = graft.ops.Graph.undirected(knnEdges(s, d, 3))
-        .withColumn("is_delta",
-          pmod(Dedup.md5Hash64(concat(lit("ccd|"), col("a"),
-              lit("|"), col("b"))).bitwiseAND(lit(Long.MaxValue)),
-            lit(10L)) === 0L)
-      val delta = und.filter(col("is_delta")).select("a", "b")
-        .localCheckpoint() // tiny; read thrice (verts, two label maps)
-      // yesterday's materialized state: staged once per (session, dir),
-      // exactly as a deployment would hold it — the query then measures
-      // the maintenance path alone (delta split + contraction + relabel)
-      val l0root = stagedCcLabels.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_cc_state")
-          val e0 = und.filter(!col("is_delta")).select("a", "b")
-          graft.ops.Components.connectedComponentsStar(e0, "a", "b")
-            .write.mode("overwrite").parquet(s"$tmp/labels")
-          tmp
-        })
-      val l0 = s.read.parquet(s"$l0root/labels")
-      graft.ops.Components.applyDelta(l0, delta)
-        .withColumn("changed", col("old_comp") =!= col("new_comp"))
-        .orderBy("v")
-    },
-
-    // Peak concurrency by sweep line — max simultaneously-open gap
-    // sessions per day (capacity planning's load question). Sessions
-    // split into per-day segments (midnight carry-in becomes the
-    // segment's 00:00 start), boundaries collapse to one row per
-    // (day, ts) with net delta and +1 count, and the peak reads off a
-    // day-partitioned running sum over that collapsed domain: candidate
-    // concurrency at ts = cum_before + ups (all starts at an instant
-    // count before any end — closed intervals, so a session ending at
-    // the exact ts another starts overlaps it). No global window, no
-    // per-boundary-row state: the window partitions by day on the
-    // deduped boundary domain, which is also the 100 TB plan.
-    "max_concurrent_sessions" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val seg = Sessionize.sessions(Tables.events(s, d), Seq("user_id"),
-          "ts", gapSeconds = 1800)
-        .select(col("session_start"), col("session_end"),
-          explode(expr(
-            "sequence(to_date(session_start), to_date(session_end))"))
-            .as("day"))
-        .select(col("day"),
-          greatest(col("session_start"), col("day").cast("timestamp_ntz"))
-            .as("seg_start"),
-          least(col("session_end"),
-            expr("cast(date_add(day, 1) as timestamp_ntz)" +
-              " - INTERVAL 1 MICROSECOND")).as("seg_end"))
-      val bounds = seg
-        .select(col("day"), col("seg_start").as("ts"), lit(1L).as("delta"))
-        .union(seg.select(col("day"), col("seg_end").as("ts"),
-          lit(-1L).as("delta")))
-        .groupBy("day", "ts")
-        .agg(sum(col("delta")).as("net"),
-          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("ups"))
-      val w = Window.partitionBy("day").orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cand = bounds.withColumn("cum", sum(col("net")).over(w))
-        .withColumn("cand", col("cum") - col("net") + col("ups"))
-      cand.groupBy("day").agg(max(col("cand")).as("peak"))
-        .join(cand.select(col("day"), col("ts"), col("cand")),
-          Seq("day"))
-        .filter(col("cand") === col("peak"))
-        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("peak"))
-        .agg(tsStr(min(col("ts"))).as("first_peak"))
-        .orderBy("day")
-    },
-
-    // Preference-pair construction (DPO/RLHF data prep): within each
-    // (source, lang) group, pair the highest-quality document (chosen)
-    // with the lowest (rejected), quality = integer milli type-token
-    // ratio — the same tokenization and TTR rule as
-    // source_reputation_gate. Tiebreaks make the pair deterministic:
-    // chosen prefers the SMALLER doc_id, rejected the LARGER, so a
-    // fully-tied group of ≥2 docs still yields a non-degenerate pair
-    // with margin 0. One doc-keyed token exchange builds the per-doc
-    // quality; both extremes come from group-partitioned windows over
-    // the doc-level aggregate (group count is bounded by the
-    // source×lang domain — no global sort, no driver loop).
-    "preference_pairs" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val q = Tables.documents(s, d).repartition(col("doc_id"))
-        .select(col("source"), col("lang"), col("doc_id"),
-          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .groupBy("source", "lang", "doc_id")
-        .agg(count(lit(1)).as("tot"), countDistinct(col("token")).as("dis"))
-        .withColumn("ttr_milli", expr("dis * 1000 DIV tot"))
-      val wc = Window.partitionBy("source", "lang")
-        .orderBy(desc("ttr_milli"), asc("doc_id"))
-      val wr = Window.partitionBy("source", "lang")
-        .orderBy(asc("ttr_milli"), desc("doc_id"))
-      q.withColumn("rc", row_number().over(wc))
-        .withColumn("rr", row_number().over(wr))
-        .withColumn("n_group",
-          count(lit(1)).over(Window.partitionBy("source", "lang")))
-        .filter((col("rc") === 1 || col("rr") === 1) && col("n_group") >= 2)
-        .groupBy("source", "lang", "n_group")
-        .agg(
-          max(when(col("rc") === 1, col("doc_id"))).as("chosen_doc"),
-          max(when(col("rc") === 1, col("ttr_milli"))).as("chosen_ttr"),
-          max(when(col("rr") === 1, col("doc_id"))).as("rejected_doc"),
-          max(when(col("rr") === 1, col("ttr_milli"))).as("rejected_ttr"))
-        .withColumn("margin_milli", col("chosen_ttr") - col("rejected_ttr"))
-        .orderBy("source", "lang")
-    },
-
-    // BFS layers from the 8 centroid vertices over the kNN graph —
-    // "how far is every embedding from a landmark" (coverage radius /
-    // seed-expansion shape). Three unrolled frontier rounds, each one
-    // edge join + an anti-join against the labeled set, all
-    // hash-partitioned by vertex; per-layer summary with an id checksum.
-    // The frontier never revisits (anti-join), so per-round work is
-    // O(frontier × degree) — the distributed BFS invariant; the oracle
-    // is the UNION ALL path enumeration bounded at 3 hops, min hop per
-    // vertex.
-    "bfs_layers_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3))
-      val sym = und.select(col("a").as("v"), col("b").as("w"))
-        .union(und.select(col("b").as("v"), col("a").as("w")))
-        .localCheckpoint()
-      var labeled = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("v"), lit(0).as("dist")).localCheckpoint()
-      var frontier = labeled
-      for (i <- 1 to 3) {
-        frontier = sym
-          .join(frontier.select(col("v").as("w")), "w")
-          .select(col("v")).distinct()
-          .join(labeled.select("v"), Seq("v"), "left_anti")
-          .select(col("v"), lit(i).as("dist")).localCheckpoint()
-        labeled = labeled.union(frontier).localCheckpoint()
-      }
-      labeled.groupBy("dist")
-        .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"),
-          max(col("v")).as("max_vertex"))
-        .orderBy("dist")
-    },
-
-    // Incremental view maintenance over a JOIN — the delta algebra
-    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB made executable: per-customer
-    // revenue from orders⋈lineitem, maintained as base(old,old) plus the
-    // three delta terms at a 2000-01-01 cutoff (orders delta by
-    // o_orderdate, lineitem delta by l_shipdate — independent change
-    // feeds, so all three terms are non-trivial). At 100 TB this is THE
-    // pattern: each refresh joins only delta-sized inputs against the
-    // other side, never recomputes the base. Exact decimal revenue; the
-    // oracle computes the full join directly with CASE-split item counts
-    // — equality proves the delta decomposition.
-    "ivm_join_delta" -> { (s, d) =>
-      val cut = lit("2000-01-01 00:00:00").cast("timestamp")
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-        (col("o_orderdate") >= cut).as("o_new"))
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price"),
-        (col("l_shipdate") >= cut).as("l_new"))
-      def term(oNew: Boolean, lNew: Boolean) =
-        o.filter(col("o_new") === oNew)
-          .join(li.filter(col("l_new") === lNew),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy("o_custkey")
-          .agg(sum(col("price")).as("rev"), count(lit(1)).as("n"))
-          .withColumn("is_delta", lit(if (oNew || lNew) 1L else 0L))
-      term(false, false)
-        .unionByName(term(true, false))
-        .unionByName(term(false, true))
-        .unionByName(term(true, true))
-        .groupBy("o_custkey")
-        .agg(sum(col("rev")).cast("double").as("revenue"),
-          sum(when(col("is_delta") === 0L, col("n")).otherwise(0L))
-            .as("n_items_base"),
-          sum(when(col("is_delta") === 1L, col("n")).otherwise(0L))
-            .as("n_items_delta"))
-        .orderBy("o_custkey")
-    },
-
-    // RFM segmentation (recency / frequency / monetary quintiles) —
-    // the marketing-analytics staple, built scalably: per-customer R/F/M
-    // from one orders aggregate, quintile CUTOFFS from three collapsed
-    // value histograms (prefix sums over tiny distinct domains — no
-    // global ntile window over raw customers; M is quantized to
-    // hundred-dollar units so its domain is genuinely collapsed, the
-    // same move as ks_drift_cents), scores by counting cutoffs strictly
-    // below the value, integer-ceil rank targets ((n·k+4) DIV 5 — float
-    // q·n flips ceil at exact multiples). The 1-row cutoff frame rides
-    // a broadcast cross join.
-    "rfm_segmentation" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val o = Tables.orders(s, d)
-      val maxDate = o.agg(max(col("o_orderdate")).as("mx"))
-      val rfm = o.crossJoin(broadcast(maxDate))
-        .groupBy("o_custkey")
-        .agg(datediff(max(col("mx")), max(col("o_orderdate"))).as("r_days"),
-          count(lit(1)).as("f_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
-        .withColumn("m_hd", expr("m_cents DIV 10000")).drop("m_cents")
-      def cuts(c: String, pfx: String): DataFrame = {
-        val h = rfm.groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val cum = h.withColumn("cum", sum(col("cnt")).over(w))
-          .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
-        val cs = (1 to 4).map(k => min(when(
-          col("cum") >= expr(s"(n * $k + 4) DIV 5"), col("value")))
-          .as(s"${pfx}$k"))
-        cum.agg(cs.head, cs.tail: _*)
-      }
-      def score(c: String, pfx: String) =
-        (1 to 4).map(k => when(col(c) > col(s"${pfx}$k"), 1).otherwise(0))
-          .reduce(_ + _) + 1
-      rfm.crossJoin(broadcast(cuts("r_days", "rc")))
-        .crossJoin(broadcast(cuts("f_orders", "fc")))
-        .crossJoin(broadcast(cuts("m_hd", "mc")))
-        .select(col("o_custkey"),
-          (score("r_days", "rc") * 100 + score("f_orders", "fc") * 10 +
-            score("m_hd", "mc")).as("segment"))
-        .groupBy("segment")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("o_custkey")).as("id_checksum"),
-          min(col("o_custkey")).as("min_custkey"))
-        .orderBy("segment")
-    },
-
-    // Unicode-canonical dedup — survivors after NFC normalization +
-    // casefold + whitespace collapse, keyed by the native codegen
-    // NfcCasefold expression (functions/StringNormalize.scala: one
-    // java.text.Normalizer call inside the whole-stage span; a Scala UDF
-    // here would break codegen on the 100 TB scan path). NFC not NFKC:
-    // canonical equivalence only, matching the oracle engine's
-    // nfc_normalize. The corpus is ASCII (normalization is identity
-    // there — the oracle proves ENGINE parity); the unicode behavior
-    // itself (composed==decomposed, ligatures stay distinct, non-BMP) is
-    // pinned in StringNormalizeSpec.
-    "dedup_unicode_normalized" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val keyed = docs.withColumn("k", graft.functions.strings.nfcCasefold(
-        regexp_replace(trim(col("text")), "\\s+", " ")))
-      keyed.groupBy("k")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
-        .select("doc_id", "lang", "source", "n_chars", "n_dups")
-        .orderBy("doc_id")
-    },
-
-    // Null-safe equality join (<=>): per-key click/view co-occurrence
-    // where the key is nullable BY THE DATA's own rule (k≡0 mod 7 →
-    // unknown) and the null bucket must MATCH ITSELF — SQL = would drop
-    // it silently. Each side collapses to per-key counts FIRST, so the
-    // null-safe full-outer join runs on two domain-sized tables (~51
-    // keys) and the null×null match is one row, never a
-    // nulls-left × nulls-right pair explosion — the scale trap of
-    // null-tolerant joins on raw rows.
-    "null_safe_join_props" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .withColumn("kk", when(col("k") % 7 === 0, lit(null).cast("long"))
-          .otherwise(col("k") % 50))
-      def side(t: String, kn: String, n: String) =
-        ev.filter(col("event_type") === t)
-          .groupBy(col("kk").as(kn)).agg(count(lit(1)).as(n))
-      val a = side("click", "kk_a", "n_click")
-      val b = side("view", "kk_b", "n_view")
-      a.join(b, col("kk_a") <=> col("kk_b"), "full_outer")
-        .select(
-          coalesce(col("kk_a").cast("string"), col("kk_b").cast("string"),
-            lit("NULL_KEY")).as("key"),
-          coalesce(col("n_click"), lit(0L)).as("n_click"),
-          coalesce(col("n_view"), lit(0L)).as("n_view"))
-        .orderBy("key")
-    },
-
-    // Interval-intersection aggregate: per user, how many of their
-    // click-sessions overlap their view-sessions and for how long —
-    // closed-interval pair overlap with exact epoch-micros lengths.
-    // 12-hour gap (the range_join_error_attribution sessionization):
-    // events are sparse enough per (user, type) that 30-min sessions
-    // never overlap cross-type.
-    // The pair join is user-keyed EQUI join + overlap predicate (both
-    // session sets are per-user small — gap sessionization bounds them
-    // — so the within-user pair count never explodes); at 100 TB the
-    // shuffle key is user_id and no global structure exists.
-    "session_overlap_seconds" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      def sess(t: String, p: String) = Sessionize.sessions(
-          ev.filter(col("event_type") === t), Seq("user_id"), "ts",
-          gapSeconds = 43200)
-        .select(col("user_id"), col("session_start").as(s"${p}_s"),
-          col("session_end").as(s"${p}_e"))
-      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
-      sess("click", "c").join(sess("view", "v"), Seq("user_id"))
-        .filter(col("c_s") <= col("v_e") && col("v_s") <= col("c_e"))
-        .withColumn("ov_us",
-          us(least(col("c_e"), col("v_e"))) -
-            us(greatest(col("c_s"), col("v_s"))))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(ov_us) DIV 1000000").as("overlap_seconds"))
-        .orderBy("user_id")
-    },
-
-    // TPC-H Q8 shape (national market share), generalized to ALL
-    // supplier nations per year — same 8-table join DAG: lineitem is
-    // the fact spine; part (PROMO filter), supplier, both nation roles,
-    // and region are broadcast dims; orders carries the date window and
-    // customer→nation→region restricts the MARKET (EUROPE) while the
-    // supplier's nation is the share dimension. Volume in exact integer
-    // cent-percent units (price_cents × (100−disc_pct)) so the
-    // per-year share is an exact permille — no decimal division.
-    "tpch_q8_market_share" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        col("l_suppkey"), col("l_orderkey"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
-          .as("vol"))
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .select(col("o_orderkey"), col("o_custkey"),
-          year(col("o_orderdate")).as("o_year"))
-      val euroNations = Tables.nation(s, d)
-        .join(broadcast(Tables.region(s, d)
-          .filter(col("r_name") === "EUROPE")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").as("cn_key"))
-      val suppNation = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      val vols = li
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_type") === "PROMO").select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(euroNations), col("c_nationkey") === col("cn_key"))
-        .groupBy("o_year", "supp_nation")
-        .agg(sum(col("vol")).as("volume_units"))
-      vols.join(broadcast(vols.groupBy("o_year")
-          .agg(sum(col("volume_units")).as("year_total"))), "o_year")
-        .select(col("o_year"), col("supp_nation"), col("volume_units"),
-          expr("volume_units * 1000 DIV year_total").as("share_permille"))
-        .orderBy("o_year", "supp_nation")
-    },
-
-    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
-    // zero-order customers land in the 0 bucket, priority filter as the
-    // stand-in for the comment anti-pattern (o_comment isn't in this
-    // schema), then the distribution-of-counts second aggregate. Two
-    // exchanges total: custkey for the count, count-value (tiny domain)
-    // for the histogram.
-    "tpch_q13_custdist" -> { (s, d) =>
-      Tables.customer(s, d).select("c_custkey")
-        .join(Tables.orders(s, d)
-          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-          .select("o_orderkey", "o_custkey"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
-        .orderBy(desc("custdist"), desc("c_count"))
-    },
-
-    // TPC-H Q17 shape (small-quantity revenue): per-part average
-    // quantity threshold as the exact integer cross-multiplication
-    // 5·qty·n < sum_qty (qty < 0.2·avg ⟺ no floats), brand dim
-    // broadcast, per-part stats re-broadcast onto the fact rows.
-    "tpch_q17_small_qty" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        round(col("l_quantity")).cast("long").as("qty"),
-        round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      val j = li.join(broadcast(Tables.part(s, d)
-          .filter(col("p_brand") === "Brand#4").select("p_partkey")),
-        col("l_partkey") === col("p_partkey"))
-      val stats = j.groupBy("l_partkey")
-        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
-        .select(col("l_partkey").as("sp_key"), col("sum_qty"), col("n"))
-      j.join(broadcast(stats), col("l_partkey") === col("sp_key"))
-        .filter(col("qty") * col("n") * 5 < col("sum_qty"))
-        .agg(count(lit(1)).as("n_small"),
-          coalesce(sum(col("pc")), lit(0L)).as("total_cents"))
-    },
-
-    // Temporal train/val split with an EMBARGO gap — time-series
-    // leakage prevention (purged splits, López de Prado's embargo): the
-    // 7 days after the train cutoff are EXCLUDED so near-boundary
-    // look-ahead (labels computed from future windows) can't leak into
-    // validation. Cutoff day from the day-collapsed histogram at the
-    // integer-ceil 70% rank ((7n+9) DIV 10); the split report carries
-    // the leakage invariant (val_gap_days ≥ 8) as an oracle-checked
-    // boolean. Day domain is tiny — every exchange after the per-day
-    // count is domain-sized.
-    "temporal_split_embargo" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val hist = ev.groupBy("day").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-      val cut = hist.withColumn("cum", sum("c").over(w))
-        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
-        .agg(min(when(col("cum") >= expr("(n * 7 + 9) DIV 10"),
-          col("day"))).as("train_end"))
-      val tagged = ev.crossJoin(broadcast(cut))
-        .withColumn("split",
-          when(col("day") <= col("train_end"), "train")
-            .when(col("day") <= date_add(col("train_end"), 7), "embargo")
-            .otherwise("val"))
-      tagged.groupBy("split")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
-          date_format(max(col("day")), "yyyy-MM-dd").as("last_day"))
-        .crossJoin(broadcast(tagged.agg(
-          (datediff(min(when(col("split") === "val", col("day"))),
-            max(when(col("split") === "train", col("day")))) >= 8)
-            .as("embargo_ok"))))
-        .orderBy("split")
-    },
-
-    // Calibration reliability table — does the value decile predict the
-    // purchase rate (the reliability-diagram data behind every model
-    // calibration check). Deciles from the cents histogram with
-    // integer-ceil rank targets (the rfm_segmentation machinery),
-    // outcome rate as exact integer permille per decile. One raw
-    // exchange to the cents histogram; scoring rides a broadcast 1-row
-    // cutoff frame.
-    "calibration_reliability" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d).select(
-        round(col("value") * 100).cast("long").as("cents"),
-        (col("event_type") === "purchase").cast("long").as("is_pos"))
-      val hist = ev.groupBy("cents").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.withColumn("cum", sum("c").over(w))
-        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
-      val cs = (1 to 9).map(k => min(when(
-        col("cum") >= expr(s"(n * $k + 9) DIV 10"), col("cents")))
-        .as(s"c$k"))
-      val cuts = cum.agg(cs.head, cs.tail: _*)
-      val dec = (1 to 9).map(k =>
-        when(col("cents") > col(s"c$k"), 1).otherwise(0)).reduce(_ + _) + 1
-      ev.crossJoin(broadcast(cuts))
-        .groupBy(dec.as("decile"))
-        .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
-        .withColumn("rate_permille", expr("n_pos * 1000 DIV n"))
-        .orderBy("decile")
-    },
-
-    // Kaplan-Meier risk table — survival analysis of time-to-first-error
-    // per user (onboarding → first failure), right-censored at the last
-    // observed event for users who never error. (Lifetime-to-last-event
-    // with recency censoring was the first cut — EVERY user in this
-    // corpus is active to the end, so it produced zero uncensored rows;
-    // vacuous-oracle trap, same as session_overlap's 30-min gap.) Per
-    // uncensored duration t: d(t) failures, c(t) censorings, at-risk
-    // n(t) = Σ_{u≥t}(d+c) as a SUFFIX sum over the collapsed duration
-    // domain — the KM estimator's entire input, all exact integers (the
-    // product-limit curve is a float fold the caller applies).
-    "survival_risk_table" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val life = ev.groupBy("user_id")
-        .agg(to_date(min(col("ts"))).as("first_day"),
-          to_date(max(col("ts"))).as("last_day"),
-          to_date(min(when(col("event_type") === "error", col("ts"))))
-            .as("err_day"))
-        .select(
-          datediff(coalesce(col("err_day"), col("last_day")),
-            col("first_day")).as("t"),
-          col("err_day").isNull.cast("long").as("censored"))
-      val byT = life.groupBy("t")
-        .agg(sum(lit(1L) - col("censored")).as("d_events"),
-          sum(col("censored")).as("n_censored"))
-      val w = Window.orderBy("t")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      byT.withColumn("n_at_risk",
-          sum(col("d_events") + col("n_censored")).over(w))
-        .filter(col("d_events") > 0)
-        .select(col("t"), col("n_at_risk"), col("d_events"),
-          col("n_censored"))
-        .orderBy("t")
-    },
-
-    // Cross-table referential-integrity audit — the DQ gate every
-    // warehouse load runs: orphaned fact keys per FK edge via LEFT ANTI
-    // joins (which Spark plans as broadcast/shuffled hash anti —
-    // never a full materialized join), one report row per edge. At
-    // 100 TB each check is one key-partitioned anti join; the report
-    // is edge-count-sized.
-    "dq_referential_integrity" -> { (s, d) =>
-      def chk(name: String, orphans: DataFrame) = orphans
-        .agg(count(lit(1)).as("n_orphans"))
-        .select(lit(name).as("fk_edge"), col("n_orphans"),
-          (col("n_orphans") === 0L).as("ok"))
-      chk("lineitem.l_orderkey->orders",
-          Tables.lineitem(s, d).select("l_orderkey")
-            .join(Tables.orders(s, d).select("o_orderkey"),
-              col("l_orderkey") === col("o_orderkey"), "left_anti"))
-        .unionByName(chk("orders.o_custkey->customer",
-          Tables.orders(s, d).select("o_custkey")
-            .join(Tables.customer(s, d).select("c_custkey"),
-              col("o_custkey") === col("c_custkey"), "left_anti")))
-        .unionByName(chk("supplier.s_nationkey->nation",
-          Tables.supplier(s, d).select("s_nationkey")
-            .join(Tables.nation(s, d).select("n_nationkey"),
-              col("s_nationkey") === col("n_nationkey"), "left_anti")))
-        .unionByName(chk("customer.c_nationkey->nation",
-          Tables.customer(s, d).select("c_nationkey")
-            .join(Tables.nation(s, d).select("n_nationkey"),
-              col("c_nationkey") === col("n_nationkey"), "left_anti")))
-        .orderBy("fk_edge")
-    },
-
-    // Distinctive vocabulary per source — which tokens are
-    // over-represented in a source vs the REST of the corpus (the
-    // exact-integer stand-in for log-likelihood keyword extraction:
-    // permille-rate LIFT = in-source rate − elsewhere rate, both floor
-    // permille, so ranking is engine-exact where G²'s x·ln x would
-    // float-flip). Token-keyed exchange for counts, vocabulary-sized
-    // work after; top-3 per source by (lift, token) window rank.
-    "distinctive_tokens_by_source" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("source"),
-          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
-      val t = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
-      val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
-      val bigN = st.agg(sum(col("c_st")).as("big_n"))
-      val lift = st.join(t, "token").join(broadcast(srcTot), "source")
-        .crossJoin(broadcast(bigN))
-        .withColumn("lift_permille",
-          expr("c_st * 1000 DIV n_s - (c_t - c_st) * 1000 DIV (big_n - n_s)"))
-      val w = Window.partitionBy("source")
-        .orderBy(desc("lift_permille"), asc("token"))
-      lift.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("source"), col("rk"), col("token"),
-          col("lift_permille"), col("c_st"))
-        .orderBy("source", "rk")
-    },
-
-    // Behavioral diversity per user — Gini-Simpson index 1 − Σp² as the
-    // EXACT rational (n² − Σc²)·10⁶ DIV n² (entropy would be a float
-    // fold; Simpson stays in integers), plus the dominant event type
-    // with a deterministic (count desc, type asc) tiebreak. One
-    // user×type exchange; everything after is user-sized.
-    "behavior_diversity_simpson" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ut = Tables.events(s, d).groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(desc("c"), asc("event_type"))
-      val dom = ut.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("user_id"), col("event_type").as("dominant_type"))
-      ut.groupBy("user_id")
-        .agg(sum(col("c")).as("n_events"),
-          count(lit(1)).as("n_types"),
-          sum(col("c") * col("c")).as("ss"))
-        .withColumn("simpson_micro",
-          expr("(n_events * n_events - ss) * 1000000" +
-            " DIV (n_events * n_events)"))
-        .drop("ss")
-        .join(dom, "user_id")
-        .orderBy("user_id")
-    },
-
-    // Maximum drawdown per event type over the daily-cents series — the
-    // risk metric (largest peak-to-trough drop of the running total's
-    // level... here of the daily VALUE level): running peak by prefix
-    // max over the day-collapsed domain, drawdown = peak − value, max
-    // with earliest-day tiebreak. Day-partitioned... type-partitioned
-    // windows on day-sized data; all integers.
-    "max_drawdown_daily" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val dd = daily.withColumn("peak", max(col("v")).over(w))
-        .withColumn("dd", col("peak") - col("v"))
-      dd.groupBy("event_type").agg(max(col("dd")).as("max_drawdown"))
-        .join(dd.select(col("event_type"), col("day"), col("dd")),
-          Seq("event_type"))
-        .filter(col("dd") === col("max_drawdown"))
-        .groupBy("event_type", "max_drawdown")
-        .agg(date_format(min(col("day")), "yyyy-MM-dd").as("trough_day"),
-          count(lit(1)).as("n_ties"))
-        .orderBy("event_type")
-    },
-
-    // Lag-1 autocorrelation of the daily series, EXACT: center by
-    // scaling — with S = Σv and n days, (n·v_t − S) is the mean
-    // deviation times n, an integer; numerator Σ(n·v_t − S)(n·v_{t+1}−S)
-    // and denominator Σ(n·v_t − S)² are then exact BIGINTs (values in
-    // whole dollars to keep n·v·deviation products under 2⁶³ — the
-    // scaling rule is documented, not silent). The float ratio is the
-    // caller's one division; both exact components ship. No ratio
-    // column: negative-numerator integer division is a classic
-    // cross-engine hazard (MEASURED equal here — both Spark DIV and
-    // DuckDB // truncate toward zero — but the components are the
-    // robust contract and carry strictly more information).
-    "autocorr_lag1_daily" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) DIV 100")
-          .as("v"))
-      val tot = daily.groupBy("event_type")
-        .agg(sum(col("v")).as("s_sum"), count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      daily.withColumn("v_next", lead(col("v"), 1).over(w))
-        .join(broadcast(tot), "event_type")
-        .withColumn("dev", col("n") * col("v") - col("s_sum"))
-        .withColumn("dev_next",
-          when(col("v_next").isNotNull,
-            col("n") * col("v_next") - col("s_sum")))
-        .groupBy("event_type", "n")
-        .agg(sum(col("dev") * col("dev_next")).as("num_scaled"),
-          sum(col("dev") * col("dev")).as("den_scaled"))
-        .orderBy("event_type")
-    },
-
-    // TENTH streaming lifecycle: gap sessionization by EVENT-TIME
-    // TIMERS on transformWithState — each key re-arms one timer at
-    // session_end + gap; the session emits EXACTLY ONCE when the
-    // watermark passes that point (in-batch gaps close inline; only the
-    // tail session is timer-owned). This is the arbitrary-state
-    // capability session_window's managed aggregation doesn't expose:
-    // custom close logic + timer lifecycle + O(keys) state. Fixture:
-    // clicks in one file, watermark advancer at max+13h (pushes the
-    // watermark past every real end+gap), second advancer at max+2d
-    // whose BATCH fires the timers (expiry is checked during a batch
-    // against the PREVIOUS batch's watermark — the eviction-lifecycle
-    // lesson). Oracle: batch gap sessionization, which the
-    // timer-emitted set must equal row for row.
-    "streaming_timer_sessions" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val inDir = stagedTimerSess.computeIfAbsent(
-        s"${sessionTag(s)}:$d", _ => {
-          val tmp = stagedTmpDir("graft_stream_tsess")
-          val ev = Tables.events(s, d)
-            .filter(col("event_type") === "click")
-            .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-          ev.coalesce(1).write.parquet(s"$tmp/in")
-          Seq("13 HOURS", "2 DAYS").foreach { h =>
-            ev.agg(max(col("ts")).as("mx"))
-              .select(lit(-1L).as("user_id"),
-                (col("mx") + expr(s"INTERVAL $h")).as("ts"))
-              .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-          }
-          s"$tmp/in"
-        })
-      val pkey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(pkey)
-      s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-      try {
-        import s.implicits._
-        val src = s.readStream
-          .schema("user_id BIGINT, ts TIMESTAMP")
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .select(col("user_id"), col("ts"),
-            unix_micros(col("ts")).as("us"))
-          .as[graft.streaming.StatefulOps.SessEvent]
-        val qn = s"streaming_tsess_${streamRun.incrementAndGet()}"
-        withStatePartitions(s, 8) {
-          graft.streaming.StatefulOps
-            .timerSessions(src, gapSeconds = 43200, delay = "1 minute")
-            .toDF().writeStream.format("memory").queryName(qn)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-            .awaitTermination(180000)
-        }
-        s.table(qn).filter(col("user_id") >= 0)
-          .select(col("user_id"),
-            tsStr(timestamp_micros(col("start_us"))).as("session_start"),
-            tsStr(timestamp_micros(col("end_us"))).as("session_end"),
-            col("n_events"))
-          .orderBy("user_id", "session_start")
-      } finally prev match {
-        case Some(v) => s.conf.set(pkey, v)
-        case None => s.conf.unset(pkey)
-      }
-    },
-
-    // Cohort LTV curve — cumulative revenue per acquisition cohort by
-    // age (the growth-analytics complement of retention_cohorts, which
-    // counts users; this follows the money). Cohort = first order
-    // month; age in whole months via the (year·12+month) integer rule
-    // (months_between would be a float). Cumulative sums run on the
-    // cohort×age collapsed domain; LTV-per-customer is an exact
-    // integer-cents quotient against the broadcast cohort size.
-    "cohort_ltv_curve" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        // zero-based month index (Dec = year*12+11): DIV/% decompose
-        // back to the right (year, month) — one-based would roll
-        // December into the next January's label
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
-          .as("m"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("cm"))
-      val sizes = cohort.groupBy("cm")
-        .agg(count(lit(1)).as("cohort_customers"))
-      val byAge = o.join(cohort, "o_custkey")
-        .groupBy(col("cm"), (col("m") - col("cm")).as("age_months"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
-      val w = Window.partitionBy("cm").orderBy("age_months")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      byAge.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
-        .join(broadcast(sizes), "cm")
-        .select(
-          concat(expr("CAST(cm DIV 12 AS STRING)"), lit("-"),
-            lpad(expr("CAST(cm % 12 + 1 AS STRING)"), 2, "0"))
-            .as("cohort_month"),
-          col("age_months"), col("n_orders"), col("rev_cents"),
-          col("cum_rev_cents"), col("cohort_customers"),
-          expr("cum_rev_cents DIV cohort_customers")
-            .as("ltv_cents_per_customer"))
-        .orderBy("cohort_month", "age_months")
-    },
-
-    // Churn label + feature construction with a strict temporal
-    // boundary — the anti-leakage discipline as a data op: features
-    // come ONLY from events on-or-before the cutoff (observation end −
-    // 14 days), the label ONLY from after it; a user with no
-    // pre-cutoff events has no feature row at all. last_gap_days
-    // (cutoff − last active day) is the canonical churn predictor and
-    // is exactly the kind of feature that silently leaks when computed
-    // over the full range.
-    "churn_label_features" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val cut = ev.agg(date_sub(max(col("day")), 14).as("cutoff"))
-      val tagged = ev.crossJoin(broadcast(cut))
-      val feats = tagged.filter(col("day") <= col("cutoff"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("day")).as("n_active_days"),
-          datediff(max(col("cutoff")), max(col("day")))
-            .as("last_gap_days"))
-      val post = tagged.filter(col("day") > col("cutoff"))
-        .select("user_id").distinct()
-        .withColumn("active_after", lit(1L))
-      feats.join(post, Seq("user_id"), "left")
-        .withColumn("churned", col("active_after").isNull)
-        .drop("active_after")
-        .orderBy("user_id")
-    },
-
-    // CDC MERGE with DELETE semantics — latest-op-wins compaction of a
-    // change feed where 'error' events are tombstones: per key, take
-    // the newest change ((ts, event_id) total order); if it's a delete
-    // the key vanishes from the final state, else the upsert's value
-    // survives. The per-key newest row is a WindowGroupLimit (per-
-    // partition heaps, no full sort); the tombstone filter comes AFTER
-    // rank so a delete correctly shadows older upserts — filtering
-    // before the window is the classic wrong-merge that resurrects
-    // deleted keys.
-    "merge_with_deletes" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val feed = Tables.events(s, d).select(col("user_id"), col("ts"),
-        col("event_id"),
-        when(col("event_type") === "error", lit("delete"))
-          .otherwise(lit("upsert")).as("op"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(desc("ts"), desc("event_id"))
-      feed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") === "upsert")
-        .select(col("user_id"), tsStr(col("ts")).as("ts"), col("cents"))
-        .orderBy("user_id")
-    },
-
-    // Relational DIVISION — "users active on EVERY day of the first
-    // observed week" (the FOR ALL quantifier, the algebra operator
-    // joins can't express directly): semi-join to the divisor day set,
-    // then divide by exact count equality against the broadcast divisor
-    // size. Divisor is domain-sized; the fact side shuffles once on
-    // user_id.
-    "relational_division_users" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val week = ev.select(min(col("day")).as("d0"))
-        .select(explode(expr("sequence(d0, date_add(d0, 6))")).as("day"))
-      val k = week.agg(count(lit(1)).as("k"))
-      ev.join(broadcast(week), "day")
-        .groupBy("user_id").agg(count(lit(1)).as("days_hit"))
-        .crossJoin(broadcast(k))
-        .filter(col("days_hit") === col("k"))
-        .select(col("user_id"), col("days_hit"))
-        .orderBy("user_id")
-    },
-
-    // Degree distribution of the kNN graph — the first diagnostic run
-    // on any graph before choosing join strategies (wedge orientation,
-    // hub salting): per undirected degree, vertex count + id checksum.
-    // Degrees are k-bounded on the out side but IN-degree skews toward
-    // hub embeddings — this is the query that would surface it.
-    "degree_distribution_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3))
-      und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("degree"))
-        .groupBy("degree")
-        .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"))
-        .orderBy("degree")
-    },
-
-    // Daily p50/p90/p99 value bands — the SRE dashboard staple, exact:
-    // discrete percentiles (smallest cents with cum ≥ ⌈q·n⌉, integer
-    // rank targets) read off PER-DAY histograms, windows partitioned by
-    // day on the collapsed (day, cents) domain. No approx sketch, no
-    // global sort; the winsorize machinery re-keyed by day.
-    "daily_value_percentiles" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val hist = ev.groupBy("day", "cents").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("day").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.withColumn("cum", sum("c").over(w))
-        .join(broadcast(ev.groupBy("day").agg(count(lit(1)).as("n"))),
-          "day")
-      def cut(num: Int, den: Int, name: String) =
-        cum.filter(col("cum") * den >= col("n") * num)
-          .groupBy("day").agg(min("cents").as(name))
-      cum.groupBy("day").agg(max("n").as("n"))
-        .join(cut(1, 2, "p50_cents"), "day")
-        .join(cut(9, 10, "p90_cents"), "day")
-        .join(cut(99, 100, "p99_cents"), "day")
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
-          col("p50_cents"), col("p90_cents"), col("p99_cents"))
-        .orderBy("day")
-    },
-
-    // Mix-shift decomposition — why did revenue change between two
-    // periods: per type, the volume delta splits into a MIX effect
-    // (share change at old total) and a GROWTH effect (total change at
-    // old share), all in exact integer permille/cents arithmetic
-    // (mix_cents = (share_p2 − share_p1)·total_p1, growth_cents =
-    // share_p1·(total_p2 − total_p1), both DIV 1000 with shares in
-    // permille — the FP&A bridge report without a float in sight).
-    "mix_shift_decomposition" -> { (s, d) =>
-      // mid-corpus cutoff (events span Jan 1-30; a Feb cutoff leaves
-      // period 2 empty and the share division undefined)
-      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val ev = Tables.events(s, d).select(col("event_type"),
-        (col("ts") < cutoff).as("p1"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val byType = ev.groupBy("event_type")
-        .agg(sum(when(col("p1"), col("cents")).otherwise(0L)).as("rev_p1"),
-          sum(when(!col("p1"), col("cents")).otherwise(0L)).as("rev_p2"))
-      val tot = byType.agg(sum("rev_p1").as("t1"), sum("rev_p2").as("t2"))
-      byType.crossJoin(broadcast(tot))
-        .select(col("event_type"), col("rev_p1"), col("rev_p2"),
-          expr("rev_p1 * 1000 DIV t1").as("share_p1_permille"),
-          expr("rev_p2 * 1000 DIV t2").as("share_p2_permille"),
-          expr("(rev_p2 * 1000 DIV t2 - rev_p1 * 1000 DIV t1) * t1" +
-            " DIV 1000").as("mix_effect_cents"),
-          expr("(rev_p1 * 1000 DIV t1) * (t2 - t1) DIV 1000")
-            .as("growth_effect_cents"))
-        .orderBy("event_type")
-    },
-
-    // 7-day activation curve — share of users reaching ≥k distinct
-    // event types within 7 days of THEIR OWN first event (per-user
-    // windows, not calendar weeks), for every threshold k: the
-    // activation-criterion sensitivity curve product teams sweep before
-    // pinning the north-star definition. (A per-cohort-week report
-    // degenerated to one row here — every user's first event is in
-    // week 1 of this corpus.) Per-user distinct count, collapsed to
-    // its histogram, suffix-summed over thresholds.
-    "activation_metric_7d" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d).select(col("user_id"),
-        to_date(col("ts")).as("day"), col("event_type"))
-      val first = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
-      val perUser = ev.join(first, "user_id")
-        .filter(col("day") <= date_add(col("d0"), 6))
-        .groupBy("user_id")
-        .agg(countDistinct(col("event_type")).as("n_types_7d"))
-      val hist = perUser.groupBy(col("n_types_7d").as("k"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("k")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      hist.withColumn("n_at_least_k", sum(col("c")).over(w))
-        .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
-        .select(col("k"), col("n_at_least_k"), col("n_users"),
-          expr("n_at_least_k * 1000 DIV n_users")
-            .as("activation_permille"))
-        .orderBy("k")
-    },
-
-    // TPC-H Q19 shape — the OR-of-ANDs join filter (disjunctive
-    // predicates over BOTH sides): three brand/size/quantity bands,
-    // each a conjunction mixing part and lineitem columns. Catalyst
-    // extracts the common-side residuals (p_brand IN ..., quantity
-    // range hull) as pushable prefilters while the full disjunction
-    // evaluates post-join — the plan shape that separates engines with
-    // disjunction handling from those that scan everything. Exact
-    // integer cent-percent revenue.
-    "tpch_q19_disjunctive" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        round(col("l_quantity")).cast("long").as("qty"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
-          .as("vol"))
-      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .filter(
-          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
-            col("qty").between(1, 11)) ||
-          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
-            col("qty").between(10, 20)) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
-            col("qty").between(20, 30)))
-        .agg(count(lit(1)).as("n_items"),
-          coalesce(sum(col("vol")), lit(0L)).as("revenue_units"))
-    },
-
-    // Null-skew join routing — the production fix for left joins whose
-    // join key is mostly NULL (every null row hashes to ONE reducer in
-    // a naive plan... in Spark nulls can't match so the optimizer may
-    // still shuffle them): SPLIT the null-key rows around the join
-    // entirely (they null-pad by construction) and shuffle only the
-    // non-null minority. The oracle is the plain LEFT JOIN — identical
-    // result, radically different worst-case shuffle. Key nullability
-    // from the data's own rule (custkey ≡ 0 mod 3 → unknown).
-    "null_skew_left_join" -> { (s, d) =>
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        when(col("o_custkey") % 3 === 0, lit(null).cast("long"))
-          .otherwise(col("o_custkey")).as("k"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val matched = o.filter(col("k").isNotNull)
-        .join(c, col("k") === col("c_custkey"), "left")
-        .select(col("o_orderkey"), col("cents"), col("c_mktsegment"))
-      val nullRouted = o.filter(col("k").isNull)
-        .select(col("o_orderkey"), col("cents"),
-          lit(null).cast("string").as("c_mktsegment"))
-      matched.unionByName(nullRouted)
-        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN"))
-          .as("segment"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
-        .orderBy("segment")
-    },
-
-    // Zipf rank-size law over the token frequencies — the corpus
-    // statistic behind every vocabulary-size decision: top-30 tokens by
-    // (freq, token) rank with the freq·rank product (≈ constant under
-    // Zipf) as an exact integer. Token counts are one corpus exchange;
-    // the rank is a 30-row heap (TakeOrderedAndProject), never a full
-    // sort.
-    "zipf_fit_tokens" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val freqs = Tables.documents(s, d)
-        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(desc("freq"), asc("token"))
-      freqs.orderBy(desc("freq"), asc("token")).limit(30)
-        .withColumn("rank", row_number().over(w))
-        .select(col("rank"), col("token"), col("freq"),
-          (col("freq") * col("rank")).as("freq_rank_product"))
-        .orderBy("rank")
-    },
-
-    // Percent-of-parent hierarchy report — nation share WITHIN its
-    // region and region share of total, exact permille at both levels
-    // (the drill-down OLAP report where naive plans re-scan per level):
-    // ONE fact aggregate to (region, nation) cents, then both parent
-    // totals derive from that tiny domain and re-attach by broadcast.
-    "percent_of_parent_revenue" -> { (s, d) =>
-      val rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-          .as("cents"))
-      val regTot = rev.groupBy("r_name").agg(sum("cents").as("reg_cents"))
-      val tot = rev.agg(sum("cents").as("tot_cents"))
-      rev.join(broadcast(regTot), "r_name").crossJoin(broadcast(tot))
-        .select(col("r_name"), col("n_name"), col("cents"),
-          expr("cents * 1000 DIV reg_cents").as("share_of_region_permille"),
-          expr("reg_cents * 1000 DIV tot_cents")
-            .as("region_share_permille"))
-        .orderBy("r_name", "n_name")
-    },
-
-    // Inter-arrival statistics per event type — the burstiness inputs
-    // (n, Σgap, Σgap²) as EXACT integers in whole seconds (gap² in
-    // micros would overflow the sum; the seconds rule is documented):
-    // one user-ordered lag per type partition, then a type-sized
-    // aggregate. Burstiness/CV themselves are one float division the
-    // caller applies — the same components-not-ratios contract as
-    // autocorr_lag1.
-    "interarrival_stats" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type", "user_id")
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("event_type"), col("user_id"), col("ts"),
-          col("event_id"))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .filter(col("prev_ts").isNotNull)
-        .select(col("event_type"),
-          expr("""(unix_micros(CAST(ts AS TIMESTAMP)) -
-                   unix_micros(CAST(prev_ts AS TIMESTAMP)))
-                  DIV 1000000""").as("gap_s"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"),
-          sum(col("gap_s") * col("gap_s")).as("sum_gap_sq_s"))
-        .orderBy("event_type")
-    },
-
-    // Hashing-trick featurization (Weinberger et al., ICML 2009): each
-    // token hashes to one of 64 buckets with a ±1 sign bit, so the
-    // feature space is fixed-width regardless of vocabulary — the
-    // standard way to featurize an unbounded token space at 100 TB (no
-    // vocabulary broadcast, no OOV path, one token-level exchange with
-    // map-side combine). Hash = the oracle-portable md5Hash64
-    // (= DuckDB md5_number_upper; xxhash64 stays the documented scale
-    // default, same twin convention as dedup_simhash_pairs). bucket and
-    // sign read single bit ranges of the hash, so signed-vs-unsigned
-    // representation changes no bit. Emitted per doc: nonzero count, L1
-    // mass, and a bucket-weighted checksum — exact integers that pin
-    // every signed bucket count without emitting |docs|×64 rows.
-    "feature_hash_vectors" -> { (s, d) =>
-      val h = graft.ops.Dedup.md5Hash64(col("token"))
-      Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
-        .select(col("doc_id"),
-          explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
-        .select(col("doc_id"),
-          pmod(h, lit(64)).cast("int").as("bucket"),
-          (lit(1L) - shiftright(h, 6).bitwiseAND(lit(1L)) * lit(2L))
-            .as("sign"))
-        .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
-        .filter(col("v") =!= 0)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1"),
-          sum(col("bucket") * col("v")).as("checksum"))
-        .orderBy("doc_id")
-    },
-
-    // Deterministic minority-class oversampling: every language class is
-    // replicated up to the majority class's count, the per-doc factor
-    // assigned by doc_id rank so the balanced corpus is bit-reproducible
-    // (no RNG, no sampling variance) and totals are EXACT — each class
-    // lands on precisely `target` rows (base = target DIV n for all,
-    // the target % n remainder goes to the lowest-ranked docs). The
-    // per-class row_number is the one non-scalable piece (a class is one
-    // window partition); at 100 TB rank within (class, shard) and stripe
-    // the remainder across shards — the exact-total guarantee survives
-    // because shard sizes are known from the same collapsed aggregate.
-    "oversample_minority" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).select("doc_id", "lang")
-      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      val target = counts.agg(max("n").as("target"))
-      docs.withColumn("rk",
-          row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
-        .join(broadcast(counts), "lang").crossJoin(broadcast(target))
-        .withColumn("rep",
-          expr("target DIV n + IF(rk <= target % n, 1L, 0L)"))
-        .select(col("doc_id"), col("lang"),
-          explode(expr("sequence(1L, rep)")).as("copy_id"))
-        .orderBy("lang", "doc_id", "copy_id")
-    },
-
-    // TPC-H Q22 shape on the generated schema: "positive-balance
-    // customers with above-average balance and no recent activity" —
-    // scalar aggregate subquery + date-filtered ANTI join + rollup by
-    // the country code (n_nationkey stands in for the absent c_phone
-    // prefix). The pure no-orders anti-join is VACUOUS here (every
-    // generated customer has ≥1 order — checked before landing), so the
-    // recency cutoff 1999-01-01 carries the anti-join semantics (2/14/148
-    // qualifying customers at sf0.001/0.01/0.1 — the cutoff must sit deep
-    // enough that even the 150-customer smoke corpus keeps inactive
-    // above-average customers). Above-average is
-    // the exact cross-multiplication cents·cnt > sum_cents (the Q17
-    // rule: never compare against a float average); the filtered orders
-    // side is pruned BEFORE the anti-join shuffle.
-    "tpch_q22_shaped" -> { (s, d) =>
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"),
-          round(col("c_acctbal") * 100).cast("long").as("cents"))
-      val stats = cust.filter(col("cents") > 0)
-        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt"))
-      val recent = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-        .select("o_custkey")
-      cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .crossJoin(broadcast(stats))
-        .filter(col("cents") * col("cnt") > col("sum_cents"))
-        .select(col("c_nationkey").as("cntrycode"), col("cents"))
-        .groupBy("cntrycode")
-        .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
-        .orderBy("cntrycode")
-    },
-
-    // TPC-H Q2 shape on the generated schema (no partsupp table): the
-    // part-supplier catalog derives from lineitem — cost(p, s) = the
-    // minimum extended price that supplier ever charged for that part,
-    // in exact decimal cents. For LARGE parts, find every EUROPE-region
-    // supplier achieving the REGIONAL minimum cost (the correlated-min
-    // subquery Q2 is famous for, as a groupBy + equality join back —
-    // the decorrelation Catalyst would apply anyway, written directly).
-    // Region suppliers prune BEFORE the min, so the per-part aggregate
-    // only sees the correlated scope.
-    "tpch_q2_shaped" -> { (s, d) =>
-      val eurSupp = Tables.supplier(s, d)
-        .join(Tables.nation(s, d).filter(col("n_regionkey") === 3),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"), col("n_name"),
-          round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
-      val cost = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min((col("l_extendedprice").cast("decimal(12,2)") * 100)
-          .cast("long")).as("cost_cents"))
-      val regional = cost.join(broadcast(eurSupp),
-        col("l_suppkey") === col("s_suppkey"))
-      val minCost = regional.groupBy(col("l_partkey"))
-        .agg(min(col("cost_cents")).as("min_cents"))
-      regional
-        .join(minCost, Seq("l_partkey"))
-        .filter(col("cost_cents") === col("min_cents"))
-        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
-          .select(col("p_partkey"), col("p_name"))),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
-          col("p_partkey"), col("p_name"), col("cost_cents"))
-        .orderBy(col("cost_cents"), col("p_partkey"), col("s_name"))
-        .limit(100)
-    },
-
-    // TPC-H Q9 shape: profit by (nation, year) for parts whose name
-    // carries a color token — revenue side only (no ps_supplycost in
-    // this schema), in the Q1-proven DECIMAL arithmetic so both engines
-    // sum identical exact values. The part filter broadcasts and prunes
-    // the fact scan before the supplier/nation joins.
-    "tpch_q9_shaped" -> { (s, d) =>
-      val price = col("l_extendedprice").cast("decimal(12,2)")
-      val disc = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_name").like("%red%")).select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"),
-          year(col("l_shipdate")).as("o_year"))
-        .agg(sum(price * disc).cast("double").as("sum_profit"),
-          count(lit(1)).as("n_lines"))
-        .orderBy(col("nation"), desc("o_year"))
-    },
-
-    // TPC-H Q11 shape: per-part inventory value from ASIA-region
-    // suppliers, kept only when it exceeds 0.01% of the total — the
-    // HAVING-against-a-scalar-subquery pattern as exact cross-
-    // multiplication in cents (part_cents · 10000 > total_cents; never a
-    // float fraction). The scalar total rides a broadcast cross join.
-    "tpch_q11_shaped" -> { (s, d) =>
-      val asiaSupp = Tables.supplier(s, d)
-        .join(Tables.nation(s, d).filter(col("n_regionkey") === 2),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"))
-      val v = Tables.lineitem(s, d)
-        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_partkey"),
-          (col("l_extendedprice").cast("decimal(12,2)") * 100)
-            .cast("long").as("cents"))
-      val perPart = v.groupBy(col("l_partkey"))
-        .agg(sum(col("cents")).as("value_cents"))
-      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
-      perPart.crossJoin(broadcast(total))
-        .filter(col("value_cents") * 10000 > col("total_cents"))
-        .select(col("l_partkey"), col("value_cents"))
-        .orderBy(desc("value_cents"), col("l_partkey"))
-    },
-
-    // TPC-H Q12 shape: l_returnflag stands in for the absent l_shipmode;
-    // a line is LATE when it ships more than 90 days after its order
-    // date. Per flag, count urgent-priority vs other-priority late
-    // lines — the two conditional sums Q12 uses to weigh shipping modes
-    // against order priority. The date predicate rides the equi-join.
-    "tpch_q12_shaped" -> { (s, d) =>
-      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate",
-          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .groupBy(col("l_returnflag"))
-        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
-        .orderBy("l_returnflag")
-    },
-
-    // TPC-H Q16 shape: how many distinct suppliers serve each
-    // (brand, type, size) combination — excluding one brand, one type,
-    // and every "complaint" supplier (negative account balance stands in
-    // for the comment LIKE filter), the exclusion as an anti-join rather
-    // than NOT IN (the not_in_null_semantics lesson). count_distinct
-    // partial-aggregates per node before the final exchange.
-    "tpch_q16_shaped" -> { (s, d) =>
-      val badSupp = Tables.supplier(s, d)
-        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-      Tables.lineitem(s, d)
-        .select("l_partkey", "l_suppkey")
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
-          "left_anti")
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
-          .select("p_partkey", "p_brand", "p_type", "p_size")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
-          col("p_size"))
-        .limit(50)
-    },
-
-    // TPC-H Q20 shape: AFRICA-region suppliers who concentrated more
-    // than half of their all-time shipped quantity of some small-named
-    // part into 1998 — the nested "available > ½·shipped" correlated
-    // aggregate as one (part, supplier) rollup with conditional sums
-    // (2·qty_1998 > qty_total in exact integers; l_quantity is integral
-    // by construction), then a semi-join up to supplier names.
-    "tpch_q20_shaped" -> { (s, d) =>
-      val afrSupp = Tables.supplier(s, d)
-        .join(Tables.nation(s, d).filter(col("n_regionkey") === 0),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"))
-      val smallParts = Tables.part(s, d)
-        .filter(col("p_name").like("small%")).select(col("p_partkey"))
-      val qual = Tables.lineitem(s, d)
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(when(year(col("l_shipdate")) === 1998,
-            col("l_quantity").cast("long")).otherwise(0L)).as("qty_1998"),
-          sum(col("l_quantity").cast("long")).as("qty_total"))
-        .filter(col("qty_1998") * 2 > col("qty_total"))
-        .select(col("l_suppkey")).distinct()
-      afrSupp.join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_suppkey"), col("s_name"))
-        .orderBy("s_name")
-    },
-
-    // Asymmetric containment dedup (Broder 1997's C(A,B) = |A∩B|/|A| on
-    // 3-token shingles): catches subset/superset duplicates — a doc whose
-    // content is embedded in a longer one — which symmetric Jaccard
-    // misses (a small doc inside a big one has low Jaccard but
-    // containment 1.0). Round-9 (VERDICT r8 #1): the inverted-index
-    // self-join is now PREFIX-FILTERED — the contained side indexes only
-    // its m+1 rarest shingles (m = allowed misses at the 0.9 threshold),
-    // the container side stays full, and exact array_intersect
-    // verification restores byte-identical results — so a shingle in f
-    // docs costs ~(in-prefix docs)·f instead of f², removing the last
-    // uncapped skewed-key join from the production surface. See
-    // Dedup.containmentPairs for the completeness argument.
-    "dedup_containment_pairs" -> { (s, d) =>
-      graft.ops.Dedup.containmentPairs(Tables.documents(s, d),
-          "text", "doc_id", n = 3, thresholdPermille = 900)
-        .orderBy("contained_id", "container_id")
-    },
-
-    // Kneser-Ney continuation statistics (Kneser & Ney, ICASSP 1995):
-    // N1+(·w) — how many DISTINCT left contexts a token appears in — is
-    // the KN-smoothed unigram numerator (a token seen often but only
-    // after one context, e.g. "francisco", gets low continuation mass);
-    // N1+(w·) is the discount-normalizer fertility. Both are exact
-    // integers over distinct bigram TYPES: one bigram explode, one
-    // distinct (map-side combinable), two aggregates over the collapsed
-    // type domain — token-type-sized exchanges, never corpus-sized.
-    "kn_continuation_counts" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(graft.ops.Dedup.tokens(col("text")).as("ts"))
-      val types = toks
-        .select(explode(expr(
-          """transform(slice(ts, 1, size(ts) - 1),
-             (t, i) -> struct(t AS w1, ts[i + 1] AS w2))""")).as("bg"))
-        .select(col("bg.w1"), col("bg.w2")).distinct()
-      val cont = types.groupBy(col("w2").as("token"))
-        .agg(count(lit(1)).as("n_preceding_types"))
-      val fert = types.groupBy(col("w1").as("token"))
-        .agg(count(lit(1)).as("n_following_types"))
-      cont.join(fert, Seq("token"), "full_outer")
-        .select(col("token"),
-          coalesce(col("n_preceding_types"), lit(0L)).as("n_preceding_types"),
-          coalesce(col("n_following_types"), lit(0L)).as("n_following_types"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("n_preceding_types"), col("token"))))
-        .filter(col("rank") <= 100)
-        .orderBy("rank")
-    },
-
-    // NOT IN vs NOT EXISTS under a NULL-bearing subquery — the ANSI
-    // tri-valued-logic audit as a data op. The exclusion list derives a
-    // NULL from the data's own rule (nullif on one member), and the
-    // three forms disagree by design: NOT IN returns ZERO rows (x <>
-    // NULL is UNKNOWN, so no row ever passes), NOT EXISTS ignores the
-    // NULL member (its equality never matches, so that nation's
-    // customers are NOT excluded), and the null-guarded NOT IN restores
-    // the NOT EXISTS count. Production rule this encodes: never NOT IN
-    // against a nullable key — an anti-join that silently returns empty
-    // is the classic pipeline-eats-the-table bug.
-    "not_in_null_semantics" -> { (s, d) =>
-      Tables.customer(s, d).createOrReplaceTempView("nin_customer")
-      Tables.nation(s, d).createOrReplaceTempView("nin_nation")
-      s.sql("""
-        WITH excl AS (
-          SELECT nullif(n_nationkey, 10) AS k FROM nin_nation
-          WHERE n_regionkey = 0)
-        SELECT 'not_in' AS form, count(*) AS cnt FROM nin_customer
-        WHERE c_nationkey NOT IN (SELECT k FROM excl)
-        UNION ALL
-        SELECT 'not_exists', count(*) FROM nin_customer c
-        WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_nationkey)
-        UNION ALL
-        SELECT 'not_in_nonnull', count(*) FROM nin_customer
-        WHERE c_nationkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
-        ORDER BY form""")
-    },
-
-    // Link prediction by common neighbors over the kNN graph (same
-    // cells=8/k=3 substrate as the other graph queries): for every
-    // NON-adjacent pair sharing >= 1 neighbor, the common-neighbor count
-    // plus both degrees — the exact-integer inputs to Adamic-Adar /
-    // preferential-attachment scores (the log/product is the caller's
-    // float, the components-not-ratios contract). Plan: one wedge join
-    // on the shared-neighbor key (never all-pairs), an anti-join against
-    // the edge set, degree re-attach from the collapsed vertex domain.
-    // Hub skew bounds wedge fan-out at max_deg² per vertex — the
-    // (degree, id) orientation fix documented on Graph applies here too.
-    "link_prediction_knn" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val adj = und.select(col("a").as("n"), col("b").as("v"))
-        .union(und.select(col("b").as("n"), col("a").as("v")))
-      val wed = adj.as("l")
-        .join(adj.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
-        .groupBy(col("l.v").as("id1"), col("r.v").as("id2"))
-        .agg(count(lit(1)).as("common_neighbors"))
-      val deg = adj.groupBy(col("n").as("v")).agg(count(lit(1)).as("degree"))
-      wed.join(und, col("id1") === col("a") && col("id2") === col("b"),
-          "left_anti")
-        .join(deg.select(col("v").as("id1"), col("degree").as("deg1")), "id1")
-        .join(deg.select(col("v").as("id2"), col("degree").as("deg2")), "id2")
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("common_neighbors"), col("id1"), col("id2"))))
-        .filter(col("rank") <= 50)
-        .select("id1", "id2", "common_neighbors", "deg1", "deg2", "rank")
-        .orderBy("rank")
-    },
-
-    // Product-quantization code assignment (Jégou et al., TPAMI 2011):
-    // the 64-dim space splits into 4 16-dim subspaces, each vector's
-    // sub-block snaps to the nearest of 16 codebook entries (first 16
-    // vectors, the same data-derived-codebook convention as the IVF
-    // centroids) — 64 floats compress to 4 codes. Zero-shuffle per row:
-    // the codebook broadcasts, the argmin is min(struct(dist, code))
-    // per (vector, subspace) with the code tiebreak making equal
-    // distances deterministic. Exact-L2 doubles in array order — both
-    // engines sum the same sequence, so assignments hash-match.
-    "embed_pq_assign" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cb = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int").as("code"),
-          col("embedding").as("cv"))
-      emb.select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
-          col("embedding"))
-        .join(broadcast(cb))
-        .withColumn("dist", expr(
-          """aggregate(zip_with(slice(embedding, sub * 16 + 1, 16),
-                                slice(cv, sub * 16 + 1, 16),
-                                (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                                          (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("code"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-        .orderBy("vec_id", "sub")
-    },
-
-    // Perceptual-hash near-dup over image content (average-hash family):
-    // each media id renders a deterministic 8×8 luminance grid (200
-    // families × 5 variants; a variant perturbs <= 4 hash-chosen pixels
-    // — the stand-in for the container's absent image codecs, same
-    // convention as the other multimodal stubs), aHash bit i = pixel_i
-    // strictly above the mean by integer cross-multiplication (p·64 >
-    // Σp — no float mean), and pairs within Hamming 10 come from
-    // Dedup.fingerprintHammingPairs — the SAME combination-banding
-    // candidate generator as SimHash, now reused for a non-text
-    // fingerprint (equality joins, never all-pairs). Planted geometry:
-    // family pairs measure <= 9, cross-family >= 15, so threshold 10
-    // recovers exactly the 2 000 within-family pairs.
-    "image_ahash_neardup" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val px = s.range(1000).select(col("id"))
-        .withColumn("i", explode(expr("sequence(0, 63)")))
-        .withColumn("base",
-          md5h(concat(lit("px|"), expr("id DIV 5"), lit("|"), col("i")))
-            .bitwiseAND(lit(255L)))
-      val pert = s.range(1000).select(col("id"))
-        .withColumn("j", explode(expr("sequence(0, 3)")))
-        .filter(col("j") < expr("id % 5"))
-        .select(col("id"),
-          md5h(concat(lit("pt|"), expr("id DIV 5"), lit("|"), col("j")))
-            .bitwiseAND(lit(63L)).as("pi"))
-        .distinct()
-      val grid = px.join(pert,
-          px("id") === pert("id") && col("i") === col("pi"), "left")
-        .select(px("id"), col("i"),
-          when(col("pi").isNull, col("base"))
-            .otherwise((col("base") + 128) % 256).as("p"))
-      val withTot = grid.withColumn("tot", sum("p").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
-      val fp = withTot.groupBy("id")
-        .agg(expr("""bit_or(CASE WHEN p * 64 > tot
-                     THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)""")
-          .as("f"))
-      graft.ops.Dedup.fingerprintHammingPairs(fp, "id", "f", maxDistance = 10)
-        .orderBy("id1", "id2")
-    },
-
-    // Classifier-vs-ground-truth confusion matrix: declared corpus lang ×
-    // the n-gram langId prediction (same predictor text_langid oracles
-    // per-doc), each cell carrying a doc_id checksum so membership — not
-    // just cardinality — is pinned. The standard eval audit for any
-    // labeling pass at 100 TB: one groupBy over |langs|² cells, the
-    // predictor stays inside whole-stage codegen.
-    "langid_confusion" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"),
-          col("doc_id"))
-        .groupBy("lang", "lang_pred")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
-        .orderBy("lang", "lang_pred")
-    },
-
-    // Corpus novelty curve by source: a 3-gram shingle is NOVEL in the
-    // doc where it first appears (min doc_id = ingestion order); each
-    // source's share of novel vs repeated shingle slots — the curation
-    // metric for "is this source still contributing new content or
-    // re-crawling the same text" (the marginal-utility signal behind
-    // dedup-aware source weighting). Exact integers: first-occurrence is
-    // a min-aggregate on the shingle domain, re-joined on the shingle
-    // key — two shingle-keyed exchanges, never all-pairs.
-    "ngram_novelty_by_source" -> { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the shingle explode
-        .select(col("doc_id"), col("source"),
-          explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
-      val first = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
-      sh.join(first, "sh")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_shingle_slots"),
-          sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty_permille",
-          expr("n_novel * 1000 DIV n_shingle_slots"))
-        .orderBy("source")
-    },
-
-    // Chi-squared contingency components for event_type × ISO weekday —
-    // the categorical-drift / independence audit with every term EXACT:
-    // observed cell counts, both marginals, and the scaled residual
-    // numerator n·O − rowT·colT (BIGINT-safe: both products <= ~1e10 at
-    // sf0.1). Chi² itself is the caller's one float division per cell —
-    // the components-not-ratios contract. Weekday parity pinned to ISO:
-    // Spark weekday(ts)+1 = DuckDB isodow (Monday = 1); raw dayofweek
-    // disagrees between engines (Sunday = 1 vs 0) — the documented trap.
-    "contingency_chi2_components" -> { (s, d) =>
-      val o = Tables.events(s, d)
-        .select(col("event_type"), expr("weekday(ts) + 1").as("isodow"))
-        .groupBy("event_type", "isodow").agg(count(lit(1)).as("observed"))
-      val rt = o.groupBy("event_type").agg(sum("observed").as("row_total"))
-      val ct = o.groupBy("isodow").agg(sum("observed").as("col_total"))
-      val n = o.agg(sum("observed").as("n_total"))
-      o.join(broadcast(rt), "event_type").join(broadcast(ct), "isodow")
-        .crossJoin(broadcast(n))
-        .select(col("event_type"), col("isodow"), col("observed"),
-          col("row_total"), col("col_total"), col("n_total"),
-          expr("n_total * observed - row_total * col_total").as("resid_num"))
-        .orderBy("event_type", "isodow")
-    },
-
-    // Onion decomposition of the kNN graph (k-core peel at k = 4 on the
-    // cells=8/k=3 substrate): the layer histogram with per-layer id
-    // checksums. The 4-core is EMPTY on this graph (a 3-out-degree kNN
-    // graph has 3-core = everything, 4-core = nothing — both measured,
-    // which is exactly why the per-round LAYERS, not the core, carry the
-    // signal: they are the coreness/centrality ordering used for graph
-    // sparsification and influence ranking). Peel depth measured 4 at
-    // both SFs; the oracle unrolls 8 rounds and would surface (not
-    // absorb) a deeper peel as a mismatch.
-    "graph_onion_layers_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3))
-      graft.ops.Graph.onionLayers(und, k = 4)
-        .groupBy("layer")
-        .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
-        .orderBy("layer")
-    },
-
-    // Shot-boundary detection over synthetic video luminance tracks (300
-    // videos × 40 frames; per-shot base level + bounded jitter, the same
-    // deterministic-fake convention as the other multimodal stubs): a
-    // boundary is |Δlum| > 32 between consecutive frames, segments
-    // materialize as cut-flag prefix sums — the lag + running-sum
-    // temporal-segmentation shape (sessionize's cousin) on frame
-    // sequences. All-integer pixels (hash low bytes), so detection is
-    // engine-exact; the lag/sum windows partition per video and a video's
-    // frames are the natural per-key unit at 100 TB (no global sort).
-    "video_shot_boundaries" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val w = Window.partitionBy("vid").orderBy("f")
-      val fr = s.range(300).select(col("id").as("vid"))
-        .withColumn("f", explode(expr("sequence(0, 39)")))
-      val lum = fr
-        .withColumn("cut_true", when(col("f") > 0 &&
-          md5h(concat(lit("cut|"), col("vid"), lit("|"), col("f")))
-            .bitwiseAND(lit(7L)) === 0, 1L).otherwise(0L))
-        .withColumn("shot_true", sum("cut_true").over(w))
-        .withColumn("lum",
-          md5h(concat(lit("b|"), col("vid"), lit("|"), col("shot_true")))
-            .bitwiseAND(lit(255L)) +
-          md5h(concat(lit("j|"), col("vid"), lit("|"), col("f")))
-            .bitwiseAND(lit(15L)))
-      lum
-        .withColumn("is_cut", when(col("f") > 0 &&
-          abs(col("lum") - lag(col("lum"), 1).over(w)) > 32, 1L)
-          .otherwise(0L))
-        .withColumn("shot", sum("is_cut").over(w))
-        .groupBy("vid", "shot")
-        .agg(min("f").as("start_frame"), max("f").as("end_frame"),
-          count(lit(1)).as("n_frames"))
-        .orderBy("vid", "shot")
-    },
-
-    // TPC-H Q4 shape on the generated schema: orders in one quarter with
-    // at least one LATE-shipped lineitem (> 60 days after order date —
-    // stands in for the absent l_commitdate < l_receiptdate), counted by
-    // priority. The EXISTS is a left-semi join whose date predicate
-    // prunes the orders side BEFORE the shuffle; the join condition's
-    // cross-side inequality rides on the equi-key join, not a range
-    // join.
-    "tpch_q4_shaped" -> { (s, d) =>
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-      o.join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"),
-          "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
-    },
-
-    // Degree assortativity components for the kNN graph (Newman 2002
-    // mixing patterns): per-edge degree products and sums as EXACT
-    // integers — m, Σdᵢdⱼ, Σ(dᵢ+dⱼ), Σ(dᵢ²+dⱼ²) — from which the Pearson
-    // assortativity coefficient is one float formula the caller applies
-    // (components-not-ratios). Disassortative kNN graphs (hubs link to
-    // leaves) vs assortative social graphs is THE structural diagnostic
-    // for whether hub-oriented wedge bounds apply. One degree aggregate +
-    // two vertex-keyed joins onto the edge list — all equality shuffles.
-    "degree_assortativity_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .agg(count(lit(1)).as("m"),
-          sum(col("da") * col("db")).as("sum_didj"),
-          sum(col("da") + col("db")).as("sum_di_plus_dj"),
-          sum(col("da") * col("da") + col("db") * col("db")).as("sum_di2_dj2"))
-    },
-
-    // Largest-remainder apportionment (Hamilton method) of a fixed
-    // sampling budget across language classes — the exact-integer quota
-    // allocator behind proportional data mixing: floor quotas from one
-    // integer division, the leftover seats to the largest remainders
-    // with a deterministic class tiebreak, total EXACTLY the budget by
-    // construction. Budget 9973 (prime) so remainders genuinely
-    // distribute (a round budget on near-uniform counts degenerates to
-    // all-floor — the vacuous-pass trap, checked before landing). All
-    // work happens on the collapsed class domain — broadcast-sized.
-    "quota_largest_remainder" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val c = Tables.documents(s, d).groupBy("lang")
-        .agg(count(lit(1)).as("n"))
-      val t = c.agg(sum("n").as("total"))
-      val base = c.crossJoin(broadcast(t))
-        .select(col("lang"), col("n"),
-          expr("9973 * n DIV total").as("floor_q"),
-          expr("(9973 * n) % total").as("rem"))
-      val leftover = base.agg((lit(9973L) - sum("floor_q")).as("leftover"))
-      base
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("rem"), col("lang"))))
-        .crossJoin(broadcast(leftover))
-        .select(col("lang"), col("n"),
-          expr("floor_q + IF(rk <= leftover, 1L, 0L)").as("quota"))
-        .orderBy("lang")
-    },
-
-    // TPC-H Q21 shape (suppliers who kept orders waiting): for finished
-    // orders, late lineitems (> 60 days past order date, the schema's
-    // commit/receipt stand-in) where the order HAS other suppliers
-    // (EXISTS) and NONE of them was late (NOT EXISTS) — the classic
-    // double-correlated-subquery DAG. Plan shape: the late/other flags
-    // collapse to ONE per-order aggregate (n_suppliers, n_late_suppliers)
-    // joined back — the decorrelated form of both subqueries, one
-    // order-keyed shuffle instead of two correlated re-scans.
-    "tpch_q21_shaped" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val l = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-          .select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          when(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"), 1L)
-            .otherwise(0L).as("late"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(max("late").as("late"))
-      val perOrder = l.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
-      l.filter(col("late") === 1)
-        .join(perOrder, "l_orderkey")
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(countDistinct(col("l_orderkey")).as("numwait"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("numwait"), col("s_name"))))
-        .filter(col("rk") <= 25).drop("rk")
-        .orderBy(desc("numwait"), col("s_name"))
-    },
-
-    // Theil-Sen robust trend over daily event counts: the MEDIAN of all
-    // pairwise slopes (Sen 1968) — outlier days move OLS (the
-    // daily_trend_slope query) but barely move this. All pair work runs
-    // on the COLLAPSED day domain (30 rows → 435 pairs), so the
-    // quadratic blowup is in the domain size, never the corpus; the
-    // median pick is deterministic: order by the double slope (identical
-    // IEEE division both engines) with (dy, dx) breaking exact ties, and
-    // the emitted slope is the exact integer micro-ratio of the chosen
-    // pair — floats order, integers answer.
-    "theil_sen_daily_trend" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .select(expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')")
-          .cast("long").as("x"))
-        .groupBy("x").agg(count(lit(1)).as("y"))
-      val pairs = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
-        .select((col("b.y") - col("a.y")).as("dy"),
-          (col("b.x") - col("a.x")).as("dx"))
-      val nd = daily.agg(count(lit(1)).as("n_days"))
-      val np = pairs.agg(count(lit(1)).as("n_pairs"))
-      pairs
-        .withColumn("rk", row_number().over(Window.orderBy(
-          (col("dy").cast("double") / col("dx")).asc, col("dy"), col("dx"))))
-        .crossJoin(broadcast(np)).crossJoin(broadcast(nd))
-        .filter(expr("rk = (n_pairs + 1) DIV 2"))
-        .select(col("n_days"), col("n_pairs"), col("dy").as("med_dy"),
-          col("dx").as("med_dx"),
-          expr("dy * 1000000 DIV dx").as("slope_micro"))
-    },
-
-    // Bloom-filter false-positive audit with PORTABLE hashing: members
-    // (nationkey < 5 customers) set k=3 md5-derived bits in an m=4096
-    // space; every non-member probes the same 3 positions and a probe
-    // matching all three is a FALSE POSITIVE — counted exactly, so the
-    // measured FPR is driver-checkable (unlike an opaque library sketch;
-    // the bloom_semi_join query covers Spark's native filter). Bits and
-    // probes are equality joins on the bit position — the sketch itself
-    // is |bits| rows, broadcast-sized, the 100 TB probe side streams.
-    "bloom_fpr_audit" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey").as("k"), col("c_nationkey"))
-      val members = cust.filter(col("c_nationkey") < 5).select("k")
-      val probes = cust.filter(col("c_nationkey") >= 5).select("k")
-      def bitsOf(df: DataFrame) = df
-        .withColumn("h", explode(expr("sequence(0, 2)")))
-        .withColumn("bit",
-          md5h(concat(col("h"), lit("|"), col("k"))).bitwiseAND(lit(4095L)))
-      val bits = bitsOf(members).select("bit").distinct()
-      val hits = bitsOf(probes).join(bits, "bit")
-        .groupBy("k").agg(count(lit(1)).as("nhit"))
-      members.agg(count(lit(1)).as("n_members"))
-        .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
-        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
-        .crossJoin(hits.agg(sum(when(col("nhit") === 3, 1L).otherwise(0L))
-          .as("n_false_positives")))
-    },
-
-    // Two rounds of Weisfeiler-Lehman color refinement on the kNN graph
-    // (Weisfeiler & Leman 1968; the 1-WL test): color₀ = degree, each
-    // round rehashes (own color | sorted neighbor colors). The final
-    // color-class histogram is the graph's structural fingerprint —
-    // 498 of 500 vertices land in singleton classes after 2 rounds on
-    // this substrate (irregular graphs refine fast), and the same
-    // machinery is the canonical GNN-expressiveness baseline. Each round
-    // is one edge-keyed join + one vertex aggregate (linear in edges);
-    // colors are md5Hash64 masked to 63 bits so both engines' signed
-    // views agree, and the sorted-list canonicalization makes the
-    // aggregate order-independent.
-    "wl_refinement_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val adj = und.select(col("a").as("v"), col("b").as("w"))
-        .union(und.select(col("b").as("v"), col("a").as("w"))).cache()
-      def step(colors: DataFrame): DataFrame = {
-        val cv = colors.select(col("v").as("vv"), col("c").as("cv"))
-        val cw = colors.select(col("v").as("ww"), col("c").as("cw"))
-        adj.join(cv, col("v") === col("vv")).join(cw, col("w") === col("ww"))
-          .groupBy(col("v"), col("cv"))
-          .agg(expr("""concat_ws(',', transform(array_sort(collect_list(cw)),
-                       x -> CAST(x AS STRING)))""").as("nbrs"))
-          .select(col("v"),
-            graft.ops.Dedup.md5Hash64(concat(col("cv"), lit("|"), col("nbrs")))
-              .bitwiseAND(lit(Long.MaxValue)).as("c"))
-      }
-      val c0 = adj.groupBy("v").agg(count(lit(1)).as("c"))
-      // each step reads its input colors TWICE (cv and cw sides), so an
-      // uncached round-1 subplan executes twice inside round 2 — cache
-      // the intermediate (5k rows) to run each round once (r9: ~5.7 s →
-      // ~4 s at sf0.1)
-      val c1 = step(c0).cache()
-      step(c1)
-        .groupBy(col("c").as("wl_color"))
-        .agg(count(lit(1)).as("n_vertices"), sum("v").as("id_checksum"))
-        .orderBy("wl_color")
-    },
-
-    // Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995): sort
-    // by normalized text, compare each record only to its 3 successors —
-    // the classic O(n·w) entity-resolution alternative to hash blocking
-    // (dedup_editdist_pairs): a typo in the blocking prefix silently
-    // splits a hash block, but lands ADJACENT in sort order. The window
-    // join is 3 equi-joins (successor rank = pos + offset, offsets
-    // exploded — no non-equi join). Note the classic SNM partition-edge
-    // boundary miss does NOT arise here: RangeRank assigns TRUE global
-    // positions (partition offset + local rank), so the pos+o equi-join
-    // pairs neighbors across partition boundaries like any others — no
-    // overlap trick needed.
-    "dedup_sorted_neighborhood" -> { (s, d) =>
-      // sort key = the 300-char prefix itself (not the full text): the
-      // global sort then moves only what the comparison needs, and
-      // |len(a)−len(b)| <= 60 prefilters pairs levenshtein can never
-      // accept (distance >= length gap) — a pure pushdown, results
-      // identical, but it skips the O(300²) DP for most candidates
-      // (8.2 s → the DP was the whole cost at sf0.1).
-      // Positions come from RangeRank's two-level prefix sum (VERDICT
-      // r10 #1): the r10 global row_number window funneled the whole
-      // corpus through ONE task; the range-partitioned rank keeps every
-      // exchange parallel (PlanSpec pins no-SinglePartition on this plan).
-      val n = Tables.documents(s, d)
-        .select(col("doc_id"),
-          substring(graft.ops.Dedup.normalize(col("text")), 1, 300).as("t"))
-      val srt = graft.ops.RangeRank.withGlobalPos(
-        n, Seq(col("t"), col("doc_id")), "pos")
-      val probe = srt.withColumn("o", explode(expr("sequence(1, 3)")))
-        .select(col("doc_id").as("ida"), col("t").as("ta"),
-          (col("pos") + col("o")).as("ppos"))
-      probe.join(srt.select(col("doc_id").as("idb"), col("t").as("tb"),
-          col("pos").as("ppos")), "ppos")
-        .filter(abs(length(col("ta")) - length(col("tb"))) <= 60)
-        // 3-arg levenshtein = banded DP: O(len·threshold) cells instead
-        // of O(len²), returning -1 past the bound — the result is the
-        // exact distance for every surviving pair, so the full-DP oracle
-        // keeps matching while the hot loop shrinks ~2.5× at len 300.
-        .withColumn("dist",
-          levenshtein(col("ta"), col("tb"), 60).cast("long"))
-        .filter(col("dist") >= 0)
-        .select(least(col("ida"), col("idb")).as("id1"),
-          greatest(col("ida"), col("idb")).as("id2"), col("dist"))
-        .orderBy("id1", "id2")
-    },
-
-    // Linear interpolation over masked gaps in the hourly event series —
-    // the imputation op AND its quality audit in one: hours with
-    // hidx % 11 ∈ {3,4,5} are masked (deterministic 3-hour "outage"
-    // runs, so interpolation weights genuinely vary across the gap),
-    // each masked hour interpolates between its nearest UNMASKED
-    // neighbors via IGNORE-NULLS window frames, and because the true
-    // value is known the exact micro-unit absolute error ships with the
-    // estimate. All integer arithmetic (truncating DIV measured
-    // identical in both engines); the series lives on the collapsed
-    // hour domain (720 rows).
-    "linear_interpolate_gaps" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("hidx")
-      val before = w.rowsBetween(Window.unboundedPreceding, -1)
-      val after = w.rowsBetween(1, Window.unboundedFollowing)
-      val h = Tables.events(s, d)
-        .select(expr("""(unix_micros(CAST(ts AS TIMESTAMP)) -
-                 unix_micros(TIMESTAMP '2024-01-01 00:00:00'))
-                DIV 3600000000""").as("hidx"))
-        .groupBy("hidx").agg(count(lit(1)).as("v"))
-        .withColumn("masked", expr("hidx % 11 IN (3, 4, 5)"))
-      h.withColumn("pt", last(when(!col("masked"), col("hidx")), ignoreNulls = true).over(before))
-        .withColumn("pv", last(when(!col("masked"), col("v")), ignoreNulls = true).over(before))
-        .withColumn("nt", first(when(!col("masked"), col("hidx")), ignoreNulls = true).over(after))
-        .withColumn("nv", first(when(!col("masked"), col("v")), ignoreNulls = true).over(after))
-        .filter(col("masked") && col("pt").isNotNull && col("nt").isNotNull)
-        .select(col("hidx"), col("v").as("v_true"),
-          expr("""pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
-                  DIV (nt - pt))""").as("interp_micro"),
-          expr("""abs(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
-                  DIV (nt - pt)) - v * 1000000)""").as("abs_err_micro"))
-        .orderBy("hidx")
-    },
-
-    // Per-key rate limiting (cap 5 events per user per day, first-N-wins
-    // by event time): the bot/runaway-key mitigation pass every event
-    // pipeline needs, as a data op with its audit — kept vs dropped
-    // counts and how many users hit the cap, per day. One (user, day)
-    // window; at 100 TB the rank is per-key and the cap means state per
-    // key is O(1) in the streaming form (the dedup_debounce cousin).
-    "rate_limit_per_key" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          to_date(col("ts")).as("day"))
-        .withColumn("rn", row_number().over(Window
-          .partitionBy("user_id", "day").orderBy("ts", "event_id")))
-        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_kept"),
-          countDistinct(when(col("rn") === 6, col("user_id")))
-            .as("n_capped_users"))
-        .orderBy("day")
-    },
-
-    // Consistent-hash ring rebalance audit (Karger et al., STOC 1997):
-    // customers map to the clockwise-next of 8 physical shards × 4
-    // virtual nodes on a 63-bit md5 ring; adding a 9th shard must move
-    // ONLY the keys landing in the new node's arcs. The (before, after)
-    // migration matrix with key checksums IS the partitioner-evolution
-    // audit every stateful service needs. Without vnodes the measured
-    // moved share was 31% (one fat arc) — the vnode=4 config is the
-    // textbook variance fix. Ring positions broadcast (≤36 rows); the
-    // successor pick is min(struct(pos, node)) over pos >= key, with
-    // the global minimum as the wraparound.
-    "consistent_hash_rebalance" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val mask = lit(Long.MaxValue)
-      def ring(nShards: Int): DataFrame = s.range(nShards)
-        .select(col("id").cast("int").as("node"))
-        .withColumn("r", explode(expr("sequence(0, 3)")))
-        .select(col("node"),
-          md5h(concat(lit("node|"), col("node"), lit("|"), col("r")))
-            .bitwiseAND(mask).as("pos"))
-      val keys = Tables.customer(s, d)
-        .select(col("c_custkey").as("k"),
-          md5h(concat(lit("key|"), col("c_custkey"))).bitwiseAND(mask)
-            .as("kpos"))
-      def assign(nodes: DataFrame, out: String): DataFrame = {
-        val cand = keys.crossJoin(broadcast(nodes))
-          .filter(col("pos") >= col("kpos"))
-          .groupBy("k").agg(min(struct(col("pos"), col("node"))).as("m"))
-          .select(col("k"), col("m.node").as("succ"))
-        val wrap = nodes.agg(min(struct(col("pos"), col("node"))).as("w"))
-          .select(col("w.node").as("wrap_node"))
-        keys.select("k").join(cand, Seq("k"), "left")
-          .crossJoin(broadcast(wrap))
-          .select(col("k"), coalesce(col("succ"), col("wrap_node")).as(out))
-      }
-      assign(ring(8), "shard_before").join(assign(ring(9), "shard_after"), "k")
-        .groupBy("shard_before", "shard_after")
-        .agg(count(lit(1)).as("n_keys"), sum("k").as("key_checksum"))
-        .orderBy("shard_before", "shard_after")
-    },
-
-    // k-anonymous publication with hierarchical generalization (the
-    // Samarati/Sweeney ladder, k = 10): (nation, segment) cells below k
-    // generalize to (nation, *), still-small nation groups roll into the
-    // (*, *) remainder — so every published row covers >= k customers
-    // and nothing is silently dropped unless even the remainder is
-    // sub-k. Complements k_anonymity_audit (which only measures risk):
-    // this one EMITS the safe table. Pure aggregates over the collapsed
-    // cell domain.
-    "kanon_generalize_publish" -> { (s, d) =>
-      val cells = Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), col("c_mktsegment").as("seg"))
-        .agg(count(lit(1)).as("n"))
-      val pub0 = cells.filter(col("n") >= 10)
-      val lvl1 = cells.filter(col("n") < 10)
-        .groupBy("n_name").agg(sum("n").as("n"))
-      val pub1 = lvl1.filter(col("n") >= 10)
-        .select(col("n_name"), lit("*").as("seg"), col("n"))
-      val rest = lvl1.filter(col("n") < 10).agg(sum("n").as("n"))
-        .filter(col("n") >= 10)
-        .select(lit("*").as("n_name"), lit("*").as("seg"), col("n"))
-      pub0.select(col("n_name"), col("seg"), col("n"))
-        .union(pub1).union(rest)
-        .orderBy("n_name", "seg")
-    },
-
-    // Deterministic bootstrap CI for total purchase revenue (Efron 1979,
-    // with hash-indexed resampling instead of RNG so the 200 resamples
-    // are bit-reproducible and engine-portable): each resample draws 30
-    // day indices via masked-md5 mod n_days, sums EXACT cents, and the
-    // empirical 2.5%/97.5% resample ranks bracket the observed total.
-    // The mask-BEFORE-modulus rule matters: unsigned-md5 % n and
-    // signed-md5 % n disagree, masked agrees. Day domain is collapsed
-    // (30 rows broadcast); 6 000 draws total.
-    "bootstrap_ci_daily_revenue" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val daily = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val idx = daily.select(col("cents"),
-        (row_number().over(Window.orderBy("day")) - 1).cast("long").as("i"))
-      val nd = daily.agg(count(lit(1)).as("n_days"))
-      val draws = s.range(200).select(col("id").as("b"))
-        .crossJoin(s.range(30).select(col("id").as("j")))
-        .crossJoin(broadcast(nd))
-        .select(col("b"),
-          (md5h(concat(lit("bs|"), col("b"), lit("|"), col("j")))
-            .bitwiseAND(lit(Long.MaxValue)) % col("n_days")).as("pick"))
-      val sums = draws.join(broadcast(idx), col("i") === col("pick"))
-        .groupBy("b").agg(sum("cents").as("resample_cents"))
-      val ranked = sums.withColumn("rk",
-        row_number().over(Window.orderBy(col("resample_cents"), col("b"))))
-      nd.crossJoin(broadcast(ranked.filter(col("rk") === 5)
-          .select(col("resample_cents").as("ci_lo_cents"))))
-        .crossJoin(broadcast(ranked.filter(col("rk") === 195)
-          .select(col("resample_cents").as("ci_hi_cents"))))
-        .crossJoin(broadcast(daily.agg(sum("cents").as("observed_cents"))))
-        .select(col("n_days"), lit(200L).as("n_resamples"),
-          col("ci_lo_cents"), col("ci_hi_cents"), col("observed_cents"))
-    },
-
-    // ANN retrieval quality as a driver-checked metric: MRR / hit@10 of
-    // the IVF path (nProbe = 3 over the 8 data-derived cells) against
-    // the exact top-1 ground truth, per query (vectors 100–115).
-    // rank = 0 records a miss; rr is the exact integer micro-reciprocal.
-    // nProbe = 1 measured 2/16 hits on these unclustered synthetic
-    // vectors, nProbe = 3 gives 8/16 — a mid-range operating point
-    // where the metric actually discriminates (the config choice is the
-    // same recall-vs-scan-bound dial documented on Ivf). The exact
-    // referee is query-side only (16 × corpus), never corpus × corpus.
-    "ann_mrr_hit_at_k" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("cv"))
-      val sim = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("s"))
-      val wCell = Window.partitionBy("vec_id").orderBy(desc("s"), col("cid"))
-      val asg = sim.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-      val qcells = sim.filter(col("vec_id").between(100, 115))
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") <= 3).select(col("vec_id").as("qid"), col("cid"))
-      val qs = emb.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = emb.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("tid"),
-          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("s"))
-        .cache()
-      val wQ = Window.partitionBy("qid").orderBy(desc("s"), col("tid"))
-      val truth = ex.withColumn("rn", row_number().over(wQ))
-        .filter(col("rn") === 1).select(col("qid"), col("tid").as("truth_id"))
-      val ranked = ex
-        .join(qcells, Seq("qid"))
-        .join(asg.select(col("vec_id").as("tid"), col("cid")), Seq("tid", "cid"))
-        .withColumn("rk", row_number().over(wQ))
-      truth.join(ranked.filter(col("rk") <= 10)
-          .select(col("qid"), col("tid").as("truth_id"), col("rk")),
-          Seq("qid", "truth_id"), "left")
-        .select(col("qid"), col("truth_id"),
-          coalesce(col("rk").cast("long"), lit(0L)).as("rank_in_ivf"),
-          coalesce(expr("1000000 DIV rk"), lit(0L)).as("rr_micro"),
-          when(col("rk").isNotNull, 1L).otherwise(0L).as("hit_at_10"))
-        .orderBy("qid")
-    },
-
-    // Golden-record merge (MDM survivorship): near-dup clusters from the
-    // minhash pipeline + connected components, then per-cluster merged
-    // attributes — member count, longest text's doc (max n_chars,
-    // smallest id tiebreak via one struct max — no second pass), total
-    // chars, member checksum. The step beyond pick-min-id survivor
-    // selection: the published record is ASSEMBLED from the cluster.
-    "golden_record_merge" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id", k = 16,
-        bands = 8, shingleN = 3, threshold = 0.8)
-      val comp = graft.ops.Components.connectedComponents(pairs, "id1", "id2")
-      docs.join(comp, col("doc_id") === col("v"))
-        .groupBy(col("comp").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"), max("n_chars").as("max_n_chars"),
-          sum("n_chars").as("total_chars"),
-          sum("doc_id").as("member_checksum"),
-          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
-            .as("m"))
-        .filter(col("n_members") >= 2)
-        .select(col("cluster_id"), col("n_members"), col("max_n_chars"),
-          col("total_chars"), col("member_checksum"),
-          (-col("m.nid")).as("longest_doc_id"))
-        .orderBy("cluster_id")
-    },
-
-    // CUPED variance-reduction components (Deng et al., WSDM 2013):
-    // per-user pre-period (days 1–15) and experiment-period (16–30)
-    // purchase cents, hash-assigned variants, and the exact integer
-    // moment sums (n, Σx, Σy, Σxy, Σx², Σy²) per variant from which
-    // theta and the adjusted-delta variance are two float formulas the
-    // caller applies. BIGINT-safe: per-user cents ~1e6, xy ~1e12,
-    // sums ~1e15 at sf0.1. The experimentation stack's covariance
-    // reduction as a data op — not a float in sight.
-    "cuped_components" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy("user_id")
-        .agg(
-          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
-            round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
-          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
-            round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
-        .withColumn("variant",
-          md5h(concat(lit("v|"), col("user_id")))
-            .bitwiseAND(lit(Long.MaxValue)) % 2)
-        .groupBy("variant")
-        .agg(count(lit(1)).as("n_users"), sum("x").as("sum_x"),
-          sum("y").as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
-          sum(col("x") * col("x")).as("sum_x2"),
-          sum(col("y") * col("y")).as("sum_y2"))
-        .orderBy("variant")
-    },
-
-    // Weighted single-source shortest paths on the kNN graph (multi-seed
-    // Bellman-Ford, Graph.weightedSssp): edge weight = the quantized
-    // DISSIMILARITY floor((1 − sim₆)·10⁶) — so a 2-hop path through
-    // close neighbors can beat a 1-hop weak edge, which is exactly what
-    // hop-count BFS (bfs_layers_knn) cannot express. Integer weights
-    // make the fixpoint exact; seeds are vectors 0–3. The floor() is
-    // explicit because CAST(double AS BIGINT) ROUNDS in DuckDB but
-    // truncates in Spark — the documented cross-engine trap. Oracle
-    // unrolls 12 relax rounds (measured fixpoint: 5 at sf0.01, 8 at
-    // sf0.1) and fails loudly if the data ever needs more.
-    "weighted_sssp_knn" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val knn = knnEdges(s, d, 3)
-      val uw = knn
-        .groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max("sim").as("ms"))
-        .select(col("a"), col("b"),
-          expr("CAST(floor((1 - ms) * 1000000) AS BIGINT)").as("w"))
-      val edges = uw.select(col("a").as("v"), col("b").as("u"), col("w"))
-        .union(uw.select(col("b").as("v"), col("a").as("u"), col("w")))
-      val seeds = edges.select("v").filter(col("v") < 4)
-      graft.ops.Graph.weightedSssp(edges, seeds).orderBy("v")
-    },
-
-    // Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
-    // retrievers over the same corpus — cosine (normalized) vs raw dot
-    // product (magnitude-sensitive): per query, each list contributes
-    // 10⁶ DIV (60 + rank) in exact integers and the fused top-10 is
-    // re-ranked by summed score with an id tiebreak. THE standard
-    // zero-training way to combine lexical + vector retrieval; here
-    // both arms are exactly recomputable so the fusion itself is
-    // hash-checked. Query-side work only (16 × corpus).
-    "rrf_fusion_topk" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val qs = emb.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val scored = emb.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("tid"),
-          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("cos"),
-          graft.ops.Similarity.dot(col("qv"), col("embedding")).as("dp"))
-        .cache()
-      def arm(c: Column): DataFrame = scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(c.desc, col("tid"))))
-        .filter(col("rank") <= 50)
-        .select(col("qid"), col("tid"),
-          expr("1000000 DIV (60 + rank)").as("contrib"))
-      arm(col("cos")).union(arm(col("dp")))
-        .groupBy("qid", "tid").agg(sum("contrib").as("rrf_micro"))
-        .withColumn("fused_rank", row_number().over(
-          Window.partitionBy("qid").orderBy(desc("rrf_micro"), col("tid"))))
-        .filter(col("fused_rank") <= 10)
-        .select("qid", "fused_rank", "tid", "rrf_micro")
-        .orderBy("qid", "fused_rank")
-    },
-
-    // Day-of-week seasonality index for purchase revenue: per ISO
-    // weekday, the mean-vs-overall-mean index as an exact permille by
-    // cross-multiplication (cents·total_days·1000 DIV
-    // (n_days·total_cents)) — the retail seasonal profile without one
-    // float division. Collapsed to 7 rows before any join.
-    "seasonal_weekday_index" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val byDow = daily
-        .groupBy(expr("weekday(day) + 1").as("isodow"))
-        .agg(count(lit(1)).as("n_days"), sum("cents").as("cents"))
-      val tot = byDow.agg(sum("n_days").as("total_days"),
-        sum("cents").as("total_cents"))
-      byDow.crossJoin(broadcast(tot))
-        .select(col("isodow"), col("n_days"), col("cents"),
-          expr("cents * total_days * 1000 DIV (n_days * total_cents)")
-            .as("index_permille"))
-        .orderBy("isodow")
-    },
-
-    // Simpson's-paradox audit: the sign of "URGENT orders are worth more
-    // than LOW orders" computed overall AND per nation, every comparison
-    // an exact cross-multiplication (cents_x·n_y vs cents_y·n_x — the
-    // sign of an average difference without dividing). On this corpus
-    // the overall sign is +1 while 12 of 25 nations measure −1 — the
-    // aggregation-reversal trap made visible, which is the whole point
-    // of shipping the audit as a reusable op. One fact aggregate, the
-    // overall row derived from the per-stratum aggregate (no second
-    // scan).
-    "simpsons_paradox_audit" -> { (s, d) =>
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), col("o_orderpriority").as("pri"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val per = o.groupBy(col("n_name").as("scope"))
-        .agg(
-          sum(when(col("pri") === "1-URGENT", 1L).otherwise(0L)).as("n_x"),
-          sum(when(col("pri") === "5-LOW", 1L).otherwise(0L)).as("n_y"),
-          sum(when(col("pri") === "1-URGENT", col("cents")).otherwise(0L))
-            .as("cents_x"),
-          sum(when(col("pri") === "5-LOW", col("cents")).otherwise(0L))
-            .as("cents_y"))
-      val tot = per.agg(sum("n_x").as("n_x"), sum("n_y").as("n_y"),
-          sum("cents_x").as("cents_x"), sum("cents_y").as("cents_y"))
-        .select(lit("overall").as("scope"), col("n_x"), col("n_y"),
-          col("cents_x"), col("cents_y"))
-      tot.union(per)
-        .withColumn("sign", expr("""CAST(CASE
-            WHEN n_x = 0 OR n_y = 0 THEN 0
-            WHEN cents_x * n_y > cents_y * n_x THEN 1
-            WHEN cents_x * n_y < cents_y * n_x THEN -1
-            ELSE 0 END AS INT)"""))
-        .orderBy("scope")
-    },
-
-    // Run-length encoding of each user's event-type sequence: change
-    // flags via lag, run ids via prefix sum, then per-user run stats —
-    // the sequence-compression features (n_runs, longest run, runs
-    // share) behavioral models feed on, and the same lag+cumsum
-    // segmentation spine as sessionize/shot-boundary, here keyed per
-    // user (natural partition at 100 TB).
-    "run_length_encode_events" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("chg", when(lag(col("event_type"), 1).over(w)
-          .isNull.or(lag(col("event_type"), 1).over(w) =!= col("event_type")),
-          1L).otherwise(0L))
-        .withColumn("run_id", sum("chg").over(w))
-        .groupBy("user_id", "run_id").agg(count(lit(1)).as("len"))
-        .groupBy("user_id")
-        .agg(sum("len").as("n_events"), count(lit(1)).as("n_runs"),
-          max("len").as("max_run_len"))
-        .withColumn("runs_permille", expr("n_runs * 1000 DIV n_events"))
-        .orderBy("user_id")
-    },
-
-    // Typo-robust lexical search: character-trigram Jaccard between a
-    // misspelled literal query ("sparc streem procesing") and every
-    // document — the pg_trgm model, where BM25's exact-term match gets
-    // zero hits but shared trigrams still rank the right docs. Exact
-    // integer inter/union counts and permille scores; the query's
-    // trigram set is a computed literal both engines derive from the
-    // same string. Per-doc set ops only — no join, corpus-parallel.
-    "trigram_search_typo" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // query trigrams precomputed driver-side from the SAME literal the
-      // oracle slices in SQL — set equality is construction-independent
-      val qtris = "sparc streem procesing".sliding(3).toSeq.distinct
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.ops.Dedup.normalize(col("text")).as("t"))
-        .withColumn("tri", expr(
-          """array_distinct(CASE WHEN char_length(t) < 3
-             THEN CAST(array() AS ARRAY<STRING>)
-             ELSE transform(sequence(1, char_length(t) - 2),
-                            i -> substring(t, i, 3)) END)"""))
-        .withColumn("qtri", array(qtris.map(lit): _*))
-        .select(col("doc_id"),
-          size(array_intersect(col("tri"), col("qtri"))).cast("long")
-            .as("inter"),
-          size(array_union(col("tri"), col("qtri"))).cast("long").as("uni"))
-      docs.withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("jaccard_permille"), col("doc_id"))))
-        .filter(col("rank") <= 10)
-        .select("doc_id", "inter", "uni", "jaccard_permille", "rank")
-        .orderBy("rank")
-    },
-
-    // Storage-encoding size estimator: delta-encode each day's sorted
-    // distinct user ids and price the stream in exact bits and varint
-    // bytes (bit width via the binary-string length — conv(d, 10, 2) in
-    // Spark ≡ printf('%b') in DuckDB; no float log2). The
-    // delta+varint estimate is how columnar writers choose encodings;
-    // doing it as a query makes layout decisions data-driven instead of
-    // guessed. Per-day windows — the day is the natural partition.
-    "delta_varint_size_estimate" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("day").orderBy("user_id")
-      Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        .withColumn("delta", col("user_id") - lag(col("user_id"), 1).over(w))
-        .filter(col("delta").isNotNull)
-        .withColumn("bits", length(conv(col("delta"), 10, 2)).cast("long"))
-        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_deltas"), sum("bits").as("sum_bits"),
-          sum(expr("(bits + 6) DIV 7")).as("varint_bytes"))
-        .orderBy("day")
-    },
-
-    // Three-way merge classification (the git model on data): per-user
-    // last value (by the event_id total order) at a BASE cutoff and on
-    // two divergent "branches" (all events to day 20 vs base plus
-    // purchases only), classified into unchanged / changed_a /
-    // changed_b / converged / conflict / added_* — the verdict table a
-    // data-versioning merge needs before auto-resolving. Two full-outer
-    // joins on the user key; value equality is raw stored-double
-    // comparison (no arithmetic, so engine-exact).
-    "three_way_merge_classify" -> { (s, d) =>
-      val ev = Tables.events(s, d).cache()
-      def lastBy(f: DataFrame, out: String): DataFrame = f.groupBy("user_id")
-        .agg(expr("max_by(value, event_id)").as(out))
-      val base = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-10")),
-        "vb")
-      val a = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-20")), "va")
-      val b = lastBy(ev.filter(to_date(col("ts")) <= lit("2024-01-10") ||
-        (to_date(col("ts")) <= lit("2024-01-20") &&
-          col("event_type") === "purchase")), "vv")
-      base.join(a, Seq("user_id"), "full_outer")
-        .join(b, Seq("user_id"), "full_outer")
-        .withColumn("verdict", expr("""CASE
-            WHEN vb IS NULL AND va IS NOT NULL AND vv IS NOT NULL
-              THEN 'added_both'
-            WHEN vb IS NULL AND va IS NOT NULL THEN 'added_a'
-            WHEN vb IS NULL THEN 'added_b'
-            WHEN va = vb AND vv = vb THEN 'unchanged'
-            WHEN va <> vb AND vv = vb THEN 'changed_a'
-            WHEN va = vb AND vv <> vb THEN 'changed_b'
-            WHEN va = vv THEN 'converged'
-            ELSE 'conflict' END"""))
-        .groupBy("verdict")
-        .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
-        .orderBy("verdict")
-    },
-
-    // Business-day shipping lag: calendar days decompose into full
-    // weeks ×5 plus a remainder filtered through the ISO-weekday wheel
-    // ((start − 1 + x) % 7 + 1 ∉ {6,7}) — exact integer calendar
-    // arithmetic, no holiday table needed for the weekend rule. The
-    // Spark side guards cd % 7 = 0 explicitly: sequence(1, 0) is
-    // DESCENDING in Spark (the [1,0] trap) where DuckDB's range is
-    // empty. Histogram over lags ≤ 60 days with order-key checksums.
-    "business_days_lag" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") >= col("o_orderdate"))
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(min("l_shipdate").as("ship"))
-        .withColumn("cd",
-          datediff(to_date(col("ship")), to_date(col("o_orderdate")))
-            .cast("long"))
-        .filter(col("cd") <= 60)
-        .withColumn("sd", expr("weekday(o_orderdate) + 1"))
-        .withColumn("bus_days", expr(
-          """(cd DIV 7) * 5 + CASE WHEN cd % 7 = 0 THEN 0L
-             ELSE CAST(size(filter(sequence(1L, cd % 7),
-               x -> ((sd - 1 + x) % 7) + 1 NOT IN (6, 7))) AS LONG) END"""))
-        .groupBy("bus_days")
-        .agg(count(lit(1)).as("n_orders"),
-          sum("l_orderkey").as("key_checksum"))
-        .orderBy("bus_days")
-    },
-
-    // Exact median by two-pass histogram refinement — the 100 TB median
-    // algorithm, self-verified: pass 1 buckets the domain into 1024
-    // integer-width cells and finds the cell holding the target rank
-    // from a cumulative histogram; pass 2 ranks ONLY inside that cell
-    // (≈ n/1024 rows instead of a global sort). The oracle computes the
-    // same lower median DIRECTLY by global rank, so a hash match is an
-    // end-to-end proof of the refinement logic. All driver-side scalars
-    // travel as broadcast 1-row frames — no collect.
-    "median_two_pass_refine" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.events(s, d).filter(col("event_type") === "purchase")
-        .select(round(col("value") * 1000000).cast("long").as("vm"))
-      val stats = t.agg(count(lit(1)).as("n"), min("vm").as("lo"),
-        max("vm").as("hi"))
-      val t2 = t.crossJoin(broadcast(stats))
-        .withColumn("width", expr("(hi - lo) DIV 1024 + 1"))
-        .withColumn("bucket", expr("(vm - lo) DIV width"))
-      val hist = t2.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
-      val chosen = hist.crossJoin(broadcast(stats))
-        .filter(expr("cum >= (n + 1) DIV 2"))
-        .orderBy("bucket").limit(1)
-        .select(col("bucket"), (col("cum") - col("cnt")).as("before"))
-      t2.join(broadcast(chosen), "bucket")
-        .withColumn("rn", row_number().over(Window.orderBy("vm")))
-        .filter(expr("rn = (n + 1) DIV 2 - before"))
-        .select(col("n").as("n_values"), col("vm").as("median_micro"))
-    },
-
-    // Robust STL-lite decomposition with EXACT integer medians: trend =
-    // centered 7-day window median (odd window → the 4th sorted
-    // element, no averaging), seasonal = per-ISO-weekday LOWER median
-    // of the detrended series, remainder = the rest. Robust seasonal
-    // decomposition without one float — median windows are sorted
-    // 7-element arrays, the seasonal median indexes the sorted list at
-    // (n+1) DIV 2. Edge days without a full window are excluded by
-    // contract (wn = 7), not padded.
-    "stl_lite_decomposition" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("v"))
-      val tr = daily
-        .withColumn("wl", array_sort(collect_list("v").over(w7)))
-        .withColumn("wn", count(lit(1)).over(w7))
-        .filter(col("wn") === 7)
-        .withColumn("trend", element_at(col("wl"), 4))
-        .withColumn("detr", col("v") - col("trend"))
-        .withColumn("dow", expr("weekday(day) + 1"))
-      val seas = tr.groupBy("dow")
-        .agg(expr("element_at(array_sort(collect_list(detr)), " +
-          "CAST((count(1) + 1) DIV 2 AS INT))").as("seasonal"))
-      tr.join(broadcast(seas), "dow")
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
-          col("trend"), col("seasonal"),
-          (col("v") - col("trend") - col("seasonal")).as("remainder"))
-        .orderBy("day")
-    },
-
-    // SRE error-budget burn: daily error share vs a 1% SLO in exact
-    // hundred-permille units (burn 1000 = exactly at budget), plus the
-    // cumulative month-to-date burn — prefix sums over the collapsed
-    // day domain. The error-budget arithmetic every on-call dashboard
-    // does, engine-exact.
-    "slo_error_budget_burn" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            .as("n_err"))
-        .withColumn("cum_err", sum("n_err").over(Window.orderBy("day")))
-        .withColumn("cum_total", sum("n_total").over(Window.orderBy("day")))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n_total"), col("n_err"),
-          expr("n_err * 100000 DIV n_total").as("burn_permille"),
-          expr("cum_err * 100000 DIV cum_total").as("cum_burn_permille"))
-        .orderBy("day")
-    },
-
-    // Deterministic 1:1 matched pairs for causal comparison: users split
-    // into hash-assigned treat/control, stratified by spend quintile,
-    // and paired RANK-TO-RANK within (stratum, arm) — reproducible
-    // matching with zero RNG, the no-model baseline for
-    // propensity-style analyses. Unmatched tail ranks drop by the inner
-    // join (n_pairs = min(arm sizes) per stratum). The ntile runs on
-    // the collapsed user domain, and per-stratum outcome-diff sums are
-    // exact cents.
-    "matched_pairs_stratified" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val u = Tables.events(s, d).groupBy("user_id")
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val v = u
-        .withColumn("treat",
-          md5h(concat(lit("m|"), col("user_id")))
-            .bitwiseAND(lit(Long.MaxValue)) % 2)
-        .withColumn("stratum",
-          ntile(5).over(Window.orderBy(col("cents"), col("user_id"))))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("stratum", "treat").orderBy("user_id")))
-      val t = v.filter(col("treat") === 1)
-        .select(col("stratum"), col("rk"), col("user_id").as("tu"),
-          col("cents").as("tc"))
-      val c = v.filter(col("treat") === 0)
-        .select(col("stratum"), col("rk"), col("user_id").as("cu"),
-          col("cents").as("cc"))
-      t.join(c, Seq("stratum", "rk"))
-        .groupBy("stratum")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("tc") - col("cc")).as("sum_outcome_diff"),
-          sum(col("tu") + col("cu")).as("pair_checksum"))
-        .orderBy("stratum")
-    },
-
-    // Right-to-be-forgotten cascade audit: a hash-chosen 5% of
-    // customers, then every dependent row down the FK chain (orders →
-    // lineitems) counted and checksummed BEFORE any delete runs — the
-    // blast-radius report a GDPR erasure job must produce first. Two
-    // semi-join hops on the FK keys; at 100 TB the chosen set
-    // broadcasts and the fact tables stream.
-    "gdpr_erasure_cascade" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val chosen = Tables.customer(s, d).select(col("c_custkey"))
-        .filter(md5h(concat(lit("gdpr|"), col("c_custkey")))
-          .bitwiseAND(lit(Long.MaxValue)) % 20 === 0)
-      val o = Tables.orders(s, d)
-        .join(broadcast(chosen), col("o_custkey") === col("c_custkey"))
-        .select("o_orderkey")
-      chosen.agg(count(lit(1)).as("n_customers"),
-          sum("c_custkey").as("cust_checksum"))
-        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orders"),
-          sum("o_orderkey").as("order_checksum"))))
-        .crossJoin(broadcast(Tables.lineitem(s, d)
-          .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
-          .agg(count(lit(1)).as("n_lineitems"))))
-        .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
-          col("cust_checksum"), col("order_checksum"))
-    },
-
-    // Dense global id assignment WITHOUT a global sort: per-day offsets
-    // from the cumulative day histogram (broadcast-sized) plus the
-    // intra-day (ts, event_id) rank — the two-level scheme that
-    // replaces a single-partition row_number at 100 TB. The oracle
-    // assigns the same ids with one DIRECT global row_number, so the
-    // hash match proves two-level ≡ global total order. Emitted as
-    // per-day (first_id, last_id, id_checksum) — the checksum pins
-    // every id without emitting every row.
-    "dense_id_assignment" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"))
-      val offsets = ev.groupBy("day").agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(sum("n").over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      ev.join(broadcast(offsets), "day")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("day").orderBy("ts", "event_id")))
-        .withColumn("id", col("offset") + col("rk") - 1)
-        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n"), min("id").as("first_id"),
-          max("id").as("last_id"), sum("id").as("id_checksum"))
-        .orderBy("day")
-    },
-
-    // windowFunnel semantics (the ClickHouse operator): per user, the
-    // deepest strictly-ordered view → click → purchase chain whose
-    // WHOLE span fits a 4-hour window anchored at the first step —
-    // funnel_conversion counts step reach, this one enforces the
-    // in-window ordering constraint (1 h measured ZERO level-3 users at
-    // sf0.01; 4 h keeps all levels populated at both SFs — the
-    // vacuous-level check). Existence joins per level on the user key;
-    // per-user event counts bound the join fan-out.
-    "window_funnel_levels" -> { (s, d) =>
-      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-        .cache()
-      def typed(t: String, a: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id"), col("ts").as(a))
-      val l3 = typed("view", "tv")
-        .join(typed("click", "tc"), "user_id")
-        .join(typed("purchase", "tp"), "user_id")
-        .filter(col("tc") > col("tv") && col("tp") > col("tc") &&
-          col("tp") <= expr("tv + INTERVAL 4 HOUR"))
-        .select("user_id").distinct().withColumn("l", lit(3))
-      val l2 = typed("view", "tv").join(typed("click", "tc"), "user_id")
-        .filter(col("tc") > col("tv") &&
-          col("tc") <= expr("tv + INTERVAL 4 HOUR"))
-        .select("user_id").distinct().withColumn("l", lit(2))
-      val l1 = typed("view", "tv").select("user_id").distinct()
-        .withColumn("l", lit(1))
-      ev.select("user_id").distinct()
-        .join(l1.union(l2).union(l3).groupBy("user_id")
-          .agg(max("l").as("level")), Seq("user_id"), "left")
-        .select(col("user_id"), coalesce(col("level"), lit(0)).as("level"))
-        .groupBy("level")
-        .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
-        .orderBy("level")
-    },
-
-    // Audience overlap matrix: distinct shared users for every ordered
-    // event-type pair (the diagonal is each audience's size) — the ads
-    // / segmentation overlap report, from ONE distinct (type, user)
-    // projection self-joined on the user key. |types|² cells.
-    "audience_overlap_matrix" -> { (s, d) =>
-      val tu = Tables.events(s, d)
-        .select(col("event_type"), col("user_id")).distinct().cache()
-      tu.select(col("event_type").as("type_a"), col("user_id"))
-        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
-          "user_id")
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("n_shared_users"))
-        .orderBy("type_a", "type_b")
-    },
-
-    // Joint decile grid — the 2D dependence structure of (value, hour):
-    // each dimension cut into exact equidepth deciles (the ntile
-    // convention of equidepth_deciles, (value, id) ordered so ties are
-    // deterministic), then cell counts + id checksums over the 10×10
-    // grid. Independence would put ~1% everywhere; the deviation
-    // pattern IS the copula, with zero floats. At 100 TB the ntile
-    // becomes broadcast cutoffs from the percentile_length_filter
-    // histogram pattern — documented, the grid semantics are identical.
-    "joint_decile_grid" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, d)
-        .select(col("event_id"), col("value"),
-          hour(col("ts")).cast("long").as("hr"))
-        .withColumn("vbin", ntile(10).over(
-          Window.orderBy(col("value"), col("event_id"))))
-        .withColumn("hbin", ntile(10).over(
-          Window.orderBy(col("hr"), col("event_id"))))
-        .groupBy("vbin", "hbin")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
-        .orderBy("vbin", "hbin")
-    },
-
-    // Neyman-optimal stratified sampling allocation (Neyman 1934) with
-    // EXACT integer arithmetic end to end: per-stratum weight Nh·σh is
-    // isqrt(n·Σy² − (Σy)²) — the float sqrt is CORRECTED to the true
-    // integer floor by the ±1 adjustment (floor(sqrt(double)) can land
-    // off-by-one near perfect squares, and differently per engine),
-    // then the 10 000-row budget splits by the largest-remainder
-    // machinery from quota_largest_remainder. BIGINT bounds: cents ≤
-    // 1e5, nh·Σy² ≈ 2e16, (Σy)² ≈ 1e18 at sf0.1 — safe; rescale cents
-    // at larger SFs (documented). The variance-aware sampler every
-    // telemetry pipeline wants instead of uniform rates.
-    "neyman_allocation_exact" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val st = Tables.events(s, d)
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("nh"), sum("c").as("sy"),
-          sum(col("c") * col("c")).as("syy"))
-        .withColumn("var_scaled", expr("nh * syy - sy * sy"))
-        .withColumn("w0",
-          expr("CAST(floor(sqrt(CAST(var_scaled AS DOUBLE))) AS BIGINT)"))
-        .withColumn("wgt", expr(
-          """w0 - CASE WHEN w0 * w0 > var_scaled THEN 1 ELSE 0 END
-                + CASE WHEN (w0 + 1) * (w0 + 1) <= var_scaled
-                  THEN 1 ELSE 0 END"""))
-      val t = st.agg(sum("wgt").as("tw"))
-      val base = st.crossJoin(broadcast(t))
-        .select(col("event_type"), col("nh"), col("wgt"),
-          expr("10000 * wgt DIV tw").as("floor_q"),
-          expr("(10000 * wgt) % tw").as("rem"))
-      val leftover = base.agg((lit(10000L) - sum("floor_q")).as("leftover"))
-      base.withColumn("rk", row_number().over(
-          Window.orderBy(desc("rem"), col("event_type"))))
-        .crossJoin(broadcast(leftover))
-        .select(col("event_type"), col("nh"), col("wgt").as("neyman_weight"),
-          expr("floor_q + IF(rk <= leftover, 1L, 0L)").as("n_alloc"))
-        .orderBy("event_type")
-    },
-
-    // Deferred revenue recognition: each order's cents spread over the
-    // 3 months from its order month — base share cents DIV 3 plus the
-    // cents % 3 remainder on the earliest months, so every order's
-    // slices sum EXACTLY to its total (the finance closing rule, no
-    // rounding drift ever). One explode by month offset, one rollup.
-    "revenue_recognition_spread" -> { (s, d) =>
-      Tables.orders(s, d)
-        .select(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
-          .as("m0"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .withColumn("o", explode(expr("sequence(0, 2)")))
-        .select((col("m0") + col("o")).as("mkey"),
-          expr("cents DIV 3 + IF(o < cents % 3, 1L, 0L)").as("slice"))
-        .groupBy("mkey")
-        .agg(count(lit(1)).as("n_slices"), sum("slice").as("recognized_cents"))
-        .orderBy("mkey")
-    },
-
-    // Cohen's kappa inputs for the langid labeler vs declared labels:
-    // n, observed agreement, and Σ row-marginal·col-marginal — kappa =
-    // (n·agree − Σrc) / (n² − Σrc) is the caller's one division. The
-    // inter-rater reliability audit with both "raters" recomputable.
-    "cohens_kappa_components" -> { (s, d) =>
-      val j = Tables.documents(s, d)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
-        .cache()
-      val rows = j.groupBy(col("lang").as("k")).agg(count(lit(1)).as("r"))
-      val cols = j.groupBy(col("pred").as("k")).agg(count(lit(1)).as("c"))
-      val marg = rows.join(cols, Seq("k"), "full_outer")
-        .select(coalesce(col("r"), lit(0L)).as("r"),
-          coalesce(col("c"), lit(0L)).as("c"))
-        .agg(sum(col("r") * col("c")).as("sum_marginal_products"))
-      j.agg(count(lit(1)).as("n"),
-          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
-            .as("n_agree"))
-        .crossJoin(broadcast(marg))
-    },
-
-    // Bag (multiset) semantics audit: INTERSECT ALL / EXCEPT ALL row
-    // counts between the click and view user-id BAGS — Σ min(mult) and
-    // Σ max(mult_a − mult_b, 0) over the per-key multiplicity join, the
-    // collapsed-domain form that never materializes duplicate rows
-    // (set-semantics EXCEPT loses multiplicities silently — the audit
-    // names the difference). One full-outer join on the collapsed key
-    // domain.
-    "bag_except_intersect" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      def bag(t: String, out: String) = ev.filter(col("event_type") === t)
-        .groupBy("user_id").agg(count(lit(1)).as(out))
-      bag("click", "mc").join(bag("view", "mv"), Seq("user_id"), "full_outer")
-        .select(coalesce(col("mc"), lit(0L)).as("mc"),
-          coalesce(col("mv"), lit(0L)).as("mv"))
-        .agg(sum(least(col("mc"), col("mv"))).as("intersect_all_rows"),
-          sum(greatest(col("mc") - col("mv"), lit(0L)))
-            .as("except_all_rows"),
-          sum("mc").as("click_rows"), sum("mv").as("view_rows"),
-          count(lit(1)).as("n_users"))
-    },
-
-    // Seasonal-naive forecast backtest: predict day t with day t−h for
-    // horizons 1 and 7, score by exact absolute-error sums against the
-    // realized daily counts — the no-model baseline every forecast must
-    // beat, as a self-join on the collapsed day domain (MAE and WAPE
-    // are the caller's divisions over the emitted exact components).
-    "naive_forecast_backtest" -> { (s, d) =>
-      import s.implicits._
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("v")).cache()
-      val horizons = Seq(1, 7).toDF("horizon")
-      horizons.crossJoin(daily.select(col("day"), col("v").as("actual")))
-        .join(daily.select(col("day").as("pday"), col("v").as("pred")),
-          expr("pday = date_sub(day, horizon)"))
-        .groupBy("horizon")
-        .agg(count(lit(1)).as("n_days"),
-          sum(abs(col("actual") - col("pred"))).as("sum_abs_err"),
-          sum("actual").as("sum_actual"))
-        .orderBy("horizon")
-    },
-
-    // Directed-graph reciprocity of the kNN edge set: the share of
-    // (src → dst) edges whose reverse is also a kNN edge — high
-    // reciprocity means the similarity neighborhood is symmetric (good
-    // for undirected collapsing), low means hubs absorb asymmetric
-    // edges. One self-join on the swapped key pair, exact permille.
-    "knn_reciprocity" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val e = knnEdges(s, d, 3)
-        .select("src", "dst").cache()
-      val rec = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
-        Seq("src", "dst"), "left_semi")
-      e.agg(count(lit(1)).as("n_directed"))
-        .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
-        .select(col("n_directed"), col("n_reciprocal"),
-          expr("n_reciprocal * 1000 DIV n_directed")
-            .as("reciprocity_permille"))
-    },
-
-    // Functional-dependency profiling (the Tane/Metanome question as a
-    // query): for candidate FDs X → Y, how many X keys map to more than
-    // one Y — n_violating_keys = 0 certifies the dependency (here
-    // nationkey → regionkey holds; source → lang and user → type are
-    // quantified as violated, not just flagged). One distinct-count
-    // aggregate per candidate, unioned — schema-discovery DQ at fact
-    // scale.
-    "functional_dependency_audit" -> { (s, d) =>
-      def fd(df: DataFrame, name: String, k: Column, v: Column): DataFrame =
-        df.groupBy(k.as("k")).agg(countDistinct(v).as("nd"))
-          .select(lit(name).as("fd"), col("nd"))
-      val f1 = fd(Tables.customer(s, d).join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey")),
-        "c_nationkey->n_regionkey", col("c_nationkey"), col("n_regionkey"))
-      val f2 = fd(Tables.documents(s, d), "source->lang", col("source"),
-        col("lang"))
-      val f3 = fd(Tables.events(s, d), "user_id->event_type",
-        col("user_id").cast("string"), col("event_type"))
-      f1.union(f2).union(f3)
-        .groupBy("fd")
-        .agg(count(lit(1)).as("n_keys"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
-          max("nd").as("max_distinct_dependents"))
-        .orderBy("fd")
-    },
-
-    // Triplet-margin mining audit over the IVF cells: per anchor, the
-    // nearest SAME-label (positive) and nearest DIFFERENT-label
-    // (negative) neighbor; a violation is sim_neg + 0.05 > sim_pos —
-    // the count of triplets a contrastive loss would actually train on.
-    // 481/499 violated on these label-random synthetic vectors —
-    // exactly the diagnosis the audit exists to give (embeddings don't
-    // separate the labels). Cell-bounded candidate join, never
-    // all-pairs.
-    "triplet_margin_violations" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val asg = graft.ops.Ivf.assignCells(
-          emb, "embedding", cents.withColumnRenamed("centroid", "centroid"),
-          n = 1)
-        .select(col("cid"), col("vec_id"), col("embedding"), col("label"))
-      val p = asg.as("x").join(asg.as("y"),
-          col("x.cid") === col("y.cid") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("x.label").as("la"),
-          col("y.vec_id").as("b"), col("y.label").as("lb"),
-          graft.ops.Similarity.cosine(col("x.embedding"),
-            col("y.embedding")).as("s"))
-        .cache()
-      def best(cond: Column, out: String) = p.filter(cond)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("a").orderBy(desc("s"), col("b"))))
-        .filter(col("rn") === 1).select(col("a"), col("s").as(out))
-      best(col("la") === col("lb"), "sp")
-        .join(best(col("la") =!= col("lb"), "sn"), "a")
-        .withColumn("viol", when(col("sn") + 0.05 > col("sp"), 1L)
-          .otherwise(0L))
-        .agg(count(lit(1)).as("n_triplets"), sum("viol").as("n_violations"),
-          sum(when(col("viol") === 1, col("a")).otherwise(0L))
-            .as("viol_checksum"))
-    },
-
-    // Column-encoding chooser: per day, EXACT size estimates of the
-    // event_type column under plain, dictionary, and RLE encodings
-    // (code width from the binary-string length of n_distinct − 1, run
-    // counts from the lag spine) — the delta_varint_size_estimate
-    // companion that makes the writer's encoding pick a measured
-    // decision, not a default.
-    "encoding_chooser_estimate" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("day").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("event_type"), col("ts"),
-          col("event_id"))
-        .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull
-          .or(lag(col("event_type"), 1).over(w) =!= col("event_type")), 1L)
-          .otherwise(0L))
-        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("event_type")).as("n_distinct"),
-          sum(length(col("event_type")).cast("long")).as("plain_bytes"),
-          sum("chg").as("n_runs"))
-        .withColumn("code_bits",
-          length(conv(greatest(col("n_distinct") - 1, lit(1L)), 10, 2))
-            .cast("long"))
-        .select(col("day"), col("n"), col("n_distinct"), col("plain_bytes"),
-          expr("(n * code_bits + 7) DIV 8").as("dict_bytes"),
-          expr("n_runs * ((code_bits + 7) DIV 8 + 2)").as("rle_bytes"))
-        .orderBy("day")
-    },
-
-    // Interval-union coverage by sweep line: each click opens a 5-minute
-    // interval; +1/−1 boundary events sorted (time, starts-first) and a
-    // running active count price exactly the UNION length per day —
-    // overlap counted once (max_concurrent_sessions takes the max of
-    // this same sweep; the integral is the other classic). Exact
-    // epoch-micros, per-day partitions.
-    "interval_union_coverage" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val iv = Tables.events(s, d).filter(col("event_type") === "click")
-        .select(to_date(col("ts")).as("day"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("st"))
-        .withColumn("en", col("st") + 300000000L)
-      val pts = iv.select(col("day"), col("st").as("t"), lit(1L).as("dd"))
-        .union(iv.select(col("day"), col("en"), lit(-1L)))
-      val w = Window.partitionBy("day").orderBy(col("t"), desc("dd"))
-      val cov = pts
-        .withColumn("active",
-          sum("dd").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("nxt", lead(col("t"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy("day")
-        .agg(expr("sum(IF(active > 0, nxt - t, 0L)) DIV 1000000")
-          .as("covered_seconds"))
-      iv.groupBy("day").agg(count(lit(1)).as("n_intervals"))
-        .join(cov, "day")
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n_intervals"), col("covered_seconds"))
-        .orderBy("day")
-    },
-
-    // The federation fallacy, quantified: lower median of per-day-shard
-    // lower medians vs the true global median — the gap (210 000 micro
-    // here) is what a naive "median of shard medians" rollup silently
-    // reports wrong. All exact ranks; the machinery every federated
-    // metrics layer needs to justify shipping histograms instead of
-    // medians.
-    "median_federation_gap" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"),
-          round(col("value") * 1000000).cast("long").as("vm"))
-      def lowerMedian(df: DataFrame, part: Seq[String], out: String) = {
-        val w = if (part.isEmpty) Window.orderBy("vm")
-          else Window.partitionBy(part.map(col): _*).orderBy("vm")
-        val wc = if (part.isEmpty) Window.partitionBy()
-          else Window.partitionBy(part.map(col): _*)
-        df.withColumn("rk", row_number().over(w))
-          .withColumn("nn", count(lit(1)).over(wc))
-          .filter(expr("rk = (nn + 1) DIV 2"))
-          .select((part.map(col) :+ col("vm").as(out)): _*)
-      }
-      val sm = lowerMedian(t, Seq("day"), "shard_median")
-      val fed = lowerMedian(sm.select(col("shard_median").as("vm")),
-        Seq.empty, "fed_median")
-      val gm = lowerMedian(t.select("vm"), Seq.empty, "global_median")
-      sm.agg(count(lit(1)).as("n_shards"))
-        .crossJoin(broadcast(fed)).crossJoin(broadcast(gm))
-        .select(col("n_shards"), col("fed_median"), col("global_median"),
-          (col("fed_median") - col("global_median")).as("gap_micro"))
-    },
-
-    // Exact higher-moment sums per event type — n, Σx, Σx², Σx³, Σx⁴ in
-    // whole value units (x ≤ 490, so Σx⁴ ≤ ~1.2e15 at sf0.1 —
-    // BIGINT-safe; the scaling rule is the contract, cents would
-    // overflow at x⁴). Skewness/kurtosis are the caller's float
-    // formulas over these five integers — the one-pass moments pipeline
-    // with map-side combine.
-    "higher_moments_components" -> { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"), round(col("value")).cast("long").as("x"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
-          sum(expr("x * x")).as("s2"), sum(expr("x * x * x")).as("s3"),
-          sum(expr("x * x * x * x")).as("s4"))
-        .orderBy("event_type")
-    },
-
-    // Content-defined chunk dedup (the rsync/borg/restic model, Muthitacharoen
-    // et al. SOSP'01): a chunk boundary falls AFTER any position whose
-    // 8-char window hash has 6 low zero bits (expected chunk ~64 chars),
-    // so an insertion only reshuffles boundaries LOCALLY — unlike
-    // fixed-size blocks where one shifted byte re-chunks the whole file.
-    // Dup slots = chunk occurrences minus distinct chunks (6.7% on this
-    // corpus — the near-dup docs share most chunks). The per-position
-    // md5 is the oracle-portable form; at 100 TB the window hash is a
-    // rolling (Rabin) custom Expression — one multiply per char, not
-    // one digest per position (documented).
-    "cdc_chunk_dedup" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      val n = Tables.documents(s, d)
-        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
-        .cache()
-      // boundary test = low 6 bits of md5Hash64 = low 6 bits of the
-      // digest's FIRST byte (little-endian u64), so only hex chars 1-2
-      // need conv'ing — the full 8-substring md5Hash64 assembly per
-      // position benched 14.9 s at sf0.1; this form, 2.4 s; the rolling
-      // polynomial twin (cdc_chunk_dedup_rabin), 0.7 s. Same values.
-      val marks = n
-        .withColumn("i", explode(expr("sequence(8, char_length(t))")))
-        .filter(expr("""CAST(conv(substr(md5(substr(t, i - 7, 8)), 1, 2),
-          16, 10) AS BIGINT) % 64""") === 0)
-        .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"))
-      val sentinels = n.select(col("doc_id"), lit(1L).as("pos"))
-        .union(n.select(col("doc_id"),
-          expr("CAST(char_length(t) + 1 AS BIGINT)")))
-      val bd = marks.union(sentinels).distinct().join(n, "doc_id")
-      bd.withColumn("en",
-          lead(col("pos"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-        .filter(col("en").isNotNull && col("en") > col("pos"))
-        .select(md5(expr("substr(t, CAST(pos AS INT), CAST(en - pos AS INT))"))
-          .as("ch"))
-        .agg(count(lit(1)).as("n_chunk_slots"),
-          countDistinct(col("ch")).as("n_distinct_chunks"),
-          (count(lit(1)) - countDistinct(col("ch"))).as("dup_slots"))
-    },
-
-    // Outlier ensemble on the daily series with all three classic rules
-    // in EXACT integer form: z > 2 as (n·v − S)² > 4(n·Σv² − S²)
-    // (cross-multiplied — no mean, no sqrt), Tukey fences with doubled
-    // bounds (2v < 2q1 − 3·IQR), and |v − med| > 3·MAD with lower-rank
-    // median/MAD. The vote count is the ensemble — methods disagree and
-    // the table shows exactly where.
-    "outlier_ensemble_vote" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("v")).cache()
-      val stats = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"),
-        sum(expr("v * v")).as("svv"))
-      def rankPick(df: DataFrame, c: String, rankExpr: String, out: String) =
-        df.withColumn("rk", row_number().over(Window.orderBy(col(c))))
-          .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
-          .filter(expr(s"rk = $rankExpr"))
-          .select(col(c).as(out))
-      val q1 = rankPick(daily, "v", "(nn + 3) DIV 4", "q1")
-      val q3 = rankPick(daily, "v", "(3 * nn + 1) DIV 4", "q3")
-      val med = rankPick(daily, "v", "(nn + 1) DIV 2", "med")
-      val withMed = daily.crossJoin(broadcast(med))
-        .withColumn("ad", abs(col("v") - col("med")))
-      val mad = rankPick(withMed.select("ad"), "ad", "(nn + 1) DIV 2", "mad")
-      withMed.crossJoin(broadcast(stats)).crossJoin(broadcast(q1))
-        .crossJoin(broadcast(q3)).crossJoin(broadcast(mad))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
-          expr("""CAST(IF((n * v - sv) * (n * v - sv) >
-                  4 * (n * svv - sv * sv), 1, 0) AS BIGINT)""").as("z_flag"),
-          expr("""CAST(IF(2 * v < 2 * q1 - 3 * (q3 - q1) OR
-                  2 * v > 2 * q3 + 3 * (q3 - q1), 1, 0) AS BIGINT)""")
-            .as("iqr_flag"),
-          expr("CAST(IF(ad > 3 * mad, 1, 0) AS BIGINT)").as("mad_flag"))
-        .withColumn("n_votes", expr("z_flag + iqr_flag + mad_flag"))
-        .orderBy("day")
-    },
-
-    // Two-sided-geometric (discrete Laplace) noise mechanism, harness
-    // form: noise = tz(h₁) − tz(h₂) where tz counts trailing zero bits
-    // of keyed md5 draws — tz is geometric(1/2) exactly, and the
-    // difference of two geometrics IS the discrete Laplace (Ghosh et
-    // al., STOC 2009). Deterministic per key so the MECHANISM is
-    // hash-checkable (production DP would swap in fresh randomness;
-    // the transform, sensitivity bookkeeping, and post-processing
-    // pipeline are what this pins). tz via h & −h (lowest set bit)
-    // then binary-string length − 1 — no loops, no floats.
-    "dp_geometric_noise_histogram" -> { (s, d) =>
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      def tz(seed: String): Column = {
-        val h = md5h(concat(lit(seed), col("n_name")))
-          .bitwiseAND(lit(Long.MaxValue))
-        (length(conv(h.bitwiseAND(-h), 10, 2)) - 1).cast("long")
-      }
-      Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name").agg(count(lit(1)).as("true_count"))
-        .withColumn("noise", tz("dp1|") - tz("dp2|"))
-        .select(col("n_name"), col("true_count"), col("noise"),
-          (col("true_count") + col("noise")).as("noisy_count"))
-        .orderBy("n_name")
-    },
-
-    // Round-robin language interleaving WITHOUT a global sort: the
-    // interleave position of (lang, rank-within-lang) is a CLOSED FORM
-    // over the broadcast class counts — Σ_l min(rk−1, n_l) full rounds
-    // plus the within-round offset of classes still alive at this rank
-    // — so the balanced training order (every language appears once per
-    // round until exhausted) assigns shard-locally at 100 TB. Positions
-    // proved dense 0..n−1 before landing; per-class position aggregates
-    // pin every assignment.
-    "round_robin_interleave" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val r = Tables.documents(s, d).select("doc_id", "lang")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("lang").orderBy("doc_id")))
-      val lc = Tables.documents(s, d).groupBy(col("lang").as("lang2"))
-        .agg(count(lit(1)).as("nl"))
-      r.crossJoin(broadcast(lc))
-        .groupBy("doc_id", "lang", "rk")
-        .agg((sum(least(col("rk") - 1, col("nl"))) +
-          sum(when(col("lang2") <= col("lang") && col("nl") >= col("rk"), 1L)
-            .otherwise(0L)) - 1).as("p"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n"), min("p").as("first_pos"),
-          max("p").as("last_pos"), sum("p").as("pos_checksum"))
-        .orderBy("lang")
-    },
-
-    // Cronbach's alpha inputs (internal-consistency reliability): event
-    // types as items, per-user counts as scores on the DENSE grid
-    // (absent cells are true zeros — the left-join-to-grid step is the
-    // trap), item and total variance NUMERATORS n·Σx²−(Σx)² exact —
-    // alpha = k/(k−1)·(1 − Σitem/total) is the caller's float.
-    "cronbach_alpha_components" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val m = ev.groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("x"))
-      val grid = ev.select("user_id").distinct()
-        .crossJoin(broadcast(ev.select("event_type").distinct()))
-        .join(m, Seq("user_id", "event_type"), "left")
-        .select(col("user_id"), col("event_type"),
-          coalesce(col("x"), lit(0L)).as("x"))
-        .cache()
-      val iv = grid.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-          sum(expr("x * x")).as("sxx"))
-        .agg(count(lit(1)).as("k"),
-          sum(expr("n * sxx - sx * sx")).as("sum_item_var_num"))
-      val tot = grid.groupBy("user_id").agg(sum("x").as("tx"))
-        .agg(count(lit(1)).as("n_users"), sum("tx").as("s"),
-          sum(expr("tx * tx")).as("ss"))
-        .select(col("n_users"),
-          expr("n_users * ss - s * s").as("total_var_num"))
-      iv.crossJoin(broadcast(tot))
-        .select(col("k"), col("n_users"), col("sum_item_var_num"),
-          col("total_var_num"))
-    },
-
-    // Top-N-with-ties semantics audit: "top-3 lineitems by quantity per
-    // part" under row_number (exactly 3), rank (ties at the boundary
-    // spill in, gaps after), and dense_rank (every tied LEVEL counts as
-    // one) — three different row counts from the same English sentence,
-    // quantified with checksums. Quantities tie constantly (small
-    // integers), so the three forms genuinely diverge here — the
-    // classic silent over/under-delivery bug in top-N reports.
-    "rank_semantics_audit" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_partkey")
-        .orderBy(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val wt = Window.partitionBy("l_partkey").orderBy(desc("l_quantity"))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_quantity"), col("l_orderkey"),
-          col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("rk", rank().over(wt))
-        .withColumn("dr", dense_rank().over(wt))
-        .cache()
-      def form(name: String, cond: Column) = li.filter(cond)
-        .agg(lit(name).as("form"), count(lit(1)).as("n_rows"),
-          sum(col("l_orderkey") + col("l_linenumber")).as("checksum"))
-        .select("form", "n_rows", "checksum")
-      form("dense_rank", col("dr") <= 3)
-        .union(form("rank", col("rk") <= 3))
-        .union(form("row_number", col("rn") <= 3))
-        .orderBy("form")
-    },
-
-    // Exact MODE with a deterministic tiebreak (most frequent quantity
-    // per return flag; equal frequencies resolve to the smallest value)
-    // — the aggregate SQL forgot, as two ordered aggregations: value
-    // counts, then max(struct(freq, −value)). No sort of raw rows.
-    "mode_value_exact" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          col("l_quantity").cast("long").as("q"))
-        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("freq"))
-        .groupBy("l_returnflag")
-        .agg(max(struct(col("freq"), (-col("q")).as("nq"))).as("m"),
-          count(lit(1)).as("n_distinct_values"))
-        .select(col("l_returnflag"), (-col("m.nq")).as("modal_quantity"),
-          col("m.freq").as("modal_freq"), col("n_distinct_values"))
-        .orderBy("l_returnflag")
-    },
-
-    // Kendall tau-b components over the daily (event count, revenue)
-    // series: every day pair classified concordant / discordant /
-    // x-tied / y-tied / both-tied, in exact integers (revenue in
-    // floor-cents, cast per row BEFORE the sum — a double sum is
-    // addition-order-dependent and would flip ULPs between engines).
-    // The scan + daily aggregate is the linear part; the pair stage is
-    // days² with days bounded by the calendar window, so the self-join
-    // is broadcast and tiny at any corpus size. Tau-b itself
-    // ((C−D)/√((n0−nx)(n0−ny))) is a caller-side float over these
-    // five integers — the engine's contract is the exact counts.
-    "kendall_tau_components" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100)).as("rev"))
-      val a = daily.select(col("day").as("da"), col("n").as("na"),
-        col("rev").as("ra"))
-      val b = daily.select(col("day").as("db"), col("n").as("nb"),
-        col("rev").as("rb"))
-      a.join(broadcast(b), col("da") < col("db"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when((col("na") - col("nb")) * (col("ra") - col("rb")) > 0,
-            1L).otherwise(0L)).as("concordant"),
-          sum(when((col("na") - col("nb")) * (col("ra") - col("rb")) < 0,
-            1L).otherwise(0L)).as("discordant"),
-          sum(when(col("na") === col("nb") && col("ra") =!= col("rb"),
-            1L).otherwise(0L)).as("ties_x_only"),
-          sum(when(col("ra") === col("rb") && col("na") =!= col("nb"),
-            1L).otherwise(0L)).as("ties_y_only"),
-          sum(when(col("na") === col("nb") && col("ra") === col("rb"),
-            1L).otherwise(0L)).as("ties_both"))
-    },
-
-    // Spearman rank-correlation components with AVERAGE-rank tie
-    // handling kept integer-exact via the ×2 trick: the doubled average
-    // rank of a tie group is 2·minrank + (groupsize − 1), an integer, so
-    // Σ(2rx − 2ry)² = 4·Σd² needs no fractions. Tie-correction terms
-    // Σ(t³−t) per axis come from value-frequency aggregates, not pair
-    // joins. The windows order 30 daily rows — the single-partition
-    // window is over the AGGREGATE, never the raw scan.
-    "spearman_rank_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100)).as("rev"))
-        .cache()
-      val ranked = daily
-        .withColumn("rx2", lit(2L) * rank().over(Window.orderBy("n")) +
-          count(lit(1)).over(Window.partitionBy("n")) - 1)
-        .withColumn("ry2", lit(2L) * rank().over(Window.orderBy("rev")) +
-          count(lit(1)).over(Window.partitionBy("rev")) - 1)
-        .agg(count(lit(1)).as("n_days"),
-          sum((col("rx2") - col("ry2")) * (col("rx2") - col("ry2")))
-            .as("sum_d2_x4"))
-      def tieTerm(c: String, out: String) = daily.groupBy(col(c))
-        .agg(count(lit(1)).as("t"))
-        .agg(sum(col("t") * col("t") * col("t") - col("t")).as(out))
-      ranked.crossJoin(broadcast(tieTerm("n", "tie_x")))
-        .crossJoin(broadcast(tieTerm("rev", "tie_y")))
-        .select("n_days", "sum_d2_x4", "tie_x", "tie_y")
-    },
-
-    // Hodges-Lehmann location-shift estimator between the purchase and
-    // click daily-revenue distributions: the LOWER median (rank
-    // ⌊(m+1)/2⌋ — deterministic, no .5 interpolation) of all pairwise
-    // differences, exact cents. The pairwise stage is days×days
-    // (bounded by the calendar window, broadcast); the value at the
-    // median rank is well-defined under ties because the order key IS
-    // the value. The robust "how much more does a purchase-day gross"
-    // answer that a mean difference gets wrong under heavy tails.
-    "hodges_lehmann_daily_shift" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      def dailyRev(t: String, out: String) =
-        ev.filter(col("event_type") === t)
-          .groupBy(to_date(col("ts")).as(out + "_day"))
-          .agg(sum(floor(col("value") * 100)).as(out + "_rev"))
-      val diffs = dailyRev("purchase", "p")
-        .crossJoin(broadcast(dailyRev("click", "c")))
-        .select((col("p_rev") - col("c_rev")).as("diff"))
-      val tot = diffs.agg(count(lit(1)).as("n_pairs"))
-      diffs.withColumn("rn", row_number().over(Window.orderBy("diff")))
-        .crossJoin(broadcast(tot))
-        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
-        .select(col("n_pairs"), col("diff").as("hl_shift_cents"))
-    },
-
-    // Missing-id gap ranges in the completed ('F') orderkey sequence —
-    // the data-quality "which ids never arrived/finished" report. NOT
-    // the single-partition lead() formulation: gap boundaries come from
-    // two shuffle-partitioned anti-joins (k+1 ∉ S starts a gap,
-    // m−1 ∉ S ends one), and only the ~boundary-count survivors meet
-    // the ordering window, so the global sort touches gaps, not keys.
-    // Pairing i-th start with i-th end is exact because starts and
-    // ends strictly alternate between consecutive present keys. The
-    // oracle is the INDEPENDENT lead()-over-sorted-keys formulation.
-    "sequence_gap_ranges" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val keys = Tables.orders(s, d)
-        .filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey").as("k"))
-      val mm = keys.agg(min("k").as("lo"), max("k").as("hi"))
-      val succ = keys.select((col("k") + 1).as("k1"))
-      val pred = keys.select((col("k") - 1).as("k0"))
-      val starts = succ.join(keys, succ("k1") === keys("k"), "left_anti")
-        .crossJoin(broadcast(mm)).filter(col("k1") < col("hi"))
-        .select(col("k1").as("gap_start"),
-          row_number().over(Window.orderBy("k1")).as("rn"))
-      val ends = pred.join(keys, pred("k0") === keys("k"), "left_anti")
-        .crossJoin(broadcast(mm)).filter(col("k0") > col("lo"))
-        .select(col("k0").as("gap_end"),
-          row_number().over(Window.orderBy("k0")).as("rn"))
-      starts.join(ends, "rn")
-        .select(col("gap_start"), col("gap_end"),
-          (col("gap_end") - col("gap_start") + 1).as("gap_len"))
-        .orderBy("gap_start")
-    },
-
-    // t-closeness audit (Li et al. ICDE'07) for nation-level release of
-    // the mktsegment attribute: per nation, the total-variation distance
-    // between its segment distribution and the global one, kept exact by
-    // cross-multiplication — Σ|n_gi·N − N_i·n_g| over a DENSE
-    // nation×segment grid (absent cells are true zeros; skipping the
-    // grid silently drops |0·N − N_i·n_g| terms), denominator 2·n_g·N.
-    // The t > 1/5 gate is the integer comparison 5·num > den — no
-    // float division anywhere. Completes the k-anonymity / l-diversity
-    // publication-audit family with the distributional criterion.
-    "t_closeness_audit" -> { (s, d) =>
-      val cust = Tables.customer(s, d)
-        .select(col("c_nationkey").as("g"), col("c_mktsegment").as("seg"))
-      val cells = cust.groupBy("g", "seg").agg(count(lit(1)).as("n_gi"))
-      val segTot = cust.groupBy("seg").agg(count(lit(1)).as("n_i"))
-      val natTot = cust.groupBy("g").agg(count(lit(1)).as("n_g"))
-      val grand = cust.agg(count(lit(1)).as("n_tot"))
-      val grid = natTot.crossJoin(broadcast(segTot))
-        .join(cells, Seq("g", "seg"), "left")
-        .select(col("g"), col("n_g"), col("n_i"),
-          coalesce(col("n_gi"), lit(0L)).as("n_gi"))
-        .crossJoin(broadcast(grand))
-      grid.groupBy("g")
-        .agg(first("n_g").as("n_cust"),
-          sum(abs(col("n_gi") * col("n_tot") - col("n_i") * col("n_g")))
-            .as("tvd_num"),
-          (lit(2L) * first("n_g") * first("n_tot")).as("tvd_den"))
-        .select(col("g").as("nationkey"), col("n_cust"), col("tvd_num"),
-          col("tvd_den"),
-          (col("tvd_num") * 5 > col("tvd_den")).as("exceeds_t_0_2"))
-        .orderBy("nationkey")
-    },
-
-    // Rounding-mode divergence audit: cents→dollars under HALF_UP vs
-    // HALF_EVEN (banker's), both derived from the SAME integer cents by
-    // pure arithmetic — q = c DIV 100, r = c % 100, half-up adds
-    // [r ≥ 50], half-even adds [r > 50 ∨ (r = 50 ∧ q odd)] — so the
-    // audit measures the rounding POLICY, never an engine's round()
-    // builtin (they disagree across engines, which is the bug this
-    // report exists to quantify: 609 half-cent rows at sf0.01, 322 of
-    // them diverging). Per return flag: row counts and both policy
-    // totals; the delta is the systematic upward bias half-up injects.
-    "rounding_mode_audit" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
-        .select(col("l_returnflag"), col("c"),
-          expr("c DIV 100").as("q"), expr("c % 100").as("r"))
-        .select(col("l_returnflag"),
-          (col("q") + when(col("r") >= 50, 1L).otherwise(0L)).as("up"),
-          (col("q") + when(col("r") > 50 ||
-            (col("r") === 50 && col("q") % 2 === 1), 1L).otherwise(0L))
-            .as("even"),
-          col("r"), col("q"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("r") === 50, 1L).otherwise(0L)).as("n_half_cent"),
-          sum(when(col("r") === 50 && col("q") % 2 === 0, 1L).otherwise(0L))
-            .as("n_diverge"),
-          sum("up").as("sum_half_up_dollars"),
-          sum("even").as("sum_half_even_dollars"))
-        .orderBy("l_returnflag")
-    },
-
-    // Double-sided FIFO matching (returns applied to shipments per part
-    // in shipdate order) via the cumulative-interval intersection trick:
-    // each side's rows become [cum_before, cum_after) quantity
-    // intervals, and the FIFO allocation between ship row i and return
-    // row j is EXACTLY their interval overlap — no sequential loop, no
-    // driver iteration, just per-part windows and one overlap equi-join
-    // keyed on the part. The ledger/inventory primitive (payment
-    // application, COGS layers) that naive implementations do row-at-
-    // a-time. n_match_pairs is the FIFO-specific output — it depends on
-    // the interleaving, not just the totals. Windows are partitioned by
-    // part (≤49 rows each); the join is part-keyed, co-partitioned at
-    // scale.
-    "fifo_match_returns" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("pk"), col("l_returnflag"),
-          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
-      val w = Window.partitionBy("pk")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-      def side(pred: Column, tag: String) = li.filter(pred)
-        .withColumn("hi", sum("qty").over(w))
-        .select(col("pk"), (col("hi") - col("qty")).as(tag + "_lo"),
-          col("hi").as(tag + "_hi"))
-      val ship = side(col("l_returnflag") =!= "R", "s")
-      val ret = side(col("l_returnflag") === "R", "r")
-      val pairs = ship.join(ret, Seq("pk"))
-        .filter(col("s_lo") < col("r_hi") && col("r_lo") < col("s_hi"))
-        .select(col("pk"),
-          (least(col("s_hi"), col("r_hi")) -
-            greatest(col("s_lo"), col("r_lo"))).as("m"))
-      val totals = li.groupBy("pk").agg(
-        sum(when(col("l_returnflag") =!= "R", col("qty")).otherwise(0L))
-          .as("total_ship_qty"),
-        sum(when(col("l_returnflag") === "R", col("qty")).otherwise(0L))
-          .as("total_return_qty"))
-      pairs.groupBy("pk")
-        .agg(count(lit(1)).as("n_match_pairs"), sum("m").as("matched_qty"))
-        .join(totals, Seq("pk"))
-        .select(col("pk").as("partkey"), col("n_match_pairs"),
-          col("matched_qty"), col("total_ship_qty"),
-          col("total_return_qty"),
-          (col("total_return_qty") - col("matched_qty"))
-            .as("unmatched_return_qty"))
-        .orderBy("partkey")
-    },
-
-    // M4 downsampling (Jugel et al. VLDB'14): per (event_type, 1-of-64
-    // time bucket), the four extreme points — first, last, min-value,
-    // max-value rows — which are exactly the rows a pixel-perfect
-    // line rendering needs; everything else in the bucket cannot change
-    // a 64-pixel-wide chart. All four arg-rows are deterministic via
-    // lexicographic (key, ts, event_id) struct min/max — never a bare
-    // arg_min that ties arbitrarily. Bucket ids are integer arithmetic
-    // over epoch-micros against the broadcast global [lo, hi] span;
-    // one partial-aggregated groupBy, no window, no sort of raw rows.
-    "m4_downsample" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
-          floor(col("value") * 100).as("cents"), col("event_id"))
-      val span = ev.agg(min("eus").as("lo"), max("eus").as("hi"))
-      ev.crossJoin(broadcast(span))
-        .withColumn("bucket",
-          expr("((eus - lo) * 64) DIV (hi - lo + 1)"))
-        .groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("n"),
-          min("cents").as("min_v"), max("cents").as("max_v"),
-          min(struct(col("eus"), col("event_id"), col("cents")))("cents")
-            .as("first_v"),
-          max(struct(col("eus"), col("event_id"), col("cents")))("cents")
-            .as("last_v"),
-          min(struct(col("cents"), col("eus"), col("event_id")))("eus")
-            .as("ts_of_min_us"),
-          max(struct(col("cents"), col("eus"), col("event_id")))("eus")
-            .as("ts_of_max_us"))
-        .orderBy("event_type", "bucket")
-    },
-
-    // Chao1 species-richness components (Chao 1984) per source over
-    // token BIGRAMS — "how much vocabulary haven't we crawled yet":
-    // observed distinct D, singletons f1, doubletons f2, and the
-    // bias-corrected estimate D + f1(f1−1)/(2(f2+1)) as an integer
-    // milli-value (always defined, unlike the f1²/2f2 form when f2=0).
-    // Bigrams, not unigrams: the 31-word synthetic vocab saturates
-    // unigrams (f1=0 → vacuous); bigram space is genuinely open
-    // (f1≈300/source at sf0.01). Multiplicity-preserving grams (NOT
-    // Dedup.shingles, which is array_distinct'd) — frequency-of-
-    // frequency statistics die under distinct. One explode + two
-    // map-side-combined aggregates.
-    "chao1_richness_components" -> { (s, d) =>
-      val n = 2
-      val toks = graft.ops.Dedup.tokens(col("text"))
-      val shifted = (0 until n).map(i =>
-        slice(toks, lit(i + 1), size(toks)).as(s"t$i"))
-      val grams = transform(
-        filter(arrays_zip(shifted: _*),
-          x => x.getField(s"t${n - 1}").isNotNull),
-        x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
-      Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("source"), explode(grams).as("g"))
-        .groupBy("source", "g").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum("c").as("n_bigrams"),
-          count(lit(1)).as("distinct_bigrams"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
-          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
-        .withColumn("chao1_milli",
-          col("distinct_bigrams") * 1000 +
-            expr("(1000 * f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
-        .orderBy("source")
-    },
-
-    // Good-Turing unseen-probability mass (Good 1953) per source over
-    // token TRIGRAMS: P(next gram is novel) ≈ N1/N, and the Turing-
-    // smoothed count for singletons r* = 2·N2/N1 — the leave-one-out
-    // estimate LM smoothing is built on (and the complement of the
-    // [[kn_continuation_counts]] query, which measures KN's context
-    // diversity instead of frequency-of-frequency). Trigrams because
-    // this corpus's trigram space is sparse (N1/N ≈ 0.95 — a crawl
-    // frontier still mostly unseen), all in integer permille.
-    "good_turing_unseen_mass" -> { (s, d) =>
-      val n = 3
-      val toks = graft.ops.Dedup.tokens(col("text"))
-      val shifted = (0 until n).map(i =>
-        slice(toks, lit(i + 1), size(toks)).as(s"t$i"))
-      val grams = transform(
-        filter(arrays_zip(shifted: _*),
-          x => x.getField(s"t${n - 1}").isNotNull),
-        x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
-      Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("source"), explode(grams).as("g"))
-        .groupBy("source", "g").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum("c").as("n_trigrams"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
-        .withColumn("unseen_mass_permille",
-          expr("(1000 * n1) DIV n_trigrams"))
-        .withColumn("smoothed_r1_permille",
-          expr("(1000 * 2 * n2) DIV n1"))
-        .orderBy("source")
-    },
-
-    // Bitmap-index set intersection (the roaring/bitmap-join physical
-    // technique): per event_type, user ids packed into 32-bits-per-word
-    // bitmap words (word = id DIV 32, bit_or of 1<<(id%32)); the
-    // audience intersection of two types is then Σ popcount(A & B) over
-    // a word-keyed equi-join — cardinality-proportional-to-words work
-    // instead of a row-level distinct join. 32-bit packing in a BIGINT
-    // sidesteps sign-bit semantics divergence at 1<<63 across engines.
-    // The row-level exact intersect runs IN the same query and the
-    // `agree` boolean pins bit-for-bit equivalence — the oracle
-    // re-derives both sides independently.
-    "bitmap_index_intersect" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
-      val words = ev
-        .select(col("t"), expr("u DIV 32").as("w"),
-          expr("shiftleft(1L, CAST(u % 32 AS INT))").as("bit"))
-        .groupBy("t", "w").agg(expr("bit_or(bit)").as("bits"))
-      val bm = words.as("a").join(words.as("b"),
-          col("a.w") === col("b.w") && col("a.t") < col("b.t"))
-        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
-        .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))))
-          .as("bitmap_intersect"))
-      val ex = ev.as("x").join(ev.as("y"),
-          col("x.u") === col("y.u") && col("x.t") < col("y.t"))
-        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
-        .agg(count(lit(1)).as("exact_intersect"))
-      bm.join(ex, Seq("type_a", "type_b"))
-        .select(col("type_a"), col("type_b"),
-          col("bitmap_intersect").cast("long").as("bitmap_intersect"),
-          col("exact_intersect"),
-          (col("bitmap_intersect") === col("exact_intersect")).as("agree"))
-        .orderBy("type_a", "type_b")
-    },
-
-    // Exact Gini coefficient of customer revenue concentration via the
-    // rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), all integer
-    // cents — the single-number complement of the top-share Pareto
-    // query. Tie-safe: equal revenues contribute the same Σi·x term
-    // under any tie order, so the row_number is deterministic AND
-    // immaterial. The global rank runs over the per-customer AGGREGATE
-    // (3 orders of magnitude smaller than the scan), not raw orders.
-    // Σi·x peaks ~1e17 at sf0.1 — an order of magnitude of BIGINT
-    // headroom; the overflow frontier is ~sf10, documented here.
-    "gini_concentration_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val rev = Tables.orders(s, d)
-        .select(col("o_custkey"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
-        .groupBy("o_custkey").agg(sum("c").as("x"))
-      rev.withColumn("i",
-          row_number().over(Window.orderBy("x", "o_custkey")).cast("long"))
-        .agg(count(lit(1)).as("n_customers"),
-          sum("x").as("total_cents"),
-          sum(col("i") * col("x")).as("rank_weighted_sum"))
-        .select(col("n_customers"), col("total_cents"),
-          col("rank_weighted_sum"),
-          (lit(2L) * col("rank_weighted_sum") -
-            (col("n_customers") + 1) * col("total_cents")).as("gini_num"),
-          (col("n_customers") * col("total_cents")).as("gini_den"))
-        .withColumn("gini_milli",
-          // NOT (1000·num) DIV den: num·1000 tops 5.6e19 at sf0.1 —
-          // past BIGINT. num DIV (den DIV 1000) stays in range and both
-          // engines evaluate the identical expression.
-          expr("gini_num DIV (gini_den DIV 1000)"))
-    },
-
-    // ABC inventory classification: parts ranked by revenue, class A =
-    // rows while cumulative share ≤ 80%, B until 95%, C after — the
-    // thresholds applied by CROSS-MULTIPLICATION against the broadcast
-    // grand total (cum·5 ≤ total·4, cum·20 ≤ total·19), no percentage
-    // floats. The cumulative window runs over the per-part aggregate.
-    // Class boundaries are deterministic under the (revenue DESC,
-    // partkey) total order.
-    "abc_inventory_classes" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val rev = Tables.lineitem(s, d)
-        .select(col("l_partkey"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
-        .groupBy("l_partkey").agg(sum("c").as("x"))
-      val tot = rev.agg(sum("x").as("total"))
-      rev.withColumn("cum",
-          sum("x").over(Window.orderBy(desc("x"), col("l_partkey"))))
-        .crossJoin(broadcast(tot))
-        .withColumn("cls",
-          when(col("cum") * 5 <= col("total") * 4, "A")
-            .when(col("cum") * 20 <= col("total") * 19, "B")
-            .otherwise("C"))
-        .groupBy("cls")
-        .agg(count(lit(1)).as("n_parts"),
-          sum("x").as("revenue_cents"),
-          first("total").as("t"))
-        .select(col("cls"),
-          col("n_parts"), col("revenue_cents"),
-          expr("(1000 * revenue_cents) DIV t").as("share_permille"))
-        .orderBy("cls")
-    },
-
-    // Harmonic centrality truncated at 3 hops over the kNN graph,
-    // scaled by 6 to stay integer-exact: h₆(v) = 6·|N₁| + 3·|N₂| +
-    // 2·|N₃| (1/d for d=1,2,3 over common denominator 6). Hop sets are
-    // SET-differences of equi-join frontiers (never path counts — the
-    // recursive oracle multi-counts paths and min-collapses; here each
-    // hop subtracts all earlier hops), bounded by degree^3 per vertex,
-    // so every stage is a shuffle-partitioned join at any graph size.
-    // Same edge construction as the BFS/components family
-    // (IVF-celled kNN, k=3, undirected).
-    "harmonic_centrality_3hop" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3))
-      val sym = und.select(col("a").as("v"), col("b").as("w"))
-        .union(und.select(col("b").as("v"), col("a").as("w")))
-        .localCheckpoint()
-      val d1 = sym.distinct()
-      val d2 = d1.as("p").join(d1.select(col("v").as("w"),
-          col("w").as("x")).as("q"), "w")
-        .select(col("v"), col("x").as("w")).distinct()
-        .filter(col("v") =!= col("w"))
-        .join(d1, Seq("v", "w"), "left_anti")
-      val d3 = d2.as("p").join(d1.select(col("v").as("w"),
-          col("w").as("x")).as("q"), "w")
-        .select(col("v"), col("x").as("w")).distinct()
-        .filter(col("v") =!= col("w"))
-        .join(d1, Seq("v", "w"), "left_anti")
-        .join(d2, Seq("v", "w"), "left_anti")
-      def cnt(df: DataFrame, out: String) =
-        df.groupBy("v").agg(count(lit(1)).as(out))
-      emb.select(col("vec_id").as("v"))
-        .join(cnt(d1, "n1"), Seq("v"), "left")
-        .join(cnt(d2, "n2"), Seq("v"), "left")
-        .join(cnt(d3, "n3"), Seq("v"), "left")
-        .select(col("v"),
-          coalesce(col("n1"), lit(0L)).as("n1"),
-          coalesce(col("n2"), lit(0L)).as("n2"),
-          coalesce(col("n3"), lit(0L)).as("n3"))
-        .withColumn("harmonic_x6",
-          col("n1") * 6 + col("n2") * 3 + col("n3") * 2)
-        .orderBy("v")
-    },
-
-    // Unnormalized Haar wavelet detail coefficients over a DENSE 64-
-    // bucket (event_type, time) grid — which dyadic window holds the
-    // burst, per scale. Level l coefficient at parent p is
-    // Σ±bucket_sum with the sign from bit l−1 of the bucket id, so all
-    // six levels come from ONE cross join with a 6-row literal — no
-    // iteration, no sequential transform. Empty buckets are true zeros
-    // (the dense grid is the correctness trap: skipping it shifts
-    // every coefficient whose support has a gap). L1 energy + max +
-    // argmax per (type, level), all integer cents; L2 would overflow
-    // BIGINT at sf0.1 (coeff² tops ~1e21), so the squared form is the
-    // caller's float — documented, not silently emitted.
-    "haar_wavelet_energy" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
-          floor(col("value") * 100).as("cents"))
-      val span = ev.agg(min("eus").as("lo"), max("eus").as("hi"))
-      val bsum = ev.crossJoin(broadcast(span))
-        .withColumn("bucket", expr("((eus - lo) * 64) DIV (hi - lo + 1)"))
-        .groupBy("event_type", "bucket").agg(sum("cents").as("x"))
-      val grid = bsum.select("event_type").distinct()
-        .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
-        .join(bsum, Seq("event_type", "bucket"), "left")
-        .select(col("event_type"), col("bucket"),
-          coalesce(col("x"), lit(0L)).as("x"))
-      val lvls = s.range(1, 7).select(col("id").as("lvl"))
-      grid.crossJoin(broadcast(lvls))
-        .select(col("event_type"), col("lvl"),
-          expr("bucket DIV shiftleft(1, CAST(lvl AS INT))").as("p"),
-          expr("""CASE WHEN (bucket DIV shiftleft(1, CAST(lvl AS INT) - 1))
-            % 2 = 1 THEN -x ELSE x END""").as("t"))
-        .groupBy("event_type", "lvl", "p").agg(sum("t").as("c"))
-        .groupBy("event_type", "lvl")
-        .agg(count(lit(1)).as("n_coeffs"),
-          sum(abs(col("c"))).as("sum_abs_coeff"),
-          max(abs(col("c"))).as("max_abs_coeff"),
-          (-max(struct(abs(col("c")).as("a"), (-col("p")).as("np")))("np"))
-            .as("argmax_parent"))
-        .orderBy("event_type", "lvl")
-    },
-
-    // Weighted isotonic regression (nondecreasing daily mean purchase
-    // value) via the closed-form minimax characterization of the PAVA
-    // solution: fitted(i) = max_{j≤i} min_{k≥i} mean(y over days j..k)
-    // — no sequential pooling loop, just prefix sums and two bounded
-    // non-equi joins over the 30-row daily aggregate (465 interval
-    // averages, 14k (i,j,k) terms — the frame is calendar-bounded, not
-    // data-bounded, so this holds at any corpus size). Interval means
-    // are single IEEE divisions of exact integer sums — bit-identical
-    // across engines — and the emitted value is floor(×1000).
-    "isotonic_regression_daily" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("y"),
-          count(lit(1)).as("n"))
-        .withColumn("idx",
-          row_number().over(Window.orderBy("day")).cast("long"))
-        .cache()
-      val pref = daily.select(col("idx"), col("y"), col("n"))
-        .union(s.range(1).select(lit(0L).as("idx"), lit(0L).as("y"),
-          lit(0L).as("n")))
-        .withColumn("sc", sum("y").over(Window.orderBy("idx")))
-        .withColumn("nc", sum("n").over(Window.orderBy("idx")))
-        .select(col("idx"), col("sc"), col("nc"))
-      val avgs = pref.as("pj").join(pref.as("pk"),
-          col("pk.idx") >= col("pj.idx") + 1)
-        .select((col("pj.idx") + 1).as("j"), col("pk.idx").as("k"),
-          ((col("pk.sc") - col("pj.sc")).cast("double") /
-            (col("pk.nc") - col("pj.nc")).cast("double")).as("avgv"))
-      val fit = avgs.join(daily.select(col("idx").as("i")),
-          col("j") <= col("i") && col("k") >= col("i"))
-        .groupBy("i", "j").agg(min("avgv").as("m"))
-        .groupBy("i").agg(max("m").as("fitted"))
-      daily.join(fit, col("idx") === col("i"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n").as("n_events"), col("y").as("day_sum_cents"),
-          floor(col("fitted") * 1000).cast("long").as("fitted_milli"))
-        .orderBy("day")
-    },
-
-    // Hilbert-curve layout keys for (value, time) locality — the
-    // space-filling alternative to [[zorder_events]] with strictly
-    // better adjacency (no Z-jumps across quadrant seams). Order-8
-    // (256×256 grid): the classic xy2d bit loop unrolled into 8
-    // deterministic column stages — quadrant = CASE on (rx,ry) (no
-    // engine-specific XOR), then the conditional reflect+swap rotation.
-    // Coordinates quantize against the broadcast global spans by
-    // integer cross-multiplication. Emitted as 256 key-range buckets
-    // (count + min/max/sum of the 16-bit key) — the write-layout
-    // histogram a range-partitioned writer would consume.
-    "hilbert_layout_events" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
-          floor(col("value") * 100).as("cents"))
-      val span = ev.agg(min("eus").as("tlo"), max("eus").as("thi"),
-        min("cents").as("vlo"), max("cents").as("vhi"))
-      val df = withHilbertKey(ev.crossJoin(broadcast(span))
-        .select(col("event_id"),
-          expr("CAST(((cents - vlo) * 256) DIV (vhi - vlo + 1) AS INT)")
-            .as("x"),
-          expr("CAST(((eus - tlo) * 256) DIV (thi - tlo + 1) AS INT)")
-            .as("y")))
-      df.groupBy(expr("hd DIV 256").as("key_bucket"))
-        .agg(count(lit(1)).as("n"), min("hd").as("min_key"),
-          max("hd").as("max_key"), sum("hd").as("key_sum"))
-        .orderBy("key_bucket")
-    },
-
-    // B-cubed cluster-quality evaluation (Bagga & Baldwin '98) of cheap
-    // (lang, length-bucket) BLOCKING used as a stand-in clustering,
-    // judged against the exact near-dup components as gold — "how much
-    // precision does blocking-as-clustering give up" (answer: most of
-    // it; recall stays high because near-identical docs share buckets).
-    // Per-item P/R = cell/|C|, cell/|L| need only the (block, component)
-    // contingency cells and the two size tables — three aggregates, no
-    // per-pair work. Emitted as Σ over items of floor(1000·p_i) — items
-    // in the same cell share the same floor, so the cell-weighted sum
-    // is exact. The oracle rebuilds gold from the all-pairs Jaccard
-    // closure (independent of the engine's LSH+components path).
-    "bcubed_blocking_eval" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      val comp = graft.ops.Components.connectedComponents(pairs)
-        .withColumnRenamed("v", "doc_id")
-      val lbl = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          concat_ws("_", col("lang"), expr("n_chars DIV 256")).as("cid"),
-          coalesce(col("comp"), col("doc_id")).as("lid"))
-      val sized = lbl
-        .join(lbl.groupBy("cid").agg(count(lit(1)).as("nc")), "cid")
-        .join(lbl.groupBy("lid").agg(count(lit(1)).as("nl")), "lid")
-      sized.groupBy("cid", "lid", "nc", "nl")
-        .agg(count(lit(1)).as("m"))
-        .agg(sum("m").as("n_docs"),
-          sum(col("m") * expr("(1000 * m) DIV nc"))
-            .as("precision_milli_sum"),
-          sum(col("m") * expr("(1000 * m) DIV nl"))
-            .as("recall_milli_sum"))
-        .select(col("n_docs"), col("precision_milli_sum"),
-          col("recall_milli_sum"),
-          expr("precision_milli_sum DIV n_docs").as("avg_precision_milli"),
-          expr("recall_milli_sum DIV n_docs").as("avg_recall_milli"))
-    },
-
-    // Per-edge triangle support over the kNN graph — the k-truss
-    // building block (edge is in the k-truss iff support ≥ k−2): for
-    // each undirected edge (a,b), the number of common neighbors, via
-    // two equi-joins through the symmetric adjacency (self-loops absent
-    // so a,b never count themselves). Support-0 edges survive through
-    // the left join — dropping them silently is the classic bug this
-    // histogram would hide. Output is the support distribution with id
-    // checksums.
-    "edge_triangle_support" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val sym = und.select(col("a").as("v"), col("b").as("w"))
-        .union(und.select(col("b").as("v"), col("a").as("w")))
-      val cn = und
-        .join(sym.select(col("v").as("a"), col("w").as("x")), "a")
-        .join(sym.select(col("v").as("b"), col("w").as("x")), Seq("b", "x"))
-        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      und.join(cn, Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("support"))
-        .groupBy("support")
-        .agg(count(lit(1)).as("n_edges"),
-          sum(col("a") + col("b")).as("edge_checksum"))
-        .orderBy("support")
-    },
-
-    // Merkle partition tree over the 32-slot daily calendar (30 data
-    // days + 2 padding leaves): leaf = md5 of the day's aggregate
-    // fingerprint (count | cents sum | id sum), parent = md5 of
-    // "left|right" — the incremental-sync primitive: two replicas
-    // compare roots, then walk only the divergent subtree (log₂ 32 = 5
-    // probes) instead of diffing 30 partitions. Everything is hex-
-    // string md5 chaining — no integer hash representation to diverge
-    // between engines — and padding leaves hash their marker, so tree
-    // shape is fixed. Five groupBy stages over ≤32 rows; the leaf
-    // aggregate is the only data-sized pass.
-    "merkle_tree_days" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100)).as("sc"),
-          sum(col("event_id")).as("se"))
-      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
-        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
-          col("n"), col("sc"), col("se"))
-      val leaves = s.range(32).select(col("id").as("idx"))
-        .join(base, Seq("idx"), "left")
-        .select(col("idx"),
-          when(col("n").isNull,
-            md5(concat_ws("|", lit("E"), col("idx"))))
-          .otherwise(md5(concat_ws("|", lit("L"), col("idx"), col("n"),
-            col("sc"), col("se")))).as("h"))
-      var nodes = leaves
-      var out = leaves.withColumn("level", lit(0))
-      for (l <- 1 to 5) {
-        // group key aliased "p", NOT "idx": the parity test inside the
-        // aggregate must see the CHILD's idx, not the parent's.
-        nodes = nodes.groupBy(expr("idx DIV 2").as("p"))
-          .agg(md5(concat_ws("|",
-            min(when(col("idx") % 2 === 0, col("h"))),
-            min(when(col("idx") % 2 === 1, col("h"))))).as("h"))
-          .select(col("p").as("idx"), col("h"))
-        out = out.union(nodes.withColumn("level", lit(l)))
-      }
-      out.select(col("level"), col("idx"), col("h").as("node_hash"))
-        .orderBy("level", "idx")
-    },
-
-    // Difference-in-differences: users who signed up during the
-    // "campaign" window (days 10–19) vs everyone else, purchase value
-    // before (days 0–9) vs after (days 20+). All four cell components
-    // are exact integers; the DiD point estimate is four IEEE quotients
-    // combined and floored to milli-cents — identical across engines
-    // because each quotient is a single division of exact sums. The
-    // standard pre/post × treat/control causal readout, one scan + one
-    // broadcast semi-join.
-    "diff_in_diff_components" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .crossJoin(broadcast(Tables.events(s, d)
-          .agg(min(to_date(col("ts"))).as("d0"))))
-        .select(col("user_id"), col("event_type"),
-          datediff(to_date(col("ts")), col("d0")).as("day"),
-          floor(col("value") * 100).as("cents"))
-      val treated = ev.filter(col("event_type") === "signup" &&
-          col("day") >= 10 && col("day") < 20)
-        .select(col("user_id")).distinct().withColumn("tr", lit(1))
-      val cells = ev.filter(col("event_type") === "purchase" &&
-          (col("day") < 10 || col("day") >= 20))
-        .join(broadcast(treated), Seq("user_id"), "left")
-        .select(when(col("tr").isNotNull, "T").otherwise("C").as("grp"),
-          when(col("day") < 10, "pre").otherwise("post").as("period"),
-          col("cents"))
-        .groupBy("grp", "period")
-        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
-      def cell(g: String, p: String, c: String) =
-        min(when(col("grp") === g && col("period") === p, col(c)))
-      cells.agg(
-          cell("T", "pre", "n").as("t_pre_n"),
-          cell("T", "pre", "sc").as("t_pre_cents"),
-          cell("T", "post", "n").as("t_post_n"),
-          cell("T", "post", "sc").as("t_post_cents"),
-          cell("C", "pre", "n").as("c_pre_n"),
-          cell("C", "pre", "sc").as("c_pre_cents"),
-          cell("C", "post", "n").as("c_post_n"),
-          cell("C", "post", "sc").as("c_post_cents"))
-        .withColumn("did_milli", floor(lit(1000.0) *
-          ((col("t_post_cents").cast("double") / col("t_post_n") -
-            col("t_pre_cents").cast("double") / col("t_pre_n")) -
-           (col("c_post_cents").cast("double") / col("c_post_n") -
-            col("c_pre_cents").cast("double") / col("c_pre_n"))))
-          .cast("long"))
-    },
-
-    // Split conformal prediction interval per event type (Vovk;
-    // Lei et al. JASA'18): calibration = days 0–14, point predictor =
-    // lower-median of calibration cents, score = |x − med|, radius =
-    // the ⌈0.9(n+1)⌉-th smallest score (the finite-sample-valid rank,
-    // clamped to n), then EMPIRICAL COVERAGE measured on the held-out
-    // days 15+ in permille. Every step is an exact integer rank
-    // selection — no quantile interpolation, no floats anywhere — so
-    // the distribution-free ≥90% guarantee is checkable: covered
-    // permille lands near 900 for every type. Per-type windows over
-    // the calibration split only.
-    "conformal_interval_per_type" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .crossJoin(broadcast(Tables.events(s, d)
-          .agg(min(to_date(col("ts"))).as("d0"))))
-        .select(col("event_type"), col("event_id"),
-          datediff(to_date(col("ts")), col("d0")).as("day"),
-          floor(col("value") * 100).as("cents"))
-      val cal = ev.filter(col("day") < 15)
-      val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
-      val wMed = Window.partitionBy("event_type")
-        .orderBy("cents", "event_id")
-      val med = cal.withColumn("rn", row_number().over(wMed))
-        .join(broadcast(nCal), "event_type")
-        .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
-        .select(col("event_type"), col("n_cal"),
-          col("cents").as("median_cents"))
-      val resid = cal.join(broadcast(med), "event_type")
-        .withColumn("r", abs(col("cents") - col("median_cents")))
-      val wQ = Window.partitionBy("event_type").orderBy("r", "event_id")
-      val q = resid.withColumn("qs", row_number().over(wQ))
-        .filter(col("qs") ===
-          expr("least(n_cal, (9 * n_cal + 18) DIV 10)"))
-        .select(col("event_type"), col("r").as("q_resid"))
-      val bounds = med.join(q, "event_type")
-      ev.filter(col("day") >= 15)
-        .join(broadcast(bounds), "event_type")
-        .groupBy("event_type")
-        .agg(first("n_cal").as("n_cal"),
-          first("median_cents").as("median_cents"),
-          first("q_resid").as("q_resid"),
-          count(lit(1)).as("n_test"),
-          sum(when(abs(col("cents") - col("median_cents")) <=
-            col("q_resid"), 1L).otherwise(0L)).as("n_covered"))
-        .withColumn("coverage_permille",
-          expr("(1000 * n_covered) DIV n_test"))
-        .orderBy("event_type")
-    },
-
-    // Longest strictly-increasing run of daily revenue — the gaps-and-
-    // islands streak readout: run groups are idx minus the running
-    // count of "up" days (a new group starts at every non-up day), the
-    // winner is max(struct(len, −start)) for earliest-start ties.
-    // Windows run over the 30-row daily aggregate.
-    "longest_growth_streak" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("rev"))
-        .withColumn("idx",
-          row_number().over(Window.orderBy("day")).cast("long"))
-      val flagged = daily
-        .withColumn("up",
-          when(col("rev") > lag("rev", 1).over(Window.orderBy("idx")), 1L)
-            .otherwise(0L))
-        .withColumn("grp", col("idx") -
-          sum("up").over(Window.orderBy("idx")))
-      val streaks = flagged.groupBy("grp")
-        .agg(count(lit(1)).as("len"),
-          min("idx").as("start_idx"),
-          date_format(min("day"), "yyyy-MM-dd").as("start_day"),
-          date_format(max("day"), "yyyy-MM-dd").as("end_day"),
-          // endpoint values via idx-ordered struct extrema — first/last
-          // inside groupBy are order-nondeterministic, never use them
-          (max(struct(col("idx"), col("rev")))("rev") -
-            min(struct(col("idx"), col("rev")))("rev")).as("growth_cents"))
-      streaks.agg(count(lit(1)).as("n_streaks"),
-          max(struct(col("len").as("l"), (-col("start_idx")).as("ns"),
-            struct(col("start_day"), col("end_day"), col("growth_cents"))
-              .as("pick"))).as("w"))
-        .select(col("n_streaks"), col("w.l").as("streak_len_days"),
-          col("w.pick.start_day").as("start_day"),
-          col("w.pick.end_day").as("end_day"),
-          col("w.pick.growth_cents").as("growth_cents"))
-    },
-
-    // Bin-packing bounds audit for corpus sharding at cap=1024 chars:
-    // the straddling packer achieves exactly L1 = ⌈S/cap⌉ (its
-    // optimality certificate), the Martello-Toth L2 bound prices the
-    // NO-SPLIT constraint (big items >cap/2 monopolize bins; small
-    // mass beyond their free space forces more), and per-source
-    // packing pays up to one extra partial pack per source — the
-    // fragmentation cost of shard-local packing quantified exactly.
-    // All ceilings via (a + cap − 1) DIV cap; one row.
-    "binpack_fragmentation_audit" -> { (s, d) =>
-      val cap = 1024L
-      val docs = Tables.documents(s, d)
-        .select(col("source"), col("n_chars"))
-      val bySrc = docs.groupBy("source")
-        .agg(sum("n_chars").as("sc"))
-        .agg(count(lit(1)).as("n_sources"),
-          sum(expr(s"(sc + $cap - 1) DIV $cap")).as("per_source_packs"))
-      val glob = docs.agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_chars").as("total_chars"),
-          sum(when(col("n_chars") > cap / 2, 1L).otherwise(0L))
-            .as("big_items"),
-          sum(when(col("n_chars") > cap / 2, lit(cap) - col("n_chars"))
-            .otherwise(0L)).as("big_free"),
-          sum(when(col("n_chars") <= cap / 2, col("n_chars"))
-            .otherwise(0L)).as("small_mass"))
-        .withColumn("l1", expr(s"(total_chars + $cap - 1) DIV $cap"))
-        .withColumn("l2", col("big_items") +
-          expr(s"(greatest(0L, small_mass - big_free) + $cap - 1) DIV $cap"))
-      glob.crossJoin(broadcast(bySrc))
-        .select(col("n_docs"), col("total_chars"), col("l1"),
-          col("big_items"), col("l2"), col("n_sources"),
-          col("per_source_packs"),
-          (col("per_source_packs") - col("l1"))
-            .as("fragmentation_extra_packs"))
-    },
-
-    // Newman modularity components of the LABEL partition on the kNN
-    // graph — "do the embedding labels explain the graph's community
-    // structure": per label c, intra-edge count L_c, degree mass D_c,
-    // and the cross-multiplied contribution 4m·L_c − D_c² (so
-    // Q = Σ contrib / 4m² with no fractions; the signed quotient is
-    // the caller's — engines disagree on negative integer division
-    // semantics, so it is NOT emitted). Labels cluster the vectors
-    // that the kNN edges follow, so contributions are strongly
-    // positive — the partition genuinely explains the graph.
-    "modularity_label_partition" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val lbl = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"))
-      val m = und.agg(count(lit(1)).as("m_edges"))
-      val intra = und
-        .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
-        .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
-        .filter(col("la") === col("lb"))
-        .groupBy(col("la").as("label"))
-        .agg(count(lit(1)).as("intra_edges"))
-      val deg = und.select(col("a").as("v"))
-        .union(und.select(col("b").as("v")))
-        .join(lbl.withColumnRenamed("vec_id", "v"), "v")
-        .groupBy("label").agg(count(lit(1)).as("degree_sum"))
-      deg.join(intra, Seq("label"), "left")
-        .select(col("label"),
-          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
-          col("degree_sum"))
-        .crossJoin(broadcast(m))
-        .withColumn("contrib_num",
-          lit(4L) * col("m_edges") * col("intra_edges") -
-            col("degree_sum") * col("degree_sum"))
-        .select("label", "intra_edges", "degree_sum", "m_edges",
-          "contrib_num")
-        .orderBy("label")
-    },
-
-    // In-batch negative collision audit for contrastive training:
-    // vectors land in 16 hash batches (the same Knuth multiplicative
-    // assignment as sample_split — engine-neutral integer arithmetic),
-    // and within each batch the share of same-label pairs is what a
-    // random in-batch negative sampler would collide with. Collision
-    // permille ≈ the label prior (~100‰ at 10 balanced labels) — the
-    // quantified argument for hard-negative mining over in-batch
-    // negatives. Same-label pairs per batch = Σ_c C(n_c,2), no pair
-    // join anywhere.
-    "inbatch_negative_collisions" -> { (s, d) =>
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr("(vec_id * 2654435761) % 4294967296 % 16").as("batch"))
-      val cells = b.groupBy("batch", "label").agg(count(lit(1)).as("nc"))
-      cells.groupBy("batch")
-        .agg(sum("nc").as("n"),
-          sum(expr("nc * (nc - 1) DIV 2")).as("same_label_pairs"))
-        .withColumn("total_pairs", expr("n * (n - 1) DIV 2"))
-        .withColumn("collision_permille",
-          expr("(1000 * same_label_pairs) DIV total_pairs"))
-        .orderBy("batch")
-    },
-
-    // Cross-method near-dup agreement: the MinHash/Jaccard pair set vs
-    // the SimHash/Hamming pair set on the same corpus, full-outer
-    // joined — both/minhash_only/simhash_only counts with id
-    // checksums. On this corpus SimHash≤8 is the looser net (~400
-    // extra pairs at sf0.01: the 31-word shared vocab keeps weighted
-    // bit majorities close even for unrelated docs) while 2 true
-    // near-dup pairs slip past it — exactly the method-selection
-    // evidence a dedup pipeline owner needs. Reuses both production
-    // paths; the oracle recomputes both from first principles
-    // (all-pairs Jaccard, md5 SimHash).
-    "neardup_method_agreement" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val mh = Dedup.minhashExactPairs(docs, "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-        .select(col("id1"), col("id2")).withColumn("in_m", lit(1))
-      val sh = Dedup.simhashPairs(docs, "text", "doc_id",
-          maxDistance = 8, tokenHash = Dedup.md5Hash64)
-        .select(col("id1"), col("id2")).withColumn("in_s", lit(1))
-      mh.join(sh, Seq("id1", "id2"), "full_outer")
-        .select(
-          when(col("in_m").isNotNull && col("in_s").isNotNull, "both")
-            .when(col("in_m").isNotNull, "minhash_only")
-            .otherwise("simhash_only").as("cls"),
-          col("id1"), col("id2"))
-        .groupBy("cls")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("id1") + col("id2")).as("id_checksum"))
-        .orderBy("cls")
-    },
-
-    // Robust scale estimators side by side on the daily-revenue series:
-    // MAD (lower-median of |x − median|) and the Rousseeuw-Croux Qn
-    // (the C(h,2)-th smallest pairwise |xi − xj|, h = n DIV 2 + 1) —
-    // Qn needs no location estimate and reaches 82% Gaussian
-    // efficiency vs MAD's 37%, which is why it exists. Every step is
-    // an exact integer rank selection; the pairwise stage is days²,
-    // calendar-bounded, broadcast.
-    "robust_scale_qn_mad" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("x"))
-        .cache()
-      val n = daily.agg(count(lit(1)).as("n_days"))
-      val med = daily.withColumn("rn", row_number().over(
-          Window.orderBy("x", "day")))
-        .crossJoin(broadcast(n))
-        .filter(col("rn") === expr("(n_days + 1) DIV 2"))
-        .select(col("n_days"), col("x").as("median_cents"))
-      val mad = daily.crossJoin(broadcast(med))
-        .withColumn("r", abs(col("x") - col("median_cents")))
-        .withColumn("rn", row_number().over(Window.orderBy("r", "day")))
-        .filter(col("rn") === expr("(n_days + 1) DIV 2"))
-        .select(col("n_days"), col("median_cents"),
-          col("r").as("mad_cents"))
-      val diffs = daily.select(col("day").as("da"), col("x").as("xa"))
-        .join(broadcast(daily.select(col("day").as("db"),
-          col("x").as("xb"))), col("da") < col("db"))
-        .select(abs(col("xa") - col("xb")).as("pd"), col("da"), col("db"))
-      val qn = diffs.withColumn("rn",
-          row_number().over(Window.orderBy("pd", "da", "db")))
-        .crossJoin(broadcast(n.select(col("n_days").as("nd"))))
-        .withColumn("n_pairs", expr("nd * (nd - 1) DIV 2"))
-        .withColumn("k_rank",
-          expr("(nd DIV 2 + 1) * (nd DIV 2) DIV 2"))
-        .filter(col("rn") === col("k_rank"))
-        .select(col("n_pairs"), col("k_rank"), col("pd").as("qn_cents"))
-      mad.crossJoin(broadcast(qn))
-    },
-
-    // Exact 1-Wasserstein (earth mover's) distance between every pair
-    // of event-type value distributions over a shared 64-bucket
-    // histogram, cross-multiplied to integers: EMD·N_a·N_b =
-    // Σ_buckets |CDF_a·N_b − CDF_b·N_a| (bucket-width units). The
-    // dense per-type grid is mandatory — a missing bucket row would
-    // silently skip its |ΔCDF| term. The distributional-drift metric
-    // that KS's max-gap understates; 10 pair rows, integer permille.
-    "wasserstein_histogram_exact" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), floor(col("value") * 100).as("cents"))
-      val span = ev.agg(min("cents").as("lo"), max("cents").as("hi"))
-      val hist = ev.crossJoin(broadcast(span))
-        .withColumn("bucket",
-          expr("((cents - lo) * 64) DIV (hi - lo + 1)"))
-        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
-      val grid = hist.select("event_type").distinct()
-        .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
-        .join(hist, Seq("event_type", "bucket"), "left")
-        .select(col("event_type"), col("bucket"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
-        .withColumn("cdf", sum("cnt").over(Window
-          .partitionBy("event_type").orderBy("bucket")))
-      val tot = grid.groupBy("event_type").agg(sum("cnt").as("ntot"))
-      val g = grid.join(tot, "event_type")
-      g.select(col("event_type").as("type_a"), col("bucket"),
-          col("cdf").as("ca"), col("ntot").as("na"))
-        .join(g.select(col("event_type").as("type_b"), col("bucket"),
-          col("cdf").as("cb"), col("ntot").as("nb")), Seq("bucket"))
-        .filter(col("type_a") < col("type_b"))
-        .filter(col("bucket") < 63)
-        .groupBy("type_a", "type_b")
-        .agg(first("na").as("n_a"), first("nb").as("n_b"),
-          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
-            .as("emd_num"))
-        .withColumn("emd_den", col("n_a") * col("n_b"))
-        .withColumn("emd_milli_buckets",
-          expr("(1000 * emd_num) DIV emd_den"))
-        .orderBy("type_a", "type_b")
-    },
-
-    // Randomization test for the purchase-vs-click mean gap: 200
-    // DETERMINISTIC label reassignments (Knuth hash of event_id mixed
-    // with the permutation index — reproducible on any engine, no RNG),
-    // p-value = share of reassignments whose |mean diff| reaches the
-    // observed one, with the add-one finite-sample convention. Group
-    // sums stay exact integers; each mean is ONE IEEE division of
-    // exact sums, so the double comparison is bit-identical across
-    // engines (the fully-integer cross-multiplied comparison overflows
-    // BIGINT at sf0.1 — |S·n|·n_A·n_B tops ~3e21 — documented, not
-    // attempted). One scan → 200× fan-out → one aggregate.
-    "permutation_test_exact" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("event_id"), col("event_type"),
-          floor(col("value") * 100).as("cents"))
-      val obs = ev.agg(
-          sum(when(col("event_type") === "purchase", col("cents"))
-            .otherwise(0L)).as("sa"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("na"),
-          sum(when(col("event_type") === "click", col("cents"))
-            .otherwise(0L)).as("sb"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L))
-            .as("nb"))
-        .select((col("sa") + col("sb")).as("total_cents"),
-          (col("na") + col("nb")).as("n_events"),
-          abs(col("sa").cast("double") / col("na") -
-            col("sb").cast("double") / col("nb")).as("obs_stat"))
-      val perms = ev.crossJoin(broadcast(
-          s.range(200).select(col("id").as("perm"))))
-        .withColumn("side", expr(
-          "((event_id * 2654435761 + perm * 40503) % 4294967296) % 2"))
-        .groupBy("perm")
-        .agg(sum(when(col("side") === 0, col("cents")).otherwise(0L))
-          .as("sa"),
-          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
-          sum(when(col("side") === 1, col("cents")).otherwise(0L))
-            .as("sb"),
-          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
-        .select(col("perm"),
-          abs(col("sa").cast("double") / col("na") -
-            col("sb").cast("double") / col("nb")).as("stat"))
-      perms.crossJoin(broadcast(obs))
-        .agg(first("n_events").as("n_events"),
-          floor(first("obs_stat") * 1000).cast("long")
-            .as("obs_diff_milli"),
-          count(lit(1)).as("b_perms"),
-          sum(when(col("stat") >= col("obs_stat"), 1L).otherwise(0L))
-            .as("n_ge"))
-        .withColumn("p_permille",
-          expr("(1000 * (n_ge + 1)) DIV (b_perms + 1)"))
-    },
-
-    // Quantile DEFINITION audit at p50/p90 per event type: nearest-rank
-    // (percentile_disc's ceil), the lower type-1 value, and linear
-    // interpolation held EXACT by the ×100 trick — interp×100 =
-    // 100·x_k + r·(x_{k+1} − x_k) with r = (n−1)·p mod 100 — so three
-    // "the median" answers that genuinely differ sit side by side with
-    // no float interpolation anywhere. The practical complement of
-    // rank_semantics_audit: same English, three numbers.
-    "quantile_semantics_audit" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).as("cents"))
-      val ranked = ev.withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("cents", "event_id")))
-      val targets = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(s.range(2)
-          .select((col("id") * 40 + 50).as("p"))))
-        .withColumn("k_disc", expr("(p * n + 99) DIV 100"))
-        .withColumn("k_low", expr("1 + ((n - 1) * p) DIV 100"))
-        .withColumn("r", expr("((n - 1) * p) % 100"))
-        .withColumn("k_high",
-          expr("least(n, k_low + CASE WHEN r > 0 THEN 1 ELSE 0 END)"))
-      targets
-        .join(ranked.select(col("event_type").as("et1"), col("rn"),
-          col("cents").as("x_disc")),
-          col("event_type") === col("et1") && col("k_disc") === col("rn"))
-        .drop("et1", "rn")
-        .join(ranked.select(col("event_type").as("et2"), col("rn"),
-          col("cents").as("x_low")),
-          col("event_type") === col("et2") && col("k_low") === col("rn"))
-        .drop("et2", "rn")
-        .join(ranked.select(col("event_type").as("et3"), col("rn"),
-          col("cents").as("x_high")),
-          col("event_type") === col("et3") && col("k_high") === col("rn"))
-        .drop("et3", "rn")
-        .select(col("event_type"), col("p"), col("n"),
-          col("x_disc").as("disc_cents"),
-          col("x_low").as("lower_cents"),
-          (lit(100L) * col("x_low") +
-            col("r") * (col("x_high") - col("x_low")))
-            .as("interp_cents_x100"))
-        .orderBy("event_type", "p")
-    },
-
-    // Madow systematic PPS sampling: exactly k=100 draws, inclusion
-    // proportional to n_chars, via equally-spaced thresholds
-    // t_j = (2j+1)·W/2k walked through the cumulative-weight line —
-    // multiplicity of doc i is c(W_i) − c(W_{i−1}) with
-    // c(x) = clamp((2k·x + W − 1) DIV 2W, 0, k), pure integer floors
-    // (Σ multiplicities = k by construction — the exact-size guarantee
-    // Bernoulli weighted sampling can't give). The cumulative window
-    // runs over doc METADATA (id, chars); oversized docs (w > W/k)
-    // surface as multiplicity > 1 rather than silently capping.
-    "pps_systematic_sample" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 100L
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("wcum", sum("n_chars").over(Window.orderBy("doc_id")))
-      val tot = docs.agg(max("wcum").as("w"))
-      docs.crossJoin(broadcast(tot))
-        .withColumn("c_hi", expr(
-          s"least($k, greatest(0L, (2 * $k * wcum + w - 1) DIV (2 * w)))"))
-        .withColumn("c_lo", expr(s"least($k, greatest(0L, " +
-          s"(2 * $k * (wcum - n_chars) + w - 1) DIV (2 * w)))"))
-        .withColumn("multiplicity", col("c_hi") - col("c_lo"))
-        .filter(col("multiplicity") >= 1)
-        .select(col("doc_id"), col("n_chars"), col("multiplicity"))
-        .orderBy("doc_id")
-    },
-
-    // NDCG@5 with LINEAR (harmonic) discounts kept rational: gains
-    // scaled by 60 = lcm(2..6) make every discount an integer
-    // (30,20,15,12,10), so DCG×60 is exact — the log2 discount of
-    // classic NDCG is irrational and can't be hash-checked; the linear
-    // variant ranks retrieval quality identically at k=5. Relevance =
-    // same-label under the IVF-celled kNN retrieval; ideal DCG is the
-    // constant 87 (≥5 relevant exist corpus-wide for every label).
-    // Per-label mean NDCG in integer milli — the retrieval-eval
-    // complement of ann_mrr_hit_at_k.
-    "ndcg_linear_discount" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val knn = knnEdges(s, d, 5)
-      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val gains = knn
-        .join(lbl.select(col("vec_id").as("src"), col("label").as("ls")),
-          "src")
-        .join(lbl.select(col("vec_id").as("dst"), col("label").as("ld")),
-          "dst")
-        .withColumn("w", expr("""CASE rank WHEN 1 THEN 30 WHEN 2 THEN 20
-          WHEN 3 THEN 15 WHEN 4 THEN 12 ELSE 10 END"""))
-        .withColumn("g",
-          when(col("ls") === col("ld"), col("w")).otherwise(lit(0)))
-      gains.groupBy("src")
-        .agg(min("ls").as("label"), sum("g").as("dcg"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_queries"), sum("dcg").as("sum_dcg_x60"))
-        .withColumn("mean_ndcg_milli",
-          expr("(1000 * sum_dcg_x60) DIV (87 * n_queries)"))
-        .orderBy("label")
-    },
-
-    // Sparse-vector / AboveThreshold replay (Dwork & Roth Alg. 1, the
-    // non-refreshing variant): daily event counts probed against a
-    // noisy threshold (mean count + two-sided geometric noise — the
-    // same trailing-zeros-of-keyed-md5 mechanism as
-    // dp_geometric_noise_histogram, deterministic so the MECHANISM is
-    // hash-checkable), per-day query noise keyed by the date string,
-    // and only the FIRST 5 above-threshold days are released — the
-    // privacy win of SVT is that the non-released comparisons cost
-    // nothing. Threshold refresh after each release is the sequential
-    // part deliberately traded away; documented, standard composition.
-    "dp_sparse_vector_replay" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val md5h: Column => Column = graft.ops.Dedup.md5Hash64
-      def tz(seed: String, key: Column): Column = {
-        val h = md5h(concat(lit(seed), key)).bitwiseAND(lit(Long.MaxValue))
-        (length(conv(h.bitwiseAND(-h), 10, 2)) - 1).cast("long")
-      }
-      val daily = Tables.events(s, d)
-        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("true_count"))
-      // integer mean via DIV: Spark's `/` then cast truncates while
-      // DuckDB's CAST(double) rounds — floor division sidesteps both
-      val thr = daily.agg(sum("true_count").as("s"),
-          count(lit(1)).as("n"))
-        .select(expr("s DIV n").as("t"))
-        .select(col("t"),
-          (col("t") + tz("svtT1|", lit("T")) - tz("svtT2|", lit("T")))
-            .as("tn"))
-      daily.crossJoin(broadcast(thr))
-        .withColumn("noisy_count", col("true_count") +
-          tz("svtq1|", col("day")) - tz("svtq2|", col("day")))
-        .filter(col("noisy_count") >= col("tn"))
-        .withColumn("hit_rank", row_number().over(Window.orderBy("day")))
-        .filter(col("hit_rank") <= 5)
-        .select(col("day"), col("true_count"), col("noisy_count"),
-          col("t").as("threshold"), col("tn").as("noisy_threshold"),
-          col("hit_rank"))
-        .orderBy("day")
-    },
-
-    // Order fill-rate (OTIF): per order, were ALL lines shipped within
-    // 7 days of the order date — full / partial / none per priority
-    // class, with the on-time-in-full permille. The line→order
-    // classification is one equi-join + two-level aggregate; the
-    // conditional counts make the three classes from one pass.
-    "order_fill_rate" -> { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_shipdate"))
-        .join(Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderdate"),
-            col("o_orderpriority")),
-          col("l_orderkey") === col("o_orderkey"))
-      val perOrder = j.groupBy("o_orderkey", "o_orderpriority")
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("l_shipdate") <=
-            col("o_orderdate") + expr("INTERVAL 7 DAY"), 1L)
-            .otherwise(0L)).as("n_fast"))
-        .withColumn("cls",
-          when(col("n_fast") === col("n_lines"), "full7")
-            .when(col("n_fast") > 0, "partial7").otherwise("none7"))
-      perOrder.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(when(col("cls") === "full7", 1L).otherwise(0L)).as("full7"),
-          sum(when(col("cls") === "partial7", 1L).otherwise(0L))
-            .as("partial7"),
-          sum(when(col("cls") === "none7", 1L).otherwise(0L)).as("none7"))
-        .withColumn("otif_permille", expr("(1000 * full7) DIV n_orders"))
-        .orderBy("o_orderpriority")
-    },
-
-    // IVF recall-vs-probes tuning curve: the 16 benchmark queries
-    // retrieved at nProbe ∈ {1,2,4,8}, recall@10 against the in-query
-    // exact top-10 — the monotone table an ANN operator is tuned from
-    // (recall climbs toward 1000‰ as probes widen; the knee picks the
-    // production setting). Query-cell ranks are computed once at the
-    // widest probe depth and filtered per config, so the whole sweep
-    // is ONE candidate join + one window, not four retrieval runs.
-    "ivf_recall_curve" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("cv"))
-      val sim = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("s"))
-      val wCell = Window.partitionBy("vec_id").orderBy(desc("s"), col("cid"))
-      val corpusCell = sim.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1).select(col("vec_id").as("tid"), col("cid"))
-      val qcells = sim.filter(col("vec_id").between(100, 115))
-        .withColumn("crank", row_number().over(wCell))
-        .filter(col("crank") <= 8)
-        .select(col("vec_id").as("qid"), col("cid"), col("crank"))
-      val qs = emb.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = emb.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("tid"),
-          graft.ops.Similarity.cosine(col("qv"), col("embedding")).as("s"))
-        .cache()
-      val wQ = Window.partitionBy("qid").orderBy(desc("s"), col("tid"))
-      val exact = ex.withColumn("rk", row_number().over(wQ))
-        .filter(col("rk") <= 10).select(col("qid"), col("tid"))
-      val configs = s.range(4)
-        .select(expr("shiftleft(1, CAST(id AS INT))").as("np"))
-      val retrieved = ex
-        .join(qcells, "qid")
-        .join(corpusCell, Seq("tid", "cid"))
-        .crossJoin(broadcast(configs))
-        .filter(col("crank") <= col("np"))
-        .withColumn("rk", row_number().over(Window
-          .partitionBy("np", "qid").orderBy(desc("s"), col("tid"))))
-        .filter(col("rk") <= 10)
-        .select(col("np"), col("qid"), col("tid"))
-      retrieved.join(exact, Seq("qid", "tid"))
-        .groupBy("np").agg(count(lit(1)).as("sum_hits"))
-        .withColumn("n_queries", lit(16L))
-        .withColumn("recall_permille",
-          expr("(1000 * sum_hits) DIV (10 * n_queries)"))
-        .select("np", "n_queries", "sum_hits", "recall_permille")
-        .orderBy("np")
-    },
-
-    // Train/test contamination under two split designs on the SAME
-    // near-dup pair graph: a 90/10 hash split vs a 90/10 id-order
-    // (temporal proxy) split — crossing pairs are test examples whose
-    // near-duplicate sits in train, i.e. silent eval inflation. The
-    // point of the comparison: random splitting scatters duplicate
-    // clusters across the boundary while an order-correlated split
-    // keeps them together (near-dups have nearby ids in this corpus).
-    "split_leakage_comparison" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-      val mx = docs.agg(max("doc_id").as("mx"))
-      def randTrain(c: Column): Column =
-        (c * 2654435761L % 4294967296L % 1000000L) < 900000L
-      pairs.crossJoin(broadcast(mx))
-        .select(
-          (randTrain(col("id1")) =!= randTrain(col("id2")))
-            .as("cross_random"),
-          ((col("id1") * 10 < (col("mx") + 1) * 9) =!=
-            (col("id2") * 10 < (col("mx") + 1) * 9)).as("cross_temporal"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("cross_random"), 1L).otherwise(0L))
-            .as("random_crossing"),
-          sum(when(col("cross_temporal"), 1L).otherwise(0L))
-            .as("temporal_crossing"))
-        .withColumn("random_leak_permille",
-          expr("(1000 * random_crossing) DIV n_pairs"))
-        .withColumn("temporal_leak_permille",
-          expr("(1000 * temporal_crossing) DIV n_pairs"))
-    },
-
-    // Rich-club coefficient of the kNN graph: for each degree
-    // threshold k, the density among nodes of degree > k —
-    // φ(k)·1000 = 2000·E_k / (N_k(N_k−1)) in integers. Rising φ(k)
-    // means hubs preferentially interconnect (a "rich club"); the
-    // hub-structure diagnostic that degree assortativity summarizes
-    // to one number. Degrees from one aggregate; the 8-threshold
-    // sweep is conditional sums, not 8 graph passes.
-    "rich_club_coefficient" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val deg = und.select(col("a").as("v"))
-        .union(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val ks = s.range(1, 9).select(col("id").as("k"))
-      val nk = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
-      val ek = und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .crossJoin(broadcast(ks))
-        .filter(col("da") > col("k") && col("db") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("n_edges"))
-      nk.join(ek, Seq("k"), "left")
-        .select(col("k"), col("n_nodes"),
-          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
-        .withColumn("phi_permille",
-          expr("""CASE WHEN n_nodes >= 2
-            THEN (2000 * n_edges) DIV (n_nodes * (n_nodes - 1))
-            ELSE 0 END"""))
-        .orderBy("k")
-    },
-
-    // Budget-constrained curation as FRACTIONAL knapsack (greedy by
-    // value density is provably optimal for the LP relaxation — the
-    // optimality certificate ships with the answer): maximize distinct-
-    // token value under a 10%-of-corpus character budget. Density
-    // ordering uses one IEEE quotient per doc (deterministic); sums and
-    // the fractional tail stay integer (milli for the split item). The
-    // cumulative window runs over doc metadata, and the LP bound =
-    // greedy value means any integer packer can be audited against
-    // this exact ceiling.
-    "budget_curation_knapsack" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          size(array_distinct(Dedup.tokens(col("text")))).cast("long")
-            .as("v"))
-      val budget = docs.agg((sum("n_chars")).as("tc"),
-          count(lit(1)).as("n_docs"))
-        .select(col("n_docs"), expr("tc DIV 10").as("budget_chars"))
-      val ordered = docs
-        .withColumn("cum", sum("n_chars").over(Window.orderBy(
-          (col("v").cast("double") / col("n_chars")).desc, col("doc_id"))))
-        .crossJoin(broadcast(budget))
-      val full = ordered.filter(col("cum") <= col("budget_chars"))
-        .agg(count(lit(1)).as("n_selected_full"),
-          sum("v").as("full_value"), sum("n_chars").as("full_chars"))
-      // aggregate form so a budget landing exactly on an item boundary
-      // (no fractional row) still yields one output row, not zero
-      val frac = ordered
-        .filter(col("cum") - col("n_chars") < col("budget_chars") &&
-          col("cum") > col("budget_chars"))
-        .agg(coalesce(min("doc_id"), lit(-1L)).as("frac_doc_id"),
-          coalesce(min(expr("""(1000 * v * (budget_chars - (cum - n_chars)))
-            DIV n_chars""")), lit(0L)).as("frac_value_milli"))
-      budget.crossJoin(broadcast(full))
-        .crossJoin(broadcast(frac))
-        .select(col("n_docs"), col("budget_chars"),
-          col("n_selected_full"), col("full_value"), col("full_chars"),
-          col("frac_doc_id"), col("frac_value_milli"),
-          (col("full_value") * 1000 + col("frac_value_milli"))
-            .as("lp_bound_milli"))
-    },
-
-    // Pairwise source-similarity matrix: total-variation distance
-    // between every two sources' token distributions, exact by
-    // cross-multiplication over the DENSE source×token grid (this
-    // corpus's open vocabulary is bounded, so the grid is small; the
-    // dense join is again the correctness trap — a token absent from
-    // one source still contributes its full mass term). The "which
-    // crawls duplicate which" triage matrix; 190 pair rows, integer
-    // permille.
-    "source_similarity_tvd_matrix" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("source"), explode(Dedup.tokens(col("text")))
-          .as("tok"))
-      val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      // Broadcast the SOURCE list (bounded: ~20 rows), never the vocab
-      // (corpus-proportional — the r10-#2 hazard class).
-      val grid = cnt.select("tok").distinct()
-        .crossJoin(broadcast(cnt.select("source").distinct()))
-        .join(cnt, Seq("source", "tok"), "left")
-        .select(col("source"), col("tok"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val tot = grid.groupBy("source").agg(sum("c").as("n"))
-      val g = grid.join(tot, "source")
-      g.select(col("source").as("src_a"), col("tok"), col("c").as("ca"),
-          col("n").as("na"))
-        .join(g.select(col("source").as("src_b"), col("tok"),
-          col("c").as("cb"), col("n").as("nb")), Seq("tok"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(first("na").as("n_a"), first("nb").as("n_b"),
-          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
-            .as("tvd_num"))
-        .withColumn("tvd_permille",
-          expr("(1000 * tvd_num) DIV (2 * n_a * n_b)"))
-        .orderBy("src_a", "src_b")
-    },
-
-    // Product-quantization code collision as a close-pair candidate
-    // net, evaluated against exact cosine ≥ 0.4 (the raw table's
-    // same-cluster neighbor band — it has NO true near-dups, max
-    // pairwise ~0.6, so 0.95 would be a vacuous truth set; 0.4 yields
-    // ~59 gold pairs at sf0.01): precision/recall of "agree on all 4
-    // sub-codes" as a dedup pre-filter. Code signatures from the same codebook as
-    // embed_pq_assign; candidates via signature equality — group sizes,
-    // never all-pairs on the corpus side.
-    "pq_neardup_eval" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cb = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int").as("code"),
-          col("embedding").as("cv"))
-      val sig = emb.select(col("vec_id"),
-          explode(expr("sequence(0, 3)")).as("sub"), col("embedding"))
-        .join(broadcast(cb))
-        .withColumn("dist", expr(
-          """aggregate(zip_with(slice(embedding, sub * 16 + 1, 16),
-                                slice(cv, sub * 16 + 1, 16),
-                                (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                                          (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("code"))).as("m"))
-        .groupBy("vec_id")
-        .agg(concat_ws("_", (0 to 3).map(i =>
-          min(when(col("sub") === i, col("m.code")))): _*).as("sig"))
-      val cand = sig.select(col("vec_id").as("id1"), col("sig"))
-        .join(sig.select(col("vec_id").as("id2"), col("sig")), "sig")
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-      val truth = emb.select(col("vec_id").as("id1"),
-          col("embedding").as("v1"))
-        .join(emb.select(col("vec_id").as("id2"),
-          col("embedding").as("v2")), col("id1") < col("id2"))
-        .filter(graft.ops.Similarity.cosine(col("v1"), col("v2")) >= 0.4)
-        .select("id1", "id2")
-      val tp = cand.join(truth, Seq("id1", "id2"))
-        .agg(count(lit(1)).as("true_pos"))
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-        .crossJoin(broadcast(tp))
-        .select(col("n_candidates"), col("n_truth"), col("true_pos"),
-          expr("CASE WHEN n_candidates > 0 THEN " +
-            "(1000 * true_pos) DIV n_candidates ELSE 0 END")
-            .as("precision_permille"),
-          expr("CASE WHEN n_truth > 0 THEN " +
-            "(1000 * true_pos) DIV n_truth ELSE 0 END")
-            .as("recall_permille"))
-    },
-
-    // Incremental top-k maintenance readout: the top-10 most-active
-    // users at the 2024-01-25 watermark vs after the remaining days
-    // arrive — every user in EITHER leaderboard, with both ranks and
-    // the transition class (entered/left/up/down/same). The delta a
-    // materialized top-k view must reproduce without a full recompute;
-    // the full-outer join of the two ranked frames IS the maintenance
-    // contract. Ranks over per-user aggregates only.
-    "ivm_topk_delta" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      def top10(pred: Column, rankName: String, cntName: String) =
-        ev.filter(pred).groupBy("user_id")
-          .agg(count(lit(1)).as(cntName))
-          .withColumn(rankName, row_number().over(
-            Window.orderBy(desc(cntName), col("user_id"))))
-          .filter(col(rankName) <= 10)
-      val before = top10(to_date(col("ts")) < to_date(lit("2024-01-25")),
-        "rank_before", "n_before")
-      val after = top10(lit(true), "rank_after", "n_after")
-      before.join(after, Seq("user_id"), "full_outer")
-        .select(col("user_id"),
-          coalesce(col("rank_before"), lit(0)).as("rank_before"),
-          coalesce(col("n_before"), lit(0L)).as("n_before"),
-          coalesce(col("rank_after"), lit(0)).as("rank_after"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"))
-        .withColumn("status",
-          when(col("rank_before") === 0, "entered")
-            .when(col("rank_after") === 0, "left")
-            .when(col("rank_after") < col("rank_before"), "up")
-            .when(col("rank_after") > col("rank_before"), "down")
-            .otherwise("same"))
-        .orderBy(when(col("rank_after") === 0, 99)
-          .otherwise(col("rank_after")), col("user_id"))
-    },
-
-    // Point-in-time join leakage audit for a feature store: daily
-    // click-count features become available at day end; purchase labels
-    // join either NAIVELY (user's latest feature day, future included)
-    // or AS-OF (latest strictly-before day). Rows where the two
-    // disagree are silent train-serve skew; naive rows whose feature
-    // day is on/after the label's day are outright future leakage. The
-    // per-label fan-out is the user's bounded feature-day history.
-    "pit_join_leak_audit" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          to_date(col("ts")).as("day"), col("event_id"))
-      val feat = ev.filter(col("event_type") === "click")
-        .groupBy("user_id", "day").agg(count(lit(1)).as("clicks"))
-      val labels = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("day").as("label_day"),
-          col("event_id"))
-      val naive = feat.groupBy("user_id")
-        .agg(max("day").as("naive_day"))
-      val pit = labels.join(feat, Seq("user_id"))
-        .filter(col("day") < col("label_day"))
-        .groupBy("user_id", "label_day", "event_id")
-        .agg(max("day").as("pit_day"))
-      // `naive` is one row per user — user-proportional, so no broadcast
-      // hint (r10-#2 hazard class); both sides already hash on user_id.
-      labels.join(naive, Seq("user_id"), "left")
-        .join(pit, Seq("user_id", "label_day", "event_id"), "left")
-        .agg(count(lit(1)).as("n_labels"),
-          sum(when(col("naive_day") >= col("label_day"), 1L)
-            .otherwise(0L)).as("n_naive_leaked"),
-          sum(when(col("pit_day").isNotNull, 1L).otherwise(0L))
-            .as("n_pit_joined"),
-          sum(when(col("pit_day") === col("naive_day"), 1L).otherwise(0L))
-            .as("n_agree"))
-        .withColumn("leak_permille",
-          expr("(1000 * n_naive_leaked) DIV n_labels"))
-    },
-
-    // Randomized-response frequency recovery (Warner '65, the local-DP
-    // mechanism): each event reports "am I a purchase" truthfully
-    // except a deterministic-hash 1-in-4 flip; the aggregator sees only
-    // flipped reports yet recovers the true count via the unbiased
-    // inverse T̂ = (4R − N)/2 at p = 1/4. Per-day rows show the
-    // recovery error concentrating as N grows. Deterministic flips
-    // make the MECHANISM hash-checkable (the same swap-for-production
-    // note as the other DP queries).
-    "randomized_response_debias" -> { (s, d) =>
-      Tables.events(s, d)
-        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L)
-            .as("t"),
-          when(expr("(event_id * 2654435761) % 4294967296 % 4") === 0,
-            1L).otherwise(0L).as("flip"))
-        .withColumn("r", expr("CASE WHEN flip = 1 THEN 1 - t ELSE t END"))
-        .groupBy("day")
-        .agg(count(lit(1)).as("n"), sum("t").as("true_pos"),
-          sum("r").as("reported_pos"))
-        .withColumn("debiased", expr("(4 * reported_pos - n) DIV 2"))
-        .withColumn("abs_err", abs(col("debiased") - col("true_pos")))
-        .orderBy("day")
-    },
-
-    // DAU/MAU stickiness: daily actives over 28-day rolling actives,
-    // integer permille — the product-analytics engagement headline.
-    // Exact rolling DISTINCT via presence scatter (each (user, day)
-    // contributes to the 28 windows ending day..day+27, then distinct
-    // collapses multi-day users), the same shuffle-shape as the 7-day
-    // variant: no per-window re-scan, no approximate sketch.
-    "dau_mau_stickiness" -> { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-      val mau = ud.select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 27))")).as("wday"))
-        .distinct()
-        .join(broadcast(ud.select(col("day").as("wday")).distinct()),
-          "wday")
-        .groupBy("wday").agg(count(lit(1)).as("mau_28d"))
-      dau.join(mau, col("day") === col("wday"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("dau"), col("mau_28d"),
-          expr("(1000 * dau) DIV mau_28d").as("stickiness_permille"))
-        .orderBy("day")
-    },
-
-    // Freedman-Diaconis bin width per event type, fully integer: IQR
-    // from nearest-rank quartiles, ∛n as the LARGEST k with k³ ≤ n
-    // (argmax over a literal k-range — no floating pow, whose rounding
-    // differs across engines), width = max(1, 2·IQR DIV ∛n), bin count
-    // from the exact value range. The histogram-sizing rule every
-    // auto-binning chart needs, emitted as auditable components.
-    "fd_histogram_binwidth" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).as("cents"))
-      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
-        min("cents").as("lo"), max("cents").as("hi"))
-      val ranked = ev.withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("cents", "event_id")))
-      def at(pct: Int, out: String) = ranked
-        .join(broadcast(stats.select(col("event_type"),
-          expr(s"($pct * n + 99) DIV 100").as("k"))), "event_type")
-        .filter(col("rn") === col("k"))
-        .select(col("event_type"), col("cents").as(out))
-      val icbrt = stats.crossJoin(broadcast(
-          s.range(1, 100).select(col("id").as("k"))))
-        .filter(col("k") * col("k") * col("k") <= col("n"))
-        .groupBy("event_type").agg(max("k").as("icbrt"))
-      stats.join(at(25, "q25"), "event_type")
-        .join(at(75, "q75"), "event_type")
-        .join(icbrt, "event_type")
-        .withColumn("iqr", col("q75") - col("q25"))
-        .withColumn("fd_width_cents",
-          expr("greatest(1L, (2 * iqr) DIV icbrt)"))
-        .withColumn("n_bins",
-          expr("(hi - lo) DIV fd_width_cents + 1"))
-        .select("event_type", "n", "q25", "q75", "iqr", "icbrt",
-          "fd_width_cents", "n_bins")
-        .orderBy("event_type")
-    },
-
-    // Histogram-based self-join cardinality estimate vs ground truth:
-    // the optimizer technique (per-bucket count products under a
-    // within-bucket uniformity assumption, est_b = c_b² DIV ndv_b)
-    // scored against the exact Σc(k)² — the gap IS the skew the
-    // uniformity assumption hides. Everything from ONE key-domain
-    // aggregate; the "join size" never runs a join.
-    "histogram_selfjoin_estimate" -> { (s, d) =>
-      val keys = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
-      val span = keys.agg(min("k").as("lo"), max("k").as("hi"))
-      val exact = keys.agg(sum(col("c") * col("c")).as("actual_pairs"),
-        count(lit(1)).as("n_keys"))
-      val est = keys.crossJoin(broadcast(span))
-        .withColumn("bucket", expr("((k - lo) * 64) DIV (hi - lo + 1)"))
-        .groupBy("bucket")
-        .agg(sum("c").as("cb"), count(lit(1)).as("ndv"))
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(expr("(cb * cb) DIV ndv")).as("est_pairs"))
-      exact.crossJoin(broadcast(est))
-        .select(col("n_keys"), col("n_buckets"), col("actual_pairs"),
-          col("est_pairs"),
-          expr("(1000 * abs(est_pairs - actual_pairs)) DIV actual_pairs")
-            .as("err_permille"))
-    },
-
-    // Layout file-skipping comparison under a (value-band × time-window)
-    // box predicate: the SAME rows chunked three ways — natural
-    // (id-range), Z-order (Morton key-range), Hilbert (key-range) —
-    // and for each layout, how many of its 256 key-space chunks a
-    // scanner must touch. This is the measured payoff of multi-dim
-    // clustering: natural id order is time-correlated, so it prunes
-    // via the TIME window only (67/256 chunks touched at sf0.1); the
-    // space-filling layouts add the value dimension and touch 15/203
-    // (926‰ vs 738‰ pruned). All three keys are pure column
-    // arithmetic in one scan; chunk counts are three conditional
-    // distinct-aggregates, no window.
-    "layout_prune_comparison" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
-          floor(col("value") * 100).as("cents"))
-      val span = ev.agg(min("eus").as("tlo"), max("eus").as("thi"),
-        min("cents").as("vlo"), max("cents").as("vhi"),
-        min("event_id").as("ilo"), max("event_id").as("ihi"))
-      val base = ev.crossJoin(broadcast(span))
-        .select(col("event_id"),
-          expr("CAST(((cents - vlo) * 256) DIV (vhi - vlo + 1) AS INT)")
-            .as("x"),
-          expr("CAST(((eus - tlo) * 256) DIV (thi - tlo + 1) AS INT)")
-            .as("y"),
-          expr("((event_id - ilo) * 256) DIV (ihi - ilo + 1)")
-            .as("chunk_nat"))
-      val keyed = withHilbertKey(base.withColumn("x0", col("x"))
-          .withColumn("y0", col("y")))
-        .withColumn("zd",
-          graft.ops.ZOrder.zValue(Seq(col("x0"), col("y0")), 8))
-        .select(col("chunk_nat"), expr("zd DIV 256").as("chunk_z"),
-          expr("hd DIV 256").as("chunk_h"),
-          (col("x0").between(100, 140) && col("y0").between(64, 128))
-            .as("matched"))
-      def layout(name: String, chunk: String) = keyed.agg(
-          lit(name).as("layout"),
-          sum(when(col("matched"), 1L).otherwise(0L)).as("n_rows_matched"),
-          countDistinct(when(col("matched"), col(chunk)))
-            .as("chunks_touched"),
-          countDistinct(col(chunk)).as("chunks_total"))
-        .withColumn("prune_permille",
-          expr("(1000 * (chunks_total - chunks_touched)) DIV chunks_total"))
-      layout("1_natural", "chunk_nat")
-        .union(layout("2_zorder", "chunk_z"))
-        .union(layout("3_hilbert", "chunk_h"))
-        .orderBy("layout")
-    },
-
-    // Optimizer selectivity formulas scored against reality: equality
-    // est = n/ndv, range est = n·(hi−v+1)/(hi−lo+1) (uniformity),
-    // conjunction est = est_eq·est_range/n (independence) — each with
-    // its actual count and permille error from ONE stats pass + ONE
-    // predicate pass. The independence assumption's failure mode is
-    // the point: type and value are correlated here, and the audit
-    // quantifies by how much.
-    "predicate_selectivity_audit" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), floor(col("value") * 100).as("cents"))
-      val stats = ev.agg(count(lit(1)).as("n"),
-        countDistinct("event_type").as("ndv"),
-        min("cents").as("lo"), max("cents").as("hi"))
-        .withColumn("v", expr("lo + (hi - lo + 1) DIV 2"))
-      val actual = ev.crossJoin(broadcast(stats))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("act_eq"),
-          sum(when(col("cents") >= col("v"), 1L).otherwise(0L))
-            .as("act_range"),
-          sum(when(col("event_type") === "click" &&
-            col("cents") >= col("v"), 1L).otherwise(0L)).as("act_conj"))
-      stats.crossJoin(broadcast(actual))
-        .select(col("n"), col("ndv"),
-          expr("n DIV ndv").as("est_eq"), col("act_eq"),
-          expr("(n * (hi - v + 1)) DIV (hi - lo + 1)").as("est_range"),
-          col("act_range"),
-          expr("((n DIV ndv) * ((n * (hi - v + 1)) DIV (hi - lo + 1))) DIV n")
-            .as("est_conj"), col("act_conj"))
-        .select(
-          expr("stack(3, " +
-            "'1_eq_type', est_eq, act_eq, " +
-            "'2_range_value', est_range, act_range, " +
-            "'3_conj_indep', est_conj, act_conj) " +
-            "AS (predicate, est_rows, actual_rows)"))
-        .withColumn("err_permille",
-          expr("(1000 * abs(est_rows - actual_rows)) DIV actual_rows"))
-        .orderBy("predicate")
-    },
-
-    // The inspection paradox, quantified on gap sessions: the session
-    // covering a RANDOM instant is length-biased — its expected
-    // duration is Σd²/Σd, not Σd/n — and the permille bias
-    // (n·Σd² − (Σd)²)/(Σd)² is exactly how much longer the "typical
-    // observed" session looks than the typical session. Durations in
-    // whole minutes keep n·Σd² inside BIGINT at sf0.1 (seconds² would
-    // overflow); zero-length singleton sessions stay in, documented —
-    // they're real sessions the paradox under-samples.
-    "inspection_paradox_sessions" -> { (s, d) =>
-      val sess = graft.ops.Sessionize.withSessionIndex(
-          Tables.events(s, d).select(col("user_id"), col("ts")),
-          Seq("user_id"), "ts", gapSeconds = 1800L)
-        .groupBy("user_id", "session_idx")
-        // integer DIV, not double `/`+cast: a float quotient landing on
-        // an exact integer boundary can round up where floor would not
-        .agg(expr("""(unix_micros(CAST(max(ts) AS TIMESTAMP)) -
-          unix_micros(CAST(min(ts) AS TIMESTAMP))) DIV 60000000""")
-          .as("dmin"))
-      sess.agg(count(lit(1)).as("n_sessions"),
-          sum("dmin").as("sum_min"),
-          sum(col("dmin") * col("dmin")).as("sum_min_sq"))
-        .select(col("n_sessions"), col("sum_min"), col("sum_min_sq"),
-          expr("(1000 * sum_min) DIV n_sessions").as("mean_milli_min"),
-          expr("(1000 * sum_min_sq) DIV sum_min")
-            .as("length_biased_mean_milli_min"),
-          expr("""(1000 * (n_sessions * sum_min_sq - sum_min * sum_min))
-            DIV (sum_min * sum_min)""").as("bias_permille"))
-    },
-
-    // Percentile subadditivity gap — why capacity planning by
-    // per-component p95s over-provisions: over the dense (day, hour)
-    // load grid, p95 of the TOTAL vs the sum of per-type p95s, both
-    // nearest-rank-exact. The gap is the diversification benefit that
-    // "sum the p95s" silently discards.
-    "percentile_subadditivity_gap" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"),
-          hour(col("ts")).as("hr"))
-      val cells = ev.groupBy("day", "hr", "event_type")
-        .agg(count(lit(1)).as("c"))
-      val grid = ev.select("day").distinct()
-        .crossJoin(broadcast(s.range(24).select(
-          col("id").cast("int").as("hr"))))
-        .crossJoin(broadcast(ev.select("event_type").distinct()))
-        .join(cells, Seq("day", "hr", "event_type"), "left")
-        .select(col("day"), col("hr"), col("event_type"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val nb = grid.select("day", "hr").distinct()
-        .agg(count(lit(1)).as("n_buckets"))
-      val totP95 = grid.groupBy("day", "hr").agg(sum("c").as("tot"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy("tot", "day", "hr")))
-        .crossJoin(broadcast(nb))
-        .filter(col("rn") === expr("(95 * n_buckets + 99) DIV 100"))
-        .select(col("n_buckets"), col("tot").as("p95_of_total"))
-      val perType = grid.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("c", "day", "hr")))
-        .crossJoin(broadcast(nb))
-        .filter(col("rn") === expr("(95 * n_buckets + 99) DIV 100"))
-        .agg(sum("c").as("sum_of_type_p95s"))
-      totP95.crossJoin(broadcast(perType))
-        .select(col("n_buckets"), col("p95_of_total"),
-          col("sum_of_type_p95s"),
-          (col("sum_of_type_p95s") - col("p95_of_total")).as("gap"),
-          expr("""(1000 * (sum_of_type_p95s - p95_of_total))
-            DIV p95_of_total""").as("gap_permille"))
-    },
-
-    // Cluster-sampling design-effect components (balanced ANOVA, m=6
-    // events per user so every sum-of-squares clears its denominator):
-    // km·SSB = k·Σs_i² − T² and m·SSW = m·Σy² − Σs_i², both exact
-    // integers; ICC and DEFF = 1 + (m−1)·ICC are caller floats over
-    // these. The survey-sampling companion to neyman_allocation_exact:
-    // how much a user-clustered sample inflates variance vs SRS.
-    "design_effect_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val y = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          floor(col("value") * 100).as("y"))
-        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
-          .orderBy("event_id")))
-        .filter(col("rn") <= 6)
-      val per = y.groupBy("user_id")
-        .agg(count(lit(1)).as("m_i"), sum("y").as("s_i"),
-          sum(col("y") * col("y")).as("ss_i"))
-        .filter(col("m_i") === 6)
-      per.agg(count(lit(1)).as("k"),
-          sum("s_i").as("t_sum"),
-          sum(col("s_i") * col("s_i")).as("sum_si_sq"),
-          sum("ss_i").as("sum_y_sq"))
-        .select(col("k"), lit(6L).as("m"), col("t_sum"), col("sum_y_sq"),
-          (col("k") * col("sum_si_sq") - col("t_sum") * col("t_sum"))
-            .as("km_ssb"),
-          (lit(6L) * col("sum_y_sq") - col("sum_si_sq")).as("m_ssw"))
-    },
-
-    // The MinHash banding S-curve MEASURED: the same 16 signatures
-    // (md5-derived and sign-masked so DuckDB reproduces every min —
-    // xxhash64 sigs would be oracle-opaque, and unmasked signed mins
-    // disagree with md5_number_upper's unsigned ones) sliced as
-    // 1×16 / 2×8 / 4×4 / 8×2 bands; per config, candidate pairs vs the
-    // exact ≥0.8 pair set. This corpus's near-dups sit at s≈0.97, so
-    // the 1−(1−s^r)^b curve only leaves saturation at the strictest
-    // config: measured recall 600/1000/1000/1000‰ and precision
-    // dropping to 735‰ at 8×2 — both sides of the banding tradeoff on
-    // one table. Gold on
-    // the engine side is the established exact pair set; the oracle
-    // re-derives it from the all-pairs closure.
-    "minhash_band_recall_curve" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val sh = docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), 3)).as("g"))
-        .cache() // read twice: the distinct-shingle table and the agg join
-      // distinct-shingle collapse (the simhash lesson): the 3-gram
-      // DOMAIN is thousands while (doc, shingle) occurrences are
-      // millions — hashing 16 md5s per occurrence benched 16 s at
-      // sf0.1; per distinct shingle + a broadcast join back, 1-2 s.
-      // Values identical. Round-9 (VERDICT r8 #4): the distinct-shingle
-      // frame also carries an xxhash64 key (`xh`) so the GOLD referee
-      // below derives from the SAME hashed-shingle subplan instead of
-      // re-shingling the corpus inside minhashExactPairs — one text
-      // scan and one shingling pass feed the curve, the gold banding,
-      // and the exact-Jaccard verification.
-      val gh = sh.select("g").distinct().select((col("g") +: (0 until 16)
-        .map(i => Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
-          .bitwiseAND(lit(Long.MaxValue)).as(s"h$i"))) :+
-          xxhash64(col("g")).as("xh"): _*)
-      // ONE fused per-doc aggregation (the r9 wall-clock fix: the old
-      // shape ran the occurrence pipeline once per downstream consumer —
-      // 4 candidate configs + gold sigs + verify arrays ≈ 6 heavy passes;
-      // 7.3 s at sf0.1). `per` carries the 16 md5 curve signatures, the
-      // 16 xxhash gold signatures, AND the distinct-shingle set in one
-      // 5k-row cached frame, so everything after this line is joins over
-      // driver-tiny data.
-      // SHUFFLE_HASH, not broadcast: `gh` is the distinct-shingle domain
-      // — corpus-proportional, so a driver-pinned broadcast is the
-      // r10-#2 hazard class (and at sf0.1 the 17-hash payload already
-      // exceeds the auto-broadcast threshold, where an unhinted join
-      // fell to a sort-merge that re-sorted the full occurrence stream:
-      // 5.4 → 12 s in-suite). Hash-partitioning both sides on g keeps
-      // the distinct-collapse md5 amortization, no sort, no driver state.
-      val per = sh.join(gh.hint("shuffle_hash"), "g").groupBy("doc_id").agg(
-        min(col("h0")).as("s0"),
-        ((1 until 16).map(i => min(col(s"h$i")).as(s"s$i")) ++
-          (0 until 16).map(i =>
-            min(xxhash64(lit(i), col("xh"))).as(s"sig_$i")) :+
-          collect_set(col("xh")).as("hs")): _*).cache()
-      // All four banding configs in ONE self-join: 15 (config, band)
-      // keys per doc exploded together, equality-joined on
-      // (config, band, key), one distinct — replaces 4 separate
-      // join+distinct subplans and their union.
-      val bandConfigs = Seq((1, 16), (2, 8), (4, 4), (8, 2))
-      val keys = array(bandConfigs.flatMap { case (bands, rows) =>
-        (0 until bands).map(j => struct(
-          lit(s"b${bands}_r$rows").as("cfg"), lit(j).as("bi"),
-          concat_ws(",",
-            (j * rows until (j + 1) * rows).map(x => col(s"s$x")): _*)
-            .as("bk")))
-      }: _*)
-      val b = per.select(col("doc_id"), explode(keys).as("e"))
-        .select(col("doc_id"), col("e.cfg").as("config"),
-          col("e.bi").as("bi"), col("e.bk").as("bk"))
-      val cand = b.select(col("doc_id").as("id1"), col("config"),
-          col("bi"), col("bk"))
-        .join(b.select(col("doc_id").as("id2"), col("config"),
-          col("bi"), col("bk")), Seq("config", "bi", "bk"))
-        .filter(col("id1") < col("id2"))
-        .select("config", "id1", "id2").distinct()
-      // Gold referee = minhashExactPairs' semantics (k=16/b=8 banded
-      // candidates + exact Jaccard ≥ 0.8) rebuilt over the shared `per`
-      // frame. The signature hash family differs from hashedShingles'
-      // struct-field hashing (xxhash64 of the shingle STRING here),
-      // which is result-neutral for the same reason the original was:
-      // gold is the exact-Jaccard-verified set, candidate banding only
-      // risks missing a true pair with the same vanishing probability
-      // under either injective family (near-dups sit at s≈0.97 →
-      // per-pair miss ~(1−0.97²)⁸ ≈ 1e-10).
-      val gcand = Dedup.minhashCandidates(per.select(
-        col("doc_id") +: (0 until 16).map(i => col(s"sig_$i")): _*),
-        "doc_id", k = 16, bands = 8)
-      // gold feeds the referee join AND the n_gold scalar — cache so the
-      // banding + exact-verify subplan runs once.
-      val gold = gcand
-        .join(per.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
-        .join(per.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
-        .filter(size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
-          size(array_union(col("hs1"), col("hs2"))) >= 0.8)
-        .select(col("id1"), col("id2")).withColumn("in_gold", lit(1))
-        .cache()
-      val ng = gold.agg(count(lit(1)).as("n_gold"))
-      cand.join(gold, Seq("id1", "id2"), "left")
-        .groupBy("config")
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("in_gold").isNotNull, 1L).otherwise(0L))
-            .as("n_hit"))
-        .crossJoin(broadcast(ng))
-        .select(col("config"), col("n_candidates"), col("n_gold"),
-          col("n_hit"),
-          expr("(1000 * n_hit) DIV n_gold").as("recall_permille"),
-          expr("(1000 * n_hit) DIV n_candidates")
-            .as("precision_permille"))
-        .orderBy("config")
-    },
-
-    // Fagin's Threshold Algorithm (PODS'01) early-termination depth,
-    // computed exactly: users scored by cents_total + 1000·n_events,
-    // two rank lists (one per attribute); TA stops at the first depth
-    // d where the 10th-best FULL score among items seen in either
-    // top-d beats the threshold x1(d)+x2(d). The emitted stop depth ÷
-    // corpus size is the sorted-access saving that makes TA the
-    // canonical top-k-over-sorted-lists algorithm; correlated
-    // attributes make it stop early here. Depth sweep is a 200-row
-    // literal; seen-set scoring is one bounded join + per-depth
-    // window.
-    "threshold_algorithm_depth" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val items = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(sum(floor(col("value") * 100)).as("x1"),
-          (count(lit(1)) * 1000).as("x2"))
-        .withColumn("score", col("x1") + col("x2"))
-        .withColumn("r1", row_number().over(
-          Window.orderBy(desc("x1"), col("user_id"))))
-        .withColumn("r2", row_number().over(
-          Window.orderBy(desc("x2"), col("user_id"))))
-        .cache()
-      val n = items.agg(count(lit(1)).as("n_items"))
-      val depths = s.range(1, 201).select(col("id").cast("int").as("dp"))
-      val thr = items.select(col("r1").as("dp"), col("x1").as("t1"))
-        .join(items.select(col("r2").as("dp"), col("x2").as("t2")), "dp")
-        .select(col("dp"), (col("t1") + col("t2")).as("threshold"))
-      val seen = items.crossJoin(broadcast(depths))
-        .filter(least(col("r1"), col("r2")) <= col("dp"))
-      val kth = seen.withColumn("rk", row_number().over(
-          Window.partitionBy("dp").orderBy(desc("score"), col("user_id"))))
-        .filter(col("rk") === 10)
-        .select(col("dp"), col("score").as("kth_score"))
-      val stops = kth.join(thr, "dp")
-        .filter(col("kth_score") >= col("threshold"))
-        .agg(coalesce(min("dp"), lit(-1)).as("stop_depth"))
-      val at = stops.join(kth, col("stop_depth") === col("dp"))
-        .join(thr.select(col("dp").as("dp2"), col("threshold")),
-          col("stop_depth") === col("dp2"))
-        .select(col("stop_depth"), col("kth_score").as("kth_at_stop"),
-          col("threshold").as("threshold_at_stop"))
-      at.crossJoin(broadcast(n))
-        .select(col("n_items"), col("stop_depth"), col("kth_at_stop"),
-          col("threshold_at_stop"),
-          expr("(1000 * stop_depth) DIV n_items")
-            .as("scan_fraction_permille"))
-    },
-
-    // Content-defined chunking on the ROLLING-HASH scale path: the same
-    // boundary semantics as cdc_chunk_dedup but the window fingerprint
-    // is the exact polynomial Σ byte·32^k maintained with one
-    // multiply+subtract per byte inside a native codegen Expression
-    // ([[graft.functions.RabinChunkStarts]]) — vs one md5 DIGEST per
-    // position in the oracle-twin form. No modulus: the 8-byte/base-32
-    // polynomial tops at ~9e12, so the oracle's per-position closed
-    // form (8 ord() multiplies) reproduces every boundary exactly.
-    // Different hash ⇒ different (equally valid) boundaries than the
-    // md5 variant; both emit the same dedup accounting shape.
-    "cdc_chunk_dedup_rabin" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val n = Tables.documents(s, d)
-        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
-        .cache()
-      val marks = n.select(col("doc_id"),
-          explode(graft.functions.rabin.chunkStarts(col("t"))).as("p"))
-        .select(col("doc_id"), col("p").cast("long").as("pos"))
-      val sentinels = n.select(col("doc_id"), lit(1L).as("pos"))
-        .union(n.select(col("doc_id"),
-          expr("CAST(char_length(t) + 1 AS BIGINT)")))
-      val bd = marks.union(sentinels).distinct().join(n, "doc_id")
-      bd.withColumn("en",
-          lead(col("pos"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-        .filter(col("en").isNotNull && col("en") > col("pos"))
-        .select(md5(expr("substr(t, CAST(pos AS INT), CAST(en - pos AS INT))"))
-          .as("ch"))
-        .agg(count(lit(1)).as("n_chunk_slots"),
-          countDistinct(col("ch")).as("n_distinct_chunks"),
-          (count(lit(1)) - countDistinct(col("ch"))).as("dup_slots"))
-    },
-
-    // Cosine DISTANCE is not a metric — the triangle-inequality
-    // violation rate over all ordered triples of a 30-vector panel,
-    // counted exactly: d(a,c) > d(a,b) + d(b,c) for each of the three
-    // middle choices. The number an ANN index design that assumes
-    // metric pruning (vp-trees, triangle-based candidate elimination)
-    // silently depends on; >0 here is the proof it would prune wrong.
-    // 435 pairwise cosines computed once, 4 060 triples by equi-joins
-    // on the pair table.
-    "cosine_triangle_violations" -> { (s, d) =>
-      val v = Tables.embeddings(s, d).filter(col("vec_id") < 30)
-        .select(col("vec_id"), col("embedding"))
-      val p = v.select(col("vec_id").as("i"), col("embedding").as("vi"))
-        .join(v.select(col("vec_id").as("j"), col("embedding").as("vj")),
-          col("i") < col("j"))
-        .select(col("i"), col("j"),
-          (lit(1.0) - graft.ops.Similarity.cosine(col("vi"), col("vj")))
-            .as("dist"))
-        .cache()
-      def side(i: String, j: String, out: String) =
-        p.select(col("i").as(i), col("j").as(j), col("dist").as(out))
-      val t = side("a", "b", "dab").join(side("b", "c", "dbc"), "b")
-        .join(side("a", "c", "dac"), Seq("a", "c"))
-      t.select(col("a"), col("b"), col("c"),
-          (col("dac") - col("dab") - col("dbc")).as("v1"),
-          (col("dab") - col("dac") - col("dbc")).as("v2"),
-          (col("dbc") - col("dab") - col("dac")).as("v3"))
-        .agg(count(lit(1)).as("n_triples"),
-          sum(when(col("v1") > 0, 1L).otherwise(0L) +
-            when(col("v2") > 0, 1L).otherwise(0L) +
-            when(col("v3") > 0, 1L).otherwise(0L))
-            .as("n_violating_checks"),
-          sum(when(col("v1") > 0 || col("v2") > 0 || col("v3") > 0, 1L)
-            .otherwise(0L)).as("n_violating_triples"),
-          floor(greatest(max("v1"), max("v2"), max("v3")) * 1000)
-            .cast("long").as("max_violation_milli"))
-        .withColumn("n_checks", col("n_triples") * 3)
-        .select("n_triples", "n_checks", "n_violating_checks",
-          "n_violating_triples", "max_violation_milli")
-    },
-
-    // Longest consecutive-day activity streak per user (the GitHub-
-    // streak readout), then the distribution of per-user maxima: the
-    // islands anchor day − rank(day) collapses each run to a constant,
-    // all on the distinct (user, day) presence table.
-    "user_activity_streaks" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val streaks = ud.withColumn("rn", row_number().over(
-          Window.partitionBy("user_id").orderBy("day")))
-        .withColumn("anchor", expr("date_sub(day, rn)"))
-        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
-        .groupBy("user_id").agg(max("len").as("max_streak"))
-      streaks.groupBy("max_streak")
-        .agg(count(lit(1)).as("n_users"),
-          sum("user_id").as("user_id_checksum"))
-        .orderBy("max_streak")
-    },
-
-    // Event-protocol conformance over gap sessions: purchases with no
-    // prior engagement (view/click) in-session, sessions OPENING on an
-    // error, and signups arriving after an in-session purchase — the
-    // state-machine audit that catches instrumentation bugs (lost
-    // events, replayed batches) before they poison funnels. Running
-    // flags via unbounded-preceding-exclusive windows inside each
-    // (user, session); per-day counts.
-    "state_machine_conformance" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = graft.ops.Sessionize.withSessionIndex(
-        Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type")),
-        Seq("user_id"), "ts", gapSeconds = 1800L)
-      val w = Window.partitionBy("user_id", "session_idx")
-        .orderBy("ts", "event_id")
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-      val flagged = ev
-        .withColumn("rn", row_number().over(w))
-        .withColumn("engaged_before",
-          max(when(col("event_type").isin("view", "click"), 1L)
-            .otherwise(0L)).over(wPrev))
-        .withColumn("purchase_before",
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .over(wPrev))
-      flagged.groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd")
-          .as("day"))
-        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L))
-          .as("n_sessions_opened"),
-          sum(when(col("event_type") === "purchase" &&
-            coalesce(col("engaged_before"), lit(0L)) === 0, 1L)
-            .otherwise(0L)).as("n_blind_purchases"),
-          sum(when(col("rn") === 1 && col("event_type") === "error", 1L)
-            .otherwise(0L)).as("n_error_opened_sessions"),
-          sum(when(col("event_type") === "signup" &&
-            coalesce(col("purchase_before"), lit(0L)) === 1, 1L)
-            .otherwise(0L)).as("n_late_signups"))
-        .orderBy("day")
-    },
-
-    // The unbiased pass@k estimator (Chen et al. 2021, Codex §2.1):
-    // 1 − C(n−c,k)/C(n,k) per task, kept EXACT as falling factorials —
-    // C(n−c,k)/C(n,k) = ff(n−c,k)/ff(n,k), products of ≤5 small
-    // integers, no binomial table, no floats. Tasks = users, attempts
-    // = their first ≤10 purchases, success = cents above the global
-    // lower-median. The table also carries the naive per-attempt rate:
-    // the gap between mean pass@5 and per-attempt success is exactly
-    // why the estimator exists.
-    "pass_at_k_estimator" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val pur = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          floor(col("value") * 100).as("cents"))
-      val nTot = pur.agg(count(lit(1)).as("np"))
-      val med = pur.withColumn("rn", row_number().over(
-          Window.orderBy("cents", "event_id")))
-        .crossJoin(broadcast(nTot))
-        .filter(col("rn") === expr("(np + 1) DIV 2"))
-        .select(col("cents").as("median_cents"))
-      val tasks = pur
-        .withColumn("att", row_number().over(
-          Window.partitionBy("user_id").orderBy("event_id")))
-        .filter(col("att") <= 10)
-        .crossJoin(broadcast(med))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("cents") > col("median_cents"), 1L).otherwise(0L))
-            .as("c"))
-        .filter(col("n") >= 5)
-      def ff(c: Column) = c * (c - 1) * (c - 2) * (c - 3) * (c - 4)
-      val per = tasks
-        .withColumn("num",
-          when(col("n") - col("c") >= 5, ff(col("n") - col("c")))
-            .otherwise(0L))
-        .withColumn("den", ff(col("n")))
-        .withColumn("pass5_milli",
-          lit(1000L) - expr("(1000 * num) DIV den"))
-      per.agg(count(lit(1)).as("n_tasks"),
-          sum("n").as("total_attempts"), sum("c").as("total_successes"),
-          sum("pass5_milli").as("sum_pass5_milli"))
-        .select(col("n_tasks"), col("total_attempts"),
-          col("total_successes"),
-          expr("(1000 * total_successes) DIV total_attempts")
-            .as("per_attempt_milli"),
-          expr("sum_pass5_milli DIV n_tasks").as("mean_pass5_milli"))
-    },
-
-    // BLEU-1 modified precision across the near-dup pairs (higher id =
-    // candidate, lower = reference): Σ min(count_cand, count_ref) over
-    // shared tokens ÷ candidate length, clip-counted with
-    // multiplicity — Papineni et al.'s defense against the repeated-
-    // word exploit, here measuring how much of each near-duplicate is
-    // literally recycled text. Brevity-penalty INPUTS (both lengths)
-    // ship as columns; the exp() of the penalty itself is a caller
-    // float. One token-count aggregate semi-joined to the 25 pairs.
-    "bleu1_neardup_pairs" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.8)
-        .select(col("id1"), col("id2"))
-      val cnt = docs.repartition(col("doc_id"))
-        .select(col("doc_id"), explode(Dedup.tokens(col("text")))
-          .as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val lens = cnt.groupBy("doc_id").agg(sum("c").as("len"))
-      val clipped = pairs
-        .join(cnt.select(col("doc_id").as("id1"), col("tok"),
-          col("c").as("cr")), "id1")
-        .join(cnt.select(col("doc_id").as("id2"), col("tok"),
-          col("c").as("cc")), Seq("id2", "tok"))
-        .groupBy("id1", "id2")
-        .agg(sum(least(col("cr"), col("cc"))).as("clipped_matches"))
-      pairs.join(clipped, Seq("id1", "id2"), "left")
-        .join(lens.select(col("doc_id").as("id1"), col("len").as("len_ref")),
-          "id1")
-        .join(lens.select(col("doc_id").as("id2"),
-          col("len").as("len_cand")), "id2")
-        .select(col("id1"), col("id2"), col("len_ref"), col("len_cand"),
-          coalesce(col("clipped_matches"), lit(0L)).as("clipped_matches"))
-        .withColumn("p1_milli",
-          expr("(1000 * clipped_matches) DIV len_cand"))
-        .orderBy("id1", "id2")
-    },
-
-    // The AGM / worst-case-optimal-join motivation, measured: counting
-    // triangles through a binary join plan materializes every WEDGE
-    // (Σ d(d−1)/2 two-paths) before the closing edge filters them; the
-    // wedge-to-triangle ratio IS the intermediate-result blowup a WCOJ
-    // avoids. On the kNN graph: edges, wedges, closed triangles
-    // (3·triangle count via closing-edge join), blowup in permille.
-    // Degrees from one aggregate; the wedge count never materializes
-    // wedges — that's the point of computing it from degrees.
-    "agm_triangle_blowup" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("centroid"))
-      val und = graft.ops.Graph.undirected(
-        knnEdges(s, d, 3)).cache()
-      val sym = und.select(col("a").as("v"), col("b").as("w"))
-        .union(und.select(col("b").as("v"), col("a").as("w")))
-      val deg = sym.groupBy("v").agg(count(lit(1)).as("dg"))
-      val wedges = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
-      val m = und.agg(count(lit(1)).as("n_edges"))
-      // closed wedges: ordered triangle (a<b<c) found via two edges
-      // (a,b), (b,c) plus the closing (a,c)
-      val tri = und.select(col("a"), col("b"))
-        .join(und.select(col("a").as("b"), col("b").as("c")), "b")
-        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
-      m.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          expr("""CASE WHEN n_triangles > 0
-            THEN (1000 * n_wedges) DIV n_triangles ELSE -1 END""")
-            .as("wedge_per_triangle_milli"))
-    },
-
-    // Arc price elasticity between consecutive days, fully integer by
-    // clearing the per-day mean-price fractions: with q = purchases,
-    // S = cents sum, e = ((q₂−q₁)(S₁q₂+S₂q₁)) / ((S₂q₁−S₁q₂)(q₁+q₂))
-    // — numerator and denominator emitted as exact signed BIGINTs (the
-    // signed quotient stays with the caller: engines disagree on
-    // negative integer division). The day pairs where demand moved
-    // WITH price (positive ratio) are visible as matching signs.
-    "arc_elasticity_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("q"),
-          sum(floor(col("value") * 100)).as("sc"))
-      val w = Window.orderBy("day")
-      daily
-        .withColumn("q1", lag("q", 1).over(w))
-        .withColumn("s1", lag("sc", 1).over(w))
-        .filter(col("q1").isNotNull)
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("q1"), col("q").as("q2"), col("s1"), col("sc").as("s2"))
-        .withColumn("e_num",
-          expr("(q2 - q1) * (s1 * q2 + s2 * q1)"))
-        .withColumn("e_den",
-          expr("(s2 * q1 - s1 * q2) * (q1 + q2)"))
-        .orderBy("day")
-    },
-
-    // Regression-discontinuity components at the activity median:
-    // running variable = user's event count, outcome = the user's
-    // purchase cents sum; four cells (below/above threshold × narrow
-    // ±2 / wide ±8 bandwidth) with exact counts and sums — the
-    // local-mean gap at the cutoff vs the wide-bandwidth gap is the
-    // bandwidth-sensitivity check every RDD referee asks for. One user
-    // aggregate + one broadcast threshold.
-    "regression_discontinuity_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("activity"),
-          sum(when(col("event_type") === "purchase",
-            floor(col("value") * 100)).otherwise(0L)).as("pc"))
-      val nU = users.agg(count(lit(1)).as("nu"))
-      val thr = users.withColumn("rn", row_number().over(
-          Window.orderBy("activity", "user_id")))
-        .crossJoin(broadcast(nU))
-        .filter(col("rn") === expr("(nu + 1) DIV 2"))
-        .select(col("activity").as("cut"))
-      def cell(side: String, bw: Int) = {
-        val in =
-          if (side == "below")
-            col("activity") < col("cut") &&
-              col("activity") >= col("cut") - bw
-          else
-            col("activity") >= col("cut") &&
-              col("activity") < col("cut") + bw
-        struct(sum(when(in, 1L).otherwise(0L)).as("n"),
-          sum(when(in, col("pc")).otherwise(0L)).as("s"))
-      }
-      users.crossJoin(broadcast(thr))
-        .agg(first("cut").as("cutoff_activity"),
-          cell("below", 2).as("below_narrow"),
-          cell("above", 2).as("above_narrow"),
-          cell("below", 8).as("below_wide"),
-          cell("above", 8).as("above_wide"))
-        .select(col("cutoff_activity"),
-          col("below_narrow.n").as("n_below_narrow"),
-          col("below_narrow.s").as("cents_below_narrow"),
-          col("above_narrow.n").as("n_above_narrow"),
-          col("above_narrow.s").as("cents_above_narrow"),
-          col("below_wide.n").as("n_below_wide"),
-          col("below_wide.s").as("cents_below_wide"),
-          col("above_wide.n").as("n_above_wide"),
-          col("above_wide.s").as("cents_above_wide"))
-    },
-
-    // Approximate-query-processing error audit: a deterministic 10%
-    // hash sample, scaled ×10, against exact per-type counts — the
-    // per-group permille error is what a sample-based dashboard
-    // silently carries, and it varies BY GROUP (small groups err
-    // more), which the per-type rows make visible.
-    "sample_scale_error_audit" -> { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          (expr("(event_id * 2654435761) % 4294967296 % 10") === 0)
-            .as("in_sample"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("exact_n"),
-          sum(when(col("in_sample"), 1L).otherwise(0L)).as("sample_n"))
-        .withColumn("scaled_n", col("sample_n") * 10)
-        .withColumn("err_permille",
-          expr("(1000 * abs(scaled_n - exact_n)) DIV exact_n"))
-        .orderBy("event_type")
-    },
-
-    // Near-dup cluster cohesion — the transitive-merge safety QA: per
-    // connected component of the ≥0.8 pair graph, its size, how many
-    // of its C(size,2) pairs are actually strong, and the weakest
-    // strong link. A cluster with missing internal pairs was formed by
-    // CHAINING (a~b~c with a,c dissimilar) — exactly the case where
-    // min-label survivor selection merges non-duplicates; is_chained
-    // flags it. Jaccard millis floored from the same rounded values
-    // both engines compute.
-    "neardup_cluster_cohesion" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
-        k = 16, bands = 8, shingleN = 3, threshold = 0.8).cache()
-      val comp = graft.ops.Components.connectedComponents(pairs)
-      val withComp = pairs
-        .join(comp.select(col("v").as("id1"), col("comp")), "id1")
-      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("size"))
-      withComp.groupBy("comp")
-        .agg(count(lit(1)).as("n_strong_pairs"),
-          min(floor(col("jaccard") * 1000).cast("long"))
-            .as("min_jaccard_milli"),
-          max(floor(col("jaccard") * 1000).cast("long"))
-            .as("max_jaccard_milli"))
-        .join(sizes, "comp")
-        .select(col("comp").as("cluster_id"), col("size"),
-          expr("size * (size - 1) DIV 2").as("n_possible_pairs"),
-          col("n_strong_pairs"), col("min_jaccard_milli"),
-          col("max_jaccard_milli"),
-          (col("n_strong_pairs") < expr("size * (size - 1) DIV 2"))
-            .as("is_chained"))
-        .orderBy("cluster_id")
-    },
-
-    // Lincoln-Petersen capture-recapture: estimate the user population
-    // from two day "captures" (first and last day) and their overlap —
-    // N̂ = n₁·n₂/m — against the true distinct count the estimator
-    // never sees. The mark-recapture arithmetic behind dark-pool /
-    // coverage estimation, exact integers end to end.
-    "capture_recapture_users" -> { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val span = ud.agg(min("day").as("d1"), max("day").as("d2"))
-      val tagged = ud.crossJoin(broadcast(span))
-      val s1 = tagged.filter(col("day") === col("d1"))
-        .select("user_id").distinct()
-      val s2 = tagged.filter(col("day") === col("d2"))
-        .select("user_id").distinct()
-      val m = s1.join(s2, "user_id").agg(count(lit(1)).as("m"))
-      s1.agg(count(lit(1)).as("n1"))
-        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
-        .crossJoin(broadcast(m))
-        .crossJoin(broadcast(ud.select("user_id").distinct()
-          .agg(count(lit(1)).as("true_n"))))
-        .withColumn("estimated_n", expr("(n1 * n2) DIV m"))
-        .withColumn("err_permille",
-          expr("(1000 * abs(estimated_n - true_n)) DIV true_n"))
-    },
-
-    // Brown-Forsythe (median-centered Levene) spread-homogeneity
-    // components per event type: absolute deviations from each type's
-    // EXACT lower-median stay integers, so n, Σ|z|, Σz² per group are
-    // exact and the W statistic is the caller's float — the
-    // variance-equality check that must pass before pooling types in
-    // any ANOVA, median-centered because the raw Levene is wrecked by
-    // the same heavy tails it's testing for.
-    "levene_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).as("cents"))
-      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val med = ev.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("cents", "event_id")))
-        .join(broadcast(n), "event_type")
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col("cents").as("med"))
-      ev.join(broadcast(med), "event_type")
-        .withColumn("z", abs(col("cents") - col("med")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), first("med").as("median_cents"),
-          sum("z").as("sum_absdev"),
-          sum(col("z") * col("z")).as("sum_absdev_sq"))
-        .orderBy("event_type")
-    },
-
-    // Wald-Wolfowitz runs test components on the daily up/down revenue
-    // sequence: observed runs vs the exact expected-runs rational
-    // E·n = n + 2·n₁·n₂ — is the series trending/mean-reverting or
-    // coin-flip random. All integers; the z-score's variance term is
-    // the caller's float over these.
-    "runs_test_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("rev"))
-      val w = Window.orderBy("day")
-      val signs = daily.withColumn("prev", lag("rev", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .withColumn("up", when(col("rev") > col("prev"), 1L).otherwise(0L))
-        .withColumn("flip",
-          when(col("up") =!= lag("up", 1).over(w), 1L).otherwise(0L))
-      signs.agg(
-          sum("up").as("n1"),
-          sum(lit(1L) - col("up")).as("n2"),
-          (sum(when(col("flip").isNull, 0L).otherwise(col("flip"))) + 1L)
-            .as("n_runs"))
-        .select(col("n1"), col("n2"), col("n_runs"),
-          (col("n1") + col("n2") + lit(2L) * col("n1") * col("n2"))
-            .as("expected_runs_num"),
-          (col("n1") + col("n2")).as("expected_runs_den"))
-    },
-
-    // Page–Hinkley drift localization (Page 1954; the two-pass fixed-mean
-    // variant) on daily revenue per event type: m_t = Σ_{i≤t}(x_i − μ),
-    // PH_t = m_t − min_{j≤t} m_j, and the reported row per type is the
-    // argmax-PH day — WHERE the mean shifted, with no tuned λ. Scaling
-    // every term by the day count n keeps μ = S/n exact:
-    // n·m_t = n·prefix_t − t·S is integer arithmetic end to end. The
-    // full scan is only the daily rollup; the sequential PH pass runs
-    // over days×types rows, so the window stage is trivially sized at
-    // any corpus scale.
-    "page_hinkley_drift" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("x"))
-      val wt = Window.partitionBy("event_type")
-      val wo = wt.orderBy("day")
-      daily
-        .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("ssum", sum("x").over(wt))
-        .withColumn("t", row_number().over(wo).cast("long"))
-        .withColumn("prefix", sum("x").over(wo))
-        .withColumn("m_scaled",
-          col("n") * col("prefix") - col("t") * col("ssum"))
-        .withColumn("runmin", min("m_scaled").over(wo))
-        .withColumn("ph_scaled", col("m_scaled") - col("runmin"))
-        .withColumn("rk", row_number().over(
-          wt.orderBy(desc("ph_scaled"), col("day"))))
-        .filter(col("rk") === 1)
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
-          col("ph_scaled"), col("m_scaled"), col("n").as("n_days"),
-          col("ssum").as("sum_cents"))
-        .orderBy("event_type")
-    },
-
-    // Allen's interval algebra (Allen 1983): classify every (click
-    // session, error session) pair of the same user into the 13
-    // qualitative temporal relations — the vocabulary for "did the
-    // errors happen DURING a click session, or between them?". The
-    // CASE ladder tests equalities first so each pair lands in exactly
-    // one relation (degenerate single-event sessions included). Pairs
-    // are generated per user after sessionizing each stream, so the
-    // join is user-partitioned with per-user fan-out bounded by
-    // session counts — no global quadratic term at any scale.
-    "allen_interval_relations" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      def sess(t: String, p: String) = graft.ops.Sessionize.sessions(
-          ev.filter(col("event_type") === t), Seq("user_id"), "ts",
-          gapSeconds = 3600)
-        .select(col("user_id"), col("session_start").as(s"${p}1"),
-          col("session_end").as(s"${p}2"))
-      val a1 = col("a1"); val a2 = col("a2")
-      val b1 = col("b1"); val b2 = col("b2")
-      val rel = when(a1 === b1 && a2 === b2, "equals")
-        .when(a1 === b1 && a2 < b2, "starts")
-        .when(a1 === b1, "started_by")
-        .when(a2 === b2 && a1 > b1, "finishes")
-        .when(a2 === b2, "finished_by")
-        .when(a2 < b1, "precedes")
-        .when(a2 === b1, "meets")
-        .when(b2 < a1, "preceded_by")
-        .when(b2 === a1, "met_by")
-        .when(a1 < b1 && a2 > b2, "contains")
-        .when(a1 > b1 && a2 < b2, "during")
-        .when(a1 < b1, "overlaps")
-        .otherwise("overlapped_by")
-      sess("click", "a").join(sess("error", "b"), "user_id")
-        .select(col("user_id"), rel.as("relation"))
-        .groupBy("relation")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("user_id")).as("user_checksum"))
-        .orderBy("relation")
-    },
-
-    // PMI collocations (Church & Hanks 1990): adjacent-token pairs
-    // scored by pointwise mutual information against the unigram
-    // margins — the classic "which bigrams are phrases" statistic a
-    // tokenizer-training pipeline computes before merging tokens. All
-    // counts are exact; the PMI ratio ships as the floor-scaled integer
-    // (c_xy·B·10⁶) DIV (c_x·c_y) so no log/float crosses engines (PMI
-    // ordering is monotone in the ratio). Two token-domain aggregations
-    // plus a broadcast of the (tiny) unigram table — the corpus is
-    // scanned once at any scale.
-    "pmi_collocations" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(graft.ops.Dedup.tokens(col("text")).as("t"))
-      val big = toks.select(explode(expr(
-          "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
-            " (a, b) -> struct(a, b))")).as("p"))
-        .select(col("p.a").as("w1"), col("p.b").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      val uni = toks.select(explode(col("t")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      // Unigram joins unhinted (r10-#2 hazard class): the vocabulary is
-      // corpus-proportional, so no driver-pinned broadcast — AQE picks
-      // broadcast while small, shuffled join at scale.
-      big
-        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
-        .crossJoin(broadcast(big.agg(sum("c_xy").as("b_tot"))))
-        .filter(col("c_xy") >= 5)
-        // DECIMAL(38,0) intermediate (ADVICE r10): c_xy·b_tot·10⁶ as a
-        // BIGINT product approaches 2⁶³ once b_tot ~ 1e7 with frequent
-        // bigrams — non-ANSI Spark would wrap silently while the oracle
-        // errors. 38 digits hold the product up to b_tot ~ 1e12 exactly;
-        // DIV on decimals is IntegralDivide and lands back in BIGINT.
-        .withColumn("pmi_scaled",
-          expr("(CAST(c_xy AS DECIMAL(38,0)) * b_tot * 1000000)" +
-            " DIV (c_x * c_y)"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("pmi_scaled"), col("w1"), col("w2"))))
-        .filter(col("rk") <= 50)
-        .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_scaled")
-        .orderBy(desc("pmi_scaled"), col("w1"), col("w2"))
-    },
-
-    // Reciprocal-rank fusion (Cormack et al. 2009): merge two retriever
-    // rankings — term-frequency relevance for 'table' and a document-
-    // length prior — by Σ 1/(60+rank), the hybrid-search combiner that
-    // needs no score calibration. Ranks are deterministic (doc_id
-    // tiebreak); the RRF sum ships as Σ 10⁹ DIV (60+r), exact in both
-    // engines. The global rank windows are candidate-set-sized in a
-    // real retrieval stack (each retriever emits top-k upstream), so
-    // the fusion stage never sees the corpus.
-    "reciprocal_rank_fusion" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, d)
-        .withColumn("t", graft.ops.Dedup.tokens(col("text")))
-        .withColumn("tf",
-          expr("size(filter(t, x -> x = 'table'))").cast("long"))
-        .select("doc_id", "n_chars", "tf")
-      t.withColumn("r1", row_number().over(
-          Window.orderBy(desc("tf"), col("doc_id"))).cast("long"))
-        .withColumn("r2", row_number().over(
-          Window.orderBy(desc("n_chars"), col("doc_id"))).cast("long"))
-        .withColumn("rrf_scaled",
-          expr("1000000000 DIV (60 + r1) + 1000000000 DIV (60 + r2)"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("rrf_scaled"), col("doc_id"))))
-        .filter(col("rk") <= 20)
-        .select("doc_id", "r1", "r2", "rrf_scaled")
-        .orderBy(desc("rrf_scaled"), col("doc_id"))
-    },
-
-    // Manber mod-p fingerprint sampling (Manber 1994, "Finding similar
-    // files"): sample each document's token-trigram hashes at h ≡ 0
-    // (mod 8) — a content-defined 1-in-8 sample every document computes
-    // independently, so similar docs sample the SAME grams (unlike a
-    // random sample) — then pair docs sharing ≥ 2 sampled fingerprints.
-    // The df ≤ 32 cap drops ubiquitous fingerprints exactly as Manber
-    // drops common substrings; with it the inverted-index join is
-    // Σ df² over rare keys, not quadratic. The md5-family hash is the
-    // oracle-portable one (= DuckDB md5_number_upper).
-    "fingerprint_modp_candidates" -> { (s, d) =>
-      // Hash per OCCURRENCE, not via a distinct-gram side table: the r10
-      // form broadcast the corpus's distinct token-trigram domain to
-      // amortize md5 — but that domain grows ~linearly with the corpus,
-      // so the broadcast hint was a guaranteed driver OOM at 100× scale
-      // (VERDICT r10 #2). Inline hashing costs ≤2× the md5 work and
-      // removes BOTH string shuffles (the distinct and the gram join):
-      // after this select, every downstream exchange carries only longs.
-      val sampled = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
-        // shingles() is array_distinct per doc, so (doc_id, g) needs no
-        // extra distinct shuffle here.
-        .select(col("doc_id"), graft.ops.Dedup.md5Hash64(col("g"))
-          .bitwiseAND(lit(Long.MaxValue)).as("h"))
-        .filter(pmod(col("h"), lit(8L)) === 0)
-      // df cap as a count-over-h WINDOW, not a groupBy+self-join: the
-      // join form evaluated the md5 explode subtree twice (its two
-      // exchanges carry different payloads, so ReuseExchange can't
-      // collapse them); the window needs ONE h-exchange whose map side —
-      // the entire md5 scan — runs once and is reused by both sides of
-      // the pair join below (kept is h-partitioned and h-sorted already).
-      val kept = sampled
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        .filter(col("df") <= 32)
-      kept.select(col("doc_id").as("doc_a"), col("h"))
-        .join(kept.select(col("doc_id").as("doc_b"), col("h")), "h")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    },
-
-    // Two-sample Kolmogorov–Smirnov components for click-vs-purchase
-    // value distributions: D = max|F₁−F₂| cross-multiplied to the
-    // integer max|F₁·n₂ − F₂·n₁| (D = d_num / d_den), with the argmax
-    // support point. The ordered scan runs over DISTINCT cents values —
-    // a ≤15001-row frame regardless of corpus size (the value domain,
-    // not the event count), so the single-partition window is bounded
-    // by construction.
-    "ks_test_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"), floor(col("value") * 100).as("cents"))
-      val g = ev.groupBy("cents").agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("k1"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("k2"))
-      val tot = ev.agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("n1"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("n2"))
-      g.withColumn("f1", sum("k1").over(Window.orderBy("cents")))
-        .withColumn("f2", sum("k2").over(Window.orderBy("cents")))
-        .crossJoin(broadcast(tot))
-        .withColumn("dd",
-          abs(col("f1") * col("n2") - col("f2") * col("n1")))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("dd"), col("cents"))))
-        .filter(col("rk") === 1)
-        .select(col("n1"), col("n2"), col("dd").as("d_num"),
-          (col("n1") * col("n2")).as("d_den"),
-          col("cents").as("d_at_cents"))
-    },
-
-    // Bollinger-band position of daily revenue per type: 20-day rolling
-    // mean ± 2σ, breach tests cross-multiplied so no mean/stddev float
-    // ever exists — (20x − S)² vs 4·(20·Σx² − S²) compares (x−μ)² to
-    // (2σ)² exactly. Emits every complete-window day with its band
-    // verdict; the windowed pass runs over days×types rows whatever the
-    // event count underneath.
-    "bollinger_breaches" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100)).as("x"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-19, 0)
-      // Squares in DECIMAL(38,0) (ADVICE r10): x·x and ssum·ssum as
-      // BIGINT products wrap silently past |x| ~ 3e9 cents/day in
-      // non-ANSI Spark while the oracle errors — 38 digits keep the
-      // verdict exact to |x| ~ 1e18. The shipped square columns are
-      // micro-scaled (DIV 10⁶, truncation identical in both engines) so
-      // they stay exact BIGINTs to |x| ~ 2e13 cents/day per type.
-      daily.withColumn("cnt", count(lit(1)).over(w))
-        .withColumn("ssum", sum("x").over(w))
-        .withColumn("q",
-          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w))
-        .filter(col("cnt") === 20)
-        .withColumn("dev", lit(20L) * col("x") - col("ssum"))
-        .withColumn("dev_sq", expr("CAST(dev AS DECIMAL(38,0)) * dev"))
-        .withColumn("band_sq", expr(
-          "4 * (20 * q - CAST(ssum AS DECIMAL(38,0)) * ssum)"))
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("x").as("cents"),
-          expr("CAST(dev_sq DIV 1000000 AS BIGINT)").as("dev_sq_micro"),
-          expr("CAST(band_sq DIV 1000000 AS BIGINT)").as("band_sq_micro"),
-          when(col("dev_sq") <= col("band_sq"), "in")
-            .when(col("dev") > 0, "upper").otherwise("lower").as("band"))
-        .orderBy("event_type", "day")
-    },
-
-    // Candlestick pattern census on 5-minute K-bars (the reference's bar
-    // domain): doji, bullish/bearish engulfing, hammer — every test a
-    // pure integer comparison on cents OHLC (body·20 ≤ range is the 5%
-    // doji rule cross-multiplied). Bars are resampled once (the A1
-    // recipe on cents), the lag pass runs over bars — bounded by the
-    // time axis, not the tick count. Thin bars (volume < 3) are
-    // excluded from single-bar patterns so a 1-tick bar doesn't count
-    // as a doji.
-    "candlestick_patterns" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val bars = graft.ops.Resample.ohlcvFromTicks(
-        Tables.events(s, d).withColumn("cents",
-          floor(col("value") * 100)),
-        "cents", "5 minutes", keys = Seq(col("event_type")))
-      val w = Window.partitionBy("event_type").orderBy("ts")
-      bars
-        .withColumn("po", lag("open", 1).over(w))
-        .withColumn("pc", lag("close", 1).over(w))
-        .withColumn("body", abs(col("close") - col("open")))
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_bars"),
-          sum(when(col("volume") >= 3 && col("high") > col("low") &&
-            col("body") * 20 <= col("high") - col("low"), 1L)
-            .otherwise(0L)).as("n_doji"),
-          sum(when(col("pc") < col("po") && col("close") > col("open") &&
-            col("open") <= col("pc") && col("close") >= col("po"), 1L)
-            .otherwise(0L)).as("n_bullish_engulfing"),
-          sum(when(col("pc") > col("po") && col("close") < col("open") &&
-            col("open") >= col("pc") && col("close") <= col("po"), 1L)
-            .otherwise(0L)).as("n_bearish_engulfing"),
-          sum(when(col("volume") >= 3 && col("high") > col("low") &&
-            least(col("open"), col("close")) - col("low") >=
-              lit(2L) * col("body") &&
-            col("high") - greatest(col("open"), col("close")) <=
-              col("body"), 1L).otherwise(0L)).as("n_hammer"))
-        .orderBy("event_type")
-    },
-
-    // Winnowing (Schleimer et al. 2003, MOSS): in every sliding window
-    // of w=4 consecutive trigram hashes pick the minimum (rightmost on
-    // ties — encoded as min over h·2²⁰ + (2²⁰−1−pos), one integer key
-    // both engines order identically), guaranteeing every match of
-    // length ≥ w+2 tokens shares a fingerprint — the gap-free coverage
-    // the mod-p sample can't promise. Same df-capped inverted-index
-    // pairing as fingerprint_modp_candidates; hashes truncated to 40
-    // bits so the selection key fits a long.
-    "winnowing_fingerprints" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .withColumn("t", graft.ops.Dedup.tokens(col("text")))
-        .filter(size(col("t")) >= 3)
-      // Per-occurrence hashing (VERDICT r10 #2): the r10 distinct-gram
-      // broadcast grew with the corpus — see fingerprint_modp_candidates.
-      // Hashing inline also keeps the (doc_id, pos, h40) stream long-only
-      // and the whole winnowing window shuffle-free after the explode.
-      val keys = toks.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(t)-3)," +
-          " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-        .toDF("doc_id", "pos", "g")
-        .select(col("doc_id"), col("pos"),
-          graft.ops.Dedup.md5Hash64(col("g"))
-            .bitwiseAND(lit((1L << 40) - 1)).as("h40"))
-        .withColumn("key", col("h40") * lit(1048576L) +
-          (lit(1048575L) - col("pos")))
-      val wf = Window.partitionBy("doc_id").orderBy("pos")
-      val sel = keys
-        .withColumn("selkey", min("key").over(wf.rowsBetween(-3, 0)))
-        .withColumn("rn", row_number().over(wf))
-        .filter(col("rn") >= 4)
-        .select(col("doc_id"),
-          expr("selkey DIV 1048576").as("h40")).distinct()
-      // same window-form df cap as fingerprint_modp_candidates: one
-      // h40-exchange, winnowing selection computed once, pair join
-      // reuses the shuffle.
-      val kept = sel
-        .withColumn("df", count(lit(1)).over(
-          Window.partitionBy("h40")))
-        .filter(col("df") <= 32)
-      kept.select(col("doc_id").as("doc_a"), col("h40"))
-        .join(kept.select(col("doc_id").as("doc_b"), col("h40")), "h40")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    },
-
-    // Deterministic stratified sampling with exact largest-remainder
-    // quotas: a 200-doc budget allocated per language proportionally
-    // (floor + the remainder ranking for the leftover units — the
-    // apportionment rule, no float weights), members chosen by keyed
-    // md5 order so the sample is reproducible and engine-independent.
-    // The quota table is strata-sized and broadcast; the per-stratum
-    // rank is one window over each stratum — the training-data
-    // subsampling primitive at any corpus scale.
-    "stratified_sample_quota" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
-      val q = counts
-        .crossJoin(broadcast(counts.agg(sum("n_l").as("n"))))
-        .withColumn("base", expr("(200 * n_l) DIV n"))
-        .withColumn("rem", expr("(200 * n_l) % n"))
-      val quotas = q
-        .crossJoin(broadcast(q.agg((lit(200L) - sum("base")).as("extra"))))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("rem"), col("lang"))).cast("long"))
-        .withColumn("quota",
-          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
-        .select("lang", "quota")
-      docs.join(broadcast(quotas), "lang")
-        .withColumn("hk", graft.ops.Dedup.md5Hash64(
-          concat(lit("smp|"), col("doc_id")))
-          .bitwiseAND(lit(Long.MaxValue)))
-        .withColumn("sample_rank", row_number().over(
-          Window.partitionBy("lang").orderBy("hk", "doc_id")).cast("long"))
-        .filter(col("sample_rank") <= col("quota"))
-        .select("lang", "sample_rank", "doc_id")
-        .orderBy("lang", "sample_rank")
-    },
-
-    // Query-directed multi-probe LSH (Lv et al. 2007): ONE 10-plane
-    // table, with each query probing its own bucket plus all subset-
-    // flips of its 3 smallest-margin hyperplanes (8 probes) — the
-    // recall of ~8 independent tables while the corpus is hashed once.
-    // At the persisted-layout scale this is the difference between
-    // storing the index once vs `tables` times. Same planted-near-dup
-    // recall@1 ≥ 0.8 oracle contract as embed_topk_lsh.
-    "embed_topk_multiprobe" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d)
-      val q = perturbedQueries(emb)
-      val exact = Similarity.topKBruteForce(emb, q, k = 5)
-      val planes = 10
-      val c = emb.withColumn("__bkt",
-        Similarity.signBucket(col("embedding"), 64, planes))
-      val probes = q.withColumn("__bkt", explode(
-        Similarity.multiProbeBuckets(col("query_vec"), 64, planes,
-          nFlip = 3)))
-      val ann = c.join(broadcast(probes), "__bkt")
-        .withColumn("sim",
-          Similarity.cosine(col("embedding"), col("query_vec")))
-        // a candidate found by several probes is one candidate
-        .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("sim"),
-            col("vec_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("sim"), 6).as("sim"))
-      withRecallOk(exact, ann)
-    },
-
-    // Exact Shapley-value attribution over the 3 pre-purchase channels
-    // (view, click, signup): v(S) = converting users whose touch set ⊆ S,
-    // φᵢ = Σ_S |S|!(2−|S|)!/3! · [v(S∪i) − v(S)] — the game-theoretic
-    // credit split, computed EXACTLY by scaling by 3! = 6 (weights
-    // 2,1,1,2 become integers). The per-user mask pass is one conditional
-    // aggregation over events; everything after operates on the 8-row
-    // subset lattice — constant-size regardless of corpus scale.
-    "shapley_attribution_3ch" -> { (s, d) =>
-      val um = Tables.events(s, d).groupBy("user_id").agg(
-        max(when(col("event_type") === "view", 1L).otherwise(0L))
-          .as("bv"),
-        max(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("bc"),
-        max(when(col("event_type") === "signup", 1L).otherwise(0L))
-          .as("bs"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
-        .withColumn("mask",
-          col("bv") + col("bc") * 2 + col("bs") * 4)
-      val cm = um.filter(col("conv") === 1)
-        .groupBy("mask").agg(count(lit(1)).as("c"))
-      val v = s.range(8).select(col("id").as("S"))
-        .join(broadcast(cm), expr("(mask & S) = mask"), "left")
-        .groupBy("S").agg(coalesce(sum("c"), lit(0L)).as("v"))
-      val vcols = (0 to 7).map(i =>
-        sum(when(col("S") === i, col("v"))).as(s"v$i"))
-      val vrow = v.agg(vcols.head, vcols.tail: _*)
-      def phi(ch: String, i: Int, j: Int, k: Int) = {
-        // φ_i·6 = 2(v{i}−v∅) + (v{ij}−v{j}) + (v{ik}−v{k}) + 2(vN−v{jk})
-        vrow.select(lit(ch).as("channel"),
-          (lit(2L) * (col(s"v$i") - col("v0")) +
-            (col(s"v${i + j}") - col(s"v$j")) +
-            (col(s"v${i + k}") - col(s"v$k")) +
-            lit(2L) * (col("v7") - col(s"v${j + k}"))).as("phi_x6"),
-          col("v7").as("v_full"), col("v0").as("v_none"))
-      }
-      phi("view", 1, 2, 4)
-        .unionByName(phi("click", 2, 1, 4))
-        .unionByName(phi("signup", 4, 1, 2))
-        .orderBy("channel")
-    },
-
-    // Dictionary phrase tagging — the taxonomy-classification pass of a
-    // curation pipeline: a categorized phrase dictionary (uni- and
-    // bigrams) matched against every document by OCCURRENCE (positional
-    // n-grams, not the distinct shingle set), per-category match and
-    // doc counts plus the top-matching document. At scale this is one
-    // broadcast join of the corpus n-gram stream against a dictionary
-    // that is tiny by construction — no shuffle touches the corpus
-    // until the per-doc aggregation.
-    "dictionary_phrase_tagging" -> { (s, d) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val dict = Seq(
-        ("storage", "table"), ("storage", "row scan"),
-        ("storage", "column"), ("engine", "query"),
-        ("engine", "sort merge"), ("engine", "hash join"),
-        ("stream", "stream"), ("stream", "window"), ("stream", "batch")
-      ).toDF("category", "phrase")
-      val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .withColumn("t", graft.ops.Dedup.tokens(col("text")))
-      val g1 = toks.select(col("doc_id"), explode(col("t")).as("phrase"))
-      val g2 = toks.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t)-2)," +
-            " i -> concat_ws(' ', t[i], t[i+1]))")).as("phrase"))
-      val m = g1.unionByName(g2).join(broadcast(dict), "phrase")
-        .groupBy("doc_id", "category")
-        .agg(count(lit(1)).as("n"))
-      m.withColumn("rk", row_number().over(
-          Window.partitionBy("category").orderBy(desc("n"), col("doc_id"))))
-        .groupBy("category")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_matches"),
-          max(when(col("rk") === 1, col("doc_id"))).as("top_doc_id"),
-          max(when(col("rk") === 1, col("n"))).as("top_doc_matches"))
-        .orderBy("category")
-    }
-  )
-
-  // ---- oracles ----------------------------------------------------------
-
-  /** Unrolled xy2d Hilbert oracle for hilbert_layout_events: the same 8
-    * rotation stages as the engine side, generated as chained CTEs (each
-    * stage reads the previous stage's (x, y, hd) — the sequential bit
-    * loop made relational).
-    */
-  private def hilbertOracleSql: String = {
-    val stages = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
-      case (sz, i) =>
-        s"""h${i + 1} AS (
-           |  SELECT event_id,
-           |    hd + ${sz * sz} * (CASE
-           |      WHEN (x & $sz) > 0 AND (y & $sz) = 0 THEN 3
-           |      WHEN (x & $sz) > 0 THEN 2
-           |      WHEN (y & $sz) > 0 THEN 1 ELSE 0 END) AS hd,
-           |    CASE WHEN (y & $sz) = 0 THEN
-           |      CASE WHEN (x & $sz) > 0 THEN 255 - y ELSE y END
-           |    ELSE x END AS x,
-           |    CASE WHEN (y & $sz) = 0 THEN
-           |      CASE WHEN (x & $sz) > 0 THEN 255 - x ELSE x END
-           |    ELSE y END AS y
-           |  FROM h$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT event_id, epoch_us(ts) AS eus,
-       |    CAST(floor(value * 100) AS BIGINT) AS cents
-       |  FROM events),
-       |sp AS (SELECT min(eus) AS tlo, max(eus) AS thi,
-       |  min(cents) AS vlo, max(cents) AS vhi FROM e),
-       |h0 AS (
-       |  SELECT event_id,
-       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x,
-       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y,
-       |    CAST(0 AS BIGINT) AS hd
-       |  FROM e CROSS JOIN sp),
-       |$stages
-       |SELECT hd // 256 AS key_bucket, count(*) AS n,
-       |  min(hd) AS min_key, max(hd) AS max_key,
-       |  CAST(sum(hd) AS BIGINT) AS key_sum
-       |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
-  }
-
-  /** Same Hilbert CTE ladder as [[hilbertOracleSql]] but carrying the
-    * natural chunk and the frozen (x0, y0) coordinates through, plus the
-    * Morton interleave, for layout_prune_comparison.
-    */
-  private def layoutPruneOracleSql: String = {
-    val stages = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
-      case (sz, i) =>
-        s"""h${i + 1} AS (
-           |  SELECT chunk_nat, x0, y0,
-           |    hd + ${sz * sz} * (CASE
-           |      WHEN (x & $sz) > 0 AND (y & $sz) = 0 THEN 3
-           |      WHEN (x & $sz) > 0 THEN 2
-           |      WHEN (y & $sz) > 0 THEN 1 ELSE 0 END) AS hd,
-           |    CASE WHEN (y & $sz) = 0 THEN
-           |      CASE WHEN (x & $sz) > 0 THEN 255 - y ELSE y END
-           |    ELSE x END AS x,
-           |    CASE WHEN (y & $sz) = 0 THEN
-           |      CASE WHEN (x & $sz) > 0 THEN 255 - x ELSE x END
-           |    ELSE y END AS y
-           |  FROM h$i)""".stripMargin
-    }.mkString(",\n")
-    val zterms = (for {
-      (dim, dd) <- Seq("x0", "y0").zipWithIndex
-      i <- 0 until 8
-    } yield s"((($dim >> $i) & 1) << ${i * 2 + dd})").mkString(" | ")
-    def lay(name: String, chunk: String) =
-      s"""SELECT '$name' AS layout,
-         |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_rows_matched,
-         |  count(DISTINCT CASE WHEN matched THEN $chunk END)
-         |    AS chunks_touched,
-         |  count(DISTINCT $chunk) AS chunks_total,
-         |  (1000 * (count(DISTINCT $chunk)
-         |    - count(DISTINCT CASE WHEN matched THEN $chunk END)))
-         |    // count(DISTINCT $chunk) AS prune_permille
-         |FROM k""".stripMargin
-    s"""WITH e AS (
-       |  SELECT event_id, epoch_us(ts) AS eus,
-       |    CAST(floor(value * 100) AS BIGINT) AS cents
-       |  FROM events),
-       |sp AS (SELECT min(eus) AS tlo, max(eus) AS thi,
-       |  min(cents) AS vlo, max(cents) AS vhi,
-       |  min(event_id) AS ilo, max(event_id) AS ihi FROM e),
-       |h0 AS (
-       |  SELECT
-       |    ((event_id - ilo) * 256) // (ihi - ilo + 1) AS chunk_nat,
-       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x0,
-       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y0,
-       |    CAST(((cents - vlo) * 256) // (vhi - vlo + 1) AS INT) AS x,
-       |    CAST(((eus - tlo) * 256) // (thi - tlo + 1) AS INT) AS y,
-       |    CAST(0 AS BIGINT) AS hd
-       |  FROM e CROSS JOIN sp),
-       |$stages,
-       |k AS (
-       |  SELECT chunk_nat, zd // 256 AS chunk_z, hd // 256 AS chunk_h,
-       |    (x0 BETWEEN 100 AND 140 AND y0 BETWEEN 64 AND 128) AS matched
-       |  FROM (SELECT h8.*, CAST($zterms AS BIGINT) AS zd FROM h8))
-       |${lay("1_natural", "chunk_nat")}
-       |UNION ALL
-       |${lay("2_zorder", "chunk_z")}
-       |UNION ALL
-       |${lay("3_hilbert", "chunk_h")}
-       |ORDER BY layout""".stripMargin
-  }
-
-  /** Oracle for cdc_chunk_dedup_rabin: the rolling polynomial re-derived
-    * per position as a closed form — 8 ord() terms with literal 32^k
-    * coefficients (no modulus needed, see RabinChunkStarts) — then the
-    * same sentinel/lead/md5-chunk accounting as the md5 CDC oracle.
-    */
-  private def rabinCdcOracleSql: String = {
-    val terms = (7 to 0 by -1).map(j =>
-      s"CAST(ord(substr(t, i - $j, 1)) AS BIGINT) * ${BigInt(32).pow(j)}")
-      .mkString("\n             + ")
-    s"""WITH n AS (SELECT doc_id,
-       |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-       |  FROM documents),
-       |b AS (
-       |  SELECT doc_id, t, unnest(
-       |    list_concat([CAST(1 AS BIGINT)],
-       |      list_concat(
-       |        [CAST(i + 1 AS BIGINT) for i in range(8, len(t) + 1)
-       |         if (($terms) & 63) = 0],
-       |        [CAST(len(t) + 1 AS BIGINT)]))) AS pos
-       |  FROM n),
-       |bd AS (SELECT DISTINCT doc_id, t, pos FROM b),
-       |ch AS (
-       |  SELECT doc_id, pos AS st,
-       |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS en, t
-       |  FROM bd),
-       |chunks AS (
-       |  SELECT md5(substr(t, CAST(st AS INT), CAST(en - st AS INT)))
-       |    AS ch
-       |  FROM ch WHERE en IS NOT NULL AND en > st)
-       |SELECT count(*) AS n_chunk_slots,
-       |  count(DISTINCT ch) AS n_distinct_chunks,
-       |  count(*) - count(DISTINCT ch) AS dup_slots
-       |FROM chunks""".stripMargin
-  }
-
-  /** Generated oracle for minhash_band_recall_curve: 16 md5 signature
-    * mins (sign-masked to match the Spark side bit-for-bit), three band
-    * configurations as OR-of-conjunction pair joins, gold from the
-    * all-pairs Jaccard closure.
-    */
-  private def minhashBandOracleSql: String = {
-    val sigDefs = (0 until 16).map(i =>
-      s"""min(CAST(md5_number_upper('mh$i|' || g)
-         |      & 9223372036854775807 AS BIGINT)) AS s$i""".stripMargin)
-      .mkString(",\n    ")
-    def disj(b: Int, r: Int) = (0 until b).map(j =>
-      "(" + (0 until r).map(x => s"a.s${j * r + x} = b.s${j * r + x}")
-        .mkString(" AND ") + ")").mkString("\n     OR ")
-    def cand(name: String, b: Int, r: Int) =
-      s"""$name AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |  WHERE ${disj(b, r)})""".stripMargin
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-       |                   for i in range(1, len(s) - 1)]) AS sh
-       |  FROM (SELECT doc_id, regexp_split_to_array(
-       |          trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS s
-       |        FROM documents)),
-       |u2 AS (SELECT doc_id, unnest(sh) AS g FROM t),
-       |sg AS (SELECT doc_id,
-       |    $sigDefs
-       |  FROM u2 GROUP BY 1),
-       |p AS (
-       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-       |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-       |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-       |gold AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
-       |ng AS (SELECT count(*) AS n_gold FROM gold),
-       |${cand("c0", 1, 16)},
-       |${cand("c1", 2, 8)},
-       |${cand("c2", 4, 4)},
-       |${cand("c3", 8, 2)},
-       |cand AS (
-       |  SELECT 'b1_r16' AS config, id1, id2 FROM c0
-       |  UNION ALL SELECT 'b2_r8', id1, id2 FROM c1
-       |  UNION ALL SELECT 'b4_r4', id1, id2 FROM c2
-       |  UNION ALL SELECT 'b8_r2', id1, id2 FROM c3),
-       |j AS (
-       |  SELECT cand.config, gold.id1 AS gid
-       |  FROM cand LEFT JOIN gold
-       |    ON gold.id1 = cand.id1 AND gold.id2 = cand.id2)
-       |SELECT j.config, count(*) AS n_candidates, ng.n_gold,
-       |  CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_hit,
-       |  (1000 * CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT)) // ng.n_gold AS recall_permille,
-       |  (1000 * CAST(sum(CASE WHEN gid IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT)) // count(*) AS precision_permille
-       |FROM j CROSS JOIN ng GROUP BY 1, ng.n_gold
-       |ORDER BY 1""".stripMargin
-  }
-
-  /** Unrolled Bellman-Ford oracle for weighted_sssp_knn: the kNN chain,
-    * rounded-sim edge weights floor((1 − sim₆)·10⁶), seeds 0–3, and 12
-    * explicit relax rounds (measured fixpoint: 5 at sf0.01, 8 at sf0.1).
-    * A deeper-than-12 fixpoint shows up as a distance mismatch, never a
-    * silent truncation.
-    */
-  private def ssspOracleSql: String = {
-    val rounds = (1 to 12).map { r =>
-      s"""d$r AS MATERIALIZED (
-         |  SELECT v, min(d) AS d FROM (
-         |    SELECT v, d FROM d${r - 1}
-         |    UNION ALL
-         |    SELECT ed.u AS v, d${r - 1}.d + ed.w AS d
-         |    FROM d${r - 1} JOIN ed ON ed.v = d${r - 1}.v
-         |  ) GROUP BY v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8),
-       |s AS (
-       |  SELECT a.vec_id, c.cid,
-       |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-       |              for i in range(1, len(a.embedding) + 1)]) /
-       |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-       |                    for i in range(1, len(a.embedding) + 1)])) *
-       |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-       |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-       |  FROM embeddings a CROSS JOIN c),
-       |asg AS (SELECT vec_id, cid FROM s
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |                             ORDER BY sim DESC, cid) = 1),
-       |p AS (
-       |  SELECT x.vec_id AS src, y.vec_id AS dst,
-       |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-       |              for i in range(1, len(ax.embedding) + 1)]) /
-       |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-       |                    for i in range(1, len(ax.embedding) + 1)])) *
-       |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-       |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-       |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-       |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-       |e AS (SELECT src, dst, round(sim, 6) AS sm FROM (
-       |    SELECT src, dst, sim, row_number() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
-       |uw AS MATERIALIZED (
-       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-       |    CAST(floor((1 - max(sm)) * 1000000) AS BIGINT) AS w
-       |  FROM e GROUP BY 1, 2),
-       |ed AS MATERIALIZED (SELECT a AS v, b AS u, w FROM uw
-       |  UNION ALL SELECT b, a, w FROM uw),
-       |d0 AS MATERIALIZED (SELECT DISTINCT v, CAST(0 AS BIGINT) AS d
-       |  FROM ed WHERE v < 4),
-       |$rounds
-       |SELECT v, d FROM d12 ORDER BY v""".stripMargin
-  }
-
-  /** Unrolled peel oracle for graph_onion_layers_knn: the same kNN chain
-    * as degree_distribution_knn's oracle up to the undirected edge set
-    * `u`, then 8 explicit k=4 peel rounds (measured fixpoint: 4 rounds at
-    * both oracle SFs; if regenerated data ever peels deeper than 8, s8 is
-    * not the fixpoint and the compare FAILS rather than silently
-    * mislabeling unpeeled vertices as core).
-    */
-  private def onionOracleSql: String = {
-    val rounds = (1 to 8).map { r =>
-      s"""e$r AS MATERIALIZED (SELECT a, b FROM u
-         |  WHERE a IN (SELECT v FROM s${r - 1})
-         |    AND b IN (SELECT v FROM s${r - 1})),
-         |d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
-         |  SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
-         |s$r AS MATERIALIZED (SELECT s.v FROM s${r - 1} s JOIN d$r d ON d.v = s.v
-         |  WHERE d.deg >= 4)""".stripMargin
-    }.mkString(",\n")
-    val layerArms = (1 to 8).map { r =>
-      s"SELECT v, $r AS layer FROM s${r - 1} " +
-        s"WHERE v NOT IN (SELECT v FROM s$r)"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8),
-       |s AS (
-       |  SELECT a.vec_id, c.cid,
-       |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-       |              for i in range(1, len(a.embedding) + 1)]) /
-       |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-       |                    for i in range(1, len(a.embedding) + 1)])) *
-       |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-       |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-       |  FROM embeddings a CROSS JOIN c),
-       |asg AS (SELECT vec_id, cid FROM s
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |                             ORDER BY sim DESC, cid) = 1),
-       |p AS (
-       |  SELECT x.vec_id AS src, y.vec_id AS dst,
-       |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-       |              for i in range(1, len(ax.embedding) + 1)]) /
-       |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-       |                    for i in range(1, len(ax.embedding) + 1)])) *
-       |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-       |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-       |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-       |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-       |e AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
-       |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-       |  greatest(src, dst) AS b FROM e WHERE src <> dst),
-       |s0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM u
-       |  UNION SELECT DISTINCT b FROM u),
-       |$rounds,
-       |layers AS (
-       |  $layerArms
-       |  UNION ALL SELECT v, 0 AS layer FROM s8)
-       |SELECT layer, count(*) AS n_vertices,
-       |  CAST(sum(v) AS BIGINT) AS id_checksum
-       |FROM layers GROUP BY 1 ORDER BY layer""".stripMargin
-  }
-
-  private val ohlcvOracle = """
-    |SELECT event_type,
-    |  strftime(time_bucket(%BUCKET%, ts - INTERVAL 1 MICROSECOND%OFF%),
-    |           '%Y-%m-%d %H:%M:%S') AS ts,
-    |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-    |  arg_max(value, ts) AS close, count(*) AS volume
-    |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin
-
-  /** Deterministic near-dup perturbation for the ANN recall oracles: each
-    * coordinate scaled by 1 + {-3..3}·0.08, the factor keyed on (id,
-    * coordinate) by integer arithmetic both engines evaluate identically;
-    * the result is cast back to FLOAT so both sides compute cosine in
-    * double over bit-identical float inputs. Cosine to the source vector
-    * lands ≈ 0.985 — close enough to be a genuine near-duplicate, far
-    * enough that retrieval must cross hyperplane/cell boundaries (an
-    * EXACT copy would reduce the recall check to the trivial self-hit).
-    * SQL mirror: [[perturbSqlFor]].
-    */
-  private def perturb(idCol: Column, vec: Column): Column =
-    transform(vec, (x, j) =>
-      (x.cast("double") * (lit(1.0) +
-        (pmod(idCol * 31 + j.cast("long") * 17, lit(7)) - 3).cast("double") *
-          lit(0.08))).cast("float"))
-
-  /** DuckDB mirror of [[perturb]] over column `vecExpr` of row alias with
-    * id `idExpr` (DuckDB lists are 1-based, hence `i-1`).
-    */
-  private def perturbSqlFor(idExpr: String, vecExpr: String): String =
-    s"""[($vecExpr[i]::DOUBLE * (1.0 +
-       |  (($idExpr*31 + (i-1)*17) % 7 - 3)::DOUBLE * 0.08))::FLOAT
-       | for i in range(1, len($vecExpr) + 1)]""".stripMargin
-
-  /** The 10 perturbed near-dup queries shared by the ANN driver entries. */
-  private def perturbedQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
-      perturb(col("vec_id"), col("embedding")).as("query_vec"))
-
-  /** Emit the EXACT top-5 rows plus one global recall@1 bound measured on
-    * the ANN result: the true nearest neighbour (exact rank 1) must appear
-    * anywhere in the ANN top-5 for ≥ 80% of queries. All frames here are
-    * queries×k-sized — the 1-row bound is a broadcast, not a barrier.
-    */
-  private def withRecallOk(exact: DataFrame, ann: DataFrame): DataFrame = {
-    val top1 = exact.filter(col("rank") === 1)
-      .select(col("query_id"), col("vec_id").as("nn_id"))
-    val found = top1.join(
-      ann.select(col("query_id"), col("vec_id").as("nn_id")),
-      Seq("query_id", "nn_id"))
-    val ok = broadcast(top1.agg(count(lit(1)).as("nq"))
-      .crossJoin(found.agg(count(lit(1)).as("nh")))
-      .select((col("nh").cast("double") >= col("nq").cast("double") * 0.8)
-        .as("recall_ok")))
-    exact.crossJoin(ok)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
-        col("recall_ok"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** Exact cosine top-5 oracle, shared by `embed_topk_bruteforce` and the
-    * exact-degenerate ANN configs (which provably return the same rows).
-    */
-  private val topk5OracleSql: String =
-    """WITH q AS (
-      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-      |s AS (
-      |  SELECT q.query_id, e.vec_id,
-      |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-      |              for i in range(1, len(e.embedding) + 1)]) /
-      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-      |                    for i in range(1, len(e.embedding) + 1)])) *
-      |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-      |                    for i in range(1, len(q.qv) + 1)]))) AS sim
-      |  FROM embeddings e CROSS JOIN q),
-      |r AS (
-      |  SELECT query_id, vec_id, sim,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-      |  FROM s)
-      |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM r
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** The k=3 within-cell kNN edge list — shared by embed_knn_graph
-    * (fresh build) and knn_graph_persisted (layout-served slice): cell
-    * assignment over the 8 lowest-id centroids, exact within-cell top-3
-    * by (sim desc, dst); both engines compute the cosine as a double dot
-    * product in index order, so rounded sims and ranking are
-    * bit-identical. */
-  private val knnGraphK3OracleSql: String =
-    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-      |      FROM embeddings WHERE vec_id < 8),
-      |s AS (
-      |  SELECT a.vec_id, c.cid,
-      |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-      |              for i in range(1, len(a.embedding) + 1)]) /
-      |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-      |                    for i in range(1, len(a.embedding) + 1)])) *
-      |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-      |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-      |  FROM embeddings a CROSS JOIN c),
-      |asg AS (
-      |  SELECT vec_id, cid FROM s
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id
-      |                             ORDER BY sim DESC, cid) = 1),
-      |p AS (
-      |  SELECT x.vec_id AS src, y.vec_id AS dst,
-      |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-      |              for i in range(1, len(ax.embedding) + 1)]) /
-      |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-      |                    for i in range(1, len(ax.embedding) + 1)])) *
-      |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-      |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-      |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-      |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-      |r AS (
-      |  SELECT src, dst, sim,
-      |    row_number() OVER (PARTITION BY src
-      |                       ORDER BY sim DESC, dst) AS rank
-      |  FROM p)
-      |SELECT src, rank, dst, round(sim, 6) AS sim FROM r
-      |WHERE rank <= 3 ORDER BY src, rank""".stripMargin
-
-  /** Exact top-5 of the PERTURBED near-dup queries + the asserted recall
-    * bound — oracle for the approximate ANN driver entries (see
-    * `embed_topk_lsh`). The oracle recomputes the exact side in full; the
-    * recall boolean is the Spark-side measurement it pins to TRUE.
-    */
-  private val topk5PerturbedOracleSql: String =
-    s"""WITH q AS (
-      |  SELECT vec_id AS query_id,
-      |    ${perturbSqlFor("vec_id", "embedding")} AS qv
-      |  FROM embeddings WHERE vec_id < 10),
-      |s AS (
-      |  SELECT q.query_id, e.vec_id,
-      |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-      |              for i in range(1, len(e.embedding) + 1)]) /
-      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-      |                    for i in range(1, len(e.embedding) + 1)])) *
-      |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-      |                    for i in range(1, len(q.qv) + 1)]))) AS sim
-      |  FROM embeddings e CROSS JOIN q),
-      |r AS (
-      |  SELECT query_id, vec_id, sim,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-      |  FROM s)
-      |SELECT query_id, rank, vec_id, round(sim, 6) AS sim, true AS recall_ok
-      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-
-    "resample_5m_ohlcv" -> ohlcvOracle
-      .replace("%BUCKET%", "INTERVAL '5 minutes'").replace("%OFF%", ""),
-
-    "resample_60m_offset45" -> ohlcvOracle
-      .replace("%BUCKET%", "INTERVAL '60 minutes'")
-      .replace("%OFF%", ", INTERVAL '45 minutes'"),
-
-    "resample_60m" -> ohlcvOracle
-      .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", ""),
-
-    // The streaming path must emit EXACTLY the batch answer once the
-    // sentinel closes every real window — same oracle as the batch query.
-    "streaming_5m_ohlcv" -> ohlcvOracle
-      .replace("%BUCKET%", "INTERVAL '5 minutes'").replace("%OFF%", ""),
-
-    // Streaming bars + broadcast interval back-adjust ≡ the same batch
-    // composition: 5-min close bars left-joined to per-day intervals,
-    // adj_close an exact IEEE sum (diff is an integral count).
-    "streaming_backadjust_5m" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |    time_bucket(INTERVAL '5 minutes', ts - INTERVAL 1 MICROSECOND)
-        |      AS bts,
-        |    arg_max(value, ts) AS close, count(*) AS volume
-        |  FROM events GROUP BY 1, 2),
-        |dim AS (
-        |  SELECT strftime(ts, '%Y%m%d') AS contract_day,
-        |    min(ts) AS start_k, max(ts) AS settle_k,
-        |    CAST(count(*) AS DOUBLE) AS diff
-        |  FROM events GROUP BY 1)
-        |SELECT b.event_type,
-        |  strftime(b.bts, '%Y-%m-%d %H:%M:%S') AS ts, b.close, b.volume,
-        |  coalesce(dim.contract_day, '') AS contract_day,
-        |  b.close + coalesce(dim.diff, 0) AS adj_close
-        |FROM b LEFT JOIN dim
-        |  ON b.bts >= dim.start_k AND b.bts <= dim.settle_k
-        |ORDER BY event_type, ts""".stripMargin,
-
-    // Two-level streaming rollup ≡ direct 60-minute aggregation: the
-    // carried aggregates are associative (count/min/max), so the
-    // identity is exact.
-    "streaming_two_level_windows" ->
-      """SELECT event_type,
-        |  strftime(time_bucket(INTERVAL '60 minutes', ts),
-        |           '%Y-%m-%d %H:%M:%S') AS hour,
-        |  count(*) AS n_events, min(value) AS min_value,
-        |  max(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
-
-    // Complete-mode top-k ≡ the batch ranking (deterministic id
-    // tiebreak).
-    "streaming_topk_complete" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events GROUP BY 1
-        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
-
-    // Hashed-bigram linear discriminant, exact integers end to end;
-    // md5_number_upper masked = the Spark side's md5Hash64 family.
-    "dsir_importance_weights" ->
-      """WITH bg AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_distinct([s[i] || ' ' || s[i+1]
-        |                          for i in range(1, len(s))])) AS g
-        |  FROM (SELECT doc_id, source, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |bb AS (SELECT doc_id, source,
-        |  CAST((md5_number_upper(g) & 9223372036854775807) % 256 AS BIGINT)
-        |    AS b FROM bg),
-        |t AS (SELECT b, count(*) AS t_cnt FROM bb
-        |      WHERE source = 'src0' GROUP BY 1),
-        |s AS (SELECT b, count(*) AS s_cnt FROM bb
-        |      WHERE source <> 'src0' GROUP BY 1),
-        |tot AS (SELECT
-        |  (SELECT count(*) FROM bb WHERE source = 'src0') AS t_tot,
-        |  (SELECT count(*) FROM bb WHERE source <> 'src0') AS s_tot)
-        |SELECT bb.doc_id,
-        |  CAST(sum(coalesce(t.t_cnt, 0) * tot.s_tot -
-        |           coalesce(s.s_cnt, 0) * tot.t_tot) AS BIGINT) AS score
-        |FROM bb LEFT JOIN t USING (b) LEFT JOIN s USING (b), tot
-        |WHERE bb.source <> 'src0'
-        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
-
-    // Same deterministic luminance construction as video_shot_boundaries
-    // but content-keyed (vid % 20 == 1 re-encodes its predecessor), then
-    // the identical keyframe-band signature grouping.
-    "video_keyframe_dedup" ->
-      """WITH vids AS (SELECT unnest(range(300)) AS vid),
-        |base AS (SELECT vid,
-        |  CASE WHEN vid % 20 = 1 THEN vid - 1 ELSE vid END AS cid
-        |  FROM vids),
-        |fr AS (SELECT vid, cid, f.f AS f FROM base, range(40) f(f)),
-        |cuts AS (SELECT vid, cid, f,
-        |  CAST(sum(CASE WHEN f > 0 AND
-        |      (md5_number_upper('cut|' || cid || '|' || f) & 7) = 0
-        |      THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS shot_true
-        |  FROM fr),
-        |lum AS (SELECT vid, cid, f,
-        |  CAST((md5_number_upper('b|' || cid || '|' || shot_true) & 255) +
-        |       (md5_number_upper('j|' || cid || '|' || f) & 15) AS BIGINT)
-        |    AS lum
-        |  FROM cuts),
-        |sig AS (SELECT vid,
-        |  CAST(md5_number_upper(string_agg(lum // 32, ',' ORDER BY f))
-        |       & 9223372036854775807 AS BIGINT) AS signature
-        |  FROM lum WHERE f % 8 = 0 GROUP BY vid)
-        |SELECT signature, min(vid) AS survivor_vid, count(*) AS n_copies,
-        |  CAST(sum(vid) AS BIGINT) AS vid_checksum
-        |FROM sig GROUP BY 1 HAVING count(*) > 1
-        |ORDER BY survivor_vid""".stripMargin,
-
-    // The observed metrics must equal a dedicated aggregation pass.
-    "observed_metrics_audit" ->
-      """SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents,
-        |  min(user_id) AS min_user, max(user_id) AS max_user,
-        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS null_props
-        |FROM events""".stripMargin,
-
-    // Complete-unit coincidence components; all exact integers.
-    "krippendorff_alpha_components" ->
-      """WITH r AS (
-        |  SELECT user_id, event_type, count(*) % 4 AS rating
-        |  FROM events GROUP BY 1, 2),
-        |cu AS (SELECT user_id FROM r GROUP BY 1 HAVING count(*) = 5),
-        |ru AS (SELECT r.* FROM r JOIN cu USING (user_id)),
-        |d AS (SELECT
-        |  CAST(sum(CASE WHEN a.rating <> b.rating THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS observed_disagree_pairs,
-        |  count(*) AS total_pairs
-        |  FROM ru a JOIN ru b ON a.user_id = b.user_id
-        |    AND a.event_type <> b.event_type),
-        |m AS (SELECT CAST(sum(nc) AS BIGINT) AS n_total,
-        |  CAST(sum(nc * nc) AS BIGINT) AS sum_nc_sq FROM (
-        |    SELECT rating, count(*) AS nc FROM ru GROUP BY 1) t(rating, nc)),
-        |u AS (SELECT count(*) AS n_units FROM cu)
-        |SELECT u.n_units, m.n_total, m.sum_nc_sq,
-        |  d.observed_disagree_pairs, d.total_pairs,
-        |  m.n_total * m.n_total - m.sum_nc_sq
-        |    AS expected_disagree_pairs_numer
-        |FROM d, m, u""".stripMargin,
-
-    // Batch gap sessionization with session_window's boundary rule
-    // (an event at exactly prev+gap opens a NEW session — windows are
-    // [start, last+gap) half-open), session end = last event + gap.
-    "streaming_session_window" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS <= ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS sid
-        |  FROM flagged)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts) + INTERVAL 1800 SECONDS,
-        |           '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_event_id
-        |FROM idx GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "json_extract_props" ->
-      """SELECT event_type, count(*) AS n,
-        |  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark emits BIGINT
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // epoch_ms truncation matches Spark's unix_millis; the decimal window
-    // sum is order-independent, cast to double only at the end.
-    "window_range_frame" ->
-      """SELECT event_id, event_type,
-        |  count(*) OVER w AS n_10m,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
-        |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
-        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    // Long-form reshape of the 60-min bars: metric value pairs via UNION
-    // ALL (plain ANSI mirror of Spark's native unpivot).
-    "unpivot_bars" -> {
-      val base = ohlcvOracle
-        .replace("%BUCKET%", "INTERVAL '60 minutes'").replace("%OFF%", "")
-        .replace("ORDER BY event_type, ts", "")
-      s"""WITH b AS ($base)
-         |SELECT event_type, ts, 'open' AS metric, open AS value FROM b
-         |UNION ALL
-         |SELECT event_type, ts, 'high', high FROM b
-         |UNION ALL
-         |SELECT event_type, ts, 'low', low FROM b
-         |UNION ALL
-         |SELECT event_type, ts, 'close', close FROM b
-         |ORDER BY event_type, ts, metric""".stripMargin
-    },
-
-    "topn_recent" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
-        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 200""".stripMargin,
-
-    "equi_join_stars" ->
-      """SELECT r_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS revenue,
-        |  count(*) AS n_lines
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
-
-    // Bucketing is a physical layout property — the logical result is a
-    // plain join+aggregate.
-    "bucketed_join_zero_shuffle" ->
-      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""".stripMargin,
-
-    "rollup_orders" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
-
-    "union_predicted_contract" ->
-      """WITH cfg AS (
-        |  SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
-        |    CAST(count(*) AS DOUBLE) AS next_contract_diff,
-        |    min(o_orderdate) AS start_k, max(o_orderdate) AS settle_k,
-        |    100.0 AS accumulated_contract_diff
-        |  FROM orders GROUP BY 1),
-        |last AS (
-        |  SELECT * FROM cfg ORDER BY contract_year_month DESC LIMIT 1),
-        |nextm AS (
-        |  SELECT CAST(strptime(contract_year_month, '%Y%m') AS DATE)
-        |    + INTERVAL 1 MONTH AS m1, * FROM last),
-        |predicted AS (
-        |  SELECT strftime(m1, '%Y%m') AS contract_year_month,
-        |    CAST(NULL AS DOUBLE) AS next_contract_diff,
-        |    settle_k + INTERVAL 5 MINUTES AS start_k,
-        |    CAST(CAST(date_trunc('month', m1) AS DATE)
-        |      + CAST((3 - dayofweek(CAST(date_trunc('month', m1) AS DATE)) + 7) % 7 + 14 AS INTEGER)
-        |      AS TIMESTAMP) + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k,
-        |    accumulated_contract_diff + next_contract_diff AS accumulated_contract_diff
-        |  FROM nextm)
-        |SELECT contract_year_month, next_contract_diff, accumulated_contract_diff,
-        |  strftime(start_k, '%Y-%m-%d %H:%M:%S') AS start_k,
-        |  strftime(settle_k, '%Y-%m-%d %H:%M:%S') AS settle_k
-        |FROM (SELECT * FROM cfg UNION ALL SELECT contract_year_month,
-        |      next_contract_diff, start_k, settle_k, accumulated_contract_diff
-        |      FROM predicted)
-        |ORDER BY contract_year_month""".stripMargin,
-
-    "session_filter_day" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
-        |FROM events
-        |WHERE strftime(ts, '%H:%M') >= '08:45' AND strftime(ts, '%H:%M') <= '13:45'
-        |ORDER BY event_id""".stripMargin,
-
-    "session_filter_night" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
-        |FROM events
-        |WHERE strftime(ts, '%H:%M') >= '15:00' OR strftime(ts, '%H:%M') <= '05:00'
-        |ORDER BY event_id""".stripMargin,
-
-    "session_labels" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN strftime(ts, '%Y-%m-%d') || '_D'
-        |       WHEN hour(ts) >= 15 THEN strftime(ts, '%Y-%m-%d') || '_N'
-        |       WHEN hour(ts) < 5 THEN strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') || '_N'
-        |       ELSE 'UNKNOWN' END AS session_id,
-        |  CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
-        |       WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
-        |       ELSE 'UNKNOWN' END AS market_type
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "interval_join_backadjust" ->
-      s"""WITH dim AS ($monthDimSql)
-         |SELECT l.l_orderkey, l.l_linenumber,
-         |  strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts,
-         |  coalesce(dim.contract_year_month, '') AS contract_year_month,
-         |  round(l.l_extendedprice + coalesce(dim.accumulated_contract_diff, 0), 2)
-         |    AS adj_close
-         |FROM lineitem l LEFT JOIN dim
-         |  ON l.l_shipdate >= dim.start_k AND l.l_shipdate <= dim.settle_k
-         |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
-
-    "continuous_5m_pipeline" ->
-      s"""WITH b1 AS (
-         |  SELECT time_bucket(INTERVAL '1 minute', ts - INTERVAL 1 MICROSECOND) AS bts,
-         |         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-         |         arg_max(value, ts) AS close, count(*) AS volume
-         |  FROM events GROUP BY 1),
-         |b5 AS (
-         |  SELECT time_bucket(INTERVAL '5 minutes', bts - INTERVAL 1 MICROSECOND) AS ts5,
-         |         arg_min(open, bts) AS open, max(high) AS high, min(low) AS low,
-         |         arg_max(close, bts) AS close,
-         |         -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark emits BIGINT
-         |         CAST(sum(volume) AS BIGINT) AS volume
-         |  FROM b1 GROUP BY 1),
-         |lab AS (
-         |  SELECT *,
-         |    CASE WHEN strftime(ts5, '%H:%M') >= '08:45' AND strftime(ts5, '%H:%M') <= '13:45'
-         |         THEN strftime(ts5, '%y%m%d') || 'D'
-         |         WHEN hour(ts5) < 5 THEN strftime(ts5 - INTERVAL 1 DAY, '%y%m%d') || 'N'
-         |         ELSE strftime(ts5, '%y%m%d') || 'N' END AS date_market_type
-         |  FROM b5
-         |  WHERE (strftime(ts5, '%H:%M') >= '08:45' AND strftime(ts5, '%H:%M') <= '13:45')
-         |     OR strftime(ts5, '%H:%M') >= '15:00' OR strftime(ts5, '%H:%M') <= '05:00'),
-         |dim AS ($monthDimSql)
-         |SELECT strftime(l.ts5, '%Y-%m-%d %H:%M:%S') AS ts,
-         |  l.open + coalesce(d.accumulated_contract_diff, 0) AS open,
-         |  l.high + coalesce(d.accumulated_contract_diff, 0) AS high,
-         |  l.low + coalesce(d.accumulated_contract_diff, 0) AS low,
-         |  l.close + coalesce(d.accumulated_contract_diff, 0) AS close,
-         |  l.volume, l.date_market_type,
-         |  coalesce(d.contract_year_month, '') AS contract_year_month,
-         |  coalesce(d.accumulated_contract_diff, 0) AS accumulated_contract_diff
-         |FROM lab l LEFT JOIN dim d ON l.ts5 >= d.start_k AND l.ts5 <= d.settle_k
-         |ORDER BY ts""".stripMargin,
-
-    "watermark_incremental" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts, l_quantity
-        |FROM lineitem
-        |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders)
-        |ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
-
-    "antijoin_new_rows" ->
-      """SELECT o_orderkey, o_custkey,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
-        |FROM orders o
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "tpch_q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
-        |    (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS sum_charge,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "completeness_counts" ->
-      """SELECT CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN strftime(ts, '%Y-%m-%d') || '_D'
-        |            WHEN hour(ts) >= 15 THEN strftime(ts, '%Y-%m-%d') || '_N'
-        |            WHEN hour(ts) < 5 THEN strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') || '_N'
-        |            ELSE 'UNKNOWN' END AS session_id,
-        |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY session_id""".stripMargin,
-
-    "last_per_key" ->
-      """SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-        |  arg_max(value, ts) AS last_value, count(*) AS n
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "union_sessions" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, market_type, value
-        |FROM (
-        |  SELECT event_id, ts, 'D' AS market_type, value FROM events
-        |  WHERE strftime(ts, '%H:%M') >= '08:45' AND strftime(ts, '%H:%M') <= '13:45'
-        |  UNION ALL
-        |  SELECT event_id, ts, 'N' AS market_type, value FROM events
-        |  WHERE strftime(ts, '%H:%M') >= '15:00' OR strftime(ts, '%H:%M') <= '05:00')
-        |ORDER BY ts, event_id""".stripMargin,
-
-    "third_wednesday" ->
-      """WITH months AS (
-        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
-        |  FROM orders),
-        |wed AS (
-        |  SELECT m, m + CAST((3 - dayofweek(m) + 7) % 7 + 14 AS INTEGER) AS tw
-        |  FROM months)
-        |SELECT strftime(m, '%Y%m') AS contract_year_month,
-        |  strftime(tw, '%Y-%m-%d') AS third_wed,
-        |  strftime(CAST(tw AS TIMESTAMP) + INTERVAL 13 HOURS + INTERVAL 25 MINUTES,
-        |           '%Y-%m-%d %H:%M:%S') AS settle_k,
-        |  strftime(m + INTERVAL 1 MONTH, '%Y%m') AS next_contract
-        |FROM wed ORDER BY contract_year_month""".stripMargin,
-
-    "scan_coercion" ->
-      """SELECT event_id,
-        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
-        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DATE) IS NULL
-        |    AS bad_cast_nulled
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "projection_shape" ->
-      """SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ts, l_orderkey,
-        |  l_linenumber, l_quantity, 'MXFR1' AS mxf_code
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ts""".stripMargin,
-
-    "asof_join_clicks" ->
-      """WITH trades AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'click'),
-        |quotes AS (
-        |  -- keep the greatest quote_id per (user_id, ts): mirrors the
-        |  -- Spark side's deterministic tie-break on duplicate timestamps
-        |  SELECT user_id, ts, value AS quote_value, event_id AS quote_id
-        |  FROM events WHERE event_type = 'click'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |                             ORDER BY event_id DESC) = 1)
-        |SELECT t.event_id, t.user_id, strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  t.value, q.quote_value, q.quote_id
-        |FROM trades t ASOF LEFT JOIN quotes q
-        |  ON t.user_id = q.user_id AND t.ts >= q.ts
-        |ORDER BY event_id""".stripMargin,
-
-    // Session construction copied verbatim from the sessionize_gap oracle
-    // (clicks only), then a plain BETWEEN range join — DuckDB picks its
-    // own join strategy; the Spark side's bucketing must be invisible in
-    // the result.
-    "range_join_error_attribution" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WHERE event_type = 'click'
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
-        |  FROM flagged),
-        |sessions AS (
-        |  SELECT user_id, session_idx, min(ts) AS session_start,
-        |    max(ts) AS session_end
-        |  FROM idx GROUP BY user_id, session_idx)
-        |SELECT s.user_id, s.session_idx, count(*) AS n_errors,
-        |  strftime(min(e.ts), '%Y-%m-%d %H:%M:%S') AS first_error
-        |FROM sessions s JOIN events e
-        |  ON e.user_id = s.user_id AND e.event_type = 'error'
-        | AND e.ts BETWEEN s.session_start AND s.session_end
-        |GROUP BY s.user_id, s.session_idx
-        |ORDER BY s.user_id, s.session_idx""".stripMargin,
-
-    // The bloom prune is invisible in the result: plain EXISTS oracle.
-    "bloom_semi_join" ->
-      """SELECT l_returnflag, count(*) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |              WHERE o.o_orderkey = lineitem.l_orderkey
-        |                AND o.o_orderpriority = '1-URGENT')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // Mean/variance from exact decimal sums, then the SAME double
-    // arithmetic as the Spark side — bit-identical z-scores.
-    "zscore_by_type" ->
-      """WITH stats AS (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE) AS s2
-        |  FROM events GROUP BY event_type)
-        |SELECT e.event_id, e.event_type,
-        |  round((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS zscore
-        |FROM events e JOIN stats USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-
-    // Same normalize + split as the other document oracles.
-    "vocab_top_tokens" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |f AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
-        |r AS (SELECT token, freq,
-        |  row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f)
-        |SELECT rank, token, freq FROM r WHERE rank <= 100
-        |ORDER BY rank""".stripMargin,
-
-    "snapshot_diff_users" ->
-      """WITH old_s AS (
-        |  SELECT user_id, event_type, value FROM events
-        |  WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1),
-        |new_s AS (
-        |  SELECT user_id, event_type, value FROM events
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1)
-        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
-        |  CASE WHEN o.user_id IS NULL THEN 'added'
-        |       WHEN n.user_id IS NULL THEN 'removed'
-        |       WHEN o.event_type IS NOT DISTINCT FROM n.event_type
-        |        AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
-        |       ELSE 'changed' END AS status,
-        |  o.event_type AS old_event_type, o.value AS old_value,
-        |  n.event_type AS new_event_type, n.value AS new_value
-        |FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
-        |ORDER BY user_id""".stripMargin,
-
-    // Same normalize as the Spark side; DuckDB's list lambdas take a
-    // 1-based index and list_position returns the first occurrence —
-    // first-occurrence token dedup in both engines.
-    "text_dedup_tokens" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
-        |  FROM documents)
-        |SELECT doc_id,
-        |  array_to_string(list_filter(l, (t, i) -> list_position(l, t) = i), ' ') AS dedup_text,
-        |  CAST(len(list_filter(l, (t, i) -> list_position(l, t) = i)) AS BIGINT) AS n_unique
-        |FROM n ORDER BY doc_id""".stripMargin,
-
-    "pii_redact" ->
-      """WITH planted AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-        |    '@example.com or call ' ||
-        |    CAST(7000000000 + doc_id * 104729 AS VARCHAR) AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
-        |  md5(regexp_replace(
-        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
-        |FROM planted ORDER BY doc_id""".stripMargin,
-
-    "percentile_length_filter" ->
-      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
-        |cum AS (SELECT n_chars,
-        |  sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
-        |               AND CURRENT ROW) AS cum FROM h),
-        |t AS (SELECT count(*) AS n FROM documents),
-        |thr AS (SELECT min(n_chars) AS v FROM cum, t
-        |        WHERE cum >= ceil(n * 0.95))
-        |SELECT doc_id, n_chars, lang FROM documents, thr
-        |WHERE n_chars >= thr.v ORDER BY doc_id""".stripMargin,
-
-    "sessionize_gap" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    -- CAST: DuckDB widens windowed sum(INTEGER) to HUGEINT; Spark emits BIGINT
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
-        |  FROM flagged)
-        |SELECT user_id, session_idx,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  count(*) AS n_events
-        |FROM idx GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
-
-    "dedup_exact_survivors" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id IN (
-        |  SELECT min(doc_id) FROM documents
-        |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |ORDER BY doc_id""".stripMargin,
-
-    // Bit-exact SimHash twin: md5_number_upper(token) IS the Spark side's
-    // Same synthesis (// is DuckDB's integer division), same nine
-    // canonicalization steps with the 'g' flag so replace-all semantics
-    // match Spark's regexp_replace.
-    "url_canonical_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE
-        |      WHEN doc_id % 3 = 0 THEN
-        |        'https://example' || CAST((doc_id // 3) % 50 AS VARCHAR) ||
-        |        '.com/p' || CAST((doc_id // 3) % 97 AS VARCHAR) || '/x' ||
-        |        CASE WHEN (doc_id // 3) % 2 = 1
-        |          THEN '?q=' || CAST((doc_id // 3) % 5 AS VARCHAR)
-        |          ELSE '' END
-        |      WHEN doc_id % 3 = 1 THEN
-        |        'HTTPS://WWW.EXAMPLE' ||
-        |        CAST((doc_id // 3) % 50 AS VARCHAR) ||
-        |        '.COM:443/p' || CAST((doc_id // 3) % 97 AS VARCHAR) ||
-        |        '/x/' ||
-        |        CASE WHEN (doc_id // 3) % 2 = 1
-        |          THEN '?q=' || CAST((doc_id // 3) % 5 AS VARCHAR)
-        |          ELSE '' END
-        |      ELSE
-        |        'http://example' || CAST((doc_id // 3) % 50 AS VARCHAR) ||
-        |        '.com/p' || CAST((doc_id // 3) % 97 AS VARCHAR) || '/x' ||
-        |        CASE WHEN (doc_id // 3) % 2 = 1
-        |          THEN '?q=' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
-        |               '&utm_source=feed&utm_campaign=c1'
-        |          ELSE '?utm_source=feed&utm_campaign=c1' END || '#frag'
-        |    END AS url
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(url),
-        |      '^https?://', '', 'g'),
-        |      '^www\.', '', 'g'),
-        |      ':(443|80)/', '/', 'g'),
-        |      '#.*$', '', 'g'),
-        |      '(utm_[a-z]+|fbclid)=[^&#]*&', '', 'g'),
-        |      '[?&](utm_[a-z]+|fbclid)=[^&#]*$', '', 'g'),
-        |      '/\?', '?', 'g'),
-        |      '/$', '', 'g') AS curl
-        |  FROM u)
-        |SELECT curl AS canonical_url, count(*) AS n_variants,
-        |  min(doc_id) AS survivor_id,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
-
-    // md5Hash64 (same little-endian u64 of the first 8 digest bytes; the
-    // signed-vs-unsigned view changes no bit), the per-bit weighted
-    // majority reassembles the same fingerprint, and Hamming distance is
-    // bit_count(xor). All-pairs is fine at oracle SF (500 docs).
-    "dedup_simhash_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-        |  FROM documents),
-        |h AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
-        |bits AS (
-        |  SELECT doc_id, r.b,
-        |    CASE WHEN 2 * sum(((h >> r.b) & 1)::BIGINT) > count(*)
-        |         THEN 1::UBIGINT << r.b ELSE 0::UBIGINT END AS bv
-        |  FROM h, range(64) r(b)
-        |  GROUP BY doc_id, r.b),
-        |fp AS (SELECT doc_id, bit_or(bv) AS f FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS distance
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.f, b.f)) <= 8
-        |ORDER BY id1, id2""".stripMargin,
-
-    "dedup_minhash_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |SELECT id1, id2, round(j, 6) AS jaccard FROM p
-        |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin,
-
-    // Exact all-pairs J >= 0.8 graph, then the TRUE transitive closure
-    // (recursive CTE, same pattern as dedup_neardup_survivors) — the
-    // Spark side now runs Components to convergence, so the oracle
-    // matches at any cluster diameter instead of being coupled to a
-    // fixed hop count. Multiply-referenced non-recursive CTEs stay
-    // MATERIALIZED: inlining would recompute the 12.5M-pair Jaccard
-    // join once per reference (observed: the sf0.1 compare ran >25
-    // minutes before the hint, ~seconds with it).
-    "dedup_star_clusters" ->
-      """WITH RECURSIVE t AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS MATERIALIZED (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-        |edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
-        |      UNION ALL SELECT id2, id1 FROM p),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |mem AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v)
-        |SELECT comp AS cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
-        |  CAST(sum(v) AS BIGINT) AS id_checksum
-        |FROM mem GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY 1""".stripMargin,
-
-    // Same normalize as the Spark side; levenshtein is exact integers in
-    // both engines.
-    "dedup_editdist_pairs" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 40) AS blk,
-        |    substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 300) AS t
-        |  FROM documents)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  levenshtein(a.t, b.t) AS dist
-        |FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.t, b.t) <= 60
-        |ORDER BY id1, id2""".stripMargin,
-
-    // Same normalize+split as the other doc oracles; a training doc is
-    // contaminated iff any of its 5-grams appears in src0's gram set.
-    "decontaminate_survivors" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, n_chars, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, source,
-        |    unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
-        |            s[i+3] || ' ' || s[i+4]
-        |            for i in range(1, len(s) - 3)]) AS gram
-        |  FROM t),
-        |e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
-        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
-        |      WHERE g.source <> 'src0')
-        |SELECT doc_id, source, n_chars FROM t
-        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM c)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Same gram construction as the gate; DISTINCT per-doc grams mirror
-    // hashedShingles' array_distinct, and hits/total recomputes the score
-    // from strings (the Spark side counts hashed grams — a mismatch would
-    // surface a hash-collision or normalization drift).
-    "decontaminate_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM documents),
-        |gd AS (
-        |  SELECT DISTINCT doc_id, source, gram FROM (
-        |    SELECT doc_id, source,
-        |      unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
-        |              s[i+3] || ' ' || s[i+4]
-        |              for i in range(1, len(s) - 3)]) AS gram
-        |    FROM t)),
-        |e AS (SELECT DISTINCT gram FROM gd WHERE source = 'src0'),
-        |sc AS (
-        |  SELECT gd.doc_id, count(e.gram)::DOUBLE / count(*) AS contamination
-        |  FROM gd LEFT JOIN e ON gd.gram = e.gram
-        |  WHERE gd.source <> 'src0' GROUP BY gd.doc_id)
-        |SELECT t.doc_id, t.source,
-        |  round(coalesce(sc.contamination, 0), 6) AS contamination,
-        |  coalesce(sc.contamination, 0) > 0 AS contaminated
-        |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
-        |WHERE t.source <> 'src0' ORDER BY t.doc_id""".stripMargin,
-
-    "dedup_ngram_lang_block" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS sh
-        |  FROM (SELECT doc_id, lang, n_chars, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.lang, a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.lang = b.lang
-        |    AND (a.n_chars // 64) = (b.n_chars // 64) AND a.doc_id < b.doc_id)
-        |SELECT lang, id1, id2, round(j, 6) AS jaccard FROM p
-        |WHERE j >= 0.5 ORDER BY lang, id1, id2""".stripMargin,
-
-    // Literal-substring mirror of the hashed-span Spark side: positions
-    // are 1-based starts of k=8-token windows; coverage is the same
-    // merged-interval sweep (running max(end) over the preceding frame).
-    "dedup_substring_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS g
-        |  FROM (SELECT doc_id, s,
-        |          unnest([i for i in range(1, len(s) - 6)]) AS pos
-        |        FROM t)),
-        |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
-        |d AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (g)),
-        |cov AS (
-        |  SELECT doc_id, pos,
-        |    greatest(0, pos + 8 - greatest(pos,
-        |      coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS c
-        |  FROM d),
-        |agg AS (SELECT doc_id, count(*) AS dp, sum(c) AS cv
-        |        FROM cov GROUP BY doc_id)
-        |SELECT t.doc_id, len(s) AS n_tokens,
-        |  CAST(coalesce(dp, 0) AS BIGINT) AS dup_positions,
-        |  CAST(coalesce(cv, 0) AS BIGINT) AS covered_tokens,
-        |  CASE WHEN len(s) = 0 THEN 0.0
-        |       ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END AS dup_frac,
-        |  (CASE WHEN len(s) = 0 THEN 0.0
-        |        ELSE round(coalesce(cv, 0)::DOUBLE / len(s), 6) END) <= 0.5 AS keep
-        |FROM t LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // lead() over the identical (ts, event_id) order; DuckDB strftime
-    // matches the Spark date_format for these wall-clock values.
-    "scd2_intervals" ->
-      """SELECT user_id, event_type, round(value, 6) AS value,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-        |  strftime(lead(ts, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
-        |  (lead(ts, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id)) IS NULL AS is_current
-        |FROM events
-        |ORDER BY user_id, valid_from, event_type""".stripMargin,
-
-    // 1-based DuckDB comprehension index i maps to Spark's 0-based
-    // transform index as (i-1); the filtered-comprehension form builds
-    // the labels list directly.
-    "mlm_masking" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM documents WHERE length(text) > 0)
-        |SELECT doc_id,
-        |  array_to_string([CASE WHEN (i - 1) % 7 = 1 THEN '<mask>'
-        |                        ELSE s[i] END
-        |                   for i in range(1, len(s) + 1)], ' ') AS input,
-        |  array_to_string([s[i] for i in range(1, len(s) + 1)
-        |                   if (i - 1) % 7 = 1], ' ') AS labels,
-        |  len([s[i] for i in range(1, len(s) + 1)
-        |       if (i - 1) % 7 = 1]) AS n_masked
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    // DuckDB list slices are 1-based and end-inclusive; range(0, n, 48)
-    // matches Spark's sequence(0, n-1, 48) start set exactly.
-    "doc_chunking" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, s, CAST(unnest(range(0, len(s), 48)) AS INT) AS start
-        |  FROM t WHERE len(s) > 0)
-        |SELECT doc_id, start // 48 AS chunk_idx,
-        |  array_to_string(s[start + 1 : start + 64], ' ') AS chunk_text,
-        |  len(s[start + 1 : start + 64]) AS n_tokens
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // quantile_cont is the interpolated exact percentile Spark's
-    // `percentile` computes; 3 * 1.4826 * mad is the identical double
-    // expression on both sides, so the outlier cut cannot flip.
-    "anomaly_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY 1),
-        |mad AS (
-        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
-        |SELECT e.event_type, count(*) AS n, round(m.med, 6) AS med,
-        |  round(d.mad, 6) AS mad,
-        |  CAST(count(*) FILTER (abs(e.value - m.med) > 3 * 1.4826 * d.mad)
-        |    AS BIGINT) AS n_outliers
-        |FROM events e JOIN med m USING (event_type)
-        |              JOIN mad d USING (event_type)
-        |GROUP BY e.event_type, m.med, d.mad
-        |ORDER BY event_type""".stripMargin,
-
-    // Integer week arithmetic from the shared Monday epoch; `//` is
-    // DuckDB integer division.
-    "retention_cohorts" ->
-      """WITH a AS (
-        |  SELECT DISTINCT user_id,
-        |    CAST((ts::DATE - DATE '2024-01-01') // 7 AS INT) AS week_idx
-        |  FROM events),
-        |c AS (SELECT user_id, min(week_idx) AS cohort_week FROM a
-        |      GROUP BY user_id)
-        |SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
-        |  count(*) AS n_users
-        |FROM a JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
-
-    // The same chained conditional-min steps; counts are integers.
-    "funnel_conversion" ->
-      """WITH t1 AS (
-        |  SELECT user_id, min(ts) AS t1 FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id),
-        |t2 AS (
-        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
-        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
-        |t3 AS (
-        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
-        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-        |SELECT '1_signup' AS step, count(*) AS n_users FROM t1
-        |UNION ALL SELECT '2_view_after_signup', count(*) FROM t2
-        |UNION ALL SELECT '3_purchase_after_view', count(*) FROM t3
-        |ORDER BY step""".stripMargin,
-
-    // Chains the established oracle fragments (text_quality,
-    // decontaminate_survivors, dedup_neardup_survivors) stage over
-    // stage; counts only, so the whole funnel stays engine-comparable.
-    "curation_funnel" ->
-      """WITH RECURSIVE
-        |raw AS (SELECT * FROM documents WHERE source <> 'src0'),
-        |s1 AS (SELECT * FROM raw WHERE n_chars BETWEEN 100 AND 20000),
-        |fq AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-        |    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE
-        |      / length(text) AS punct,
-        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-        |      / length(text) AS digit,
-        |    list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
-        |      len(regexp_split_to_array(trim(text), '\s+')) AS mtl
-        |  FROM s1),
-        |s2 AS (
-        |  SELECT doc_id, text FROM fq
-        |  WHERE round(least(n_tok / 64.0, 1.0) * (CASE WHEN n_tok > 4096 THEN 0.5 ELSE 1.0 END) * 0.4
-        |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-        |    + (CASE WHEN digit <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-        |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) >= 0.9),
-        |tok AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM s2),
-        |evtok AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |  FROM documents WHERE source = 'src0'),
-        |g AS (
-        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
-        |                         s[i+3] || ' ' || s[i+4]
-        |                         for i in range(1, len(s) - 3)]) AS gram
-        |  FROM tok),
-        |e AS (
-        |  SELECT DISTINCT unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
-        |                          s[i+3] || ' ' || s[i+4]
-        |                          for i in range(1, len(s) - 3)]) AS gram
-        |  FROM evtok),
-        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)),
-        |s3 AS (SELECT doc_id, text FROM s2
-        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM s3)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |ed AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |losers AS (SELECT DISTINCT v FROM reach WHERE w < v),
-        |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT v FROM losers))
-        |SELECT '0_raw' AS stage, count(*) AS n_docs FROM raw
-        |UNION ALL SELECT '1_length', count(*) FROM s1
-        |UNION ALL SELECT '2_quality', count(*) FROM s2
-        |UNION ALL SELECT '3_decontam', count(*) FROM s3
-        |UNION ALL SELECT '4_neardup', count(*) FROM s4
-        |ORDER BY stage""".stripMargin,
-
-    // string_agg over the same 4-row frame joins in frame order, matching
-    // Spark's ordered-frame collect_list; (ts, event_id) totally orders.
-    "next_event_examples" ->
-      """SELECT user_id, step, context, label FROM (
-        |  SELECT user_id,
-        |    row_number() OVER w AS step,
-        |    string_agg(event_type, ' ') OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS context,
-        |    lead(event_type, 1) OVER w AS label
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |WHERE step >= 4 AND label IS NOT NULL
-        |ORDER BY user_id, step""".stripMargin,
-
-    // Same candidate set (top-8 by raw cosine, self excluded, rounded
-    // rel), pairwise sims among candidates, then the three greedy picks
-    // unrolled; all score inputs are the identical rounded doubles.
-    "rag_mmr_rerank" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |sc AS (
-        |  SELECT q.query_id, a.vec_id, a.embedding,
-        |    list_sum([a.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)]))) AS rawsim
-        |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> q.query_id),
-        |cand AS (
-        |  SELECT query_id, vec_id, round(rawsim, 6) AS rel FROM (
-        |    SELECT query_id, vec_id, rawsim,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY rawsim DESC, vec_id) AS rn
-        |    FROM sc) WHERE rn <= 8),
-        |pw AS (
-        |  SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
-        |    round(list_sum([e1.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
-        |              for i in range(1, len(e1.embedding) + 1)]) /
-        |    (sqrt(list_sum([e1.embedding[i]::DOUBLE * e1.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e1.embedding) + 1)])) *
-        |     sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e2.embedding) + 1)]))), 6) AS s
-        |  FROM cand c1 JOIN cand c2
-        |    ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
-        |  JOIN embeddings e1 ON e1.vec_id = c1.vec_id
-        |  JOIN embeddings e2 ON e2.vec_id = c2.vec_id),
-        |p1 AS (
-        |  SELECT query_id, vec_id, rel FROM cand
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |                             ORDER BY rel DESC, vec_id) = 1),
-        |s2 AS (
-        |  SELECT c.query_id, c.vec_id, c.rel,
-        |    0.5 * c.rel - 0.5 * w1.s AS score
-        |  FROM cand c
-        |  JOIN p1 ON c.query_id = p1.query_id AND c.vec_id <> p1.vec_id
-        |  JOIN pw w1 ON w1.query_id = c.query_id AND w1.a = c.vec_id
-        |             AND w1.b = p1.vec_id),
-        |p2 AS (
-        |  SELECT query_id, vec_id, rel FROM s2
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |                             ORDER BY score DESC, vec_id) = 1),
-        |s3 AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    0.5 * c.rel - 0.5 * greatest(w1.s, w2.s) AS score
-        |  FROM cand c
-        |  JOIN p1 ON c.query_id = p1.query_id AND c.vec_id <> p1.vec_id
-        |  JOIN p2 ON c.query_id = p2.query_id AND c.vec_id <> p2.vec_id
-        |  JOIN pw w1 ON w1.query_id = c.query_id AND w1.a = c.vec_id
-        |             AND w1.b = p1.vec_id
-        |  JOIN pw w2 ON w2.query_id = c.query_id AND w2.a = c.vec_id
-        |             AND w2.b = p2.vec_id),
-        |p3 AS (
-        |  SELECT query_id, vec_id FROM s3
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |                             ORDER BY score DESC, vec_id) = 1)
-        |SELECT query_id, 1 AS mmr_rank, vec_id FROM p1
-        |UNION ALL SELECT query_id, 2, vec_id FROM p2
-        |UNION ALL SELECT query_id, 3, vec_id FROM p3
-        |ORDER BY query_id, mmr_rank""".stripMargin,
-
-    // The embed_knn_graph edge CTE, then integer majority votes with the
-    // same (votes desc, label) tie rule.
-    "label_propagation" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |v AS (
-        |  SELECT e.src, l.label AS nb_label, count(*) AS v
-        |  FROM e JOIN embeddings l ON e.dst = l.vec_id GROUP BY 1, 2),
-        |w AS (
-        |  SELECT src, nb_label FROM v
-        |  QUALIFY row_number() OVER (PARTITION BY src
-        |                             ORDER BY v DESC, nb_label) = 1)
-        |SELECT m.vec_id, m.label,
-        |  COALESCE(w.nb_label, m.label) AS prop_label,
-        |  COALESCE(w.nb_label, m.label) <> m.label AS changed
-        |FROM embeddings m LEFT JOIN w ON m.vec_id = w.src
-        |ORDER BY vec_id""".stripMargin,
-
-    // Identical sketch rebuild: md5_number_upper % 512 is the same
-    // low-9-bit reduction as the signed pmod (512 divides 2^64), so every
-    // cell, estimate, and bound boolean matches bit-for-bit.
-    "countmin_heavy_hitters" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-        |    AS token FROM documents),
-        |tc AS (SELECT token, count(*) AS n FROM tok
-        |       WHERE token <> '' GROUP BY token),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM tc),
-        |coords AS (
-        |  SELECT token, n, t.r,
-        |    CAST(md5_number_upper(CAST(t.r AS VARCHAR) || '|' || token)
-        |         % 512 AS BIGINT) AS bucket
-        |  FROM tc, range(0, 4) t(r)),
-        |sk AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cell
-        |       FROM coords GROUP BY r, bucket),
-        |top AS (SELECT token FROM tc ORDER BY n DESC, token LIMIT 10),
-        |est AS (
-        |  SELECT c.token, c.n, min(s.cell) AS est
-        |  FROM coords c JOIN sk s ON c.r = s.r AND c.bucket = s.bucket
-        |  WHERE c.token IN (SELECT token FROM top)
-        |  GROUP BY c.token, c.n)
-        |SELECT token, n, est, est >= n AS over_ok,
-        |  (est - n) * 512 <= 2 * big_n AS bound_ok
-        |FROM est, tot ORDER BY token""".stripMargin,
-
-    // The embed_knn_graph edge CTE (same cell assignment + within-cell
-    // top-3), then the two damped iterations as pure integer arithmetic
-    // (// is floor division; nonneg operands make it truncation, same as
-    // Spark's div).
-    "pagerank_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-        |n AS (SELECT vec_id AS id FROM embeddings),
-        |in1 AS (
-        |  SELECT e.dst, CAST(sum(1000000 // d.outdeg) AS BIGINT) AS inu
-        |  FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst),
-        |r1 AS (
-        |  SELECT n.id,
-        |    150000 + (85 * COALESCE(in1.inu, 0)) // 100 AS rank
-        |  FROM n LEFT JOIN in1 ON n.id = in1.dst),
-        |in2 AS (
-        |  SELECT e.dst, CAST(sum(r1.rank // d.outdeg) AS BIGINT) AS inu
-        |  FROM e JOIN deg d ON e.src = d.src
-        |  JOIN r1 ON e.src = r1.id GROUP BY e.dst),
-        |r2 AS (
-        |  SELECT n.id,
-        |    150000 + (85 * COALESCE(in2.inu, 0)) // 100 AS rank
-        |  FROM n LEFT JOIN in2 ON n.id = in2.dst)
-        |SELECT id AS vec_id, CAST(rank AS BIGINT) AS pagerank_micro
-        |FROM r2 ORDER BY vec_id""".stripMargin,
-
-    // Position/offset expansion via scalar range + unnest; same
-    // canonical (least, greatest) pairs and integer marginals.
-    "cooccurrence_window" ->
-      """WITH t AS (
-        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |pos AS (SELECT tk, unnest(range(1, len(tk) + 1)) AS i FROM t),
-        |pr AS (
-        |  SELECT least(tk[i], tk[i + o]) AS a,
-        |         greatest(tk[i], tk[i + o]) AS b
-        |  FROM (SELECT tk, i, unnest([1, 2]) AS o FROM pos)
-        |  WHERE i + o <= len(tk)),
-        |cnt AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
-        |tokc AS (
-        |  SELECT tok, count(*) AS n FROM (
-        |    SELECT unnest(tk) AS tok FROM t) GROUP BY tok)
-        |SELECT c.a, c.b, c.n_ab, ta.n AS n_a, tb.n AS n_b
-        |FROM cnt c JOIN tokc ta ON ta.tok = c.a
-        |JOIN tokc tb ON tb.tok = c.b
-        |ORDER BY a, b""".stripMargin,
-
-    // Same integer cents; the encoding pair is pure integer arithmetic.
-    "target_encoding_loo" ->
-      """WITH st AS (
-        |  SELECT event_type, count(*) AS tn,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tsum
-        |  FROM events GROUP BY event_type)
-        |SELECT e.event_id, e.event_type,
-        |  tsum - CAST(round(e.value * 100) AS BIGINT) AS enc_num,
-        |  tn - 1 AS enc_den
-        |FROM events e JOIN st USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-
-    // Identical global range and bin quotient (floor of the same double).
-    "value_histogram" ->
-      """WITH rng AS (
-        |  SELECT CAST(floor(min(value)) AS DOUBLE) AS lo,
-        |         CAST(ceil(max(value)) AS DOUBLE) AS hi FROM events)
-        |SELECT event_type,
-        |  CAST(least(floor((value - lo) / ((hi - lo) / 10)), 9) AS BIGINT)
-        |    AS bin,
-        |  count(*) AS n
-        |FROM events, rng GROUP BY event_type, bin
-        |ORDER BY event_type, bin""".stripMargin,
-
-    // Same quasi-identifier buckets; // is integer division on BIGINT.
-    "k_anonymity_audit" ->
-      """SELECT lang, source, n_chars // 50 AS len_bucket, count(*) AS n
-        |FROM documents GROUP BY lang, source, len_bucket
-        |HAVING count(*) < 5
-        |ORDER BY lang, source, len_bucket""".stripMargin,
-
-    // The DIRECT aggregate — merge-equals-recompute is the claim under
-    // test, so the oracle deliberately takes the other route.
-    "incremental_agg_merge" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // Same keyed-hash rank, first 3 per language.
-    "sample_k_per_group" ->
-      """SELECT lang, doc_id, n_chars FROM (
-        |  SELECT lang, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296 % 1000000,
-        |               doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 3 ORDER BY lang, doc_id""".stripMargin,
-
-    // Same distinct-word collapse; (cnt desc, pair) totally orders, so
-    // the LIMIT 20 set is identical in both engines.
-    "bpe_merge_step" ->
-      """WITH w AS (
-        |  SELECT word, count(*) AS n FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |p AS (
-        |  SELECT unnest([substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
-        |                 for i in range(1, length(word))]) AS pair, n
-        |  FROM w WHERE length(word) >= 2)
-        |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
-        |FROM p GROUP BY pair
-        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
-
-    // Same lead pairing; n/sum(n) is the same exact rational in both
-    // engines, so the rounded double matches bit-for-bit.
-    "event_transitions" ->
-      """WITH pairs AS (
-        |  SELECT event_type AS prev_type,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id
-        |                              ORDER BY ts, event_id) AS next_type
-        |  FROM events),
-        |c AS (
-        |  SELECT prev_type, next_type, count(*) AS n FROM pairs
-        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT prev_type, next_type, n,
-        |  round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
-        |FROM c ORDER BY prev_type, next_type""".stripMargin,
-
-    // The sample_split hash on user_id instead of the row id.
-    "group_split_leakfree" ->
-      """WITH s AS (
-        |  SELECT user_id, event_id,
-        |    CASE WHEN b < 800000 THEN 'train'
-        |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT user_id, event_id,
-        |          (user_id * 2654435761) % 4294967296 % 1000000 AS b
-        |        FROM events))
-        |SELECT split, count(DISTINCT user_id) AS n_users,
-        |  count(*) AS n_events,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
-        |FROM s GROUP BY split ORDER BY split""".stripMargin,
-
-    // Identical integer units (cents × 2^(10-d)); power(2, int) is exact
-    // in double, so the unit column is the same integer in both engines.
-    "time_decay_features" ->
-      """WITH e AS (
-        |  SELECT user_id,
-        |    CAST(round(value * 100) AS BIGINT) *
-        |      CAST(power(2, 10 - least(greatest(
-        |        date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'),
-        |        0), 10)) AS BIGINT) AS units
-        |  FROM events)
-        |SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(units) AS BIGINT) AS decay_units
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // Same windows/cutoff arithmetic; the merge arms are the NOT IN
-    // (anti) survivors plus the non-tombstone winners.
-    "merge_upsert" ->
-      """WITH base AS (
-        |  SELECT user_id, event_type, value, ts, event_id FROM events
-        |  WHERE ts < TIMESTAMP '2024-01-16'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1),
-        |chg AS (
-        |  SELECT user_id, event_type, value, ts, event_id,
-        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1),
-        |m AS (
-        |  SELECT user_id, event_type, value, ts, event_id FROM base
-        |  WHERE user_id NOT IN (SELECT user_id FROM chg)
-        |  UNION ALL
-        |  SELECT user_id, event_type, value, ts, event_id FROM chg
-        |  WHERE op <> 'D')
-        |SELECT user_id, event_type, round(value, 6) AS value,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id
-        |FROM m ORDER BY user_id""".stripMargin,
-
-    // Lossless round-trip: per-lang counts + id sums from the parquet
-    // table, plus the known 3-line quarantine group.
-    "jsonl_ingest" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
-        |FROM documents GROUP BY lang
-        |UNION ALL SELECT '__corrupt', 3, 0
-        |ORDER BY lang""".stripMargin,
-
-    // One UNION arm per column, same native-type min/max rendered as
-    // text; every statistic is integer- or string-exact.
-    "table_profile" ->
-      """SELECT * FROM (
-        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
-        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_nulls,
-        |    count(DISTINCT doc_id) AS n_distinct,
-        |    CAST(min(doc_id) AS VARCHAR) AS min_str,
-        |    CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
-        |  UNION ALL
-        |  SELECT 'text', count(*),
-        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT text), min(text), max(text) FROM documents
-        |  UNION ALL
-        |  SELECT 'lang', count(*),
-        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
-        |  UNION ALL
-        |  SELECT 'source', count(*),
-        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT source), min(source), max(source) FROM documents
-        |  UNION ALL
-        |  SELECT 'n_chars', count(*),
-        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT n_chars),
-        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        |  FROM documents)
-        |ORDER BY col_name""".stripMargin,
-
-    // The schema break reconstructed from the full table: even doc_ids
-    // were written without n_chars, so they count rows but no values.
-    "schema_evolution_read" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
-        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
-        |    AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Lossless ORC round-trip under the pushed filter: the same
-    // aggregate straight off the parquet table.
-    "orc_ingest" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-        |FROM documents WHERE n_chars >= 100
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Same checksum contract through the Avro and XML round-trips.
-    "avro_ingest" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-        |FROM documents WHERE n_chars >= 100
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "xml_ingest" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-        |FROM documents WHERE n_chars >= 100
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // The partition-pruned two-type aggregate, straight off events;
-    // cents are exact integers in both engines.
-    "partitioned_pruned_read" ->
-      """SELECT event_type, count(*) AS n,
-        |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents
-        |FROM events WHERE event_type IN ('click', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // Top-2 types by frequency (type-name tiebreak), joined back.
-    "dpp_runtime_prune" ->
-      """WITH freq AS (
-        |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1),
-        |dim AS (SELECT event_type, type_total,
-        |          row_number() OVER (ORDER BY type_total DESC, event_type)
-        |            AS rk
-        |        FROM freq)
-        |SELECT e.event_type, count(*) AS n,
-        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents,
-        |  CAST(max(dim.type_total) AS BIGINT) AS type_total
-        |FROM events e JOIN dim ON e.event_type = dim.event_type
-        |WHERE dim.rk <= 2
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same lossless-round-trip check as jsonl_ingest, widened to every
-    // column: the CSV scan must recover every row and field and
-    // quarantine exactly the 3 planted lines.
-    "csv_ingest" ->
-      """SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
-        |  count(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang
-        |UNION ALL SELECT '__corrupt', 3, 0, 0, 0, 0
-        |ORDER BY lang""".stripMargin,
-
-    // The sink's contents after a full redelivery must equal the plain
-    // batch aggregate; the 4-batch split is fixed by the fixture files.
-    "streaming_idempotent_sink" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events GROUP BY event_type
-        |UNION ALL SELECT '__batches', 4, 0
-        |ORDER BY event_type""".stripMargin,
-
-    // The batch equivalent of the watermarked stream-stream join: the
-    // inner join emits eagerly, so the pair sets must be identical.
-    "streaming_interval_join" ->
-      """SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id
-        |FROM events a JOIN events b ON a.user_id = b.user_id
-        | AND a.event_type = 'purchase' AND b.event_type = 'view'
-        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
-        |ORDER BY l_event_id, r_event_id""".stripMargin,
-
-    // One fingerprint per surviving row == the corpus's distinct
-    // fingerprint set (one-per-hash is the operator's contract; the md5
-    // projection is survivor-identity-invariant).
-    "streaming_dedup_hashes" ->
-      """SELECT DISTINCT
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
-        |FROM documents ORDER BY fp_md5""".stripMargin,
-
-    // The built-in dropDuplicatesWithinWatermark must emit the same
-    // distinct-fingerprint set as the custom dedup op.
-    "streaming_dropdup_api" ->
-      """SELECT DISTINCT
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
-        |FROM documents ORDER BY fp_md5""".stripMargin,
-
-    // Update-mode emissions folded by the monotone max equal the batch
-    // per-user aggregate.
-    "streaming_update_mode_counts" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // The variant construction inverted directly from the base columns:
-    // the parse→shred round trip must be lossless.
-    "variant_shred_json" ->
-      """SELECT CASE WHEN event_type = 'purchase' THEN 'p'
-        |  WHEN event_type = 'view' THEN 'v' ELSE 'o' END AS shape,
-        |  count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
-        |    AS sum_cents,
-        |  count(DISTINCT CASE WHEN event_type = 'view'
-        |    THEN '/p/' || (user_id % 50) END) AS n_pages,
-        |  CAST(sum(CASE WHEN event_type NOT IN ('purchase', 'view')
-        |    THEN event_id % 7 END) AS BIGINT) AS sum_n
-        |FROM events GROUP BY 1 ORDER BY shape""".stripMargin,
-
-    "text_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "text_stats" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish,
-        |  round((length(text) - length(regexp_replace(text,
-        |    '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
-        |  round((length(text) - length(regexp_replace(text,
-        |    '[0-9]', '', 'g')))::DOUBLE / length(text), 6) AS digit_ratio,
-        |  round(list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
-        |    len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
-        |  FROM s)
-        |SELECT doc_id,
-        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
-
-    "text_quality" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-        |    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))::DOUBLE
-        |      / length(text) AS punct,
-        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-        |      / length(text) AS digit,
-        |    list_sum([len(t) for t in regexp_split_to_array(trim(text), '\s+')])::DOUBLE /
-        |      len(regexp_split_to_array(trim(text), '\s+')) AS mtl
-        |  FROM documents)
-        |SELECT doc_id,
-        |  round(least(n_tok / 64.0, 1.0) * (CASE WHEN n_tok > 4096 THEN 0.5 ELSE 1.0 END) * 0.4
-        |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-        |    + (CASE WHEN digit <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-        |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
-        |  round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |    t -> t IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE /
-        |    len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stop_en
-        |FROM f ORDER BY doc_id""".stripMargin,
-
-    // Top n-gram mass per document: unnest each gram family, count, and
-    // take max/sum per doc — exactly the Spark expression's value. Docs
-    // shorter than n tokens have no n-grams: the LEFT JOIN's NULL
-    // coalesces to 0, matching the Spark guard.
-    // Same tf/df/N integers; ln over an integer-derived double ratio
-    // agrees across engines far beyond the 6 rounded decimals. Rank ties
-    // (equal tf and df -> bit-identical scores) break by term in both.
-    "tfidf_top_terms" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |  SELECT doc_id, unnest(s) AS term FROM t) GROUP BY doc_id, term),
-        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS nd FROM documents),
-        |sc AS (SELECT doc_id, term, tf, df,
-        |    tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1) AS score,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1) DESC, term)
-        |      AS rank
-        |  FROM tf JOIN d USING (term) CROSS JOIN n)
-        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
-        |  round(score, 6) AS score
-        |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-
-    "inverted_index" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS s
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(s) AS term FROM t),
-        |w AS (SELECT term, doc_id,
-        |    count(*) OVER (PARTITION BY term) AS df,
-        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
-        |  FROM p)
-        |SELECT term, df, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
-        |  AS postings
-        |FROM w WHERE rn <= 64 AND df >= 2
-        |GROUP BY term, df ORDER BY term""".stripMargin,
-
-    // Same tf/df/dl/avgdl integers-and-ratios; the Okapi weight is spelled
-    // with identical association in both engines, so the double math
-    // agrees to the last ulp and the 6-dp round is safe margin.
-    "bm25_search" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |d AS (SELECT doc_id, len(s) AS dl FROM t),
-        |st AS (SELECT count(*) AS nd, sum(dl)::DOUBLE / count(*) AS avgdl
-        |       FROM d),
-        |h AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(s) AS term FROM t) u
-        |  WHERE term IN ('hash', 'join', 'dup')
-        |  GROUP BY doc_id, term),
-        |dfc AS (SELECT term, count(*) AS dfd FROM h GROUP BY term),
-        |sc AS (SELECT h.doc_id, count(*) AS n_hits,
-        |    sum(ln((nd - dfd + 0.5) / (dfd + 0.5) + 1) * tf * 2.2 /
-        |        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
-        |  FROM h JOIN dfc USING (term) JOIN d USING (doc_id) CROSS JOIN st
-        |  GROUP BY h.doc_id),
-        |top AS (SELECT doc_id, n_hits, score FROM sc
-        |        ORDER BY score DESC, doc_id LIMIT 20)
-        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-        |  doc_id, n_hits, round(score, 6) AS score
-        |FROM top ORDER BY rank""".stripMargin,
-
-    // Same model arithmetic from the literal tokens: c(u,w)+1 over c(u)+V
-    // is exact integer-derived division in both engines; the per-doc sum
-    // of m·(−log2 p) is double in both, rounded to 6/4 dp (log2/pow agree
-    // far beyond that — same argument as the cosine/percentile oracles).
-    "lm_perplexity" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |uni AS (SELECT u, count(*) AS cu FROM (
-        |  SELECT unnest(s) AS u FROM t) GROUP BY u),
-        |v AS (SELECT count(*) AS nv FROM uni),
-        |db AS (SELECT doc_id, u, w, count(*) AS m FROM (
-        |    SELECT doc_id, s[i] AS u, s[i+1] AS w FROM (
-        |      SELECT doc_id, s, unnest([i for i in range(1, len(s))]) AS i
-        |      FROM t))
-        |  GROUP BY doc_id, u, w),
-        |cw AS (SELECT u, w, sum(m) AS cuw FROM db GROUP BY u, w),
-        |sc AS (SELECT db.doc_id,
-        |    sum(m * -log2((cuw + 1)::DOUBLE / (cu + nv))) AS tot,
-        |    sum(m) AS nb
-        |  FROM db JOIN cw USING (u, w) JOIN uni USING (u) CROSS JOIN v
-        |  GROUP BY db.doc_id)
-        |SELECT t.doc_id,
-        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
-        |  round(coalesce(tot / nb, 0), 6) AS bits_per_token,
-        |  round(pow(2, coalesce(tot / nb, 0)), 4) AS ppl,
-        |  round(coalesce(tot / nb, 0), 6) <= 4.95 AS keep
-        |FROM t LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "text_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id, len(trim(text)) AS nz,
-        |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |f1 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(s) AS g FROM t) GROUP BY doc_id, g)
-        |  GROUP BY doc_id),
-        |f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, unnest([s[i] || ' ' || s[i+1]
-        |                           for i in range(1, len(s))]) AS g FROM t)
-        |  GROUP BY doc_id, g)
-        |  GROUP BY doc_id),
-        |f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                           for i in range(1, len(s) - 1)]) AS g FROM t)
-        |  GROUP BY doc_id, g)
-        |  GROUP BY doc_id),
-        |j AS (
-        |  SELECT t.doc_id,
-        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f1.f, 0) END AS r1,
-        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f2.f, 0) END AS r2,
-        |    CASE WHEN nz = 0 THEN 0 ELSE coalesce(f3.f, 0) END AS r3
-        |  FROM t LEFT JOIN f1 USING (doc_id) LEFT JOIN f2 USING (doc_id)
-        |         LEFT JOIN f3 USING (doc_id))
-        |SELECT doc_id, round(r1, 6) AS top1_frac, round(r2, 6) AS top2_frac,
-        |  round(r3, 6) AS top3_frac,
-        |  (r1 <= 0.20 AND r2 <= 0.18 AND r3 <= 0.16) AS keep
-        |FROM j ORDER BY doc_id""".stripMargin,
-
-    // Transitive closure of the exact-Jaccard pair graph via a recursive
-    // CTE; a component's survivor is its minimum doc_id (matches the
-    // Spark side's min-label-propagation components).
-    "dedup_neardup_survivors" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |losers AS (SELECT DISTINCT v FROM reach WHERE w < v)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT v FROM losers)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Same closure as dedup_neardup_survivors, but components are labeled
-    // (min reachable id) and each keeps its (n_chars DESC, id) argmax.
-    "dedup_neardup_best" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |mem AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
-        |mq AS (SELECT m.v, m.comp, d.n_chars FROM mem m
-        |       JOIN documents d ON d.doc_id = m.v),
-        |keep AS (SELECT v FROM mq
-        |         QUALIFY row_number() OVER (PARTITION BY comp
-        |                 ORDER BY n_chars DESC, v) = 1),
-        |losers AS (SELECT v FROM mq WHERE v NOT IN (SELECT v FROM keep))
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT v FROM losers)
-        |ORDER BY doc_id""".stripMargin,
-
-    "embed_neardup_exact" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |                    for i in range(1, len(b.embedding) + 1)]))) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT id1, id2, round(sim, 6) AS sim FROM s WHERE sim >= 0.3
-        |ORDER BY id1, id2""".stripMargin,
-
-    "embed_topk_bruteforce" -> topk5OracleSql,
-    // Exact-degenerate ANN configs provably return the exact top-k, so the
-    // brute-force oracle applies verbatim (see the query entries).
-    "embed_topk_lsh_exact" -> topk5OracleSql,
-    "embed_topk_ivf_exact" -> topk5OracleSql,
-
-    // Approximate ANN configs: exact top-5 of the perturbed near-dup
-    // queries recomputed in full + the recall@1 bound asserted TRUE.
-    "embed_topk_lsh" -> topk5PerturbedOracleSql,
-    "embed_topk_ivf" -> topk5PerturbedOracleSql,
-    // The disk-layout IVF path answers the same queries under the same
-    // recall bound.
-    "ann_persisted_ivf_index" -> topk5PerturbedOracleSql,
-
-    // Banded-LSH near-dup pair recall on the planted-augmented corpus:
-    // the oracle recomputes the exact pair and target counts over the
-    // same augmented corpus and asserts both booleans TRUE. n_target
-    // filters the ROUNDED sim, matching the Spark side (whose exact
-    // referee emits round(sim, 6)); the pair threshold 0.3 applies to
-    // the unrounded sim in both engines.
-    "embed_neardup_lsh" ->
-      s"""WITH aug AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000,
-        |    ${perturbSqlFor("vec_id", "embedding")}
-        |  FROM embeddings WHERE vec_id < 20),
-        |s AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |                    for i in range(1, len(b.embedding) + 1)]))) AS sim
-        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id),
-        |p AS (SELECT round(sim, 6) AS sim FROM s WHERE sim >= 0.3)
-        |SELECT count(*) AS n_exact,
-        |  count(*) FILTER (sim >= 0.92) AS n_target,
-        |  true AS recall_ok, true AS subset_ok
-        |FROM p""".stripMargin,
-
-    // Truth set = the 20 planted (i, i+1e6) pairs only — a linear-cost
-    // oracle (no all-pairs referee); recall_ok is the monitored bound.
-    "embed_neardup_lsh_scaled" ->
-      s"""WITH p AS (
-        |  SELECT vec_id, embedding,
-        |    ${perturbSqlFor("vec_id", "embedding")} AS pv
-        |  FROM embeddings WHERE vec_id < 20),
-        |t AS (
-        |  SELECT
-        |    list_sum([embedding[i]::DOUBLE * pv[i]::DOUBLE
-        |              for i in range(1, len(embedding) + 1)]) /
-        |    (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-        |                    for i in range(1, len(embedding) + 1)])) *
-        |     sqrt(list_sum([pv[i]::DOUBLE * pv[i]::DOUBLE
-        |                    for i in range(1, len(pv) + 1)]))) AS sim
-        |  FROM p)
-        |SELECT count(*) AS n_target, true AS recall_ok
-        |FROM t WHERE sim >= 0.92""".stripMargin,
-
-    // Cell assignment = argmax cosine over the 8 seed centroids (sim DESC,
-    // cid ASC ties — the same (−sim, cid) struct order as Ivf.assignCells);
-    // pruning re-checks true cosine within cells. Double math over
-    // float-cast inputs is bit-identical to the Spark expressions (the
-    // embed_neardup_exact precedent).
-    "semdedup_survivors" ->
-      s"""WITH aug AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000,
-        |    ${perturbSqlFor("vec_id", "embedding")}
-        |  FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM aug WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM aug a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |l AS (
-        |  SELECT DISTINCT y.vec_id AS id2
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |  JOIN aug ax ON ax.vec_id = x.vec_id
-        |  JOIN aug ay ON ay.vec_id = y.vec_id
-        |  WHERE list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                  for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) >= 0.9)
-        |SELECT vec_id, cid FROM asg
-        |WHERE vec_id NOT IN (SELECT id2 FROM l)
-        |ORDER BY vec_id""".stripMargin,
-
-    // The perturbed-query exact top-3 joined to documents on the shared
-    // id; substring is 1-based in both engines.
-    "rag_retrieve_docs" ->
-      s"""WITH q AS (
-        |  SELECT vec_id AS query_id,
-        |    ${perturbSqlFor("vec_id", "embedding")} AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, len(e.embedding) + 1)]) /
-        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e.embedding) + 1)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
-        |  FROM embeddings e CROSS JOIN q),
-        |r AS (
-        |  SELECT query_id, vec_id, sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, vec_id) AS rank
-        |  FROM s)
-        |SELECT r.query_id, r.rank, d.doc_id, d.lang,
-        |  substring(d.text, 1, 40) AS snippet, round(r.sim, 6) AS sim
-        |FROM r JOIN documents d ON d.doc_id = r.vec_id
-        |WHERE r.rank <= 3 ORDER BY query_id, rank""".stripMargin,
-
-    // Same cell-assignment CTE as the SemDeDup oracle, then per-cell
-    // per-dimension means (1-based subscripts shifted to Spark's 0-based
-    // posexplode, the embed_dim_stats convention).
-    "kmeans_update_centroids" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |u AS (
-        |  SELECT vec_id, unnest(embedding) AS val,
-        |    generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings)
-        |SELECT a.cid, CAST(u.pos - 1 AS INT) AS pos, count(*) AS n,
-        |  round(avg(u.val::DOUBLE), 6) AS mean
-        |FROM asg a JOIN u ON u.vec_id = a.vec_id
-        |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin,
-
-    // Same cell-assignment CTE as the SemDeDup oracle, then an exact
-    // within-cell top-3 by (sim desc, dst) — both engines compute the
-    // cosine as a double dot product in index order, so the rounded sims
-    // and the ranking are bit-identical. knn_graph_persisted shares this
-    // oracle verbatim: the layout-served slice must hash-equal the fresh
-    // build.
-    "knn_graph_persisted" -> knnGraphK3OracleSql,
-    "embed_knn_graph" -> knnGraphK3OracleSql,
-
-    // Mirrors the deterministic fixture arithmetic in the query: dimensions
-    // are id-derived, every 13th row corrupt, resize scale = 512/max(w,h)
-    // with no upscale; floor(double) is IEEE-identical across engines.
-    "multimodal_decode_resize" ->
-      """WITH m AS (
-        |  SELECT range AS media_id,
-        |    range % 13 = 0 AS corrupt,
-        |    CAST(16 + (range * 37 % 4096) AS INT) AS w,
-        |    CAST(16 + (range * 53 % 2160) AS INT) AS h,
-        |    CAST(1 + range % 4 AS INT) AS c
-        |  FROM range(1000)),
-        |d AS (
-        |  SELECT media_id,
-        |    CASE WHEN corrupt THEN 'unknown' ELSE 'grft' END AS format,
-        |    CASE WHEN corrupt THEN 0 ELSE w END AS width,
-        |    CASE WHEN corrupt THEN 0 ELSE h END AS height,
-        |    CASE WHEN corrupt THEN 0 ELSE c END AS channels,
-        |    CASE WHEN corrupt THEN 3 ELSE 16 + media_id % 97 END AS n_bytes,
-        |    NOT corrupt AS valid
-        |  FROM m),
-        |r AS (
-        |  SELECT *,
-        |    CASE WHEN greatest(width, height) <= 512 THEN 1.0
-        |         ELSE 512 / CAST(greatest(width, height) AS DOUBLE) END AS scale
-        |  FROM d)
-        |SELECT media_id, format, width, height, channels, n_bytes, valid,
-        |  CAST(floor(width * scale) AS INT) AS out_width,
-        |  CAST(floor(height * scale) AS INT) AS out_height
-        |FROM r ORDER BY media_id""".stripMargin,
-
-    "multimodal_frame_sample" ->
-      """SELECT range AS media_id,
-        |  CAST(unnest(range(0, CAST(range * 7 % 240 AS INT), 5)) AS INT) AS frame_idx
-        |FROM range(500)
-        |WHERE range * 7 % 240 > 0
-        |ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Mirrors the fixture arithmetic in the query; bounds are integer
-    // sample counts, so the compare is exact. `//` is DuckDB int division.
-    "multimodal_audio_segments" ->
-      """WITH m AS (
-        |  SELECT range AS media_id,
-        |    range % 11 = 0 AS corrupt,
-        |    CAST(CASE range % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-        |         WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
-        |    CAST(range * 31 % 700000 AS BIGINT) AS n_samples
-        |  FROM range(400)),
-        |s AS (
-        |  SELECT media_id, n_samples, sample_rate * 10 AS sps
-        |  FROM m WHERE NOT corrupt AND n_samples > 0),
-        |g AS (
-        |  SELECT media_id, n_samples, sps,
-        |    CAST(unnest(range(0, ((n_samples - 1) // sps) + 1)) AS INT) AS seg_idx
-        |  FROM s)
-        |SELECT media_id, seg_idx,
-        |  seg_idx * sps AS start_sample,
-        |  least((seg_idx + 1) * sps, n_samples) AS end_sample
-        |FROM g ORDER BY media_id, seg_idx""".stripMargin,
-
-    // Bit interleaving is exact integer arithmetic; the OR-term chain is
-    // generated from the same (dim, bit) -> position rule as the Spark
-    // expression.
-    "zorder_events" -> {
-      val terms = (for {
-        (dim, d) <- Seq("u", "v").zipWithIndex
-        i <- 0 until 16
-      } yield s"((($dim >> $i) & 1) << ${i * 2 + d})").mkString(" | ")
-      s"""WITH n AS (
-         |  SELECT event_id,
-         |    ((user_id % 65536) + 65536) % 65536 AS u,
-         |    ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536 AS v
-         |  FROM events)
-         |SELECT event_id, $terms AS zval FROM n ORDER BY event_id""".stripMargin
-    },
-
-    // Lane arithmetic is identical IEEE doubles in both engines; the
-    // checksums (sum/min/max of int lanes) are exact integers.
-    "embed_quantize_int8" ->
-      """WITH m AS (
-        |  SELECT vec_id, embedding,
-        |    list_max([abs(x::DOUBLE) for x in embedding]) AS s
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id, s,
-        |    [CASE WHEN s = 0 THEN 0
-        |          ELSE CAST(round(x::DOUBLE / s * 127) AS INT) END
-        |     for x in embedding] AS qv
-        |  FROM m)
-        |SELECT vec_id, round(s, 6) AS scale,
-        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-        |  list_min(qv) AS q_min,
-        |  list_max(qv) AS q_max
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    // Knuth multiplicative hash, reduced mod 1e6 — exact BIGINT arithmetic
-    // in both engines (doc_id * 2654435761 stays far below 2^63).
-    "sample_stratified" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
-        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
-        |       ELSE 100000 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // The same Knuth hash against the integer weight cutoff.
-    "sample_weighted" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
-        |  least(1000000, n_chars * 2000)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Cutoffs from exact counts: sqrt/sum/min over a handful of source
-    // rows agree across engines far inside the 1e-6 cutoff granularity;
-    // the per-row decision is the same exact integer hash as
-    // sample_stratified.
-    "mix_temperature_sample" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents
-        |           GROUP BY lang),
-        |t AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
-        |s AS (SELECT sum(w) AS sw FROM t),
-        |r AS (SELECT lang, n, w / sw AS share FROM t CROSS JOIN s),
-        |ts AS (SELECT min(n / share) AS tstar FROM r),
-        |p AS (SELECT lang,
-        |        CAST(round(least(1.0, share * tstar / n) * 1000000) AS BIGINT)
-        |          AS cutoff
-        |      FROM r CROSS JOIN ts)
-        |SELECT d.doc_id, d.source, d.lang
-        |FROM documents d JOIN p USING (lang)
-        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 < cutoff
-        |ORDER BY doc_id""".stripMargin,
-
-    "sample_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 800000 THEN 'train'
-        |       WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |        (doc_id * 2654435761) % 4294967296 % 1000000 AS b
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Same split hash; distinct (split, 8-gram string) rows then one
-    // self-join per unordered split pair.
-    "split_contamination_matrix" ->
-      """WITH sp AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN b < 800000 THEN 'train'
-        |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT doc_id, text,
-        |          (doc_id * 2654435761) % 4294967296 % 1000000 AS b
-        |        FROM documents)),
-        |g AS (
-        |  SELECT DISTINCT split, g FROM (
-        |    SELECT split,
-        |      unnest(list_distinct([array_to_string(s[i:i+7], ' ')
-        |                            for i in range(1, len(s) - 6)])) AS g
-        |    FROM (SELECT split, regexp_split_to_array(
-        |            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
-        |            AS s
-        |          FROM sp))),
-        |tot AS (SELECT split, count(*) AS n FROM g GROUP BY 1)
-        |SELECT a.split AS split_a, b.split AS split_b,
-        |  count(*) AS n_shared_grams,
-        |  CAST(max(ta.n) AS BIGINT) AS n_grams_a,
-        |  CAST(max(tb.n) AS BIGINT) AS n_grams_b
-        |FROM g a JOIN g b ON a.g = b.g AND a.split < b.split
-        |JOIN tot ta ON ta.split = a.split
-        |JOIN tot tb ON tb.split = b.split
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same exact-Jaccard closure as dedup_neardup_survivors; labels →
-    // sizes → count-of-counts + the singleton row.
-    "dedup_cluster_size_histogram" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |labels AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
-        |sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp),
-        |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters
-        |         FROM sizes GROUP BY 1),
-        |tot AS (SELECT count(*) AS nd FROM documents),
-        |nv AS (SELECT count(*) AS nv FROM labels)
-        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-        |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
-        |FROM (SELECT * FROM hist
-        |      UNION ALL SELECT 1, nd - nv FROM tot, nv)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Both exact rankings from one scored set; overlap of the two
-    // top-10 membership sets per query.
-    "matryoshka_prefix_overlap" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id < 10),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, len(e.embedding) + 1)]) /
-        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e.embedding) + 1)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)]))) AS cf,
-        |    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, 17)]) /
-        |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, 17)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, 17)]))) AS cp
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-        |rf AS (SELECT query_id, vec_id, row_number() OVER (
-        |         PARTITION BY query_id ORDER BY cf DESC, vec_id) AS r
-        |       FROM s),
-        |rp AS (SELECT query_id, vec_id, row_number() OVER (
-        |         PARTITION BY query_id ORDER BY cp DESC, vec_id) AS r
-        |       FROM s)
-        |SELECT rf.query_id AS query_id, count(*) AS overlap_at_10
-        |FROM rf JOIN rp ON rf.query_id = rp.query_id
-        |  AND rf.vec_id = rp.vec_id
-        |WHERE rf.r <= 10 AND rp.r <= 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The token count mirrors text_stats; pack id is an exclusive running
-    // sum over id order — integer arithmetic end to end.
-    "pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |  FROM t)
-        |SELECT doc_id, n_tokens, CAST(off // 2048 AS INT) AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // row_number dedup ≡ Spark's max_by(value, struct(ts, event_id));
-    // IGNORE-NULLS running last_value ≡ Spark's last(..., ignoreNulls).
-    "resample_fill_forward" ->
-      """WITH ranked AS (
-        |  SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS bts, value,
-        |    row_number() OVER (PARTITION BY event_type,
-        |                         time_bucket(INTERVAL 5 MINUTE, ts)
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
-        |base AS (SELECT event_type, bts, value AS close FROM ranked WHERE rn = 1),
-        |bounds AS (SELECT event_type, min(bts) AS lo, max(bts) AS hi
-        |           FROM base GROUP BY 1),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
-        |                           INTERVAL 5 MINUTE)) AS bts
-        |  FROM bounds),
-        |j AS (
-        |  SELECT g.event_type, g.bts, b.close FROM grid g
-        |  LEFT JOIN base b ON g.event_type = b.event_type AND g.bts = b.bts)
-        |SELECT event_type, strftime(bts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
-        |    ORDER BY bts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS close,
-        |  close IS NULL AS is_filled
-        |FROM j ORDER BY event_type, ts""".stripMargin,
-
-    "embed_dim_stats" ->
-      """SELECT CAST(u.pos - 1 AS INT) AS dim, count(*) AS n,
-        |  round(avg(u.val::DOUBLE), 6) AS mean,
-        |  round(min(u.val::DOUBLE), 6) AS lo,
-        |  round(max(u.val::DOUBLE), 6) AS hi
-        |FROM (SELECT unnest(embedding) AS val,
-        |        generate_subscripts(embedding, 1) AS pos
-        |      FROM embeddings) u
-        |GROUP BY 1 ORDER BY dim""".stripMargin,
-
-    "subquery_above_avg_balance" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
-        |      (SELECT COUNT(*) FROM customer x
-        |       WHERE x.c_nationkey = c.c_nationkey)
-        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer x
-        |       WHERE x.c_nationkey = c.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "tpch_q5_region_revenue" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "cube_orders" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
-        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-        |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
-
-    "skew_twophase_agg" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "skew_salted_join" ->
-      """SELECT c_custkey, n_name FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin,
-
-    "window_analytics" ->
-      """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  lag(value, 1) OVER wt AS prev_value,
-        |  lead(value, 1) OVER wt AS next_value,
-        |  CAST(sum(CAST(value AS DECIMAL(10,2))) OVER mw AS DOUBLE) /
-        |    count(*) OVER mw AS moving_avg,
-        |  rank() OVER wv AS value_rank,
-        |  ntile(4) OVER wv AS quartile,
-        |  cume_dist() OVER wv AS cdist
-        |FROM events
-        |WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id),
-        |  mw AS (PARTITION BY event_type ORDER BY ts, event_id
-        |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-        |  wv AS (PARTITION BY event_type ORDER BY value, event_id)
-        |ORDER BY event_id""".stripMargin,
-
-    "tpch_q3_shipping" ->
-      """SELECT l_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-        |  o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "semi_join_exists" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "having_filter" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
-        |  count(*) AS n_lines
-        |FROM lineitem GROUP BY l_orderkey
-        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150.0
-        |ORDER BY l_orderkey""".stripMargin,
-
-    "quantile_values" ->
-      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // The sketch queries oracle their ERROR BOUND, not the estimate: the
-    // Spark side verifies the guarantee against exact counts it computes
-    // itself and emits a boolean; the oracle recomputes the exact side and
-    // asserts the boolean is TRUE. A sketch drifting out of its spec'd
-    // bound therefore hash-mismatches, while the engine-specific estimate
-    // values never cross engines.
-    "approx_quantiles" ->
-      """SELECT event_type, count(value) AS n, true AS ok_p50, true AS ok_p90
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "events_hll_users" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users,
-        |  true AS within_3rsd
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // Exact counts recomputed; the 2% accuracy spec for both the direct
-    // and the shard-merged estimate asserts as literal TRUEs (same
-    // contract as above).
-    "hll_sketch_merge_audit" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
-        |  true AS direct_within_2pct, true AS merged_within_2pct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "pivot_event_counts" ->
-      """SELECT user_id // 10 AS ub,
-        |  count(*) FILTER (WHERE event_type = 'click') AS click,
-        |  count(*) FILTER (WHERE event_type = 'error') AS error,
-        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
-        |FROM events GROUP BY 1 ORDER BY ub""".stripMargin,
-
-    "cumulative_new_users" ->
-      """WITH f AS (
-        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
-        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
-        |SELECT CAST(day AS VARCHAR) AS day, new_users,
-        |  -- CAST: DuckDB widens windowed sum(BIGINT) to HUGEINT; Spark emits BIGINT
-        |  CAST(sum(new_users) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |FROM d ORDER BY day""".stripMargin,
-
-    "events_except_intersect" ->
-      """SELECT user_id, 'click_minus_purchase' AS relation
-        |FROM (SELECT user_id FROM events WHERE event_type = 'click'
-        |      EXCEPT
-        |      SELECT user_id FROM events WHERE event_type = 'purchase')
-        |UNION ALL
-        |SELECT user_id, 'click_and_error' AS relation
-        |FROM (SELECT user_id FROM events WHERE event_type = 'click'
-        |      INTERSECT
-        |      SELECT user_id FROM events WHERE event_type = 'error')
-        |ORDER BY relation, user_id""".stripMargin,
-
-    "join_full_outer" ->
-      """WITH c AS (
-        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
-        |  FROM customer WHERE c_acctbal > 7000 GROUP BY 1),
-        |s AS (
-        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
-        |  FROM supplier WHERE s_acctbal > 7000 GROUP BY 1)
-        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
-        |  coalesce(n_cust, 0) AS n_cust,
-        |  coalesce(n_supp, 0) AS n_supp
-        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
-        |ORDER BY nationkey""".stripMargin,
-
-    "events_distinct_users" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "rollover_prefix_sum" ->
-      """WITH monthly AS (
-        |  SELECT strftime(o_orderdate, '%Y%m') AS contract_year_month,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS month_diff
-        |  FROM orders GROUP BY 1)
-        |SELECT contract_year_month,
-        |  CAST(month_diff AS DOUBLE) AS month_diff,
-        |  CAST(coalesce(sum(month_diff) OVER (ORDER BY contract_year_month
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-        |    AS accumulated_diff
-        |FROM monthly ORDER BY contract_year_month""".stripMargin,
-
-    // Distinct (type, user), keyed self-join, two marginal joins — the
-    // Jaccard quotient divides two exact integers, so the rounded double
-    // matches the Spark side bit-for-bit.
-    "item_similarity_jaccard" ->
-      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
-        |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
-        |co AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    count(*) AS co_users
-        |  FROM ut a JOIN ut b
-        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT co.type_a, co.type_b, co.co_users,
-        |  sa.n AS a_users, sb.n AS b_users,
-        |  round(co.co_users::DOUBLE / (sa.n + sb.n - co.co_users), 6)
-        |    AS jaccard
-        |FROM co JOIN sz sa ON sa.event_type = co.type_a
-        |JOIN sz sb ON sb.event_type = co.type_b
-        |ORDER BY type_a, type_b""".stripMargin,
-
-    // md5_number_upper is the established twin of md5Hash64; mod 16 is a
-    // power of two, so the unsigned % equals the signed pmod.
-    "shard_manifest" ->
-      """SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 16 AS INT)
-        |    AS shard,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
-
-    // Same two-level construction: per-shard content xors, their merge
-    // (-1), and an independent direct global scan (-2). The 63-bit mask
-    // keeps the xor in signed-BIGINT range on both engines; % 8 on the
-    // unsigned md5 value equals Spark's signed pmod for power-of-two
-    // moduli (low bits agree).
-    "corpus_integrity_checksum" ->
-      """WITH r AS (
-        |  SELECT
-        |    CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS INT)
-        |      AS shard,
-        |    CAST(md5_number_upper(doc_id || chr(1) || lang || chr(1) ||
-        |         text) & 9223372036854775807 AS BIGINT) AS h,
-        |    n_chars
-        |  FROM documents),
-        |s AS (
-        |  SELECT shard, count(*) AS n_docs, bit_xor(h) AS content_xor,
-        |    CAST(sum(n_chars) AS BIGINT) AS char_sum
-        |  FROM r GROUP BY 1),
-        |m AS (
-        |  SELECT -1 AS shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
-        |    bit_xor(content_xor) AS content_xor,
-        |    CAST(sum(char_sum) AS BIGINT) AS char_sum
-        |  FROM s),
-        |g AS (
-        |  SELECT -2 AS shard, count(*) AS n_docs, bit_xor(h) AS content_xor,
-        |    CAST(sum(n_chars) AS BIGINT) AS char_sum
-        |  FROM r)
-        |SELECT * FROM s UNION ALL SELECT * FROM m UNION ALL SELECT * FROM g
-        |ORDER BY shard""".stripMargin,
-
-    // Burst opener = first row or strict >10-minute gap from the previous
-    // same-key row; exact interval arithmetic in microseconds both sides.
-    "dedup_debounce" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id, event_type
-        |                  ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |k AS (
-        |  SELECT *,
-        |    (prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE) AS keep
-        |  FROM e)
-        |SELECT user_id, event_type, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN keep THEN event_id ELSE 0 END) AS BIGINT)
-        |    AS kept_checksum
-        |FROM k GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
-
-    // ANSI ntile (first n mod 10 buckets take the extra row) with the
-    // same (value, event_id) tie-break; lo/hi are stored parquet doubles
-    // selected (not computed), rounded identically on both sides.
-    "equidepth_deciles" ->
-      """WITH t AS (
-        |  SELECT event_type, event_id, value,
-        |    ntile(10) OVER (PARTITION BY event_type
-        |                    ORDER BY value, event_id) AS decile
-        |  FROM events)
-        |SELECT event_type, decile, count(*) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
-        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
-        |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
-
-    // The embed_knn_graph edge CTE (same cell assignment + within-cell
-    // top-3), canonicalized to oriented a<b edges, then the same
-    // compact-forward wedge join: each triangle x<y<z appears once.
-    "triangle_count_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e),
-        |tri AS (
-        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM u e1 JOIN u e2 ON e1.b = e2.a
-        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
-        |SELECT vertex, count(*) AS n_triangles
-        |FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
-        |GROUP BY 1 ORDER BY vertex""".stripMargin,
-
-    // Same sliding-distinct decomposition: distinct (user, day), ≤7-day
-    // fan-out via BETWEEN join against the observed-day grid, count
-    // distinct users per window day.
-    "rolling_7d_distinct_users" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |days AS (SELECT DISTINCT day FROM ud)
-        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
-        |  count(DISTINCT u.user_id) AS active_users_7d
-        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY d.day ORDER BY day""".stripMargin,
-
-    // Histogram-derived discrete cutoffs (smallest cents with cum ≥
-    // ⌈q·n⌉), then histogram-weighted clipped sums — all integers until
-    // the final quotient, which divides identically in both engines.
-    "winsorize_stats" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |h AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT event_type, cents, c,
-        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(c) OVER (PARTITION BY event_type) AS n
-        |  FROM h),
-        |lo AS (SELECT event_type, min(cents) AS lo_cents FROM cum
-        |       WHERE cum >= ceil(n * 0.05) GROUP BY 1),
-        |hi AS (SELECT event_type, min(cents) AS hi_cents FROM cum
-        |       WHERE cum >= ceil(n * 0.95) GROUP BY 1)
-        |SELECT h.event_type, CAST(sum(c) AS BIGINT) AS n,
-        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
-        |  CAST(sum(CASE WHEN cents < lo_cents THEN c ELSE 0 END) AS BIGINT)
-        |    AS n_clip_lo,
-        |  CAST(sum(CASE WHEN cents > hi_cents THEN c ELSE 0 END) AS BIGINT)
-        |    AS n_clip_hi,
-        |  CAST(sum(c * greatest(least(cents, hi_cents), lo_cents)) AS BIGINT)
-        |    AS wsum_cents,
-        |  round(CAST(sum(c * greatest(least(cents, hi_cents), lo_cents))
-        |          AS DOUBLE) / CAST(sum(c) AS BIGINT) / 100.0, 6) AS w_mean
-        |FROM h JOIN lo USING (event_type) JOIN hi USING (event_type)
-        |GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // The embed_knn_graph edge CTE, then the same triadic-closure plan:
-    // middle-vertex path join, direct-edge anti join, top-3 per source.
-    "knn_2hop_recommend" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |two AS (
-        |  SELECT e1.src AS a, e2.dst AS c, count(*) AS n_paths
-        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e2.dst <> e1.src
-        |  GROUP BY 1, 2),
-        |rec AS (
-        |  SELECT a, c, n_paths FROM two
-        |  WHERE NOT EXISTS (SELECT 1 FROM e
-        |                    WHERE e.src = two.a AND e.dst = two.c)),
-        |r AS (
-        |  SELECT a, c, n_paths,
-        |    row_number() OVER (PARTITION BY a
-        |                       ORDER BY n_paths DESC, c) AS rank
-        |  FROM rec)
-        |SELECT a AS src, rank, c AS rec, n_paths FROM r
-        |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
-
-    // Brute-force exact cross-side trigram Jaccard (same normalize +
-    // distinct-trigram CTE as dedup_minhash_pairs), best match per batch
-    // doc by (j desc, corpus id), left-joined onto every batch doc.
-    "dedup_incremental_minhash" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
-        |best AS (
-        |  SELECT new_id, corpus_id, j FROM p WHERE j >= 0.8
-        |  QUALIFY row_number() OVER (PARTITION BY new_id
-        |                             ORDER BY j DESC, corpus_id) = 1)
-        |SELECT d.doc_id, best.corpus_id IS NOT NULL AS dup,
-        |  best.corpus_id AS match_id, round(best.j, 6) AS jaccard
-        |FROM documents d LEFT JOIN best ON d.doc_id = best.new_id
-        |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin,
-
-    // The same VALUES dimension joined in SQL: the streamed result must
-    // deliver every event exactly once with the right enrichment.
-    "streaming_static_join" ->
-      """WITH dim(event_type, category, points) AS (VALUES
-        |  ('click', 'engagement', 2), ('view', 'engagement', 1),
-        |  ('purchase', 'transactional', 10), ('signup', 'transactional', 5),
-        |  ('error', 'ops', 0))
-        |SELECT category, count(*) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
-        |  CAST(sum(points) AS BIGINT) AS sum_points,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM events JOIN dim USING (event_type)
-        |GROUP BY 1 ORDER BY category""".stripMargin,
-
-    // Exact decimal moment sums, then the identical IEEE op sequence for
-    // the Welch z: m = s1/n, v = ss/n - m*m, z = (mB-mA)/sqrt(vA/nA+vB/nB).
-    "ab_test_metrics" ->
-      """WITH g AS (
-        |  SELECT event_type,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_a,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_b,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0
-        |      THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_a,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1
-        |      THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_b,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0
-        |      THEN CAST(value * value AS DECIMAL(20,4)) END) AS DOUBLE)
-        |      AS ss_a,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1
-        |      THEN CAST(value * value AS DECIMAL(20,4)) END) AS DOUBLE)
-        |      AS ss_b
-        |  FROM events GROUP BY 1),
-        |m AS (
-        |  SELECT *, sum_a / n_a AS m_a, sum_b / n_b AS m_b FROM g),
-        |v AS (
-        |  SELECT *, ss_a / n_a - m_a * m_a AS v_a,
-        |    ss_b / n_b - m_b * m_b AS v_b FROM m)
-        |SELECT event_type, n_a, n_b, sum_a, sum_b,
-        |  round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS welch_z
-        |FROM v ORDER BY event_type""".stripMargin,
-
-    // DuckDB's native ASOF JOIN recomputes the attribution independently
-    // (right side deduped per (user, ts) to the greatest touch_id, the
-    // Spark tie rule), then the same channel rollup in exact cents.
-    "attribution_last_touch" ->
-      """WITH purchases AS (
-        |  SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase'),
-        |touches AS (
-        |  SELECT user_id, ts, event_type AS touch_type,
-        |    event_id AS touch_id
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |                             ORDER BY event_id DESC) = 1)
-        |SELECT coalesce(t.touch_type, 'none') AS channel,
-        |  count(*) AS n_purchases,
-        |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
-        |    AS revenue_cents,
-        |  CAST(sum(p.event_id) AS BIGINT) AS id_checksum
-        |FROM purchases p ASOF LEFT JOIN touches t
-        |  ON p.user_id = t.user_id AND p.ts >= t.ts
-        |GROUP BY 1 ORDER BY channel""".stripMargin,
-
-    // Rows-frame trailing window over the daily aggregate; only full
-    // 7-observed-day histories emit; exact-integer ratio.
-    "daily_anomaly_baseline" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT event_type, day, n,
-        |    sum(n) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline_sum,
-        |    count(n) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline_days
-        |  FROM daily)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-        |  CAST(baseline_sum AS BIGINT) AS baseline_sum,
-        |  round(n * 7.0 / baseline_sum, 6) AS ratio
-        |FROM w WHERE baseline_days = 7
-        |ORDER BY event_type, day""".stripMargin,
-
-    // Distinct (order, brand) baskets, within-order pair counts, broadcast
-    // marginals; the lift quotient's operand order mirrors the Spark side.
-    "market_basket_lift" ->
-      """WITH baskets AS (
-        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-        |t AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
-        |marg AS (SELECT p_brand, count(*) AS n FROM baskets GROUP BY 1),
-        |co AS (
-        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
-        |    count(*) AS co_orders
-        |  FROM baskets a JOIN baskets b
-        |    ON a.okey = b.okey AND a.p_brand < b.p_brand
-        |  GROUP BY 1, 2)
-        |SELECT co.brand_a, co.brand_b, co.co_orders,
-        |  ma.n AS a_orders, mb.n AS b_orders,
-        |  round(co.co_orders::DOUBLE * t.n_orders /
-        |    (ma.n::DOUBLE * mb.n), 6) AS lift
-        |FROM co JOIN marg ma ON ma.p_brand = co.brand_a
-        |JOIN marg mb ON mb.p_brand = co.brand_b
-        |CROSS JOIN t
-        |WHERE co.co_orders >= 10
-        |ORDER BY brand_a, brand_b""".stripMargin,
-
-    // Same QI buckets; floor(value/10) — NOT CAST(value AS INT), which
-    // rounds in DuckDB but truncates in Spark — keeps the bucket rule
-    // bit-identical in both engines.
-    "l_diversity_audit" ->
-      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |  hour(ts) AS hr, CAST(floor(value / 10) AS BIGINT) AS value_bucket,
-        |  count(*) AS n, count(DISTINCT user_id) AS n_users
-        |FROM events
-        |GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT user_id) < 3
-        |ORDER BY event_type, day, hr, value_bucket""".stripMargin,
-
-    // Batch prefix-maximum over the tie-collapsed series: a row emits iff
-    // it strictly exceeds every earlier value of its user.
-    "streaming_tws_highwater" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT user_id, ts, value,
-        |    max(value) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM t)
-        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  round(value, 6) AS value
-        |FROM r WHERE pm IS NULL OR value > pm
-        |ORDER BY user_id, ts, value""".stripMargin,
-
-    "event_path_trigrams" ->
-      """WITH t AS (
-        |  SELECT event_type AS e1,
-        |    lead(event_type, 1) OVER w AS e2,
-        |    lead(event_type, 2) OVER w AS e3
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT e1, e2, e3, count(*) AS n FROM t
-        |WHERE e3 IS NOT NULL
-        |GROUP BY 1, 2, 3 ORDER BY e1, e2, e3""".stripMargin,
-
-    // Dense day×type grid (absent days = 0), integer moment sums, and
-    // the identical final quotient expression.
-    "type_correlation_matrix" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT t.event_type, d.day, coalesce(daily.n, 0) AS n
-        |  FROM (SELECT DISTINCT day FROM daily) d
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
-        |  LEFT JOIN daily ON daily.event_type = t.event_type
-        |                 AND daily.day = d.day),
-        |p AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    count(*) AS nd,
-        |    CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
-        |    CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
-        |    CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
-        |    CAST(sum(b.n * b.n) AS BIGINT) AS syy
-        |  FROM grid a JOIN grid b
-        |    ON a.day = b.day AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, nd, sx, sy, sxy,
-        |  round((nd * sxy - sx * sy)::DOUBLE /
-        |    (sqrt((nd * sxx - sx * sx)::DOUBLE) *
-        |     sqrt((nd * syy - sy * sy)::DOUBLE)), 6) AS pearson_r
-        |FROM p ORDER BY type_a, type_b""".stripMargin,
-
-    // First signup per user, first purchase at-or-after it; delays in
-    // exact epoch millis; quantile_cont ≡ Spark percentile on integers.
-    "convert_time_quantiles" ->
-      """WITH su AS (
-        |  SELECT user_id, min(ts) AS signup_ts FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |fp AS (
-        |  SELECT e.user_id, min(e.ts) AS first_p
-        |  FROM events e JOIN su ON e.user_id = su.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
-        |  GROUP BY 1)
-        |SELECT
-        |  CAST(floor(date_diff('day', DATE '2024-01-01',
-        |    CAST(su.signup_ts AS DATE)) / 7) AS INT) AS cohort_week,
-        |  count(*) AS n_signups,
-        |  count(fp.first_p) AS n_converted,
-        |  round(quantile_cont(epoch_ms(fp.first_p) - epoch_ms(su.signup_ts),
-        |    0.5), 6) AS med_delay_ms,
-        |  round(quantile_cont(epoch_ms(fp.first_p) - epoch_ms(su.signup_ts),
-        |    0.9), 6) AS p90_delay_ms
-        |FROM su LEFT JOIN fp ON su.user_id = fp.user_id
-        |GROUP BY 1 ORDER BY cohort_week""".stripMargin,
-
-    // Native ASOF on the strict forward bound after the same tie dedup
-    // (lowest click id per (user, ts) — the forward scan's first row).
-    "asof_forward_next_touch" ->
-      """WITH purchases AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'),
-        |clicks AS (
-        |  SELECT user_id, ts, event_id AS next_click_id
-        |  FROM events WHERE event_type = 'click'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |                             ORDER BY event_id) = 1)
-        |SELECT p.event_id, p.user_id,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, c.next_click_id
-        |FROM purchases p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND p.ts < c.ts
-        |ORDER BY event_id""".stripMargin,
-
-    // Same integer micro-unit matvec: q = round(1000·value), row sums,
-    // then per-dimension Σ q·s — all exact BIGINT arithmetic.
-    "pca_power_step" ->
-      """WITH q AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT)
-        |      AS pos,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
-        |      AS q
-        |  FROM embeddings),
-        |s AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1)
-        |SELECT q.pos, CAST(sum(q.q * s.s) AS BIGINT) AS v_next,
-        |  count(*) AS n_terms
-        |FROM q JOIN s ON q.vec_id = s.vec_id
-        |GROUP BY 1 ORDER BY pos""".stripMargin,
-
-    "tpch_q7_nation_volume" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-        |    AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem l
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |WHERE l.l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
-        |  AND TIMESTAMP '1999-12-31 00:00:00'
-        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    // Session construction copied verbatim from the sessionize_gap
-    // oracle, then the ordinal window and the same aggregate.
-    "session_ordinal_features" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-        |      AS BIGINT) AS session_idx
-        |  FROM flagged),
-        |o AS (
-        |  SELECT user_id, session_idx, ts, event_id,
-        |    row_number() OVER (PARTITION BY user_id, session_idx
-        |                       ORDER BY ts, event_id) AS ordinal
-        |  FROM idx)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        |  CAST(sum(ordinal * event_id) AS BIGINT) AS ord_checksum,
-        |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
-        |FROM o GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
-
-    // md5 mod 8: power of two, so unsigned % equals the signed pmod.
-    "kfold_assign" ->
-      """SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS INT)
-        |    AS fold,
-        |  lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
-
-    // Same difference-array construction: +1 at open, −1 at close+1,
-    // running sum over the aggregated day domain.
-    "open_orders_backlog" ->
-      """WITH c AS (
-        |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
-        |  FROM lineitem GROUP BY 1),
-        |iv AS (
-        |  SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
-        |  FROM orders o JOIN c ON o.o_orderkey = c.l_orderkey
-        |  WHERE c.close_day >= CAST(o.o_orderdate AS DATE)),
-        |del AS (
-        |  SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
-        |    SELECT open_day AS day, 1 AS delta FROM iv
-        |    UNION ALL
-        |    SELECT close_day + 1 AS day, -1 AS delta FROM iv)
-        |  GROUP BY 1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(sum(d) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS n_open
-        |FROM del ORDER BY day""".stripMargin,
-
-    // Dense grid, integer moment sums, integer slope rational + the
-    // identical final quotient.
-    "daily_trend_slope" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT t.event_type,
-        |    date_diff('day', DATE '2024-01-01', d.day) AS x,
-        |    coalesce(daily.n, 0) AS y
-        |  FROM (SELECT DISTINCT day FROM daily) d
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
-        |  LEFT JOIN daily ON daily.event_type = t.event_type
-        |                 AND daily.day = d.day),
-        |m AS (
-        |  SELECT event_type, count(*) AS nd,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx
-        |  FROM grid GROUP BY 1)
-        |SELECT event_type, nd,
-        |  nd * sxy - sx * sy AS slope_num,
-        |  nd * sxx - sx * sx AS slope_den,
-        |  round((nd * sxy - sx * sy)::DOUBLE / (nd * sxx - sx * sx), 6)
-        |    AS slope
-        |FROM m ORDER BY event_type""".stripMargin,
-
-    // 15-minute base buckets shifted 0–3 slides rebuild the same hopping
-    // windows on the shared bucket origin.
-    "hopping_window_counts" ->
-      """WITH b AS (
-        |  SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS b15,
-        |    count(*) AS n, CAST(sum(event_id) AS BIGINT) AS ids
-        |  FROM events GROUP BY 1, 2),
-        |h AS (
-        |  SELECT event_type, b15 - k.k * INTERVAL 15 MINUTE AS wstart,
-        |    n, ids
-        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
-        |SELECT event_type, strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
-        |  CAST(sum(n) AS BIGINT) AS n,
-        |  CAST(sum(ids) AS BIGINT) AS id_checksum
-        |FROM h GROUP BY 1, 2 ORDER BY event_type, wstart""".stripMargin,
-
-    // Each rule recomputed directly; FK rules via NOT EXISTS.
-    "dq_expectations" ->
-      """SELECT 'documents_nchars_consistent' AS rule,
-        |  count(*) AS n_checked,
-        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_violations
-        |FROM documents
-        |UNION ALL
-        |SELECT 'events_user_not_null', count(*),
-        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM events
-        |UNION ALL
-        |SELECT 'events_value_in_range', count(*),
-        |  CAST(sum(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
-        |    AS BIGINT)
-        |FROM events
-        |UNION ALL
-        |SELECT 'lineitem_orders_fk', NULL,
-        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
-        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-        |UNION ALL
-        |SELECT 'orders_customer_fk', NULL,
-        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
-        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |ORDER BY rule""".stripMargin,
-
-    // Floor division (//) on positive BIGINTs matches Spark's DIV; the
-    // per-purchase touch count comes from the same window rule.
-    "attribution_linear_multitouch" ->
-      """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |t AS (
-        |  SELECT user_id AS t_user, ts AS t_ts,
-        |    event_type AS touch_type, event_id AS t_id
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |j AS (
-        |  SELECT p.p_id, p.cents, t.touch_type, t.t_id
-        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
-        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 DAY),
-        |c AS (
-        |  SELECT *, count(t_id) OVER (PARTITION BY p_id) AS n,
-        |    cents * 1000000 AS units
-        |  FROM j)
-        |SELECT coalesce(touch_type, 'none') AS channel,
-        |  count(DISTINCT p_id) AS n_purchases,
-        |  count(t_id) AS n_touches,
-        |  CAST(sum(CASE WHEN t_id IS NULL THEN units
-        |                ELSE units // n END) AS BIGINT) AS credit_micro,
-        |  CAST(coalesce(sum(t_id), 0) AS BIGINT) AS touch_checksum
-        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
-
-    // Same exact Morton interleave as zorder_events' oracle; chunk = top
-    // 10 bits; stats, candidates, and both aggregate legs recomputed.
-    "zone_map_prune" -> {
-      val terms = (for {
-        (dim, dd) <- Seq("u", "v").zipWithIndex
-        i <- 0 until 16
-      } yield s"((($dim >> $i) & 1) << ${i * 2 + dd})").mkString(" | ")
-      s"""WITH n AS (
-         |  SELECT event_id, user_id,
-         |    CAST(floor(value * 100) AS BIGINT) AS cents,
-         |    ((user_id % 65536) + 65536) % 65536 AS u,
-         |    ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536
-         |      AS v
-         |  FROM events),
-         |r AS (
-         |  SELECT event_id, user_id, cents, ($terms) >> 22 AS chunk FROM n),
-         |stats AS (
-         |  SELECT chunk, min(cents) AS min_c, max(cents) AS max_c,
-         |    min(user_id) AS min_u, max(user_id) AS max_u
-         |  FROM r GROUP BY chunk),
-         |cand AS (
-         |  SELECT chunk FROM stats
-         |  WHERE max_c >= 9000 AND min_c <= 9499
-         |    AND max_u >= 3 AND min_u <= 11),
-         |scanned AS (
-         |  SELECT count(*) AS n_rows,
-         |    CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_checksum,
-         |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_sum
-         |  FROM r JOIN cand USING (chunk)
-         |  WHERE cents BETWEEN 9000 AND 9499 AND user_id BETWEEN 3 AND 11),
-         |direct AS (
-         |  SELECT count(*) AS d_rows,
-         |    CAST(coalesce(sum(event_id), 0) AS BIGINT) AS d_id,
-         |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS d_cents
-         |  FROM r WHERE cents BETWEEN 9000 AND 9499
-         |    AND user_id BETWEEN 3 AND 11),
-         |t AS (SELECT count(*) AS n_chunks FROM stats),
-         |c AS (SELECT count(*) AS n_scanned FROM cand)
-         |SELECT t.n_chunks, c.n_scanned, s.n_rows, s.id_checksum,
-         |  s.cents_sum,
-         |  (s.n_rows = d.d_rows AND s.id_checksum = d.d_id
-         |    AND s.cents_sum = d.d_cents) AS lossless
-         |FROM t, c, scanned s, direct d""".stripMargin
-    },
-
-    // The one-shot batch MERGE the sequential stream must equal —
-    // merge_upsert's oracle verbatim.
-    "streaming_merge_upsert" ->
-      """WITH base AS (
-        |  SELECT user_id, event_type, value, ts, event_id FROM events
-        |  WHERE ts < TIMESTAMP '2024-01-16'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1),
-        |chg AS (
-        |  SELECT user_id, event_type, value, ts, event_id,
-        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) = 1),
-        |m AS (
-        |  SELECT user_id, event_type, value, ts, event_id FROM base
-        |  WHERE user_id NOT IN (SELECT user_id FROM chg)
-        |  UNION ALL
-        |  SELECT user_id, event_type, value, ts, event_id FROM chg
-        |  WHERE op <> 'D')
-        |SELECT user_id, event_type, round(value, 6) AS value,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id
-        |FROM m ORDER BY user_id""".stripMargin,
-
-    // Same tokenization as vocab_top_tokens; the 90% rule as the
-    // identical integer comparison.
-    "vocab_coverage_cutoff" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |f AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
-        |c AS (
-        |  SELECT token, freq,
-        |    sum(freq) OVER (ORDER BY freq DESC, token
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(freq) OVER () AS total
-        |  FROM f)
-        |SELECT count(*) AS n_vocab,
-        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
-        |                THEN freq ELSE 0 END) AS BIGINT) AS mass_kept,
-        |  CAST(max(total) AS BIGINT) AS mass_total,
-        |  CAST(sum(CASE WHEN (cum - freq) * 10 < total * 9
-        |                THEN length(token) ELSE 0 END) AS BIGINT)
-        |    AS kept_len_checksum
-        |FROM c""".stripMargin,
-
-    // Histogram cumsum + per-type totals; min cents where 2·cum ≥ total.
-    "revenue_weighted_median" ->
-      """WITH h AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, cents, n, cents * n AS rev,
-        |    sum(cents * n) OVER (PARTITION BY event_type ORDER BY cents
-        |      ROWS UNBOUNDED PRECEDING) AS cum_rev,
-        |    sum(cents * n) OVER (PARTITION BY event_type) AS total_rev,
-        |    sum(n) OVER (PARTITION BY event_type) AS n_events
-        |  FROM h)
-        |SELECT event_type, CAST(min(cents) AS BIGINT) AS wmedian_cents,
-        |  CAST(max(total_rev) AS BIGINT) AS total_rev_cents,
-        |  CAST(max(n_events) AS BIGINT) AS n_events
-        |FROM r WHERE cum_rev * 2 >= total_rev
-        |GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // Both native ASOF directions with the operators' tie rules
-    // (backward: greatest id at equal ts; forward: lowest), then the
-    // identical nearest CASE; deltas in exact epoch-micros.
-    "asof_nearest_touch" ->
-      """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'),
-        |tb AS (
-        |  SELECT user_id, ts, event_type AS b_type, event_id AS b_id
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |                             ORDER BY event_id DESC) = 1),
-        |tf AS (
-        |  SELECT user_id, ts, event_type AS f_type, event_id AS f_id
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |                             ORDER BY event_id) = 1),
-        |b AS (
-        |  SELECT p.p_id, p.user_id, p.ts, t.ts AS b_ts, t.b_type, t.b_id
-        |  FROM p ASOF LEFT JOIN tb t
-        |    ON p.user_id = t.user_id AND p.ts >= t.ts),
-        |f AS (
-        |  SELECT p.p_id, t.ts AS f_ts, t.f_type, t.f_id
-        |  FROM p ASOF LEFT JOIN tf t
-        |    ON p.user_id = t.user_id AND p.ts < t.ts),
-        |j AS (
-        |  SELECT b.*, f.f_ts, f.f_type, f.f_id,
-        |    epoch_us(b.ts) - epoch_us(b.b_ts) AS db,
-        |    epoch_us(f.f_ts) - epoch_us(b.ts) AS df
-        |  FROM b JOIN f USING (p_id)),
-        |c AS (
-        |  SELECT *,
-        |    CASE WHEN b_id IS NULL AND f_id IS NULL THEN 'none'
-        |         WHEN f_id IS NULL OR (b_id IS NOT NULL AND db <= df)
-        |           THEN 'backward'
-        |         ELSE 'forward' END AS dir
-        |  FROM j)
-        |SELECT coalesce(CASE WHEN dir = 'backward' THEN b_type
-        |                     WHEN dir = 'forward' THEN f_type END, 'none')
-        |    AS channel,
-        |  dir, count(*) AS n_purchases,
-        |  CAST(coalesce(sum(CASE WHEN dir = 'backward' THEN b_id
-        |                         WHEN dir = 'forward' THEN f_id END), 0)
-        |    AS BIGINT) AS id_checksum,
-        |  CAST(sum(CASE WHEN dir = 'backward' THEN db
-        |                WHEN dir = 'forward' THEN df ELSE 0 END) AS BIGINT)
-        |    AS delta_us_sum
-        |FROM c GROUP BY 1, 2 ORDER BY channel, dir""".stripMargin,
-
-    // Same tokenization; per-doc TTR and the source mean as the same
-    // integer floor divisions.
-    "source_reputation_gate" ->
-      """WITH toks AS (
-        |  SELECT source, doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |dt AS (
-        |  SELECT source, doc_id, count(*) AS tot,
-        |    count(DISTINCT token) AS dis
-        |  FROM toks GROUP BY 1, 2),
-        |m AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(dis * 1000 // tot) AS BIGINT) AS ttr_sum
-        |  FROM dt GROUP BY 1),
-        |ch AS (
-        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |    count(*) AS n_docs
-        |  FROM documents GROUP BY 1)
-        |SELECT m.source, m.n_docs,
-        |  m.ttr_sum // m.n_docs AS mean_ttr_milli,
-        |  ch.sum_chars // ch.n_docs AS mean_chars,
-        |  (m.ttr_sum // m.n_docs) >= 500 AS keep
-        |FROM m JOIN ch ON m.source = ch.source
-        |ORDER BY m.source""".stripMargin,
-
-    // The sessionize_gap construction, aggregated to days; integer
-    // permille rate.
-    "bounce_rate_daily" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-        |      AS BIGINT) AS session_idx
-        |  FROM flagged),
-        |sess AS (
-        |  SELECT user_id, session_idx, min(ts) AS session_start,
-        |    count(*) AS n_events
-        |  FROM idx GROUP BY 1, 2),
-        |daily AS (
-        |  SELECT CAST(session_start AS DATE) AS day,
-        |    count(*) AS n_sessions,
-        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_bounces
-        |  FROM sess GROUP BY 1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, n_sessions, n_bounces,
-        |  n_bounces * 1000 // n_sessions AS bounce_permille
-        |FROM daily ORDER BY day""".stripMargin,
-
-    // Exact decimal revenue; custkey tiebreak makes the top-20 cut
-    // deterministic.
-    "tpch_q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |    AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-        |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-
-    // Rank-sum AUC from the same histogram identity; every emitted value
-    // is an exact integer so the hash-compare is deterministic.
-    "roc_auc_ranksum" ->
-      """WITH hist AS (
-        |  SELECT n_chars,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-        |  FROM documents GROUP BY 1),
-        |cum AS (
-        |  SELECT pos, neg,
-        |    CAST(coalesce(sum(neg) OVER (ORDER BY n_chars
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS neg_below
-        |  FROM hist)
-        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-        |  CAST(sum(neg) AS BIGINT) AS n_neg,
-        |  CAST(2 * sum(pos * neg_below) + sum(pos * neg) AS BIGINT) AS u2,
-        |  CAST((2 * sum(pos * neg_below) + sum(pos * neg)) * 1000000 //
-        |    (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_micro
-        |FROM cum""".stripMargin,
-
-    // Same histogram + prefix sums; the micro-unit floor-division argmin
-    // with the smallest-threshold tiebreak is engine-independent.
-    "gini_best_split" ->
-      """WITH hist AS (
-        |  SELECT n_chars,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-        |  FROM documents GROUP BY 1),
-        |cum AS (
-        |  SELECT n_chars AS threshold,
-        |    CAST(sum(pos) OVER (ORDER BY n_chars) AS BIGINT) AS l_pos,
-        |    CAST(sum(neg) OVER (ORDER BY n_chars) AS BIGINT) AS l_neg
-        |  FROM hist),
-        |tot AS (
-        |  SELECT CAST(sum(pos) AS BIGINT) AS t_pos,
-        |    CAST(sum(neg) AS BIGINT) AS t_neg
-        |  FROM hist),
-        |c AS (
-        |  SELECT threshold, l_pos + l_neg AS l_n, l_pos,
-        |    (t_pos - l_pos) + (t_neg - l_neg) AS r_n,
-        |    t_pos - l_pos AS r_pos
-        |  FROM cum CROSS JOIN tot
-        |  WHERE l_pos + l_neg < t_pos + t_neg)
-        |SELECT threshold, l_n, l_pos, r_n, r_pos,
-        |  l_pos * (l_n - l_pos) * 1000000 // l_n +
-        |  r_pos * (r_n - r_pos) * 1000000 // r_n AS gini_micro
-        |FROM c ORDER BY gini_micro, threshold LIMIT 1""".stripMargin,
-
-    // The row_number difference trick over per-user collapsed day numbers.
-    "activity_islands" ->
-      """WITH days AS (
-        |  SELECT DISTINCT user_id,
-        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
-        |  FROM events),
-        |isl AS (
-        |  SELECT user_id, day_num,
-        |    day_num - row_number()
-        |      OVER (PARTITION BY user_id ORDER BY day_num) AS grp
-        |  FROM days),
-        |g AS (
-        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_islands,
-        |  CAST(max(len) AS BIGINT) AS longest,
-        |  CAST(sum(len) AS BIGINT) AS active_days
-        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // KS on the cents-quantized ECDFs; exact integer cross-multiplied
-    // numerator, min-cents argmax tiebreak.
-    "ks_drift_cents" ->
-      """WITH q AS (
-        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |hist AS (
-        |  SELECT cents,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c1,
-        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c2
-        |  FROM q GROUP BY 1),
-        |cum AS (
-        |  SELECT cents,
-        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
-        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
-        |  FROM hist),
-        |tot AS (
-        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
-        |    CAST(sum(c2) AS BIGINT) AS n2
-        |  FROM hist),
-        |diffs AS (
-        |  SELECT cents, abs(n2 * cum1 - n1 * cum2) AS dnum, n1, n2
-        |  FROM cum CROSS JOIN tot),
-        |dm AS (SELECT max(dnum) AS d_num FROM diffs)
-        |SELECT n1, n2, d_num, d_num * 1000000 // (n1 * n2) AS d_micro,
-        |  min(cents) AS at_cents
-        |FROM diffs JOIN dm ON dnum = d_num
-        |GROUP BY n1, n2, d_num""".stripMargin,
-
-    // The oracle MATERIALIZES the self-join and counts it — proving the
-    // count-product identity the Spark side computes linearly.
-    "join_size_estimate" ->
-      """WITH r AS (
-        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
-        |c AS (
-        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-        |  FROM r GROUP BY 1),
-        |act AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS total_pairs
-        |  FROM r a JOIN r b ON a.l_partkey = b.l_partkey),
-        |mx AS (SELECT CAST(max(c) AS BIGINT) AS mc FROM c),
-        |sk AS (
-        |  SELECT CAST(min(c.l_partkey) AS BIGINT) AS skew_key
-        |  FROM c JOIN mx ON c.c = mx.mc)
-        |SELECT (SELECT count(*) FROM c) AS n_keys, act.total_pairs,
-        |  mx.mc * mx.mc AS max_key_pairs, sk.skew_key
-        |FROM act, mx, sk""".stripMargin,
-
-    // md5_number_upper IS the Spark side's md5Hash64 (simhash-twin
-    // identity); % 2^44 matches signed pmod at a power-of-two modulus.
-    "table_checksum_diff" ->
-      """WITH base AS (
-        |  SELECT event_id, CAST(ts AS DATE) AS day,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |hs AS (
-        |  SELECT day, count(*) AS n_src,
-        |    CAST(sum(md5_number_upper(CAST(event_id AS VARCHAR) || '|' ||
-        |      CAST(cents AS VARCHAR)) % 17592186044416) AS BIGINT) AS chk
-        |  FROM base GROUP BY 1),
-        |repl AS (
-        |  SELECT event_id, day,
-        |    CASE WHEN event_id % 997 = 5 THEN cents + 1 ELSE cents END
-        |      AS cents
-        |  FROM base WHERE event_id % 997 <> 3),
-        |hd AS (
-        |  SELECT day, count(*) AS n_dst,
-        |    CAST(sum(md5_number_upper(CAST(event_id AS VARCHAR) || '|' ||
-        |      CAST(cents AS VARCHAR)) % 17592186044416) AS BIGINT)
-        |      AS chk_dst
-        |  FROM repl GROUP BY 1)
-        |SELECT strftime(hs.day, '%Y-%m-%d') AS day, hs.n_src, hd.n_dst,
-        |  hs.chk = hd.chk_dst AS chk_match
-        |FROM hs JOIN hd USING (day) ORDER BY day""".stripMargin,
-
-    // Same permille construction: per-source row_number (doc_id tiebreak)
-    // mapped through the global histogram's (lo, hi] permille intervals.
-    "quantile_normalize_scores" ->
-      """WITH hist AS (
-        |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
-        |tot AS (SELECT count(*) AS n FROM documents),
-        |g0 AS (
-        |  SELECT n_chars,
-        |    CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
-        |  FROM hist),
-        |g AS (
-        |  SELECT n_chars AS norm_chars, cum * 1000 // n AS hi,
-        |    coalesce(lag(cum * 1000 // n) OVER (ORDER BY n_chars),
-        |      -1) AS lo
-        |  FROM g0 CROSS JOIN tot),
-        |rk AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY n_chars, doc_id) AS rk,
-        |    count(*) OVER (PARTITION BY source) AS n_src
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, source, n_chars,
-        |    (rk - 1) * 1000 // (n_src - 1) AS permille
-        |  FROM rk)
-        |SELECT p.doc_id, p.source, p.n_chars, p.permille, g.norm_chars
-        |FROM p JOIN g ON p.permille > g.lo AND p.permille <= g.hi
-        |ORDER BY p.doc_id""".stripMargin,
-
-    // Integer-scaled CUSUM: S_k = D·cum_k − k·total, argmax |S|,
-    // earliest-day tiebreak.
-    "cusum_changepoint" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-        |  FROM events GROUP BY 1, 2),
-        |cus AS (
-        |  SELECT event_type, day,
-        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
-        |      AS total,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
-        |      AS n_days,
-        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS k
-        |  FROM daily),
-        |s AS (
-        |  SELECT event_type, day, n_days,
-        |    abs(n_days * cum - k * total) AS s_abs,
-        |    max(abs(n_days * cum - k * total))
-        |      OVER (PARTITION BY event_type) AS m
-        |  FROM cus)
-        |SELECT event_type, strftime(min(day), '%Y-%m-%d') AS change_day,
-        |  CAST(max(m) AS BIGINT) AS s_abs,
-        |  CAST(max(n_days) AS BIGINT) AS n_days
-        |FROM s WHERE s_abs = m
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // Top-3 days re-ranked, string_agg with the same explicit order.
-    "listagg_top_days" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |top3 AS (
-        |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-        |          ORDER BY n DESC, day) AS rk FROM daily)
-        |  WHERE rk <= 3)
-        |SELECT event_type,
-        |  string_agg(day, ',' ORDER BY day) AS top_days,
-        |  CAST(sum(n) AS BIGINT) AS n_events
-        |FROM top3 GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // The UDF bodies inlined — the resolution-time contract.
-    "sql_udf_inline" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
-        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // CASE guards spell out the try_* semantics: zero divisor → NULL,
-    // product past 2^63−1 → NULL (multiplier 2 × 2^62 overflows,
-    // 1 × 2^62 and 0 do not).
-    "try_arithmetic_audit" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  CASE WHEN count(*) % 7 = 0 THEN NULL
-        |       ELSE count(*)::DOUBLE / (count(*) % 7) END AS div_probe,
-        |  CASE WHEN count(*) % 3 = 2 THEN NULL
-        |       ELSE CAST(4611686018427387904 * (count(*) % 3) AS BIGINT)
-        |  END AS overflow_probe
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The batch twin of the streaming state: bottom-256 per type over
-    // the WHOLE table — batching-invariance means the streamed final
-    // summary must equal this exactly (xor checksum included).
-    "streaming_quantile_sketch" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents,
-        |    CAST(md5_number_upper('qsk|' || event_id)
-        |      & 9223372036854775807 AS BIGINT) AS hk
-        |  FROM events),
-        |sk AS (
-        |  SELECT * FROM ev
-        |  QUALIFY row_number() OVER (PARTITION BY event_type
-        |    ORDER BY hk, event_id) <= 256),
-        |tot AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
-        |est AS (
-        |  SELECT event_type, cents AS est_p50 FROM (
-        |    SELECT event_type, cents,
-        |      row_number() OVER (PARTITION BY event_type
-        |        ORDER BY cents, event_id) AS vr,
-        |      count(*) OVER (PARTITION BY event_type) AS ksz
-        |    FROM sk)
-        |  WHERE vr = (ksz + 1) // 2)
-        |SELECT s.event_type, CAST(t.n AS BIGINT) AS n_seen,
-        |  CAST(count(*) AS INT) AS k_size,
-        |  CAST(bit_xor(s.hk) AS BIGINT) AS hk_checksum,
-        |  e.est_p50
-        |FROM sk s JOIN tot t USING (event_type)
-        |  JOIN est e USING (event_type)
-        |GROUP BY s.event_type, t.n, e.est_p50
-        |ORDER BY s.event_type""".stripMargin,
-
-    // Same bottom-k construction over the md5 twin hash; mergeability,
-    // the sketch median, the exact-histogram median, and the rank bound
-    // all re-derived independently.
-    "quantile_sketch_mergeable" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents,
-        |    CAST(md5_number_upper('qsk|' || event_id)
-        |      & 9223372036854775807 AS BIGINT) AS hk,
-        |    event_id % 2 AS half
-        |  FROM events),
-        |shards AS (
-        |  SELECT * FROM ev
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, half
-        |    ORDER BY hk, event_id) <= 256),
-        |merged AS (
-        |  SELECT * FROM shards
-        |  QUALIFY row_number() OVER (PARTITION BY event_type
-        |    ORDER BY hk, event_id) <= 256),
-        |direct AS (
-        |  SELECT * FROM ev
-        |  QUALIFY row_number() OVER (PARTITION BY event_type
-        |    ORDER BY hk, event_id) <= 256),
-        |mism AS (
-        |  SELECT event_type, count(*) AS n_mismatch FROM (
-        |    SELECT event_type, event_id FROM (
-        |      SELECT event_type, event_id FROM merged
-        |      UNION ALL SELECT event_type, event_id FROM direct)
-        |    GROUP BY 1, 2 HAVING count(*) <> 2)
-        |  GROUP BY 1),
-        |est AS (
-        |  SELECT event_type, cents AS est_p50 FROM (
-        |    SELECT event_type, cents,
-        |      row_number() OVER (PARTITION BY event_type
-        |        ORDER BY cents, event_id) AS vr,
-        |      count(*) OVER (PARTITION BY event_type) AS ksz
-        |    FROM merged)
-        |  WHERE vr = (ksz + 1) // 2),
-        |tot AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
-        |hist AS (SELECT event_type, cents, count(*) AS c
-        |         FROM ev GROUP BY 1, 2),
-        |exact AS (
-        |  SELECT event_type, cents AS exact_p50 FROM (
-        |    SELECT h.event_type, h.cents, t.n,
-        |      sum(h.c) OVER (PARTITION BY h.event_type
-        |        ORDER BY h.cents) AS cum
-        |    FROM hist h JOIN tot t USING (event_type))
-        |  WHERE cum >= (n + 1) // 2
-        |  QUALIFY row_number() OVER (PARTITION BY event_type
-        |    ORDER BY cents) = 1),
-        |er AS (
-        |  SELECT h.event_type, e.est_p50,
-        |    CAST(1 + sum(CASE WHEN h.cents < e.est_p50 THEN h.c
-        |      ELSE 0 END) AS BIGINT) AS est_rank
-        |  FROM hist h JOIN est e USING (event_type) GROUP BY 1, 2)
-        |SELECT t.event_type, CAST(t.n AS BIGINT) AS n, e.est_p50,
-        |  x.exact_p50,
-        |  coalesce(m.n_mismatch, 0) = 0 AS merge_ok,
-        |  CAST(abs(er.est_rank - (t.n + 1) // 2) AS BIGINT) AS rank_gap,
-        |  abs(er.est_rank - (t.n + 1) // 2) * 8 <= t.n AS bound_ok
-        |FROM tot t JOIN est e USING (event_type)
-        |  JOIN exact x USING (event_type)
-        |  JOIN er ON er.event_type = t.event_type
-        |    AND er.est_p50 = e.est_p50
-        |  LEFT JOIN mism m ON m.event_type = t.event_type
-        |ORDER BY t.event_type""".stripMargin,
-
-    // Same sketches over the md5 twin hash; the identity re-derived.
-    "kmv_sketch_mergeability" ->
-      """WITH h AS (
-        |  SELECT DISTINCT event_type,
-        |    CAST(md5_number_upper(CAST(user_id AS VARCHAR))
-        |         & 9223372036854775807 AS BIGINT) AS h
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |cs AS (SELECT CAST(sum(h) AS BIGINT) AS click_sum FROM (
-        |  SELECT DISTINCT h FROM h WHERE event_type = 'click'
-        |  ORDER BY h LIMIT 8)),
-        |vs AS (SELECT CAST(sum(h) AS BIGINT) AS view_sum FROM (
-        |  SELECT DISTINCT h FROM h WHERE event_type = 'view'
-        |  ORDER BY h LIMIT 8)),
-        |pt AS (
-        |  SELECT DISTINCT h FROM (
-        |    SELECT h, row_number() OVER (PARTITION BY event_type
-        |      ORDER BY h) AS rk FROM h) WHERE rk <= 8),
-        |ms AS (SELECT CAST(sum(h) AS BIGINT) AS merged_sum,
-        |         CAST(max(h) AS BIGINT) AS merged_kth FROM (
-        |  SELECT h FROM pt ORDER BY h LIMIT 8)),
-        |ds AS (SELECT CAST(sum(h) AS BIGINT) AS direct_sum,
-        |         CAST(max(h) AS BIGINT) AS direct_kth FROM (
-        |  SELECT DISTINCT h FROM h ORDER BY h LIMIT 8))
-        |SELECT 8 AS k, click_sum, view_sum, merged_sum, direct_sum,
-        |  merged_sum = direct_sum AND merged_kth = direct_kth AS mergeable
-        |FROM cs, vs, ms, ds""".stripMargin,
-
-    // Same per-source bottom-64 sketches and pair estimators, re-derived
-    // from scratch (md5_number_upper masked = md5Hash64; HUGEINT
-    // intermediates // = the Spark DECIMAL(38,0) DIV).
-    "source_overlap_kmv" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT source,
-        |    CAST(md5_number_upper(g) & 9223372036854775807 AS BIGINT) AS h
-        |  FROM (
-        |    SELECT source, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                           for i in range(1, len(s) - 1)]) AS g
-        |    FROM (SELECT source, regexp_split_to_array(
-        |            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
-        |            ' ') AS s
-        |          FROM documents))),
-        |sk AS (
-        |  SELECT source, h FROM (
-        |    SELECT source, h,
-        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
-        |    FROM sh) WHERE rk <= 64),
-        |srcs AS (SELECT DISTINCT source FROM sk),
-        |pr AS (SELECT a.source AS src_a, b.source AS src_b
-        |       FROM srcs a, srcs b WHERE a.source < b.source),
-        |u AS (
-        |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
-        |  FROM (
-        |    SELECT pr.src_a, pr.src_b, sk.h, 1 AS in_a, 0 AS in_b
-        |    FROM pr JOIN sk ON sk.source = pr.src_a
-        |    UNION ALL
-        |    SELECT pr.src_a, pr.src_b, sk.h, 0 AS in_a, 1 AS in_b
-        |    FROM pr JOIN sk ON sk.source = pr.src_b)
-        |  GROUP BY 1, 2, 3),
-        |m AS (
-        |  SELECT src_a, src_b, h, in_a, in_b,
-        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
-        |  FROM u)
-        |SELECT src_a, src_b,
-        |  CAST(count(*) AS BIGINT) AS n_sk,
-        |  CAST(max(h) AS BIGINT) AS theta,
-        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
-        |       ELSE (CAST(count(*) AS HUGEINT) - 1)
-        |            * 9223372036854775807 // max(h)
-        |       END AS BIGINT) AS est_union,
-        |  CAST((1000 * sum(in_a * in_b)) // count(*) AS BIGINT)
-        |    AS est_jaccard_permille,
-        |  CAST(CAST(sum(in_a * in_b) AS HUGEINT) *
-        |       (CASE WHEN count(*) < 64 THEN count(*)
-        |        ELSE (CAST(count(*) AS HUGEINT) - 1)
-        |             * 9223372036854775807 // max(h)
-        |        END) // count(*) AS BIGINT) AS est_common
-        |FROM m WHERE rk <= 64 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // The pipe chain desugared to classic SQL.
-    "pipe_syntax_report" ->
-      """SELECT o_orderpriority, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
-        |    AS total_cents
-        |FROM orders WHERE o_orderstatus <> 'F'
-        |GROUP BY o_orderpriority HAVING count(*) > 10
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    // Case-insensitive grouping over the same deterministic mangling.
-    "collation_aware_grouping" ->
-      """SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
-        |             ELSE lang END) AS lang,
-        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The resolved parameterized query.
-    "parameterized_sql_audit" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents
-        |FROM events WHERE value > 50.0
-        |GROUP BY event_type ORDER BY 1""".stripMargin,
-
-    // The IDENTICAL recursive SQL, modulo the view name.
-    "recursive_cte_reachability" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-        |    SELECT event_type,
-        |      lag(event_type) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id) AS prev_type
-        |    FROM events)
-        |  WHERE prev_type IS NOT NULL AND prev_type <> event_type),
-        |reach(src, dst, hops) AS (
-        |  SELECT src, dst, 1 FROM edges
-        |  UNION ALL
-        |  SELECT r.src, e.dst, r.hops + 1
-        |  FROM reach r JOIN edges e ON r.dst = e.src
-        |  WHERE r.hops < 5 AND r.src <> e.dst),
-        |m AS (SELECT src, dst, min(hops) AS min_hops
-        |      FROM reach GROUP BY src, dst)
-        |SELECT src, dst, CAST(min_hops AS INT) AS min_hops
-        |FROM m ORDER BY src, dst""".stripMargin,
-
-    // Ranked cumulative TPs sampled at exact decile ranks.
-    "pr_curve_points" ->
-      """WITH s AS (
-        |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events),
-        |r AS (
-        |  SELECT *, row_number() OVER (ORDER BY cents DESC, event_id) AS rk,
-        |    CAST(sum(y) OVER (ORDER BY cents DESC, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS tp
-        |  FROM s),
-        |t AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM s)
-        |SELECT CAST(rk * 10 // n AS INT) AS decile, CAST(rk AS BIGINT) AS k,
-        |  tp, CAST(1000 * tp // rk AS BIGINT) AS precision_permille,
-        |  CAST(1000 * tp // pos AS BIGINT) AS recall_permille
-        |FROM r, t WHERE rk * 10 % n = 0 ORDER BY decile""".stripMargin,
-
-    // END-sorted greedy via a recursive CTE over per-user interval
-    // ranks, carrying (cnt, last_end).
-    "interval_scheduling_max_sessions" ->
-      """WITH RECURSIVE iv AS (
-        |  SELECT user_id, epoch_us(ts) AS st,
-        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60 * 1000000
-        |      AS en
-        |  FROM events WHERE event_type = 'purchase'),
-        |idx AS (
-        |  SELECT user_id, st, en,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY en, st) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM iv),
-        |rec AS (
-        |  SELECT user_id, rn AS t, n,
-        |    CASE WHEN st >= -1 THEN CAST(1 AS BIGINT) ELSE 0 END AS cnt,
-        |    en AS last_end
-        |  FROM idx WHERE rn = 1
-        |  UNION ALL
-        |  SELECT i.user_id, i.rn, r.n,
-        |    CASE WHEN i.st >= r.last_end THEN r.cnt + 1 ELSE r.cnt END,
-        |    CASE WHEN i.st >= r.last_end THEN i.en ELSE r.last_end END
-        |  FROM rec r JOIN idx i
-        |    ON i.user_id = r.user_id AND i.rn = r.t + 1)
-        |SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
-        |  cnt AS max_nonoverlap
-        |FROM rec WHERE t = n ORDER BY user_id""".stripMargin,
-
-    // Dimension-sized calendar grid left-joined to the sparse aggregate.
-    "calendar_densify_zero_fill" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-        |      FROM events),
-        |grid AS (
-        |  SELECT t.event_type, CAST(g.day AS DATE) AS day
-        |  FROM (SELECT DISTINCT event_type FROM daily) t, b,
-        |    LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
-        |      INTERVAL 1 DAY)) AS day) g)
-        |SELECT grid.event_type AS event_type,
-        |  strftime(grid.day, '%Y-%m-%d') AS day,
-        |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
-        |  daily.n IS NULL AS is_gap
-        |FROM grid LEFT JOIN daily
-        |  ON grid.event_type = daily.event_type AND grid.day = daily.day
-        |ORDER BY 1, 2""".stripMargin,
-
-    // The same scaled-integer recurrence as a recursive CTE over day
-    // ranks; HUGEINT internally (≤1e25), doubles only at the final
-    // power-of-two division.
-    "holt_linear_exact" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS obs
-        |  FROM events GROUP BY 1, 2),
-        |idx AS (
-        |  SELECT event_type, obs,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM daily),
-        |rec AS (
-        |  SELECT event_type, rn AS t, n,
-        |    CAST(4 * obs AS HUGEINT) AS L, CAST(0 AS HUGEINT) AS B,
-        |    CAST(4 AS HUGEINT) AS p
-        |  FROM idx WHERE rn = 1
-        |  UNION ALL
-        |  SELECT i.event_type, i.rn, r.n,
-        |    2 * r.p * i.obs + 2 * (r.L + r.B),
-        |    r.p * i.obs - r.L + 3 * r.B,
-        |    r.p * 4
-        |  FROM rec r JOIN idx i
-        |    ON i.event_type = r.event_type AND i.rn = r.t + 1)
-        |SELECT event_type, CAST(t AS INT) AS n_days,
-        |  CAST(L AS DOUBLE) / power(4, t) AS level,
-        |  CAST(B AS DOUBLE) / power(4, t) AS trend,
-        |  CAST(L AS DOUBLE) / power(4, t) + CAST(B AS DOUBLE) / power(4, t)
-        |    AS forecast_next
-        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
-
-    // The same 8-term lag chain, weights 2^7..2^0, edge-renormalized.
-    "ewma_daily_counts" -> {
-      val num = (0 to 7).map { j =>
-        val w = 1L << (7 - j)
-        s"CASE WHEN lag(c, $j) OVER wo IS NULL THEN 0 " +
-          s"ELSE lag(c, $j) OVER wo * $w END"
-      }.mkString(" + ")
-      val den = (0 to 7).map { j =>
-        val w = 1L << (7 - j)
-        s"CASE WHEN lag(c, $j) OVER wo IS NULL THEN 0 ELSE $w END"
-      }.mkString(" + ")
-      s"""WITH daily AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-         |  FROM events GROUP BY 1, 2),
-         |t AS (
-         |  SELECT event_type, day, c,
-         |    CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den
-         |  FROM daily
-         |  WINDOW wo AS (PARTITION BY event_type ORDER BY day))
-         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
-         |  num * 1000 // den AS ewma_milli
-         |FROM t ORDER BY event_type, day""".stripMargin
-    },
-
-    // triangle_count_knn's graph construction extended with degrees; the
-    // micro-unit floor quotient matches Spark's DIV bit-for-bit.
-    "clustering_coeff_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e),
-        |deg AS (
-        |  SELECT vertex, CAST(count(*) AS BIGINT) AS degree FROM (
-        |    SELECT a AS vertex FROM u UNION ALL SELECT b AS vertex FROM u)
-        |  GROUP BY 1),
-        |tri AS (
-        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM u e1 JOIN u e2 ON e1.b = e2.a
-        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |tc AS (
-        |  SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
-        |  FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
-        |  GROUP BY 1)
-        |SELECT d.vertex, d.degree,
-        |  coalesce(tc.n_triangles, 0) AS n_triangles,
-        |  coalesce(tc.n_triangles, 0) * 2000000 //
-        |    (d.degree * (d.degree - 1)) AS lcc_micro
-        |FROM deg d LEFT JOIN tc USING (vertex)
-        |WHERE d.degree >= 2 ORDER BY d.vertex""".stripMargin,
-
-    // The batch LEFT JOIN the watermarked streaming outer join must equal.
-    "streaming_left_outer_join" ->
-      """WITH p AS (
-        |  SELECT ts, user_id, event_id FROM events
-        |  WHERE event_type = 'purchase'),
-        |v AS (
-        |  SELECT ts, user_id, event_id FROM events
-        |  WHERE event_type = 'view')
-        |SELECT p.user_id, p.event_id AS l_event_id,
-        |  v.event_id AS r_event_id, v.event_id IS NULL AS unmatched
-        |FROM p LEFT JOIN v ON p.user_id = v.user_id
-        |  AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 60 MINUTES
-        |ORDER BY l_event_id, r_event_id""".stripMargin,
-
-    // Identical credit CASE; floor division in both engines.
-    "attribution_position_based" ->
-      """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |t AS (
-        |  SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type,
-        |    event_id AS t_id
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |j AS (
-        |  SELECT p.p_id, p.cents, t.touch_type, t.t_id, t.t_ts
-        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
-        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 DAY),
-        |r AS (
-        |  SELECT p_id, cents, touch_type, t_id,
-        |    count(t_id) OVER (PARTITION BY p_id) AS n,
-        |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
-        |      AS rn,
-        |    cents * 1000000 AS units
-        |  FROM j),
-        |c AS (
-        |  SELECT touch_type, p_id, t_id,
-        |    CASE WHEN t_id IS NULL THEN units
-        |         WHEN n = 1 THEN units
-        |         WHEN n = 2 THEN units // 2
-        |         WHEN rn = 1 OR rn = n THEN units * 2 // 5
-        |         ELSE units // 5 // (n - 2) END AS credit_micro
-        |  FROM r)
-        |SELECT coalesce(touch_type, 'none') AS channel,
-        |  count(DISTINCT p_id) AS n_purchases,
-        |  count(t_id) AS n_touches,
-        |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro,
-        |  CAST(coalesce(sum(t_id), 0) AS BIGINT) AS touch_checksum
-        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
-
-    // Same epoch-micros floor division.
-    "dq_freshness_lag" ->
-      """WITH pt AS (
-        |  SELECT event_type, max(ts) AS max_ts FROM events GROUP BY 1),
-        |g AS (SELECT max(max_ts) AS global_ts FROM pt)
-        |SELECT event_type, strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts,
-        |  (epoch_us(global_ts) - epoch_us(max_ts)) // 1000000
-        |    AS lag_seconds,
-        |  (epoch_us(global_ts) - epoch_us(max_ts)) // 1000000 < 86400
-        |    AS fresh
-        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin,
-
-    "tpch_q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24""".stripMargin,
-
-    // Micro-cent integers before the ratio; no double division.
-    "tpch_q14_promo_share" ->
-      """WITH j AS (
-        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        |      AS rev,
-        |    p_type
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
-        |a AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
-        |             ELSE CAST(0 AS DECIMAL(16,4)) END) * 10000 AS BIGINT)
-        |      AS promo_u,
-        |    CAST(sum(rev) * 10000 AS BIGINT) AS total_u
-        |  FROM j)
-        |SELECT promo_u, total_u,
-        |  promo_u * 1000000 // total_u AS promo_share_micro
-        |FROM a""".stripMargin,
-
-    // Integer-valued double sums cast exactly; top-100 with orderkey
-    // tiebreak.
-    "tpch_q18_large_orders" ->
-      """WITH big AS (
-        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
-        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
-        |SELECT c_custkey, c_name, o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
-        |FROM orders
-        |JOIN big ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-
-    // DuckDB ASOF LEFT JOIN + the same 10-minute staleness CASE.
-    "asof_tolerance_join" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, event_id FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, ts AS cts, event_id AS click_id FROM events
-        |  WHERE event_type = 'click')
-        |SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  p.event_id,
-        |  CASE WHEN c.cts >= p.ts - INTERVAL 10 MINUTES
-        |       THEN c.click_id END AS click_id,
-        |  CASE WHEN c.cts >= p.ts - INTERVAL 10 MINUTES
-        |       THEN strftime(c.cts, '%Y-%m-%d %H:%M:%S') END AS click_ts
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND c.cts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
-
-    // Identical cell assignment (argmax centroid, cid tiebreak), label
-    // inequality, per-anchor top-2 by (sim desc, neg_id).
-    "hard_negative_mining" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, a.label, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, label, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, x.label AS src_label,
-        |    y.vec_id AS neg_id, y.label AS neg_label,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.label <> y.label
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id)
-        |SELECT src, src_label,
-        |  CAST(row_number() OVER (PARTITION BY src
-        |    ORDER BY sim DESC, neg_id) AS INT) AS rank,
-        |  neg_id, neg_label, round(sim, 6) AS sim
-        |FROM p
-        |QUALIFY rank <= 2
-        |ORDER BY src, rank""".stripMargin,
-
-    // Exclusive prefix mass over the length histogram; floor quartiles.
-    "curriculum_phases" ->
-      """WITH hist AS (
-        |  SELECT n_chars, count(*) AS c, n_chars * count(*) AS mass
-        |  FROM documents GROUP BY 1),
-        |cum AS (
-        |  SELECT n_chars, c, mass,
-        |    CAST(coalesce(sum(mass) OVER (ORDER BY n_chars
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_excl
-        |  FROM hist),
-        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total_mass FROM hist)
-        |SELECT cum_excl * 4 // total_mass AS phase,
-        |  CAST(sum(c) AS BIGINT) AS n_docs,
-        |  CAST(sum(mass) AS BIGINT) AS sum_chars,
-        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM cum CROSS JOIN tot
-        |GROUP BY 1 ORDER BY phase""".stripMargin,
-
-    // Same lead-interval weighting; exact epoch-micros arithmetic.
-    "twap_daily" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, ts,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents, event_id
-        |  FROM events),
-        |l AS (
-        |  SELECT event_type, day, cents,
-        |    lead(ts) OVER (PARTITION BY event_type, day
-        |      ORDER BY ts, event_id) AS next_ts,
-        |    ts
-        |  FROM ev),
-        |iv AS (
-        |  SELECT event_type, day,
-        |    cents * (epoch_us(next_ts) - epoch_us(ts)) AS wcents,
-        |    epoch_us(next_ts) - epoch_us(ts) AS dt_us
-        |  FROM l WHERE next_ts IS NOT NULL)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(sum(wcents) AS BIGINT) // CAST(sum(dt_us) AS BIGINT)
-        |    AS twap_cents,
-        |  count(*) AS n_intervals
-        |FROM iv GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin,
-
-    // Exact DECIMAL revenue; ties kept by construction.
-    "tpch_q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |      AS total_rev
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-        |  GROUP BY 1),
-        |mx AS (SELECT max(total_rev) AS mx FROM rev)
-        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
-        |FROM rev JOIN mx ON total_rev = mx
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY s_suppkey""".stripMargin,
-
-    // Every fingerprint once, plus docs 25..49 a second time (their +2 d
-    // duplicates arrive after state eviction and re-emit).
-    "streaming_dedup_eviction" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |      AS fp_md5
-        |  FROM documents)
-        |SELECT fp_md5 FROM (
-        |  SELECT DISTINCT fp_md5 FROM f
-        |  UNION ALL
-        |  SELECT DISTINCT fp_md5 FROM f WHERE doc_id >= 25 AND doc_id < 50
-        |  UNION ALL
-        |  SELECT md5('__advancer_0')
-        |  UNION ALL
-        |  SELECT md5('__advancer_1'))
-        |ORDER BY fp_md5""".stripMargin,
-
-    // Standard GROUPING bitmask (left column = MSB) in both engines.
-    "grouping_sets_report" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS total,
-        |  CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
-
-    // First digit from the DECIMAL rendering; Benford permille literals.
-    "benford_digit_audit" ->
-      """WITH d AS (
-        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-        |    AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders),
-        |h AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
-        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM h)
-        |SELECT digit, obs, obs * 1000 // n AS obs_permille,
-        |  ([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit]::BIGINT
-        |    AS exp_permille,
-        |  obs * 1000 // n -
-        |    ([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit]::BIGINT
-        |    AS excess_permille
-        |FROM h CROSS JOIN t ORDER BY digit""".stripMargin,
-
-    // Revenue-descending prefix sum; 4/5 cross-multiplied cutoff.
-    "pareto_customer_concentration" ->
-      """WITH rev AS (
-        |  SELECT o_custkey,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |r AS (
-        |  SELECT cents,
-        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
-        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum
-        |  FROM rev),
-        |t AS (
-        |  SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
-        |    count(*) AS n_customers
-        |  FROM rev)
-        |SELECT min(rk) AS n_top80, max(n_customers) AS n_customers,
-        |  min(rk) * 1000 // max(n_customers) AS top_share_permille,
-        |  max(total_cents) AS total_cents
-        |FROM r CROSS JOIN t
-        |WHERE cum * 5 >= total_cents * 4""".stripMargin,
-
-    // Same lag + permille delta + per-day (delta desc, type) top-1.
-    "trending_types_daily" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-        |  FROM events GROUP BY 1, 2),
-        |l AS (
-        |  SELECT event_type, day, c,
-        |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
-        |  FROM daily),
-        |g AS (
-        |  SELECT event_type, day, c, prev,
-        |    (c - prev) * 1000 // prev AS delta_permille
-        |  FROM l WHERE prev IS NOT NULL)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type AS top_type,
-        |  c, prev, delta_permille
-        |FROM g
-        |QUALIFY row_number() OVER (PARTITION BY day
-        |  ORDER BY delta_permille DESC, event_type) = 1
-        |ORDER BY day""".stripMargin,
-
-    // The batch FULL OUTER the streaming join must equal.
-    "streaming_full_outer_join" ->
-      """WITH p AS (
-        |  SELECT ts, user_id, event_id FROM events
-        |  WHERE event_type = 'purchase'),
-        |v AS (
-        |  SELECT ts, user_id, event_id FROM events
-        |  WHERE event_type = 'view')
-        |SELECT coalesce(p.user_id, v.user_id) AS user_id,
-        |  p.event_id AS l_event_id, v.event_id AS r_event_id
-        |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
-        |  AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 60 MINUTES
-        |ORDER BY l_event_id, r_event_id""".stripMargin,
-
-    // Same per-cents collapse + strictly-below running max.
-    "skyline_price_size" ->
-      """WITH parts AS (
-        |  SELECT p_partkey,
-        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |      AS cents,
-        |    p_size
-        |  FROM part),
-        |bs AS (SELECT cents, max(p_size) AS best_size FROM parts
-        |       GROUP BY 1),
-        |f AS (
-        |  SELECT cents, best_size,
-        |    coalesce(max(best_size) OVER (ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |      AS max_below
-        |  FROM bs)
-        |SELECT f.cents, f.best_size, min(p.p_partkey) AS p_partkey,
-        |  count(*) AS n_ties
-        |FROM f JOIN parts p
-        |  ON p.cents = f.cents AND p.p_size = f.best_size
-        |WHERE f.best_size > f.max_below
-        |GROUP BY 1, 2 ORDER BY f.cents""".stripMargin,
-
-    // Same kNN edge set as triangle_count_knn, then the textbook
-    // transitive closure the distributed star algorithm avoids: every
-    // (vertex, reachable-vertex) pair, min per vertex = component label.
-    "graph_components_knn" ->
-      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |verts AS (SELECT a AS v FROM u UNION SELECT b FROM u),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |walk AS (
-        |  SELECT v, v AS comp FROM verts
-        |  UNION
-        |  SELECT s2.v, walk.comp
-        |  FROM sym2 s2 JOIN walk ON walk.v = s2.w),
-        |lab AS (SELECT v, min(comp) AS comp FROM walk GROUP BY v)
-        |SELECT comp, count(*) AS n_vertices, max(v) AS max_vertex
-        |FROM lab GROUP BY comp ORDER BY comp""".stripMargin,
-
-    // Same kNN edge construction; the merged-graph labels recomputed
-    // FROM SCRATCH (ground truth for the Spark side's contraction).
-    "ivm_components_delta" ->
-      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |tagged AS (
-        |  SELECT a, b,
-        |    (md5_number_upper('ccd|' || a || '|' || b)
-        |     & 9223372036854775807) % 10 = 0 AS is_delta
-        |  FROM u),
-        |v0 AS (SELECT a AS v FROM tagged WHERE NOT is_delta
-        |       UNION SELECT b FROM tagged WHERE NOT is_delta),
-        |sym0 AS (SELECT a AS v, b AS w FROM tagged WHERE NOT is_delta
-        |         UNION ALL SELECT b, a FROM tagged WHERE NOT is_delta),
-        |walk0 AS (
-        |  SELECT v, v AS comp FROM v0
-        |  UNION
-        |  SELECT s0.v, walk0.comp
-        |  FROM sym0 s0 JOIN walk0 ON walk0.v = s0.w),
-        |lab0 AS (SELECT v, min(comp) AS comp FROM walk0 GROUP BY v),
-        |dverts AS (
-        |  -- explicit DISTINCT: DuckDB's CTE inlining has been observed
-        |  -- to leak duplicates through a bare UNION over this subplan
-        |  SELECT DISTINCT v FROM (
-        |    SELECT a AS v FROM tagged WHERE is_delta
-        |    UNION ALL SELECT b FROM tagged WHERE is_delta)),
-        |stale AS (
-        |  SELECT v, comp FROM lab0
-        |  UNION ALL
-        |  SELECT v, v AS comp FROM dverts
-        |  WHERE v NOT IN (SELECT v FROM lab0)),
-        |verts AS (SELECT a AS v FROM tagged UNION SELECT b FROM tagged),
-        |sym AS (SELECT a AS v, b AS w FROM tagged
-        |        UNION ALL SELECT b, a FROM tagged),
-        |walk AS (
-        |  SELECT v, v AS comp FROM verts
-        |  UNION
-        |  SELECT sy.v, walk.comp
-        |  FROM sym sy JOIN walk ON walk.v = sy.w),
-        |lab AS (SELECT v, min(comp) AS comp FROM walk GROUP BY v)
-        |SELECT st.v, st.comp AS old_comp, lab.comp AS new_comp,
-        |  st.comp <> lab.comp AS changed
-        |FROM stale st JOIN lab ON lab.v = st.v
-        |ORDER BY st.v""".stripMargin,
-
-    // Same segment split + collapsed boundary domain + closed-interval
-    // candidate rule (cum_before + ups).
-    "max_concurrent_sessions" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-        |  FROM flagged),
-        |sess AS (
-        |  SELECT user_id, session_idx, min(ts) AS session_start,
-        |    max(ts) AS session_end
-        |  FROM idx GROUP BY 1, 2),
-        |seg0 AS (
-        |  SELECT session_start, session_end,
-        |    CAST(unnest(generate_series(CAST(session_start AS DATE),
-        |      CAST(session_end AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM sess),
-        |seg AS (
-        |  SELECT day,
-        |    greatest(session_start, CAST(day AS TIMESTAMP)) AS seg_start,
-        |    least(session_end,
-        |      CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND)
-        |      AS seg_end
-        |  FROM seg0),
-        |b AS (
-        |  SELECT day, ts, CAST(sum(delta) AS BIGINT) AS net,
-        |    CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS ups
-        |  FROM (
-        |    SELECT day, seg_start AS ts, 1 AS delta FROM seg
-        |    UNION ALL
-        |    SELECT day, seg_end AS ts, -1 AS delta FROM seg)
-        |  GROUP BY 1, 2),
-        |cnd AS (
-        |  SELECT day, ts,
-        |    CAST(sum(net) OVER (PARTITION BY day ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      - net + ups AS BIGINT) AS cand
-        |  FROM b),
-        |pk AS (SELECT day, max(cand) AS peak FROM cnd GROUP BY 1)
-        |SELECT strftime(pk.day, '%Y-%m-%d') AS day, pk.peak,
-        |  strftime(min(cnd.ts), '%Y-%m-%d %H:%M:%S') AS first_peak
-        |FROM pk JOIN cnd ON cnd.day = pk.day AND cnd.cand = pk.peak
-        |GROUP BY 1, 2 ORDER BY day""".stripMargin,
-
-    // Same per-doc milli-TTR, group windows with mirrored tiebreaks.
-    "preference_pairs" ->
-      """WITH toks AS (
-        |  SELECT source, lang, doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |dt AS (
-        |  SELECT source, lang, doc_id, count(*) AS tot,
-        |    count(DISTINCT token) AS dis
-        |  FROM toks GROUP BY 1, 2, 3),
-        |q AS (SELECT source, lang, doc_id,
-        |        dis * 1000 // tot AS ttr_milli FROM dt),
-        |r AS (
-        |  SELECT source, lang, doc_id, ttr_milli,
-        |    row_number() OVER (PARTITION BY source, lang
-        |      ORDER BY ttr_milli DESC, doc_id) AS rc,
-        |    row_number() OVER (PARTITION BY source, lang
-        |      ORDER BY ttr_milli, doc_id DESC) AS rr,
-        |    count(*) OVER (PARTITION BY source, lang) AS n_group
-        |  FROM q)
-        |SELECT source, lang, CAST(n_group AS BIGINT) AS n_group,
-        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_doc,
-        |  max(CASE WHEN rc = 1 THEN ttr_milli END) AS chosen_ttr,
-        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_doc,
-        |  max(CASE WHEN rr = 1 THEN ttr_milli END) AS rejected_ttr,
-        |  max(CASE WHEN rc = 1 THEN ttr_milli END)
-        |    - max(CASE WHEN rr = 1 THEN ttr_milli END) AS margin_milli
-        |FROM r WHERE (rc = 1 OR rr = 1) AND n_group >= 2
-        |GROUP BY 1, 2, 3 ORDER BY source, lang""".stripMargin,
-
-    // Same kNN edge set; bounded UNION ALL path enumeration (≤3 hops),
-    // min hop per vertex, per-layer summary.
-    "bfs_layers_knn" ->
-      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |seeds AS (SELECT DISTINCT vec_id AS v FROM embeddings
-        |          WHERE vec_id < 8),
-        |walk AS (
-        |  SELECT v, 0 AS d FROM seeds
-        |  UNION ALL
-        |  SELECT s2.w AS v, walk.d + 1 AS d
-        |  FROM walk JOIN sym2 s2 ON s2.v = walk.v WHERE walk.d < 3),
-        |lab AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
-        |SELECT dist, count(*) AS n_vertices,
-        |  CAST(sum(v) AS BIGINT) AS id_checksum, max(v) AS max_vertex
-        |FROM lab GROUP BY dist ORDER BY dist""".stripMargin,
-
-    // The full join computed directly; CASE-split item counts mirror the
-    // four delta terms.
-    "ivm_join_delta" ->
-      """SELECT o.o_custkey,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS revenue,
-        |  CAST(sum(CASE WHEN o.o_orderdate < TIMESTAMP '2000-01-01'
-        |    AND l.l_shipdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_items_base,
-        |  CAST(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '2000-01-01'
-        |    OR l.l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_items_delta
-        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |GROUP BY 1 ORDER BY o.o_custkey""".stripMargin,
-
-    // Same collapsed-histogram cutoffs ((n·k+4)//5 rank targets) and
-    // strictly-greater scoring.
-    "rfm_segmentation" ->
-      """WITH rfm0 AS (
-        |  SELECT o_custkey,
-        |    date_diff('day', max(o_orderdate),
-        |      (SELECT max(o_orderdate) FROM orders)) AS r_days,
-        |    count(*) AS f_orders,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |      // 10000 AS m_hd
-        |  FROM orders GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM rfm0),
-        |rcut AS (
-        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS rc1,
-        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS rc2,
-        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS rc3,
-        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS rc4
-        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |    FROM (SELECT r_days AS value, count(*) AS cnt FROM rfm0
-        |          GROUP BY 1)) CROSS JOIN nn),
-        |fcut AS (
-        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS fc1,
-        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS fc2,
-        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS fc3,
-        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS fc4
-        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |    FROM (SELECT f_orders AS value, count(*) AS cnt FROM rfm0
-        |          GROUP BY 1)) CROSS JOIN nn),
-        |mcut AS (
-        |  SELECT min(CASE WHEN cum >= (n*1+4)//5 THEN value END) AS mc1,
-        |    min(CASE WHEN cum >= (n*2+4)//5 THEN value END) AS mc2,
-        |    min(CASE WHEN cum >= (n*3+4)//5 THEN value END) AS mc3,
-        |    min(CASE WHEN cum >= (n*4+4)//5 THEN value END) AS mc4
-        |  FROM (SELECT value, sum(cnt) OVER (ORDER BY value
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |    FROM (SELECT m_hd AS value, count(*) AS cnt FROM rfm0
-        |          GROUP BY 1)) CROSS JOIN nn),
-        |scored AS (
-        |  SELECT o_custkey,
-        |    ((CASE WHEN r_days > rc1 THEN 1 ELSE 0 END
-        |      + CASE WHEN r_days > rc2 THEN 1 ELSE 0 END
-        |      + CASE WHEN r_days > rc3 THEN 1 ELSE 0 END
-        |      + CASE WHEN r_days > rc4 THEN 1 ELSE 0 END + 1) * 100
-        |    + (CASE WHEN f_orders > fc1 THEN 1 ELSE 0 END
-        |      + CASE WHEN f_orders > fc2 THEN 1 ELSE 0 END
-        |      + CASE WHEN f_orders > fc3 THEN 1 ELSE 0 END
-        |      + CASE WHEN f_orders > fc4 THEN 1 ELSE 0 END + 1) * 10
-        |    + (CASE WHEN m_hd > mc1 THEN 1 ELSE 0 END
-        |      + CASE WHEN m_hd > mc2 THEN 1 ELSE 0 END
-        |      + CASE WHEN m_hd > mc3 THEN 1 ELSE 0 END
-        |      + CASE WHEN m_hd > mc4 THEN 1 ELSE 0 END + 1)) AS segment
-        |  FROM rfm0 CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut)
-        |SELECT segment, count(*) AS n_customers,
-        |  CAST(sum(o_custkey) AS BIGINT) AS id_checksum,
-        |  min(o_custkey) AS min_custkey
-        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
-
-    // utf8proc NFC then lower — same normalize-then-casemap order as the
-    // native expression.
-    "dedup_unicode_normalized" ->
-      """WITH g AS (
-        |  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
-        |  FROM documents
-        |  GROUP BY lower(nfc_normalize(trim(
-        |    regexp_replace(text, '\s+', ' ', 'g'))))),
-        |j AS (
-        |  SELECT d.doc_id, d.lang, d.source, d.n_chars, g.n_dups
-        |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
-        |SELECT doc_id, lang, source, n_chars, n_dups
-        |FROM j ORDER BY doc_id""".stripMargin,
-
-    // IS NOT DISTINCT FROM is SQL's <=>; same pre-collapsed sides.
-    "null_safe_join_props" ->
-      """WITH ev AS (
-        |  SELECT event_type,
-        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |           % 7 = 0 THEN NULL
-        |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |           % 50 END AS kk
-        |  FROM events),
-        |a AS (SELECT kk, count(*) AS n_click FROM ev
-        |      WHERE event_type = 'click' GROUP BY 1),
-        |b AS (SELECT kk, count(*) AS n_view FROM ev
-        |      WHERE event_type = 'view' GROUP BY 1)
-        |SELECT coalesce(CAST(a.kk AS VARCHAR), CAST(b.kk AS VARCHAR),
-        |    'NULL_KEY') AS key,
-        |  coalesce(n_click, 0) AS n_click,
-        |  coalesce(n_view, 0) AS n_view
-        |FROM a FULL OUTER JOIN b ON a.kk IS NOT DISTINCT FROM b.kk
-        |ORDER BY key""".stripMargin,
-
-    // Same gap sessionization per type, closed-interval overlap pairs,
-    // exact epoch-micros lengths.
-    "session_overlap_seconds" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_type, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, event_type, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id, event_type ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_idx
-        |  FROM flagged),
-        |sess AS (
-        |  SELECT user_id, event_type, session_idx,
-        |    min(ts) AS s, max(ts) AS e
-        |  FROM idx GROUP BY 1, 2, 3),
-        |pairs AS (
-        |  SELECT c.user_id,
-        |    epoch_us(least(c.e, v.e)) - epoch_us(greatest(c.s, v.s))
-        |      AS ov_us
-        |  FROM sess c JOIN sess v ON c.user_id = v.user_id
-        |  WHERE c.event_type = 'click' AND v.event_type = 'view'
-        |    AND c.s <= v.e AND v.s <= c.e)
-        |SELECT user_id, count(*) AS n_pairs,
-        |  CAST(sum(ov_us) AS BIGINT) // 1000000 AS overlap_seconds
-        |FROM pairs GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // Same 8-table DAG, integer cent-percent volumes, exact permille.
-    "tpch_q8_market_share" ->
-      """WITH vols AS (
-        |  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
-        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
-        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-        |      AS BIGINT) AS volume_units
-        |  FROM lineitem l
-        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
-        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
-        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
-        |  JOIN customer c ON c.c_custkey = o.o_custkey
-        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
-        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
-        |    AND r.r_name = 'EUROPE'
-        |  GROUP BY 1, 2),
-        |tot AS (SELECT o_year, CAST(sum(volume_units) AS BIGINT)
-        |          AS year_total FROM vols GROUP BY 1)
-        |SELECT v.o_year, v.supp_nation, v.volume_units,
-        |  v.volume_units * 1000 // t.year_total AS share_permille
-        |FROM vols v JOIN tot t ON v.o_year = t.o_year
-        |ORDER BY v.o_year, v.supp_nation""".stripMargin,
-
-    // LEFT join keeps 0-order customers; count-of-counts histogram.
-    "tpch_q13_custdist" ->
-      """WITH cc AS (
-        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
-        |  GROUP BY 1)
-        |SELECT c_count, count(*) AS custdist
-        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    // 5·qty·n < sum_qty is qty < 0.2·avg without floats.
-    "tpch_q17_small_qty" ->
-      """WITH j AS (
-        |  SELECT l.l_partkey, CAST(round(l.l_quantity) AS BIGINT) AS qty,
-        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
-        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        |  WHERE p.p_brand = 'Brand#4'),
-        |st AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
-        |         count(*) AS n FROM j GROUP BY 1)
-        |SELECT count(*) AS n_small,
-        |  coalesce(CAST(sum(j.pc) AS BIGINT), 0) AS total_cents
-        |FROM j JOIN st ON j.l_partkey = st.l_partkey
-        |WHERE j.qty * st.n * 5 < st.sum_qty""".stripMargin,
-
-    // Same day-histogram cutoff, embargo window, and gap invariant.
-    "temporal_split_embargo" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-        |h AS (SELECT day, count(*) AS c FROM ev GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM ev),
-        |cut AS (
-        |  SELECT min(CASE WHEN cum >= (n*7+9)//10 THEN day END)
-        |    AS train_end
-        |  FROM (SELECT day, sum(c) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |    FROM h) CROSS JOIN nn),
-        |tagged AS (
-        |  SELECT user_id, day,
-        |    CASE WHEN day <= train_end THEN 'train'
-        |         WHEN day <= train_end + 7 THEN 'embargo'
-        |         ELSE 'val' END AS split
-        |  FROM ev CROSS JOIN cut),
-        |ok AS (
-        |  SELECT date_diff('day',
-        |      max(CASE WHEN split = 'train' THEN day END),
-        |      min(CASE WHEN split = 'val' THEN day END)) >= 8
-        |    AS embargo_ok
-        |  FROM tagged)
-        |SELECT split, count(*) AS n_events,
-        |  count(DISTINCT user_id) AS n_users,
-        |  strftime(min(day), '%Y-%m-%d') AS first_day,
-        |  strftime(max(day), '%Y-%m-%d') AS last_day, embargo_ok
-        |FROM tagged CROSS JOIN ok
-        |GROUP BY 1, 6 ORDER BY split""".stripMargin,
-
-    // Same decile cutoffs ((n·k+9)//10), exact permille outcome rate.
-    "calibration_reliability" ->
-      """WITH ev AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
-        |  FROM events),
-        |h AS (SELECT cents, count(*) AS c FROM ev GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM ev),
-        |cum0 AS (SELECT cents, sum(c) OVER (ORDER BY cents
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM h),
-        |cuts AS (
-        |  SELECT min(CASE WHEN cum >= (n*1+9)//10 THEN cents END) AS c1,
-        |    min(CASE WHEN cum >= (n*2+9)//10 THEN cents END) AS c2,
-        |    min(CASE WHEN cum >= (n*3+9)//10 THEN cents END) AS c3,
-        |    min(CASE WHEN cum >= (n*4+9)//10 THEN cents END) AS c4,
-        |    min(CASE WHEN cum >= (n*5+9)//10 THEN cents END) AS c5,
-        |    min(CASE WHEN cum >= (n*6+9)//10 THEN cents END) AS c6,
-        |    min(CASE WHEN cum >= (n*7+9)//10 THEN cents END) AS c7,
-        |    min(CASE WHEN cum >= (n*8+9)//10 THEN cents END) AS c8,
-        |    min(CASE WHEN cum >= (n*9+9)//10 THEN cents END) AS c9
-        |  FROM cum0 CROSS JOIN nn)
-        |SELECT (CASE WHEN cents > c1 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c2 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c3 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c4 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c5 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c6 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c7 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c8 THEN 1 ELSE 0 END
-        |    + CASE WHEN cents > c9 THEN 1 ELSE 0 END + 1) AS decile,
-        |  count(*) AS n, CAST(sum(is_pos) AS BIGINT) AS n_pos,
-        |  CAST(sum(is_pos) AS BIGINT) * 1000 // count(*) AS rate_permille
-        |FROM ev CROSS JOIN cuts GROUP BY 1 ORDER BY decile""".stripMargin,
-
-    // Same first-error lifetime and censoring rule; at-risk as the
-    // suffix sum.
-    "survival_risk_table" ->
-      """WITH life0 AS (
-        |  SELECT user_id, CAST(min(ts) AS DATE) AS fd,
-        |    CAST(max(ts) AS DATE) AS ld,
-        |    CAST(min(CASE WHEN event_type = 'error' THEN ts END) AS DATE)
-        |      AS ed
-        |  FROM events GROUP BY 1),
-        |life AS (
-        |  SELECT date_diff('day', fd, coalesce(ed, ld)) AS t,
-        |    CASE WHEN ed IS NULL THEN 1 ELSE 0 END AS censored
-        |  FROM life0),
-        |byt AS (
-        |  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d_events,
-        |    CAST(sum(censored) AS BIGINT) AS n_censored
-        |  FROM life GROUP BY 1),
-        |r AS (
-        |  SELECT t, d_events, n_censored,
-        |    CAST(sum(d_events + n_censored) OVER (ORDER BY t
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        |      AS BIGINT) AS n_at_risk
-        |  FROM byt)
-        |SELECT t, n_at_risk, d_events, n_censored
-        |FROM r WHERE d_events > 0 ORDER BY t""".stripMargin,
-
-    // Anti-join orphan counts per FK edge.
-    "dq_referential_integrity" ->
-      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-        |  count(*) AS n_orphans, count(*) = 0 AS ok
-        |FROM lineitem l WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-        |UNION ALL
-        |SELECT 'orders.o_custkey->customer', count(*), count(*) = 0
-        |FROM orders o WHERE NOT EXISTS (
-        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        |UNION ALL
-        |SELECT 'supplier.s_nationkey->nation', count(*), count(*) = 0
-        |FROM supplier s WHERE NOT EXISTS (
-        |  SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
-        |UNION ALL
-        |SELECT 'customer.c_nationkey->nation', count(*), count(*) = 0
-        |FROM customer c WHERE NOT EXISTS (
-        |  SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
-        |ORDER BY fk_edge""".stripMargin,
-
-    // Same permille-lift rank with (lift desc, token) tiebreak.
-    "distinctive_tokens_by_source" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |st AS (SELECT source, token, count(*) AS c_st FROM tok
-        |       GROUP BY 1, 2),
-        |t AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st
-        |      GROUP BY 1),
-        |srct AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st
-        |         GROUP BY 1),
-        |nn AS (SELECT CAST(sum(c_st) AS BIGINT) AS big_n FROM st),
-        |lift AS (
-        |  SELECT st.source, st.token, st.c_st,
-        |    st.c_st * 1000 // srct.n_s
-        |      - (t.c_t - st.c_st) * 1000 // (nn.big_n - srct.n_s)
-        |      AS lift_permille
-        |  FROM st JOIN t USING (token) JOIN srct USING (source)
-        |  CROSS JOIN nn)
-        |SELECT source, CAST(rk AS BIGINT) AS rk, token, lift_permille,
-        |  c_st
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY source
-        |    ORDER BY lift_permille DESC, token) AS rk
-        |  FROM lift)
-        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
-
-    // Same exact-rational Simpson index and dominant-type tiebreak.
-    "behavior_diversity_simpson" ->
-      """WITH ut AS (
-        |  SELECT user_id, event_type, count(*) AS c FROM events
-        |  GROUP BY 1, 2),
-        |dom AS (
-        |  SELECT user_id, event_type AS dominant_type FROM (
-        |    SELECT user_id, event_type,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY c DESC, event_type) AS rk
-        |    FROM ut) WHERE rk = 1),
-        |agg AS (
-        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
-        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS ss
-        |  FROM ut GROUP BY 1)
-        |SELECT a.user_id, a.n_events, a.n_types,
-        |  (a.n_events * a.n_events - a.ss) * 1000000
-        |    // (a.n_events * a.n_events) AS simpson_micro,
-        |  d.dominant_type
-        |FROM agg a JOIN dom d USING (user_id)
-        |ORDER BY a.user_id""".stripMargin,
-
-    // Same prefix-max drawdown with earliest-trough tiebreak.
-    "max_drawdown_daily" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-        |  FROM events GROUP BY 1, 2),
-        |dd AS (
-        |  SELECT event_type, day,
-        |    CAST(max(v) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
-        |      AS BIGINT) AS dd
-        |  FROM daily),
-        |mx AS (SELECT event_type, max(dd) AS max_drawdown FROM dd
-        |       GROUP BY 1)
-        |SELECT m.event_type, m.max_drawdown,
-        |  strftime(min(d.day), '%Y-%m-%d') AS trough_day,
-        |  count(*) AS n_ties
-        |FROM mx m JOIN dd d ON d.event_type = m.event_type
-        |  AND d.dd = m.max_drawdown
-        |GROUP BY 1, 2 ORDER BY m.event_type""".stripMargin,
-
-    // Same scaled centering; NULL lead drops the last pair from the
-    // numerator in both engines.
-    "autocorr_lag1_daily" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |      // 100 AS v
-        |  FROM events GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT event_type, CAST(sum(v) AS BIGINT) AS s_sum,
-        |    count(*) AS n
-        |  FROM daily GROUP BY 1),
-        |led AS (
-        |  SELECT d.event_type, t.n, t.s_sum, d.v,
-        |    lead(d.v) OVER (PARTITION BY d.event_type ORDER BY d.day)
-        |      AS v_next
-        |  FROM daily d JOIN tot t USING (event_type))
-        |SELECT event_type, n,
-        |  CAST(sum((n * v - s_sum) *
-        |    CASE WHEN v_next IS NOT NULL THEN n * v_next - s_sum END)
-        |    AS BIGINT) AS num_scaled,
-        |  CAST(sum((n * v - s_sum) * (n * v - s_sum)) AS BIGINT)
-        |    AS den_scaled
-        |FROM led GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
-
-    // The batch gap sessionization the timer-driven emission must equal.
-    "streaming_timer_sessions" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
-        |flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 43200 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_idx
-        |  FROM flagged)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  count(*) AS n_events
-        |FROM idx GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    // Same integer month arithmetic and cumulative-by-age windows.
-    "cohort_ltv_curve" ->
-      """WITH o AS (
-        |  SELECT o_custkey,
-        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders),
-        |cohort AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
-        |sizes AS (SELECT cm, count(*) AS cohort_customers FROM cohort
-        |          GROUP BY 1),
-        |byage AS (
-        |  SELECT c.cm, o.m - c.cm AS age_months, count(*) AS n_orders,
-        |    CAST(sum(o.cents) AS BIGINT) AS rev_cents
-        |  FROM o JOIN cohort c USING (o_custkey) GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT cm, age_months, n_orders, rev_cents,
-        |    CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age_months
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum_rev_cents
-        |  FROM byage)
-        |SELECT CAST(cm // 12 AS VARCHAR) || '-' ||
-        |    lpad(CAST(cm % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
-        |  cum.age_months, cum.n_orders, cum.rev_cents, cum.cum_rev_cents,
-        |  s.cohort_customers,
-        |  cum.cum_rev_cents // s.cohort_customers AS ltv_cents_per_customer
-        |FROM cum JOIN sizes s USING (cm)
-        |ORDER BY cohort_month, age_months""".stripMargin,
-
-    // Same cutoff, strictly-split feature/label windows.
-    "churn_label_features" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-        |cut AS (SELECT max(day) - 14 AS cutoff FROM ev),
-        |feats AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |    count(DISTINCT day) AS n_active_days,
-        |    date_diff('day', max(day), min(cutoff)) AS last_gap_days
-        |  FROM ev CROSS JOIN cut WHERE day <= cutoff GROUP BY 1),
-        |post AS (
-        |  SELECT DISTINCT user_id FROM ev CROSS JOIN cut
-        |  WHERE day > cutoff)
-        |SELECT f.user_id, f.n_events, f.n_active_days, f.last_gap_days,
-        |  p.user_id IS NULL AS churned
-        |FROM feats f LEFT JOIN post p ON f.user_id = p.user_id
-        |ORDER BY f.user_id""".stripMargin,
-
-    // Latest-op-wins, tombstone filter AFTER the rank.
-    "merge_with_deletes" ->
-      """WITH feed AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN event_type = 'error' THEN 'delete'
-        |         ELSE 'upsert' END AS op,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM feed)
-        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, cents
-        |FROM ranked WHERE rn = 1 AND op = 'upsert'
-        |ORDER BY user_id""".stripMargin,
-
-    // Division by exact count equality against the divisor size.
-    "relational_division_users" ->
-      """WITH ev AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |week AS (
-        |  SELECT CAST(unnest(generate_series(d0, d0 + 6,
-        |    INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM (SELECT min(day) AS d0 FROM ev)),
-        |k AS (SELECT count(*) AS k FROM week)
-        |SELECT e.user_id, count(*) AS days_hit
-        |FROM ev e JOIN week w ON e.day = w.day
-        |CROSS JOIN k
-        |GROUP BY e.user_id, k.k
-        |HAVING count(*) = k.k
-        |ORDER BY e.user_id""".stripMargin,
-
-    // Same kNN edges; undirected degree histogram.
-    "degree_distribution_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |deg AS (
-        |  SELECT v, count(*) AS degree FROM (
-        |    SELECT a AS v FROM u UNION ALL SELECT b FROM u)
-        |  GROUP BY v)
-        |SELECT degree, count(*) AS n_vertices,
-        |  CAST(sum(v) AS BIGINT) AS id_checksum
-        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
-
-    // Same per-day histograms and rational rank compare (cum·den ≥
-    // n·num).
-    "daily_value_percentiles" ->
-      """WITH ev AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |h AS (SELECT day, cents, count(*) AS c FROM ev GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT day, cents,
-        |    sum(c) OVER (PARTITION BY day ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(c) OVER (PARTITION BY day) AS n
-        |  FROM h),
-        |p50 AS (SELECT day, min(cents) AS p50_cents FROM cum
-        |        WHERE cum * 2 >= n * 1 GROUP BY 1),
-        |p90 AS (SELECT day, min(cents) AS p90_cents FROM cum
-        |        WHERE cum * 10 >= n * 9 GROUP BY 1),
-        |p99 AS (SELECT day, min(cents) AS p99_cents FROM cum
-        |        WHERE cum * 100 >= n * 99 GROUP BY 1),
-        |nn AS (SELECT day, CAST(max(n) AS BIGINT) AS n FROM cum
-        |       GROUP BY 1)
-        |SELECT strftime(nn.day, '%Y-%m-%d') AS day, nn.n,
-        |  p50.p50_cents, p90.p90_cents, p99.p99_cents
-        |FROM nn JOIN p50 USING (day) JOIN p90 USING (day)
-        |JOIN p99 USING (day)
-        |ORDER BY day""".stripMargin,
-
-    // Same integer permille shares and effect formulas.
-    "mix_shift_decomposition" ->
-      """WITH ev AS (
-        |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS p1,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |bt AS (
-        |  SELECT event_type,
-        |    CAST(sum(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT)
-        |      AS rev_p1,
-        |    CAST(sum(CASE WHEN NOT p1 THEN cents ELSE 0 END) AS BIGINT)
-        |      AS rev_p2
-        |  FROM ev GROUP BY 1),
-        |tot AS (SELECT CAST(sum(rev_p1) AS BIGINT) AS t1,
-        |          CAST(sum(rev_p2) AS BIGINT) AS t2 FROM bt)
-        |SELECT event_type, rev_p1, rev_p2,
-        |  rev_p1 * 1000 // t1 AS share_p1_permille,
-        |  rev_p2 * 1000 // t2 AS share_p2_permille,
-        |  (rev_p2 * 1000 // t2 - rev_p1 * 1000 // t1) * t1 // 1000
-        |    AS mix_effect_cents,
-        |  (rev_p1 * 1000 // t1) * (t2 - t1) // 1000
-        |    AS growth_effect_cents
-        |FROM bt CROSS JOIN tot ORDER BY event_type""".stripMargin,
-
-    // Same per-user first-7-days window, threshold suffix sums.
-    "activation_metric_7d" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
-        |  FROM events),
-        |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
-        |iw AS (
-        |  SELECT e.user_id, count(DISTINCT e.event_type) AS n_types_7d
-        |  FROM ev e JOIN f ON e.user_id = f.user_id
-        |  WHERE e.day <= f.d0 + 6 GROUP BY 1),
-        |h AS (SELECT n_types_7d AS k, count(*) AS c FROM iw GROUP BY 1),
-        |nn AS (SELECT count(*) AS n_users FROM iw)
-        |SELECT k,
-        |  CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
-        |    UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_least_k,
-        |  n_users,
-        |  CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
-        |    UNBOUNDED FOLLOWING) AS BIGINT) * 1000 // n_users
-        |    AS activation_permille
-        |FROM h CROSS JOIN nn ORDER BY k""".stripMargin,
-
-    // Same three disjunctive bands, integer cent-percent revenue.
-    "tpch_q19_disjunctive" ->
-      """SELECT count(*) AS n_items,
-        |  coalesce(CAST(sum(
-        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
-        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-        |    AS BIGINT), 0) AS revenue_units
-        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        |WHERE
-        |  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
-        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
-        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
-        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
-        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
-        |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
-        |""".stripMargin,
-
-    // Plain LEFT JOIN — the null-routed plan must equal it exactly.
-    "null_skew_left_join" ->
-      """WITH o AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_custkey % 3 = 0 THEN NULL
-        |         ELSE o_custkey END AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders)
-        |SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
-        |  count(*) AS n_orders, CAST(sum(o.cents) AS BIGINT) AS cents
-        |FROM o LEFT JOIN customer c ON o.k = c.c_custkey
-        |GROUP BY 1 ORDER BY segment""".stripMargin,
-
-    // Same (freq desc, token) rank and exact products.
-    "zipf_fit_tokens" ->
-      """WITH freqs AS (
-        |  SELECT token, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS token
-        |    FROM documents)
-        |  GROUP BY 1),
-        |ranked AS (
-        |  SELECT token, freq,
-        |    row_number() OVER (ORDER BY freq DESC, token) AS rank
-        |  FROM freqs)
-        |SELECT rank, token, freq, freq * rank AS freq_rank_product
-        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
-
-    // One fact aggregate; both parent shares from the collapsed domain.
-    "percent_of_parent_revenue" ->
-      """WITH rev AS (
-        |  SELECT r.r_name, n.n_name,
-        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-        |      AS BIGINT) AS cents
-        |  FROM orders o
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |  JOIN region r ON n.n_regionkey = r.r_regionkey
-        |  GROUP BY 1, 2),
-        |rt AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS reg_cents
-        |       FROM rev GROUP BY 1),
-        |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM rev)
-        |SELECT rev.r_name, rev.n_name, rev.cents,
-        |  rev.cents * 1000 // rt.reg_cents AS share_of_region_permille,
-        |  rt.reg_cents * 1000 // tt.tot_cents AS region_share_permille
-        |FROM rev JOIN rt USING (r_name) CROSS JOIN tt
-        |ORDER BY rev.r_name, rev.n_name""".stripMargin,
-
-    // Same per-(type, user) lag and whole-second gaps.
-    "interarrival_stats" ->
-      """WITH g AS (
-        |  SELECT event_type,
-        |    (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY event_type, user_id
-        |               ORDER BY ts, event_id))
-        |SELECT event_type, count(*) AS n_gaps,
-        |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
-        |  CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq_s
-        |FROM g WHERE gap_s IS NOT NULL
-        |GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // md5_number_upper IS md5Hash64; (h % 64) and (h >> 6) & 1 read the
-    // identical bit ranges on the unsigned view.
-    "feature_hash_vectors" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
-        |    lower(text), '\s+', ' ', 'g')), ' ')) AS token
-        |  FROM documents),
-        |h AS (SELECT doc_id, md5_number_upper(token) AS h FROM toks),
-        |b AS (SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
-        |        1 - 2 * CAST((h >> 6) & 1 AS BIGINT) AS sign
-        |      FROM h),
-        |v AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
-        |      FROM b GROUP BY 1, 2 HAVING sum(sign) <> 0)
-        |SELECT doc_id, count(*) AS nnz, CAST(sum(abs(v)) AS BIGINT) AS l1,
-        |  CAST(sum(bucket * v) AS BIGINT) AS checksum
-        |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    // Same rank-assigned replication factors; exact class totals.
-    "oversample_minority" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |t AS (SELECT max(n) AS target FROM c),
-        |r AS (SELECT doc_id, lang,
-        |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
-        |      FROM documents)
-        |SELECT r.doc_id, r.lang,
-        |  unnest(generate_series(1, t.target // c.n +
-        |    CASE WHEN r.rk <= t.target % c.n THEN 1 ELSE 0 END)) AS copy_id
-        |FROM r JOIN c USING (lang) CROSS JOIN t
-        |ORDER BY lang, doc_id, copy_id""".stripMargin,
-
-    // NOT EXISTS over the date-filtered orders; exact cents
-    // cross-multiplication for the above-average test.
-    "tpch_q22_shaped" ->
-      """WITH cust AS (
-        |  SELECT c_custkey, c_nationkey,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-        |  FROM customer),
-        |a AS (SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |        count(*) AS cnt
-        |      FROM cust WHERE cents > 0)
-        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
-        |FROM cust, a
-        |WHERE cents * cnt > sum_cents
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Correlated-min over the lineitem-derived catalog; exact decimal
-    // cents on both sides.
-    "tpch_q2_shaped" ->
-      """WITH eur AS (
-        |  SELECT s_suppkey, s_name, n_name,
-        |    CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
-        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_regionkey = 3),
-        |cost AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)
-        |      AS cost_cents
-        |  FROM lineitem GROUP BY 1, 2),
-        |reg AS (
-        |  SELECT c.l_partkey, c.cost_cents, e.s_name, e.n_name, e.acctbal_cents
-        |  FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey),
-        |mn AS (SELECT l_partkey, min(cost_cents) AS min_cents
-        |       FROM reg GROUP BY 1)
-        |SELECT r.acctbal_cents, r.s_name, r.n_name, p.p_partkey, p.p_name,
-        |  r.cost_cents
-        |FROM reg r JOIN mn ON r.l_partkey = mn.l_partkey
-        |  AND r.cost_cents = mn.min_cents
-        |JOIN part p ON r.l_partkey = p.p_partkey
-        |WHERE p.p_type = 'LARGE'
-        |ORDER BY r.cost_cents, p.p_partkey, r.s_name
-        |LIMIT 100""".stripMargin,
-
-    "tpch_q9_shaped" ->
-      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |    AS DOUBLE) AS sum_profit,
-        |  count(*) AS n_lines
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
-
-    "tpch_q11_shaped" ->
-      """WITH v AS (
-        |  SELECT l_partkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM lineitem
-        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 2)),
-        |pp AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
-        |       FROM v GROUP BY 1),
-        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pp)
-        |SELECT l_partkey, value_cents FROM pp, t
-        |WHERE value_cents * 10000 > total_cents
-        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
-
-    "tpch_q12_shaped" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "tpch_q16_shaped" ->
-      """SELECT p_brand, p_type, p_size,
-        |  count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < 0)
-        |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-        |LIMIT 50""".stripMargin,
-
-    "tpch_q20_shaped" ->
-      """WITH q AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST(sum(CASE WHEN year(l_shipdate) = 1998
-        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
-        |      AS qty_1998,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
-        |  FROM lineitem
-        |  WHERE l_partkey IN (SELECT p_partkey FROM part
-        |                      WHERE p_name LIKE 'small%')
-        |  GROUP BY 1, 2)
-        |SELECT s_suppkey, s_name
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_regionkey = 0
-        |  AND s_suppkey IN (SELECT l_suppkey FROM q
-        |                    WHERE qty_1998 * 2 > qty_total)
-        |ORDER BY s_name""".stripMargin,
-
-    // Same 3-shingles as the minhash oracle; all-pairs is fine at oracle
-    // SF, direction-specific containment vs the contained side's count.
-    "dedup_containment_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                 for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
-        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
-        |  FROM t a JOIN t b ON a.doc_id <> b.doc_id)
-        |SELECT ida AS contained_id, idb AS container_id,
-        |  CAST(inter AS BIGINT) AS inter, CAST(na AS BIGINT) AS n_contained,
-        |  CAST(inter * 1000 // na AS BIGINT) AS containment_permille
-        |FROM p WHERE inter * 10 >= na * 9 AND na > 0
-        |ORDER BY contained_id, container_id""".stripMargin,
-
-    // Distinct bigram types, then the two KN count families.
-    "kn_continuation_counts" ->
-      """WITH toks AS (
-        |  SELECT regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |bg AS (SELECT unnest([s[i] || ' ' || s[i+1]
-        |                      for i in range(1, len(s))]) AS b FROM toks),
-        |sp AS (SELECT string_split(b, ' ')[1] AS w1,
-        |              string_split(b, ' ')[2] AS w2 FROM bg),
-        |types AS (SELECT DISTINCT w1, w2 FROM sp),
-        |cont AS (SELECT w2 AS token, count(*) AS n_preceding_types
-        |         FROM types GROUP BY 1),
-        |fert AS (SELECT w1 AS token, count(*) AS n_following_types
-        |         FROM types GROUP BY 1)
-        |SELECT token, coalesce(n_preceding_types, 0) AS n_preceding_types,
-        |  coalesce(n_following_types, 0) AS n_following_types,
-        |  row_number() OVER (ORDER BY coalesce(n_preceding_types, 0) DESC,
-        |                     token) AS rank
-        |FROM cont FULL OUTER JOIN fert USING (token)
-        |QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
-
-    // Both engines implement the same ANSI tri-valued logic; the three
-    // counts are the audit.
-    "not_in_null_semantics" ->
-      """WITH excl AS (
-        |  SELECT nullif(n_nationkey, 10) AS k FROM nation
-        |  WHERE n_regionkey = 0)
-        |SELECT 'not_in' AS form, count(*) AS cnt FROM customer
-        |WHERE c_nationkey NOT IN (SELECT k FROM excl)
-        |UNION ALL
-        |SELECT 'not_exists', count(*) FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_nationkey)
-        |UNION ALL
-        |SELECT 'not_in_nonnull', count(*) FROM customer
-        |WHERE c_nationkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
-        |ORDER BY form""".stripMargin,
-
-    // Same kNN substrate as degree_distribution_knn, then wedge-counted
-    // common neighbors over non-adjacent pairs.
-    "link_prediction_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src
-        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
-        |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |adj AS (SELECT a AS n, b AS v FROM u UNION ALL SELECT b, a FROM u),
-        |wed AS (SELECT l.v AS id1, r.v AS id2, count(*) AS common_neighbors
-        |  FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v GROUP BY 1, 2),
-        |nonadj AS (
-        |  SELECT w.* FROM wed w
-        |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = w.id1
-        |                    AND u.b = w.id2)),
-        |deg AS (SELECT n AS v, count(*) AS degree FROM adj GROUP BY 1)
-        |SELECT id1, id2, common_neighbors,
-        |  d1.degree AS deg1, d2.degree AS deg2,
-        |  row_number() OVER (ORDER BY common_neighbors DESC, id1, id2)
-        |    AS rank
-        |FROM nonadj JOIN deg d1 ON d1.v = id1 JOIN deg d2 ON d2.v = id2
-        |QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
-
-    // Exact-L2 argmin per (vector, 16-dim sub-block) against the first-16
-    // codebook; dist ties break on code.
-    "embed_pq_assign" ->
-      """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |d AS (
-        |  SELECT e.vec_id, sub.s AS sub, cb.code,
-        |    list_sum([ (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE) *
-        |               (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE)
-        |               for i in range(1 + sub.s * 16, 17 + sub.s * 16)])
-        |      AS dist
-        |  FROM embeddings e, range(4) sub(s), cb)
-        |SELECT vec_id, sub, code FROM d
-        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-        |                           ORDER BY dist, code) = 1
-        |ORDER BY vec_id, sub""".stripMargin,
-
-    // Identical integer pixel synthesis ((h & 255) low byte, & 63
-    // perturb index — power-of-two masks so the unsigned view matches
-    // md5Hash64's signed one), strict p·64 > Σp bit rule, all-pairs
-    // Hamming at oracle SF.
-    "image_ahash_neardup" ->
-      """WITH ids AS (SELECT unnest(range(1000)) AS id),
-        |grid AS (SELECT id, i.i AS i,
-        |  CAST(md5_number_upper('px|' || (id // 5) || '|' || i.i) & 255
-        |       AS BIGINT) AS base
-        |  FROM ids, range(64) i(i)),
-        |pert AS (SELECT DISTINCT id,
-        |  CAST(md5_number_upper('pt|' || (id // 5) || '|' || j.j) & 63
-        |       AS BIGINT) AS pi
-        |  FROM ids, range(4) j(j) WHERE j.j < id % 5),
-        |px AS (SELECT g.id, g.i,
-        |  CASE WHEN p.pi IS NULL THEN g.base
-        |       ELSE (g.base + 128) % 256 END AS p
-        |  FROM grid g LEFT JOIN pert p ON p.id = g.id AND p.pi = g.i),
-        |s AS (SELECT id, CAST(sum(p) AS BIGINT) AS tot FROM px GROUP BY 1),
-        |fp AS (SELECT px.id, bit_or(CASE WHEN px.p * 64 > s.tot
-        |    THEN 1::UBIGINT << CAST(px.i AS INTEGER)
-        |    ELSE 0::UBIGINT END) AS f
-        |  FROM px JOIN s USING (id) GROUP BY px.id)
-        |SELECT a.id AS id1, b.id AS id2,
-        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS distance
-        |FROM fp a JOIN fp b ON a.id < b.id
-        |WHERE bit_count(xor(a.f, b.f)) <= 10
-        |ORDER BY id1, id2""".stripMargin,
-
-    // Same stopword-score predictor as the text_langid oracle, joined
-    // back to the declared label.
-    "langid_confusion" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
-        |  FROM s),
-        |pred AS (
-        |  SELECT doc_id,
-        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
-        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
-        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
-        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
-        |         ELSE 'und' END AS lang_pred
-        |  FROM sc)
-        |SELECT d.lang, p.lang_pred, count(*) AS n_docs,
-        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
-        |FROM documents d JOIN pred p USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // First occurrence = min doc_id per shingle; same 3-shingles as the
-    // minhash oracle.
-    "ngram_novelty_by_source" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                          for i in range(1, len(s) - 1)])) AS sh
-        |  FROM (SELECT doc_id, source, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |f AS (SELECT sh, min(doc_id) AS first_id FROM t GROUP BY 1)
-        |SELECT source, count(*) AS n_shingle_slots,
-        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_novel,
-        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) * 1000 //
-        |       count(*) AS BIGINT) AS novelty_permille
-        |FROM t JOIN f USING (sh) GROUP BY 1 ORDER BY source""".stripMargin,
-
-    // isodow = Spark weekday + 1 (ISO Monday=1 in both).
-    "contingency_chi2_components" ->
-      """WITH o AS (
-        |  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
-        |    count(*) AS observed
-        |  FROM events GROUP BY 1, 2),
-        |rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_total
-        |       FROM o GROUP BY 1),
-        |ct AS (SELECT isodow, CAST(sum(observed) AS BIGINT) AS col_total
-        |       FROM o GROUP BY 1),
-        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM o)
-        |SELECT o.event_type, o.isodow, o.observed,
-        |  rt.row_total, ct.col_total, n.n_total,
-        |  n.n_total * o.observed - rt.row_total * ct.col_total AS resid_num
-        |FROM o JOIN rt USING (event_type) JOIN ct USING (isodow) CROSS JOIN n
-        |ORDER BY o.event_type, o.isodow""".stripMargin,
-
-    "graph_onion_layers_knn" -> onionOracleSql,
-
-    // Identical integer luminance synthesis and |Δlum| > 32 rule.
-    "video_shot_boundaries" ->
-      """WITH vids AS (SELECT unnest(range(300)) AS vid),
-        |fr AS (SELECT vid, f.f AS f FROM vids, range(40) f(f)),
-        |cuts AS (SELECT vid, f,
-        |  CAST(sum(CASE WHEN f > 0 AND
-        |      (md5_number_upper('cut|' || vid || '|' || f) & 7) = 0
-        |      THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS shot_true
-        |  FROM fr),
-        |lum AS (SELECT vid, f,
-        |  CAST((md5_number_upper('b|' || vid || '|' || shot_true) & 255) +
-        |       (md5_number_upper('j|' || vid || '|' || f) & 15) AS BIGINT)
-        |    AS lum
-        |  FROM cuts),
-        |det AS (SELECT vid, f, lum,
-        |  CASE WHEN f > 0 AND abs(lum - lag(lum)
-        |      OVER (PARTITION BY vid ORDER BY f)) > 32
-        |       THEN 1 ELSE 0 END AS is_cut FROM lum),
-        |seg AS (SELECT vid, f,
-        |  CAST(sum(is_cut) OVER (PARTITION BY vid ORDER BY f) AS BIGINT)
-        |    AS shot FROM det)
-        |SELECT vid, shot, CAST(min(f) AS BIGINT) AS start_frame,
-        |  CAST(max(f) AS BIGINT) AS end_frame, count(*) AS n_frames
-        |FROM seg GROUP BY 1, 2 ORDER BY vid, shot""".stripMargin,
-
-    // EXISTS over the late-shipment predicate.
-    "tpch_q4_shaped" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |  AND o_orderdate < TIMESTAMP '1997-04-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey
-        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same kNN substrate; per-edge degree products/sums, one row.
-    "degree_assortativity_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src
-        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
-        |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-        |  greatest(src, dst) AS b FROM e WHERE src <> dst),
-        |deg AS (SELECT v, count(*) AS deg FROM (
-        |  SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY 1)
-        |SELECT count(*) AS m,
-        |  CAST(sum(da.deg * db.deg) AS BIGINT) AS sum_didj,
-        |  CAST(sum(da.deg + db.deg) AS BIGINT) AS sum_di_plus_dj,
-        |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
-        |    AS sum_di2_dj2
-        |FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b"""
-        .stripMargin,
-
-    // Floor quotas + largest remainders, deterministic lang tiebreak.
-    "quota_largest_remainder" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
-        |base AS (SELECT lang, n, 9973 * n // t.total AS floor_q,
-        |         (9973 * n) % t.total AS rem
-        |         FROM c CROSS JOIN t),
-        |alloc AS (SELECT CAST(9973 - sum(floor_q) AS BIGINT) AS leftover
-        |          FROM base),
-        |r AS (SELECT lang, n, floor_q, rem,
-        |       row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM base)
-        |SELECT lang, n,
-        |  CAST(floor_q + CASE WHEN rk <= a.leftover THEN 1 ELSE 0 END
-        |       AS BIGINT) AS quota
-        |FROM r CROSS JOIN alloc a ORDER BY lang""".stripMargin,
-
-    // The correlated EXISTS / NOT EXISTS formulation — independent of the
-    // Spark side's decorrelated per-order aggregate.
-    "tpch_q21_shaped" ->
-      """WITH l AS MATERIALIZED (
-        |  SELECT l_orderkey, l_suppkey,
-        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |        THEN 1 ELSE 0 END) AS late
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE o_orderstatus = 'F'
-        |  GROUP BY 1, 2)
-        |SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
-        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE l1.late = 1
-        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
-        |              AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM l l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
-
-    // Median pairwise slope over the collapsed day domain; double slope
-    // orders, (dy, dx) breaks ties, integers answer.
-    "theil_sen_daily_trend" ->
-      """WITH daily AS (
-        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-        |         count(*) AS y
-        |  FROM events GROUP BY 1),
-        |pairs AS (
-        |  SELECT CAST(b.y - a.y AS BIGINT) AS dy,
-        |         CAST(b.x - a.x AS BIGINT) AS dx
-        |  FROM daily a JOIN daily b ON a.x < b.x),
-        |stats AS (SELECT count(*) AS n_pairs FROM pairs),
-        |r AS (SELECT dy, dx, row_number() OVER (
-        |        ORDER BY dy::DOUBLE / dx, dy, dx) AS rk FROM pairs)
-        |SELECT (SELECT count(*) FROM daily) AS n_days, s.n_pairs,
-        |  r.dy AS med_dy, r.dx AS med_dx,
-        |  CAST(r.dy * 1000000 // r.dx AS BIGINT) AS slope_micro
-        |FROM r CROSS JOIN stats s WHERE r.rk = (s.n_pairs + 1) // 2"""
-        .stripMargin,
-
-    // Same md5-derived k=3 / m=4096 positions; FP = all three bits set.
-    "bloom_fpr_audit" ->
-      """WITH members AS (SELECT c_custkey AS k FROM customer
-        |                 WHERE c_nationkey < 5),
-        |probes AS (SELECT c_custkey AS k FROM customer
-        |           WHERE c_nationkey >= 5),
-        |bits AS (SELECT DISTINCT
-        |    CAST(md5_number_upper(h.h || '|' || m.k) & 4095 AS BIGINT) AS bit
-        |  FROM members m, range(3) h(h)),
-        |hits AS (
-        |  SELECT p.k, count(*) AS nhit
-        |  FROM probes p, range(3) h(h)
-        |  JOIN bits ON CAST(md5_number_upper(h.h || '|' || p.k) & 4095
-        |               AS BIGINT) = bits.bit
-        |  GROUP BY p.k)
-        |SELECT (SELECT count(*) FROM members) AS n_members,
-        |  (SELECT count(*) FROM bits) AS n_bits_set,
-        |  (SELECT count(*) FROM probes) AS n_probes,
-        |  CAST(count(*) FILTER (nhit = 3) AS BIGINT) AS n_false_positives
-        |FROM hits""".stripMargin,
-
-    // Same kNN substrate; two hash-refinement rounds, colors masked to
-    // 63 bits so the signed/unsigned views agree.
-    "wl_refinement_knn" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src
-        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3),
-        |u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-        |  greatest(src, dst) AS b FROM e WHERE src <> dst),
-        |adj AS MATERIALIZED (SELECT a AS v, b AS w FROM u
-        |  UNION ALL SELECT b, a FROM u),
-        |c0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS col
-        |  FROM adj GROUP BY 1),
-        |c1 AS MATERIALIZED (
-        |  SELECT adj.v, CAST(md5_number_upper(
-        |    c0v.col || '|' || array_to_string(list_sort(list(c0w.col)), ','))
-        |    & 9223372036854775807 AS BIGINT) AS col
-        |  FROM adj JOIN c0 c0v ON c0v.v = adj.v
-        |  JOIN c0 c0w ON c0w.v = adj.w
-        |  GROUP BY adj.v, c0v.col),
-        |c2 AS (
-        |  SELECT adj.v, CAST(md5_number_upper(
-        |    c1v.col || '|' || array_to_string(list_sort(list(c1w.col)), ','))
-        |    & 9223372036854775807 AS BIGINT) AS col
-        |  FROM adj JOIN c1 c1v ON c1v.v = adj.v
-        |  JOIN c1 c1w ON c1w.v = adj.w
-        |  GROUP BY adj.v, c1v.col)
-        |SELECT col AS wl_color, count(*) AS n_vertices,
-        |  CAST(sum(v) AS BIGINT) AS id_checksum
-        |FROM c2 GROUP BY 1 ORDER BY wl_color""".stripMargin,
-
-    // Same sort key, successor window w=3, 300-char levenshtein.
-    "dedup_sorted_neighborhood" ->
-      """WITH n AS (
-        |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
-        |    AS nt
-        |  FROM documents),
-        |srt AS (SELECT doc_id, substr(nt, 1, 300) AS t,
-        |        row_number() OVER (ORDER BY substr(nt, 1, 300), doc_id)
-        |          AS pos FROM n),
-        |cand AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.t AS ta, b.t AS tb
-        |  FROM srt a JOIN srt b ON b.pos BETWEEN a.pos + 1 AND a.pos + 3)
-        |SELECT least(ida, idb) AS id1, greatest(ida, idb) AS id2,
-        |  CAST(levenshtein(ta, tb) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(ta, tb) <= 60
-        |ORDER BY id1, id2""".stripMargin,
-
-    // Same mask rule and IGNORE-NULLS neighbor frames; integer
-    // interpolation with explicit parens (DIV binds multiplicatively).
-    "linear_interpolate_gaps" ->
-      """WITH h AS (
-        |  SELECT date_diff('hour', TIMESTAMP '2024-01-01', ts) AS hidx,
-        |         count(*) AS v
-        |  FROM events GROUP BY 1),
-        |m AS (SELECT hidx, v, hidx % 11 IN (3, 4, 5) AS masked FROM h),
-        |ctx AS (SELECT hidx, v, masked,
-        |  last_value(CASE WHEN NOT masked THEN hidx END IGNORE NULLS)
-        |    OVER (ORDER BY hidx
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
-        |  last_value(CASE WHEN NOT masked THEN v END IGNORE NULLS)
-        |    OVER (ORDER BY hidx
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-        |  first_value(CASE WHEN NOT masked THEN hidx END IGNORE NULLS)
-        |    OVER (ORDER BY hidx
-        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
-        |  first_value(CASE WHEN NOT masked THEN v END IGNORE NULLS)
-        |    OVER (ORDER BY hidx
-        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
-        |  FROM m)
-        |SELECT hidx, CAST(v AS BIGINT) AS v_true,
-        |  CAST(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
-        |       // (nt - pt)) AS BIGINT) AS interp_micro,
-        |  CAST(abs(pv * 1000000 + (((nv - pv) * (hidx - pt) * 1000000)
-        |       // (nt - pt)) - v * 1000000) AS BIGINT) AS abs_err_micro
-        |FROM ctx WHERE masked AND pt IS NOT NULL AND nt IS NOT NULL
-        |ORDER BY hidx""".stripMargin,
-
-    // Same (user, day) rank; cap 5, capped user = rank 6 exists.
-    "rate_limit_per_key" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
-        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                       ORDER BY ts, event_id) AS rn
-        |  FROM events)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  CAST(count(DISTINCT CASE WHEN rn = 6 THEN user_id END) AS BIGINT)
-        |    AS n_capped_users
-        |FROM e GROUP BY day ORDER BY day""".stripMargin,
-
-    // Same 63-bit ring, 4 vnodes, arg_min successor with wraparound.
-    "consistent_hash_rebalance" ->
-      """WITH nodes8 AS (SELECT n.n AS node,
-        |    CAST(md5_number_upper('node|' || n.n || '|' || r.r)
-        |         & 9223372036854775807 AS BIGINT) AS pos
-        |  FROM range(8) n(n), range(4) r(r)),
-        |nodes9 AS (SELECT n.n AS node,
-        |    CAST(md5_number_upper('node|' || n.n || '|' || r.r)
-        |         & 9223372036854775807 AS BIGINT) AS pos
-        |  FROM range(9) n(n), range(4) r(r)),
-        |keys AS (SELECT c_custkey AS k,
-        |    CAST(md5_number_upper('key|' || c_custkey)
-        |         & 9223372036854775807 AS BIGINT) AS kpos
-        |  FROM customer),
-        |a8 AS (SELECT k, coalesce(arg_min(node, pos) FILTER (pos >= kpos),
-        |         (SELECT arg_min(node, pos) FROM nodes8)) AS shard_before
-        |       FROM keys CROSS JOIN nodes8 GROUP BY k, kpos),
-        |a9 AS (SELECT k, coalesce(arg_min(node, pos) FILTER (pos >= kpos),
-        |         (SELECT arg_min(node, pos) FROM nodes9)) AS shard_after
-        |       FROM keys CROSS JOIN nodes9 GROUP BY k, kpos)
-        |SELECT CAST(shard_before AS INT) AS shard_before,
-        |  CAST(shard_after AS INT) AS shard_after, count(*) AS n_keys,
-        |  CAST(sum(k) AS BIGINT) AS key_checksum
-        |FROM a8 JOIN a9 USING (k) GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Same k=10 generalization ladder.
-    "kanon_generalize_publish" ->
-      """WITH cells AS (
-        |  SELECT n_name, c_mktsegment AS seg, count(*) AS n
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY 1, 2),
-        |pub0 AS (SELECT n_name, seg, n FROM cells WHERE n >= 10),
-        |small AS (SELECT n_name, seg, n FROM cells WHERE n < 10),
-        |lvl1 AS (SELECT n_name, CAST(sum(n) AS BIGINT) AS n
-        |         FROM small GROUP BY 1),
-        |pub1 AS (SELECT n_name, '*' AS seg, n FROM lvl1 WHERE n >= 10),
-        |rest AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM lvl1 WHERE n < 10)
-        |SELECT n_name, seg, CAST(n AS BIGINT) AS n FROM pub0
-        |UNION ALL SELECT n_name, seg, n FROM pub1
-        |UNION ALL SELECT '*', '*', n FROM rest WHERE n >= 10
-        |ORDER BY n_name, seg""".stripMargin,
-
-    // Same masked-md5 index draws; ranks 5/195 of 200 resample sums.
-    "bootstrap_ci_daily_revenue" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |idx AS (SELECT cents, row_number() OVER (ORDER BY day) - 1 AS i
-        |        FROM daily),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
-        |draws AS (
-        |  SELECT b.b, CAST((md5_number_upper('bs|' || b.b || '|' || j.j)
-        |    & 9223372036854775807) % nd.n_days AS BIGINT) AS pick
-        |  FROM range(200) b(b), range(30) j(j), nd),
-        |sums AS (SELECT d.b, CAST(sum(i.cents) AS BIGINT) AS resample_cents
-        |  FROM draws d JOIN idx i ON i.i = d.pick GROUP BY 1),
-        |r AS (SELECT resample_cents,
-        |      row_number() OVER (ORDER BY resample_cents, b) AS rk FROM sums)
-        |SELECT nd.n_days, CAST(200 AS BIGINT) AS n_resamples,
-        |  (SELECT resample_cents FROM r WHERE rk = 5) AS ci_lo_cents,
-        |  (SELECT resample_cents FROM r WHERE rk = 195) AS ci_hi_cents,
-        |  (SELECT CAST(sum(cents) AS BIGINT) FROM daily) AS observed_cents
-        |FROM nd""".stripMargin,
-
-    // Exact top-1 truth vs nProbe=3 IVF top-10; rank 0 = miss.
-    "ann_mrr_hit_at_k" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |sim AS (SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS s
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid FROM sim
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY s DESC, cid) = 1),
-        |qcells AS (SELECT vec_id AS qid, cid FROM sim
-        |  WHERE vec_id BETWEEN 100 AND 115
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY s DESC, cid) <= 3),
-        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        |  WHERE vec_id BETWEEN 100 AND 115),
-        |ex AS MATERIALIZED (
-        |  SELECT q.qid, e.vec_id AS tid,
-        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |              for i in range(1, len(q.qv) + 1)]) /
-        |    (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)])) *
-        |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e.embedding) + 1)]))) AS s
-        |  FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-        |truth AS (SELECT qid, tid AS truth_id FROM ex
-        |  QUALIFY row_number() OVER (PARTITION BY qid
-        |                             ORDER BY s DESC, tid) = 1),
-        |ivf AS (SELECT e.qid, e.tid, e.s FROM ex e
-        |  JOIN qcells qc ON qc.qid = e.qid
-        |  JOIN asg ac ON ac.vec_id = e.tid AND ac.cid = qc.cid),
-        |ranked AS (SELECT qid, tid, row_number() OVER (PARTITION BY qid
-        |    ORDER BY s DESC, tid) AS rk FROM ivf),
-        |sys AS (SELECT qid, tid, rk FROM ranked WHERE rk <= 10)
-        |SELECT t.qid, t.truth_id,
-        |  CAST(coalesce(s.rk, 0) AS BIGINT) AS rank_in_ivf,
-        |  CAST(CASE WHEN s.rk IS NULL THEN 0
-        |       ELSE 1000000 // s.rk END AS BIGINT) AS rr_micro,
-        |  CAST(CASE WHEN s.rk IS NULL THEN 0 ELSE 1 END AS BIGINT)
-        |    AS hit_at_10
-        |FROM truth t LEFT JOIN sys s ON s.qid = t.qid AND s.tid = t.truth_id
-        |ORDER BY t.qid""".stripMargin,
-
-    // Recursive-CTE clusters (min reachable id), per-cluster merge.
-    "golden_record_merge" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |mins AS (SELECT v, min(w) AS mw FROM reach GROUP BY v),
-        |j AS (SELECT least(d.doc_id, m.mw) AS cid, d.doc_id, d.n_chars
-        |      FROM documents d JOIN mins m ON m.v = d.doc_id),
-        |agg AS (SELECT cid, count(*) AS n_members,
-        |        CAST(max(n_chars) AS BIGINT) AS max_n_chars,
-        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |        CAST(sum(doc_id) AS BIGINT) AS member_checksum
-        |        FROM j GROUP BY 1),
-        |rep AS (SELECT cid, doc_id AS longest_doc_id FROM j
-        |  QUALIFY row_number() OVER (PARTITION BY cid
-        |    ORDER BY n_chars DESC, doc_id) = 1)
-        |SELECT cid AS cluster_id, n_members, max_n_chars, total_chars,
-        |  member_checksum, longest_doc_id
-        |FROM agg JOIN rep USING (cid)
-        |WHERE n_members >= 2 ORDER BY cluster_id""".stripMargin,
-
-    // Same half-month split, masked-hash variants, exact moments.
-    "cuped_components" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
-        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
-        |      AS BIGINT) AS x,
-        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
-        |      AS BIGINT) AS y
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |v AS (SELECT user_id, x, y,
-        |  CAST((md5_number_upper('v|' || user_id) & 9223372036854775807) % 2
-        |       AS BIGINT) AS variant FROM u)
-        |SELECT variant, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS sum_x,
-        |  CAST(sum(y) AS BIGINT) AS sum_y,
-        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
-        |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
-        |  CAST(sum(y * y) AS BIGINT) AS sum_y2
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "weighted_sssp_knn" -> ssspOracleSql,
-
-    // Cosine arm + dot arm, 10⁶ DIV (60 + rank) contributions, fused
-    // top-10.
-    "rrf_fusion_topk" ->
-      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        |  WHERE vec_id BETWEEN 100 AND 115),
-        |scored AS MATERIALIZED (
-        |  SELECT q.qid, e.vec_id AS tid,
-        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |              for i in range(1, len(q.qv) + 1)]) /
-        |    (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)])) *
-        |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e.embedding) + 1)])))
-        |      AS cos,
-        |    list_sum([q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE
-        |              for i in range(1, len(q.qv) + 1)]) AS dp
-        |  FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-        |arm_cos AS (SELECT qid, tid, 1000000 // (60 + rank) AS contrib
-        |  FROM (SELECT qid, tid, row_number() OVER (PARTITION BY qid
-        |          ORDER BY cos DESC, tid) AS rank FROM scored)
-        |  WHERE rank <= 50),
-        |arm_dp AS (SELECT qid, tid, 1000000 // (60 + rank) AS contrib
-        |  FROM (SELECT qid, tid, row_number() OVER (PARTITION BY qid
-        |          ORDER BY dp DESC, tid) AS rank FROM scored)
-        |  WHERE rank <= 50),
-        |fused AS (
-        |  SELECT qid, tid, CAST(sum(contrib) AS BIGINT) AS rrf_micro
-        |  FROM (SELECT * FROM arm_cos UNION ALL SELECT * FROM arm_dp)
-        |  GROUP BY 1, 2)
-        |SELECT qid,
-        |  row_number() OVER (PARTITION BY qid
-        |    ORDER BY rrf_micro DESC, tid) AS fused_rank,
-        |  tid, rrf_micro
-        |FROM fused
-        |QUALIFY fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin,
-
-    // ISO weekday, exact cross-multiplied index.
-    "seasonal_weekday_index" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |byDow AS (
-        |  SELECT CAST(isodow(day) AS INT) AS isodow, count(*) AS n_days,
-        |    CAST(sum(cents) AS BIGINT) AS cents
-        |  FROM daily GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS total_days,
-        |        CAST(sum(cents) AS BIGINT) AS total_cents FROM byDow)
-        |SELECT isodow, n_days, cents,
-        |  cents * total_days * 1000 // (n_days * total_cents)
-        |    AS index_permille
-        |FROM byDow CROSS JOIN tot ORDER BY isodow""".stripMargin,
-
-    // Per-nation and overall sign by cross-multiplication.
-    "simpsons_paradox_audit" ->
-      """WITH o AS (
-        |  SELECT n.n_name, o.o_orderpriority AS pri,
-        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders o JOIN customer c ON o_custkey = c_custkey
-        |  JOIN nation n ON c_nationkey = n_nationkey
-        |  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
-        |per AS (
-        |  SELECT n_name AS scope,
-        |    count(*) FILTER (pri = '1-URGENT') AS n_x,
-        |    count(*) FILTER (pri = '5-LOW') AS n_y,
-        |    CAST(coalesce(sum(cents) FILTER (pri = '1-URGENT'), 0)
-        |         AS BIGINT) AS cents_x,
-        |    CAST(coalesce(sum(cents) FILTER (pri = '5-LOW'), 0)
-        |         AS BIGINT) AS cents_y
-        |  FROM o GROUP BY 1),
-        |tot AS (
-        |  SELECT 'overall' AS scope, CAST(sum(n_x) AS BIGINT) AS n_x,
-        |    CAST(sum(n_y) AS BIGINT) AS n_y,
-        |    CAST(sum(cents_x) AS BIGINT) AS cents_x,
-        |    CAST(sum(cents_y) AS BIGINT) AS cents_y FROM per),
-        |allr AS (SELECT * FROM tot UNION ALL SELECT * FROM per)
-        |SELECT scope, n_x, n_y, cents_x, cents_y,
-        |  CAST(CASE WHEN n_x = 0 OR n_y = 0 THEN 0
-        |       WHEN cents_x * n_y > cents_y * n_x THEN 1
-        |       WHEN cents_x * n_y < cents_y * n_x THEN -1
-        |       ELSE 0 END AS INT) AS sign
-        |FROM allr ORDER BY scope""".stripMargin,
-
-    // Same lag change flags, prefix-sum run ids, per-user stats.
-    "run_length_encode_events" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |runs AS (SELECT user_id,
-        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |       AS BIGINT) AS run_id
-        |  FROM e),
-        |rl AS (SELECT user_id, run_id, count(*) AS len
-        |       FROM runs GROUP BY 1, 2)
-        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
-        |  count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run_len,
-        |  CAST(count(*) * 1000 // sum(len) AS BIGINT) AS runs_permille
-        |FROM rl GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // Character-trigram sets from the same normalize and the same typo'd
-    // literal; exact inter/union.
-    "trigram_search_typo" ->
-      """WITH qt AS (
-        |  SELECT list_distinct([substr(q, i, 3)
-        |    for i in range(1, len(q) - 1)]) AS tri
-        |  FROM (SELECT 'sparc streem procesing' AS q)),
-        |dt AS (
-        |  SELECT doc_id, list_distinct([substr(t, i, 3)
-        |    for i in range(1, len(t) - 1)]) AS tri
-        |  FROM (SELECT doc_id,
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |        FROM documents)),
-        |sc AS (
-        |  SELECT d.doc_id,
-        |    CAST(len(list_intersect(d.tri, q.tri)) AS BIGINT) AS inter,
-        |    CAST(len(list_distinct(list_concat(d.tri, q.tri))) AS BIGINT)
-        |      AS uni
-        |  FROM dt d CROSS JOIN qt q)
-        |SELECT doc_id, inter, uni, inter * 1000 // uni AS jaccard_permille,
-        |  row_number() OVER (ORDER BY inter * 1000 // uni DESC, doc_id)
-        |    AS rank
-        |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
-
-    // printf('%b') length = conv(d, 10, 2) length; same varint rule.
-    "delta_varint_size_estimate" ->
-      """WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-        |           FROM events),
-        |e AS (SELECT day, user_id,
-        |    user_id - lag(user_id) OVER (PARTITION BY day ORDER BY user_id)
-        |      AS delta
-        |  FROM u),
-        |b AS (SELECT day, CAST(length(printf('%b', delta)) AS BIGINT)
-        |        AS bits
-        |  FROM e WHERE delta IS NOT NULL)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_deltas,
-        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
-        |  CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes
-        |FROM b GROUP BY day ORDER BY day""".stripMargin,
-
-    // Same event_id-ordered last values and verdict ladder.
-    "three_way_merge_classify" ->
-      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS vb
-        |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
-        |  GROUP BY 1),
-        |a AS (SELECT user_id, arg_max(value, event_id) AS va FROM events
-        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-20' GROUP BY 1),
-        |b AS (SELECT user_id, arg_max(value, event_id) AS vv FROM events
-        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
-        |     OR (CAST(ts AS DATE) <= DATE '2024-01-20'
-        |         AND event_type = 'purchase')
-        |  GROUP BY 1)
-        |SELECT
-        |  CASE
-        |    WHEN vb IS NULL AND va IS NOT NULL AND vv IS NOT NULL
-        |      THEN 'added_both'
-        |    WHEN vb IS NULL AND va IS NOT NULL THEN 'added_a'
-        |    WHEN vb IS NULL THEN 'added_b'
-        |    WHEN va = vb AND vv = vb THEN 'unchanged'
-        |    WHEN va <> vb AND vv = vb THEN 'changed_a'
-        |    WHEN va = vb AND vv <> vb THEN 'changed_b'
-        |    WHEN va = vv THEN 'converged'
-        |    ELSE 'conflict' END AS verdict,
-        |  count(*) AS n_users, CAST(sum(user_id) AS BIGINT)
-        |    AS user_checksum
-        |FROM base FULL OUTER JOIN a USING (user_id)
-        |FULL OUTER JOIN b USING (user_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same weekday-wheel decomposition.
-    "business_days_lag" ->
-      """WITH f AS (
-        |  SELECT l_orderkey, o_orderdate, min(l_shipdate) AS ship
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE l_shipdate >= o_orderdate GROUP BY 1, 2),
-        |g AS (SELECT l_orderkey,
-        |    date_diff('day', o_orderdate, ship) AS cd,
-        |    isodow(o_orderdate) AS sd
-        |  FROM f WHERE date_diff('day', o_orderdate, ship) <= 60),
-        |h AS (SELECT l_orderkey,
-        |  (cd // 7) * 5 + len([x for x in range(1, (cd % 7) + 1)
-        |    if ((sd - 1 + x) % 7) + 1 NOT IN (6, 7)]) AS bus_days
-        |  FROM g)
-        |SELECT CAST(bus_days AS BIGINT) AS bus_days, count(*) AS n_orders,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
-        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Direct lower median by global rank — independent of the Spark
-    // side's bucket refinement.
-    "median_two_pass_refine" ->
-      """WITH t AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vm
-        |  FROM events WHERE event_type = 'purchase'),
-        |n AS (SELECT count(*) AS n FROM t),
-        |r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rk FROM t)
-        |SELECT n.n AS n_values, r.vm AS median_micro
-        |FROM r CROSS JOIN n WHERE r.rk = (n.n + 1) // 2""".stripMargin,
-
-    // Same 7-day window median, per-weekday lower median of detrended.
-    "stl_lite_decomposition" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
-        |  FROM events GROUP BY 1),
-        |tr AS (SELECT day, v,
-        |  list_sort(list(v) OVER (ORDER BY day
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS wl,
-        |  count(*) OVER (ORDER BY day
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
-        |  FROM daily),
-        |t2 AS (SELECT day, v, wl[4] AS trend, v - wl[4] AS detr
-        |       FROM tr WHERE wn = 7),
-        |seas AS (SELECT isodow(day) AS dow,
-        |  list_sort(list(detr))[(count(*) + 1) // 2] AS seasonal
-        |  FROM t2 GROUP BY 1)
-        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, v, trend, s.seasonal,
-        |  v - trend - s.seasonal AS remainder
-        |FROM t2 JOIN seas s ON s.dow = isodow(t2.day)
-        |ORDER BY day""".stripMargin,
-
-    // Same exact burn units and prefix sums.
-    "slo_error_budget_burn" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_total,
-        |    count(*) FILTER (event_type = 'error') AS n_err
-        |  FROM events GROUP BY 1),
-        |c AS (SELECT day, n_total, n_err,
-        |  CAST(sum(n_err) OVER (ORDER BY day) AS BIGINT) AS cum_err,
-        |  CAST(sum(n_total) OVER (ORDER BY day) AS BIGINT) AS cum_total
-        |  FROM d)
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(n_total AS BIGINT) AS n_total, CAST(n_err AS BIGINT) AS n_err,
-        |  CAST(n_err * 100000 // n_total AS BIGINT) AS burn_permille,
-        |  CAST(cum_err * 100000 // cum_total AS BIGINT)
-        |    AS cum_burn_permille
-        |FROM c ORDER BY day""".stripMargin,
-
-    // Same hash arms, quintile strata, rank-to-rank pairing.
-    "matched_pairs_stratified" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1),
-        |v AS (SELECT user_id, cents,
-        |  CAST((md5_number_upper('m|' || user_id) & 9223372036854775807) % 2
-        |       AS BIGINT) AS treat,
-        |  ntile(5) OVER (ORDER BY cents, user_id) AS stratum FROM u),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY stratum, treat
-        |        ORDER BY user_id) AS rk FROM v)
-        |SELECT t.stratum, count(*) AS n_pairs,
-        |  CAST(sum(t.cents - c.cents) AS BIGINT) AS sum_outcome_diff,
-        |  CAST(sum(t.user_id + c.user_id) AS BIGINT) AS pair_checksum
-        |FROM r t JOIN r c ON t.stratum = c.stratum AND t.rk = c.rk
-        |  AND t.treat = 1 AND c.treat = 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same hash-chosen 5% and FK cascade counts.
-    "gdpr_erasure_cascade" ->
-      """WITH chosen AS (SELECT c_custkey FROM customer
-        |  WHERE (md5_number_upper('gdpr|' || c_custkey)
-        |         & 9223372036854775807) % 20 = 0),
-        |o AS (SELECT o_orderkey FROM orders
-        |      WHERE o_custkey IN (SELECT c_custkey FROM chosen))
-        |SELECT (SELECT count(*) FROM chosen) AS n_customers,
-        |  (SELECT count(*) FROM o) AS n_orders,
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS n_lineitems,
-        |  (SELECT CAST(coalesce(sum(c_custkey), 0) AS BIGINT) FROM chosen)
-        |    AS cust_checksum,
-        |  (SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM o)
-        |    AS order_checksum""".stripMargin,
-
-    // ONE direct global row_number — independent of the two-level form.
-    "dense_id_assignment" ->
-      """WITH ids AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    row_number() OVER (ORDER BY CAST(ts AS DATE), ts, event_id) - 1
-        |      AS id
-        |  FROM events)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
-        |  CAST(min(id) AS BIGINT) AS first_id,
-        |  CAST(max(id) AS BIGINT) AS last_id,
-        |  CAST(sum(id) AS BIGINT) AS id_checksum
-        |FROM ids GROUP BY day ORDER BY day""".stripMargin,
-
-    // Same 4-hour anchored window, strict ordering, max level per user.
-    "window_funnel_levels" ->
-      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type='view'),
-        |c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
-        |p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
-        |l3 AS (SELECT DISTINCT v.user_id FROM v
-        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
-        |  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
-        |    AND p.ts <= v.ts + INTERVAL 4 HOUR),
-        |l2 AS (SELECT DISTINCT v.user_id FROM v
-        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
-        |    AND c.ts <= v.ts + INTERVAL 4 HOUR),
-        |l1 AS (SELECT DISTINCT user_id FROM v),
-        |lv AS (SELECT user_id,
-        |  CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
-        |       WHEN user_id IN (SELECT user_id FROM l2) THEN 2
-        |       WHEN user_id IN (SELECT user_id FROM l1) THEN 1
-        |       ELSE 0 END AS level
-        |  FROM (SELECT DISTINCT user_id FROM events))
-        |SELECT CAST(level AS INT) AS level, count(*) AS n_users,
-        |  CAST(sum(user_id) AS BIGINT) AS user_checksum
-        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // One distinct projection, self-joined on the user key.
-    "audience_overlap_matrix" ->
-      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
-        |SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |  count(*) AS n_shared_users
-        |FROM tu a JOIN tu b ON a.user_id = b.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same deterministic ntile cuts per dimension.
-    "joint_decile_grid" ->
-      """WITH t AS (
-        |  SELECT event_id,
-        |    ntile(10) OVER (ORDER BY value, event_id) AS vbin,
-        |    ntile(10) OVER (ORDER BY CAST(hour(ts) AS BIGINT), event_id)
-        |      AS hbin
-        |  FROM events)
-        |SELECT vbin, hbin, count(*) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
-        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same isqrt correction and largest-remainder split.
-    "neyman_allocation_exact" ->
-      """WITH s AS (
-        |  SELECT event_type, count(*) AS nh,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT) *
-        |             CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
-        |  FROM events GROUP BY 1),
-        |w AS (SELECT event_type, nh, nh * syy - sy * sy AS var_scaled,
-        |  CAST(floor(sqrt(CAST(nh * syy - sy * sy AS DOUBLE))) AS BIGINT)
-        |    AS w0
-        |  FROM s),
-        |wa AS (SELECT event_type, nh,
-        |  w0 - CASE WHEN w0 * w0 > var_scaled THEN 1 ELSE 0 END
-        |     + CASE WHEN (w0 + 1) * (w0 + 1) <= var_scaled
-        |       THEN 1 ELSE 0 END AS wgt
-        |  FROM w),
-        |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM wa),
-        |base AS (SELECT event_type, nh, wgt, 10000 * wgt // t.tw AS floor_q,
-        |         (10000 * wgt) % t.tw AS rem FROM wa CROSS JOIN t),
-        |alloc AS (SELECT CAST(10000 - sum(floor_q) AS BIGINT) AS leftover
-        |          FROM base),
-        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
-        |        AS rk FROM base)
-        |SELECT event_type, CAST(nh AS BIGINT) AS nh, wgt AS neyman_weight,
-        |  CAST(floor_q + CASE WHEN rk <= a.leftover THEN 1 ELSE 0 END
-        |       AS BIGINT) AS n_alloc
-        |FROM r CROSS JOIN alloc a ORDER BY event_type""".stripMargin,
-
-    // Same 3-month spread with earliest-months remainder.
-    "revenue_recognition_spread" ->
-      """WITH o AS (
-        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
-        |      AS m0,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders),
-        |sl AS (
-        |  SELECT m0 + x.x AS mkey,
-        |    cents // 3 + CASE WHEN x.x < cents % 3 THEN 1 ELSE 0 END
-        |      AS slice
-        |  FROM o, range(3) x(x))
-        |SELECT CAST(mkey AS BIGINT) AS mkey, count(*) AS n_slices,
-        |  CAST(sum(slice) AS BIGINT) AS recognized_cents
-        |FROM sl GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same stopword predictor; marginal product sum over the label
-    // domain.
-    "cohens_kappa_components" ->
-      """WITH s AS (
-        |  SELECT doc_id, lang,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','por','los'))) AS s_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','pour','que','dans','les'))) AS s_fr
-        |  FROM s),
-        |j AS (
-        |  SELECT lang,
-        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
-        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
-        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
-        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
-        |         ELSE 'und' END AS pred
-        |  FROM sc),
-        |rows_ AS (SELECT lang AS k, count(*) AS r FROM j GROUP BY 1),
-        |cols_ AS (SELECT pred AS k, count(*) AS c FROM j GROUP BY 1),
-        |marg AS (
-        |  SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT)
-        |    AS sum_marginal_products
-        |  FROM rows_ FULL OUTER JOIN cols_ USING (k))
-        |SELECT (SELECT count(*) FROM j) AS n,
-        |  (SELECT CAST(count(*) FILTER (lang = pred) AS BIGINT) FROM j)
-        |    AS n_agree,
-        |  sum_marginal_products
-        |FROM marg""".stripMargin,
-
-    // Multiplicity join over the collapsed key domain.
-    "bag_except_intersect" ->
-      """WITH c AS (SELECT user_id, count(*) AS m FROM events
-        |           WHERE event_type = 'click' GROUP BY 1),
-        |v AS (SELECT user_id, count(*) AS m FROM events
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |j AS (SELECT coalesce(c.m, 0) AS mc, coalesce(v.m, 0) AS mv
-        |      FROM c FULL OUTER JOIN v ON c.user_id = v.user_id)
-        |SELECT CAST(sum(least(mc, mv)) AS BIGINT) AS intersect_all_rows,
-        |  CAST(sum(greatest(mc - mv, 0)) AS BIGINT) AS except_all_rows,
-        |  CAST(sum(mc) AS BIGINT) AS click_rows,
-        |  CAST(sum(mv) AS BIGINT) AS view_rows,
-        |  count(*) AS n_users
-        |FROM j""".stripMargin,
-
-    // Same lag-h self-join on the day domain.
-    "naive_forecast_backtest" ->
-      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
-        |             CAST(count(*) AS BIGINT) AS v
-        |           FROM events GROUP BY 1),
-        |h AS (SELECT h.h AS horizon FROM (VALUES (1), (7)) h(h)),
-        |p AS (SELECT h.horizon, a.v AS actual, b.v AS pred
-        |  FROM h CROSS JOIN d a
-        |  JOIN d b ON b.day = a.day - to_days(CAST(h.horizon AS INT)))
-        |SELECT CAST(horizon AS INT) AS horizon, count(*) AS n_days,
-        |  CAST(sum(abs(actual - pred)) AS BIGINT) AS sum_abs_err,
-        |  CAST(sum(actual) AS BIGINT) AS sum_actual
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same kNN chain; reverse-edge semi-join.
-    "knn_reciprocity" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS MATERIALIZED (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src
-        |      ORDER BY sim DESC, dst) AS rank FROM p) WHERE rank <= 3)
-        |SELECT (SELECT count(*) FROM e) AS n_directed,
-        |  (SELECT count(*) FROM e a
-        |   WHERE EXISTS (SELECT 1 FROM e b
-        |                 WHERE b.src = a.dst AND b.dst = a.src))
-        |    AS n_reciprocal,
-        |  (SELECT count(*) FROM e a
-        |   WHERE EXISTS (SELECT 1 FROM e b
-        |                 WHERE b.src = a.dst AND b.dst = a.src)) * 1000
-        |    // (SELECT count(*) FROM e) AS reciprocity_permille"""
-        .stripMargin,
-
-    // One distinct-count aggregate per candidate FD.
-    "functional_dependency_audit" ->
-      """WITH fd1 AS (
-        |  SELECT 'c_nationkey->n_regionkey' AS fd, c_nationkey AS k,
-        |    count(DISTINCT n_regionkey) AS nd
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY 2),
-        |fd2 AS (
-        |  SELECT 'source->lang' AS fd, source AS k,
-        |    count(DISTINCT lang) AS nd
-        |  FROM documents GROUP BY 2),
-        |fd3 AS (
-        |  SELECT 'user_id->event_type' AS fd, CAST(user_id AS VARCHAR) AS k,
-        |    count(DISTINCT event_type) AS nd
-        |  FROM events GROUP BY 2),
-        |allf AS (SELECT fd, nd FROM fd1 UNION ALL SELECT fd, nd FROM fd2
-        |         UNION ALL SELECT fd, nd FROM fd3)
-        |SELECT fd, count(*) AS n_keys,
-        |  CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating_keys,
-        |  CAST(max(nd) AS BIGINT) AS max_distinct_dependents
-        |FROM allf GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same cell-bounded positives/negatives and 0.05 margin.
-    "triplet_margin_violations" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |sim AS (SELECT a.vec_id, a.label, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS s
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (SELECT vec_id, label, cid FROM sim
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY s DESC, cid) = 1),
-        |p AS (SELECT x.vec_id AS a, x.label AS la, y.vec_id AS b,
-        |    y.label AS lb,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS s
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |pos AS (SELECT a, s AS sp FROM p WHERE la = lb
-        |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY s DESC, b) = 1),
-        |neg AS (SELECT a, s AS sn FROM p WHERE la <> lb
-        |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY s DESC, b) = 1),
-        |tri AS (SELECT pos.a, CASE WHEN sn + 0.05 > sp THEN 1 ELSE 0 END
-        |          AS viol
-        |  FROM pos JOIN neg USING (a))
-        |SELECT count(*) AS n_triplets,
-        |  CAST(sum(viol) AS BIGINT) AS n_violations,
-        |  CAST(sum(CASE WHEN viol = 1 THEN a ELSE 0 END) AS BIGINT)
-        |    AS viol_checksum
-        |FROM tri""".stripMargin,
-
-    // Same lag spine and bit-width rule.
-    "encoding_chooser_estimate" ->
-      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
-        |  CASE WHEN lag(event_type) OVER (PARTITION BY CAST(ts AS DATE)
-        |      ORDER BY ts, event_id)
-        |       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-        |  FROM events),
-        |per AS (SELECT day, count(*) AS n,
-        |  count(DISTINCT event_type) AS nd,
-        |  CAST(sum(length(event_type)) AS BIGINT) AS plain_bytes,
-        |  CAST(sum(chg) AS BIGINT) AS n_runs
-        |  FROM e GROUP BY 1),
-        |b AS (SELECT day, n, nd, plain_bytes, n_runs,
-        |  CAST(length(printf('%b', greatest(nd - 1, 1))) AS BIGINT)
-        |    AS code_bits
-        |  FROM per)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
-        |  CAST(nd AS BIGINT) AS n_distinct, plain_bytes,
-        |  CAST((n * code_bits + 7) // 8 AS BIGINT) AS dict_bytes,
-        |  CAST(n_runs * ((code_bits + 7) // 8 + 2) AS BIGINT) AS rle_bytes
-        |FROM b ORDER BY day""".stripMargin,
-
-    // Same sweep (starts before ends at equal times), same 5-min spans.
-    "interval_union_coverage" ->
-      """WITH iv AS (
-        |  SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS st,
-        |    epoch_us(ts) + 300000000 AS en
-        |  FROM events WHERE event_type = 'click'),
-        |pts AS (
-        |  SELECT day, st AS t, 1 AS dd FROM iv
-        |  UNION ALL SELECT day, en, -1 FROM iv),
-        |sw AS (
-        |  SELECT day, t,
-        |    sum(dd) OVER (PARTITION BY day ORDER BY t, dd DESC
-        |                  ROWS UNBOUNDED PRECEDING) AS active,
-        |    lead(t) OVER (PARTITION BY day ORDER BY t, dd DESC) AS nxt
-        |  FROM pts),
-        |cov AS (
-        |  SELECT day,
-        |    CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END)
-        |         // 1000000 AS BIGINT) AS covered_seconds
-        |  FROM sw WHERE nxt IS NOT NULL GROUP BY day),
-        |ni AS (SELECT day, count(*) AS n_intervals FROM iv GROUP BY day)
-        |SELECT strftime(ni.day, '%Y-%m-%d') AS day, ni.n_intervals,
-        |  cov.covered_seconds
-        |FROM ni JOIN cov USING (day) ORDER BY day""".stripMargin,
-
-    // Same exact lower-median ranks at the three levels.
-    "median_federation_gap" ->
-      """WITH t AS (SELECT CAST(ts AS DATE) AS day,
-        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
-        |shard AS (SELECT day, vm,
-        |    row_number() OVER (PARTITION BY day ORDER BY vm) AS rk,
-        |    count(*) OVER (PARTITION BY day) AS n FROM t),
-        |sm AS (SELECT day, vm AS shard_median FROM shard
-        |       WHERE rk = (n + 1) // 2),
-        |fed AS (SELECT vm2 AS fed_median FROM (
-        |  SELECT shard_median AS vm2,
-        |    row_number() OVER (ORDER BY shard_median) AS rk,
-        |    count(*) OVER () AS n FROM sm) WHERE rk = (n + 1) // 2),
-        |gm AS (SELECT vm AS global_median FROM (
-        |  SELECT vm, row_number() OVER (ORDER BY vm) AS rk,
-        |    count(*) OVER () AS n FROM t) WHERE rk = (n + 1) // 2)
-        |SELECT (SELECT count(*) FROM sm) AS n_shards, fed.fed_median,
-        |  gm.global_median,
-        |  fed.fed_median - gm.global_median AS gap_micro
-        |FROM fed CROSS JOIN gm""".stripMargin,
-
-    // Same whole-unit scaling rule.
-    "higher_moments_components" ->
-      """WITH t AS (SELECT event_type, CAST(round(value) AS BIGINT) AS x
-        |           FROM events)
-        |SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
-        |  CAST(sum(x * x) AS BIGINT) AS s2,
-        |  CAST(sum(x * x * x) AS BIGINT) AS s3,
-        |  CAST(sum(x * x * x * x) AS BIGINT) AS s4
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same boundary rule and chunk hashing.
-    "cdc_chunk_dedup" ->
-      """WITH n AS (SELECT doc_id,
-        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, t, unnest(
-        |    list_concat([CAST(1 AS BIGINT)],
-        |      list_concat(
-        |        [CAST(i + 1 AS BIGINT) for i in range(8, len(t) + 1)
-        |         if (md5_number_upper(substr(t, i - 7, 8)) & 63) = 0],
-        |        [CAST(len(t) + 1 AS BIGINT)]))) AS pos
-        |  FROM n),
-        |bd AS (SELECT DISTINCT doc_id, t, pos FROM b),
-        |ch AS (
-        |  SELECT doc_id, pos AS st,
-        |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS en, t
-        |  FROM bd),
-        |chunks AS (
-        |  SELECT md5(substr(t, CAST(st AS INT), CAST(en - st AS INT)))
-        |    AS ch
-        |  FROM ch WHERE en IS NOT NULL AND en > st)
-        |SELECT count(*) AS n_chunk_slots,
-        |  count(DISTINCT ch) AS n_distinct_chunks,
-        |  count(*) - count(DISTINCT ch) AS dup_slots
-        |FROM chunks""".stripMargin,
-
-    // Same three exact rules.
-    "outlier_ensemble_vote" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
-        |  FROM events GROUP BY 1),
-        |st AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
-        |       CAST(sum(v * v) AS BIGINT) AS svv FROM daily),
-        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r,
-        |       count(*) OVER () AS nn FROM daily),
-        |q1 AS (SELECT v AS q1 FROM rk WHERE r = (nn + 3) // 4),
-        |q3 AS (SELECT v AS q3 FROM rk WHERE r = (3 * nn + 1) // 4),
-        |med AS (SELECT v AS med FROM rk WHERE r = (nn + 1) // 2),
-        |wm AS (SELECT day, v, abs(v - med.med) AS ad
-        |       FROM daily CROSS JOIN med),
-        |madr AS (SELECT ad, row_number() OVER (ORDER BY ad) AS r,
-        |         count(*) OVER () AS nn FROM wm),
-        |mad AS (SELECT ad AS mad FROM madr WHERE r = (nn + 1) // 2)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, wm.v,
-        |  CAST(CASE WHEN (st.n * wm.v - st.sv) * (st.n * wm.v - st.sv) >
-        |       4 * (st.n * st.svv - st.sv * st.sv)
-        |       THEN 1 ELSE 0 END AS BIGINT) AS z_flag,
-        |  CAST(CASE WHEN 2 * wm.v < 2 * q1.q1 - 3 * (q3.q3 - q1.q1) OR
-        |       2 * wm.v > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
-        |       THEN 1 ELSE 0 END AS BIGINT) AS iqr_flag,
-        |  CAST(CASE WHEN wm.ad > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
-        |    AS mad_flag,
-        |  CAST((CASE WHEN (st.n * wm.v - st.sv) * (st.n * wm.v - st.sv) >
-        |        4 * (st.n * st.svv - st.sv * st.sv) THEN 1 ELSE 0 END) +
-        |       (CASE WHEN 2 * wm.v < 2 * q1.q1 - 3 * (q3.q3 - q1.q1) OR
-        |        2 * wm.v > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
-        |        THEN 1 ELSE 0 END) +
-        |       (CASE WHEN wm.ad > 3 * mad.mad THEN 1 ELSE 0 END)
-        |       AS BIGINT) AS n_votes
-        |FROM wm CROSS JOIN st CROSS JOIN q1 CROSS JOIN q3 CROSS JOIN mad
-        |ORDER BY day""".stripMargin,
-
-    // Same keyed draws; tz via lowest-set-bit binary length.
-    "dp_geometric_noise_histogram" ->
-      """WITH c AS (SELECT n_name, count(*) AS true_count
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY 1),
-        |h AS (SELECT n_name, true_count,
-        |  CAST(md5_number_upper('dp1|' || n_name) & 9223372036854775807
-        |       AS BIGINT) AS h1,
-        |  CAST(md5_number_upper('dp2|' || n_name) & 9223372036854775807
-        |       AS BIGINT) AS h2
-        |  FROM c),
-        |tz AS (SELECT n_name, true_count,
-        |  CAST(length(printf('%b', h1 & (-h1))) - 1 AS BIGINT) AS t1,
-        |  CAST(length(printf('%b', h2 & (-h2))) - 1 AS BIGINT) AS t2
-        |  FROM h)
-        |SELECT n_name, CAST(true_count AS BIGINT) AS true_count,
-        |  t1 - t2 AS noise,
-        |  CAST(true_count + t1 - t2 AS BIGINT) AS noisy_count
-        |FROM tz ORDER BY n_name""".stripMargin,
-
-    // Same closed-form position over the class counts.
-    "round_robin_interleave" ->
-      """WITH r AS (SELECT doc_id, lang,
-        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
-        |  FROM documents),
-        |lc AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
-        |pos AS (
-        |  SELECT r.doc_id, r.lang,
-        |    (SELECT sum(least(r.rk - 1, lc2.nl)) FROM lc lc2) +
-        |    (SELECT count(*) FROM lc lc3
-        |     WHERE lc3.lang <= r.lang AND lc3.nl >= r.rk) - 1 AS p
-        |  FROM r)
-        |SELECT lang, count(*) AS n, CAST(min(p) AS BIGINT) AS first_pos,
-        |  CAST(max(p) AS BIGINT) AS last_pos,
-        |  CAST(sum(p) AS BIGINT) AS pos_checksum
-        |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same dense grid and n·Σx²−(Σx)² numerators.
-    "cronbach_alpha_components" ->
-      """WITH m AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT)
-        |    AS x FROM events GROUP BY 1, 2),
-        |grid AS (SELECT u.user_id, t.event_type, coalesce(m.x, 0) AS x
-        |  FROM (SELECT DISTINCT user_id FROM events) u
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-        |  LEFT JOIN m ON m.user_id = u.user_id
-        |    AND m.event_type = t.event_type),
-        |iv AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT)
-        |    AS s, CAST(sum(x * x) AS BIGINT) AS ss FROM grid GROUP BY 1),
-        |tot AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS tx
-        |        FROM grid GROUP BY 1),
-        |tv AS (SELECT count(*) AS n, CAST(sum(tx) AS BIGINT) AS s,
-        |       CAST(sum(tx * tx) AS BIGINT) AS ss FROM tot)
-        |SELECT (SELECT count(*) FROM iv) AS k, tv.n AS n_users,
-        |  (SELECT CAST(sum(n * ss - s * s) AS BIGINT) FROM iv)
-        |    AS sum_item_var_num,
-        |  CAST(tv.n * tv.ss - tv.s * tv.s AS BIGINT) AS total_var_num
-        |FROM tv""".stripMargin,
-
-    // Same three window forms.
-    "rank_semantics_audit" ->
-      """WITH li AS (
-        |  SELECT l_partkey, l_quantity, l_orderkey, l_linenumber,
-        |    row_number() OVER (PARTITION BY l_partkey
-        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
-        |    rank() OVER (PARTITION BY l_partkey
-        |      ORDER BY l_quantity DESC) AS rk,
-        |    dense_rank() OVER (PARTITION BY l_partkey
-        |      ORDER BY l_quantity DESC) AS dr
-        |  FROM lineitem)
-        |SELECT 'dense_rank' AS form, count(*) AS n_rows,
-        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS checksum
-        |FROM li WHERE dr <= 3
-        |UNION ALL
-        |SELECT 'rank', count(*),
-        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT)
-        |FROM li WHERE rk <= 3
-        |UNION ALL
-        |SELECT 'row_number', count(*),
-        |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT)
-        |FROM li WHERE rn <= 3
-        |ORDER BY form""".stripMargin,
-
-    // Same two-level mode with smallest-value tiebreak (rank form —
-    // DuckDB's arg_max takes scalar keys only).
-    "mode_value_exact" ->
-      """WITH c AS (
-        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
-        |    count(*) AS freq
-        |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_returnflag, q AS modal_quantity,
-        |  CAST(freq AS BIGINT) AS modal_freq,
-        |  count(*) OVER (PARTITION BY l_returnflag) AS n_distinct_values
-        |FROM c
-        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
-        |  ORDER BY freq DESC, q) = 1
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // Same pair classification over the same daily aggregate.
-    "kendall_tau_components" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM events GROUP BY 1)
-        |SELECT count(*) AS n_pairs,
-        |  CAST(sum(CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
-        |  CAST(sum(CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
-        |  CAST(sum(CASE WHEN a.n = b.n AND a.rev <> b.rev
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_x_only,
-        |  CAST(sum(CASE WHEN a.rev = b.rev AND a.n <> b.n
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_y_only,
-        |  CAST(sum(CASE WHEN a.n = b.n AND a.rev = b.rev
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS ties_both
-        |FROM d a JOIN d b ON a.dy < b.dy""".stripMargin,
-
-    // Same doubled-average-rank form.
-    "spearman_rank_components" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM events GROUP BY 1),
-        |r AS (
-        |  SELECT 2 * rank() OVER (ORDER BY n)
-        |      + count(*) OVER (PARTITION BY n) - 1 AS rx2,
-        |    2 * rank() OVER (ORDER BY rev)
-        |      + count(*) OVER (PARTITION BY rev) - 1 AS ry2
-        |  FROM d),
-        |tx AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_x
-        |  FROM (SELECT count(*) AS t FROM d GROUP BY n)),
-        |ty AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_y
-        |  FROM (SELECT count(*) AS t FROM d GROUP BY rev))
-        |SELECT (SELECT count(*) FROM d) AS n_days,
-        |  (SELECT CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) FROM r)
-        |    AS sum_d2_x4,
-        |  tx.tie_x, ty.tie_y
-        |FROM tx, ty""".stripMargin,
-
-    // Same lower-median-of-pairwise-differences.
-    "hodges_lehmann_daily_shift" ->
-      """WITH p AS (
-        |  SELECT CAST(ts AS DATE) AS dy,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |c AS (
-        |  SELECT CAST(ts AS DATE) AS dy,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM events WHERE event_type = 'click' GROUP BY 1),
-        |df AS (SELECT p.rev - c.rev AS diff FROM p CROSS JOIN c),
-        |r AS (SELECT diff, row_number() OVER (ORDER BY diff) AS rn FROM df),
-        |t AS (SELECT count(*) AS n_pairs FROM df)
-        |SELECT t.n_pairs, r.diff AS hl_shift_cents
-        |FROM r, t WHERE r.rn = (t.n_pairs + 1) // 2""".stripMargin,
-
-    // INDEPENDENT formulation: lead() over the sorted present keys
-    // (the engine side derives the same ranges from two anti-joins).
-    "sequence_gap_ranges" ->
-      """WITH s AS (
-        |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
-        |l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM s)
-        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS gap_len
-        |FROM l WHERE nk > k + 1 ORDER BY 1""".stripMargin,
-
-    // Same dense-grid cross-multiplied total variation.
-    "t_closeness_audit" ->
-      """WITH c AS (
-        |  SELECT c_nationkey AS g, c_mktsegment AS seg FROM customer),
-        |cells AS (SELECT g, seg, count(*) AS n_gi FROM c GROUP BY 1, 2),
-        |st AS (SELECT seg, count(*) AS n_i FROM c GROUP BY 1),
-        |nt AS (SELECT g, count(*) AS n_g FROM c GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_tot FROM c),
-        |grid AS (
-        |  SELECT nt.g, nt.n_g, st.n_i, coalesce(cells.n_gi, 0) AS n_gi,
-        |    tot.n_tot
-        |  FROM nt CROSS JOIN st CROSS JOIN tot
-        |  LEFT JOIN cells ON cells.g = nt.g AND cells.seg = st.seg)
-        |SELECT nationkey, n_cust, tvd_num, tvd_den,
-        |  tvd_num * 5 > tvd_den AS exceeds_t_0_2
-        |FROM (
-        |  SELECT g AS nationkey, min(n_g) AS n_cust,
-        |    CAST(sum(abs(n_gi * n_tot - n_i * n_g)) AS BIGINT) AS tvd_num,
-        |    CAST(2 * min(n_g) * min(n_tot) AS BIGINT) AS tvd_den
-        |  FROM grid GROUP BY 1)
-        |ORDER BY nationkey""".stripMargin,
-
-    // Same integer-arithmetic rounding policies.
-    "rounding_mode_audit" ->
-      """WITH b AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-        |  FROM lineitem),
-        |x AS (SELECT l_returnflag, c // 100 AS q, c % 100 AS r FROM b)
-        |SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN r = 50 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_half_cent,
-        |  CAST(sum(CASE WHEN r = 50 AND q % 2 = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_diverge,
-        |  CAST(sum(q + CASE WHEN r >= 50 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS sum_half_up_dollars,
-        |  CAST(sum(q + CASE WHEN r > 50 OR (r = 50 AND q % 2 = 1)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS sum_half_even_dollars
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same interval-intersection formulation (window sums per part).
-    "fifo_match_returns" ->
-      """WITH li AS (
-        |  SELECT l_partkey AS pk, l_returnflag AS rf, l_shipdate,
-        |    l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
-        |ship AS (
-        |  SELECT pk, CAST(hi - qty AS BIGINT) AS s_lo,
-        |    CAST(hi AS BIGINT) AS s_hi FROM (
-        |    SELECT pk, qty, sum(qty) OVER (PARTITION BY pk
-        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
-        |    FROM li WHERE rf <> 'R')),
-        |ret AS (
-        |  SELECT pk, CAST(hi - qty AS BIGINT) AS r_lo,
-        |    CAST(hi AS BIGINT) AS r_hi FROM (
-        |    SELECT pk, qty, sum(qty) OVER (PARTITION BY pk
-        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
-        |    FROM li WHERE rf = 'R')),
-        |p AS (
-        |  SELECT ship.pk, least(s_hi, r_hi) - greatest(s_lo, r_lo) AS m
-        |  FROM ship JOIN ret ON ship.pk = ret.pk
-        |  WHERE s_lo < r_hi AND r_lo < s_hi),
-        |tot AS (
-        |  SELECT pk,
-        |    CAST(sum(CASE WHEN rf <> 'R' THEN qty ELSE 0 END) AS BIGINT)
-        |      AS total_ship_qty,
-        |    CAST(sum(CASE WHEN rf = 'R' THEN qty ELSE 0 END) AS BIGINT)
-        |      AS total_return_qty
-        |  FROM li GROUP BY 1),
-        |agg AS (
-        |  SELECT pk, count(*) AS n_match_pairs,
-        |    CAST(sum(m) AS BIGINT) AS matched_qty
-        |  FROM p GROUP BY 1)
-        |SELECT agg.pk AS partkey, n_match_pairs, matched_qty,
-        |  total_ship_qty, total_return_qty,
-        |  total_return_qty - matched_qty AS unmatched_return_qty
-        |FROM agg JOIN tot ON agg.pk = tot.pk
-        |ORDER BY partkey""".stripMargin,
-
-    // INDEPENDENT formulation: QUALIFY row_number picks per extreme
-    // (the engine side uses lexicographic struct min/max aggregates).
-    "m4_downsample" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    ((epoch_us(ts) - min(epoch_us(ts)) OVER ()) * 64)
-        |      // (max(epoch_us(ts)) OVER () - min(epoch_us(ts)) OVER ()
-        |         + 1) AS bucket,
-        |    epoch_us(ts) AS eus,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents, event_id
-        |  FROM events),
-        |g AS (SELECT event_type, bucket, count(*) AS n,
-        |    min(cents) AS min_v, max(cents) AS max_v
-        |  FROM e GROUP BY 1, 2),
-        |fv AS (SELECT event_type, bucket, cents AS first_v FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
-        |    ORDER BY eus, event_id) = 1),
-        |lv AS (SELECT event_type, bucket, cents AS last_v FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
-        |    ORDER BY eus DESC, event_id DESC) = 1),
-        |tmin AS (SELECT event_type, bucket, eus AS ts_of_min_us FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
-        |    ORDER BY cents, eus, event_id) = 1),
-        |tmax AS (SELECT event_type, bucket, eus AS ts_of_max_us FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket
-        |    ORDER BY cents DESC, eus DESC, event_id DESC) = 1)
-        |SELECT g.event_type, g.bucket, n, min_v, max_v, first_v, last_v,
-        |  ts_of_min_us, ts_of_max_us
-        |FROM g
-        |JOIN fv USING (event_type, bucket)
-        |JOIN lv USING (event_type, bucket)
-        |JOIN tmin USING (event_type, bucket)
-        |JOIN tmax USING (event_type, bucket)
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Same multiplicity-preserving bigram frequency-of-frequencies.
-    "chao1_richness_components" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS tok,
-        |    generate_subscripts(string_split(trim(regexp_replace(
-        |      lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
-        |  FROM documents),
-        |big AS (
-        |  SELECT a.source, a.tok || ' ' || b.tok AS g
-        |  FROM toks a JOIN toks b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |c AS (SELECT source, g, count(*) AS c FROM big GROUP BY 1, 2)
-        |SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |  count(*) AS distinct_bigrams,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-        |  CAST(count(*) * 1000
-        |    + (1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |       * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
-        |      // (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
-        |    AS BIGINT) AS chao1_milli
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same trigram frequency-of-frequency permilles.
-    "good_turing_unseen_mass" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    unnest(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' ')) AS tok,
-        |    generate_subscripts(string_split(trim(regexp_replace(
-        |      lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
-        |  FROM documents),
-        |tri AS (
-        |  SELECT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS g
-        |  FROM toks a
-        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-        |cc AS (SELECT source, g, count(*) AS c FROM tri GROUP BY 1, 2)
-        |SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |  CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
-        |    // sum(c) AS BIGINT) AS unseen_mass_permille,
-        |  CAST((1000 * 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
-        |    // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS smoothed_r1_permille
-        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same word-packed bitmap + row-level twin, derived independently.
-    "bitmap_index_intersect" ->
-      """WITH ev AS (
-        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
-        |wd AS (
-        |  SELECT t, u // 32 AS w,
-        |    bit_or(1::BIGINT << CAST(u % 32 AS INT)) AS bits
-        |  FROM ev GROUP BY 1, 2),
-        |bm AS (
-        |  SELECT a.t AS type_a, b.t AS type_b,
-        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
-        |      AS bitmap_intersect
-        |  FROM wd a JOIN wd b ON a.w = b.w AND a.t < b.t GROUP BY 1, 2),
-        |ex AS (
-        |  SELECT x.t AS type_a, y.t AS type_b, count(*) AS exact_intersect
-        |  FROM ev x JOIN ev y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
-        |SELECT bm.type_a, bm.type_b, bitmap_intersect, exact_intersect,
-        |  bitmap_intersect = exact_intersect AS agree
-        |FROM bm JOIN ex
-        |  ON bm.type_a = ex.type_a AND bm.type_b = ex.type_b
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Same rank-formula components.
-    "gini_concentration_components" ->
-      """WITH rev AS (
-        |  SELECT o_custkey,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |      AS x
-        |  FROM orders GROUP BY 1),
-        |r AS (SELECT x,
-        |  CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
-        |  FROM rev),
-        |a AS (SELECT count(*) AS n_customers,
-        |  CAST(sum(x) AS BIGINT) AS total_cents,
-        |  CAST(sum(i * x) AS BIGINT) AS rank_weighted_sum FROM r),
-        |b AS (SELECT n_customers, total_cents, rank_weighted_sum,
-        |  2 * rank_weighted_sum - (n_customers + 1) * total_cents
-        |    AS gini_num,
-        |  n_customers * total_cents AS gini_den FROM a)
-        |SELECT *, gini_num // (gini_den // 1000) AS gini_milli
-        |FROM b""".stripMargin,
-
-    // Same cross-multiplied cumulative-share classes.
-    "abc_inventory_classes" ->
-      """WITH rev AS (
-        |  SELECT l_partkey,
-        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      AS BIGINT) AS x
-        |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM rev),
-        |cm AS (SELECT x,
-        |  CAST(sum(x) OVER (ORDER BY x DESC, l_partkey) AS BIGINT) AS cum
-        |  FROM rev),
-        |cl AS (SELECT x, total,
-        |  CASE WHEN cum * 5 <= total * 4 THEN 'A'
-        |       WHEN cum * 20 <= total * 19 THEN 'B'
-        |       ELSE 'C' END AS cls
-        |  FROM cm CROSS JOIN t)
-        |SELECT cls, count(*) AS n_parts,
-        |  CAST(sum(x) AS BIGINT) AS revenue_cents,
-        |  (1000 * CAST(sum(x) AS BIGINT)) // min(total) AS share_permille
-        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same kNN edges; per-vertex truncated BFS via bounded recursion,
-    // min-collapsed — an INDEPENDENT formulation of the hop sets.
-    "harmonic_centrality_3hop" ->
-      """WITH RECURSIVE c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |verts AS (SELECT DISTINCT vec_id AS v FROM embeddings),
-        |walk AS (
-        |  SELECT v AS src, v AS dst, 0 AS d FROM verts
-        |  UNION ALL
-        |  SELECT walk.src, s2.w AS dst, walk.d + 1
-        |  FROM walk JOIN sym2 s2 ON s2.v = walk.dst WHERE walk.d < 3),
-        |lab AS (SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2),
-        |cnts AS (SELECT src AS v,
-        |    CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n1,
-        |    CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n2,
-        |    CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n3
-        |  FROM lab GROUP BY 1)
-        |SELECT verts.v AS v, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
-        |  coalesce(n3, 0) AS n3,
-        |  coalesce(n1, 0) * 6 + coalesce(n2, 0) * 3 + coalesce(n3, 0) * 2
-        |    AS harmonic_x6
-        |FROM verts LEFT JOIN cnts ON cnts.v = verts.v
-        |ORDER BY verts.v""".stripMargin,
-
-    // Same dense grid + literal level table.
-    "haar_wavelet_energy" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) AS eus,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |sp AS (SELECT min(eus) AS lo, max(eus) AS hi FROM e),
-        |b AS (
-        |  SELECT event_type, ((eus - lo) * 64) // (hi - lo + 1) AS bucket,
-        |    CAST(sum(cents) AS BIGINT) AS x
-        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT t.event_type, g.bucket, coalesce(b.x, 0) AS x
-        |  FROM (SELECT DISTINCT event_type FROM e) t
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
-        |  LEFT JOIN b ON b.event_type = t.event_type
-        |    AND b.bucket = g.bucket),
-        |terms AS (
-        |  SELECT event_type, lvl, bucket // (1 << lvl) AS p,
-        |    CASE WHEN (bucket // (1 << (lvl - 1))) % 2 = 1
-        |      THEN -x ELSE x END AS t
-        |  FROM grid CROSS JOIN (SELECT unnest(range(1, 7)) AS lvl) l),
-        |co AS (SELECT event_type, lvl, p, CAST(sum(t) AS BIGINT) AS c
-        |  FROM terms GROUP BY 1, 2, 3),
-        |mx AS (
-        |  SELECT event_type, lvl, count(*) AS n_coeffs,
-        |    CAST(sum(abs(c)) AS BIGINT) AS sum_abs_coeff,
-        |    CAST(max(abs(c)) AS BIGINT) AS max_abs_coeff
-        |  FROM co GROUP BY 1, 2),
-        |am AS (
-        |  SELECT co.event_type, co.lvl, min(co.p) AS argmax_parent
-        |  FROM co JOIN mx ON co.event_type = mx.event_type
-        |    AND co.lvl = mx.lvl AND abs(co.c) = mx.max_abs_coeff
-        |  GROUP BY 1, 2)
-        |SELECT mx.event_type, mx.lvl, n_coeffs, sum_abs_coeff,
-        |  max_abs_coeff, argmax_parent
-        |FROM mx JOIN am
-        |  ON am.event_type = mx.event_type AND am.lvl = mx.lvl
-        |ORDER BY mx.event_type, mx.lvl""".stripMargin,
-
-    // Same minimax characterization over prefix sums.
-    "isotonic_regression_daily" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y,
-        |    count(*) AS n
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |di AS (SELECT day, y, n,
-        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM d),
-        |d0 AS (SELECT idx, y, n FROM di
-        |  UNION ALL SELECT 0, 0, 0),
-        |p AS (SELECT idx,
-        |  CAST(sum(y) OVER (ORDER BY idx) AS BIGINT) AS sc,
-        |  CAST(sum(n) OVER (ORDER BY idx) AS BIGINT) AS nc
-        |  FROM d0),
-        |a AS (
-        |  SELECT pj.idx + 1 AS j, pk.idx AS k,
-        |    CAST(pk.sc - pj.sc AS DOUBLE)
-        |      / CAST(pk.nc - pj.nc AS DOUBLE) AS avgv
-        |  FROM p pj JOIN p pk ON pk.idx >= pj.idx + 1),
-        |im AS (
-        |  SELECT di.idx AS i, a.j, min(avgv) AS m
-        |  FROM a JOIN di ON a.j <= di.idx AND a.k >= di.idx
-        |  GROUP BY 1, 2),
-        |f AS (SELECT i, max(m) AS fitted FROM im GROUP BY 1)
-        |SELECT strftime(di.day, '%Y-%m-%d') AS day, di.n AS n_events,
-        |  di.y AS day_sum_cents,
-        |  CAST(floor(fitted * 1000) AS BIGINT) AS fitted_milli
-        |FROM di JOIN f ON f.i = di.idx
-        |ORDER BY day""".stripMargin,
-
-    "hilbert_layout_events" -> hilbertOracleSql,
-
-    // Gold = all-pairs Jaccard closure (independent of the engine's
-    // LSH+min-label path); blocking labels re-derived from scratch.
-    "bcubed_blocking_eval" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e AS (SELECT id1 AS a, id2 AS b FROM p WHERE j >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |comp AS (SELECT v, least(v, min(w)) AS comp FROM reach GROUP BY v),
-        |lbl AS (
-        |  SELECT d.doc_id,
-        |    d.lang || '_' || CAST(d.n_chars // 256 AS VARCHAR) AS cid,
-        |    coalesce(c.comp, d.doc_id) AS lid
-        |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
-        |ncs AS (SELECT cid, count(*) AS nc FROM lbl GROUP BY 1),
-        |nls AS (SELECT lid, count(*) AS nl FROM lbl GROUP BY 1),
-        |cells AS (
-        |  SELECT l.cid, l.lid, ncs.nc, nls.nl, count(*) AS m
-        |  FROM lbl l JOIN ncs ON ncs.cid = l.cid
-        |  JOIN nls ON nls.lid = l.lid GROUP BY 1, 2, 3, 4)
-        |SELECT CAST(sum(m) AS BIGINT) AS n_docs,
-        |  CAST(sum(m * ((1000 * m) // nc)) AS BIGINT)
-        |    AS precision_milli_sum,
-        |  CAST(sum(m * ((1000 * m) // nl)) AS BIGINT) AS recall_milli_sum,
-        |  CAST(sum(m * ((1000 * m) // nc)) AS BIGINT)
-        |    // CAST(sum(m) AS BIGINT) AS avg_precision_milli,
-        |  CAST(sum(m * ((1000 * m) // nl)) AS BIGINT)
-        |    // CAST(sum(m) AS BIGINT) AS avg_recall_milli
-        |FROM cells""".stripMargin,
-
-    // Same kNN edges; common-neighbor counts with zero-support edges
-    // kept via the left join.
-    "edge_triangle_support" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |cn AS (
-        |  SELECT u.a, u.b, count(*) AS sup
-        |  FROM u JOIN sym2 s1 ON s1.v = u.a
-        |  JOIN sym2 s2 ON s2.v = u.b AND s2.w = s1.w
-        |  GROUP BY 1, 2),
-        |se AS (
-        |  SELECT u.a, u.b, coalesce(cn.sup, 0) AS support
-        |  FROM u LEFT JOIN cn ON cn.a = u.a AND cn.b = u.b)
-        |SELECT support, count(*) AS n_edges,
-        |  CAST(sum(a + b) AS BIGINT) AS edge_checksum
-        |FROM se GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same hex-string chaining, stages as nested subqueries (the inner
-    // alias split avoids DuckDB's lateral-alias capture of `idx`).
-    "merkle_tree_days" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
-        |    CAST(sum(event_id) AS BIGINT) AS se
-        |  FROM events GROUP BY 1),
-        |b AS (SELECT date_diff('day', (SELECT min(day) FROM d), day)
-        |    AS idx, n, sc, se FROM d),
-        |l0 AS (
-        |  SELECT g.idx,
-        |    CASE WHEN b.n IS NULL THEN md5(concat_ws('|', 'E', g.idx))
-        |         ELSE md5(concat_ws('|', 'L', g.idx, b.n, b.sc, b.se))
-        |    END AS h
-        |  FROM (SELECT unnest(range(0, 32)) AS idx) g
-        |  LEFT JOIN b ON b.idx = g.idx),
-        |l1 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
-        |  SELECT idx // 2 AS p,
-        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
-        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
-        |  FROM l0 GROUP BY 1)),
-        |l2 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
-        |  SELECT idx // 2 AS p,
-        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
-        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
-        |  FROM l1 GROUP BY 1)),
-        |l3 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
-        |  SELECT idx // 2 AS p,
-        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
-        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
-        |  FROM l2 GROUP BY 1)),
-        |l4 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
-        |  SELECT idx // 2 AS p,
-        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
-        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
-        |  FROM l3 GROUP BY 1)),
-        |l5 AS (SELECT p AS idx, md5(concat_ws('|', hl, hr)) AS h FROM (
-        |  SELECT idx // 2 AS p,
-        |    min(CASE WHEN idx % 2 = 0 THEN h END) AS hl,
-        |    min(CASE WHEN idx % 2 = 1 THEN h END) AS hr
-        |  FROM l4 GROUP BY 1))
-        |SELECT 0 AS level, idx, h AS node_hash FROM l0
-        |UNION ALL SELECT 1, idx, h FROM l1
-        |UNION ALL SELECT 2, idx, h FROM l2
-        |UNION ALL SELECT 3, idx, h FROM l3
-        |UNION ALL SELECT 4, idx, h FROM l4
-        |UNION ALL SELECT 5, idx, h FROM l5
-        |ORDER BY level, idx""".stripMargin,
-
-    // Same four cells + IEEE-quotient point estimate.
-    "diff_in_diff_components" ->
-      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
-        |e AS (
-        |  SELECT user_id, event_type,
-        |    date_diff('day', d0.d0, CAST(ts AS DATE)) AS day,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events CROSS JOIN d0),
-        |tr AS (SELECT DISTINCT user_id FROM e
-        |  WHERE event_type = 'signup' AND day >= 10 AND day < 20),
-        |p AS (
-        |  SELECT CASE WHEN tr.user_id IS NOT NULL THEN 'T' ELSE 'C' END
-        |      AS grp,
-        |    CASE WHEN e.day < 10 THEN 'pre' ELSE 'post' END AS period,
-        |    e.cents
-        |  FROM e LEFT JOIN tr ON tr.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase'
-        |    AND (e.day < 10 OR e.day >= 20)),
-        |c AS (SELECT grp, period, count(*) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS sc
-        |  FROM p GROUP BY 1, 2),
-        |w AS (SELECT
-        |  min(CASE WHEN grp = 'T' AND period = 'pre' THEN n END)
-        |    AS t_pre_n,
-        |  min(CASE WHEN grp = 'T' AND period = 'pre' THEN sc END)
-        |    AS t_pre_cents,
-        |  min(CASE WHEN grp = 'T' AND period = 'post' THEN n END)
-        |    AS t_post_n,
-        |  min(CASE WHEN grp = 'T' AND period = 'post' THEN sc END)
-        |    AS t_post_cents,
-        |  min(CASE WHEN grp = 'C' AND period = 'pre' THEN n END)
-        |    AS c_pre_n,
-        |  min(CASE WHEN grp = 'C' AND period = 'pre' THEN sc END)
-        |    AS c_pre_cents,
-        |  min(CASE WHEN grp = 'C' AND period = 'post' THEN n END)
-        |    AS c_post_n,
-        |  min(CASE WHEN grp = 'C' AND period = 'post' THEN sc END)
-        |    AS c_post_cents
-        |  FROM c)
-        |SELECT t_pre_n, t_pre_cents, t_post_n, t_post_cents,
-        |  c_pre_n, c_pre_cents, c_post_n, c_post_cents,
-        |  CAST(floor(1000.0 *
-        |    ((CAST(t_post_cents AS DOUBLE) / t_post_n
-        |      - CAST(t_pre_cents AS DOUBLE) / t_pre_n)
-        |   - (CAST(c_post_cents AS DOUBLE) / c_post_n
-        |      - CAST(c_pre_cents AS DOUBLE) / c_pre_n))) AS BIGINT)
-        |    AS did_milli
-        |FROM w""".stripMargin,
-
-    // Same exact rank selections via QUALIFY.
-    "conformal_interval_per_type" ->
-      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
-        |e AS (
-        |  SELECT event_type, event_id,
-        |    date_diff('day', d0.d0, CAST(ts AS DATE)) AS day,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events CROSS JOIN d0),
-        |cal AS (SELECT * FROM e WHERE day < 15),
-        |nc AS (SELECT event_type, count(*) AS n_cal FROM cal GROUP BY 1),
-        |med AS (
-        |  SELECT cal.event_type, nc.n_cal, cal.cents AS median_cents
-        |  FROM cal JOIN nc USING (event_type)
-        |  QUALIFY row_number() OVER (PARTITION BY cal.event_type
-        |    ORDER BY cents, event_id) = (n_cal + 1) // 2),
-        |res AS (
-        |  SELECT cal.event_type, cal.event_id, med.n_cal,
-        |    abs(cal.cents - med.median_cents) AS r
-        |  FROM cal JOIN med USING (event_type)),
-        |q AS (SELECT event_type, r AS q_resid FROM res
-        |  QUALIFY row_number() OVER (PARTITION BY event_type
-        |      ORDER BY r, event_id)
-        |    = least(n_cal, (9 * n_cal + 18) // 10)),
-        |t AS (
-        |  SELECT e.event_type, med.n_cal, med.median_cents, q.q_resid,
-        |    count(*) AS n_test,
-        |    CAST(sum(CASE WHEN abs(e.cents - med.median_cents)
-        |      <= q.q_resid THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-        |  FROM e JOIN med USING (event_type) JOIN q USING (event_type)
-        |  WHERE e.day >= 15 GROUP BY 1, 2, 3, 4)
-        |SELECT event_type, n_cal, median_cents, q_resid, n_test,
-        |  n_covered, (1000 * n_covered) // n_test AS coverage_permille
-        |FROM t ORDER BY event_type""".stripMargin,
-
-    // Same islands construction; winner via QUALIFY, endpoint values
-    // via scalar arg_min/arg_max on idx.
-    "longest_growth_streak" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM events GROUP BY 1),
-        |i AS (SELECT day, rev,
-        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM d),
-        |f AS (SELECT day, rev, idx,
-        |  CASE WHEN rev > lag(rev) OVER (ORDER BY idx) THEN 1 ELSE 0 END
-        |    AS up FROM i),
-        |g AS (SELECT day, rev, idx,
-        |  idx - CAST(sum(up) OVER (ORDER BY idx) AS BIGINT) AS grp
-        |  FROM f),
-        |st AS (
-        |  SELECT grp, count(*) AS len, min(idx) AS start_idx,
-        |    strftime(min(day), '%Y-%m-%d') AS start_day,
-        |    strftime(max(day), '%Y-%m-%d') AS end_day,
-        |    CAST(arg_max(rev, idx) - arg_min(rev, idx) AS BIGINT)
-        |      AS growth_cents
-        |  FROM g GROUP BY 1),
-        |win AS (SELECT * FROM st
-        |  QUALIFY row_number() OVER (ORDER BY len DESC, start_idx) = 1),
-        |tot AS (SELECT count(*) AS n_streaks FROM st)
-        |SELECT tot.n_streaks, win.len AS streak_len_days, win.start_day,
-        |  win.end_day, win.growth_cents
-        |FROM tot, win""".stripMargin,
-
-    // Same closed-form bounds.
-    "binpack_fragmentation_audit" ->
-      """WITH g AS (
-        |  SELECT count(*) AS n_docs,
-        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |    CAST(sum(CASE WHEN n_chars > 512 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS big_items,
-        |    CAST(sum(CASE WHEN n_chars > 512 THEN 1024 - n_chars
-        |      ELSE 0 END) AS BIGINT) AS big_free,
-        |    CAST(sum(CASE WHEN n_chars <= 512 THEN n_chars ELSE 0 END)
-        |      AS BIGINT) AS small_mass
-        |  FROM documents),
-        |ps AS (
-        |  SELECT count(*) AS n_sources,
-        |    CAST(sum((sc + 1023) // 1024) AS BIGINT) AS per_source_packs
-        |  FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc
-        |        FROM documents GROUP BY 1))
-        |SELECT n_docs, total_chars, (total_chars + 1023) // 1024 AS l1,
-        |  big_items,
-        |  big_items + (greatest(0, small_mass - big_free) + 1023) // 1024
-        |    AS l2,
-        |  n_sources, per_source_packs,
-        |  per_source_packs - (total_chars + 1023) // 1024
-        |    AS fragmentation_extra_packs
-        |FROM g CROSS JOIN ps""".stripMargin,
-
-    // Same kNN edges; label sums re-derived independently.
-    "modularity_label_partition" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |lbl AS (SELECT vec_id, label FROM embeddings),
-        |m AS (SELECT count(*) AS m_edges FROM u),
-        |deg AS (
-        |  SELECT l.label, count(*) AS degree_sum
-        |  FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) t
-        |  JOIN lbl l ON l.vec_id = t.v GROUP BY 1),
-        |intra AS (
-        |  SELECT la.label, count(*) AS intra_edges
-        |  FROM u JOIN lbl la ON la.vec_id = u.a
-        |  JOIN lbl lb2 ON lb2.vec_id = u.b
-        |  WHERE la.label = lb2.label GROUP BY 1)
-        |SELECT deg.label, coalesce(intra.intra_edges, 0) AS intra_edges,
-        |  deg.degree_sum, m.m_edges,
-        |  4 * m.m_edges * coalesce(intra.intra_edges, 0)
-        |    - deg.degree_sum * deg.degree_sum AS contrib_num
-        |FROM deg LEFT JOIN intra ON intra.label = deg.label CROSS JOIN m
-        |ORDER BY deg.label""".stripMargin,
-
-    // Same Knuth assignment and pair combinatorics.
-    "inbatch_negative_collisions" ->
-      """WITH b AS (
-        |  SELECT vec_id, label,
-        |    (vec_id * 2654435761) % 4294967296 % 16 AS batch
-        |  FROM embeddings),
-        |cc AS (SELECT batch, label, count(*) AS nc FROM b GROUP BY 1, 2)
-        |SELECT batch, CAST(sum(nc) AS BIGINT) AS n,
-        |  CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS same_label_pairs,
-        |  CAST(sum(nc) * (sum(nc) - 1) // 2 AS BIGINT) AS total_pairs,
-        |  (1000 * CAST(sum(nc * (nc - 1) // 2) AS BIGINT))
-        |    // CAST(sum(nc) * (sum(nc) - 1) // 2 AS BIGINT)
-        |    AS collision_permille
-        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Both pair sets from first principles: all-pairs Jaccard and the
-    // md5 SimHash reassembly, full-outer joined.
-    "neardup_method_agreement" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |mh AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
-        |tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-        |  FROM documents),
-        |hh AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
-        |bits AS (
-        |  SELECT doc_id, r.b,
-        |    CASE WHEN 2 * sum(((h >> r.b) & 1)::BIGINT) > count(*)
-        |         THEN 1::UBIGINT << r.b ELSE 0::UBIGINT END AS bv
-        |  FROM hh, range(64) r(b)
-        |  GROUP BY doc_id, r.b),
-        |fp AS (SELECT doc_id, bit_or(bv) AS f FROM bits GROUP BY doc_id),
-        |sh2 AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.f, b.f)) <= 8),
-        |j AS (
-        |  SELECT coalesce(mh.id1, sh2.id1) AS id1,
-        |    coalesce(mh.id2, sh2.id2) AS id2,
-        |    CASE WHEN mh.id1 IS NOT NULL AND sh2.id1 IS NOT NULL
-        |         THEN 'both'
-        |         WHEN mh.id1 IS NOT NULL THEN 'minhash_only'
-        |         ELSE 'simhash_only' END AS cls
-        |  FROM mh FULL OUTER JOIN sh2
-        |    ON mh.id1 = sh2.id1 AND mh.id2 = sh2.id2)
-        |SELECT cls, count(*) AS n_pairs,
-        |  CAST(sum(id1 + id2) AS BIGINT) AS id_checksum
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same exact rank selections.
-    "robust_scale_qn_mad" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |n AS (SELECT count(*) AS n_days FROM d),
-        |med AS (SELECT n.n_days, d.x AS median_cents FROM d CROSS JOIN n
-        |  QUALIFY row_number() OVER (ORDER BY x, day) = (n_days + 1) // 2),
-        |mad AS (
-        |  SELECT med.n_days, med.median_cents,
-        |    abs(d.x - med.median_cents) AS mad_cents
-        |  FROM d CROSS JOIN med
-        |  QUALIFY row_number() OVER (ORDER BY abs(d.x - med.median_cents),
-        |    d.day) = (med.n_days + 1) // 2),
-        |pd AS (SELECT a.day AS da, b.day AS db, abs(a.x - b.x) AS pd
-        |  FROM d a JOIN d b ON a.day < b.day),
-        |qn AS (SELECT pd.pd AS qn_cents FROM pd CROSS JOIN n
-        |  QUALIFY row_number() OVER (ORDER BY pd, da, db)
-        |    = (n_days // 2 + 1) * (n_days // 2) // 2)
-        |SELECT mad.n_days, mad.median_cents, mad.mad_cents,
-        |  CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
-        |  CAST((n.n_days // 2 + 1) * (n.n_days // 2) // 2 AS BIGINT)
-        |    AS k_rank,
-        |  qn.qn_cents
-        |FROM mad CROSS JOIN qn CROSS JOIN n""".stripMargin,
-
-    // Same dense-grid CDF cross-multiplication.
-    "wasserstein_histogram_exact" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |sp AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e),
-        |h AS (
-        |  SELECT event_type, ((cents - lo) * 64) // (hi - lo + 1)
-        |      AS bucket, count(*) AS cnt
-        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT t.event_type, g.bucket, coalesce(h.cnt, 0) AS cnt
-        |  FROM (SELECT DISTINCT event_type FROM e) t
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
-        |  LEFT JOIN h ON h.event_type = t.event_type
-        |    AND h.bucket = g.bucket),
-        |cd AS (SELECT event_type, bucket,
-        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
-        |    AS BIGINT) AS cdf FROM grid),
-        |tt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS ntot
-        |  FROM grid GROUP BY 1),
-        |g2 AS (SELECT cd.event_type, cd.bucket, cd.cdf, tt.ntot
-        |  FROM cd JOIN tt USING (event_type))
-        |SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |  min(a.ntot) AS n_a, min(b.ntot) AS n_b,
-        |  CAST(sum(abs(a.cdf * b.ntot - b.cdf * a.ntot)) AS BIGINT)
-        |    AS emd_num,
-        |  min(a.ntot) * min(b.ntot) AS emd_den,
-        |  (1000 * CAST(sum(abs(a.cdf * b.ntot - b.cdf * a.ntot))
-        |    AS BIGINT)) // (min(a.ntot) * min(b.ntot))
-        |    AS emd_milli_buckets
-        |FROM g2 a JOIN g2 b
-        |  ON a.bucket = b.bucket AND a.event_type < b.event_type
-        |WHERE a.bucket < 63
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same deterministic reassignments and IEEE mean comparison.
-    "permutation_test_exact" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_type,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
-        |o AS (SELECT
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
-        |      ELSE 0 END) AS BIGINT) AS sa,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS na,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
-        |      AS BIGINT) AS sb,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS nb
-        |  FROM ev),
-        |ob AS (SELECT na + nb AS n_events,
-        |  abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
-        |    AS obs_stat FROM o),
-        |pm AS (
-        |  SELECT x.perm,
-        |    CAST(sum(CASE WHEN side = 0 THEN cents ELSE 0 END) AS BIGINT)
-        |      AS sa,
-        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS na,
-        |    CAST(sum(CASE WHEN side = 1 THEN cents ELSE 0 END) AS BIGINT)
-        |      AS sb,
-        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS nb
-        |  FROM (SELECT ev.cents, pp.perm,
-        |      ((event_id * 2654435761 + pp.perm * 40503) % 4294967296)
-        |        % 2 AS side
-        |    FROM ev CROSS JOIN
-        |      (SELECT unnest(range(0, 200)) AS perm) pp) x
-        |  GROUP BY 1),
-        |st AS (SELECT perm,
-        |  abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS stat
-        |  FROM pm),
-        |agg AS (SELECT count(*) AS b_perms,
-        |    CAST(sum(CASE WHEN st.stat >= ob.obs_stat THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_ge
-        |  FROM st CROSS JOIN ob)
-        |SELECT ob.n_events,
-        |  CAST(floor(ob.obs_stat * 1000) AS BIGINT) AS obs_diff_milli,
-        |  agg.b_perms, agg.n_ge,
-        |  (1000 * (agg.n_ge + 1)) // (agg.b_perms + 1) AS p_permille
-        |FROM ob CROSS JOIN agg""".stripMargin,
-
-    // Same three definitions against the same ranked rows.
-    "quantile_semantics_audit" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |rk AS (SELECT event_type, cents,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY cents, event_id) AS rn FROM ev),
-        |tg AS (
-        |  SELECT t.event_type, t.n, pp.p,
-        |    (pp.p * t.n + 99) // 100 AS k_disc,
-        |    1 + ((t.n - 1) * pp.p) // 100 AS k_low,
-        |    ((t.n - 1) * pp.p) % 100 AS r,
-        |    least(t.n, 1 + ((t.n - 1) * pp.p) // 100
-        |      + CASE WHEN ((t.n - 1) * pp.p) % 100 > 0 THEN 1 ELSE 0 END)
-        |      AS k_high
-        |  FROM (SELECT event_type, count(*) AS n FROM ev GROUP BY 1) t
-        |  CROSS JOIN (SELECT unnest([50, 90]) AS p) pp)
-        |SELECT tg.event_type, tg.p, tg.n,
-        |  d.cents AS disc_cents, lo.cents AS lower_cents,
-        |  CAST(100 * lo.cents + tg.r * (hi.cents - lo.cents) AS BIGINT)
-        |    AS interp_cents_x100
-        |FROM tg
-        |JOIN rk d ON d.event_type = tg.event_type AND d.rn = tg.k_disc
-        |JOIN rk lo ON lo.event_type = tg.event_type AND lo.rn = tg.k_low
-        |JOIN rk hi ON hi.event_type = tg.event_type AND hi.rn = tg.k_high
-        |ORDER BY tg.event_type, tg.p""".stripMargin,
-
-    // Same integer threshold-walk multiplicities.
-    "pps_systematic_sample" ->
-      """WITH dcs AS (
-        |  SELECT doc_id, n_chars,
-        |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS wcum
-        |  FROM documents),
-        |w AS (SELECT max(wcum) AS w FROM dcs),
-        |sel AS (
-        |  SELECT doc_id, n_chars,
-        |    least(100, greatest(0, (200 * wcum + w.w - 1) // (2 * w.w)))
-        |    - least(100, greatest(0,
-        |        (200 * (wcum - n_chars) + w.w - 1) // (2 * w.w)))
-        |      AS multiplicity
-        |  FROM dcs CROSS JOIN w)
-        |SELECT doc_id, n_chars, multiplicity FROM sel
-        |WHERE multiplicity >= 1 ORDER BY doc_id""".stripMargin,
-
-    // Same kNN edges (rank kept through), same 60-scaled gains.
-    "ndcg_linear_discount" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst, rank FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 5),
-        |l AS (SELECT vec_id, label FROM embeddings),
-        |g AS (
-        |  SELECT e.src, ls.label AS lsrc,
-        |    CASE WHEN ls.label = ld.label THEN
-        |      CASE e.rank WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15
-        |        WHEN 4 THEN 12 ELSE 10 END
-        |    ELSE 0 END AS gain
-        |  FROM e JOIN l ls ON ls.vec_id = e.src
-        |  JOIN l ld ON ld.vec_id = e.dst),
-        |q AS (SELECT src, min(lsrc) AS label,
-        |  CAST(sum(gain) AS BIGINT) AS dcg FROM g GROUP BY 1)
-        |SELECT label, count(*) AS n_queries,
-        |  CAST(sum(dcg) AS BIGINT) AS sum_dcg_x60,
-        |  (1000 * CAST(sum(dcg) AS BIGINT)) // (87 * count(*))
-        |    AS mean_ndcg_milli
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same keyed trailing-zeros noise; printf('%b') is DuckDB's binary
-    // rendering of h & −h (length−1 = trailing-zero count).
-    "dp_sparse_vector_replay" ->
-      """WITH dd AS (
-        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |    count(*) AS true_count
-        |  FROM events GROUP BY 1),
-        |th AS (SELECT CAST(sum(true_count) AS BIGINT) // count(*) AS t
-        |  FROM dd),
-        |tn AS (SELECT t,
-        |    t + CAST(length(printf('%b', h1 & (-h1))) - 1 AS BIGINT)
-        |      - CAST(length(printf('%b', h2 & (-h2))) - 1 AS BIGINT)
-        |      AS tn
-        |  FROM (SELECT t,
-        |    CAST(md5_number_upper('svtT1|T') & 9223372036854775807
-        |      AS BIGINT) AS h1,
-        |    CAST(md5_number_upper('svtT2|T') & 9223372036854775807
-        |      AS BIGINT) AS h2 FROM th)),
-        |nz AS (SELECT day, true_count,
-        |    CAST(true_count AS BIGINT)
-        |      + CAST(length(printf('%b', hq1 & (-hq1))) - 1 AS BIGINT)
-        |      - CAST(length(printf('%b', hq2 & (-hq2))) - 1 AS BIGINT)
-        |      AS noisy_count
-        |  FROM (SELECT day, true_count,
-        |    CAST(md5_number_upper('svtq1|' || day) & 9223372036854775807
-        |      AS BIGINT) AS hq1,
-        |    CAST(md5_number_upper('svtq2|' || day) & 9223372036854775807
-        |      AS BIGINT) AS hq2
-        |    FROM dd)),
-        |hits AS (
-        |  SELECT nz.day, nz.true_count, nz.noisy_count, tn.t AS threshold,
-        |    tn.tn AS noisy_threshold,
-        |    row_number() OVER (ORDER BY nz.day) AS hit_rank
-        |  FROM nz CROSS JOIN tn WHERE nz.noisy_count >= tn.tn)
-        |SELECT day, CAST(true_count AS BIGINT) AS true_count, noisy_count,
-        |  threshold, noisy_threshold, hit_rank
-        |FROM hits WHERE hit_rank <= 5 ORDER BY day""".stripMargin,
-
-    // Same join + conditional class counts.
-    "order_fill_rate" ->
-      """WITH po AS (
-        |  SELECT o.o_orderkey, o.o_orderpriority, count(*) AS n_lines,
-        |    CAST(sum(CASE WHEN l.l_shipdate <=
-        |      o.o_orderdate + INTERVAL 7 DAY THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_fast
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  GROUP BY 1, 2),
-        |cl AS (SELECT o_orderpriority,
-        |    CASE WHEN n_fast = n_lines THEN 'full7'
-        |         WHEN n_fast > 0 THEN 'partial7'
-        |         ELSE 'none7' END AS cls
-        |  FROM po)
-        |SELECT o_orderpriority, count(*) AS n_orders,
-        |  CAST(sum(CASE WHEN cls = 'full7' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS full7,
-        |  CAST(sum(CASE WHEN cls = 'partial7' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS partial7,
-        |  CAST(sum(CASE WHEN cls = 'none7' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS none7,
-        |  (1000 * CAST(sum(CASE WHEN cls = 'full7' THEN 1 ELSE 0 END)
-        |    AS BIGINT)) // count(*) AS otif_permille
-        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same cells / candidates / exact top-10, config sweep by filter.
-    "ivf_recall_curve" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id AS tid, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |qc AS (
-        |  SELECT vec_id AS qid, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |                       ORDER BY sim DESC, cid) AS crank
-        |  FROM s WHERE vec_id BETWEEN 100 AND 115
-        |  QUALIFY crank <= 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        |  WHERE vec_id BETWEEN 100 AND 115),
-        |ex AS (
-        |  SELECT q.qid, e2.vec_id AS tid,
-        |    list_sum([e2.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-        |              for i in range(1, len(e2.embedding) + 1)]) /
-        |    (sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE
-        |                    for i in range(1, len(e2.embedding) + 1)])) *
-        |     sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-        |                    for i in range(1, len(q.qv) + 1)]))) AS sim
-        |  FROM embeddings e2 CROSS JOIN q WHERE e2.vec_id <> q.qid),
-        |exact AS (SELECT qid, tid FROM ex
-        |  QUALIFY row_number() OVER (PARTITION BY qid
-        |    ORDER BY sim DESC, tid) <= 10),
-        |cf AS (SELECT unnest([1, 2, 4, 8]) AS np),
-        |cand AS (
-        |  SELECT cf.np, ex.qid, ex.tid, ex.sim
-        |  FROM ex JOIN qc ON qc.qid = ex.qid
-        |  JOIN asg ON asg.tid = ex.tid AND asg.cid = qc.cid
-        |  CROSS JOIN cf WHERE qc.crank <= cf.np),
-        |ret AS (SELECT np, qid, tid FROM cand
-        |  QUALIFY row_number() OVER (PARTITION BY np, qid
-        |    ORDER BY sim DESC, tid) <= 10)
-        |SELECT ret.np, CAST(16 AS BIGINT) AS n_queries,
-        |  count(*) AS sum_hits,
-        |  (1000 * count(*)) // 160 AS recall_permille
-        |FROM ret JOIN exact
-        |  ON exact.qid = ret.qid AND exact.tid = ret.tid
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Gold pairs from the all-pairs closure; same split formulas.
-    "split_leakage_comparison" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |e2 AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
-        |mx AS (SELECT max(doc_id) AS mx FROM documents),
-        |cl AS (SELECT
-        |    ((id1 * 2654435761 % 4294967296 % 1000000) < 900000)
-        |      <> ((id2 * 2654435761 % 4294967296 % 1000000) < 900000)
-        |      AS cross_random,
-        |    (id1 * 10 < (mx + 1) * 9) <> (id2 * 10 < (mx + 1) * 9)
-        |      AS cross_temporal
-        |  FROM e2 CROSS JOIN mx)
-        |SELECT count(*) AS n_pairs,
-        |  CAST(sum(CASE WHEN cross_random THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS random_crossing,
-        |  CAST(sum(CASE WHEN cross_temporal THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS temporal_crossing,
-        |  (1000 * CAST(sum(CASE WHEN cross_random THEN 1 ELSE 0 END)
-        |    AS BIGINT)) // count(*) AS random_leak_permille,
-        |  (1000 * CAST(sum(CASE WHEN cross_temporal THEN 1 ELSE 0 END)
-        |    AS BIGINT)) // count(*) AS temporal_leak_permille
-        |FROM cl""".stripMargin,
-
-    // Same kNN edges; degree thresholds swept by cross join.
-    "rich_club_coefficient" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |dg AS (SELECT v, count(*) AS dg FROM sym2 GROUP BY 1),
-        |ks AS (SELECT unnest(range(1, 9)) AS k),
-        |nk AS (SELECT k, count(*) AS n_nodes FROM dg CROSS JOIN ks
-        |  WHERE dg.dg > ks.k GROUP BY 1),
-        |ekt AS (
-        |  SELECT k, count(*) AS n_edges
-        |  FROM u JOIN dg da2 ON da2.v = u.a JOIN dg db2 ON db2.v = u.b
-        |  CROSS JOIN ks
-        |  WHERE da2.dg > ks.k AND db2.dg > ks.k GROUP BY 1)
-        |SELECT nk.k, nk.n_nodes, coalesce(ekt.n_edges, 0) AS n_edges,
-        |  CASE WHEN nk.n_nodes >= 2
-        |    THEN (2000 * coalesce(ekt.n_edges, 0))
-        |      // (nk.n_nodes * (nk.n_nodes - 1))
-        |    ELSE 0 END AS phi_permille
-        |FROM nk LEFT JOIN ekt ON ekt.k = nk.k
-        |ORDER BY nk.k""".stripMargin,
-
-    // Same density order, boundary-robust aggregate fractional tail.
-    "budget_curation_knapsack" ->
-      """WITH dv AS (
-        |  SELECT doc_id, n_chars,
-        |    CAST(len(list_distinct(string_split(trim(regexp_replace(
-        |      lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS v
-        |  FROM documents),
-        |b AS (SELECT count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) // 10 AS budget_chars FROM dv),
-        |o AS (SELECT doc_id, n_chars, v,
-        |    CAST(sum(n_chars) OVER (ORDER BY CAST(v AS DOUBLE) / n_chars
-        |      DESC, doc_id) AS BIGINT) AS cum
-        |  FROM dv),
-        |f AS (SELECT count(*) AS n_selected_full,
-        |    CAST(sum(v) AS BIGINT) AS full_value,
-        |    CAST(sum(n_chars) AS BIGINT) AS full_chars
-        |  FROM o CROSS JOIN b WHERE cum <= budget_chars),
-        |fr AS (SELECT coalesce(min(doc_id), -1) AS frac_doc_id,
-        |    coalesce(min((1000 * v * (budget_chars - (cum - n_chars)))
-        |      // n_chars), 0) AS frac_value_milli
-        |  FROM o CROSS JOIN b
-        |  WHERE cum - n_chars < budget_chars AND cum > budget_chars)
-        |SELECT b.n_docs, b.budget_chars, f.n_selected_full, f.full_value,
-        |  f.full_chars, fr.frac_doc_id, fr.frac_value_milli,
-        |  CAST(f.full_value * 1000 + fr.frac_value_milli AS BIGINT)
-        |    AS lp_bound_milli
-        |FROM b CROSS JOIN f CROSS JOIN fr""".stripMargin,
-
-    // Same dense-grid cross-multiplied TVD per source pair.
-    "source_similarity_tvd_matrix" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(trim(regexp_replace(
-        |    lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents),
-        |cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT s2.source, t2.tok, coalesce(cnt.c, 0) AS c
-        |  FROM (SELECT DISTINCT source FROM cnt) s2
-        |  CROSS JOIN (SELECT DISTINCT tok FROM cnt) t2
-        |  LEFT JOIN cnt ON cnt.source = s2.source AND cnt.tok = t2.tok),
-        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grid
-        |  GROUP BY 1),
-        |g AS (SELECT grid.source, grid.tok, CAST(grid.c AS BIGINT) AS c,
-        |  tot.n FROM grid JOIN tot USING (source))
-        |SELECT a.source AS src_a, b.source AS src_b,
-        |  min(a.n) AS n_a, min(b.n) AS n_b,
-        |  CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS tvd_num,
-        |  (1000 * CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT))
-        |    // (2 * min(a.n) * min(b.n)) AS tvd_permille
-        |FROM g a JOIN g b ON a.tok = b.tok AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same codebook assignment (embed_pq_assign's oracle CTE), same
-    // exact-cosine truth, counts joined.
-    "pq_neardup_eval" ->
-      """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code,
-        |    embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |dx AS (
-        |  SELECT e.vec_id, sub.s AS sub, cb.code,
-        |    list_sum([ (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE) *
-        |               (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE)
-        |               for i in range(1 + sub.s * 16, 17 + sub.s * 16)])
-        |      AS dist
-        |  FROM embeddings e, range(4) sub(s), cb),
-        |asgn AS (SELECT vec_id, sub, code FROM dx
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-        |                             ORDER BY dist, code) = 1),
-        |sig AS (SELECT vec_id,
-        |    string_agg(CAST(code AS VARCHAR), '_' ORDER BY sub) AS sig
-        |  FROM asgn GROUP BY 1),
-        |cand AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
-        |truth AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |                  for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-        |                    for i in range(1, len(b.embedding) + 1)])))
-        |    >= 0.4),
-        |tp AS (SELECT count(*) AS true_pos
-        |  FROM cand JOIN truth
-        |    ON truth.id1 = cand.id1 AND truth.id2 = cand.id2),
-        |nc AS (SELECT count(*) AS n_candidates FROM cand),
-        |nt AS (SELECT count(*) AS n_truth FROM truth)
-        |SELECT nc.n_candidates, nt.n_truth, tp.true_pos,
-        |  CASE WHEN nc.n_candidates > 0
-        |    THEN (1000 * tp.true_pos) // nc.n_candidates ELSE 0 END
-        |    AS precision_permille,
-        |  CASE WHEN nt.n_truth > 0
-        |    THEN (1000 * tp.true_pos) // nt.n_truth ELSE 0 END
-        |    AS recall_permille
-        |FROM nc CROSS JOIN nt CROSS JOIN tp""".stripMargin,
-
-    // Same two ranked frames, full-outer.
-    "ivm_topk_delta" ->
-      """WITH b AS (
-        |  SELECT user_id, count(*) AS n_before,
-        |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
-        |      AS INTEGER) AS rank_before
-        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-25'
-        |  GROUP BY 1 QUALIFY rank_before <= 10),
-        |a AS (
-        |  SELECT user_id, count(*) AS n_after,
-        |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
-        |      AS INTEGER) AS rank_after
-        |  FROM events GROUP BY 1 QUALIFY rank_after <= 10),
-        |j AS (
-        |  SELECT coalesce(b.user_id, a.user_id) AS user_id,
-        |    coalesce(b.rank_before, 0) AS rank_before,
-        |    coalesce(b.n_before, 0) AS n_before,
-        |    coalesce(a.rank_after, 0) AS rank_after,
-        |    coalesce(a.n_after, 0) AS n_after
-        |  FROM b FULL OUTER JOIN a ON a.user_id = b.user_id)
-        |SELECT user_id, rank_before, CAST(n_before AS BIGINT) AS n_before,
-        |  rank_after, CAST(n_after AS BIGINT) AS n_after,
-        |  CASE WHEN rank_before = 0 THEN 'entered'
-        |       WHEN rank_after = 0 THEN 'left'
-        |       WHEN rank_after < rank_before THEN 'up'
-        |       WHEN rank_after > rank_before THEN 'down'
-        |       ELSE 'same' END AS status
-        |FROM j
-        |ORDER BY CASE WHEN rank_after = 0 THEN 99 ELSE rank_after END,
-        |  user_id""".stripMargin,
-
-    // Same naive-latest vs strict-as-of comparison.
-    "pit_join_leak_audit" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id
-        |  FROM events),
-        |feat AS (SELECT user_id, day, count(*) AS clicks FROM ev
-        |  WHERE event_type = 'click' GROUP BY 1, 2),
-        |labels AS (SELECT user_id, day AS label_day, event_id FROM ev
-        |  WHERE event_type = 'purchase'),
-        |nv AS (SELECT user_id, max(day) AS naive_day FROM feat
-        |  GROUP BY 1),
-        |pit AS (
-        |  SELECT l.user_id, l.label_day, l.event_id,
-        |    max(f.day) AS pit_day
-        |  FROM labels l JOIN feat f ON f.user_id = l.user_id
-        |    AND f.day < l.label_day
-        |  GROUP BY 1, 2, 3)
-        |SELECT count(*) AS n_labels,
-        |  CAST(sum(CASE WHEN nv.naive_day >= l.label_day THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_naive_leaked,
-        |  CAST(sum(CASE WHEN pit.pit_day IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_pit_joined,
-        |  CAST(sum(CASE WHEN pit.pit_day = nv.naive_day THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_agree,
-        |  (1000 * CAST(sum(CASE WHEN nv.naive_day >= l.label_day THEN 1
-        |    ELSE 0 END) AS BIGINT)) // count(*) AS leak_permille
-        |FROM labels l
-        |LEFT JOIN nv ON nv.user_id = l.user_id
-        |LEFT JOIN pit ON pit.user_id = l.user_id
-        |  AND pit.label_day = l.label_day AND pit.event_id = l.event_id""".stripMargin,
-
-    // Same deterministic flips and unbiased inverse.
-    "randomized_response_debias" ->
-      """WITH x AS (
-        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
-        |    CASE WHEN (event_id * 2654435761) % 4294967296 % 4 = 0
-        |      THEN 1 ELSE 0 END AS flip
-        |  FROM events),
-        |y AS (SELECT day, t,
-        |  CASE WHEN flip = 1 THEN 1 - t ELSE t END AS r FROM x)
-        |SELECT day, count(*) AS n, CAST(sum(t) AS BIGINT) AS true_pos,
-        |  CAST(sum(r) AS BIGINT) AS reported_pos,
-        |  (4 * CAST(sum(r) AS BIGINT) - count(*)) // 2 AS debiased,
-        |  abs((4 * CAST(sum(r) AS BIGINT) - count(*)) // 2
-        |    - CAST(sum(t) AS BIGINT)) AS abs_err
-        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same presence scatter over 28 windows.
-    "dau_mau_stickiness" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
-        |sc AS (
-        |  SELECT DISTINCT user_id, day + CAST(o.o AS INTEGER) AS wday
-        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS o) o),
-        |grid AS (SELECT DISTINCT day AS wday FROM ud),
-        |mau AS (
-        |  SELECT sc.wday, count(*) AS mau_28d
-        |  FROM sc JOIN grid ON grid.wday = sc.wday GROUP BY 1)
-        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
-        |  mau.mau_28d, (1000 * dau.dau) // mau.mau_28d
-        |    AS stickiness_permille
-        |FROM dau JOIN mau ON mau.wday = dau.day
-        |ORDER BY day""".stripMargin,
-
-    // Same nearest-rank quartiles and literal-range cube root.
-    "fd_histogram_binwidth" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |st AS (SELECT event_type, count(*) AS n, min(cents) AS lo,
-        |  max(cents) AS hi FROM ev GROUP BY 1),
-        |rk AS (SELECT event_type, cents,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY cents, event_id) AS rn FROM ev),
-        |q25 AS (SELECT rk.event_type, rk.cents AS q25
-        |  FROM rk JOIN st USING (event_type)
-        |  WHERE rk.rn = (25 * st.n + 99) // 100),
-        |q75 AS (SELECT rk.event_type, rk.cents AS q75
-        |  FROM rk JOIN st USING (event_type)
-        |  WHERE rk.rn = (75 * st.n + 99) // 100),
-        |ic AS (
-        |  SELECT event_type, max(k.k) AS icbrt
-        |  FROM st CROSS JOIN (SELECT unnest(range(1, 100)) AS k) k
-        |  WHERE k.k * k.k * k.k <= st.n GROUP BY 1),
-        |j AS (
-        |  SELECT st.event_type, st.n, q25.q25, q75.q75,
-        |    q75.q75 - q25.q25 AS iqr, ic.icbrt, st.lo, st.hi
-        |  FROM st JOIN q25 USING (event_type)
-        |  JOIN q75 USING (event_type) JOIN ic USING (event_type))
-        |SELECT event_type, n, q25, q75, iqr, icbrt,
-        |  greatest(1, (2 * iqr) // icbrt) AS fd_width_cents,
-        |  (hi - lo) // greatest(1, (2 * iqr) // icbrt) + 1 AS n_bins
-        |FROM j ORDER BY event_type""".stripMargin,
-
-    // Same bucketed estimate against the exact count-product sum.
-    "histogram_selfjoin_estimate" ->
-      """WITH keys AS (
-        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
-        |sp AS (SELECT min(k) AS lo, max(k) AS hi FROM keys),
-        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual_pairs,
-        |  count(*) AS n_keys FROM keys),
-        |bk AS (
-        |  SELECT ((k - lo) * 64) // (hi - lo + 1) AS bucket,
-        |    CAST(sum(c) AS BIGINT) AS cb, count(*) AS ndv
-        |  FROM keys CROSS JOIN sp GROUP BY 1),
-        |es AS (SELECT count(*) AS n_buckets,
-        |  CAST(sum((cb * cb) // ndv) AS BIGINT) AS est_pairs FROM bk)
-        |SELECT ex.n_keys, es.n_buckets, ex.actual_pairs, es.est_pairs,
-        |  (1000 * abs(es.est_pairs - ex.actual_pairs)) // ex.actual_pairs
-        |    AS err_permille
-        |FROM ex CROSS JOIN es""".stripMargin,
-
-    "layout_prune_comparison" -> layoutPruneOracleSql,
-
-    // Same formulas, stacked rows.
-    "predicate_selectivity_audit" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |st AS (SELECT count(*) AS n, count(DISTINCT event_type) AS ndv,
-        |  min(cents) AS lo, max(cents) AS hi FROM ev),
-        |s2 AS (SELECT n, ndv, lo, hi, lo + (hi - lo + 1) // 2 AS v
-        |  FROM st),
-        |act AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS act_eq,
-        |    CAST(sum(CASE WHEN cents >= s2.v THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS act_range,
-        |    CAST(sum(CASE WHEN event_type = 'click' AND cents >= s2.v
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS act_conj
-        |  FROM ev CROSS JOIN s2),
-        |es AS (
-        |  SELECT s2.n // s2.ndv AS est_eq,
-        |    (s2.n * (s2.hi - s2.v + 1)) // (s2.hi - s2.lo + 1)
-        |      AS est_range,
-        |    ((s2.n // s2.ndv) * ((s2.n * (s2.hi - s2.v + 1))
-        |      // (s2.hi - s2.lo + 1))) // s2.n AS est_conj,
-        |    act.act_eq, act.act_range, act.act_conj
-        |  FROM s2 CROSS JOIN act),
-        |u AS (
-        |  SELECT '1_eq_type' AS predicate, est_eq AS est_rows,
-        |    act_eq AS actual_rows FROM es
-        |  UNION ALL SELECT '2_range_value', est_range, act_range FROM es
-        |  UNION ALL SELECT '3_conj_indep', est_conj, act_conj FROM es)
-        |SELECT predicate, est_rows, actual_rows,
-        |  (1000 * abs(est_rows - actual_rows)) // actual_rows
-        |    AS err_permille
-        |FROM u ORDER BY predicate""".stripMargin,
-
-    // Same gap sessions and minute durations.
-    "inspection_paradox_sessions" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-        |      AS BIGINT) AS sidx
-        |  FROM flagged),
-        |ss AS (
-        |  SELECT user_id, sidx,
-        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS dmin
-        |  FROM idx GROUP BY 1, 2),
-        |a AS (SELECT count(*) AS n_sessions,
-        |  CAST(sum(dmin) AS BIGINT) AS sum_min,
-        |  CAST(sum(dmin * dmin) AS BIGINT) AS sum_min_sq FROM ss)
-        |SELECT n_sessions, sum_min, sum_min_sq,
-        |  (1000 * sum_min) // n_sessions AS mean_milli_min,
-        |  (1000 * sum_min_sq) // sum_min
-        |    AS length_biased_mean_milli_min,
-        |  (1000 * (n_sessions * sum_min_sq - sum_min * sum_min))
-        |    // (sum_min * sum_min) AS bias_permille
-        |FROM a""".stripMargin,
-
-    // Same dense load grid and nearest-rank selections.
-    "percentile_subadditivity_gap" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(extract(hour FROM ts) AS INTEGER) AS hr FROM events),
-        |cells AS (SELECT day, hr, event_type, count(*) AS c FROM ev
-        |  GROUP BY 1, 2, 3),
-        |grid AS (
-        |  SELECT d.day, h.hr, t.event_type, coalesce(cells.c, 0) AS c
-        |  FROM (SELECT DISTINCT day FROM ev) d
-        |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
-        |  LEFT JOIN cells ON cells.day = d.day AND cells.hr = h.hr
-        |    AND cells.event_type = t.event_type),
-        |nb AS (SELECT count(*) AS n_buckets
-        |  FROM (SELECT DISTINCT day, hr FROM grid)),
-        |tt AS (
-        |  SELECT day, hr, CAST(sum(c) AS BIGINT) AS tot FROM grid
-        |  GROUP BY 1, 2),
-        |tp AS (SELECT nb.n_buckets, tt.tot AS p95_of_total
-        |  FROM tt CROSS JOIN nb
-        |  QUALIFY row_number() OVER (ORDER BY tot, day, hr)
-        |    = (95 * n_buckets + 99) // 100),
-        |pt AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS sum_of_type_p95s FROM (
-        |    SELECT event_type, c FROM grid CROSS JOIN nb
-        |    QUALIFY row_number() OVER (PARTITION BY event_type
-        |      ORDER BY c, day, hr) = (95 * n_buckets + 99) // 100))
-        |SELECT tp.n_buckets, tp.p95_of_total, pt.sum_of_type_p95s,
-        |  pt.sum_of_type_p95s - tp.p95_of_total AS gap,
-        |  (1000 * (pt.sum_of_type_p95s - tp.p95_of_total))
-        |    // tp.p95_of_total AS gap_permille
-        |FROM tp CROSS JOIN pt""".stripMargin,
-
-    // Same balanced take-6 ANOVA integers.
-    "design_effect_components" ->
-      """WITH y AS (
-        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS y
-        |  FROM (SELECT user_id, value,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY event_id) AS rn
-        |    FROM events) WHERE rn <= 6),
-        |per AS (
-        |  SELECT user_id, count(*) AS m_i,
-        |    CAST(sum(y) AS BIGINT) AS s_i,
-        |    CAST(sum(y * y) AS BIGINT) AS ss_i
-        |  FROM y GROUP BY 1),
-        |b AS (SELECT * FROM per WHERE m_i = 6),
-        |a AS (SELECT count(*) AS k,
-        |  CAST(sum(s_i) AS BIGINT) AS t_sum,
-        |  CAST(sum(s_i * s_i) AS BIGINT) AS sum_si_sq,
-        |  CAST(sum(ss_i) AS BIGINT) AS sum_y_sq FROM b)
-        |SELECT k, CAST(6 AS BIGINT) AS m, t_sum, sum_y_sq,
-        |  k * sum_si_sq - t_sum * t_sum AS km_ssb,
-        |  6 * sum_y_sq - sum_si_sq AS m_ssw
-        |FROM a""".stripMargin,
-
-    "minhash_band_recall_curve" -> minhashBandOracleSql,
-
-    // Same rank lists, threshold line, and seen-set 10th-best.
-    "threshold_algorithm_depth" ->
-      """WITH it AS (
-        |  SELECT user_id,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-        |      AS x1,
-        |    CAST(count(*) * 1000 AS BIGINT) AS x2
-        |  FROM events GROUP BY 1),
-        |r AS (SELECT user_id, x1, x2, x1 + x2 AS score,
-        |    row_number() OVER (ORDER BY x1 DESC, user_id) AS r1,
-        |    row_number() OVER (ORDER BY x2 DESC, user_id) AS r2
-        |  FROM it),
-        |n AS (SELECT count(*) AS n_items FROM r),
-        |dpt AS (SELECT unnest(range(1, 201)) AS dp),
-        |thr AS (SELECT a.r1 AS dp, a.x1 + b.x2 AS threshold
-        |  FROM r a JOIN r b ON b.r2 = a.r1),
-        |seen AS (SELECT dpt.dp, r.user_id, r.score
-        |  FROM r CROSS JOIN dpt WHERE least(r.r1, r.r2) <= dpt.dp),
-        |kth AS (SELECT dp, score AS kth_score FROM seen
-        |  QUALIFY row_number() OVER (PARTITION BY dp
-        |    ORDER BY score DESC, user_id) = 10),
-        |stp AS (SELECT coalesce(min(kth.dp), -1) AS stop_depth
-        |  FROM kth JOIN thr ON thr.dp = kth.dp
-        |  WHERE kth.kth_score >= thr.threshold)
-        |SELECT n.n_items, stp.stop_depth,
-        |  kth.kth_score AS kth_at_stop,
-        |  thr.threshold AS threshold_at_stop,
-        |  (1000 * stp.stop_depth) // n.n_items
-        |    AS scan_fraction_permille
-        |FROM stp
-        |JOIN kth ON kth.dp = stp.stop_depth
-        |JOIN thr ON thr.dp = stp.stop_depth
-        |CROSS JOIN n""".stripMargin,
-
-    "cdc_chunk_dedup_rabin" -> rabinCdcOracleSql,
-
-    // Same pair table and triple joins.
-    "cosine_triangle_violations" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id < 30),
-        |p AS (
-        |  SELECT a.vec_id AS i, b.vec_id AS j,
-        |    1.0 - (
-        |    list_sum([a.embedding[i2]::DOUBLE * b.embedding[i2]::DOUBLE
-        |              for i2 in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i2]::DOUBLE * a.embedding[i2]::DOUBLE
-        |                    for i2 in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([b.embedding[i2]::DOUBLE * b.embedding[i2]::DOUBLE
-        |                    for i2 in range(1, len(b.embedding) + 1)]))))
-        |      AS dist
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
-        |t AS (
-        |  SELECT ab.i AS a, ab.j AS b, bc.j AS c,
-        |    ac.dist - ab.dist - bc.dist AS v1,
-        |    ab.dist - ac.dist - bc.dist AS v2,
-        |    bc.dist - ab.dist - ac.dist AS v3
-        |  FROM p ab JOIN p bc ON bc.i = ab.j
-        |  JOIN p ac ON ac.i = ab.i AND ac.j = bc.j)
-        |SELECT count(*) AS n_triples, count(*) * 3 AS n_checks,
-        |  CAST(sum((CASE WHEN v1 > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN v2 > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN v3 > 0 THEN 1 ELSE 0 END)) AS BIGINT)
-        |    AS n_violating_checks,
-        |  CAST(sum(CASE WHEN v1 > 0 OR v2 > 0 OR v3 > 0 THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_violating_triples,
-        |  CAST(floor(greatest(max(v1), max(v2), max(v3)) * 1000)
-        |    AS BIGINT) AS max_violation_milli
-        |FROM t""".stripMargin,
-
-    // Same islands anchor.
-    "user_activity_streaks" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |st AS (SELECT user_id,
-        |  day - CAST(row_number() OVER (PARTITION BY user_id
-        |    ORDER BY day) AS INT) AS anchor FROM ud),
-        |ln AS (SELECT user_id, anchor, count(*) AS len FROM st
-        |  GROUP BY 1, 2),
-        |mx AS (SELECT user_id, max(len) AS max_streak FROM ln GROUP BY 1)
-        |SELECT max_streak, count(*) AS n_users,
-        |  CAST(sum(user_id) AS BIGINT) AS user_id_checksum
-        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same session windows and running flags.
-    "state_machine_conformance" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(ts) OVER ws IS NULL
-        |         OR lag(ts) OVER ws + INTERVAL 1800 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WINDOW ws AS (PARTITION BY user_id ORDER BY ts)),
-        |idx AS (SELECT user_id, ts, event_id, event_type,
-        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sidx
-        |  FROM flagged),
-        |wf AS (
-        |  SELECT user_id, ts, event_type,
-        |    row_number() OVER wss AS rn,
-        |    max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0
-        |      END) OVER (wss ROWS BETWEEN UNBOUNDED PRECEDING
-        |        AND 1 PRECEDING) AS engaged_before,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      OVER (wss ROWS BETWEEN UNBOUNDED PRECEDING
-        |        AND 1 PRECEDING) AS purchase_before
-        |  FROM idx WINDOW wss AS (PARTITION BY user_id, sidx
-        |    ORDER BY ts, event_id))
-        |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_sessions_opened,
-        |  CAST(sum(CASE WHEN event_type = 'purchase'
-        |    AND coalesce(engaged_before, 0) = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_blind_purchases,
-        |  CAST(sum(CASE WHEN rn = 1 AND event_type = 'error' THEN 1
-        |    ELSE 0 END) AS BIGINT) AS n_error_opened_sessions,
-        |  CAST(sum(CASE WHEN event_type = 'signup'
-        |    AND coalesce(purchase_before, 0) = 1 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_late_signups
-        |FROM wf GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same falling factorials.
-    "pass_at_k_estimator" ->
-      """WITH pur AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |np AS (SELECT count(*) AS np FROM pur),
-        |med AS (SELECT cents AS median_cents FROM pur CROSS JOIN np
-        |  QUALIFY row_number() OVER (ORDER BY cents, event_id)
-        |    = (np + 1) // 2),
-        |att AS (SELECT user_id, cents FROM (
-        |    SELECT user_id, cents,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id)
-        |        AS att
-        |    FROM pur) WHERE att <= 10),
-        |tk AS (
-        |  SELECT user_id, count(*) AS n,
-        |    CAST(sum(CASE WHEN cents > med.median_cents THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c
-        |  FROM att CROSS JOIN med GROUP BY 1 HAVING count(*) >= 5),
-        |per AS (SELECT n, c,
-        |    CASE WHEN n - c >= 5 THEN (n-c) * (n-c-1) * (n-c-2)
-        |      * (n-c-3) * (n-c-4) ELSE 0 END AS num,
-        |    n * (n-1) * (n-2) * (n-3) * (n-4) AS den
-        |  FROM tk),
-        |p2 AS (SELECT n, c, 1000 - (1000 * num) // den AS pass5_milli
-        |  FROM per)
-        |SELECT count(*) AS n_tasks,
-        |  CAST(sum(n) AS BIGINT) AS total_attempts,
-        |  CAST(sum(c) AS BIGINT) AS total_successes,
-        |  (1000 * CAST(sum(c) AS BIGINT)) // CAST(sum(n) AS BIGINT)
-        |    AS per_attempt_milli,
-        |  CAST(sum(pass5_milli) AS BIGINT) // count(*)
-        |    AS mean_pass5_milli
-        |FROM p2""".stripMargin,
-
-    // Pairs from the all-pairs closure; same clip counting.
-    "bleu1_neardup_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |pr AS (SELECT id1, id2 FROM p WHERE j >= 0.8),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
-        |    lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents),
-        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM cnt
-        |  GROUP BY 1),
-        |cl AS (
-        |  SELECT pr.id1, pr.id2,
-        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped_matches
-        |  FROM pr JOIN cnt a ON a.doc_id = pr.id1
-        |  JOIN cnt b ON b.doc_id = pr.id2 AND b.tok = a.tok
-        |  GROUP BY 1, 2)
-        |SELECT pr.id1, pr.id2, lr.len AS len_ref, lc.len AS len_cand,
-        |  coalesce(cl.clipped_matches, 0) AS clipped_matches,
-        |  (1000 * coalesce(cl.clipped_matches, 0)) // lc.len AS p1_milli
-        |FROM pr
-        |LEFT JOIN cl ON cl.id1 = pr.id1 AND cl.id2 = pr.id2
-        |JOIN lens lr ON lr.doc_id = pr.id1
-        |JOIN lens lc ON lc.doc_id = pr.id2
-        |ORDER BY pr.id1, pr.id2""".stripMargin,
-
-    // Same kNN edges; wedges from degrees, triangles by closing edge.
-    "agm_triangle_blowup" ->
-      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
-        |      embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |s AS (
-        |  SELECT a.vec_id, c.cid,
-        |    list_sum([a.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
-        |              for i in range(1, len(a.embedding) + 1)]) /
-        |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-        |                    for i in range(1, len(a.embedding) + 1)])) *
-        |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
-        |                    for i in range(1, len(c.cv) + 1)]))) AS sim
-        |  FROM embeddings a CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |                             ORDER BY sim DESC, cid) = 1),
-        |p AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS dst,
-        |    list_sum([ax.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |              for i in range(1, len(ax.embedding) + 1)]) /
-        |    (sqrt(list_sum([ax.embedding[i]::DOUBLE * ax.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ax.embedding) + 1)])) *
-        |     sqrt(list_sum([ay.embedding[i]::DOUBLE * ay.embedding[i]::DOUBLE
-        |                    for i in range(1, len(ay.embedding) + 1)]))) AS sim
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-        |  JOIN embeddings ax ON ax.vec_id = x.vec_id
-        |  JOIN embeddings ay ON ay.vec_id = y.vec_id),
-        |e AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |                         ORDER BY sim DESC, dst) AS rank
-        |    FROM p) WHERE rank <= 3),
-        |u AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst),
-        |sym2 AS (SELECT a AS v, b AS w FROM u
-        |         UNION ALL SELECT b AS v, a AS w FROM u),
-        |dg AS (SELECT v, count(*) AS dg FROM sym2 GROUP BY 1),
-        |wd AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
-        |  AS n_wedges FROM dg),
-        |m AS (SELECT count(*) AS n_edges FROM u),
-        |tri AS (
-        |  SELECT count(*) AS n_triangles
-        |  FROM u ab JOIN u bc ON bc.a = ab.b
-        |  JOIN u ac ON ac.a = ab.a AND ac.b = bc.b)
-        |SELECT m.n_edges, wd.n_wedges, tri.n_triangles,
-        |  CASE WHEN tri.n_triangles > 0
-        |    THEN (1000 * wd.n_wedges) // tri.n_triangles ELSE -1 END
-        |    AS wedge_per_triangle_milli
-        |FROM m CROSS JOIN wd CROSS JOIN tri""".stripMargin,
-
-    // Same cleared-fraction components.
-    "arc_elasticity_components" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, count(*) AS q,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |l AS (SELECT day, CAST(q AS BIGINT) AS q2, sc AS s2,
-        |    CAST(lag(q) OVER (ORDER BY day) AS BIGINT) AS q1,
-        |    lag(sc) OVER (ORDER BY day) AS s1
-        |  FROM daily)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, q1, q2, s1, s2,
-        |  (q2 - q1) * (s1 * q2 + s2 * q1) AS e_num,
-        |  (s2 * q1 - s1 * q2) * (q1 + q2) AS e_den
-        |FROM l WHERE q1 IS NOT NULL ORDER BY day""".stripMargin,
-
-    // Same four cells around the same median cutoff.
-    "regression_discontinuity_components" ->
-      """WITH users AS (
-        |  SELECT user_id, count(*) AS activity,
-        |    CAST(sum(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
-        |      AS BIGINT) AS pc
-        |  FROM events GROUP BY 1),
-        |nu AS (SELECT count(*) AS nu FROM users),
-        |thr AS (SELECT activity AS cut FROM users CROSS JOIN nu
-        |  QUALIFY row_number() OVER (ORDER BY activity, user_id)
-        |    = (nu + 1) // 2)
-        |SELECT min(cut) AS cutoff_activity,
-        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 2
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_narrow,
-        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 2
-        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_below_narrow,
-        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 2
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_narrow,
-        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 2
-        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_above_narrow,
-        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 8
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_wide,
-        |  CAST(sum(CASE WHEN activity < cut AND activity >= cut - 8
-        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_below_wide,
-        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 8
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_wide,
-        |  CAST(sum(CASE WHEN activity >= cut AND activity < cut + 8
-        |    THEN pc ELSE 0 END) AS BIGINT) AS cents_above_wide
-        |FROM users CROSS JOIN thr""".stripMargin,
-
-    // Same hash sample and scaling.
-    "sample_scale_error_audit" ->
-      """SELECT event_type, count(*) AS exact_n,
-        |  CAST(sum(CASE WHEN (event_id * 2654435761) % 4294967296 % 10
-        |    = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sample_n,
-        |  CAST(sum(CASE WHEN (event_id * 2654435761) % 4294967296 % 10
-        |    = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10 AS scaled_n,
-        |  (1000 * abs(CAST(sum(CASE WHEN (event_id * 2654435761)
-        |    % 4294967296 % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10
-        |    - count(*))) // count(*) AS err_permille
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same closure components; jaccard rounded to 6 then floored to
-    // milli on both sides.
-    "neardup_cluster_cohesion" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(
-        |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
-        |strong AS (SELECT id1, id2, j FROM p WHERE j >= 0.8),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM strong
-        |  UNION ALL SELECT id2, id1 FROM strong),
-        |reach(v, w) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.v, e2.b FROM reach r JOIN edges e2 ON r.w = e2.a),
-        |comp AS (SELECT v, least(v, min(w)) AS comp FROM reach
-        |  GROUP BY v),
-        |wc AS (
-        |  SELECT c1.comp, count(*) AS n_strong_pairs,
-        |    CAST(min(floor(round(s9.j, 6) * 1000)) AS BIGINT)
-        |      AS min_jaccard_milli,
-        |    CAST(max(floor(round(s9.j, 6) * 1000)) AS BIGINT)
-        |      AS max_jaccard_milli
-        |  FROM strong s9 JOIN comp c1 ON c1.v = s9.id1 GROUP BY 1),
-        |sz AS (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
-        |SELECT wc.comp AS cluster_id, sz.size,
-        |  sz.size * (sz.size - 1) // 2 AS n_possible_pairs,
-        |  wc.n_strong_pairs, wc.min_jaccard_milli, wc.max_jaccard_milli,
-        |  wc.n_strong_pairs < sz.size * (sz.size - 1) // 2 AS is_chained
-        |FROM wc JOIN sz ON sz.comp = wc.comp ORDER BY 1""".stripMargin,
-
-    // Same two captures and estimator.
-    "capture_recapture_users" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |sp AS (SELECT min(day) AS da, max(day) AS db FROM ud),
-        |s1 AS (SELECT DISTINCT user_id FROM ud CROSS JOIN sp
-        |  WHERE day = da),
-        |s2 AS (SELECT DISTINCT user_id FROM ud CROSS JOIN sp
-        |  WHERE day = db),
-        |mm AS (SELECT count(*) AS m FROM s1 JOIN s2 USING (user_id)),
-        |a AS (SELECT count(*) AS n1 FROM s1),
-        |b AS (SELECT count(*) AS n2 FROM s2),
-        |tt AS (SELECT count(DISTINCT user_id) AS true_n FROM ud)
-        |SELECT a.n1, b.n2, mm.m, tt.true_n,
-        |  (a.n1 * b.n2) // mm.m AS estimated_n,
-        |  (1000 * abs((a.n1 * b.n2) // mm.m - tt.true_n)) // tt.true_n
-        |    AS err_permille
-        |FROM a CROSS JOIN b CROSS JOIN mm CROSS JOIN tt""".stripMargin,
-
-    // Same per-type medians and integer deviations.
-    "levene_components" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |nn AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
-        |med AS (
-        |  SELECT ev.event_type, ev.cents AS med
-        |  FROM ev JOIN nn USING (event_type)
-        |  QUALIFY row_number() OVER (PARTITION BY ev.event_type
-        |    ORDER BY cents, event_id) = (n + 1) // 2),
-        |z AS (SELECT ev.event_type, med.med,
-        |    abs(ev.cents - med.med) AS z
-        |  FROM ev JOIN med USING (event_type))
-        |SELECT event_type, count(*) AS n, min(med) AS median_cents,
-        |  CAST(sum(z) AS BIGINT) AS sum_absdev,
-        |  CAST(sum(z * z) AS BIGINT) AS sum_absdev_sq
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same sign sequence and run counting.
-    "runs_test_components" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-        |      AS rev
-        |  FROM events GROUP BY 1),
-        |s1 AS (SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev
-        |  FROM daily),
-        |s2 AS (SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
-        |  FROM s1 WHERE prev IS NOT NULL),
-        |s3 AS (SELECT up,
-        |  CASE WHEN up <> lag(up) OVER (ORDER BY day) THEN 1 ELSE 0 END
-        |    AS flip FROM s2)
-        |SELECT CAST(sum(up) AS BIGINT) AS n1,
-        |  CAST(sum(1 - up) AS BIGINT) AS n2,
-        |  CAST(sum(flip) + 1 AS BIGINT) AS n_runs,
-        |  CAST(sum(up) + sum(1 - up) + 2 * sum(up) * sum(1 - up)
-        |    AS BIGINT) AS expected_runs_num,
-        |  CAST(sum(up) + sum(1 - up) AS BIGINT) AS expected_runs_den
-        |FROM s3""".stripMargin,
-
-    // Same scaled-integer PH statistic: n·m_t = n·prefix_t − t·S, PH =
-    // m − running-min, argmax day per type.
-    "page_hinkley_drift" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT event_type, day,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS ssum,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS t,
-        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS prefix
-        |  FROM daily),
-        |ph AS (
-        |  SELECT event_type, day, n, ssum,
-        |    n * prefix - t * ssum AS ms,
-        |    CAST(min(n * prefix - t * ssum)
-        |      OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
-        |      AS runmin
-        |  FROM m)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS peak_day,
-        |  CAST(ms - runmin AS BIGINT) AS ph_scaled,
-        |  CAST(ms AS BIGINT) AS m_scaled, n AS n_days, ssum AS sum_cents
-        |FROM ph
-        |QUALIFY row_number() OVER (PARTITION BY event_type
-        |  ORDER BY ms - runmin DESC, day) = 1
-        |ORDER BY event_type""".stripMargin,
-
-    // Two sessionize CTEs (the sessionize_gap recipe at 3600 s, one per
-    // stream), user-joined, and the identical equality-first CASE ladder.
-    "allen_interval_relations" ->
-      """WITH cf AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 3600 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WHERE event_type = 'click'
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |cs AS (
-        |  SELECT user_id, min(ts) AS a1, max(ts) AS a2
-        |  FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id
-        |          ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |          CURRENT ROW) AS sid FROM cf)
-        |  GROUP BY user_id, sid),
-        |ef AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR lag(ts) OVER w + INTERVAL 3600 SECONDS < ts THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events WHERE event_type = 'error'
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |es AS (
-        |  SELECT user_id, min(ts) AS b1, max(ts) AS b2
-        |  FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id
-        |          ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |          CURRENT ROW) AS sid FROM ef)
-        |  GROUP BY user_id, sid),
-        |p AS (
-        |  SELECT cs.user_id,
-        |    CASE WHEN a1 = b1 AND a2 = b2 THEN 'equals'
-        |         WHEN a1 = b1 AND a2 < b2 THEN 'starts'
-        |         WHEN a1 = b1 THEN 'started_by'
-        |         WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
-        |         WHEN a2 = b2 THEN 'finished_by'
-        |         WHEN a2 < b1 THEN 'precedes'
-        |         WHEN a2 = b1 THEN 'meets'
-        |         WHEN b2 < a1 THEN 'preceded_by'
-        |         WHEN b2 = a1 THEN 'met_by'
-        |         WHEN a1 < b1 AND a2 > b2 THEN 'contains'
-        |         WHEN a1 > b1 AND a2 < b2 THEN 'during'
-        |         WHEN a1 < b1 THEN 'overlaps'
-        |         ELSE 'overlapped_by' END AS relation
-        |  FROM cs JOIN es ON cs.user_id = es.user_id)
-        |SELECT relation, count(*) AS n_pairs,
-        |  CAST(sum(user_id) AS BIGINT) AS user_checksum
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Exact bigram/unigram counts; PMI ships as the floor-scaled ratio.
-    "pmi_collocations" ->
-      """WITH tk AS (
-        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-        |    'g')), ' ') AS s
-        |  FROM documents),
-        |bg AS (
-        |  SELECT unnest([s[i] || ' ' || s[i+1]
-        |                 for i in range(1, len(s))]) AS g FROM tk),
-        |bc AS (
-        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
-        |    count(*) AS c_xy
-        |  FROM bg GROUP BY 1, 2),
-        |u AS (
-        |  SELECT w, count(*) AS c
-        |  FROM (SELECT unnest(s) AS w FROM tk) GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b_tot FROM bc)
-        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
-        |  CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
-        |  CAST((CAST(c_xy AS HUGEINT) * b_tot * 1000000)
-        |       // (x.c * y.c) AS BIGINT)
-        |    AS pmi_scaled
-        |FROM bc JOIN u x ON bc.w1 = x.w JOIN u y ON bc.w2 = y.w, tot
-        |WHERE c_xy >= 5
-        |ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50""".stripMargin,
-
-    // Identical deterministic ranks (doc_id tiebreak) and floor-scaled
-    // RRF sum.
-    "reciprocal_rank_fusion" ->
-      """WITH t AS (
-        |  SELECT doc_id, n_chars,
-        |    len(list_filter(string_split(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')), ' '), x -> x = 'table')) AS tf
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
-        |      AS r1,
-        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
-        |      AS BIGINT) AS r2
-        |  FROM t)
-        |SELECT doc_id, r1, r2,
-        |  CAST(1000000000 // (60 + r1) + 1000000000 // (60 + r2)
-        |    AS BIGINT) AS rrf_scaled
-        |FROM r ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin,
-
-    // Same mod-8 sampled md5 fingerprints, df <= 32 cap, shared >= 2.
-    "fingerprint_modp_candidates" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                          for i in range(1, len(s) - 1)])) AS g
-        |  FROM tk),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(md5_number_upper(g) & 9223372036854775807 AS BIGINT) AS h
-        |  FROM g
-        |  WHERE (md5_number_upper(g) & 9223372036854775807) % 8 = 0),
-        |df AS (SELECT h, count(*) AS df FROM h GROUP BY 1),
-        |hk AS (SELECT h.doc_id, h.h FROM h JOIN df USING (h)
-        |       WHERE df.df <= 32),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS n_shared
-        |  FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM p WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin,
-
-    // Same cross-multiplied D statistic over the distinct-cents support.
-    "ks_test_components" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |g AS (
-        |  SELECT cents,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS k1,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS k2
-        |  FROM ev GROUP BY 1),
-        |t AS (
-        |  SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n2 FROM ev),
-        |c AS (
-        |  SELECT cents,
-        |    CAST(sum(k1) OVER (ORDER BY cents) AS BIGINT) AS f1,
-        |    CAST(sum(k2) OVER (ORDER BY cents) AS BIGINT) AS f2
-        |  FROM g)
-        |SELECT n1, n2, CAST(abs(f1 * n2 - f2 * n1) AS BIGINT) AS d_num,
-        |  CAST(n1 * n2 AS BIGINT) AS d_den, cents AS d_at_cents
-        |FROM c, t
-        |QUALIFY row_number() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC,
-        |  cents) = 1""".stripMargin,
-
-    // Same cross-multiplied (x−μ)² vs (2σ)² verdict per complete window.
-    "bollinger_breaches" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, day, x,
-        |    count(*) OVER w AS cnt,
-        |    CAST(sum(x) OVER w AS BIGINT) AS ssum,
-        |    sum(CAST(x AS HUGEINT) * x) OVER w AS q
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-        |b AS (
-        |  SELECT event_type, day, x, 20 * x - ssum AS dev,
-        |    CAST(20 * x - ssum AS HUGEINT)
-        |      * (20 * x - ssum) AS dev_sq,
-        |    4 * (20 * q - CAST(ssum AS HUGEINT) * ssum) AS band_sq
-        |  FROM r WHERE cnt = 20)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS cents,
-        |  CAST(dev_sq // 1000000 AS BIGINT) AS dev_sq_micro,
-        |  CAST(band_sq // 1000000 AS BIGINT) AS band_sq_micro,
-        |  CASE WHEN dev_sq <= band_sq THEN 'in'
-        |       WHEN dev > 0 THEN 'upper' ELSE 'lower' END AS band
-        |FROM b ORDER BY event_type, day""".stripMargin,
-
-    // The A1 closed-right 5-minute bars on cents, then the identical
-    // integer pattern tests over lagged bars.
-    "candlestick_patterns" ->
-      """WITH bars AS (
-        |  SELECT event_type,
-        |    time_bucket(INTERVAL 5 MINUTE, ts - INTERVAL 1 MICROSECOND)
-        |      AS bts,
-        |    arg_min(CAST(floor(value * 100) AS BIGINT), ts) AS open,
-        |    max(CAST(floor(value * 100) AS BIGINT)) AS high,
-        |    min(CAST(floor(value * 100) AS BIGINT)) AS low,
-        |    arg_max(CAST(floor(value * 100) AS BIGINT), ts) AS close,
-        |    count(*) AS volume
-        |  FROM events GROUP BY 1, 2),
-        |l AS (
-        |  SELECT event_type, volume, open, high, low, close,
-        |    lag(open) OVER w AS po, lag(close) OVER w AS pc,
-        |    abs(close - open) AS body
-        |  FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bts))
-        |SELECT event_type, count(*) AS n_bars,
-        |  CAST(sum(CASE WHEN volume >= 3 AND high > low
-        |    AND body * 20 <= high - low THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_doji,
-        |  CAST(sum(CASE WHEN pc < po AND close > open AND open <= pc
-        |    AND close >= po THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_bullish_engulfing,
-        |  CAST(sum(CASE WHEN pc > po AND close < open AND open >= pc
-        |    AND close <= po THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_bearish_engulfing,
-        |  CAST(sum(CASE WHEN volume >= 3 AND high > low
-        |    AND least(open, close) - low >= 2 * body
-        |    AND high - greatest(open, close) <= body THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_hammer
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same rightmost-min-per-window key selection and df-capped pairing.
-    "winnowing_fingerprints" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, u['pos'] AS pos, u['g'] AS g
-        |  FROM (SELECT doc_id,
-        |          unnest([{'pos': i - 1,
-        |                   'g': s[i] || ' ' || s[i+1] || ' ' || s[i+2]}
-        |                  for i in range(1, len(s) - 1)]) AS u
-        |        FROM tk WHERE len(s) >= 3)),
-        |k AS (
-        |  SELECT doc_id, pos,
-        |    CAST(md5_number_upper(g) & 1099511627775 AS BIGINT) * 1048576
-        |      + (1048575 - pos) AS key
-        |  FROM g),
-        |wmin AS (
-        |  SELECT doc_id,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-        |  FROM k),
-        |sel AS (
-        |  SELECT DISTINCT doc_id, CAST(selkey // 1048576 AS BIGINT) AS h40
-        |  FROM wmin WHERE rn >= 4),
-        |df AS (SELECT h40, count(*) AS df FROM sel GROUP BY 1),
-        |kept AS (SELECT sel.doc_id, sel.h40 FROM sel JOIN df USING (h40)
-        |         WHERE df.df <= 32),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS n_shared
-        |  FROM kept a JOIN kept b ON a.h40 = b.h40 AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM p WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin,
-
-    // Same largest-remainder quotas and keyed-md5 member order.
-    "stratified_sample_quota" ->
-      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM c),
-        |q AS (SELECT lang, (200 * n_l) // n AS base, (200 * n_l) % n
-        |        AS rem FROM c, t),
-        |e AS (SELECT CAST(200 - sum(base) AS BIGINT) AS extra FROM q),
-        |qq AS (SELECT lang,
-        |  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
-        |    <= extra THEN 1 ELSE 0 END AS quota FROM q, e),
-        |h AS (SELECT d.lang, d.doc_id, qq.quota,
-        |    CAST(md5_number_upper('smp|' || d.doc_id)
-        |      & 9223372036854775807 AS BIGINT) AS hk
-        |  FROM documents d JOIN qq USING (lang)),
-        |r AS (SELECT lang, doc_id, quota,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
-        |      AS BIGINT) AS sample_rank
-        |  FROM h)
-        |SELECT lang, sample_rank, doc_id FROM r WHERE sample_rank <= quota
-        |ORDER BY lang, sample_rank""".stripMargin,
-
-    // The emitted rows are the exact top-5 of the perturbed queries (the
-    // recall flag is the Spark-side measurement pinned TRUE) — identical
-    // contract to embed_topk_lsh.
-    "embed_topk_multiprobe" -> topk5PerturbedOracleSql,
-
-    // Same subset-lattice v(S) and 2/1/1/2 integer weights.
-    "shapley_attribution_3ch" ->
-      """WITH um AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |      + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-        |      AS mask,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv
-        |  FROM events GROUP BY 1),
-        |cm AS (SELECT mask, count(*) AS c FROM um WHERE conv = 1
-        |       GROUP BY 1),
-        |subsets AS (SELECT unnest(range(8)) AS S),
-        |v AS (
-        |  SELECT S, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
-        |  FROM subsets LEFT JOIN cm ON (cm.mask & subsets.S) = cm.mask
-        |  GROUP BY 1),
-        |vr AS (
-        |  SELECT
-        |    sum(CASE WHEN S = 0 THEN v END) AS v0,
-        |    sum(CASE WHEN S = 1 THEN v END) AS v1,
-        |    sum(CASE WHEN S = 2 THEN v END) AS v2,
-        |    sum(CASE WHEN S = 3 THEN v END) AS v3,
-        |    sum(CASE WHEN S = 4 THEN v END) AS v4,
-        |    sum(CASE WHEN S = 5 THEN v END) AS v5,
-        |    sum(CASE WHEN S = 6 THEN v END) AS v6,
-        |    sum(CASE WHEN S = 7 THEN v END) AS v7
-        |  FROM v)
-        |SELECT channel, CAST(phi_x6 AS BIGINT) AS phi_x6,
-        |  CAST(v_full AS BIGINT) AS v_full,
-        |  CAST(v_none AS BIGINT) AS v_none
-        |FROM (
-        |  SELECT 'view' AS channel,
-        |    2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)
-        |      AS phi_x6, v7 AS v_full, v0 AS v_none FROM vr
-        |  UNION ALL
-        |  SELECT 'click',
-        |    2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5),
-        |    v7, v0 FROM vr
-        |  UNION ALL
-        |  SELECT 'signup',
-        |    2 * (v4 - v0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3),
-        |    v7, v0 FROM vr)
-        |ORDER BY channel""".stripMargin,
-
-    // Same occurrence-counting n-gram stream against the same literal
-    // dictionary; top doc via the identical (n DESC, doc_id) rank.
-    "dictionary_phrase_tagging" ->
-      """WITH dict(category, phrase) AS (VALUES
-        |  ('storage', 'table'), ('storage', 'row scan'),
-        |  ('storage', 'column'), ('engine', 'query'),
-        |  ('engine', 'sort merge'), ('engine', 'hash join'),
-        |  ('stream', 'stream'), ('stream', 'window'), ('stream', 'batch')),
-        |tk AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS s
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(s) AS phrase FROM tk
-        |  UNION ALL
-        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1]
-        |                         for i in range(1, len(s))]) AS phrase
-        |  FROM tk WHERE len(s) >= 2),
-        |m AS (
-        |  SELECT doc_id, category, count(*) AS n
-        |  FROM grams JOIN dict USING (phrase)
-        |  GROUP BY 1, 2),
-        |r AS (
-        |  SELECT doc_id, category, n,
-        |    row_number() OVER (PARTITION BY category
-        |      ORDER BY n DESC, doc_id) AS rk
-        |  FROM m)
-        |SELECT category, count(*) AS n_docs,
-        |  CAST(sum(n) AS BIGINT) AS n_matches,
-        |  max(CASE WHEN rk = 1 THEN doc_id END) AS top_doc_id,
-        |  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT)
-        |    AS top_doc_matches
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
-  )
+  /** One entry per implemented operator (SURVEY.md §2) — merged from
+    * the family traits; names are globally unique (asserted below). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analytics1Queries ++ analytics2Queries ++ dedupQueries ++ embeddingQueries ++ graphQueries ++ ingestQueries ++ multimodalQueries ++ samplingQueries ++ sketchQueries ++ statsQueries ++ streamingQueries ++ textQueries ++ timeSeriesQueries ++ tpchQueries
+
+  def oracleSql: Map[String, String] =
+    analytics1Oracles ++ analytics2Oracles ++ dedupOracles ++ embeddingOracles ++ graphOracles ++ ingestOracles ++ multimodalOracles ++ samplingOracles ++ sketchOracles ++ statsOracles ++ streamingOracles ++ textOracles ++ timeSeriesOracles ++ tpchOracles
+
+  // A duplicate name across family traits would silently drop a query
+  // (Map ++ keeps the right operand) — fail fast at first access instead.
+  require(
+    analytics1Queries.size + analytics2Queries.size + dedupQueries.size + embeddingQueries.size + graphQueries.size + ingestQueries.size + multimodalQueries.size + samplingQueries.size + sketchQueries.size + statsQueries.size + streamingQueries.size + textQueries.size + timeSeriesQueries.size + tpchQueries.size == queries.size,
+    "duplicate query name across family traits")
 }

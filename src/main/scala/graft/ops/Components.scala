@@ -212,9 +212,22 @@ object Components {
     * [[connectedComponents]]' small-graph fast path in practice.
     */
   def applyDelta(labels: DataFrame, delta: DataFrame): DataFrame = {
+    // Inline misuse guard (ADVICE r11): the contraction algebra is only
+    // sound when `labels` satisfies the min-id invariant (comp == min
+    // vertex id of its component). comp ≤ v is a necessary condition
+    // every row can check locally, so a labeling from any other scheme
+    // fails loudly on first use instead of silently corrupting every
+    // subsequent fold. The guard rides inside the consumed `comp` value
+    // (no extra job, no prunable side-channel column).
+    val checked = labels.select(col("v"),
+      when(col("comp") <= col("v"), col("comp"))
+        .otherwise(raise_error(concat(
+          lit("Components.applyDelta: labels violate the min-id " +
+            "invariant (comp > v at v="),
+          col("v").cast("string"), lit(")")))).as("comp"))
     val dverts = delta.select(col("a").as("v"))
       .unionByName(delta.select(col("b").as("v"))).distinct()
-    val stale = labels.unionByName(
+    val stale = checked.unionByName(
       dverts.join(labels, Seq("v"), "left_anti")
         .select(col("v"), col("v").as("comp")))
     val contracted = delta

@@ -42,6 +42,56 @@ object RangeRank {
     out
   }
 
+  /** `df` plus `posCol` (1-based global rank) AND `prefixCol` = the
+    * INCLUSIVE global running sum of long column `valCol` under the same
+    * total order — the scale replacement for
+    * `sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * currentRow))`, which funnels the whole frame through one task
+    * exactly like the global row_number (the r12 plan-audit classifier
+    * caught pr_curve_points / calibration_reliability doing this at
+    * corpus scale). Same two-level shape: per-partition local running
+    * sums, plus a broadcast exclusive offset of per-partition totals —
+    * driver state stays one (count, sum) pair per partition. */
+  def withGlobalPrefix(df: DataFrame, sortCols: Seq[Column], valCol: String,
+      posCol: String, prefixCol: String): DataFrame = {
+    val (ranked, ranged) = withGlobalPrefixPlan(df, sortCols, valCol,
+      posCol, prefixCol)
+    val out = ranked.localCheckpoint()
+    ranged.unpersist()
+    out
+  }
+
+  /** Un-checkpointed plan hook for [[withGlobalPrefix]] — see
+    * [[withGlobalPosPlan]]'s rationale. */
+  private[graft] def withGlobalPrefixPlan(df: DataFrame, sortCols: Seq[Column],
+      valCol: String, posCol: String,
+      prefixCol: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val stats = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), sum(col(valCol)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = stats.map(_._1)
+      .lazyZip(stats.map(_._2).scanLeft(0L)(_ + _))
+      .lazyZip(stats.map(_._3).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__roff", "__soff")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = ranged
+      .withColumn("__local", row_number().over(w).cast("long"))
+      .withColumn("__lsum", sum(col(valCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(posCol, col("__local") + col("__roff"))
+      .withColumn(prefixCol, col("__lsum") + col("__soff"))
+      .drop("__pid", "__local", "__lsum", "__roff", "__soff")
+    (ranked, ranged)
+  }
+
   /** The un-checkpointed plan (cache left pinned — caller unpersists via
     * the returned frame): the test hook that lets the NO-SinglePartition
     * property be asserted on the actual plan, which `localCheckpoint`

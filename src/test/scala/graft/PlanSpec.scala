@@ -220,8 +220,12 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("embed_topk_bruteforce", "embed_topk_lsh", "embed_topk_ivf")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.explainString(ExplainMode.fromString("simple"))
-      assert(plan.contains("WindowGroupLimit") &&
-        plan.contains("Partial"), s"$q lost partial top-k:\n$plan")
+      // "Partial" must be pinned to the WindowGroupLimit operator line
+      // itself — as an independent substring it would match any partial
+      // aggregate elsewhere in the plan and a Final-only group limit
+      // would pass vacuously.
+      assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+        s"$q lost partial (map-side) top-k:\n$plan")
     }
   }
 
@@ -708,6 +712,48 @@ class PlanSpec extends SparkSpec {
       spark, sf0001))
     assert(!q.contains("SinglePartition"),
       s"dedup_sorted_neighborhood plans a single-partition exchange:\n$q")
+  }
+
+  test("range-prefix: no single-partition exchange, matches the global running sum") {
+    // VERDICT r11 #3 follow-through: the plan-audit classifier caught
+    // pr_curve_points / calibration_reliability cumulating via a global
+    // Window.orderBy (whole corpus through one task). Their replacement,
+    // RangeRank.withGlobalPrefix, must (a) plan a range exchange and no
+    // SinglePartition, (b) reproduce the global window's rank AND
+    // inclusive running sum bit-exactly, ties and all.
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val (ranked, cached) = graft.ops.RangeRank.withGlobalPrefixPlan(
+      ev, Seq(desc("cents"), col("event_id")), "y", "pos", "runsum")
+    try {
+      val plan = planOf(ranked)
+      assert(!plan.contains("SinglePartition"),
+        s"single-partition exchange in range-prefix:\n$plan")
+      assert(plan.contains("rangepartitioning"),
+        s"no range exchange in range-prefix:\n$plan")
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.orderBy(desc("cents"), col("event_id"))
+      val oracle = ev.select(col("event_id"),
+        row_number().over(wo).cast("long").as("pos"),
+        sum(col("y")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("runsum"))
+      assert(ranked.select("event_id", "pos", "runsum")
+          .except(oracle).count() == 0L,
+        "two-level prefix sum diverges from the global window")
+    } finally { cached.unpersist(); () }
+    // the rewritten consumers must not rank/cumulate through a global
+    // window anymore (their remaining SinglePartition exchanges are
+    // 1-row scalar-count aggregates — PlanAudit's runtime classifier
+    // checks those by measured rows-in, which a static grep can't)
+    for (q <- Seq("pr_curve_points", "calibration_reliability",
+        "joint_decile_grid")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+      assert(!plan.contains("Window"),
+        s"$q still ranks via a window:\n$plan")
+    }
   }
 
   test("quantile sketch: bottom-k selections run as WindowGroupLimit") {

@@ -103,11 +103,14 @@ class PropertySpec extends SparkSpec {
     // from-scratch run at the final step (prefix exactness is pinned
     // structurally in ComponentsSpec; here graph and split randomize)
     import graft.ops.Components
+    // (a, off) with off >= 1 instead of filtered (a, b): a `if a != b`
+    // guard desugars to suchThat, whose Option can come back None and
+    // make the .get below throw — generate structurally-valid pairs.
     val graphGen = Gen.nonEmptyListOf(for {
       a <- Gen.choose(0L, 50L)
-      b <- Gen.choose(0L, 50L)
-      if a != b
+      off <- Gen.choose(1L, 50L)
       batch <- Gen.choose(0, 3)
+      b = (a + off) % 51L
     } yield (math.min(a, b), math.max(a, b), batch))
     for (i <- 0 until 3) {
       val edges = graphGen

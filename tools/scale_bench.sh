@@ -20,6 +20,7 @@ sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 10
 run_bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ONLY="$2" SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_SOLO_THRESHOLD=9999 \
   SPARK_GRAFT_BENCH_OUT=/tmp/scale_bench_full.json \
     sbt -batch "runMain graft.Bench" | grep '"metric":"total"' | sed 's/^\[info\] //' | head -1
 }

@@ -13,12 +13,15 @@ DIR=/root/repo/tmp-tpch-sf1
 if [ ! -d "$DIR/lineitem.parquet" ] && [ ! -f "$DIR/lineitem.parquet" ]; then
   sbt -batch "Test/runMain graft.GenTpchScale $DIR 10"
 fi
-QUERIES=$(grep -o '"tpch_[a-z0-9_]*"' src/main/scala/graft/SparkEntry.scala \
+# query names moved from the SparkEntry monolith into the Queries* family
+# files in round 12 — grep the whole family
+QUERIES=$(grep -oh '"tpch_[a-z0-9_]*"' src/main/scala/graft/Queries*.scala \
   | tr -d '"' | sort -u | paste -sd, -)
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ONLY="$QUERIES" SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_SOLO_THRESHOLD=9999 \
   SPARK_GRAFT_BENCH_OUT=/tmp/tpch_bench_full.json \
     sbt -batch "runMain graft.Bench" | grep '"metric":"total"' \
     | sed 's/^\[info\] //' | head -1
