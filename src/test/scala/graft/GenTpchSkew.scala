@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * query SEMANTICS pathologically (every remap is many-to-ONE — no
   * self-join blow-up is planted):
   *
-  *  - ~1% of orders move to customer 0 (the verdict's "one customer with
-  *    1% of orders") — skews customer⋈orders (q3, q10, q13, q18, q22);
-  *  - ~1% of lineitems move to supplier 0 — skews lineitem⋈supplier
+  *  - ~10% of orders move to customer 0 — skews customer⋈orders
+  *    (q3, q10, q13, q18, q22);
+  *  - ~10% of lineitems move to supplier 0 — skews lineitem⋈supplier
   *    (q9, q21), the heaviest joins of the suite.
+  *
+  * 10%, not 1%: AQE's OptimizeSkewedJoin fires when a partition exceeds
+  * skewedPartitionFactor × the MEDIAN partition — at 32 shuffle
+  * partitions the median already holds ~3% of the table, so a 1% hot
+  * key disappears into it (measured: zero skew markers). One key with
+  * 10% of the table is the power-law shape web corpora actually have
+  * (one domain owning a tenth of the crawl).
   *
   * The hot keys are existing keys (0), so referential integrity holds
   * and every query still returns sensible rows. Results differ from the
@@ -34,19 +41,19 @@ object GenTpchSkew {
 
     spark.read.parquet(s"$src/orders.parquet")
       .withColumn("o_custkey",
-        when(pmod(col("o_orderkey"), lit(100)) === 0, lit(0L))
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(0L))
           .otherwise(col("o_custkey")))
       .repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/orders.parquet")
-    println("[tpch-skew] orders: ~1% of orders -> customer 0")
+    println("[tpch-skew] orders: ~10% of orders -> customer 0")
 
     spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("l_suppkey",
         when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
-          lit(100)) === 0, lit(0L)).otherwise(col("l_suppkey")))
+          lit(10)) === 0, lit(0L)).otherwise(col("l_suppkey")))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
-    println("[tpch-skew] lineitem: ~1% of lineitems -> supplier 0")
+    println("[tpch-skew] lineitem: ~10% of lineitems -> supplier 0")
 
     Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")

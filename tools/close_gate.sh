@@ -12,8 +12,11 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/close_gate.sh <round, e.g. r11>}"
 
 echo "[close-gate] plan audit over the frozen surface..."
+# sf0.01 (not 0.001) since r12: the audit now EXECUTES every query and
+# classifies each SinglePartition exchange by measured rows-in — the
+# corpus-vs-domain distinction needs the bigger fixture to be visible.
 SPARK_GRAFT_AUDIT_OUT="PLAN_AUDIT_${ROUND}.json" SPARK_GRAFT_CPUS=8 \
-  sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.001"
+  sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01"
 cp "PLAN_AUDIT_${ROUND}.json" plan_audit.json
 
 N_AUDITED=$(python3 -c "import json;print(json.load(open('PLAN_AUDIT_${ROUND}.json'))['__summary']['n_queries'])")
