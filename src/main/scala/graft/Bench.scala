@@ -171,10 +171,12 @@ object Bench {
         "pq_neardup_eval")(n))
         "diagnostic"
       else "production"
-    // Grading total: solo where measured, in-suite best elsewhere — the
-    // suite-context-proof number rounds should be compared on.
+    // Grading total: solo where measured (and successful — a failed solo
+    // falls back to the in-suite best rather than zeroing the entry),
+    // in-suite best elsewhere — the suite-context-proof number rounds
+    // should be compared on.
     val totalSolo = names.map { n =>
-      val b = solo.getOrElse(n, best(n))
+      val b = solo.get(n).filter(_ >= 0).getOrElse(best(n))
       if (b >= 0) b else 0.0
     }.sum
     val fullJson = {

@@ -25,8 +25,9 @@ removed = sorted(set(prev) - set(new))
 
 
 def graded(e):
-    """solo where measured, in-suite best otherwise."""
-    return e.get("solo", e["best"])
+    """solo where measured (and successful), in-suite best otherwise."""
+    s = e.get("solo", -1.0)
+    return s if s >= 0 else e["best"]
 
 
 pt = sum(prev[q]["best"] for q in shared)
