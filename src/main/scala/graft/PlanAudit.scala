@@ -118,14 +118,23 @@ object PlanAudit {
         val smj = c("SortMergeJoin")
         val nlj = c("BroadcastNestedLoopJoin")
         val cart = c("CartesianProduct")
-        val wsc = c("WholeStageCodegen")
         val single = c("Exchange SinglePartition")
         if (cart > 0) cartesianOffenders ::= name
         // Execute so AQE finalizes and every shuffle's write metrics
         // carry real row counts (toRdd avoids materializing the result
         // on the driver — only the row count crosses).
         qe.toRdd.count()
-        val singles = gather(qe.executedPlan).collect {
+        val finalNodes = gather(qe.executedPlan)
+        // Codegen spans from the FINAL adaptive plan: the un-executed
+        // simple-mode plan (isFinalPlan=false) never materializes
+        // WholeStageCodegen nodes under AQE, so the static count read 0
+        // for every query in r9–r11 — a dead metric. Counted live, it
+        // again means what the scaladoc says (more = wider fused spans).
+        val wsc = finalNodes.count {
+          case _: WholeStageCodegenExec => true
+          case _ => false
+        }
+        val singles = finalNodes.collect {
           case s: ShuffleExchangeLike
               if s.outputPartitioning == SinglePartition => s
         }.distinct

@@ -1034,16 +1034,24 @@ private[graft] trait QueriesTimeSeries extends QueryShared {
       // range exchange, so ANY tie order yields the same rank-k VALUE —
       // and pick rank (n+1) DIV 2 against the broadcast count. The
       // per-day arm keeps the plain partitioned window (each partition
-      // is one shard's rows, never the corpus).
-      def lowerMedian(df: DataFrame, part: Seq[String], out: String) =
-        if (part.isEmpty) {
+      // is one shard's rows, never the corpus); `bounded = true` keeps
+      // the plain global window for the FED arm, whose input is one
+      // median per shard — ≤ n_days rows by construction, a collapsed
+      // domain the classifier itself files under bounded_rows (the
+      // two-level machinery would spend its cache+offsets+checkpoint
+      // overhead to parallelize ~150 rows).
+      def lowerMedian(df: DataFrame, part: Seq[String], out: String,
+          bounded: Boolean = false) =
+        if (part.isEmpty && !bounded) {
           graft.ops.RangeRank.withGlobalPos(df, Seq(col("vm")), "rk")
             .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
             .filter(expr("rk = (nn + 1) DIV 2"))
             .select(col("vm").as(out))
         } else {
-          val w = Window.partitionBy(part.map(col): _*).orderBy("vm")
-          val wc = Window.partitionBy(part.map(col): _*)
+          val w = if (part.isEmpty) Window.orderBy("vm")
+            else Window.partitionBy(part.map(col): _*).orderBy("vm")
+          val wc = if (part.isEmpty) Window.partitionBy()
+            else Window.partitionBy(part.map(col): _*)
           df.withColumn("rk", row_number().over(w))
             .withColumn("nn", count(lit(1)).over(wc))
             .filter(expr("rk = (nn + 1) DIV 2"))
@@ -1051,7 +1059,7 @@ private[graft] trait QueriesTimeSeries extends QueryShared {
         }
       val sm = lowerMedian(t, Seq("day"), "shard_median")
       val fed = lowerMedian(sm.select(col("shard_median").as("vm")),
-        Seq.empty, "fed_median")
+        Seq.empty, "fed_median", bounded = true)
       val gm = lowerMedian(t.select("vm"), Seq.empty, "global_median")
       sm.agg(count(lit(1)).as("n_shards"))
         .crossJoin(broadcast(fed)).crossJoin(broadcast(gm))
