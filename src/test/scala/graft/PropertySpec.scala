@@ -153,4 +153,81 @@ class PropertySpec extends SparkSpec {
         s"$nShards-way shard merge diverges from the direct sketch")
     }
   }
+
+  test("two-level global prefix sum == global window on random valued rows") {
+    // RangeRank.withGlobalPrefix backs the r12 single-partition rewrites
+    // (pr_curve_points, calibration_reliability): rank AND inclusive
+    // running sum must match the single-partition window bit-exactly on
+    // arbitrary key distributions — including heavy duplicate keys, the
+    // case where range-partition boundaries land inside a tie run.
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0L, 30L) // few keys => many cross-partition ties
+      id <- Gen.choose(0L, 100000L)
+      v <- Gen.choose(0L, 9L)
+    } yield (key, id, v)).map(_.distinctBy(_._2))
+    for (i <- 0 until 3) {
+      val rows = rowsGen
+        .apply(Gen.Parameters.default.withSize(400), Seed(99L + i))
+        .getOrElse(List((1L, 1L, 1L)))
+      val df = rows.toDF("key", "id", "v")
+      val got = graft.ops.RangeRank.withGlobalPrefix(df,
+        Seq(desc("key"), col("id")), "v", "pos", "runsum")
+      val wo = Window.orderBy(desc("key"), col("id"))
+      val want = df.select(col("id"),
+        row_number().over(wo).cast("long").as("pos"),
+        sum(col("v")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("runsum"))
+      assert(got.select("id", "pos", "runsum").except(want).count() == 0L,
+        s"sample $i: prefix sum diverges from the global window " +
+          s"over ${rows.size} rows")
+    }
+  }
+
+  test("rank-closed-form ntile == ntile() for awkward n") {
+    // joint_decile_grid computes ntile(10) from RangeRank positions via
+    // the closed form (first n%k buckets hold ceil(n/k) rows). Pin the
+    // formula against Spark's ntile across sizes that exercise every
+    // branch: n < k, n = k, n % k = 0, and ragged remainders.
+    import org.apache.spark.sql.expressions.Window
+    def closedForm(rk: String, k: Int) = expr(
+      s"""CAST(CASE
+         |  WHEN $rk <= (n % $k) * (n DIV $k + 1)
+         |  THEN ($rk + n DIV $k) DIV (n DIV $k + 1)
+         |  ELSE n % $k
+         |    + ($rk - (n % $k) * (n DIV $k + 1) + n DIV $k - 1)
+         |      DIV (n DIV $k)
+         |END AS INT)""".stripMargin)
+    for (n <- Seq(1, 7, 10, 23, 100, 101, 109); k <- Seq(4, 10)) {
+      val df = spark.range(n.toLong).select(col("id"))
+        .withColumn("rk", row_number().over(Window.orderBy("id")).cast("long"))
+        .withColumn("n", lit(n.toLong))
+        .withColumn("want", ntile(k).over(Window.orderBy("id")))
+        .withColumn("got", closedForm("rk", k))
+      val bad = df.filter(col("want") =!= col("got")).count()
+      assert(bad == 0L, s"n=$n k=$k: closed-form ntile diverges on $bad rows")
+    }
+  }
+
+  test("applyDelta rejects labels that violate the min-id invariant") {
+    // ADVICE r11: the contraction algebra silently corrupts folds when
+    // fed labels from any non-min-id scheme; the inline guard must make
+    // that a loud failure instead.
+    import graft.ops.Components
+    val badLabels = Seq((1L, 5L), (5L, 5L)).toDF("v", "comp") // comp > v
+    val delta = Seq((1L, 5L)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Components.applyDelta(badLabels, delta).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("min-id")),
+      s"guard did not fire with the min-id message: $ex")
+    // and valid min-id labels still pass through the guard untouched
+    val ok = Components.applyDelta(
+      Seq((1L, 1L), (5L, 1L)).toDF("v", "comp"), delta)
+    assert(ok.count() == 2L)
+  }
 }
