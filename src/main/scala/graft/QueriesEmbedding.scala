@@ -110,6 +110,59 @@ private[graft] trait QueriesEmbedding extends QueryShared {
     },
 
 
+    // Incremental ANN-INDEX maintenance — the append path of a persisted
+    // IVF layout, completing the IVM family on the vector side
+    // (components, join, and top-k deltas exist; this is the index
+    // delta): "yesterday's" cell assignment of the base corpus is held
+    // as a cell-partitioned layout (staged once, exactly as a deployment
+    // materializes it), and when the 10% delta batch of new vectors
+    // arrives, ONLY the delta is assigned — against the same stored
+    // seed centroids — and merged with the layout. Cost ∝ |delta|; the
+    // base corpus is never rescanned, re-embedded, or re-clustered.
+    // The oracle assigns EVERY vector from scratch, so the green hash
+    // proves append ≡ rebuild per cell. Similarity runs on integer-
+    // quantized vectors (round(x·100), the int8-quantization-family
+    // precedent) so the argmax is engine-portable — float cosine
+    // near-ties could legally differ between engines. Assignment is the
+    // assignCells shape: 16 literal seed vectors, per-row in-row argmax
+    // (array_min over (−sim, cid) structs), zero exchanges; the seed
+    // collect is 16×64 longs — centroid-sized, never data.
+    "ivm_ivf_append" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 100).cast("long")).as("qv"))
+      val seeds = emb.filter(col("vec_id") < 16)
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      def cellOf(qv: Column): Column = {
+        val cands = seeds.map { case (cid, sv) =>
+          struct(
+            (-aggregate(zip_with(qv, lit(sv), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x)).as("negSim"),
+            lit(cid).as("cid"))
+        }
+        array_min(array(cands.toSeq: _*)).getField("cid")
+      }
+      val root = stagedIvmIvf.computeIfAbsent(s"${sessionTag(s)}:$d", _ => {
+        val tmp = stagedTmpDir("graft_ivm_ivf")
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+          .select(col("vec_id"), cellOf(col("qv")).as("cid"))
+          .write.partitionBy("cid").parquet(s"$tmp/index")
+        tmp
+      })
+      val stored = s.read.parquet(s"$root/index")
+        .select(col("vec_id"), col("cid"), lit(0L).as("is_new"))
+      val delta = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+        .select(col("vec_id"), cellOf(col("qv")).as("cid"),
+          lit(1L).as("is_new"))
+      stored.unionByName(delta)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"), sum("is_new").as("n_new"),
+          sum("vec_id").as("id_checksum"))
+        .orderBy("cid")
+    },
+
+
     "embed_topk_ivf_exact" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = graft.ops.Ivf.trainCentroids(emb, k = 16, iters = 1)
@@ -631,6 +684,34 @@ private[graft] trait QueriesEmbedding extends QueryShared {
     // The disk-layout IVF path answers the same queries under the same
     // recall bound.
     "ann_persisted_ivf_index" -> topk5PerturbedOracleSql,
+
+    // From-scratch assignment of EVERY vector to its argmax-quantized-
+    // dot seed cell (sim DESC, cid tiebreak — the engine's (−sim, cid)
+    // struct-min); per-cell counts/new-counts/checksums. Equality proves
+    // the engine's delta-only append ≡ a full index rebuild.
+    "ivm_ivf_append" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(round(embedding[i]::DOUBLE * 100) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, qv AS sv FROM q WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT v.vec_id, s.cid,
+        |    list_sum([v.qv[i] * s.sv[i]
+        |              for i in range(1, len(v.qv) + 1)]) AS sim
+        |  FROM q v CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cid) AS rk
+        |    FROM sims) WHERE rk = 1)
+        |SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "embed_topk_ivf_exact" -> topk5OracleSql,
 

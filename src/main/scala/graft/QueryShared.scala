@@ -158,6 +158,14 @@ private[graft] trait QueryShared {
   protected val stagedIvf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Staging for the incremental-IVF state: "yesterday's" persisted
+    * cell assignment of the base (vec_id % 10 != 0) corpus — the
+    * artifact an ANN deployment holds between index-maintenance runs;
+    * the ivm_ivf_append query then measures the append path alone
+    * (assign ONLY the delta, merge with the stored layout). */
+  protected val stagedIvmIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Staging for the persisted kNN-graph substrate (VERDICT r9 #1): the
     * within-cell top-5 edge list, built ONCE per (session, sfDir) and
     * written partitioned by source cell. The ~12 graph-family queries

@@ -17,7 +17,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-SCALE_GRAPH_r12.json}"
 
-GRAPH_QUERIES="graph_components_knn,ivm_components_delta,bfs_layers_knn,pagerank_knn,link_prediction_knn,ann_persisted_ivf_index"
+GRAPH_QUERIES="graph_components_knn,ivm_components_delta,bfs_layers_knn,pagerank_knn,link_prediction_knn,ann_persisted_ivf_index,ivm_ivf_append"
 
 [ -d /root/repo/tmp-sf01gen/embeddings.parquet ] || \
   sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000 10000 150"
