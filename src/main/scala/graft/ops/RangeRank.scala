@@ -72,8 +72,15 @@ object RangeRank {
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
+    // coalesce: a non-empty range partition whose valCol is all-NULL
+    // yields a NULL sum — getLong would NPE on the driver, and the
+    // NULL-row semantics would silently diverge from the documented
+    // "global running sum" contract (SQL sum skips NULLs; so does the
+    // per-row local running sum below, so offset 0 is the consistent
+    // per-partition total for an all-NULL range).
     val stats = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__n"), sum(col(valCol)).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col(valCol)), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val offsets = stats.map(_._1)
@@ -83,8 +90,9 @@ object RangeRank {
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val ranked = ranged
       .withColumn("__local", row_number().over(w).cast("long"))
-      .withColumn("__lsum", sum(col(valCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lsum", coalesce(sum(col(valCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
       .join(broadcast(offsets), "__pid")
       .withColumn(posCol, col("__local") + col("__roff"))
       .withColumn(prefixCol, col("__lsum") + col("__soff"))

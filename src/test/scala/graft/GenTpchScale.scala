@@ -33,12 +33,17 @@ object GenTpchScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val r = spark.range(reps).select(col("id").as("__r"))
-    def replicate(table: String, out: Int)(shift: DataFrame => DataFrame): Unit = {
+    // Output partition counts were sized for the 10-replica (sf1) tier;
+    // scale them with the replica count so the sf10 tier (100 replicas,
+    // r13) keeps ~2M-row lineitem partitions instead of 10×-fatter files.
+    val partScale = math.max(1, reps / 10)
+    def replicate(table: String, outBase: Int)(shift: DataFrame => DataFrame): Unit = {
+      val out = math.min(256, outBase * partScale)
       val base = spark.read.parquet(s"$src/$table.parquet")
       shift(base.crossJoin(broadcast(r))).drop("__r")
         .repartition(out).write.mode("overwrite")
         .parquet(s"$outDir/$table.parquet")
-      println(s"[tpch-scale] $table x$reps")
+      println(s"[tpch-scale] $table x$reps -> $out partitions")
     }
 
     // key ranges at sf0.1 (dense 0..n-1 keys, verified against the data)

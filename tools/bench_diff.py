@@ -7,10 +7,14 @@ Since round 12 the comparison prefers each entry's `solo` measurement
 (fresh-session re-measure of every >1.5s query) over the in-suite `best`:
 suite context moved heavy-tail entries by up to ~4x between rounds on
 byte-identical code (VERDICT r11 #1), so in-suite numbers only grade the
-sub-threshold majority. A mover is only reported when BOTH rounds'
-numbers come from the same kind of measurement or the solo side is the
-newer one (solo vs old in-suite best still beats the alternative — the
-old rounds have nothing better to offer).
+sub-threshold majority. A mover is only LABELED (REGRESSION/improved)
+when both rounds' numbers come from the same kind of measurement or the
+solo side is the newer one (solo vs old in-suite best still beats the
+alternative — the old rounds have nothing better to offer). The one
+mixed case this leaves — prev-solo vs new-SUITE (an entry that dropped
+below the solo threshold this round) — is printed as `mixed-kind` and
+excluded from the REGRESSION/improved labels, because the documented
+~4x suite-context skew makes that comparison meaningless (ADVICE r12).
 
 Usage: bench_diff.py <prev_bench_full.json> <new_bench_full.json>
 """
@@ -55,7 +59,13 @@ for q in shared:
                f"{'solo' if 'solo' in new[q] else 'suite'}"
         movers.append((r, q, p, n, new[q].get("tier", "?"), kind))
 for r, q, p, n, tier, kind in sorted(movers, reverse=True):
-    tag = "REGRESSION" if r > 1 else "improved"
+    # solo->suite is the one mixed comparison with nothing to recommend
+    # it: the prev number is context-free, the new one carries suite
+    # cache pressure (documented ~4x on single entries) — don't label it.
+    if kind == "solo->suite":
+        tag = "mixed-kind"
+    else:
+        tag = "REGRESSION" if r > 1 else "improved"
     print(f"  {tag:10s} {q} [{tier}] ({kind}): {p:.2f}s -> {n:.2f}s ({r:.2f}x)")
 if not movers:
     print("  no movers beyond 1.5x on entries >= 0.5s")
