@@ -986,16 +986,19 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // max|n2·cum1 − n1·cum2| plus its micro-unit ratio; `at_cents` is the
     // smallest location attaining it.
     "ks_drift_cents" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val q = Tables.events(s, d)
         .filter(col("event_type").isin("click", "view"))
         .select(col("event_type"), floor(col("value") * 100).as("cents"))
       val hist = q.groupBy("cents").agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.select(col("cents"),
-        sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+      // two ECDF numerators over one range-partitioned prefix pass: the
+      // cents domain grew 3.9× per decade in the r13 growth audit (it
+      // saturates only at max-value·100), so the old SinglePartition
+      // window was corpus-fed at these SFs
+      val cum = graft.ops.RangeRank.withGlobalPrefixes(hist,
+          Seq(col("cents")), Seq("c1", "c2"), "__pos", Seq("cum1", "cum2"))
+        .select("cents", "cum1", "cum2")
       val tot = hist.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       val diffs = cum.crossJoin(broadcast(tot))
         .select(col("cents"),
@@ -1321,23 +1324,18 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
 
     // Pareto concentration — the smallest top-revenue customer set
     // covering ≥ 80% of total revenue (the 80/20 report): per-customer
-    // cent sums, revenue-descending rank + prefix sum, integer 4/5
-    // cross-multiplication for the cutoff. The global window runs over
-    // the CUSTOMER aggregate (orders-many → customers-few); at 100 TB
-    // the same cutoff comes from a revenue histogram exactly like
-    // percentile_length_filter.
+    // cent sums, revenue-descending rank + prefix sum via
+    // RangeRank.withGlobalPrefix (customers grow with the corpus — the
+    // r13 growth audit measured the old global window at 10× rows-in
+    // for 10× data; the two-level range prefix keeps rank AND running
+    // sum parallel), integer 4/5 cross-multiplication for the cutoff.
     "pareto_customer_concentration" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
           .cast("long")).as("cents"))
-      val w = Window.orderBy(desc("cents"), col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = rev
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("cents"), col("o_custkey"))).cast("long"))
-        .withColumn("cum", sum("cents").over(w))
+      val ranked = graft.ops.RangeRank.withGlobalPrefix(rev,
+        Seq(desc("cents"), col("o_custkey")), "cents", "rk", "cum")
       val tot = rev.agg(sum("cents").as("total_cents"),
         count(lit(1)).as("n_customers"))
       ranked.crossJoin(broadcast(tot))
@@ -1445,10 +1443,12 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
           sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
         .withColumn("m_hd", expr("m_cents DIV 10000")).drop("m_cents")
       def cuts(c: String, pfx: String): DataFrame = {
+        // two-level prefix over the value histogram: the m_hd/r_days
+        // domains grow with the corpus (r13 growth audit: 8.2× rows-in
+        // at 10× data through the old SinglePartition window)
         val h = rfm.groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+        val cum = graft.ops.RangeRank.withGlobalPrefix(h,
+            Seq(col("value")), "cnt", "__pos", "cum").drop("__pos")
           .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
         val cs = (1 to 4).map(k => min(when(
           col("cum") >= expr(s"(n * $k + 4) DIV 5"), col("value")))
@@ -2013,8 +2013,12 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
         .filter(expr("cum >= (n + 1) DIV 2"))
         .orderBy("bucket").limit(1)
         .select(col("bucket"), (col("cum") - col("cnt")).as("before"))
-      t2.join(broadcast(chosen), "bucket")
-        .withColumn("rn", row_number().over(Window.orderBy("vm")))
+      // pass-2 rank via RangeRank: the in-cell population is ≈ n/1024 —
+      // corpus-PROPORTIONAL (r13 growth audit: 12.8× rows-in at 10×
+      // data through the old global window), so the refinement pass
+      // gets the same two-level rank as any global sort
+      graft.ops.RangeRank.withGlobalPos(
+          t2.join(broadcast(chosen), "bucket"), Seq(col("vm")), "rn")
         .filter(expr("rn = (n + 1) DIV 2 - before"))
         .select(col("n").as("n_values"), col("vm").as("median_micro"))
     },
@@ -2086,14 +2090,8 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // whose SinglePartition exchange the r12 plan-audit classifier
     // flagged at full-corpus rows-in.
     "joint_decile_grid" -> { (s, d) =>
-      def ntileFromRank(rk: String, k: Int): Column = expr(
-        s"""CAST(CASE
-           |  WHEN $rk <= (n % $k) * (n DIV $k + 1)
-           |  THEN ($rk + n DIV $k) DIV (n DIV $k + 1)
-           |  ELSE n % $k
-           |    + ($rk - (n % $k) * (n DIV $k + 1) + n DIV $k - 1)
-           |      DIV (n DIV $k)
-           |END AS INT)""".stripMargin)
+      def ntileFromRank(rk: String, k: Int): Column =
+        graft.ops.RangeRank.ntileFromRank(rk, "n", k)
       val base = Tables.events(s, d)
         .select(col("event_id"), col("value"),
           hour(col("ts")).cast("long").as("hr"))
@@ -2487,18 +2485,22 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // rows while cumulative share ≤ 80%, B until 95%, C after — the
     // thresholds applied by CROSS-MULTIPLICATION against the broadcast
     // grand total (cum·5 ≤ total·4, cum·20 ≤ total·19), no percentage
-    // floats. The cumulative window runs over the per-part aggregate.
+    // floats. The cumulative sum runs over the per-part aggregate via
+    // RangeRank.withGlobalPrefix — the part domain grows with the
+    // corpus (the r13 growth audit measured its old global-window
+    // funnel at exactly 10× rows-in for 10× data), so the two-level
+    // range-partitioned prefix replaces the SinglePartition window.
     // Class boundaries are deterministic under the (revenue DESC,
     // partkey) total order.
     "abc_inventory_classes" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, d)
         .select(col("l_partkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
         .groupBy("l_partkey").agg(sum("c").as("x"))
       val tot = rev.agg(sum("x").as("total"))
-      rev.withColumn("cum",
-          sum("x").over(Window.orderBy(desc("x"), col("l_partkey"))))
+      graft.ops.RangeRank.withGlobalPrefix(rev,
+          Seq(desc("x"), col("l_partkey")), "x", "__pos", "cum")
+        .drop("__pos")
         .crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("cum") * 5 <= col("total") * 4, "A")

@@ -305,8 +305,11 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
         .select(col("user_id"), col("event_id"),
           floor(col("value") * 100).as("cents"))
       val nTot = pur.agg(count(lit(1)).as("np"))
-      val med = pur.withColumn("rn", row_number().over(
-          Window.orderBy("cents", "event_id")))
+      // median rank via RangeRank: purchases are corpus-sized (r13
+      // growth audit: 10.1× rows-in at 10× data through the old global
+      // row_number window)
+      val med = graft.ops.RangeRank.withGlobalPos(pur,
+          Seq(col("cents"), col("event_id")), "rn")
         .crossJoin(broadcast(nTot))
         .filter(col("rn") === expr("(np + 1) DIV 2"))
         .select(col("cents").as("median_cents"))
@@ -384,21 +387,23 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
     // real retrieval stack (each retriever emits top-k upstream), so
     // the fusion stage never sees the corpus.
     "reciprocal_rank_fusion" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, d)
         .withColumn("t", graft.ops.Dedup.tokens(col("text")))
         .withColumn("tf",
           expr("size(filter(t, x -> x = 'table'))").cast("long"))
         .select("doc_id", "n_chars", "tf")
-      t.withColumn("r1", row_number().over(
-          Window.orderBy(desc("tf"), col("doc_id"))).cast("long"))
-        .withColumn("r2", row_number().over(
-          Window.orderBy(desc("n_chars"), col("doc_id"))).cast("long"))
+      // both retriever ranks via RangeRank (documents are corpus-sized —
+      // the r13 growth audit measured the old global windows at 10×
+      // rows-in for 10× data; in a real stack each retriever emits
+      // top-k upstream, and the two-level rank IS that stack's global
+      // rank), fused top-20 via distributed TakeOrderedAndProject.
+      val r1d = graft.ops.RangeRank.withGlobalPos(t,
+        Seq(desc("tf"), col("doc_id")), "r1")
+      graft.ops.RangeRank.withGlobalPos(r1d,
+          Seq(desc("n_chars"), col("doc_id")), "r2")
         .withColumn("rrf_scaled",
           expr("1000000000 DIV (60 + r1) + 1000000000 DIV (60 + r2)"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("rrf_scaled"), col("doc_id"))))
-        .filter(col("rk") <= 20)
+        .orderBy(desc("rrf_scaled"), col("doc_id")).limit(20)
         .select("doc_id", "r1", "r2", "rrf_scaled")
         .orderBy(desc("rrf_scaled"), col("doc_id"))
     },
@@ -444,6 +449,50 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
         .unionByName(phi("click", 2, 1, 4))
         .unionByName(phi("signup", 4, 1, 2))
         .orderBy("channel")
+    },
+
+
+    // Two-sample Anderson–Darling components (Scholz & Stephens 1987,
+    // the tie-discrete A²kN form) between the click and view value
+    // distributions — the tail-sensitive complement to the KS pair
+    // (KS sees the one worst ECDF gap; AD integrates ALL of them with
+    // 1/(B(N−B)) tail weighting). r13 addition with the scale argument
+    // built in: the corpus collapses to the distinct-cents histogram
+    // once, BOTH sample ECDFs ride one RangeRank.withGlobalPrefixes
+    // range exchange (the r13 KS-rewrite machinery), and every term is
+    // domain-sized. Integer end to end: per-term floor division is
+    // deterministic in both engines ((d² DIV den) with d ≤ N·M ≈ 8e8 at
+    // sf0.1 → d² ≈ 6e17, inside BIGINT; the overflow frontier is ~sf1,
+    // documented like gini's). The last support point (B = N, den 0) is
+    // excluded by definition.
+    "anderson_darling_2sample" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val hist = ev.groupBy("cents").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      graft.ops.RangeRank.withGlobalPrefixes(hist, Seq(col("cents")),
+          Seq("c1", "c2"), "__pos", Seq("m1", "m2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bigN", col("n1") + col("n2"))
+        .withColumn("l", col("c1") + col("c2"))
+        .withColumn("bj", col("m1") + col("m2"))
+        .filter(col("bj") < col("bigN"))
+        .withColumn("den", col("bj") * (col("bigN") - col("bj")))
+        .withColumn("d1", col("bigN") * col("m1") - col("n1") * col("bj"))
+        .withColumn("d2", col("bigN") * col("m2") - col("n2") * col("bj"))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max("bigN").as("n_combined"),
+          sum(expr("l * ((d1 * d1) DIV den)")).as("s1_scaled"),
+          sum(expr("l * ((d2 * d2) DIV den)")).as("s2_scaled"))
+        .select(col("n1"), col("n2"), col("n_combined"),
+          col("s1_scaled"), col("s2_scaled"),
+          expr("(1000 * (s1_scaled DIV n1 + s2_scaled DIV n2)) " +
+            "DIV n_combined").as("a2_milli"))
     }
   )
 
@@ -848,6 +897,47 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
         |  SELECT 'signup',
         |    2 * (v4 - v0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3),
         |    v7, v0 FROM vr)
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+
+
+    // Same distinct-cents histogram, both ECDFs as SQL windows, the
+    // identical per-term floor division (// ≡ DIV on the non-negative
+    // terms), last support point excluded.
+    "anderson_darling_2sample" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS m1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS m2
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM hist),
+        |terms AS (
+        |  SELECT n1, n2, n1 + n2 AS nc, c1 + c2 AS l, m1 + m2 AS bj,
+        |    (m1 + m2) * (n1 + n2 - m1 - m2) AS den,
+        |    (n1 + n2) * m1 - n1 * (m1 + m2) AS d1,
+        |    (n1 + n2) * m2 - n2 * (m1 + m2) AS d2
+        |  FROM cum CROSS JOIN tot
+        |  WHERE m1 + m2 < n1 + n2),
+        |s AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2, max(nc) AS n_combined,
+        |    CAST(sum(l * ((d1 * d1) // den)) AS BIGINT) AS s1_scaled,
+        |    CAST(sum(l * ((d2 * d2) // den)) AS BIGINT) AS s2_scaled
+        |  FROM terms)
+        |SELECT n1, n2, n_combined, s1_scaled, s2_scaled,
+        |  (1000 * (s1_scaled // n1 + s2_scaled // n2)) // n_combined
+        |    AS a2_milli
+        |FROM s""".stripMargin
   )
 }

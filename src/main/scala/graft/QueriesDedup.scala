@@ -369,8 +369,15 @@ private[graft] trait QueriesDedup extends QueryShared {
     // the SCALE analysis now agree). The production-scale form is
     // embed_neardup_lsh_scaled below: LSH arm only, planes ∝ log₂ n,
     // recall monitored on planted canaries exactly like the 20 here.
+    // Diagnostic audit-sample cap (VERDICT r12 #6): the referee is O(n²)
+    // by construction, so its corpus side is FIXED at the first 1024
+    // vectors — a no-op at sf0.01 (500 ids) and a constant-cost audit
+    // slice at every larger SF. A referee's job is measuring the method,
+    // not the corpus; the production path (embed_neardup_lsh_scaled)
+    // stays uncapped.
     "embed_neardup_lsh" -> { (s, d) =>
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1024)
       // perturb BEFORE renaming: in a single select the lateral-alias
       // rule would resolve the perturbation's vec_id to the +1000000
       // alias, silently keying the factors off the wrong id (observed —
@@ -439,8 +446,11 @@ private[graft] trait QueriesDedup extends QueryShared {
 
     // Exact-degenerate config of the same code path (0 planes = one
     // bucket = all pairs), hash-checkable against the all-pairs oracle.
+    // Same 1024-vector audit-sample cap as embed_neardup_lsh (O(n²) by
+    // construction; no-op at sf0.01).
     "embed_neardup_exact" -> { (s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), dim = 64,
+      Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") < 1024), dim = 64,
           threshold = 0.3, planes = 0)
         .orderBy("id1", "id2")
     },
@@ -781,8 +791,11 @@ private[graft] trait QueriesDedup extends QueryShared {
     // evidence a dedup pipeline owner needs. Reuses both production
     // paths; the oracle recomputes both from first principles
     // (all-pairs Jaccard, md5 SimHash).
+    // 1024-doc audit-sample cap (VERDICT r12 #6): the agreement matrix
+    // compares the two METHODS, so a fixed audit slice answers the same
+    // question at constant cost; no-op at sf0.01 (500 docs).
     "neardup_method_agreement" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1024)
       val mh = Dedup.minhashExactPairs(docs, "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.8)
         .select(col("id1"), col("id2")).withColumn("in_m", lit(1))
@@ -810,8 +823,13 @@ private[graft] trait QueriesDedup extends QueryShared {
     // sub-codes" as a dedup pre-filter. Code signatures from the same codebook as
     // embed_pq_assign; candidates via signature equality — group sizes,
     // never all-pairs on the corpus side.
+    // 1024-vector audit-sample cap (VERDICT r12 #6): the ground truth is
+    // an exact all-pairs cosine join — O(n²) by construction — so the
+    // eval runs on a fixed audit slice; no-op at sf0.01. The production
+    // PQ path (embed_pq_assign) stays uncapped and linear.
     "pq_neardup_eval" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1024)
       val cb = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").cast("int").as("code"),
           col("embedding").as("cv"))
@@ -866,8 +884,11 @@ private[graft] trait QueriesDedup extends QueryShared {
     // one table. Gold on
     // the engine side is the established exact pair set; the oracle
     // re-derives it from the all-pairs closure.
+    // 1024-doc audit-sample cap (VERDICT r12 #6): the S-curve is a
+    // property of the BANDING CONFIGS, not the corpus — a fixed audit
+    // slice measures the same curve at constant cost; no-op at sf0.01.
     "minhash_band_recall_curve" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1024)
       val sh = docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
@@ -1542,7 +1563,7 @@ private[graft] trait QueriesDedup extends QueryShared {
     // the unrounded sim in both engines.
     "embed_neardup_lsh" ->
       s"""WITH aug AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1024
         |  UNION ALL
         |  SELECT vec_id + 1000000,
         |    ${perturbSqlFor("vec_id", "embedding")}
@@ -1584,7 +1605,9 @@ private[graft] trait QueriesDedup extends QueryShared {
 
 
     "embed_neardup_exact" ->
-      """WITH s AS (
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id < 1024),
+        |s AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
         |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |              for i in range(1, len(a.embedding) + 1)]) /
@@ -1592,7 +1615,7 @@ private[graft] trait QueriesDedup extends QueryShared {
         |                    for i in range(1, len(a.embedding) + 1)])) *
         |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |                    for i in range(1, len(b.embedding) + 1)]))) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, round(sim, 6) AS sim FROM s WHERE sim >= 0.3
         |ORDER BY id1, id2""".stripMargin,
 
@@ -1904,7 +1927,7 @@ private[graft] trait QueriesDedup extends QueryShared {
         |                   for i in range(1, len(s) - 1)]) AS sh
         |  FROM (SELECT doc_id, regexp_split_to_array(
         |          trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
-        |        FROM documents)),
+        |        FROM documents WHERE doc_id < 1024)),
         |p AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1914,7 +1937,7 @@ private[graft] trait QueriesDedup extends QueryShared {
         |tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 1024),
         |hh AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
         |bits AS (
         |  SELECT doc_id, r.b,
@@ -1952,7 +1975,8 @@ private[graft] trait QueriesDedup extends QueryShared {
         |               (e.embedding[i]::DOUBLE - cb.cv[i]::DOUBLE)
         |               for i in range(1 + sub.s * 16, 17 + sub.s * 16)])
         |      AS dist
-        |  FROM embeddings e, range(4) sub(s), cb),
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 1024) e,
+        |       range(4) sub(s), cb),
         |asgn AS (SELECT vec_id, sub, code FROM dx
         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
         |                             ORDER BY dist, code) = 1),
@@ -1964,7 +1988,9 @@ private[graft] trait QueriesDedup extends QueryShared {
         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
         |truth AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 1024) a
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 1024) b
+        |    ON a.vec_id < b.vec_id
         |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
         |                  for i in range(1, len(a.embedding) + 1)]) /
         |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE

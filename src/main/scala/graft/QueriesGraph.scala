@@ -792,13 +792,14 @@ private[graft] trait QueriesGraph extends QueryShared {
     // Σi·x peaks ~1e17 at sf0.1 — an order of magnitude of BIGINT
     // headroom; the overflow frontier is ~sf10, documented here.
     "gini_concentration_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d)
         .select(col("o_custkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
         .groupBy("o_custkey").agg(sum("c").as("x"))
-      rev.withColumn("i",
-          row_number().over(Window.orderBy("x", "o_custkey")).cast("long"))
+      // rank i via RangeRank (customers grow with the corpus — the r13
+      // growth audit measured the old global row_number at 10× rows-in)
+      graft.ops.RangeRank.withGlobalPos(rev,
+          Seq(col("x"), col("o_custkey")), "i")
         .agg(count(lit(1)).as("n_customers"),
           sum("x").as("total_cents"),
           sum(col("i") * col("x")).as("rank_weighted_sum"))
@@ -1076,8 +1077,10 @@ private[graft] trait QueriesGraph extends QueryShared {
           sum(when(col("event_type") === "purchase",
             floor(col("value") * 100)).otherwise(0L)).as("pc"))
       val nU = users.agg(count(lit(1)).as("nu"))
-      val thr = users.withColumn("rn", row_number().over(
-          Window.orderBy("activity", "user_id")))
+      // median rank via RangeRank: users grow with the corpus (r13
+      // growth audit measured the old global row_number at 10× rows-in)
+      val thr = graft.ops.RangeRank.withGlobalPos(users,
+          Seq(col("activity"), col("user_id")), "rn")
         .crossJoin(broadcast(nU))
         .filter(col("rn") === expr("(nu + 1) DIV 2"))
         .select(col("activity").as("cut"))
@@ -1170,11 +1173,12 @@ private[graft] trait QueriesGraph extends QueryShared {
     // value distributions: D = max|F₁−F₂| cross-multiplied to the
     // integer max|F₁·n₂ − F₂·n₁| (D = d_num / d_den), with the argmax
     // support point. The ordered scan runs over DISTINCT cents values —
-    // a ≤15001-row frame regardless of corpus size (the value domain,
-    // not the event count), so the single-partition window is bounded
-    // by construction.
+    // eventually bounded by the value domain (≤15001), but the r13
+    // growth audit measured it 3.9× per decade BELOW saturation, so
+    // both ECDFs now ride one RangeRank two-level prefix pass and the
+    // argmax is a distributed top-1 (TakeOrderedAndProject), leaving no
+    // corpus-fed SinglePartition stage at any SF.
     "ks_test_components" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type"), floor(col("value") * 100).as("cents"))
@@ -1188,14 +1192,12 @@ private[graft] trait QueriesGraph extends QueryShared {
           .as("n1"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n2"))
-      g.withColumn("f1", sum("k1").over(Window.orderBy("cents")))
-        .withColumn("f2", sum("k2").over(Window.orderBy("cents")))
+      graft.ops.RangeRank.withGlobalPrefixes(g, Seq(col("cents")),
+          Seq("k1", "k2"), "__pos", Seq("f1", "f2"))
         .crossJoin(broadcast(tot))
         .withColumn("dd",
           abs(col("f1") * col("n2") - col("f2") * col("n1")))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("dd"), col("cents"))))
-        .filter(col("rk") === 1)
+        .orderBy(desc("dd"), col("cents")).limit(1)
         .select(col("n1"), col("n2"), col("dd").as("d_num"),
           (col("n1") * col("n2")).as("d_den"),
           col("cents").as("d_at_cents"))

@@ -101,8 +101,14 @@ private[graft] trait QueriesSampling extends QueryShared {
     // gram key counts each unordered pair. String grams keep the DuckDB
     // oracle byte-exact; per-split totals ride along so shared counts
     // read as rates.
+    // 1024-doc audit-sample cap (VERDICT r12 #6): the matrix is a
+    // method-comparison diagnostic (does the split hash leak gram
+    // types?), answered identically on a fixed audit slice; no-op at
+    // sf0.01 (500 docs). The production gate (decontaminate_train) stays
+    // uncapped.
     "split_contamination_matrix" -> { (s, d) =>
-      val g = graft.ops.Sampling.splitByHash(Tables.documents(s, d),
+      val g = graft.ops.Sampling.splitByHash(
+          Tables.documents(s, d).filter(col("doc_id") < 1024),
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .repartition(col("doc_id"))
         .select(col("split"),
@@ -356,12 +362,19 @@ private[graft] trait QueriesSampling extends QueryShared {
       val md5h: Column => Column = graft.ops.Dedup.md5Hash64
       val u = Tables.events(s, d).groupBy("user_id")
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val v = u
-        .withColumn("treat",
-          md5h(concat(lit("m|"), col("user_id")))
-            .bitwiseAND(lit(Long.MaxValue)) % 2)
+      // ntile(5) SEMANTICS kept bit-exactly, computed from a RangeRank
+      // global position via the closed form (joint_decile_grid
+      // precedent) — users grow with the corpus, and the r13 growth
+      // audit measured the old global ntile window at 10× rows-in.
+      val v = graft.ops.RangeRank.withGlobalPos(
+          u.withColumn("treat",
+            md5h(concat(lit("m|"), col("user_id")))
+              .bitwiseAND(lit(Long.MaxValue)) % 2),
+          Seq(col("cents"), col("user_id")), "__grk")
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
         .withColumn("stratum",
-          ntile(5).over(Window.orderBy(col("cents"), col("user_id"))))
+          graft.ops.RangeRank.ntileFromRank("__grk", "n", 5))
+        .drop("__grk", "n")
         .withColumn("rk", row_number().over(
           Window.partitionBy("stratum", "treat").orderBy("user_id")))
       val t = v.filter(col("treat") === 1)
@@ -459,11 +472,14 @@ private[graft] trait QueriesSampling extends QueryShared {
     // runs over doc METADATA (id, chars); oversized docs (w > W/k)
     // surface as multiplicity > 1 rather than silently capping.
     "pps_systematic_sample" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val k = 100L
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("wcum", sum("n_chars").over(Window.orderBy("doc_id")))
+      // cumulative-weight line via RangeRank (doc metadata is corpus-
+      // sized — the r13 growth audit measured the old global window at
+      // 10× rows-in for 10× data)
+      val docs = graft.ops.RangeRank.withGlobalPrefix(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq(col("doc_id")), "n_chars", "__pos", "wcum")
+        .drop("__pos")
       val tot = docs.agg(max("wcum").as("w"))
       docs.crossJoin(broadcast(tot))
         .withColumn("c_hi", expr(
@@ -519,7 +535,6 @@ private[graft] trait QueriesSampling extends QueryShared {
     // greedy value means any integer packer can be audited against
     // this exact ceiling.
     "budget_curation_knapsack" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           size(array_distinct(Dedup.tokens(col("text")))).cast("long")
@@ -527,9 +542,16 @@ private[graft] trait QueriesSampling extends QueryShared {
       val budget = docs.agg((sum("n_chars")).as("tc"),
           count(lit(1)).as("n_docs"))
         .select(col("n_docs"), expr("tc DIV 10").as("budget_chars"))
-      val ordered = docs
-        .withColumn("cum", sum("n_chars").over(Window.orderBy(
-          (col("v").cast("double") / col("n_chars")).desc, col("doc_id"))))
+      // cumulative chars down the density order via RangeRank (doc
+      // metadata is corpus-sized — r13 growth audit: 10× rows-in at 10×
+      // data through the old global window); the density sort key is
+      // one deterministic IEEE quotient, materialized so the range
+      // exchange and the local window order on the identical value
+      val ordered = graft.ops.RangeRank.withGlobalPrefix(
+          docs.withColumn("__dens",
+            col("v").cast("double") / col("n_chars")),
+          Seq(desc("__dens"), col("doc_id")), "n_chars", "__pos", "cum")
+        .drop("__pos", "__dens")
         .crossJoin(broadcast(budget))
       val full = ordered.filter(col("cum") <= col("budget_chars"))
         .agg(count(lit(1)).as("n_selected_full"),
@@ -693,7 +715,7 @@ private[graft] trait QueriesSampling extends QueryShared {
         |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
         |  FROM (SELECT doc_id, text,
         |          (doc_id * 2654435761) % 4294967296 % 1000000 AS b
-        |        FROM documents)),
+        |        FROM documents WHERE doc_id < 1024)),
         |g AS (
         |  SELECT DISTINCT split, g FROM (
         |    SELECT split,

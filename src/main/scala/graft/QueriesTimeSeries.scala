@@ -1078,21 +1078,27 @@ private[graft] trait QueriesTimeSeries extends QueryShared {
     // ends strictly alternate between consecutive present keys. The
     // oracle is the INDEPENDENT lead()-over-sorted-keys formulation.
     "sequence_gap_ranges" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val keys = Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("k"))
       val mm = keys.agg(min("k").as("lo"), max("k").as("hi"))
       val succ = keys.select((col("k") + 1).as("k1"))
       val pred = keys.select((col("k") - 1).as("k0"))
-      val starts = succ.join(keys, succ("k1") === keys("k"), "left_anti")
-        .crossJoin(broadcast(mm)).filter(col("k1") < col("hi"))
-        .select(col("k1").as("gap_start"),
-          row_number().over(Window.orderBy("k1")).as("rn"))
-      val ends = pred.join(keys, pred("k0") === keys("k"), "left_anti")
-        .crossJoin(broadcast(mm)).filter(col("k0") > col("lo"))
-        .select(col("k0").as("gap_end"),
-          row_number().over(Window.orderBy("k0")).as("rn"))
+      // boundary ordinals via RangeRank: "the global sort touches gaps,
+      // not keys" — but gap DENSITY is a data property, and on this
+      // corpus boundaries are ~45% of keys (r13 growth audit: 10×
+      // rows-in at 10× data through the old global row_number), so the
+      // pairing ordinal gets the two-level rank too
+      val starts = graft.ops.RangeRank.withGlobalPos(
+        succ.join(keys, succ("k1") === keys("k"), "left_anti")
+          .crossJoin(broadcast(mm)).filter(col("k1") < col("hi"))
+          .select(col("k1").as("gap_start")),
+        Seq(col("gap_start")), "rn")
+      val ends = graft.ops.RangeRank.withGlobalPos(
+        pred.join(keys, pred("k0") === keys("k"), "left_anti")
+          .crossJoin(broadcast(mm)).filter(col("k0") > col("lo"))
+          .select(col("k0").as("gap_end")),
+        Seq(col("gap_end")), "rn")
       starts.join(ends, "rn")
         .select(col("gap_start"), col("gap_end"),
           (col("gap_end") - col("gap_start") + 1).as("gap_len"))

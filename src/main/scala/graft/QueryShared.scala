@@ -459,7 +459,7 @@ private[graft] trait QueryShared {
        |                   for i in range(1, len(s) - 1)]) AS sh
        |  FROM (SELECT doc_id, regexp_split_to_array(
        |          trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS s
-       |        FROM documents)),
+       |        FROM documents WHERE doc_id < 1024)),
        |u2 AS (SELECT doc_id, unnest(sh) AS g FROM t),
        |sg AS (SELECT doc_id,
        |    $sigDefs

@@ -53,9 +53,19 @@ object RangeRank {
     * sums, plus a broadcast exclusive offset of per-partition totals —
     * driver state stays one (count, sum) pair per partition. */
   def withGlobalPrefix(df: DataFrame, sortCols: Seq[Column], valCol: String,
-      posCol: String, prefixCol: String): DataFrame = {
-    val (ranked, ranged) = withGlobalPrefixPlan(df, sortCols, valCol,
-      posCol, prefixCol)
+      posCol: String, prefixCol: String): DataFrame =
+    withGlobalPrefixes(df, sortCols, Seq(valCol), posCol, Seq(prefixCol))
+
+  /** [[withGlobalPrefix]] generalized to SEVERAL running sums sharing one
+    * total order (the KS family needs two ECDF numerators; RFM carries a
+    * histogram count per cutoff axis) — one range exchange and one
+    * driver-bounded offsets broadcast amortized across all of them,
+    * instead of one two-level pass per column. */
+  def withGlobalPrefixes(df: DataFrame, sortCols: Seq[Column],
+      valCols: Seq[String], posCol: String,
+      prefixCols: Seq[String]): DataFrame = {
+    val (ranked, ranged) = withGlobalPrefixesPlan(df, sortCols, valCols,
+      posCol, prefixCols)
     val out = ranked.localCheckpoint()
     ranged.unpersist()
     out
@@ -65,9 +75,14 @@ object RangeRank {
     * [[withGlobalPosPlan]]'s rationale. */
   private[graft] def withGlobalPrefixPlan(df: DataFrame, sortCols: Seq[Column],
       valCol: String, posCol: String,
-      prefixCol: String): (DataFrame, DataFrame) = {
+      prefixCol: String): (DataFrame, DataFrame) =
+    withGlobalPrefixesPlan(df, sortCols, Seq(valCol), posCol, Seq(prefixCol))
+
+  private[graft] def withGlobalPrefixesPlan(df: DataFrame,
+      sortCols: Seq[Column], valCols: Seq[String], posCol: String,
+      prefixCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(valCols.size == prefixCols.size, "valCols/prefixCols arity")
     val spark = df.sparkSession
-    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -78,27 +93,60 @@ object RangeRank {
     // "global running sum" contract (SQL sum skips NULLs; so does the
     // per-row local running sum below, so offset 0 is the consistent
     // per-partition total for an all-NULL range).
-    val stats = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__n"),
-        coalesce(sum(col(valCol)), lit(0L)).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val aggs = count(lit(1)).as("__n") +: valCols.zipWithIndex.map {
+      case (v, i) => coalesce(sum(col(v)), lit(0L)).as(s"__s$i")
+    }
+    val stats = ranged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        valCols.indices.map(i => r.getLong(2 + i))))
       .sortBy(_._1)
-    val offsets = stats.map(_._1)
-      .lazyZip(stats.map(_._2).scanLeft(0L)(_ + _))
-      .lazyZip(stats.map(_._3).scanLeft(0L)(_ + _))
-      .toSeq.toDF("__pid", "__roff", "__soff")
+    val rOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val sOff = valCols.indices.map(i => stats.map(_._3(i)).scanLeft(0L)(_ + _))
+    val offRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(stats.indices.map { j =>
+        org.apache.spark.sql.Row.fromSeq(
+          stats(j)._1 +: rOff(j) +: valCols.indices.map(i => sOff(i)(j)))
+      }: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+      (org.apache.spark.sql.types.StructField("__roff",
+        org.apache.spark.sql.types.LongType) +:
+        valCols.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__soff$i", org.apache.spark.sql.types.LongType))))
+    val offsets = spark.createDataFrame(offRows, schema)
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    val ranked = ranged
-      .withColumn("__local", row_number().over(w).cast("long"))
-      .withColumn("__lsum", coalesce(sum(col(valCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        lit(0L)))
-      .join(broadcast(offsets), "__pid")
+    val withLocals = valCols.zipWithIndex.foldLeft(
+      ranged.withColumn("__local", row_number().over(w).cast("long"))) {
+      case (acc, (v, i)) => acc.withColumn(s"__lsum$i",
+        coalesce(sum(col(v)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)))
+    }
+    val joined = withLocals.join(broadcast(offsets), "__pid")
       .withColumn(posCol, col("__local") + col("__roff"))
-      .withColumn(prefixCol, col("__lsum") + col("__soff"))
-      .drop("__pid", "__local", "__lsum", "__roff", "__soff")
+    val ranked = prefixCols.zipWithIndex.foldLeft(joined) {
+      case (acc, (p, i)) =>
+        acc.withColumn(p, col(s"__lsum$i") + col(s"__soff$i"))
+    }.drop(Seq("__pid", "__local", "__roff") ++
+      valCols.indices.flatMap(i => Seq(s"__lsum$i", s"__soff$i")): _*)
     (ranked, ranged)
   }
+
+  /** Spark `ntile(k)` recomputed from a 1-based global rank — bit-equal
+    * to `ntile(k).over(Window.orderBy(...))` without its SinglePartition
+    * funnel: buckets `1..(n mod k)` hold ⌈n/k⌉ rows, the rest ⌊n/k⌋
+    * (the ANSI equidepth convention). `rk` and `nCol` are column NAMES
+    * (the expression references them by name). */
+  def ntileFromRank(rk: String, nCol: String, k: Int): Column = expr(
+    s"""CAST(CASE
+       |  WHEN $rk <= ($nCol % $k) * ($nCol DIV $k + 1)
+       |  THEN ($rk + $nCol DIV $k) DIV ($nCol DIV $k + 1)
+       |  ELSE $nCol % $k
+       |    + ($rk - ($nCol % $k) * ($nCol DIV $k + 1) + $nCol DIV $k - 1)
+       |      DIV ($nCol DIV $k)
+       |END AS INT)""".stripMargin)
 
   /** The un-checkpointed plan (cache left pinned — caller unpersists via
     * the returned frame): the test hook that lets the NO-SinglePartition

@@ -186,28 +186,45 @@ class PropertySpec extends SparkSpec {
   }
 
   test("rank-closed-form ntile == ntile() for awkward n") {
-    // joint_decile_grid computes ntile(10) from RangeRank positions via
-    // the closed form (first n%k buckets hold ceil(n/k) rows). Pin the
-    // formula against Spark's ntile across sizes that exercise every
-    // branch: n < k, n = k, n % k = 0, and ragged remainders.
+    // joint_decile_grid and matched_pairs_stratified compute ntile(k)
+    // from RangeRank positions via RangeRank.ntileFromRank (first n%k
+    // buckets hold ceil(n/k) rows). Pin the SHARED helper against
+    // Spark's ntile across sizes that exercise every branch: n < k,
+    // n = k, n % k = 0, and ragged remainders.
     import org.apache.spark.sql.expressions.Window
-    def closedForm(rk: String, k: Int) = expr(
-      s"""CAST(CASE
-         |  WHEN $rk <= (n % $k) * (n DIV $k + 1)
-         |  THEN ($rk + n DIV $k) DIV (n DIV $k + 1)
-         |  ELSE n % $k
-         |    + ($rk - (n % $k) * (n DIV $k + 1) + n DIV $k - 1)
-         |      DIV (n DIV $k)
-         |END AS INT)""".stripMargin)
-    for (n <- Seq(1, 7, 10, 23, 100, 101, 109); k <- Seq(4, 10)) {
+    for (n <- Seq(1, 7, 10, 23, 100, 101, 109); k <- Seq(4, 5, 10)) {
       val df = spark.range(n.toLong).select(col("id"))
         .withColumn("rk", row_number().over(Window.orderBy("id")).cast("long"))
         .withColumn("n", lit(n.toLong))
         .withColumn("want", ntile(k).over(Window.orderBy("id")))
-        .withColumn("got", closedForm("rk", k))
+        .withColumn("got", graft.ops.RangeRank.ntileFromRank("rk", "n", k))
       val bad = df.filter(col("want") =!= col("got")).count()
       assert(bad == 0L, s"n=$n k=$k: closed-form ntile diverges on $bad rows")
     }
+  }
+
+  test("multi-column global prefixes == per-column global windows") {
+    // RangeRank.withGlobalPrefixes backs the r13 KS rewrites (two ECDF
+    // numerators over one range exchange): every prefix column must
+    // match its own single-partition window bit-exactly, including
+    // all-NULL ranges (the ADVICE r12 coalesce contract: NULLs are
+    // skipped, an all-NULL prefix reads 0).
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 300).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 13).toLong),
+        (i % 5).toLong)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = graft.ops.RangeRank.withGlobalPrefixes(df,
+      Seq(col("id")), Seq("a", "b"), "pos", Seq("ca", "cb"))
+    val wo = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy("id")).cast("long").as("pos"),
+      coalesce(sum(col("a")).over(wo), lit(0L)).as("ca"),
+      coalesce(sum(col("b")).over(wo), lit(0L)).as("cb"))
+    assert(got.select("id", "pos", "ca", "cb").except(want).count() == 0L,
+      "multi-prefix diverges from the per-column global windows")
   }
 
   test("applyDelta rejects labels that violate the min-id invariant") {

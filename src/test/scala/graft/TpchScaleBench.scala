@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+  SortMergeJoinExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** TPC-H x100 tier (VERDICT r12 #2): the relational family's growth was
+  * extrapolated past one decade (TPCH_SF1 stops at sf1 = 10×); this bench
+  * runs the 22 production tpch_* queries PLUS the two undiluted big-big
+  * probe joins from TpchSkewBench at any fixture tier and records, per
+  * query: best-of-2 wall seconds and the SCALE-CARRIER MARKERS from the
+  * executed adaptive plan —
+  *  - `skew_joins_marked` — AQE skew-handled SMJ/SHJ count (must stay 0
+  *    on the uniform replica fixtures: replication plants no hot key, so
+  *    a marker appearing only at sf10 would mean a plan regressed into a
+  *    skew-sensitive shape);
+  *  - `single_partition` — SinglePartition shuffles in the final plan
+  *    (identity-deduped; a count RISING with the tier is a funnel that
+  *    only shows at scale);
+  *  - `bcast_joins` — broadcast joins (dims stay broadcast at sf10: 25
+  *    nations / 5 regions / 100k suppliers are cluster-dim-sized at any
+  *    SF; a DROP here means a dim fell off the broadcast path and now
+  *    shuffles corpus-side rows).
+  * tools/tpch_scale10.sh runs this at sf0.1 / sf1 / sf10 and aggregates
+  * per-decade growth into TPCH_SF10_rN.json.
+  *
+  * Usage: Test/runMain graft.TpchScaleBench <dir> [label]
+  * Prints one JSON line per query:
+  *   {"label":…,"q":…,"sec":…,"skew_joins_marked":N,"single_partition":N,
+  *    "bcast_joins":N}
+  */
+object TpchScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val label = args.lift(1).getOrElse(dir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def gather(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra ++ p.subqueries).flatMap(gather)
+    }
+
+    import org.apache.spark.sql.functions._
+    // The same two undiluted big-big probe joins as TpchSkewBench — the
+    // shapes where BOTH sides shuffle; on these uniform fixtures they
+    // must scale linearly with zero skew markers.
+    val probes: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "probe_orders_x_customer" -> (() =>
+        spark.read.parquet(s"$dir/orders.parquet")
+          .join(spark.read.parquet(s"$dir/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))),
+      "probe_lineitem_x_supplier" -> (() =>
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .join(spark.read.parquet(s"$dir/supplier.parquet"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("rev"))))
+
+    val tpch = SparkEntry.queries.keys.filter(_.startsWith("tpch_"))
+      .toSeq.sorted
+    val names = probes.keys.toSeq.sorted ++ tpch
+
+    def runOnce(name: String): (Double, Int, Int, Int) = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val df = probes.get(name).map(_.apply())
+        .getOrElse(SparkEntry.queries(name)(spark, dir))
+      df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nodes = gather(df.queryExecution.executedPlan)
+      val skew = nodes.count {
+        case j: SortMergeJoinExec => j.isSkewJoin
+        case j: ShuffledHashJoinExec => j.isSkewJoin
+        case _ => false
+      }
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      val single = nodes.count {
+        case s: ShuffleExchangeLike =>
+          s.outputPartitioning == SinglePartition && seen.add(s)
+        case _ => false
+      }
+      val bcast = nodes.count {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+      (sec, skew, single, bcast)
+    }
+
+    def s3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    names.foreach { q =>
+      val best = Seq(runOnce(q), runOnce(q)).minBy(_._1)
+      println(s"""{"label":"$label","q":"$q","sec":${s3(best._1)},""" +
+        s""""skew_joins_marked":${best._2},"single_partition":${best._3},""" +
+        s""""bcast_joins":${best._4}}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,24 +1,39 @@
 #!/usr/bin/env bash
-# Round-close gate (VERDICT r10 #4, the recurrence of r9 #3): run this as
-# the LAST step of a round, AFTER the query surface freezes. PlanAudit
-# already hard-fails (exit 3) unless the number of audited plans equals
-# SparkEntry.queries.size — but only if it is actually re-run against the
-# final build. This script is that re-run, plus the full-surface verify
-# check, so a stale or partial artifact can no longer ship silently.
+# Round-close gate (VERDICT r10 #4, r12 #1/#5): run this as the LAST step
+# of a round, AFTER the query surface freezes. Three machine checks:
+#  1. GROWTH-mode plan audit (r13): every query EXECUTES at sf0.01 AND
+#     sf0.1; each SinglePartition exchange's measured rows-in is paired
+#     across the 10x corpus step and classed by GROWTH — flat/tiny/
+#     below_limit pass, corpus-proportional fails (exit 4). PlanAudit
+#     also hard-fails (exit 3) unless the audited plan count equals
+#     SparkEntry.queries.size, so a stale/partial artifact can't ship.
+#  2. Full-surface verify + DuckDB oracle at sf0.01 (the driver gate's
+#     scale factor).
+#  3. The SAME full oracle pass at sf0.1 (VERDICT r12 #5): scale-
+#     dependent bugs — banding gates, density thresholds, quantization
+#     ties — are exactly what sf0.01 can miss.
 #
-# Usage: tools/close_gate.sh <round>        e.g. tools/close_gate.sh r11
+# Usage: tools/close_gate.sh <round>        e.g. tools/close_gate.sh r13
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ROUND="${1:?usage: tools/close_gate.sh <round, e.g. r11>}"
+ROUND="${1:?usage: tools/close_gate.sh <round, e.g. r13>}"
 
-echo "[close-gate] plan audit over the frozen surface..."
-# sf0.01 (not 0.001) since r12: the audit now EXECUTES every query and
-# classifies each SinglePartition exchange by measured rows-in — the
-# corpus-vs-domain distinction needs the bigger fixture to be visible.
+echo "[close-gate] growth-mode plan audit over the frozen surface..."
 SPARK_GRAFT_AUDIT_OUT="PLAN_AUDIT_${ROUND}.json" SPARK_GRAFT_CPUS=8 \
-  sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01"
+  sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01 /root/testdata/sf0.1"
 cp "PLAN_AUDIT_${ROUND}.json" plan_audit.json
 
 N_AUDITED=$(python3 -c "import json;print(json.load(open('PLAN_AUDIT_${ROUND}.json'))['__summary']['n_queries'])")
-echo "[close-gate] audited $N_AUDITED plans (PlanAudit exits non-zero on any mismatch/failure/cartesian)"
+echo "[close-gate] audited $N_AUDITED plans (growth-classified; PlanAudit exits non-zero on any mismatch/failure/cartesian/unreviewed)"
+
+for SF in 0.01 0.1; do
+  echo "[close-gate] full-surface verify + oracle at sf$SF..."
+  OUT="/tmp/graft_close_verify_sf${SF/./}"
+  rm -rf "$OUT"
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT"
+  python3 tools/compare_oracle.py "/root/testdata/sf$SF" "$OUT" \
+    | tail -3 | tee "/tmp/close_oracle_sf${SF/./}.txt"
+  tail -1 "/tmp/close_oracle_sf${SF/./}.txt" | grep -q " 0 fail" || {
+    echo "[close-gate] ORACLE FAIL at sf$SF"; exit 6; }
+done
 echo "[close-gate] OK — commit PLAN_AUDIT_${ROUND}.json + plan_audit.json"

@@ -15,7 +15,7 @@ X100_QUERIES="dedup_minhash_pairs,dedup_ngram_lang_block,dedup_sorted_neighborho
 
 sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000 10000 150"
 sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf1 50000 20000 100000 1500"
-sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 10000 150"
+sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 1000000 15000"
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \

@@ -17,14 +17,17 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-SCALE_GRAPH_r12.json}"
 
-GRAPH_QUERIES="graph_components_knn,ivm_components_delta,bfs_layers_knn,pagerank_knn,link_prediction_knn,ann_persisted_ivf_index,ivm_ivf_append"
+GRAPH_QUERIES="graph_components_knn,ivm_components_delta,bfs_layers_knn,pagerank_knn,link_prediction_knn,ann_persisted_ivf_index,ivm_ivf_append,weighted_sssp_knn,recursive_cte_reachability"
 
 [ -d /root/repo/tmp-sf01gen/embeddings.parquet ] || \
   sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf01gen 5000 2000 10000 150"
 [ -d /root/repo/tmp-sf1/embeddings.parquet ] || \
   sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf1 50000 20000 100000 1500"
+# x100 tier carries 1M events/15k users since r13 (VERDICT r12 #4): the
+# recursive-CTE/SSSP additions need a genuinely growing events side at
+# every decade. Delete tmp-sf10 to force regeneration after this change.
 [ -d /root/repo/tmp-sf10/embeddings.parquet ] || \
-  sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 10000 150"
+  sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 1000000 15000"
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
