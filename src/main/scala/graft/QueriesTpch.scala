@@ -219,8 +219,16 @@ private[graft] trait QueriesTpch extends QueryShared {
         .select(
           (col("promo") * 10000).cast("long").as("promo_u"),
           (col("total") * 10000).cast("long").as("total_u"))
+        // DECIMAL(38,0) intermediate (pmi_collocations precedent; found
+        // by the r13 TPC-H x100 tier): promo_u·10⁶ as a BIGINT product
+        // passes 2⁶³ once yearly promo revenue tops ~$9.2e8 — i.e. at
+        // sf1 — so ANSI Spark errored under full materialization. The
+        // 38-digit product is exact to ~1e25; DIV is IntegralDivide and
+        // lands back in BIGINT, value-identical at every SF below the
+        // old overflow frontier.
         .withColumn("promo_share_micro",
-          expr("promo_u * 1000000 DIV total_u"))
+          expr("CAST((CAST(promo_u AS DECIMAL(38,0)) * 1000000)" +
+            " DIV total_u AS BIGINT)"))
     },
 
 
@@ -773,7 +781,10 @@ private[graft] trait QueriesTpch extends QueryShared {
         |    CAST(sum(rev) * 10000 AS BIGINT) AS total_u
         |  FROM j)
         |SELECT promo_u, total_u,
-        |  promo_u * 1000000 // total_u AS promo_share_micro
+        |  -- HUGEINT intermediate mirrors the Spark side's DECIMAL(38,0)
+        |  -- (the BIGINT product overflows at sf1)
+        |  CAST(CAST(promo_u AS HUGEINT) * 1000000 // total_u AS BIGINT)
+        |    AS promo_share_micro
         |FROM a""".stripMargin,
 
 

@@ -109,12 +109,27 @@ object TpchScaleBench {
 
     def s3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    var failed = List.empty[String]
     names.foreach { q =>
-      val best = Seq(runOnce(q), runOnce(q)).minBy(_._1)
-      println(s"""{"label":"$label","q":"$q","sec":${s3(best._1)},""" +
-        s""""skew_joins_marked":${best._2},"single_partition":${best._3},""" +
-        s""""bcast_joins":${best._4}}""")
+      try {
+        val best = Seq(runOnce(q), runOnce(q)).minBy(_._1)
+        println(s"""{"label":"$label","q":"$q","sec":${s3(best._1)},""" +
+          s""""skew_joins_marked":${best._2},"single_partition":${best._3},""" +
+          s""""bcast_joins":${best._4}}""")
+      } catch {
+        case e: Throwable =>
+          failed ::= q
+          println(s"""{"label":"$label","q":"$q","error":"${
+            Option(e.getMessage).getOrElse(e.toString).take(160)
+              .replaceAll("[\"\\\\\n]", " ")}"}""")
+      }
     }
     spark.stop()
+    // a tier with failures must fail the harness loudly — a missing
+    // per-query line would otherwise read as a faster tier
+    if (failed.nonEmpty) {
+      System.err.println(s"[tpch-scale] FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
