@@ -61,20 +61,22 @@ object TpchScaleBench {
     import org.apache.spark.sql.functions._
     // The same two undiluted big-big probe joins as TpchSkewBench — the
     // shapes where BOTH sides shuffle; on these uniform fixtures they
-    // must scale linearly with zero skew markers.
-    val probes: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+    // must scale linearly with zero skew markers. Session-parameterized
+    // so the solo re-measure pass can rebuild them in a fresh session.
+    def probesFor(s: SparkSession): Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "probe_orders_x_customer" -> (() =>
-        spark.read.parquet(s"$dir/orders.parquet")
-          .join(spark.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet")
+          .join(s.read.parquet(s"$dir/customer.parquet"),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))),
       "probe_lineitem_x_supplier" -> (() =>
-        spark.read.parquet(s"$dir/lineitem.parquet")
-          .join(spark.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/supplier.parquet"),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_nationkey")
           .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("rev"))))
+    val probes = probesFor(spark)
 
     val tpch = SparkEntry.queries.keys.filter(_.startsWith("tpch_"))
       .toSeq.sorted
@@ -110,13 +112,10 @@ object TpchScaleBench {
     def s3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     var failed = List.empty[String]
+    val measured = scala.collection.mutable.Map.empty[String, (Double, Int, Int, Int)]
     names.foreach { q =>
-      try {
-        val best = Seq(runOnce(q), runOnce(q)).minBy(_._1)
-        println(s"""{"label":"$label","q":"$q","sec":${s3(best._1)},""" +
-          s""""skew_joins_marked":${best._2},"single_partition":${best._3},""" +
-          s""""bcast_joins":${best._4}}""")
-      } catch {
+      try measured(q) = Seq(runOnce(q), runOnce(q)).minBy(_._1)
+      catch {
         case e: Throwable =>
           failed ::= q
           println(s"""{"label":"$label","q":"$q","error":"${
@@ -124,7 +123,47 @@ object TpchScaleBench {
               .replaceAll("[\"\\\\\n]", " ")}"}""")
       }
     }
-    spark.stop()
+    // Solo re-measure (the graft.Bench r12 protocol, same rationale):
+    // a big tier's in-suite heavy tail carries cross-query page-cache
+    // and shuffle-spill pressure — tpch_q12 read 11.6 s in-tier vs
+    // 4.5 s in a fresh session on identical code at sf10. Every entry
+    // over the threshold gets a fresh-session min-of-2; growth should
+    // be judged on the solo column where present.
+    val soloThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_TPCH_SOLO", "3.0").toDouble
+    val soloNames = names.filter(q =>
+      measured.get(q).exists(_._1 > soloThreshold))
+    var cur = spark
+    val solo = soloNames.map { q =>
+      cur.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cur = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      cur.sparkContext.setLogLevel("ERROR")
+      cur.range(1000).selectExpr("sum(id)").collect()
+      def once(): Double = {
+        cur.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val df = probesFor(cur).get(q).map(_.apply())
+          .getOrElse(SparkEntry.queries(q)(cur, dir))
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q -> math.min(once(), once())
+    }.toMap
+    names.filter(measured.contains).foreach { q =>
+      val (sec, skew, single, bcast) = measured(q)
+      val soloField = solo.get(q).map(v => s""""solo":${s3(v)},""").getOrElse("")
+      println(s"""{"label":"$label","q":"$q","sec":${s3(sec)},$soloField""" +
+        s""""skew_joins_marked":$skew,"single_partition":$single,""" +
+        s""""bcast_joins":$bcast}""")
+    }
+    cur.stop()
     // a tier with failures must fail the harness loudly — a missing
     // per-query line would otherwise read as a faster tier
     if (failed.nonEmpty) {
