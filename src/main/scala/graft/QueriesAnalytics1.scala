@@ -1940,6 +1940,17 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // integer inter/union counts and permille scores; the query's
     // trigram set is a computed literal both engines derive from the
     // same string. Per-doc set ops only — no join, corpus-parallel.
+    //
+    // Hot-path form (SCALE_TEXT_r13: the declarative array pipeline —
+    // one substring per trigram position, distinct, intersect, union —
+    // cost ~1.6 ms/doc and 25.7 s at 500k docs): |T(d)| comes from the
+    // native DistinctTrigramCount kernel (one long[] per row, zero
+    // per-trigram allocations), inter = Σ contains(t, qt) over the 19
+    // query trigrams (a 3-code-point needle is a substring of t iff it
+    // is a trigram of t — UTF-8 is self-synchronizing, so a byte match
+    // starts on a code-point boundary), and uni = |T(d)| + |qtri| −
+    // inter by inclusion–exclusion. Value-identical to the array form
+    // (TrigramCountSpec pins the kernel; the oracle pins end-to-end).
     "trigram_search_typo" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       // query trigrams precomputed driver-side from the SAME literal the
@@ -1948,16 +1959,14 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.ops.Dedup.normalize(col("text")).as("t"))
-        .withColumn("tri", expr(
-          """array_distinct(CASE WHEN char_length(t) < 3
-             THEN CAST(array() AS ARRAY<STRING>)
-             ELSE transform(sequence(1, char_length(t) - 2),
-                            i -> substring(t, i, 3)) END)"""))
-        .withColumn("qtri", array(qtris.map(lit): _*))
-        .select(col("doc_id"),
-          size(array_intersect(col("tri"), col("qtri"))).cast("long")
-            .as("inter"),
-          size(array_union(col("tri"), col("qtri"))).cast("long").as("uni"))
+        .withColumn("inter",
+          when(col("t").isNotNull,
+            qtris.map(qt => when(col("t").contains(lit(qt)), 1L)
+              .otherwise(0L)).reduce(_ + _)))
+        .select(col("doc_id"), col("inter"),
+          (graft.functions.trigrams.distinctTrigramCount(col("t"))
+            .cast("long") + lit(qtris.size.toLong) - col("inter"))
+            .as("uni"))
       docs.withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("jaccard_permille"), col("doc_id"))))
