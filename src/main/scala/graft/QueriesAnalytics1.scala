@@ -1945,7 +1945,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // one substring per trigram position, distinct, intersect, union —
     // cost ~1.6 ms/doc and 25.7 s at 500k docs): |T(d)| comes from the
     // native DistinctTrigramCount kernel (one long[] per row, zero
-    // per-trigram allocations), inter = Σ contains(t, qt) over the 19
+    // per-trigram allocations), inter = Σ contains(t, qt) over the 20
     // query trigrams (a 3-code-point needle is a substring of t iff it
     // is a trigram of t — UTF-8 is self-synchronizing, so a byte match
     // starts on a code-point boundary), and uni = |T(d)| + |qtri| −

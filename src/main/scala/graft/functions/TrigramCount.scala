@@ -59,9 +59,16 @@ object TrigramOps {
     // Open-addressed table sized ≥2× the max trigram count (≤ nChars−2),
     // power of two for mask probing. Keys are (cp0<<42 | cp1<<21 | cp2)+1
     // so 0 stays the empty sentinel (the +1 cannot collide: the packed
-    // value is < 2^63−1, and +1 is a bijection).
+    // value is < 2^63−1, and +1 is a bijection). The target is computed
+    // in LONG and clamped at 2^30 slots (ADVICE r13): near-2^31-char
+    // strings would overflow `(nChars−2)*2` negative in int arithmetic,
+    // leaving cap=4 and an infinite probe loop once 4 distinct keys
+    // land. At the clamp the table holds 2^30 ≈ 1.07e9 distinct
+    // trigrams — more than any real document (load factor only passes
+    // 1.0 beyond that, and such a string is ~2 GiB on the heap anyway).
+    val target = math.min((nChars.toLong - 2) * 2, 1L << 30)
     var cap = 4
-    while (cap < (nChars - 2) * 2) cap <<= 1
+    while (cap < target) cap <<= 1
     val table = new Array[Long](cap)
     val mask = cap - 1
     var count = 0

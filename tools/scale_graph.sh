@@ -35,7 +35,11 @@ run_bench() {
   SPARK_GRAFT_SOLO_THRESHOLD=9999 \
   SPARK_GRAFT_BENCH_OUT=/tmp/scale_graph_bench.json \
     sbt -batch "runMain graft.Bench" | grep '"metric":"total"' \
-    | sed 's/^\[info\] //' | head -1
+    | sed 's/^\[info\] //' > /tmp/scale_graph_lines.txt || true
+  # first line taken outside the pipeline (ADVICE r13): head -1 inside
+  # it SIGPIPEs grep on a second matching line and pipefail aborts the
+  # harness after its most expensive tier already ran
+  head -1 /tmp/scale_graph_lines.txt
 }
 
 echo "[scale-graph] layout build-cost curve (cold vs warm knnEdges)..."

@@ -35,7 +35,14 @@ run_bench() {
   SPARK_GRAFT_SOLO_THRESHOLD=9999 \
   SPARK_GRAFT_BENCH_OUT=/tmp/scale_text_bench.json \
     sbt -batch "runMain graft.Bench" | grep '"metric":"total"' \
-    | sed 's/^\[info\] //' | head -1
+    | sed 's/^\[info\] //' > /tmp/scale_text_lines.txt || true
+  # First line extracted OUTSIDE the pipeline (ADVICE r13): `… | head -1`
+  # SIGPIPEd grep/sed whenever sbt emitted a second matching line (Bench
+  # always prints two "metric":"total" lines — full + truncated), and
+  # under `set -o pipefail` exit 141 would kill the harness after its
+  # most expensive tier had already completed. grep reads sbt to EOF, so
+  # nothing in the pipe ever exits early.
+  head -1 /tmp/scale_text_lines.txt
 }
 
 echo "[scale-text] base tier (5k docs / 10k events)..."
@@ -73,7 +80,7 @@ out = {
         "distinct/intersect/union array passes. Re-landed on the native "
         "DistinctTrigramCount codegen kernel (packed code-point triples "
         "in a per-row open-addressed long table, zero per-trigram "
-        "allocations; inter = sum of contains() over the 19 query "
+        "allocations; inter = sum of contains() over the 20 query "
         "trigrams, union by inclusion-exclusion) — 25.7 s -> ~2.1 s at "
         "500k docs (12.3x), hash-identical at sf0.01 AND sf0.1, "
         "TrigramCountSpec property-pins kernel == array form."),
@@ -83,8 +90,12 @@ out = {
             "queries": big["queries"], "spread": big.get("spread", {})},
     "x100": {"dir": x100["sf"], "docs": 500000, "events": 1000000,
              "queries": x100["queries"], "spread": x100.get("spread", {})},
+    # .get guard mirrors growth_x100 (ADVICE r13): a query erroring out of
+    # one tier's bench would otherwise KeyError this reduction AFTER all
+    # three expensive tiers completed.
     "growth_x10": {q: (round(big["queries"][q] / base["queries"][q], 2)
-                       if base["queries"][q] > 0 else None)
+                       if big["queries"].get(q) and base["queries"][q] > 0
+                       else None)
                    for q in sorted(base["queries"])},
     "growth_x100": growth100,
 }

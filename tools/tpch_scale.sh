@@ -24,7 +24,11 @@ run_bench() {
   SPARK_GRAFT_SOLO_THRESHOLD=9999 \
   SPARK_GRAFT_BENCH_OUT=/tmp/tpch_bench_full.json \
     sbt -batch "runMain graft.Bench" | grep '"metric":"total"' \
-    | sed 's/^\[info\] //' | head -1
+    | sed 's/^\[info\] //' > /tmp/tpch_scale_lines.txt || true
+  # first line taken outside the pipeline (ADVICE r13): head -1 inside
+  # it SIGPIPEs grep on a second matching line and pipefail aborts the
+  # harness after its most expensive tier already ran
+  head -1 /tmp/tpch_scale_lines.txt
 }
 
 BASE_JSON=$(run_bench /root/testdata/sf0.1)
