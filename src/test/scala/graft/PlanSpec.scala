@@ -578,8 +578,12 @@ class PlanSpec extends SparkSpec {
   test("RFM: cutoff frames broadcast, no ntile window over raw customers") {
     val df = SparkEntry.queries("rfm_segmentation")(spark, sf0001)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 3,
-      s"1-row cutoff frames not broadcast:\n$plan")
+    // r14 shape: ONE combined 12-column cutoff row (all three axes ride a
+    // single RangeRank pass) broadcast onto the checkpointed rfm frame,
+    // plus the 1-row n frame broadcast inside the cutoff subtree — both
+    // BroadcastNestedLoopJoins by construction (1-row, no join key)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 2,
+      s"1-row cutoff/n frames not broadcast:\n$plan")
     assert(!plan.contains("ntile"), s"global ntile over raw rows:\n$plan")
   }
 
