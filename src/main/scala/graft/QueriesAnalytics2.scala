@@ -127,7 +127,7 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
     // permille.
     "source_similarity_tvd_matrix" -> { (s, d) =>
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .spread(col("doc_id"))
         .select(col("source"), explode(Dedup.tokens(col("text")))
           .as("tok"))
       val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
@@ -493,6 +493,83 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
           col("s1_scaled"), col("s2_scaled"),
           expr("(1000 * (s1_scaled DIV n1 + s2_scaled DIV n2)) " +
             "DIV n_combined").as("a2_milli"))
+    },
+
+
+    // Mann–Whitney U (Wilcoxon rank-sum) between the click and view
+    // value distributions, tie-corrected, INTEGER-EXACT — the
+    // distribution-free location test completing the two-sample family
+    // (KS = worst ECDF gap, AD = tail-weighted integral, U = rank
+    // location). Scale design is the r13 KS/AD machinery verbatim: the
+    // corpus collapses to the distinct-cents histogram once, both
+    // sample prefix counts ride ONE RangeRank.withGlobalPrefixes range
+    // exchange, and every term is domain-sized. Ranks stay integer by
+    // carrying 2×(average rank of a tied block) = 2·cum_t − t + 1 (the
+    // block occupies ranks cum_t−t+1 .. cum_t), so 2R₁ = Σ c1·that and
+    // 2U₁ = 2R₁ − n1(n1+1); the tie term Σ(t³−t) feeds the variance
+    // correction callers apply. auc_micro = U₁/(n1·n2) ⋅ 1e6 is the
+    // common-language effect size (P(click > view) + ½P(=)). Overflow
+    // frontier: 1e6·2·n1·n2 tops BIGINT at ~6M filtered events (~sf6 —
+    // the gini/AD documentation convention).
+    "mann_whitney_u_cents" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val hist = ev.groupBy("cents").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      graft.ops.RangeRank.withGlobalPrefixes(hist, Seq(col("cents")),
+          Seq("c1", "c2"), "__pos", Seq("m1", "m2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t", col("c1") + col("c2"))
+        .withColumn("avg2", lit(2L) * (col("m1") + col("m2"))
+          - col("t") + 1)
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          sum(col("c1") * col("avg2")).as("r1_x2"),
+          sum(expr("t * t * t - t")).as("tie_term"))
+        .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1))
+        .select(col("n1"), col("n2"), col("u1_x2"),
+          (lit(2L) * col("n1") * col("n2") - col("u1_x2")).as("u2_x2"),
+          col("tie_term"),
+          expr("(1000000 * u1_x2) DIV (2 * n1 * n2)").as("auc_micro"))
+    },
+
+
+    // Two-sample Cramér–von Mises over the same cents histogram — the
+    // third ECDF functional (L² of the gap, unweighted: between KS's
+    // sup and AD's tail-weighted integral). T = Σ l·D² / (N²·n1·n2)
+    // with D = n2·m1 − n1·m2; the engine keeps the per-term floor
+    // division (D² DIV N²) so every partial stays inside BIGINT — the
+    // anderson_darling convention, deterministic in both engines on
+    // non-negative terms. Last support point needs no exclusion: D = 0
+    // there by construction. One RangeRank range exchange, domain-sized
+    // terms, one scalar out. Overflow frontier: per-term D² ≤ (n1·n2)²
+    // tops BIGINT at ~3M filtered events; 1e6·sum_scaled at ~sf1 —
+    // documented like AD/gini.
+    "cramer_von_mises_cents" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val hist = ev.groupBy("cents").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      graft.ops.RangeRank.withGlobalPrefixes(hist, Seq(col("cents")),
+          Seq("c1", "c2"), "__pos", Seq("m1", "m2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bigN", col("n1") + col("n2"))
+        .withColumn("l", col("c1") + col("c2"))
+        .withColumn("dd", col("n2") * col("m1") - col("n1") * col("m2"))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max("bigN").as("n_combined"),
+          sum(expr("l * ((dd * dd) DIV (bigN * bigN))")).as("sum_scaled"))
+        .select(col("n1"), col("n2"), col("n_combined"), col("sum_scaled"),
+          expr("(1000000 * sum_scaled) DIV (n1 * n2)").as("t_micro"))
     }
   )
 
@@ -938,6 +1015,80 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
         |SELECT n1, n2, n_combined, s1_scaled, s2_scaled,
         |  (1000 * (s1_scaled // n1 + s2_scaled // n2)) // n_combined
         |    AS a2_milli
+        |FROM s""".stripMargin,
+
+
+    // Same distinct-cents histogram; 2×average-rank of each tied block
+    // as 2·cum_t − t + 1, tie term Σ(t³−t), all BIGINT.
+    "mann_whitney_u_cents" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS m1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS m2
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM hist),
+        |terms AS (
+        |  SELECT n1, n2, c1, c1 + c2 AS t,
+        |    2 * (m1 + m2) - (c1 + c2) + 1 AS avg2
+        |  FROM cum CROSS JOIN tot),
+        |s AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2,
+        |    CAST(sum(c1 * avg2) AS BIGINT) AS r1_x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM terms)
+        |SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |  2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2, tie_term,
+        |  (1000000 * (r1_x2 - n1 * (n1 + 1))) // (2 * n1 * n2)
+        |    AS auc_micro
+        |FROM s""".stripMargin,
+
+
+    // Same histogram + windows; identical per-term (D² // N²) floor
+    // division before the sum.
+    "cramer_von_mises_cents" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS m1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS m2
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM hist),
+        |terms AS (
+        |  SELECT n1, n2, n1 + n2 AS nc, c1 + c2 AS l,
+        |    n2 * m1 - n1 * m2 AS dd
+        |  FROM cum CROSS JOIN tot),
+        |s AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2, max(nc) AS n_combined,
+        |    CAST(sum(l * ((dd * dd) // (nc * nc))) AS BIGINT)
+        |      AS sum_scaled
+        |  FROM terms)
+        |SELECT n1, n2, n_combined, sum_scaled,
+        |  (1000000 * sum_scaled) // (n1 * n2) AS t_micro
         |FROM s""".stripMargin
   )
 }

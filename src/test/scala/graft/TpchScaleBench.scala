@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
@@ -26,15 +27,51 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *    nations / 5 regions / 100k suppliers are cluster-dim-sized at any
   *    SF; a DROP here means a dim fell off the broadcast path and now
   *    shuffles corpus-side rows).
+  *
+  * Round-14 (VERDICT r13 #3): the sf1→sf10 decade read 3–4× steeper than
+  * sf0.1→sf1 for q1/q5/q18/q21 with no attribution — the artifact now
+  * carries per-query RESOURCE columns from a task-end listener so a bend
+  * is explainable from the data instead of guessed at:
+  *  - `spill_mb` — memory+disk bytes spilled across the best run's tasks
+  *    (a memory wall shows up here first);
+  *  - `task_sec` — Σ executor run time: the query's actual cpu-work;
+  *  - `saturation` — task_sec / (wall × cores): ≈1.0 means the 32-core
+  *    box is compute-saturated and wall time CANNOT scale better than
+  *    work/32 — the benign explanation for a second-decade bend on a
+  *    fixed box (the first decade rides idle cores, the second pays
+  *    work-proportional wall);
+  *  - `gc_sec` — Σ JVM GC time inside tasks (memory pressure that
+  *    doesn't reach the spill counters).
   * tools/tpch_scale10.sh runs this at sf0.1 / sf1 / sf10 and aggregates
   * per-decade growth into TPCH_SF10_rN.json.
   *
   * Usage: Test/runMain graft.TpchScaleBench <dir> [label]
   * Prints one JSON line per query:
   *   {"label":…,"q":…,"sec":…,"skew_joins_marked":N,"single_partition":N,
-  *    "bcast_joins":N}
+  *    "bcast_joins":N,"spill_mb":…,"task_sec":…,"saturation":…,"gc_sec":…}
   */
 object TpchScaleBench {
+
+  /** Per-task resource accumulation for the run in flight. Listener
+    * events are asynchronous; reads go through [[graft.SparkInternals
+    * .drainListenerBus]] so the counters are complete before use. */
+  private final class ResListener extends SparkListener {
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { spill.set(0); runMs.set(0); gcMs.set(0) }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
+  private case class Meas(sec: Double, skew: Int, single: Int, bcast: Int,
+      spillMb: Double, taskSec: Double, saturation: Double, gcSec: Double)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -82,13 +119,18 @@ object TpchScaleBench {
       .toSeq.sorted
     val names = probes.keys.toSeq.sorted ++ tpch
 
-    def runOnce(name: String): (Double, Int, Int, Int) = {
+    val res = new ResListener
+    spark.sparkContext.addSparkListener(res)
+
+    def runOnce(name: String): Meas = {
       spark.sharedState.cacheManager.clearCache()
+      res.reset()
       val t0 = System.nanoTime()
       val df = probes.get(name).map(_.apply())
         .getOrElse(SparkEntry.queries(name)(spark, dir))
       df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      SparkInternals.drainListenerBus(spark.sparkContext)
       val nodes = gather(df.queryExecution.executedPlan)
       val skew = nodes.count {
         case j: SortMergeJoinExec => j.isSkewJoin
@@ -106,15 +148,19 @@ object TpchScaleBench {
         case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
         case _ => false
       }
-      (sec, skew, single, bcast)
+      Meas(sec, skew, single, bcast,
+        spillMb = res.spill.get() / 1e6,
+        taskSec = res.runMs.get() / 1e3,
+        saturation = res.runMs.get() / 1e3 / (sec * cpus.toInt),
+        gcSec = res.gcMs.get() / 1e3)
     }
 
     def s3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     var failed = List.empty[String]
-    val measured = scala.collection.mutable.Map.empty[String, (Double, Int, Int, Int)]
+    val measured = scala.collection.mutable.Map.empty[String, Meas]
     names.foreach { q =>
-      try measured(q) = Seq(runOnce(q), runOnce(q)).minBy(_._1)
+      try measured(q) = Seq(runOnce(q), runOnce(q)).minBy(_.sec)
       catch {
         case e: Throwable =>
           failed ::= q
@@ -132,7 +178,7 @@ object TpchScaleBench {
     val soloThreshold =
       sys.env.getOrElse("SPARK_GRAFT_TPCH_SOLO", "3.0").toDouble
     val soloNames = names.filter(q =>
-      measured.get(q).exists(_._1 > soloThreshold))
+      measured.get(q).exists(_.sec > soloThreshold))
     var cur = spark
     val solo = soloNames.map { q =>
       cur.stop()
@@ -157,11 +203,13 @@ object TpchScaleBench {
       q -> math.min(once(), once())
     }.toMap
     names.filter(measured.contains).foreach { q =>
-      val (sec, skew, single, bcast) = measured(q)
+      val m = measured(q)
       val soloField = solo.get(q).map(v => s""""solo":${s3(v)},""").getOrElse("")
-      println(s"""{"label":"$label","q":"$q","sec":${s3(sec)},$soloField""" +
-        s""""skew_joins_marked":$skew,"single_partition":$single,""" +
-        s""""bcast_joins":$bcast}""")
+      println(s"""{"label":"$label","q":"$q","sec":${s3(m.sec)},$soloField""" +
+        s""""skew_joins_marked":${m.skew},"single_partition":${m.single},""" +
+        s""""bcast_joins":${m.bcast},"spill_mb":${s3(m.spillMb)},""" +
+        s""""task_sec":${s3(m.taskSec)},"saturation":${s3(m.saturation)},""" +
+        s""""gc_sec":${s3(m.gcSec)}}""")
     }
     cur.stop()
     // a tier with failures must fail the harness loudly — a missing

@@ -16,13 +16,35 @@ below the solo threshold this round) — is printed as `mixed-kind` and
 excluded from the REGRESSION/improved labels, because the documented
 ~4x suite-context skew makes that comparison meaningless (ADVICE r12).
 
-Usage: bench_diff.py <prev_bench_full.json> <new_bench_full.json>
+Round 14 (VERDICT r13 #1) adds the ATTRIBUTION GATE: with
+`--attrib attrib.json` every labeled mover must carry either a causing
+commit or a fresh-session triple re-measure (tools/bench_attrib.py
+collects both). A re-measure is judged against the two candidate
+numbers: if its min lands within 1.5x of the PREV graded number the
+mover is relabeled noise (the old number reproduces in a clean session);
+if it confirms the NEW number instead, a regression additionally needs a
+commit to point at — otherwise it prints REGRESSION-unattributed and,
+under `--strict`, the script exits 5. An unexplained >1.5x mover can no
+longer pass the close gate on the strength of suite noise alone.
+
+Usage: bench_diff.py <prev_bench_full.json> <new_bench_full.json> \\
+           [--attrib attrib.json] [--strict]
 """
 import json
 import sys
 
-prev = json.load(open(sys.argv[1]))["queries"]
-new = json.load(open(sys.argv[2]))["queries"]
+argv = sys.argv[1:]
+strict = "--strict" in argv
+if strict:
+    argv.remove("--strict")
+attrib = {}
+if "--attrib" in argv:
+    i = argv.index("--attrib")
+    attrib = json.load(open(argv[i + 1]))
+    del argv[i:i + 2]
+
+prev = json.load(open(argv[0]))["queries"]
+new = json.load(open(argv[1]))["queries"]
 shared = sorted(set(prev) & set(new))
 added = sorted(set(new) - set(prev))
 removed = sorted(set(prev) - set(new))
@@ -58,14 +80,48 @@ for q in shared:
         kind = f"{'solo' if 'solo' in prev[q] else 'suite'}->" \
                f"{'solo' if 'solo' in new[q] else 'suite'}"
         movers.append((r, q, p, n, new[q].get("tier", "?"), kind))
+unattributed = []
 for r, q, p, n, tier, kind in sorted(movers, reverse=True):
     # solo->suite is the one mixed comparison with nothing to recommend
     # it: the prev number is context-free, the new one carries suite
     # cache pressure (documented ~4x on single entries) — don't label it.
     if kind == "solo->suite":
-        tag = "mixed-kind"
+        tag, note = "mixed-kind", ""
     else:
         tag = "REGRESSION" if r > 1 else "improved"
-    print(f"  {tag:10s} {q} [{tier}] ({kind}): {p:.2f}s -> {n:.2f}s ({r:.2f}x)")
+        note = ""
+        a = attrib.get(q)
+        if a and "commit" in a:
+            note = f" [commit: {a['commit']}]"
+        elif a and "remeasure" in a:
+            ok = [v for v in a["remeasure"] if v and v > 0]
+            m = min(ok) if ok else -1.0
+            if m > 0 and m <= p * 1.5 and m >= p / 1.5:
+                # a clean session reproduces the PREV number: the round's
+                # graded reading was measurement noise, not the code
+                tag = "noise"
+                note = f" [remeasure reproduces prev: min {m:.2f}s of {a['remeasure']}]"
+            elif m > 0 and m <= n * 1.5 and m >= n / 1.5:
+                note = f" [remeasure CONFIRMS new: min {m:.2f}s of {a['remeasure']}]"
+                if r > 1:
+                    # confirmed slower AND no causing commit -> a real
+                    # unexplained regression; the gate must not pass it
+                    tag = "REGRESSION-unattributed"
+                    unattributed.append(q)
+                else:
+                    tag = "improved-confirmed"
+            else:
+                note = f" [remeasure inconclusive: {a['remeasure']}]"
+                unattributed.append(q)
+                tag += "-unattributed"
+        elif attrib or strict:
+            unattributed.append(q)
+            tag += "-unattributed"
+    print(f"  {tag:10s} {q} [{tier}] ({kind}): {p:.2f}s -> {n:.2f}s ({r:.2f}x){note}")
 if not movers:
     print("  no movers beyond 1.5x on entries >= 0.5s")
+if unattributed:
+    print(f"ATTRIBUTION GATE: {len(unattributed)} mover(s) lack a causing "
+          f"commit or a bracketing re-measure: {', '.join(unattributed)}")
+    if strict:
+        sys.exit(5)

@@ -1,51 +1,90 @@
 #!/usr/bin/env bash
-# Streaming-family scale evidence (VERDICT r12 #3): drive the four
-# stateful streaming shapes over the driver events fixture at sf0.01 and
-# sf0.1 (a 10x input step: 10k -> 100k events, 150 -> 1500 user keys,
-# event-type domain fixed at 5) and record per-op growth of wall time,
-# throughput, per-batch cost and FINAL STATE SIZE. The claims the
-# artifact demonstrates:
-#  - sketch state is O(|event_type|): 10x-INVARIANT (5 rows at both SFs);
+# Streaming-family scale evidence, x100 tier (VERDICT r12 #3, r13 #2):
+# drive the four stateful streaming shapes over the events fixture at
+# sf0.01 (10k events / 150 users), sf0.1 (100k / 1500) and the
+# GenScaleData x100 corpus (1M / 15k — tmp-sf10, the same generator tier
+# the graph family measures on), recording per-op growth of wall time,
+# throughput, per-batch cost and FINAL STATE SIZE across BOTH decades.
+# The claims the artifact demonstrates:
+#  - sketch state is O(|event_type|): scale-INVARIANT (5 rows at every
+#    tier);
 #  - high-water state tracks the KEY domain (users), never event count;
 #  - dedup-within-watermark state tracks the in-horizon tail, evicted as
 #    the watermark passes;
-#  - marginal batch cost stays ~linear in batch size (throughput should
-#    IMPROVE at 10x while fixed micro-batch overhead amortizes).
+#  - marginal per-ROW cost stays ~flat 10x -> 100x. The r13 artifact's
+#    one-decade ratios were warmup-dominated (fixed micro-batch overhead
+#    swamps a 10k-event run: throughput_ratio_x10 read 17.1, an overhead
+#    artifact); the 100x tier runs 1M events through the same 8
+#    micro-batches, far past the fixed-cost floor, so its per-row number
+#    is load-bearing.
 # The state bounds are additionally spec-pinned in StreamScaleSpec.
 #
 # Usage: tools/scale_stream.sh [outJson]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-SCALE_STREAM_r13.json}"
+OUT="${1:-SCALE_STREAM_r14.json}"
+
+[ -d /root/repo/tmp-sf10/events.parquet ] || \
+  sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 1000000 15000"
 
 LINES=$(SPARK_GRAFT_CPUS=32 sbt -batch \
-  "Test/runMain graft.StreamScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1" \
-  | grep '"op"' | sed 's/^\[info\] //')
+  "Test/runMain graft.StreamScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 /root/repo/tmp-sf10" \
+  | grep '"op"' | sed 's/^\[info\] //' || true)
 
 LINES="$LINES" python3 - "$OUT" <<'EOF'
 import json, os, sys
 rows = [json.loads(l) for l in os.environ["LINES"].strip().splitlines()]
+TIERS = ["x1", "x10", "x100"]
+def tier(d):
+    if d.endswith("sf0.01"): return "x1"
+    if d.endswith("sf0.1"): return "x10"
+    return "x100"
 by = {}
 for r in rows:
-    sf = "sf0.01" if "sf0.01" in r["dir"] else "sf0.1"
-    by.setdefault(r["op"], {})[sf] = r
-out = {"input": {"sf0.01": {"events": 10000, "users": 150, "types": 5},
-                 "sf0.1": {"events": 100000, "users": 1500, "types": 5}},
+    by.setdefault(r["op"], {})[tier(r["dir"])] = r
+out = {"input": {"x1": {"dir": "/root/testdata/sf0.01", "events": 10000,
+                        "users": 150, "types": 5},
+                 "x10": {"dir": "/root/testdata/sf0.1", "events": 100000,
+                         "users": 1500, "types": 5},
+                 "x100": {"dir": "tmp-sf10 (GenScaleData)", "events": 1000000,
+                          "users": 15000, "types": 5}},
        "ops": {}}
+def ratio(b, a, k):
+    return round(b[k] / a[k], 2) if a.get(k) else None
 for op, d in sorted(by.items()):
-    a, b = d["sf0.01"], d["sf0.1"]
+    missing = [t for t in TIERS if t not in d]
+    if missing:
+        out["ops"][op] = {"error": f"missing tiers: {missing}"}
+        continue
+    a, b, c = d["x1"], d["x10"], d["x100"]
+    # per-row cost: avg batch ms / rows per batch (rows/batches) — the
+    # number that must stay ~flat across both decades once the fixed
+    # micro-batch floor is amortized
+    def per_row_us(r):
+        rows_per_batch = r["rows"] / max(r["batches"], 1)
+        return round(r["avg_batch_ms"] * 1000.0 / rows_per_batch, 3) \
+            if rows_per_batch else None
     out["ops"][op] = {
-        "sf0.01": a, "sf0.1": b,
-        "wall_growth_x10": round(b["wall_sec"] / a["wall_sec"], 2),
-        "throughput_ratio_x10": round(b["rows_per_sec"] / a["rows_per_sec"], 2),
-        "avg_batch_ms_growth_x10": round(b["avg_batch_ms"] / a["avg_batch_ms"], 2),
-        "state_growth_x10": (round(b["state_rows_final"] / a["state_rows_final"], 2)
-                             if a["state_rows_final"] > 0 else None),
-        "state_vs_keys_sf0.1": (round(b["state_rows_final"] / b["distinct_keys"], 3)
-                                if b["distinct_keys"] > 0 else None),
+        "x1": a, "x10": b, "x100": c,
+        "wall_growth_x10": ratio(b, a, "wall_sec"),
+        "wall_growth_x100": ratio(c, a, "wall_sec"),
+        "throughput_ratio_x10": ratio(b, a, "rows_per_sec"),
+        "throughput_ratio_x100": ratio(c, a, "rows_per_sec"),
+        "per_row_us": {"x1": per_row_us(a), "x10": per_row_us(b),
+                       "x100": per_row_us(c)},
+        "per_row_ratio_x10_to_x100": (
+            round(per_row_us(c) / per_row_us(b), 2)
+            if per_row_us(b) else None),
+        "state_growth_x10": ratio(b, a, "state_rows_final")
+            if a["state_rows_final"] > 0 else None,
+        "state_growth_x100": ratio(c, a, "state_rows_final")
+            if a["state_rows_final"] > 0 else None,
+        "state_vs_keys_x100": (round(c["state_rows_final"] / c["distinct_keys"], 3)
+                               if c["distinct_keys"] > 0 else None),
     }
 with open(sys.argv[1], "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
-print(json.dumps({op: {k: v for k, v in o.items() if not k.startswith("sf")}
+print(json.dumps({op: {k: v for k, v in o.items()
+                       if not k.startswith("x") or k == "per_row_us"}
                   for op, o in out["ops"].items()}, indent=1, sort_keys=True))
 EOF

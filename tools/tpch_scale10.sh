@@ -27,7 +27,7 @@
 # Usage: tools/tpch_scale10.sh [outJson] [onlyTierLabel]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-TPCH_SF10_r13.json}"
+OUT="${1:-TPCH_SF10_r14.json}"
 ONLY="${2:-}"
 
 [ -e /root/repo/tmp-tpch-sf1/lineitem.parquet ] || \
@@ -90,7 +90,46 @@ for q in qs:
                              "sf10": c["single_partition"]},
         "bcast_joins": {"sf0.1": a["bcast_joins"], "sf1": b["bcast_joins"],
                         "sf10": c["bcast_joins"]},
+        # r14 resource columns (VERDICT r13 #3): where a wall-time decade
+        # bends, the bend must be attributable from the artifact itself
+        "spill_mb": {k: v.get("spill_mb") for k, v in
+                     (("sf0.1", a), ("sf1", b), ("sf10", c))},
+        "task_sec": {k: v.get("task_sec") for k, v in
+                     (("sf0.1", a), ("sf1", b), ("sf10", c))},
+        "saturation": {k: v.get("saturation") for k, v in
+                       (("sf0.1", a), ("sf1", b), ("sf10", c))},
+        "gc_sec": {k: v.get("gc_sec") for k, v in
+                   (("sf0.1", a), ("sf1", b), ("sf10", c))},
     }
+    # Second-decade bend attribution: wall growth is benign when the
+    # underlying WORK (task_sec) grew ~linearly and the box saturated
+    # (saturation -> 1 means wall cannot beat work/cores on 32 cores), or
+    # when spill entered. A >3x decade with neither is flagged.
+    if g2 is not None and g2 > 3 and all(
+            v.get("task_sec") is not None for v in (a, b, c)):
+        work_growth = (round(c["task_sec"] / b["task_sec"], 2)
+                       if b["task_sec"] > 0 else None)
+        sat10 = c.get("saturation") or 0
+        spill10 = c.get("spill_mb") or 0
+        gc10 = c.get("gc_sec") or 0
+        if sat10 >= 0.55:
+            expl = f"compute-saturated (saturation {sat10})"
+        elif spill10 >= 100:
+            expl = f"spill ({spill10} MB)"
+        elif gc10 >= 0.2 * c["sec"]:
+            expl = f"gc-bound ({gc10}s of {c['sec']}s)"
+        elif work_growth is not None and work_growth <= g2 / 2:
+            expl = "UNEXPLAINED: wall bent without matching work growth"
+        else:
+            expl = (f"work-proportional (task_sec grew {work_growth}x; "
+                    "wall follows work on a fixed box as idle cores run out)")
+        out["queries"][q]["bend_note"] = {
+            "wall_growth": g2, "work_growth": work_growth,
+            "saturation_sf10": sat10, "spill_mb_sf10": spill10,
+            "explanation": expl}
+        if expl.startswith("UNEXPLAINED"):
+            viol.append(f"{q}: second-decade bend unexplained "
+                        f"(wall {g2}x, work {work_growth}x, sat {sat10})")
     if c["skew_joins_marked"] > 0:
         viol.append(f"{q}: skew marker at sf10")
     if c["single_partition"] > b["single_partition"]:
