@@ -889,7 +889,7 @@ private[graft] trait QueriesDedup extends QueryShared {
     // slice measures the same curve at constant cost; no-op at sf0.01.
     "minhash_band_recall_curve" -> { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") < 1024)
-      val sh = docs.spread(col("doc_id"))
+      val sh = docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
         .cache() // read twice: the distinct-shingle table and the agg join
@@ -1031,7 +1031,7 @@ private[graft] trait QueriesDedup extends QueryShared {
       val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.8)
         .select(col("id1"), col("id2"))
-      val cnt = docs.spread(col("doc_id"))
+      val cnt = docs.repartition(col("doc_id"))
         .select(col("doc_id"), explode(Dedup.tokens(col("text")))
           .as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -1107,7 +1107,7 @@ private[graft] trait QueriesDedup extends QueryShared {
       // removes BOTH string shuffles (the distinct and the gram join):
       // after this select, every downstream exchange carries only longs.
       val sampled = Tables.documents(s, d)
-        .spread(col("doc_id"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
         // shingles() is array_distinct per doc, so (doc_id, g) needs no
@@ -1145,7 +1145,7 @@ private[graft] trait QueriesDedup extends QueryShared {
     "winnowing_fingerprints" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
-        .spread(col("doc_id"))
+        .repartition(col("doc_id"))
         .withColumn("t", graft.ops.Dedup.tokens(col("text")))
         .filter(size(col("t")) >= 3)
       // Per-occurrence hashing (VERDICT r10 #2): the r10 distinct-gram

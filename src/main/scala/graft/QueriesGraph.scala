@@ -767,7 +767,7 @@ private[graft] trait QueriesGraph extends QueryShared {
           x => x.getField(s"t${n - 1}").isNotNull),
         x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
       Tables.documents(s, d)
-        .spread(col("doc_id"))
+        .repartition(col("doc_id"))
         .select(col("source"), explode(grams).as("g"))
         .groupBy("source", "g").agg(count(lit(1)).as("c"))
         .groupBy("source")

@@ -17,26 +17,6 @@ private[graft] trait QueryShared {
 
   protected def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** `df.repartition(key)` with the partition count PINNED to the
-    * session's shuffle parallelism. The bare keyed `repartition(col)` is
-    * a silent under-parallelization before an explode: AQE sizes (and
-    * coalesces) the exchange by its PRE-explode bytes, so a
-    * kilobyte-per-doc scan about to blow up 50× into shingles/tokens
-    * lands on 1–2 tasks — measured 1 s/task cpu on the 1024-doc
-    * recall-curve cache build (r14), and at corpus scale the same
-    * advisory-size math under-fans the post-explode work by the blow-up
-    * factor. Pinning to `numShufflePartitions` keeps the fan-out at
-    * cluster parallelism on any corpus (the session conf is the
-    * cluster-sizing knob), which AQE honors: explicit counts are never
-    * coalesced. */
-  protected def spreadBy(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
-
-  /** Chainable form of [[spreadBy]]: `df.spread(col("doc_id"))`. */
-  protected implicit class SpreadOps(df: DataFrame) {
-    def spread(key: Column): DataFrame = spreadBy(df, key)
-  }
-
   /** Per-invocation counter for the streaming query's memory-sink name. */
   protected val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
