@@ -135,11 +135,13 @@ object Profile {
           .count())
       }
     } else if (args.tail.headOption.contains("bandcurve")) {
-      // Stage breakdown of minhash_band_recall_curve (VERDICT r8 #4).
+      // Stage breakdown of minhash_band_recall_curve (VERDICT r8 #4;
+      // r14: 1024-doc cap to match the shipped query).
       import org.apache.spark.sql.functions._
       import graft.ops.Dedup
-      val docs = Tables.documents(spark, sfDir)
-      val sh = docs.repartition(col("doc_id"))
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 1024)
+      val sh = docs.repartition(
+          spark.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
       time("shingle explode")(sh.count())
       val gh = sh.select("g").distinct().select((col("g") +: (0 until 16)

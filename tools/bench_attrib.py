@@ -6,10 +6,13 @@ in-suite best otherwise — bench_diff.py's metric) moved more than 1.5x
 between two bench_full artifacts, collect ONE of:
 
   (a) the commit that changed its code path — auto-detected with
-      `git log <range> -S '"<query>"'` (a query's literal name string
-      appears at its definition and its oracle, so -S finds direct
-      edits); helper-level changes that don't touch the query body are
-      invisible to -S and fall through to (b);
+      `git log <range> -G '"<query>"'` (a query's literal name string
+      appears at its definition and its oracle; -G matches any diff
+      touching such a line, where -S would miss a body rewrite that
+      keeps the occurrence count constant); helper-level changes that
+      don't touch the query body are invisible to -G and fall through
+      to (b) — or to a hand-seeded "commit" entry in attrib.json, which
+      is never overwritten;
   (b) a fresh-session TRIPLE re-measure: three separate JVMs, each the
       r13 solo protocol (min-of-2 passes in a fresh session) — recorded
       verbatim so bench_diff.py can decide whether the old or the new
@@ -92,7 +95,7 @@ for q, p, n, r in movers:
         print(f"[attrib] {q}: already attributed ({list(attrib[q])[0]})")
         continue
     hits = subprocess.run(
-        ["git", "log", "--oneline", git_range, "-S", f'"{q}"'],
+        ["git", "log", "--oneline", git_range, "-G", f'"{q}"'],
         capture_output=True, text=True).stdout.strip().splitlines()
     if hits:
         attrib[q] = {"commit": hits[0]}
