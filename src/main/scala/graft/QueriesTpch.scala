@@ -83,7 +83,7 @@ private[graft] trait QueriesTpch extends QueryShared {
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(c),
+        .join(c,
           o("o_custkey") === c("c_custkey") &&
             c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -118,7 +118,7 @@ private[graft] trait QueriesTpch extends QueryShared {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("2000-03-15 00:00:00").cast("timestamp"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -208,7 +208,7 @@ private[graft] trait QueriesTpch extends QueryShared {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-      li.join(broadcast(Tables.part(s, d)),
+      li.join(Tables.part(s, d),
           col("l_partkey") === col("p_partkey"))
         .withColumn("rev", col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -302,8 +302,8 @@ private[graft] trait QueriesTpch extends QueryShared {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       val vols = li
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_type") === "PROMO").select("p_partkey")),
+        .join(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -342,18 +342,19 @@ private[graft] trait QueriesTpch extends QueryShared {
     // TPC-H Q17 shape (small-quantity revenue): per-part average
     // quantity threshold as the exact integer cross-multiplication
     // 5·qty·n < sum_qty (qty < 0.2·avg ⟺ no floats), brand dim
-    // broadcast, per-part stats re-broadcast onto the fact rows.
+    // auto-broadcast at small SF (unhinted r14 — both the filtered part
+    // list and its per-part stats grow with the corpus).
     "tpch_q17_small_qty" -> { (s, d) =>
       val li = Tables.lineitem(s, d).select(col("l_partkey"),
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      val j = li.join(broadcast(Tables.part(s, d)
-          .filter(col("p_brand") === "Brand#4").select("p_partkey")),
+      val j = li.join(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#4").select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
       val stats = j.groupBy("l_partkey")
         .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
         .select(col("l_partkey").as("sp_key"), col("sum_qty"), col("n"))
-      j.join(broadcast(stats), col("l_partkey") === col("sp_key"))
+      j.join(stats, col("l_partkey") === col("sp_key"))
         .filter(col("qty") * col("n") * 5 < col("sum_qty"))
         .agg(count(lit(1)).as("n_small"),
           coalesce(sum(col("pc")), lit(0L)).as("total_cents"))
@@ -375,7 +376,7 @@ private[graft] trait QueriesTpch extends QueryShared {
           (lit(100L) - round(col("l_discount") * 100).cast("long")))
           .as("vol"))
       val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
             col("qty").between(1, 11)) ||
@@ -446,8 +447,8 @@ private[graft] trait QueriesTpch extends QueryShared {
       regional
         .join(minCost, Seq("l_partkey"))
         .filter(col("cost_cents") === col("min_cents"))
-        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
-          .select(col("p_partkey"), col("p_name"))),
+        .join(Tables.part(s, d).filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_name")),
           col("l_partkey") === col("p_partkey"))
         .select(col("acctbal_cents"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("cost_cents"))
@@ -459,14 +460,15 @@ private[graft] trait QueriesTpch extends QueryShared {
     // TPC-H Q9 shape: profit by (nation, year) for parts whose name
     // carries a color token — revenue side only (no ps_supplycost in
     // this schema), in the Q1-proven DECIMAL arithmetic so both engines
-    // sum identical exact values. The part filter broadcasts and prunes
-    // the fact scan before the supplier/nation joins.
+    // sum identical exact values. The part filter reaches the fact rows
+    // as an auto-broadcast at small SF (unhinted r14 — the side grows
+    // with the corpus) and prunes before the supplier/nation joins.
     "tpch_q9_shaped" -> { (s, d) =>
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val disc = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_name").like("%red%")).select("p_partkey")),
+        .join(Tables.part(s, d)
+          .filter(col("p_name").like("%red%")).select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
@@ -529,6 +531,15 @@ private[graft] trait QueriesTpch extends QueryShared {
     // for the comment LIKE filter), the exclusion as an anti-join rather
     // than NOT IN (the not_in_null_semantics lesson). count_distinct
     // partial-aggregates per node before the final exchange.
+    //
+    // r14: the part join is UNHINTED (as are the other ten part/customer
+    // joins in this family). A forced broadcast(part) is corpus-
+    // proportional — at the sf10 tier it built a ~2M-row hash relation
+    // per run (TPCH_SF10 solo read 35 s vs 7.7 in-tier, pure broadcast-
+    // build + GC variance), and at 100 TB it is a driver OOM. The
+    // optimizer auto-broadcasts the same side at every small SF (file
+    // estimate under the 10 MB threshold) and graduates it to a shuffle
+    // join exactly when it grows — the behavior the scale tier gates on.
     "tpch_q16_shaped" -> { (s, d) =>
       val badSupp = Tables.supplier(s, d)
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
@@ -536,9 +547,9 @@ private[graft] trait QueriesTpch extends QueryShared {
         .select("l_partkey", "l_suppkey")
         .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
           "left_anti")
-        .join(broadcast(Tables.part(s, d)
+        .join(Tables.part(s, d)
           .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
-          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
@@ -562,7 +573,7 @@ private[graft] trait QueriesTpch extends QueryShared {
       val smallParts = Tables.part(s, d)
         .filter(col("p_name").like("small%")).select(col("p_partkey"))
       val qual = Tables.lineitem(s, d)
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(when(year(col("l_shipdate")) === 1998,
             col("l_quantity").cast("long")).otherwise(0L)).as("qty_1998"),
