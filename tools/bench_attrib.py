@@ -68,12 +68,24 @@ def kind(p, n):
            ("solo" if "solo" in n else "suite")
 
 
+# Same uniform-shift normalization as bench_diff.py: when the median
+# per-query ratio departs >10% from 1.0 the whole surface moved with the
+# environment, and mover detection must use the median-normalized ratio
+# or this tool re-measures half the suite for nothing.
+shared = sorted(set(prev) & set(new))
+all_ratios = sorted(graded(new[q]) / graded(prev[q]) for q in shared
+                    if graded(prev[q]) > 0 and graded(new[q]) > 0)
+med = all_ratios[len(all_ratios) // 2] if all_ratios else 1.0
+norm = med if abs(med - 1.0) > 0.10 else 1.0
+if norm != 1.0:
+    print(f"[attrib] uniform shift: median ratio {med:.3f} -> normalizing")
+
 movers = []
-for q in sorted(set(prev) & set(new)):
+for q in shared:
     p, n = graded(prev[q]), graded(new[q])
     if p <= 0 or n <= 0 or max(p, n) < 0.5:
         continue
-    r = n / p
+    r = n / p / norm
     if (r >= 1.5 or r <= 1 / 1.5) and kind(prev[q], new[q]) != "solo->suite":
         movers.append((q, p, n, r))
 
@@ -94,8 +106,12 @@ for q, p, n, r in movers:
     if q in attrib and ("commit" in attrib[q] or "remeasure" in attrib[q]):
         print(f"[attrib] {q}: already attributed ({list(attrib[q])[0]})")
         continue
+    # Restrict to the query-defining sources: -G over the whole tree
+    # also matches artifact JSON / session logs / the scratch profiler,
+    # which all quote query names without being their code path.
     hits = subprocess.run(
-        ["git", "log", "--oneline", git_range, "-G", f'"{q}"'],
+        ["git", "log", "--oneline", git_range, "-G", f'"{q}"', "--",
+         "src/main/scala/graft", ":(exclude)src/main/scala/graft/Profile.scala"],
         capture_output=True, text=True).stdout.strip().splitlines()
     if hits:
         attrib[q] = {"commit": hits[0]}
@@ -106,6 +122,11 @@ for q, p, n, r in movers:
 if need_remeasure:
     print(f"[attrib] remeasuring {len(need_remeasure)} queries "
           f"(3 fresh JVMs each, min-of-2 per JVM) on {sf_dir}...")
+# Only regression-direction movers gate the close (bench_diff fails on
+# an unattributed REGRESSION; an unattributed improvement is labeled but
+# not fatal — correctness has its own gate), so only they are worth
+# three JVMs each.
+need_remeasure = [(q, p, n, r) for q, p, n, r in need_remeasure if r > 1]
 for q, p, n, r in need_remeasure:
     if dry:
         print(f"[attrib] {q}: would remeasure ({p:.2f}->{n:.2f}, {r:.2f}x)")
