@@ -60,6 +60,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Locale-independent formatting: f"" interpolators use the JVM default
+    // locale, which under a comma-decimal locale would print "1,234" and
+    // corrupt the JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // a failed run records -1, and the min below only folds SUCCESSFUL
     // times — a query that succeeds slowly in one pass and fails fast in
     // another must report the real measurement, not the time-to-failure;
@@ -72,6 +77,122 @@ object Bench {
         catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // ---- Pre-flight (VERDICT r14 #5) -----------------------------------
+    // Two rounds lost measurement fidelity to conditions detectable at RUN
+    // time: r13 shipped numbers contaminated by a stale DuckDB oracle
+    // burning ~3 cores for hours, and r14's absolutes moved +36% on an
+    // undetected box shift — both were caught at DIFF time, after the
+    // round's wall-clock was spent. Detect both up front:
+    //  (a) competing-process scan: any live process whose command line
+    //      names graft / sbt / duckdb and that is NOT this JVM's ancestor
+    //      or descendant is sharing the box with the measurement;
+    //  (b) 5-query canary: stable sub-1.5s production queries re-measured
+    //      min-of-2 and compared to the committed reference reading
+    //      (tools/canary_ref.json, same sfDir+cpus) — a >10% median
+    //      departure on code-stable queries is the box moving, not the
+    //      code.
+    // Findings are stamped into bench_full (the grader's artifact) and
+    // printed as a "metric":"preflight" line. SPARK_GRAFT_PREFLIGHT=
+    // strict refuses (exit 7) — for interactive/controlled runs; the
+    // default only flags, because the driver's own bench run must record
+    // SOMETHING even on a busy box (a flagged artifact beats none).
+    // SPARK_GRAFT_PREFLIGHT=off skips entirely (scale harnesses time
+    // subsets on scratch corpora where the ref is meaningless).
+    val preflightMode = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT", "flag")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ") + "\""
+    val competing: Seq[String] =
+      if (preflightMode == "off") Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        import scala.jdk.OptionConverters._
+        val self = ProcessHandle.current()
+        val kin = scala.collection.mutable.Set(self.pid)
+        var p = self.parent()
+        while (p.isPresent) { kin += p.get.pid; p = p.get.parent() }
+        self.descendants().iterator().asScala.foreach(kin += _.pid)
+        // Match actual compute competitors only: the DuckDB oracle
+        // (python, `duckdb` / tools/compare_oracle.py in argv), another
+        // sbt/scala build JVM, or another graft main (`graft.Bench` etc.).
+        // A bare `graft` would false-positive on this session's own
+        // harness processes (log tees under ~/.graft, prompt files named
+        // graft_*), which are siblings, not ancestors — the trailing dot
+        // keeps the match to fully-qualified graft.* class names.
+        val rx = "(?i)(duckdb|compare_oracle|sbt-launch|xsbt|graft\\.)".r
+        ProcessHandle.allProcesses().iterator().asScala
+          .filterNot(h => kin.contains(h.pid))
+          .flatMap(h => h.info().commandLine().toScala.map(h.pid -> _))
+          .filter { case (_, cmd) => rx.findFirstIn(cmd).isDefined }
+          .map { case (pid, cmd) => s"pid $pid: ${cmd.take(120)}" }
+          .toList
+      }
+    // Canary only on full-suite runs (BENCH_ONLY subsets are iteration /
+    // scale-harness runs on arbitrary corpora) unless explicitly forced.
+    val canaryNames = Seq("dedup_exact_survivors", "interarrival_stats",
+      "krippendorff_alpha_components", "tpch_q17_small_qty", "twap_daily")
+    val canaryWanted = preflightMode != "off" &&
+      (only.isEmpty || sys.env.contains("SPARK_GRAFT_CANARY")) &&
+      canaryNames.forall(SparkEntry.queries.contains)
+    val canaryRefPath = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF",
+      "tools/canary_ref.json")
+    var canaryJson = "null"
+    var canaryDeparture = 0.0
+    if (canaryWanted) {
+      val meas = canaryNames.map(n => n -> math.min(timeOne(n), timeOne(n)))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val refFile = new java.io.File(canaryRefPath)
+      if (sys.env.contains("SPARK_GRAFT_CANARY_RECORD")) {
+        val commit = try {
+          val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .start()
+          val out = new String(pr.getInputStream.readAllBytes()).trim
+          pr.waitFor(); out
+        } catch { case _: Throwable => "unknown" }
+        val qjson = meas.map { case (n, v) => jstr(n) + ":" + sec(v) }
+          .mkString("{", ",", "}")
+        val w = new java.io.PrintWriter(canaryRefPath)
+        try w.println(s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"commit":${jstr(commit)},"queries":$qjson}""")
+        finally w.close()
+        canaryJson = s"""{"recorded":true,"queries":${
+          meas.map { case (n, v) => jstr(n) + ":" + sec(v) }
+            .mkString("{", ",", "}")}}"""
+      } else if (!refFile.exists()) {
+        canaryJson = s"""{"skipped":"no reference at $canaryRefPath"}"""
+      } else {
+        val ref = om.readTree(refFile)
+        if (ref.get("sf").asText() != sfDir ||
+            ref.get("cpus").asInt() != cpus.toInt) {
+          canaryJson = s"""{"skipped":"reference is for ${
+            ref.get("sf").asText()}@${ref.get("cpus").asInt()} cores, run is $sfDir@$cpus"}"""
+        } else {
+          val ratios = meas.flatMap { case (n, v) =>
+            Option(ref.get("queries").get(n))
+              .map(r => n -> (v / r.asDouble())).filter(_._2 > 0)
+          }
+          val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+          canaryDeparture = math.abs(med - 1.0)
+          canaryJson = s"""{"median_ratio":${sec(med)},"ref_commit":${
+            jstr(ref.get("commit").asText())},"queries":${
+            ratios.map { case (n, r) => jstr(n) + ":" + sec(r) }
+              .mkString("{", ",", "}")}}"""
+        }
+      }
+    }
+    if (preflightMode != "off") {
+      val compJson = competing.map(jstr).mkString("[", ",", "]")
+      println(s"""{"metric":"preflight","competing":$compJson,"canary":$canaryJson}""")
+      val bad = competing.nonEmpty || canaryDeparture > 0.10
+      if (bad) System.err.println(
+        s"[bench-preflight] WARNING: ${competing.size} competing process(es); " +
+        f"canary departure ${canaryDeparture * 100}%.1f%% — numbers may not be comparable round-over-round")
+      if (bad && preflightMode == "strict") {
+        System.err.println("[bench-preflight] strict mode: refusing to bench")
+        spark.stop()
+        sys.exit(7)
+      }
+    }
+    val preflightJson =
+      s"""{"competing":${competing.map(jstr).mkString("[", ",", "]")},"canary":$canaryJson}"""
+    // --------------------------------------------------------------------
     val samples = scala.collection.mutable.Map(
       names.map(_ -> List.empty[Double]): _*)
     for (_ <- 1 to passes; name <- names)
@@ -120,11 +241,6 @@ object Bench {
       val ok = List(a, b).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
-    // Locale-independent formatting: f"" interpolators use the JVM default
-    // locale, which under a comma-decimal locale would print "1,234" and
-    // corrupt the JSON.
-    def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = names.map(k => s"\"" + k + "\":" + sec(best(k)))
       .mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
@@ -186,7 +302,7 @@ object Bench {
           solo.get(n).map(v => s""""solo": ${sec(v)}, """).getOrElse("")
         s"""  "$n": {"best": ${sec(best(n))}, $soloField"spread": ${sec(spread(n))}, "tier": "${tierOf(n)}", "samples": $raw}"""
       }.mkString(",\n")
-      s"""{"sf":"$sfDir","passes":$passes,"total_sec":${sec(total)},"total_solo_adjusted":${sec(totalSolo)},"solo_threshold":${sec(soloThreshold)},"failed":$failedJson,"queries":{\n$entries\n}}"""
+      s"""{"sf":"$sfDir","passes":$passes,"total_sec":${sec(total)},"total_solo_adjusted":${sec(totalSolo)},"solo_threshold":${sec(soloThreshold)},"failed":$failedJson,"preflight":$preflightJson,"queries":{\n$entries\n}}"""
     }
     try {
       val w = new java.io.PrintWriter(fullOut)

@@ -889,48 +889,45 @@ private[graft] trait QueriesDedup extends QueryShared {
     // slice measures the same curve at constant cost; no-op at sf0.01.
     "minhash_band_recall_curve" -> { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") < 1024)
-      val sh = docs.repartition(col("doc_id"))
+      // Occurrence-direct hashing (r15, VERDICT r14 #3): the r9
+      // distinct-shingle collapse (distinct → 16 md5s per DISTINCT
+      // shingle → shuffle_hash join back) paid for itself when this
+      // query shingled the whole 5k-doc corpus — 16 s of per-occurrence
+      // md5 down to 1-2 s. Under the r12 1024-doc audit cap the
+      // occurrence stream is ~53k rows ≈ 850k md5s, well under a second
+      // of distributed CPU, while the collapse's distinct + join kept
+      // costing 4-6 SCHEDULED STAGES — and r14 profiling pinned this
+      // query's remaining cost on stage count, not hashing. Hash per
+      // occurrence again: same md5/xxhash values, same mins, and the
+      // whole signature pipeline is scan → one exchange → one agg.
+      // The repartition keys the exchange on doc_id so the groupBy
+      // below reuses the partitioning instead of adding its own.
+      val per = docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
-        .cache() // read twice: the distinct-shingle table and the agg join
-      // distinct-shingle collapse (the simhash lesson): the 3-gram
-      // DOMAIN is thousands while (doc, shingle) occurrences are
-      // millions — hashing 16 md5s per occurrence benched 16 s at
-      // sf0.1; per distinct shingle + a broadcast join back, 1-2 s.
-      // Values identical. Round-9 (VERDICT r8 #4): the distinct-shingle
-      // frame also carries an xxhash64 key (`xh`) so the GOLD referee
-      // below derives from the SAME hashed-shingle subplan instead of
-      // re-shingling the corpus inside minhashExactPairs — one text
-      // scan and one shingling pass feed the curve, the gold banding,
-      // and the exact-Jaccard verification.
-      val gh = sh.select("g").distinct().select((col("g") +: (0 until 16)
-        .map(i => Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
-          .bitwiseAND(lit(Long.MaxValue)).as(s"h$i"))) :+
-          xxhash64(col("g")).as("xh"): _*)
-      // ONE fused per-doc aggregation (the r9 wall-clock fix: the old
-      // shape ran the occurrence pipeline once per downstream consumer —
-      // 4 candidate configs + gold sigs + verify arrays ≈ 6 heavy passes;
-      // 7.3 s at sf0.1). `per` carries the 16 md5 curve signatures, the
-      // 16 xxhash gold signatures, AND the distinct-shingle set in one
-      // 5k-row cached frame, so everything after this line is joins over
-      // driver-tiny data.
-      // SHUFFLE_HASH, not broadcast: `gh` is the distinct-shingle domain
-      // — corpus-proportional, so a driver-pinned broadcast is the
-      // r10-#2 hazard class (and at sf0.1 the 17-hash payload already
-      // exceeds the auto-broadcast threshold, where an unhinted join
-      // fell to a sort-merge that re-sorted the full occurrence stream:
-      // 5.4 → 12 s in-suite). Hash-partitioning both sides on g keeps
-      // the distinct-collapse md5 amortization, no sort, no driver state.
-      val per = sh.join(gh.hint("shuffle_hash"), "g").groupBy("doc_id").agg(
-        min(col("h0")).as("s0"),
-        ((1 until 16).map(i => min(col(s"h$i")).as(s"s$i")) ++
-          (0 until 16).map(i =>
-            min(xxhash64(lit(i), col("xh"))).as(s"sig_$i")) :+
-          collect_set(col("xh")).as("hs")): _*).cache()
-      // All four banding configs in ONE self-join: 15 (config, band)
-      // keys per doc exploded together, equality-joined on
-      // (config, band, key), one distinct — replaces 4 separate
-      // join+distinct subplans and their union.
+        .select(col("doc_id") +: ((0 until 16)
+          .map(i => Dedup.md5Hash64(concat(lit(s"mh$i|"), col("g")))
+            .bitwiseAND(lit(Long.MaxValue)).as(s"h$i")) :+
+          xxhash64(col("g")).as("xh")): _*)
+        .groupBy("doc_id").agg(
+          min(col("h0")).as("s0"),
+          ((1 until 16).map(i => min(col(s"h$i")).as(s"s$i")) ++
+            (0 until 16).map(i =>
+              min(xxhash64(lit(i), col("xh"))).as(s"sig_$i")) :+
+            collect_set(col("xh")).as("hs")): _*).cache()
+      // ALL FIVE banding arms in ONE self-join (r15, VERDICT r14 #3):
+      // the 15 curve (config, band) keys AND the gold referee's 8
+      // bands — previously a separate Dedup.minhashCandidates subplan
+      // (its own explode + self-join + distinct, ~4 extra stages on a
+      // query whose cost is pure stage-count overhead at the 1024-doc
+      // audit cap) — explode together, equality-join on
+      // (config, band, key), one distinct. Gold's band key is
+      // concat_ws over the same (sig_{2j}, sig_{2j+1}) pairs
+      // minhashCandidates hashes with xxhash64: sig-equality produces
+      // candidates identically under both (concat of decimal longs
+      // with a separator is injective; the only divergence would be an
+      // xxhash64 COLLISION pair, which the exact-Jaccard verify below
+      // would discard anyway), so the gold set is unchanged.
       val bandConfigs = Seq((1, 16), (2, 8), (4, 4), (8, 2))
       val keys = array(bandConfigs.flatMap { case (bands, rows) =>
         (0 until bands).map(j => struct(
@@ -938,31 +935,35 @@ private[graft] trait QueriesDedup extends QueryShared {
           concat_ws(",",
             (j * rows until (j + 1) * rows).map(x => col(s"s$x")): _*)
             .as("bk")))
-      }: _*)
+      } ++ (0 until 8).map(j => struct(
+        lit("gold").as("cfg"), lit(j).as("bi"),
+        concat_ws(",", col(s"sig_${2 * j}"), col(s"sig_${2 * j + 1}"))
+          .as("bk"))): _*)
       val b = per.select(col("doc_id"), explode(keys).as("e"))
         .select(col("doc_id"), col("e.cfg").as("config"),
           col("e.bi").as("bi"), col("e.bk").as("bk"))
+      // cached: the pair set now feeds BOTH the gold referee and the
+      // curve aggregation — without it the self-join runs twice.
       val cand = b.select(col("doc_id").as("id1"), col("config"),
           col("bi"), col("bk"))
         .join(b.select(col("doc_id").as("id2"), col("config"),
           col("bi"), col("bk")), Seq("config", "bi", "bk"))
         .filter(col("id1") < col("id2"))
         .select("config", "id1", "id2").distinct()
+        .cache()
       // Gold referee = minhashExactPairs' semantics (k=16/b=8 banded
-      // candidates + exact Jaccard ≥ 0.8) rebuilt over the shared `per`
-      // frame. The signature hash family differs from hashedShingles'
+      // candidates + exact Jaccard ≥ 0.8) over the shared `per` frame.
+      // The signature hash family differs from hashedShingles'
       // struct-field hashing (xxhash64 of the shingle STRING here),
       // which is result-neutral for the same reason the original was:
       // gold is the exact-Jaccard-verified set, candidate banding only
       // risks missing a true pair with the same vanishing probability
       // under either injective family (near-dups sit at s≈0.97 →
       // per-pair miss ~(1−0.97²)⁸ ≈ 1e-10).
-      val gcand = Dedup.minhashCandidates(per.select(
-        col("doc_id") +: (0 until 16).map(i => col(s"sig_$i")): _*),
-        "doc_id", k = 16, bands = 8)
       // gold feeds the referee join AND the n_gold scalar — cache so the
-      // banding + exact-verify subplan runs once.
-      val gold = gcand
+      // exact-verify subplan runs once.
+      val gold = cand.filter(col("config") === "gold")
+        .select(col("id1"), col("id2"))
         .join(per.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
         .join(per.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
         .filter(size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
@@ -970,7 +971,8 @@ private[graft] trait QueriesDedup extends QueryShared {
         .select(col("id1"), col("id2")).withColumn("in_gold", lit(1))
         .cache()
       val ng = gold.agg(count(lit(1)).as("n_gold"))
-      cand.join(gold, Seq("id1", "id2"), "left")
+      cand.filter(col("config") =!= "gold")
+        .join(gold, Seq("id1", "id2"), "left")
         .groupBy("config")
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("in_gold").isNotNull, 1L).otherwise(0L))

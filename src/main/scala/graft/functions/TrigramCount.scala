@@ -81,6 +81,12 @@ object TrigramOps {
       c0 = c1; c1 = c2; c2 = cp
       seen += 1
       if (seen >= 3) {
+        // Full-table bail (ADVICE r14): past the 2^30-slot clamp the load
+        // factor can reach 1.0 (a >2^30-char string with >2^30 distinct
+        // trigrams), at which point a linear probe for a NEW key never
+        // finds an empty slot — degrade to the capped count instead of a
+        // spinning task. (count == cap ⇒ every slot is occupied.)
+        if (count == cap) return count
         val key = ((c0.toLong << 42) | (c1.toLong << 21) | c2.toLong) + 1L
         // Fibonacci mix, then linear probe.
         var idx = ((key * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask

@@ -59,19 +59,28 @@ object TpchScaleBench {
     val spill = new java.util.concurrent.atomic.AtomicLong
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
-    def reset(): Unit = { spill.set(0); runMs.set(0); gcMs.set(0) }
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = {
+      spill.set(0); runMs.set(0); gcMs.set(0); rowsRead.set(0)
+    }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         runMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
+        // source-scan records only (not shuffle reads): the per-row-WORK
+        // denominator (VERDICT r14 #1) — at a 10x tier the same query
+        // reads 10x the rows, so task_sec/rows_read per decade isolates
+        // per-row work inflation from data growth.
+        rowsRead.addAndGet(m.inputMetrics.recordsRead)
       }
     }
   }
 
   private case class Meas(sec: Double, skew: Int, single: Int, bcast: Int,
-      spillMb: Double, taskSec: Double, saturation: Double, gcSec: Double)
+      spillMb: Double, taskSec: Double, saturation: Double, gcSec: Double,
+      rowsRead: Long)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -152,7 +161,8 @@ object TpchScaleBench {
         spillMb = res.spill.get() / 1e6,
         taskSec = res.runMs.get() / 1e3,
         saturation = res.runMs.get() / 1e3 / (sec * cpus.toInt),
-        gcSec = res.gcMs.get() / 1e3)
+        gcSec = res.gcMs.get() / 1e3,
+        rowsRead = res.rowsRead.get())
     }
 
     def s3(v: Double) =
@@ -209,7 +219,7 @@ object TpchScaleBench {
         s""""skew_joins_marked":${m.skew},"single_partition":${m.single},""" +
         s""""bcast_joins":${m.bcast},"spill_mb":${s3(m.spillMb)},""" +
         s""""task_sec":${s3(m.taskSec)},"saturation":${s3(m.saturation)},""" +
-        s""""gc_sec":${s3(m.gcSec)}}""")
+        s""""gc_sec":${s3(m.gcSec)},"rows_read":${m.rowsRead}}""")
     }
     cur.stop()
     // a tier with failures must fail the harness loudly — a missing

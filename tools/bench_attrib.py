@@ -68,17 +68,29 @@ def kind(p, n):
            ("solo" if "solo" in n else "suite")
 
 
-# Same uniform-shift normalization as bench_diff.py: when the median
-# per-query ratio departs >10% from 1.0 the whole surface moved with the
-# environment, and mover detection must use the median-normalized ratio
-# or this tool re-measures half the suite for nothing.
+# Same uniform-shift normalization as bench_diff.py — and the same
+# evidence requirement (ADVICE r14): the median is only a valid baseline
+# when attrib.json already carries "__environment__" evidence (prev-round
+# code or the code-stable canary set re-measured on the current box,
+# tools/env_canary.sh). Without it a shared-operator regression could
+# shift the median and silently exempt itself from collection here; so
+# un-evidenced shifts collect movers on the RAW ratio (over-collecting is
+# the safe direction for the collector — bench_diff owns the verdict).
 shared = sorted(set(prev) & set(new))
 all_ratios = sorted(graded(new[q]) / graded(prev[q]) for q in shared
                     if graded(prev[q]) > 0 and graded(new[q]) > 0)
 med = all_ratios[len(all_ratios) // 2] if all_ratios else 1.0
-norm = med if abs(med - 1.0) > 0.10 else 1.0
-if norm != 1.0:
-    print(f"[attrib] uniform shift: median ratio {med:.3f} -> normalizing")
+attrib_pre = json.load(open(attrib_path)) if os.path.exists(attrib_path) else {}
+norm = 1.0
+if abs(med - 1.0) > 0.10:
+    if "__environment__" in attrib_pre:
+        norm = med
+        print(f"[attrib] uniform shift: median ratio {med:.3f} -> "
+              f"normalizing (environment evidence present)")
+    else:
+        print(f"[attrib] uniform shift: median ratio {med:.3f} but NO "
+              f"__environment__ evidence -> collecting on RAW ratios "
+              f"(run tools/env_canary.sh first to avoid over-collection)")
 
 movers = []
 for q in shared:
@@ -103,7 +115,8 @@ print(f"[attrib] {len(movers)} movers; git range {git_range}")
 
 need_remeasure = []
 for q, p, n, r in movers:
-    if q in attrib and ("commit" in attrib[q] or "remeasure" in attrib[q]):
+    if q in attrib and ("commit" in attrib[q] or "remeasure" in attrib[q]
+                        or "environment" in attrib[q]):
         print(f"[attrib] {q}: already attributed ({list(attrib[q])[0]})")
         continue
     # Restrict to the query-defining sources: -G over the whole tree

@@ -70,21 +70,39 @@ print(f"shared surface: {len(shared)} queries, in-suite "
 # median 1.32 with IQR 1.17–1.50 on a round whose canary re-measures
 # matched r13), per-query labels must be read against that baseline or
 # the diff drowns in environment noise. Movers are therefore labeled on
-# the MEDIAN-NORMALIZED ratio once the median departs >10% from 1.0;
-# both ratios are printed, and the shift itself is reported up front so
-# the grader sees the environment delta explicitly instead of as 80
-# phantom regressions.
+# the MEDIAN-NORMALIZED ratio once the median departs >10% from 1.0 —
+# but ONLY with measured evidence that the shift IS environmental
+# (ADVICE r14): a shared-operator change slowing most of the suite ~1.3x
+# would shift the median identically, and unconditional normalization
+# would erase exactly the regression this gate exists to catch. The
+# evidence is attrib.json's "__environment__" entry: prev-round code (or
+# the code-stable canary set) re-measured on the CURRENT box, reproducing
+# the shift (tools/env_canary.sh collects it). Without it, movers are
+# labeled on the RAW ratio and --strict refuses (exit 6) until the
+# evidence is produced.
 all_ratios = sorted(
     graded(new[q]) / graded(prev[q]) for q in shared
     if graded(prev[q]) > 0 and graded(new[q]) > 0)
 med = all_ratios[len(all_ratios) // 2] if all_ratios else 1.0
-norm = med if abs(med - 1.0) > 0.10 else 1.0
-if norm != 1.0:
+norm = 1.0
+shift_unevidenced = False
+if abs(med - 1.0) > 0.10:
     q1 = all_ratios[len(all_ratios) // 4]
     q3 = all_ratios[3 * len(all_ratios) // 4]
-    print(f"UNIFORM SHIFT: median per-query ratio {med:.3f} "
-          f"(IQR {q1:.3f}-{q3:.3f}) -> movers labeled on "
-          f"median-normalized ratio")
+    env_ev = attrib.get("__environment__")
+    if env_ev:
+        norm = med
+        print(f"UNIFORM SHIFT: median per-query ratio {med:.3f} "
+              f"(IQR {q1:.3f}-{q3:.3f}) -> movers labeled on "
+              f"median-normalized ratio [environment evidence: "
+              f"{env_ev.get('source', '?')}, measured shift "
+              f"{env_ev.get('median_ratio', '?')}]")
+    else:
+        shift_unevidenced = True
+        print(f"UNIFORM SHIFT DETECTED: median per-query ratio {med:.3f} "
+              f"(IQR {q1:.3f}-{q3:.3f}) but attrib has NO __environment__ "
+              f"evidence -> NOT normalized; movers labeled on raw ratios. "
+              f"Run tools/env_canary.sh to collect the evidence.")
 if added:
     print(f"added ({len(added)}): " +
           ", ".join(f"{q}={graded(new[q]):.2f}s" for q in added))
@@ -118,8 +136,9 @@ for r, q, p, n, tier, kind in sorted(movers, reverse=True):
             # rebuilt and re-measured on the current box and reproduces
             # the new reading — the mover is the environment, full stop
             tag = "env-shift"
+            e = a["environment"]
             note = f" [prev-round code on today's box: " \
-                   f"{a['environment'].get('r13_code_on_today_box_sec')}s]"
+                   f"{e.get('prev_code_on_today_box_sec', e.get('r13_code_on_today_box_sec'))}s]"
         elif a and "commit" in a:
             note = f" [commit: {a['commit']}]"
         elif a and "remeasure" in a:
@@ -161,3 +180,7 @@ if unattributed:
           f"commit or a bracketing re-measure: {', '.join(unattributed)}")
     if strict:
         sys.exit(5)
+if shift_unevidenced and strict:
+    print("ATTRIBUTION GATE: uniform shift without __environment__ "
+          "evidence — collect it (tools/env_canary.sh) before closing")
+    sys.exit(6)

@@ -30,6 +30,11 @@ OUT="${1:-SCALE_STREAM_r14.json}"
 LINES=$(SPARK_GRAFT_CPUS=32 sbt -batch \
   "Test/runMain graft.StreamScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 /root/repo/tmp-sf10" \
   | grep '"op"' | sed 's/^\[info\] //' || true)
+# `|| true` above keeps a grep-no-match from aborting before we can say
+# why — but an EMPTY capture means sbt/StreamScaleBench crashed, and the
+# Python aggregator would happily write an artifact with empty "ops" and
+# exit 0, masking a harness failure as produced evidence (ADVICE r14).
+[ -n "$LINES" ] || { echo "[scale-stream] bench produced no op lines — sbt/StreamScaleBench failed" >&2; exit 1; }
 
 LINES="$LINES" python3 - "$OUT" <<'EOF'
 import json, os, sys

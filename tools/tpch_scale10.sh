@@ -121,7 +121,13 @@ for q in qs:
         sat10 = c.get("saturation") or 0
         spill10 = c.get("spill_mb") or 0
         gc10 = c.get("gc_sec") or 0
-        if sat10 >= 0.55:
+        # ADVICE r14: saturation >= 0.55 used to bless a bend outright,
+        # but at 0.55 nearly half the box is idle — only ~0.8+ actually
+        # means wall cannot beat work/cores. Below that the bend is benign
+        # ONLY when work growth tracks wall growth (the fall-through
+        # check); a partially-saturated bend whose work did NOT grow is a
+        # scheduling/serialization regression and must stay UNEXPLAINED.
+        if sat10 >= 0.8:
             expl = f"compute-saturated (saturation {sat10})"
         elif spill10 >= 100:
             expl = f"spill ({spill10} MB)"
@@ -130,8 +136,9 @@ for q in qs:
         elif work_growth is not None and work_growth <= g2 / 2:
             expl = "UNEXPLAINED: wall bent without matching work growth"
         else:
-            expl = (f"work-proportional (task_sec grew {work_growth}x; "
-                    "wall follows work on a fixed box as idle cores run out)")
+            expl = (f"work-proportional (task_sec grew {work_growth}x at "
+                    f"saturation {sat10}; wall follows work on a fixed box "
+                    "as idle cores run out)")
         out["queries"][q]["bend_note"] = {
             "wall_growth": g2, "work_growth": work_growth,
             "saturation_sf10": sat10, "spill_mb_sf10": spill10,
