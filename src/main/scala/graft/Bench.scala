@@ -137,7 +137,14 @@ object Bench {
     var canaryJson = "null"
     var canaryDeparture = 0.0
     if (canaryWanted) {
-      val meas = canaryNames.map(n => n -> math.min(timeOne(n), timeOne(n)))
+      // min-of-3: single canary readings proved page-cache-sensitive
+      // (dedup_exact_survivors read 1.18s with documents.parquet evicted
+      // by a just-written 60M-row corpus vs 0.68s warm) — the min of
+      // three separated attempts is the least-contaminated reading.
+      val meas = canaryNames.map { n =>
+        val ok = Seq(timeOne(n), timeOne(n), timeOne(n)).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }.filter(_._2 >= 0)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val refFile = new java.io.File(canaryRefPath)
       if (sys.env.contains("SPARK_GRAFT_CANARY_RECORD")) {
@@ -168,19 +175,26 @@ object Bench {
             Option(ref.get("queries").get(n))
               .map(r => n -> (v / r.asDouble())).filter(_._2 > 0)
           }
-          val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
-          canaryDeparture = math.abs(med - 1.0)
-          canaryJson = s"""{"median_ratio":${sec(med)},"ref_commit":${
-            jstr(ref.get("commit").asText())},"queries":${
-            ratios.map { case (n, r) => jstr(n) + ":" + sec(r) }
-              .mkString("{", ",", "}")}}"""
+          if (ratios.isEmpty) {
+            canaryJson = """{"skipped":"no successful canary readings"}"""
+          } else {
+            val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+            canaryDeparture = math.abs(med - 1.0)
+            canaryJson = s"""{"median_ratio":${sec(med)},"ref_commit":${
+              jstr(ref.get("commit").asText())},"queries":${
+              ratios.map { case (n, r) => jstr(n) + ":" + sec(r) }
+                .mkString("{", ",", "}")}}"""
+          }
         }
       }
     }
     if (preflightMode != "off") {
       val compJson = competing.map(jstr).mkString("[", ",", "]")
       println(s"""{"metric":"preflight","competing":$compJson,"canary":$canaryJson}""")
-      val bad = competing.nonEmpty || canaryDeparture > 0.10
+      // 0.15, not 0.10: the median-of-5 still carries ±10% of page-cache
+      // and codegen jitter on a QUIET box (observed same-day medians
+      // 0.85–1.07 across clean runs); 15% is outside that envelope.
+      val bad = competing.nonEmpty || canaryDeparture > 0.15
       if (bad) System.err.println(
         s"[bench-preflight] WARNING: ${competing.size} competing process(es); " +
         f"canary departure ${canaryDeparture * 100}%.1f%% — numbers may not be comparable round-over-round")

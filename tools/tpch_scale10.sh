@@ -27,9 +27,21 @@
 # Usage: tools/tpch_scale10.sh [outJson] [onlyTierLabel]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-TPCH_SF10_r14.json}"
+OUT="${1:-TPCH_SF10_r15.json}"
 ONLY="${2:-}"
+# Optional work-probe artifact (tools/tpch_work.sh): supplies the
+# contention/GC decomposition that can bless a super-linear per-row
+# TASK-time decade (VERDICT r14 #1).
+WORK_JSON="${TPCH_WORK_JSON:-TPCH_WORK_r15.json}"
 
+# r15 (VERDICT r14 #2): the first tier used to be the driver's own
+# sf0.1 tables, making the sf0.1->sf1 step a FIXTURE change (different
+# generator, layout, file/row-group structure — task_sec jumped 19-55x
+# across it), not a scale step. All three tiers now come from the same
+# replica generator (1 / 10 / 100 replicas of the driver tables), so
+# both decades compare like with like.
+[ -e /root/repo/tmp-tpch-sf01/lineitem.parquet ] || \
+  sbt -batch "Test/runMain graft.GenTpchScale /root/repo/tmp-tpch-sf01 1"
 [ -e /root/repo/tmp-tpch-sf1/lineitem.parquet ] || \
   sbt -batch "Test/runMain graft.GenTpchScale /root/repo/tmp-tpch-sf1 10"
 [ -e /root/repo/tmp-tpch-sf10/lineitem.parquet ] || \
@@ -42,12 +54,16 @@ run_tier() { # dir label
     | grep '"label"' | sed 's/^\[info\] //' > "/tmp/tpch_tier_$2.jsonl"
 }
 
-if [ -z "$ONLY" ] || [ "$ONLY" = "sf0.1" ]; then run_tier /root/testdata/sf0.1 sf0.1; fi
+if [ -z "$ONLY" ] || [ "$ONLY" = "sf0.1" ]; then run_tier /root/repo/tmp-tpch-sf01 sf0.1; fi
 if [ -z "$ONLY" ] || [ "$ONLY" = "sf1" ];   then run_tier /root/repo/tmp-tpch-sf1 sf1; fi
 if [ -z "$ONLY" ] || [ "$ONLY" = "sf10" ];  then run_tier /root/repo/tmp-tpch-sf10 sf10; fi
 
-python3 - "$OUT" <<'EOF'
-import json, sys
+WORK_JSON="$WORK_JSON" python3 - "$OUT" <<'EOF'
+import json, os, sys
+
+work = {}
+if os.path.exists(os.environ.get("WORK_JSON", "")):
+    work = json.load(open(os.environ["WORK_JSON"])).get("queries", {})
 
 def parse(label):
     rows = {}
@@ -68,7 +84,8 @@ def graded(r):
 
 t01, t1, t10 = parse("sf0.1"), parse("sf1"), parse("sf10")
 qs = sorted(t01)
-out = {"fixture": {"sf0.1": "/root/testdata/sf0.1 (driver tables)",
+out = {"fixture": {"sf0.1": "tmp-tpch-sf01 (1 replica — same generator/"
+                            "layout as the upper tiers, VERDICT r14 #2)",
                    "sf1": "tmp-tpch-sf1 (10 key-shifted replicas)",
                    "sf10": "tmp-tpch-sf10 (100 key-shifted replicas, ~60M lineitem)"},
        "note": ("growth graded on min(in-tier best, fresh-session solo) "
@@ -109,7 +126,34 @@ for q in qs:
                        (("sf0.1", a), ("sf1", b), ("sf10", c))},
         "gc_sec": {k: v.get("gc_sec") for k, v in
                    (("sf0.1", a), ("sf1", b), ("sf10", c))},
+        # r15 per-row WORK column (VERDICT r14 #1): Σ task-sec divided by
+        # source rows read — the number that must stay ~flat per decade
+        # for the plan to be scale-safe independent of the fixed box.
+        "task_us_per_row": {k: (round(v["task_sec"] * 1e6 / v["rows_read"], 3)
+                                if v.get("rows_read") else None)
+                            for k, v in (("sf0.1", a), ("sf1", b), ("sf10", c))},
     }
+    # Per-row work gate: > ~1.5x/decade needs a measured contention/GC
+    # decomposition from tools/tpch_work.sh (TPCH_WORK json); a probe
+    # verdict of flat-at-8-threads blesses the bend as contention-
+    # inflated clocks, anything else is a violation.
+    pr = out["queries"][q]["task_us_per_row"]
+    for gname, lo, hi in (("sf0.1->sf1", "sf0.1", "sf1"),
+                          ("sf1->sf10", "sf1", "sf10")):
+        if pr.get(lo) and pr.get(hi):
+            ratio = round(pr[hi] / pr[lo], 2)
+            out["queries"][q].setdefault("per_row_growth", {})[gname] = ratio
+            if ratio > 1.5:
+                w = work.get(q, {})
+                pg = w.get("per_row_work_growth_at8")
+                if gname == "sf1->sf10" and pg is not None and pg <= 1.5:
+                    out["queries"][q].setdefault("work_note", {})[gname] = (
+                        f"task-clock per-row growth {ratio}x decomposed: "
+                        f"{w.get('verdict')}")
+                else:
+                    viol.append(f"{q}: per-row task time grew {ratio}x at "
+                                f"{gname} with no contention/GC "
+                                f"decomposition")
     # Second-decade bend attribution: wall growth is benign when the
     # underlying WORK (task_sec) grew ~linearly and the box saturated
     # (saturation -> 1 means wall cannot beat work/cores on 32 cores), or

@@ -1,0 +1,87 @@
+#!/usr/bin/env bash
+# Task-TIME vs task-WORK decomposition for the TPC-H tier (VERDICT r14 #1).
+#
+# TPCH_SF10_r14 left a super-linear TASK-time signal unexplained:
+# tpch_q12_shaped Σ-task-sec grew 27.6x on the 10x sf1->sf10 step (q11
+# 24.4x with 16% GC, q5 22.4x) while wall growth was attributed to
+# saturation. Two mechanisms read identically in that artifact:
+# contention-inflated task clocks (32 tasks sharing memory bandwidth /
+# LLC on a saturated 32-vCPU box — executorRunTime is per-task
+# wall-clock, so a memory-stalled task "runs" longer doing the same
+# work) vs real per-row work growth (a genuine 100TB hazard).
+#
+# graft.TpchWorkProbe separates them with a concurrency sweep: each
+# query runs solo at 32 threads and at 8 threads on BOTH tiers. Real
+# work is concurrency-invariant; contention inflation shrinks with
+# concurrency. The gate reads the 8-thread (least-contended) per-row
+# task-us growth across the decade: <= ~1.5x/decade = per-row work is
+# flat and the 32-thread task-time bend is contention, decomposed and
+# recorded; > 1.5x = UNEXPLAINED (exit 5).
+#
+# Usage: tools/tpch_work.sh [outJson]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-TPCH_WORK_r15.json}"
+QS="${TPCH_WORK_QUERIES:-tpch_q5_region_revenue,tpch_q11_shaped,tpch_q12_shaped}"
+
+[ -e /root/repo/tmp-tpch-sf1/lineitem.parquet ] || \
+  sbt -batch "Test/runMain graft.GenTpchScale /root/repo/tmp-tpch-sf1 10"
+[ -e /root/repo/tmp-tpch-sf10/lineitem.parquet ] || \
+  SPARK_DRIVER_MEM=24g sbt -batch "Test/runMain graft.GenTpchScale /root/repo/tmp-tpch-sf10 100"
+
+LINES=$(SPARK_GRAFT_WORK_CPUS=32,8 SPARK_DRIVER_MEM=48g sbt -batch \
+  "Test/runMain graft.TpchWorkProbe $QS /root/repo/tmp-tpch-sf1:sf1 /root/repo/tmp-tpch-sf10:sf10" \
+  | grep '"probe"' | sed 's/^\[info\] //' || true)
+[ -n "$LINES" ] || { echo "[tpch-work] probe produced no lines" >&2; exit 1; }
+
+LINES="$LINES" python3 - "$OUT" <<'EOF'
+import json, os, sys
+rows = [json.loads(l) for l in os.environ["LINES"].strip().splitlines()]
+by = {}
+for r in rows:
+    by.setdefault(r["probe"], {})[(r["tier"], r["cpus"])] = r
+out = {"note": ("Concurrency-sweep decomposition of TPC-H task-time "
+                "growth: task_us_per_row at 8 threads is the least-"
+                "contended per-row work reading; contention_factor = "
+                "task_sec(32 threads)/task_sec(8 threads) on the same "
+                "tier/data (1.0 = honest clocks, >1 = inflation)."),
+       "queries": {}}
+fails = []
+for q, d in sorted(by.items()):
+    def g(t, c, k):
+        return d.get((t, c), {}).get(k)
+    e = {"runs": {f"{t}@{c}": d[(t, c)] for (t, c) in sorted(d)}}
+    for tier in ("sf1", "sf10"):
+        if g(tier, 32, "task_sec") and g(tier, 8, "task_sec"):
+            e[f"contention_factor_{tier}"] = round(
+                g(tier, 32, "task_sec") / g(tier, 8, "task_sec"), 2)
+    if g("sf1", 8, "task_us_per_row") and g("sf10", 8, "task_us_per_row"):
+        pr = round(g("sf10", 8, "task_us_per_row") /
+                   g("sf1", 8, "task_us_per_row"), 2)
+        e["per_row_work_growth_at8"] = pr
+        e["task_growth_at32"] = (round(
+            g("sf10", 32, "task_sec") / g("sf1", 32, "task_sec"), 2)
+            if g("sf1", 32, "task_sec") else None)
+        e["gc_frac_sf10_at32"] = (round(
+            g("sf10", 32, "gc_sec") / g("sf10", 32, "task_sec"), 3)
+            if g("sf10", 32, "task_sec") else None)
+        if pr <= 1.5:
+            e["verdict"] = (
+                f"per-row work flat across the decade ({pr}x at 8 "
+                f"threads); the 32-thread task-time bend is contention-"
+                f"inflated clocks (factor {e.get('contention_factor_sf10')}"
+                f" at sf10 vs {e.get('contention_factor_sf1')} at sf1)")
+        else:
+            e["verdict"] = (f"UNEXPLAINED: per-row work grew {pr}x per "
+                            f"decade even at 8 threads")
+            fails.append(f"{q}: {pr}x")
+    out["queries"][q] = e
+with open(sys.argv[1], "w") as f:
+    json.dump(out, f, indent=1, sort_keys=True)
+print(json.dumps({q: {k: v for k, v in e.items() if k != "runs"}
+                  for q, e in out["queries"].items()}, indent=1,
+                 sort_keys=True))
+if fails:
+    print("[tpch-work] UNEXPLAINED per-row work growth: " + "; ".join(fails))
+    sys.exit(5)
+EOF
