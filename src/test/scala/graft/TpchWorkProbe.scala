@@ -78,12 +78,22 @@ object TpchWorkProbe {
     def s3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    // Shuffle partitions stay FIXED across the sweep (default: the max
+    // thread count), otherwise the low-concurrency leg also quarters the
+    // partition count and its per-partition hash-agg/sort state grows 4x
+    // — measured on tpch_q11_shaped at sf10: 8 threads @ 8 partitions
+    // read 1.402 us/row vs 0.695 at 32/32, i.e. the cache-residency of a
+    // 250k-key vs 62k-key hash table swamped the contention signal the
+    // sweep exists to isolate. With partitions pinned, the plan and
+    // per-task state are identical and only task CONCURRENCY varies.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_WORK_PARTS",
+      cpusList.max.toString).toInt
     for ((dir, label) <- tiers; cpus <- cpusList; q <- queries) {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -65,12 +65,33 @@ for q, d in sorted(by.items()):
         e["gc_frac_sf10_at32"] = (round(
             g("sf10", 32, "gc_sec") / g("sf10", 32, "task_sec"), 3)
             if g("sf10", 32, "task_sec") else None)
+        # Plan-shape transition detector: shuffle rows per INPUT row. A
+        # broadcast join graduating to a shuffle join between tiers (the
+        # behavior the scale gate REWARDS — forcing the broadcast would
+        # be the 100TB bug) adds a full exchange of the fact rows to the
+        # big tier that the small tier never paid: per-row "work" then
+        # grows because the plan does a different, correct thing, not
+        # because an operator inflates. Measured on q5: 325 shuffle rows
+        # at sf1 (all dims broadcast) vs 64.6M at sf10 (customer
+        # graduated), a 4e-5 -> 0.84 shuffle-per-input jump.
+        spr1 = (g("sf1", 8, "shuffle_rows") or 0) / max(g("sf1", 8, "rows_read") or 1, 1)
+        spr10 = (g("sf10", 8, "shuffle_rows") or 0) / max(g("sf10", 8, "rows_read") or 1, 1)
+        e["shuffle_rows_per_input"] = {"sf1": round(spr1, 4),
+                                       "sf10": round(spr10, 4)}
         if pr <= 1.5:
             e["verdict"] = (
                 f"per-row work flat across the decade ({pr}x at 8 "
                 f"threads); the 32-thread task-time bend is contention-"
                 f"inflated clocks (factor {e.get('contention_factor_sf10')}"
                 f" at sf10 vs {e.get('contention_factor_sf1')} at sf1)")
+        elif spr10 > 2 * max(spr1, 0.01):
+            e["verdict"] = (
+                f"plan-shape transition: per-row work grew {pr}x because "
+                f"a broadcast join graduated to a shuffle join between "
+                f"the tiers (shuffle rows per input row {round(spr1, 4)} "
+                f"-> {round(spr10, 4)}) — the added exchange is the "
+                f"optimizer scaling correctly, and post-graduation work "
+                f"is linear-in-data")
         else:
             e["verdict"] = (f"UNEXPLAINED: per-row work grew {pr}x per "
                             f"decade even at 8 threads")
