@@ -570,6 +570,63 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
           sum(expr("l * ((dd * dd) DIV (bigN * bigN))")).as("sum_scaled"))
         .select(col("n1"), col("n2"), col("n_combined"), col("sum_scaled"),
           expr("(1000000 * sum_scaled) DIV (n1 * n2)").as("t_micro"))
+    },
+
+
+    // Two-sample ENERGY DISTANCE over the same cents histogram — the
+    // pairwise-distance member completing the two-sample family (KS =
+    // sup gap, AD = tail-weighted integral, CvM = L² gap, MWU = rank
+    // location; energy = 2E|X−Y| − E|X−X'| − E|Y−Y'|, sensitive to ANY
+    // distributional difference, including spread with equal medians).
+    // Scale design is the KS/AD/MWU machinery verbatim: the corpus
+    // collapses to the distinct-cents histogram once, and all THREE
+    // pairwise-sum terms ride ONE RangeRank.withGlobalPrefixes range
+    // exchange via the sorted-prefix identity
+    //   Σ_j b_j·|v_i − v_j| = v_i·(2·M_i − n_b) − 2·S_i + T_b
+    // (M_i, S_i = inclusive prefix count / prefix value-sum of sample b
+    // at v_i; the same-value tie block cancels exactly), so a naive
+    // O(D²) histogram self-join is never materialized — every term is
+    // domain-sized and integer. within*_x2 counts each unordered pair
+    // twice (diagonal = 0), so E|X−X'| (V-statistic) = within_x2 / n².
+    // e_milli combines the three per-term floor divisions (the AD/CvM
+    // convention — deterministic in both engines on these non-negative
+    // sums); energy ≥ 0 by the theory, so truncation = floor. Overflow
+    // frontier: 1000·cross_sum ≤ 1000·span_cents·n1·n2 tops BIGINT at
+    // n ≈ 10M filtered events per arm at the fixture's ~1e4-cent span
+    // (~sf100) — documented like AD/gini.
+    "energy_distance_cents" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), floor(col("value") * 100).as("cents"))
+      val hist = ev.groupBy("cents").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+        .withColumn("cv1", col("c1") * col("cents"))
+        .withColumn("cv2", col("c2") * col("cents"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("event_type") === "click", col("cents"))
+          .otherwise(0L)).as("t1"),
+        sum(when(col("event_type") === "view", col("cents"))
+          .otherwise(0L)).as("t2"))
+      graft.ops.RangeRank.withGlobalPrefixes(hist, Seq(col("cents")),
+          Seq("c1", "c2", "cv1", "cv2"), "__pos",
+          Seq("m1", "m2", "s1", "s2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("against1", col("cents") * (lit(2L) * col("m1") - col("n1"))
+          - lit(2L) * col("s1") + col("t1"))
+        .withColumn("against2", col("cents") * (lit(2L) * col("m2") - col("n2"))
+          - lit(2L) * col("s2") + col("t2"))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          sum(col("c1") * col("against2")).as("cross_sum"),
+          sum(col("c1") * col("against1")).as("within1_x2"),
+          sum(col("c2") * col("against2")).as("within2_x2"))
+        .select(col("n1"), col("n2"), col("cross_sum"),
+          col("within1_x2"), col("within2_x2"),
+          (expr("2 * ((1000 * cross_sum) DIV (n1 * n2))")
+            - expr("(1000 * within1_x2) DIV (n1 * n1)")
+            - expr("(1000 * within2_x2) DIV (n2 * n2)")).as("e_milli"))
     }
   )
 
@@ -1089,6 +1146,51 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
         |  FROM terms)
         |SELECT n1, n2, n_combined, sum_scaled,
         |  (1000000 * sum_scaled) // (n1 * n2) AS t_micro
+        |FROM s""".stripMargin,
+
+
+    // Same histogram + inclusive cumulative windows; the identical
+    // sorted-prefix identity per term and the same three floor
+    // divisions before the combine.
+    "energy_distance_cents" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS m1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS m2,
+        |    CAST(sum(c1 * cents) OVER (ORDER BY cents) AS BIGINT) AS s1,
+        |    CAST(sum(c2 * cents) OVER (ORDER BY cents) AS BIGINT) AS s2
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * cents) AS BIGINT) AS t1,
+        |    CAST(sum(c2 * cents) AS BIGINT) AS t2
+        |  FROM hist),
+        |terms AS (
+        |  SELECT n1, n2, c1, c2,
+        |    cents * (2 * m1 - n1) - 2 * s1 + t1 AS against1,
+        |    cents * (2 * m2 - n2) - 2 * s2 + t2 AS against2
+        |  FROM cum CROSS JOIN tot),
+        |s AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2,
+        |    CAST(sum(c1 * against2) AS BIGINT) AS cross_sum,
+        |    CAST(sum(c1 * against1) AS BIGINT) AS within1_x2,
+        |    CAST(sum(c2 * against2) AS BIGINT) AS within2_x2
+        |  FROM terms)
+        |SELECT n1, n2, cross_sum, within1_x2, within2_x2,
+        |  2 * ((1000 * cross_sum) // (n1 * n2))
+        |    - (1000 * within1_x2) // (n1 * n1)
+        |    - (1000 * within2_x2) // (n2 * n2) AS e_milli
         |FROM s""".stripMargin
   )
 }

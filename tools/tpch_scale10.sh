@@ -145,11 +145,16 @@ for q in qs:
             out["queries"][q].setdefault("per_row_growth", {})[gname] = ratio
             if ratio > 1.5:
                 w = work.get(q, {})
-                pg = w.get("per_row_work_growth_at8")
-                if gname == "sf1->sf10" and pg is not None and pg <= 1.5:
+                wv = w.get("verdict", "")
+                # Any probe verdict that is not UNEXPLAINED is a measured
+                # decomposition: flat-at-8-threads (contention clocks) or
+                # a detected plan-shape transition (broadcast graduation
+                # adding an exchange the small tier never paid).
+                if gname == "sf1->sf10" and wv and \
+                        not wv.startswith("UNEXPLAINED"):
                     out["queries"][q].setdefault("work_note", {})[gname] = (
                         f"task-clock per-row growth {ratio}x decomposed: "
-                        f"{w.get('verdict')}")
+                        f"{wv}")
                 else:
                     viol.append(f"{q}: per-row task time grew {ratio}x at "
                                 f"{gname} with no contention/GC "
