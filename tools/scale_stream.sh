@@ -108,6 +108,19 @@ for op, d in sorted(by.items()):
         "state_vs_keys_x100": (round(c["state_rows_final"] / c["distinct_keys"], 3)
                                if c["distinct_keys"] > 0 else None),
     }
+    # MARGINAL per-row cost between adjacent tiers: Δ(Σ batch time) /
+    # Δ(rows) — the fixed micro-batch overhead cancels analytically, so
+    # this is the amortized per-row number even before the AVERAGE
+    # per-row cost visibly plateaus (the average still carries fixed
+    # overhead divided by a growing row count and keeps falling long
+    # after the marginal cost has flattened).
+    def total_us(r):
+        return r["avg_batch_ms"] * 1000.0 * max(r["batches"], 1)
+    def marginal(hi, lo):
+        dr = hi["rows"] - lo["rows"]
+        return round((total_us(hi) - total_us(lo)) / dr, 3) if dr > 0 else None
+    out["ops"][op]["marginal_per_row_us"] = {
+        "x10->x100": marginal(c, b)}
     # x1000 floor tier (VERDICT r14 #4): the plateau claim — per-row µs
     # within ~1.3x of the x100 tier at 10x the rows per micro-batch.
     f = d.get("x1000")
@@ -121,6 +134,11 @@ for op, d in sorted(by.items()):
         e["state_vs_keys_x1000"] = (
             round(f["state_rows_final"] / f["distinct_keys"], 3)
             if f["distinct_keys"] > 0 else None)
+        e["marginal_per_row_us"]["x100->x1000"] = marginal(f, c)
+        m1 = e["marginal_per_row_us"]["x10->x100"]
+        m2 = e["marginal_per_row_us"]["x100->x1000"]
+        if m1 and m2:
+            e["marginal_plateau_ratio"] = round(m2 / m1, 2)
 with open(sys.argv[1], "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
 print(json.dumps({op: {k: v for k, v in o.items()
