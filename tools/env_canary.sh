@@ -55,6 +55,16 @@ attrib["__environment__"] = {
     "per_query_ratio": ratios,
     "prev_code_on_today_box_sec": {q: today[q]["best"] for q in ratios},
 }
+# Per-query entries too (the header's promise, unimplemented until r16):
+# a canary member that is ITSELF a mover would otherwise fail strict mode
+# as unattributed despite this very evidence having been collected —
+# bench_diff's strongest evidence class ("environment": prev-round code
+# reproduces the new reading on today's box) reads exactly these.
+for q in ratios:
+    attrib.setdefault(q, {})["environment"] = {
+        "prev_code_on_today_box_sec": today[q]["best"],
+        "ratio_vs_prev_recorded": ratios[q],
+    }
 with open(attrib_path, "w") as f:
     json.dump(attrib, f, indent=1, sort_keys=True)
 print(f"[env-canary] median ratio of prev code on today's box: {med} "
