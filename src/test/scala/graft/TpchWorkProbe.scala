@@ -34,8 +34,19 @@ import org.apache.spark.sql.SparkSession
   * (q11 carried 16% GC at sf10 — r14 watch item), and the top-5 stages
   * by Σ task time so a bend is attributable to a specific exchange.
   *
+  * FORCED-SHUFFLE leg (r16, VERDICT r15 #3): a broadcast join that
+  * graduates to a shuffle join between tiers makes per-row work grow for
+  * a CORRECT reason (the big tier pays an exchange the small tier never
+  * did) — but "post-graduation work is linear" was an assertion, not a
+  * measurement, because the two tiers never ran the SAME plan. With
+  * SPARK_GRAFT_WORK_FORCE_SHUFFLE=1 auto-broadcast is disabled (both the
+  * static and the AQE threshold), so the small tier runs the shuffle
+  * plan too and the per-row growth across the decade is a same-plan
+  * comparison; the JSON rows carry "forced_shuffle":true.
+  *
   * Usage: Test/runMain graft.TpchWorkProbe <queries> <dir:label>...
   *   env SPARK_GRAFT_WORK_CPUS: comma list of thread counts (default 32,8)
+  *   env SPARK_GRAFT_WORK_FORCE_SHUFFLE=1: disable auto-broadcast
   * Prints one JSON line per (query, tier, cpus): {"probe":…}
   */
 object TpchWorkProbe {
@@ -88,15 +99,21 @@ object TpchWorkProbe {
     // per-task state are identical and only task CONCURRENCY varies.
     val parts = sys.env.getOrElse("SPARK_GRAFT_WORK_PARTS",
       cpusList.max.toString).toInt
+    val forceShuffle =
+      sys.env.get("SPARK_GRAFT_WORK_FORCE_SHUFFLE").contains("1")
     for ((dir, label) <- tiers; cpus <- cpusList; q <- queries) {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val spark = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      if (forceShuffle) {
+        b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      }
+      val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       spark.range(1000).selectExpr("sum(id)").collect()
       val wl = new WorkListener
@@ -146,6 +163,7 @@ object TpchWorkProbe {
       }.mkString("[", ",", "]")
       val perRowUs = if (r.rows > 0) r.taskSec * 1e6 / r.rows else -1.0
       println(s"""{"probe":"$q","tier":"$label","cpus":$cpus,""" +
+        s""""forced_shuffle":$forceShuffle,""" +
         s""""wall_sec":${s3(r.wall)},"task_sec":${s3(r.taskSec)},""" +
         s""""gc_sec":${s3(r.gcSec)},"rows_read":${r.rows},""" +
         s""""shuffle_rows":${r.shufRows},"task_us_per_row":${s3(perRowUs)},""" +

@@ -22,7 +22,7 @@
 # Usage: tools/scale_stream.sh [outJson]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-SCALE_STREAM_r15.json}"
+OUT="${1:-SCALE_STREAM_r16.json}"
 
 [ -d /root/repo/tmp-sf10/events.parquet ] || \
   sbt -batch "Test/runMain graft.GenScaleData /root/repo/tmp-sf10 500000 200000 1000000 15000"
@@ -45,34 +45,48 @@ LINES=$(SPARK_GRAFT_CPUS=32 sbt -batch \
 # exit 0, masking a harness failure as produced evidence (ADVICE r14).
 [ -n "$LINES" ] || { echo "[scale-stream] bench produced no op lines — sbt/StreamScaleBench failed" >&2; exit 1; }
 
+# r16 (VERDICT r15 #5): the x1000 tier now covers THREE stateful shapes
+# (dedup was the only one measured to 10M in r15; highwater/sketch
+# stopped at x100 with average per-row still falling), and a second
+# dedup run at 16 batches over the SAME 10M rows closes the fixed-vs-
+# marginal split analytically: total = batches*fixed + rows*marginal,
+# two batch counts at one row count -> solve both terms exactly.
 FLOOR=$(SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
-  SPARK_GRAFT_STREAM_OPS=dedup_within_watermark sbt -batch \
-  "Test/runMain graft.StreamScaleBench /root/repo/tmp-ev1000" \
+  SPARK_GRAFT_STREAM_OPS=dedup_within_watermark,highwater_fmgws,sketch_fmgws \
+  sbt -batch "Test/runMain graft.StreamScaleBench /root/repo/tmp-ev1000" \
   | grep '"op"' | sed 's/^\[info\] //' || true)
 [ -n "$FLOOR" ] || { echo "[scale-stream] x1000 floor tier produced no lines" >&2; exit 1; }
+FLOOR16=$(SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+  SPARK_GRAFT_STREAM_OPS=dedup_within_watermark SPARK_GRAFT_STREAM_BATCHES=16 \
+  sbt -batch "Test/runMain graft.StreamScaleBench /root/repo/tmp-ev1000" \
+  | grep '"op"' | sed 's/^\[info\] //' || true)
+[ -n "$FLOOR16" ] || { echo "[scale-stream] x1000 16-batch run produced no lines" >&2; exit 1; }
 LINES="$LINES
-$FLOOR"
+$FLOOR
+$FLOOR16"
 
 LINES="$LINES" python3 - "$OUT" <<'EOF'
 import json, os, sys
 rows = [json.loads(l) for l in os.environ["LINES"].strip().splitlines()]
 TIERS = ["x1", "x10", "x100"]
-def tier(d):
+def tier(r):
+    d = r["dir"]
     if d.endswith("sf0.01"): return "x1"
     if d.endswith("sf0.1"): return "x10"
-    if d.endswith("tmp-ev1000"): return "x1000"
+    if d.endswith("tmp-ev1000"):
+        return "x1000" if r.get("batches", 8) <= 8 else f"x1000b{r['batches']}"
     return "x100"
 by = {}
 for r in rows:
-    by.setdefault(r["op"], {})[tier(r["dir"])] = r
+    by.setdefault(r["op"], {})[tier(r)] = r
 out = {"input": {"x1": {"dir": "/root/testdata/sf0.01", "events": 10000,
                         "users": 150, "types": 5},
                  "x10": {"dir": "/root/testdata/sf0.1", "events": 100000,
                          "users": 1500, "types": 5},
                  "x100": {"dir": "tmp-sf10 (GenScaleData)", "events": 1000000,
                           "users": 15000, "types": 5},
-                 "x1000": {"dir": "tmp-ev1000 (GenScaleData; dedup floor "
-                                  "tier only)", "events": 10000000,
+                 "x1000": {"dir": "tmp-ev1000 (GenScaleData; dedup + highwater + "
+                                  "sketch floor tier)", "events": 10000000,
                            "users": 150000, "types": 5}},
        "ops": {}}
 def ratio(b, a, k):
@@ -139,6 +153,26 @@ for op, d in sorted(by.items()):
         m2 = e["marginal_per_row_us"]["x100->x1000"]
         if m1 and m2:
             e["marginal_plateau_ratio"] = round(m2 / m1, 2)
+        # Same-rows two-batch-count split (r16): with total(us) measured
+        # at 8 and 16 batches over the SAME 10M rows,
+        #   total = batches*fixed + rows*marginal
+        # is two equations in two unknowns — the amortized per-row floor
+        # drops out exactly, no cross-tier inference needed. A negative
+        # fixed term means run-to-run noise exceeded the per-batch
+        # overhead (i.e. overhead is negligible at this batch size).
+        f16 = d.get("x1000b16")
+        if f16 is not None and f16["rows"] == f["rows"]:
+            db = f16["batches"] - f["batches"]
+            if db > 0:
+                fixed_us = (total_us(f16) - total_us(f)) / db
+                marg_us = (total_us(f) - f["batches"] * fixed_us) / f["rows"]
+                e["batch_split_x1000"] = {
+                    "batches": [f["batches"], f16["batches"]],
+                    "fixed_ms_per_batch": round(fixed_us / 1000.0, 1),
+                    "amortized_per_row_us": round(marg_us, 3),
+                    "total_sec_8b": round(total_us(f) / 1e6, 2),
+                    "total_sec_16b": round(total_us(f16) / 1e6, 2),
+                }
 with open(sys.argv[1], "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
 print(json.dumps({op: {k: v for k, v in o.items()

@@ -145,13 +145,19 @@ for q in qs:
             out["queries"][q].setdefault("per_row_growth", {})[gname] = ratio
             if ratio > 1.5:
                 w = work.get(q, {})
-                wv = w.get("verdict", "")
                 # Any probe verdict that is not UNEXPLAINED is a measured
                 # decomposition: flat-at-8-threads (contention clocks) or
                 # a detected plan-shape transition (broadcast graduation
-                # adding an exchange the small tier never paid).
-                if gname == "sf1->sf10" and wv and \
-                        not wv.startswith("UNEXPLAINED"):
+                # adding an exchange the small tier never paid). r16:
+                # verdicts are looked up per adjacent PAIR ("growth"
+                # entries, tools/tpch_work.sh with TPCH_WORK_TIERS
+                # including the sf0.1 tier), so a first-decade bend can
+                # carry a decomposition too instead of hard-failing
+                # (ADVICE r15); the legacy top-level verdict keeps
+                # r15-format artifacts readable for the second decade.
+                wv = (w.get("growth", {}).get(gname, {}) or {}).get("verdict") \
+                    or (w.get("verdict", "") if gname == "sf1->sf10" else "")
+                if wv and not wv.startswith("UNEXPLAINED"):
                     out["queries"][q].setdefault("work_note", {})[gname] = (
                         f"task-clock per-row growth {ratio}x decomposed: "
                         f"{wv}")
