@@ -162,6 +162,7 @@ for op, d in sorted(by.items()):
         # overhead (i.e. overhead is negligible at this batch size).
         f16 = d.get("x1000b16")
         if f16 is not None and f16["rows"] == f["rows"]:
+            e["x1000b16"] = f16
             db = f16["batches"] - f["batches"]
             if db > 0:
                 fixed_us = (total_us(f16) - total_us(f)) / db
