@@ -21,7 +21,16 @@ object Profile {
       val n = body
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    if (args.tail.headOption.contains("showplans")) {
+    if (args.tail.headOption.contains("explainq")) {
+      // generic formatted-plan dump for any SparkEntry query:
+      //   runMain graft.Profile <sfDir> explainq <query1> <query2> ...
+      import org.apache.spark.sql.execution.ExplainMode
+      args.drop(2).foreach { q =>
+        println(s"===== $q =====")
+        println(SparkEntry.queries(q)(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+      }
+    } else if (args.tail.headOption.contains("showplans")) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.execution.ExplainMode
       def show(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
