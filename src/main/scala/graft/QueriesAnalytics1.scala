@@ -28,7 +28,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // scale. Top-50 most target-like raw docs emitted.
     "dsir_importance_weights" -> { (s, d) =>
       val raw = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("doc_id"), col("source"),
           explode(Dedup.shingles(col("text"), 2)).as("g"))
       // Bucket per OCCURRENCE (the fingerprint_modp lesson, VERDICT r10
@@ -905,7 +905,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // then source-sized work; the doc-stat join is broadcast-size.
     "source_reputation_gate" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val docTok = docs.repartition(col("doc_id"))
+      val docTok = docs.repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"), col("doc_id"),
           explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
         .groupBy("source", "doc_id")
@@ -1396,7 +1396,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // source×lang domain — no global sort, no driver loop).
     "preference_pairs" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val q = Tables.documents(s, d).repartition(col("doc_id"))
+      val q = Tables.documents(s, d).repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"), col("lang"), col("doc_id"),
           explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
         .groupBy("source", "lang", "doc_id")
@@ -1726,7 +1726,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     "kn_continuation_counts" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(graft.ops.Dedup.tokens(col("text")).as("ts"))
       val types = toks
         .select(explode(expr(
@@ -1758,7 +1758,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
     // key — two shingle-keyed exchanges, never all-pairs.
     "ngram_novelty_by_source" -> { (s, d) =>
       val sh = Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the shingle explode
+        .repartition(shuffleWidth(s), col("doc_id")) // parallelize the shingle explode
         .select(col("doc_id"), col("source"),
           explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
       val first = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
@@ -2459,7 +2459,7 @@ private[graft] trait QueriesAnalytics1 extends QueryShared {
           x => x.getField(s"t${n - 1}").isNotNull),
         x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"), explode(grams).as("g"))
         .groupBy("source", "g").agg(count(lit(1)).as("c"))
         .groupBy("source")

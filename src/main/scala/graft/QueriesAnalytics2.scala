@@ -127,7 +127,7 @@ private[graft] trait QueriesAnalytics2 extends QueryShared {
     // permille.
     "source_similarity_tvd_matrix" -> { (s, d) =>
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"), explode(Dedup.tokens(col("text")))
           .as("tok"))
       val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))

@@ -714,8 +714,16 @@ private[graft] trait QueriesDedup extends QueryShared {
     "cdc_chunk_dedup" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val md5h: Column => Column = graft.ops.Dedup.md5Hash64
+      // Repartition by doc_id BEFORE the per-position explode: the raw
+      // scan is a handful of input splits (3 tasks at sf0.1) and the
+      // explode multiplies work ~1000× INSIDE those tasks — 5.9 s of md5
+      // CPU ran 3-wide (measured r16). Spreading the docs across the
+      // session's shuffle width first makes the position-hash stage
+      // data-parallel (guide §2.5 input skew); doc_id hash partitioning
+      // also co-partitions the boundary→text join below.
       val n = Tables.documents(s, d)
         .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .cache()
       // boundary test = low 6 bits of md5Hash64 = low 6 bits of the
       // digest's FIRST byte (little-endian u64), so only hex chars 1-2
@@ -902,7 +910,7 @@ private[graft] trait QueriesDedup extends QueryShared {
       // whole signature pipeline is scan → one exchange → one agg.
       // The repartition keys the exchange on doc_id so the groupBy
       // below reuses the partitioning instead of adding its own.
-      val per = docs.repartition(col("doc_id"))
+      val per = docs.repartition(shuffleWidth(s), col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
         .select(col("doc_id") +: ((0 until 16)
@@ -1033,6 +1041,12 @@ private[graft] trait QueriesDedup extends QueryShared {
       val pairs = Dedup.minhashExactPairs(docs, "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.8)
         .select(col("id1"), col("id2"))
+      // NOT pinned to shuffleWidth: the r16 pinned-width sweep regressed
+      // this query 2.5× (solo 0.91→2.29 s) — the token-count aggregate
+      // feeds two join legs against the 25-row pair set and the AQE-
+      // coalesced narrow form keeps those joins small; the explode here
+      // is token-level (~150×), cheap enough that the single coalesced
+      // task never dominated.
       val cnt = docs.repartition(col("doc_id"))
         .select(col("doc_id"), explode(Dedup.tokens(col("text")))
           .as("tok"))
@@ -1109,7 +1123,7 @@ private[graft] trait QueriesDedup extends QueryShared {
       // removes BOTH string shuffles (the distinct and the gram join):
       // after this select, every downstream exchange carries only longs.
       val sampled = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("doc_id"),
           explode(graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
         // shingles() is array_distinct per doc, so (doc_id, g) needs no
@@ -1147,7 +1161,7 @@ private[graft] trait QueriesDedup extends QueryShared {
     "winnowing_fingerprints" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .withColumn("t", graft.ops.Dedup.tokens(col("text")))
         .filter(size(col("t")) >= 3)
       // Per-occurrence hashing (VERDICT r10 #2): the r10 distinct-gram

@@ -254,7 +254,7 @@ private[graft] trait QueriesEmbedding extends QueryShared {
     "feature_hash_vectors" -> { (s, d) =>
       val h = graft.ops.Dedup.md5Hash64(col("token"))
       Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .repartition(shuffleWidth(s), col("doc_id")) // parallelize the tokenize explode
         .select(col("doc_id"),
           explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
         .select(col("doc_id"),

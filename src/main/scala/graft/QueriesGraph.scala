@@ -300,16 +300,20 @@ private[graft] trait QueriesGraph extends QueryShared {
       val sym = und.select(col("a").as("v"), col("b").as("w"))
         .union(und.select(col("b").as("v"), col("a").as("w")))
         .localCheckpoint()
-      var labeled = emb.filter(col("vec_id") < 8)
+      // One checkpoint per round (the frontier); `labeled` stays a LAZY
+      // union of the checkpointed frontiers — flat lineage, no second
+      // materialization job per round (r16: driver job overhead, not row
+      // work, dominates these rounds at the bench SFs).
+      var frontier = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("v"), lit(0).as("dist")).localCheckpoint()
-      var frontier = labeled
+      var labeled = frontier
       for (i <- 1 to 3) {
         frontier = sym
           .join(frontier.select(col("v").as("w")), "w")
           .select(col("v")).distinct()
           .join(labeled.select("v"), Seq("v"), "left_anti")
           .select(col("v"), lit(i).as("dist")).localCheckpoint()
-        labeled = labeled.union(frontier).localCheckpoint()
+        labeled = labeled.union(frontier)
       }
       labeled.groupBy("dist")
         .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("id_checksum"),
@@ -767,7 +771,7 @@ private[graft] trait QueriesGraph extends QueryShared {
           x => x.getField(s"t${n - 1}").isNotNull),
         x => concat_ws(" ", (0 until n).map(i => x.getField(s"t$i")): _*))
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"), explode(grams).as("g"))
         .groupBy("source", "g").agg(count(lit(1)).as("c"))
         .groupBy("source")

@@ -110,7 +110,7 @@ private[graft] trait QueriesSampling extends QueryShared {
       val g = graft.ops.Sampling.splitByHash(
           Tables.documents(s, d).filter(col("doc_id") < 1024),
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("split"),
           explode(Dedup.shingles(col("text"), 8)).as("g"))
         .distinct()

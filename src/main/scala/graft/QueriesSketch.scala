@@ -237,7 +237,7 @@ private[graft] trait QueriesSketch extends QueryShared {
       import org.apache.spark.sql.expressions.Window
       val k = 64
       val sh = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
         .select(col("source"), Dedup.md5Hash64(col("g"))

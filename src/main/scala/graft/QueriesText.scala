@@ -187,7 +187,7 @@ private[graft] trait QueriesText extends QueryShared {
     // window, see PlanSpec).
     "vocab_top_tokens" -> { (s, d) =>
       Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .repartition(shuffleWidth(s), col("doc_id")) // parallelize the tokenize explode
         .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .withColumn("rank", row_number().over(
@@ -253,7 +253,7 @@ private[graft] trait QueriesText extends QueryShared {
     "vocab_coverage_cutoff" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val f = Tables.documents(s, d)
-        .repartition(col("doc_id")) // parallelize the tokenize explode
+        .repartition(shuffleWidth(s), col("doc_id")) // parallelize the tokenize explode
         .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
       val w = Window.orderBy(desc("freq"), col("token"))
@@ -346,7 +346,7 @@ private[graft] trait QueriesText extends QueryShared {
     // scanned once at any scale.
     "pmi_collocations" -> { (s, d) =>
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .select(graft.ops.Dedup.tokens(col("text")).as("t"))
       val big = toks.select(explode(expr(
           "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
@@ -398,7 +398,7 @@ private[graft] trait QueriesText extends QueryShared {
         ("stream", "stream"), ("stream", "window"), ("stream", "batch")
       ).toDF("category", "phrase")
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .withColumn("t", graft.ops.Dedup.tokens(col("text")))
       val g1 = toks.select(col("doc_id"), explode(col("t")).as("phrase"))
       val g2 = toks.filter(size(col("t")) >= 2)

@@ -581,19 +581,28 @@ private[graft] trait QueriesTimeSeries extends QueryShared {
     // scale path for vertex-count-sized graphs).
     "recursive_cte_reachability" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("rc_events")
+      // Materialize the (≤ 5·4-row) edge set BEFORE the recursion: as an
+      // inline CTE it is re-planned and re-executed inside EVERY
+      // recursion step, so each of the ~5 loop iterations re-ran the
+      // 100k-row lag window (r16 probe: repeated Exchange|Window stages,
+      // ~140 ms each, 44 stages total). The checkpoint runs the window
+      // once; the recursive part — the point of the query — is unchanged
+      // and joins against the materialized dimension-sized edge list.
       s.sql("""
-        WITH RECURSIVE edges AS (
-          SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-              lag(event_type) OVER (PARTITION BY user_id
-                ORDER BY ts, event_id) AS prev_type
-            FROM rc_events)
-          WHERE prev_type IS NOT NULL AND prev_type <> event_type),
-        reach(src, dst, hops) AS (
-          SELECT src, dst, 1 FROM edges
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+          SELECT event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM rc_events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type""")
+        .localCheckpoint()
+        .createOrReplaceTempView("rc_edges")
+      s.sql("""
+        WITH RECURSIVE reach(src, dst, hops) AS (
+          SELECT src, dst, 1 FROM rc_edges
           UNION ALL
           SELECT r.src, e.dst, r.hops + 1
-          FROM reach r JOIN edges e ON r.dst = e.src
+          FROM reach r JOIN rc_edges e ON r.dst = e.src
           WHERE r.hops < 5 AND r.src <> e.dst),
         m AS (SELECT src, dst, min(hops) AS min_hops
               FROM reach GROUP BY src, dst)

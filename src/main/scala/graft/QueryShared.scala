@@ -17,6 +17,20 @@ private[graft] trait QueryShared {
 
   protected def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Session shuffle width for PINNED pre-explode repartitions (r16
+    * optimization): `repartition(col)` with no explicit count lets AQE
+    * coalesce the exchange by its INPUT bytes, but a downstream
+    * `explode` multiplies rows ~30–1000× — a multiplier byte-based
+    * coalescing cannot see — so small corpora collapsed to ONE
+    * post-shuffle partition and whole shingle/tokenize stages ran on a
+    * single core (measured: curation_funnel 2×~3 s single-task Generate
+    * stages, fingerprint_modp_candidates 1.9 s, source_overlap_kmv
+    * 2.0 s). An explicit count disables AQE coalescing for exactly that
+    * exchange while still scaling with deployment config (it reads
+    * `spark.sql.shuffle.partitions`, never a constant). */
+  protected def shuffleWidth(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
+
   /** Per-invocation counter for the streaming query's memory-sink name. */
   protected val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -157,7 +157,14 @@ object Components {
     var e = edges
       .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = e.isEmpty
+    // Track |e| across rounds: the convergence test needs this round's
+    // count AND last round's, and last round's was already computed as
+    // that round's small.count() — re-counting `e` cost one extra job
+    // per round (driver job overhead dominates these vertex-count-sized
+    // rounds at the bench SFs; r16 measured ~half the wall of the
+    // components queries BETWEEN stages).
+    var eCount = e.count()
+    var converged = eCount == 0L
     var i = 0
     while (!converged && i < maxIters) {
       // large-star over the symmetrized edges
@@ -179,8 +186,10 @@ object Components {
       // && short-circuits: the set-difference job only runs in rounds
       // whose edge COUNT already matches (in practice the final round or
       // two) — earlier rounds pay one count, not a full except
-      converged = small.count() == e.count() && small.except(e).isEmpty
+      val smallCount = small.count()
+      converged = smallCount == eCount && small.except(e).isEmpty
       e = small
+      eCount = smallCount
       i += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session shuffle width, for PINNED pre-explode repartitions. The
+    * keyed `repartition(col)` form (no explicit count) lets AQE size the
+    * exchange by its INPUT bytes — but every consumer here explodes each
+    * document into ~30–1000 shingle/token rows right after, a multiplier
+    * byte-based coalescing cannot see, so small corpora collapsed to ONE
+    * post-shuffle partition and the whole shingle stage ran on one core
+    * (measured r16: curation_funnel carried two ~3 s single-task Generate
+    * stages). An explicit count disables AQE coalescing for exactly this
+    * exchange and still scales with deployment config (it reads
+    * `spark.sql.shuffle.partitions`, never a constant). */
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Canonical text form: lower-cased, whitespace collapsed, then trimmed.
     * Collapse MUST run before trim: Spark's `trim` strips only 0x20 spaces,
     * so trim-then-collapse leaves a leading/trailing space when the raw text
@@ -94,7 +107,7 @@ object Dedup {
     // only (a single small parquet file is one split; without it the
     // whole corpus shingles on one core).
     df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(shuffleWidth(df), col(idCol))
       .select(col(idCol),
         graft.functions.minhashSigs(
           hashedShingles(col(textCol), shingleN), k).as("__sig"))
@@ -161,7 +174,7 @@ object Dedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(shuffleWidth(df), col(idCol))
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
       .cache()
     val sig = sh
@@ -215,7 +228,7 @@ object Dedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // scan-split parallelism (see minhashSignature)
+      .repartition(shuffleWidth(df), col(idCol)) // scan-split parallelism (see minhashSignature)
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
       .cache()
     // one-pass native signatures off the cached arrays — zero shuffle
@@ -296,7 +309,7 @@ object Dedup {
       textCol: String, idCol: String, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     def shingled(df: DataFrame) = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // see minhashSignature: replaces the agg shuffle
+      .repartition(shuffleWidth(df), col(idCol)) // see minhashSignature: replaces the agg shuffle
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__s"))
       .cache()
     def sigOf(sh: DataFrame) = {
@@ -355,7 +368,7 @@ object Dedup {
       .distinct()
     val contaminated = train
       .select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // parallelize shingling (see minhashSignature)
+      .repartition(shuffleWidth(train), col(idCol)) // parallelize shingling (see minhashSignature)
       .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__g"))
       // eval sets are benchmarks — small by construction (the
       // contaminationScore scaladoc's argument) — so the gram probe is a
@@ -386,7 +399,7 @@ object Dedup {
       .distinct()
     val scored = train
       .select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // parallelize shingling (see minhashSignature)
+      .repartition(shuffleWidth(train), col(idCol)) // parallelize shingling (see minhashSignature)
       .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__g"))
       .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
         Seq("__g"), "left")
@@ -550,7 +563,7 @@ object Dedup {
     // collapse adds NO shuffle — measured ~25% off the whole operator with
     // the cheap xxhash64, more with md5Hash64.
     val tok = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(shuffleWidth(df), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t"))
       .agg(count(lit(1)).as("__c"))
@@ -775,7 +788,7 @@ object Dedup {
     // pre-partitions both join sides below on their key.
     val sh = df.join(needed, Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(shuffleWidth(df), col(idCol))
       .select(col(idCol), hashedShingles(col(textCol), n).as("__s"))
     val l = sh.select(col(idCol).as("id1"), col("__s").as("s1"))
     val r = sh.select(col(idCol).as("id2"), col("__s").as("s2"))
@@ -838,6 +851,10 @@ object Dedup {
     // without the exchange it runs on one core.
     val raw = df.select(Seq(col(idCol), col(textCol)) ++
         blockCols.map { case (nm, c) => c.as(nm) }: _*)
+      // NOT pinned to shuffleWidth (r16): pinning regressed
+      // dedup_ngram_lang_block ~1.75× — the cached `sh` feeds the prefix
+      // self-join whose fanout dwarfs the shingle stage, and the wider
+      // cache layout shifted the join into its slow mode more often.
       .repartition(col(idCol))
       .select(Seq(col(idCol)) ++ names.map(col) :+
         hashedShingles(col(textCol), n).as("__s0"): _*)
@@ -976,7 +993,7 @@ object Dedup {
       fallbackCandidatesPerDoc: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // parallelize shingling off scan splits
+      .repartition(shuffleWidth(df), col(idCol)) // parallelize shingling off scan splits
       .select(col(idCol), shingles(col(textCol), n).as("__arr"))
       .cache() // feeds df-ranking, the container index, and both verify joins
     val ex = sh.select(col(idCol), explode(col("__arr")).as("__g"))

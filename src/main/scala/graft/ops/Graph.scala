@@ -105,7 +105,15 @@ object Graph {
     var surv = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v"))).distinct().localCheckpoint()
     var edges = und.localCheckpoint()
-    var layers: Option[DataFrame] = None
+    // Per-round job budget (r16 optimization): checkpoint ONE frame per
+    // round — the (v, deg) table — and derive removed/survivors/layer
+    // lazily from it (trivial filters over the materialized RDD, flat
+    // lineage). The previous form ran 4 driver jobs per round (emptiness
+    // probe + three checkpoints); job-scheduling overhead, not row work,
+    // dominates these vertex-count-sized rounds at the bench SFs. The
+    // layer frames accumulate lazily and union once at the end — each is
+    // backed by its own round's checkpoint, so the final plan stays flat.
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     var done = false
     while (!done && round <= maxRounds) {
@@ -114,12 +122,12 @@ object Graph {
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val withDeg = surv.join(deg, Seq("v"), "left")
         .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
-      val removed = withDeg.filter(col("deg") < k).select("v")
-      if (removed.isEmpty) done = true
+        .localCheckpoint()
+      if (withDeg.filter(col("deg") < k).isEmpty) done = true
       else {
-        val lay = removed.withColumn("layer", lit(round))
-        layers = Some(layers.fold(lay)(_ union lay).localCheckpoint())
-        surv = withDeg.filter(col("deg") >= k).select("v").localCheckpoint()
+        layers += withDeg.filter(col("deg") < k)
+          .select(col("v"), lit(round).as("layer"))
+        surv = withDeg.filter(col("deg") >= k).select("v")
         edges = edges
           .join(surv.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(surv.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
@@ -129,7 +137,7 @@ object Graph {
     }
     require(done, s"onion peel did not converge in $maxRounds rounds")
     val core = surv.withColumn("layer", lit(0))
-    layers.fold(core)(_ union core)
+    layers.foldRight(core)(_ union _)
   }
 
   /** Single-source (multi-seed) shortest paths over a WEIGHTED directed

@@ -26,6 +26,18 @@ object Mmr {
 
   /** Re-rank `cand` (columns: query, id, relevance, vector) down to
     * `picks` rows per query, MMR-ordered (`mmr_rank` 1..picks).
+    *
+    * Each pick's frame is eagerly `localCheckpoint`ed: pick i references
+    * the selected set TWICE (anti-join + pairwise-sim join) and the
+    * selected set is itself a union over all previous picks, so the lazy
+    * logical tree grows EXPONENTIALLY in `picks` (picks=3 planned as
+    * 1 005 physical operators / 156 exchanges, and executed ~850 CPU-s of
+    * duplicated subtree work at sf0.1 — measured r16). Checkpointing
+    * truncates the lineage to the candidate-sized pick result (≤ one row
+    * per query per pick), the same iterative-dataflow move as
+    * [[Components.connectedComponents]]; the per-pick frames are tiny by
+    * construction, so the materialization cost is a handful of
+    * candidate-sized jobs.
     */
   def rerank(cand: DataFrame, picks: Int, lambda: Double = 0.5,
       queryCol: String = "query_id", idCol: String = "vec_id",
@@ -37,6 +49,7 @@ object Mmr {
         row_number().over(w.orderBy(desc(relCol), col(idCol))))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("mmr_rank", lit(1))
+      .localCheckpoint()
     for (i <- 2 to picks) {
       val sel = selected.select(col(queryCol), col(vecCol).as("__sv"))
       val remaining = cand.join(
@@ -55,7 +68,7 @@ object Mmr {
         .filter(col("__rn") === 1)
         .drop("__rn", "__mps", "__score")
         .withColumn("mmr_rank", lit(i))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming-cost decomposition (optimization r16): the streaming family
+  * is the bench's largest solo block (~32 s over ~16 queries) and each
+  * member's wall is dominated by fixed micro-batch machinery, not row
+  * work. This probe runs each named streaming query solo (warm run
+  * first, then the measured run) with a StreamingQueryListener attached
+  * and prints every micro-batch's durationMs map (triggerExecution,
+  * queryPlanning, addBatch, walCommit, commitOffsets, latestOffset,
+  * getBatch) — so a member's cost splits into per-batch planning,
+  * state-store commit, offset-log I/O, and actual addBatch work.
+  *
+  * Usage: Test/runMain graft.StreamCostProbe <sfDir> <q1,q2,...>
+  */
+object StreamCostProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("streaming_5m_ohlcv"))
+    for (q <- queries) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.range(1000).selectExpr("sum(id)").collect()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      val warm = (System.nanoTime() - t0) / 1e9
+      val batches = ArrayBuffer.empty[String]
+      val l = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          import scala.jdk.CollectionConverters._
+          val dur = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }
+            .toSeq.sorted.mkString(",")
+          batches += s"batch=${p.batchId} rows=${p.numInputRows} $dur"
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(l)
+      val t1 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t1) / 1e9
+      // progress events are async; give the bus a moment to drain
+      Thread.sleep(500)
+      spark.streams.removeListener(l)
+      println(f"[streamcost] $q warm=$warm%.2f s measured=$wall%.2f s")
+      batches.foreach(b => println(s"[streamcost]   $b"))
+      spark.stop()
+    }
+  }
+}
