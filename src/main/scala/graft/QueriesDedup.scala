@@ -723,7 +723,7 @@ private[graft] trait QueriesDedup extends QueryShared {
       // also co-partitions the boundary→text join below.
       val n = Tables.documents(s, d)
         .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")).as("t"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .repartition(shuffleWidth(s), col("doc_id"))
         .cache()
       // boundary test = low 6 bits of md5Hash64 = low 6 bits of the
       // digest's FIRST byte (little-endian u64), so only hex chars 1-2

@@ -26,6 +26,41 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Driver-side union-find with path compression over collected edge
+    * rows (columns 0 and 1 = the two endpoints). Root choice = minimum
+    * member under the keys' natural order, matching the distributed
+    * min-label fixpoint exactly. Returns None when any key is null or
+    * not `Comparable` (struct/array/binary vertex ids have no total
+    * order here — comparing them as "equal" would pick ARBITRARY roots
+    * and silently violate the min-label contract, ADVICE r9); such
+    * graphs must take the iterative path, whose min() aggregate orders
+    * every Spark type natively. Shared by both components entry points'
+    * small-graph fast paths.
+    */
+  private def localUnionFind(
+      collected: Array[org.apache.spark.sql.Row]): Option[Seq[(Any, Any)]] = {
+    val locallyOrderable = collected.forall { r =>
+      r.get(0).isInstanceOf[java.lang.Comparable[_]] &&
+        r.get(1).isInstanceOf[java.lang.Comparable[_]]
+    }
+    if (!locallyOrderable) return None
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    val ord: Ordering[Any] = (a: Any, b: Any) =>
+      a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+    collected.foreach { r =>
+      val (a, b) = (find(r.get(0)), find(r.get(1)))
+      if (a != b) { if (ord.lt(a, b)) parent(b) = a else parent(a) = b }
+    }
+    val vertices = collected.iterator
+      .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    Some(vertices.toSeq.map(v => (v, find(v))))
+  }
+
   /** @return (v, comp) — every vertex appearing in `edges`, labeled with
     *         the minimum vertex id reachable from it.
     *
@@ -48,43 +83,20 @@ object Components {
     val nEdges = pairEdges.count()
     if (nEdges <= localEdgeBound) {
       val vType = pairEdges.schema("v").dataType
-      val collected = pairEdges.collect()
-      // Min-label root choice needs a real total order on the keys. A
-      // null or non-Comparable key (struct/array/binary vertex ids) has
-      // none here — comparing such keys as "equal" would pick ARBITRARY
-      // roots and silently violate the documented min-label contract — so
-      // those graphs fall through to the iterative path, whose min()
-      // aggregate orders every Spark type natively. (ADVICE r9.)
-      val locallyOrderable = collected.forall { r =>
-        r.get(0).isInstanceOf[java.lang.Comparable[_]] &&
-          r.get(1).isInstanceOf[java.lang.Comparable[_]]
-      }
-      if (locallyOrderable) {
-        pairEdges.unpersist()
-        // Union-find with path compression over opaque vertex keys (the
-        // label type follows the input column type). Root choice = minimum
-        // member, matching the distributed fixpoint exactly.
-        val parent = scala.collection.mutable.Map.empty[Any, Any]
-        def find(x: Any): Any = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
-        }
-        val ord: Ordering[Any] = (a: Any, b: Any) =>
-          a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
-        collected.foreach { r =>
-          val (a, b) = (find(r.get(0)), find(r.get(1)))
-          if (a != b) { if (ord.lt(a, b)) parent(b) = a else parent(a) = b }
-        }
-        val vertices = collected.iterator
-          .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
-        val rows = vertices.toSeq.map(v =>
-          org.apache.spark.sql.Row(v, find(v)))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("v", vType),
-          org.apache.spark.sql.types.StructField("comp", vType)))
-        return edges.sparkSession.createDataFrame(
-          edges.sparkSession.sparkContext.parallelize(rows, 1), schema)
+      // Union-find over opaque vertex keys (the label type follows the
+      // input column type); falls through to the iterative path when the
+      // keys carry no local total order (see localUnionFind).
+      localUnionFind(pairEdges.collect()) match {
+        case Some(labeled) =>
+          pairEdges.unpersist()
+          val rows = labeled.map { case (v, c) =>
+            org.apache.spark.sql.Row(v, c) }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", vType),
+            org.apache.spark.sql.types.StructField("comp", vType)))
+          return edges.sparkSession.createDataFrame(
+            edges.sparkSession.sparkContext.parallelize(rows, 1), schema)
+        case None => ()
       }
     }
     val sym = pairEdges
@@ -148,7 +160,8 @@ object Components {
     * `edges` is returned labeled with its component's minimum id.
     */
   def connectedComponentsStar(edges: DataFrame, src: String = "id1",
-      dst: String = "id2", maxIters: Int = 30): DataFrame = {
+      dst: String = "id2", maxIters: Int = 30,
+      localEdgeBound: Int = 4096): DataFrame = {
     // every input vertex, including self-loop-only ones the star rounds
     // drop — re-attached as their own component at the end (consumed once,
     // in the final labels join — no cache)
@@ -164,6 +177,36 @@ object Components {
     // rounds at the bench SFs; r16 measured ~half the wall of the
     // components queries BETWEEN stages).
     var eCount = e.count()
+    // Runtime-adaptive small-graph fast path (optimization r17), the same
+    // move (same default bound, same driver-collect budget: ≤4096 edge
+    // rows ≈ 64 KB) connectedComponents has carried since r9: the star
+    // rounds cost ~6 driver jobs each (sym/agg/join/distinct/checkpoint/
+    // count) and the bench's kNN pair graphs are a few thousand edges
+    // (3 953 undirected at sf0.1 — measured r17), so the distributed
+    // loop is pure scheduling floor there (~3 s for ~60 ms of row work).
+    // Union-find over the collected canonical edges, root = min member —
+    // bit-identical labels to the star fixpoint (oracle-checked). Graphs
+    // over the bound (every production-scale corpus; 100× scale harness
+    // runs ~450 k edges) take the unchanged star rounds, exactly like
+    // AQE's runtime broadcast decision.
+    if (eCount <= localEdgeBound) {
+      localUnionFind(e.collect()) match {
+        case Some(labeled) =>
+          val vType = e.schema("u").dataType
+          val rows = labeled.map { case (v, c) =>
+            org.apache.spark.sql.Row(v, c) }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", vType),
+            org.apache.spark.sql.types.StructField("comp", vType)))
+          val locLabels = edges.sparkSession.createDataFrame(
+            edges.sparkSession.sparkContext.parallelize(rows, 1), schema)
+          // same final shape as the distributed exit: every input vertex,
+          // isolated ones labeling themselves
+          return vertices.join(locLabels, Seq("v"), "left")
+            .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+        case None => ()
+      }
+    }
     var converged = eCount == 0L
     var i = 0
     while (!converged && i < maxIters) {

@@ -31,7 +31,10 @@ object Dedup {
     * (measured r16: curation_funnel carried two ~3 s single-task Generate
     * stages). An explicit count disables AQE coalescing for exactly this
     * exchange and still scales with deployment config (it reads
-    * `spark.sql.shuffle.partitions`, never a constant). */
+    * `spark.sql.shuffle.partitions`, never a constant). Ops-side twin of
+    * `QueryShared.shuffleWidth` (which query files use) — kept separate
+    * only because `ops` must not depend on the query-trait layer; update
+    * BOTH doc comments together (ADVICE r16 #1). */
   private def shuffleWidth(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 

@@ -38,6 +38,18 @@ object Mmr {
     * [[Components.connectedComponents]]; the per-pick frames are tiny by
     * construction, so the materialization cost is a handful of
     * candidate-sized jobs.
+    *
+    * Two caveats of the eager checkpoint (ADVICE r16): rerank() runs
+    * Spark jobs at DataFrame-CONSTRUCTION time — callers get
+    * materialization side effects even if they never execute an action —
+    * and `localCheckpoint` stores blocks on executors without lineage,
+    * so under executor loss or dynamic allocation a checkpointed block
+    * can vanish unrecoverably; a cluster deployment that needs
+    * fault-tolerant intermediates should gate on a reliable
+    * `checkpoint()` dir when one is configured. Both trade-offs are
+    * accepted here for the same reason as the Components/Graph
+    * precedent: the frames are tiny and the plan blow-up they prevent is
+    * catastrophic.
     */
   def rerank(cand: DataFrame, picks: Int, lambda: Double = 0.5,
       queryCol: String = "query_id", idCol: String = "vec_id",

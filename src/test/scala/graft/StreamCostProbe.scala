@@ -25,12 +25,16 @@ object StreamCostProbe {
     for (q <- queries) {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val spark = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+      // A/B knob: checkpoint-root override (e.g. a tmpfs path), to measure
+      // how much of the per-batch cost is checkpoint/state-store file I/O.
+      val spark = sys.env.get("GRAFT_CKPT_DIR")
+        .fold(b)(dir => b.config("spark.sql.streaming.checkpointLocation", dir))
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       spark.range(1000).selectExpr("sum(id)").collect()
@@ -56,8 +60,17 @@ object StreamCostProbe {
       val t1 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()
       val wall = (System.nanoTime() - t1) / 1e9
-      // progress events are async; give the bus a moment to drain
-      Thread.sleep(500)
+      // progress events are async; poll until the batch list stops
+      // growing (two consecutive quiet 200 ms windows) instead of a fixed
+      // sleep, which on a loaded box silently dropped late QueryProgress
+      // events and under-reported the per-batch durations this probe
+      // exists to measure (ADVICE r16).
+      var lastSize = -1; var quiet = 0
+      while (quiet < 2) {
+        Thread.sleep(200)
+        if (batches.size == lastSize) quiet += 1
+        else { quiet = 0; lastSize = batches.size }
+      }
       spark.streams.removeListener(l)
       println(f"[streamcost] $q warm=$warm%.2f s measured=$wall%.2f s")
       batches.foreach(b => println(s"[streamcost]   $b"))
