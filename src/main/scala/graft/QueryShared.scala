@@ -279,12 +279,38 @@ private[graft] trait QueryShared {
     * rate and state volume, not to the session's batch shuffle width
     * (here 32, which costs 32 state-store instances per stateful operator
     * per micro-batch; these fixtures carry kilobytes of state each).
+    *
+    * Also pins `spark.sql.streaming.checkpoint.fileChecksum.enabled=false`
+    * for the stream's life (optimization r17): Spark 4.1's checkpoint
+    * checksum layer writes a companion checksum file for EVERY state-store
+    * delta/offset/commit file through an async pool whose completion the
+    * task-side `close()` AWAITS — thread dumps during the stateful stages
+    * showed every join task parked in
+    * `ChecksumCheckpointFileManager.awaitResult` under
+    * `HDFSBackedStateStoreProvider.finalizeDeltaFile`, ~0.5–0.75 s of
+    * run-vs-cpu gap per task (streaming_interval_join batch-1 stage: 8
+    * tasks, 4 446 ms summed run, 327 ms cpu), and disabling it measured
+    * that stage 4 446 → ~3 000 ms run. These fixtures' checkpoints are
+    * per-run temp dirs deleted at JVM exit — corruption detection buys
+    * nothing on files that live for seconds, and any corruption would
+    * fail the oracle hash anyway. Production deployments with durable
+    * checkpoints keep Spark's default: this pin scopes to the fixture
+    * wrapper, not the session builder or the library operators.
     */
   protected def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = s.conf.get(key)
+    val prevCk = s.conf.getOption(ckKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ckKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
+    }
   }
 
   /** Monthly calendar dimension derived from `orders` — the settle-config

@@ -33,8 +33,13 @@ object StreamCostProbe {
         .config("spark.ui.enabled", "false")
       // A/B knob: checkpoint-root override (e.g. a tmpfs path), to measure
       // how much of the per-batch cost is checkpoint/state-store file I/O.
-      val spark = sys.env.get("GRAFT_CKPT_DIR")
+      val b2 = sys.env.get("GRAFT_CKPT_DIR")
         .fold(b)(dir => b.config("spark.sql.streaming.checkpointLocation", dir))
+      // A/B knob: state-store provider (e.g. RocksDB), to attribute the
+      // run≫cpu wait inside stateful-operator tasks.
+      val spark = sys.env.get("GRAFT_SS_PROVIDER")
+        .fold(b2)(p => b2.config(
+          "spark.sql.streaming.stateStore.providerClass", p))
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       spark.range(1000).selectExpr("sum(id)").collect()
@@ -57,6 +62,27 @@ object StreamCostProbe {
             e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(l)
+      // Stage-level decomposition of addBatch: per-stage wall (submit →
+      // complete), task count, and summed executor CPU, so the gap
+      // between addBatch and actual row work is attributable.
+      val stages = ArrayBuffer.empty[String]
+      val sl = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wallMs = (for {
+            c <- si.completionTime; s <- si.submissionTime
+          } yield c - s).getOrElse(-1L)
+          val tm = si.taskMetrics
+          val cpuMs = tm.executorCpuTime / 1000000
+          val runMs = tm.executorRunTime
+          val gcMs = tm.jvmGCTime
+          val fetchMs = tm.shuffleReadMetrics.fetchWaitTime
+          val writeMs = tm.shuffleWriteMetrics.writeTime / 1000000
+          stages += f"stage=${si.stageId} tasks=${si.numTasks} wall=${wallMs}ms run=${runMs}ms cpu=${cpuMs}ms gc=${gcMs}ms fetchWait=${fetchMs}ms shufWrite=${writeMs}ms ${si.name.take(60)}"
+        }
+      }
+      spark.sparkContext.addSparkListener(sl)
       val t1 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()
       val wall = (System.nanoTime() - t1) / 1e9
@@ -72,8 +98,10 @@ object StreamCostProbe {
         else { quiet = 0; lastSize = batches.size }
       }
       spark.streams.removeListener(l)
+      spark.sparkContext.removeSparkListener(sl)
       println(f"[streamcost] $q warm=$warm%.2f s measured=$wall%.2f s")
       batches.foreach(b => println(s"[streamcost]   $b"))
+      stages.foreach(b => println(s"[streamcost]   $b"))
       spark.stop()
     }
   }
