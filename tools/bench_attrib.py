@@ -84,9 +84,12 @@ attrib_pre = json.load(open(attrib_path)) if os.path.exists(attrib_path) else {}
 norm = 1.0
 if abs(med - 1.0) > 0.10:
     if "__environment__" in attrib_pre:
-        norm = med
+        # Normalize by the MEASURED environmental ratio, not the suite
+        # median (fixed r17, same fix as bench_diff.py): the suite median
+        # also contains code-caused movement, which must stay visible.
+        norm = float(attrib_pre["__environment__"].get("median_ratio", med))
         print(f"[attrib] uniform shift: median ratio {med:.3f} -> "
-              f"normalizing (environment evidence present)")
+              f"normalizing by measured environmental ratio {norm:.3f}")
     else:
         print(f"[attrib] uniform shift: median ratio {med:.3f} but NO "
               f"__environment__ evidence -> collecting on RAW ratios "

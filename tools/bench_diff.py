@@ -91,12 +91,22 @@ if abs(med - 1.0) > 0.10:
     q3 = all_ratios[3 * len(all_ratios) // 4]
     env_ev = attrib.get("__environment__")
     if env_ev:
-        norm = med
+        # Normalize by the MEASURED environmental ratio, not the suite
+        # median (fixed r17): the evidence quantifies how much of the
+        # shift is the box (prev-round code re-run today), and only that
+        # component may be normalized away. Dividing by the full suite
+        # median would also erase any CODE-caused uniform movement —
+        # exactly the failure the comment above warns about, hit for
+        # real in r17 when a global codegen-cache fix moved the suite
+        # median to 0.55 while byte-identical old code measured 0.80 on
+        # the same box: suite-median normalization would have relabeled
+        # every flat query a phantom 1.8x regression.
+        norm = float(env_ev.get("median_ratio", med))
         print(f"UNIFORM SHIFT: median per-query ratio {med:.3f} "
-              f"(IQR {q1:.3f}-{q3:.3f}) -> movers labeled on "
-              f"median-normalized ratio [environment evidence: "
-              f"{env_ev.get('source', '?')}, measured shift "
-              f"{env_ev.get('median_ratio', '?')}]")
+              f"(IQR {q1:.3f}-{q3:.3f}) -> movers labeled against the "
+              f"measured environmental ratio {norm:.3f} [evidence: "
+              f"{env_ev.get('source', '?')}]; residual {med / norm:.3f} "
+              f"is code-caused movement the labels keep visible")
     else:
         shift_unevidenced = True
         print(f"UNIFORM SHIFT DETECTED: median per-query ratio {med:.3f} "
